@@ -1,13 +1,211 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.TaskAnalytics
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §7 (plan).
+  *
+  * Every implemented operator has a `queries` entry; SQL-expressible ones
+  * also have a DuckDB oracle in `oracleSql` with IDENTICAL output column
+  * names (the driver sorts columns by name before hashing values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    TaskAnalytics.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 reference-derived relational operators
+    "q_normalize_status" -> TaskAnalytics.normalizeStatus _,
+    "q_dedup_keep_last"  -> TaskAnalytics.dedupKeepLast _,
+    "q_filter_tags"      -> TaskAnalytics.filterTags _,
+    "q_status_summary"   -> TaskAnalytics.statusSummary _,
+    "q_status_dist"      -> TaskAnalytics.statusDist _,
+    "q_priority_dist"    -> TaskAnalytics.priorityDist _,
+    "q_overdue"          -> TaskAnalytics.overdue _,
+    "q_oldest_pending"   -> TaskAnalytics.oldestPending _,
+    "q_backlog_rank"     -> TaskAnalytics.backlogRank _,
+    "q_weekly_velocity"  -> TaskAnalytics.weeklyVelocity _,
+    "q_period_report"    -> TaskAnalytics.periodReport _,
+    "q_parent_join"      -> TaskAnalytics.parentJoin _,
+    "q_hierarchy_rollup" -> TaskAnalytics.hierarchyRollup _,
+    "q_project_flags"    -> TaskAnalytics.projectFlags _,
+    "q_clean_text"       -> TaskAnalytics.cleanTruncate _,
+    "q_uncategorized"    -> TaskAnalytics.uncategorized _,
+    // §2.2 headline analytics
+    "q1_pricing_summary" -> TaskAnalytics.q1PricingSummary _,
+    "q3_top_revenue"     -> TaskAnalytics.q3TopRevenue _,
+    "q5_region_volume"   -> TaskAnalytics.q5RegionVolume _,
+    // §2.3 events (batch variants)
+    "q_sessionize"       -> TaskAnalytics.sessionize _,
+    "q_event_window_agg" -> TaskAnalytics.eventWindowAgg _,
+    "q_json_props"       -> TaskAnalytics.jsonProps _,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_normalize_status" ->
+      """SELECT o_orderkey,
+         CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+              WHEN 'P' THEN 'pending' ELSE 'unknown' END AS status,
+         CASE o_orderpriority WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+              WHEN '3-MEDIUM' THEN 2 WHEN '4-NOT SPECIFIED' THEN 3
+              WHEN '5-LOW' THEN 4 ELSE 5 END AS prio_score,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_date
+         FROM orders ORDER BY o_orderkey""",
+    "q_dedup_keep_last" ->
+      """SELECT user_id, event_type, event_id, round(value, 2) AS value
+         FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) = 1
+         ORDER BY user_id, event_type""",
+    "q_filter_tags" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE list_has_any(string_split(text, ' '),
+                            ['spark', 'shuffle', 'partition'])
+         ORDER BY doc_id""",
+    "q_status_summary" ->
+      """SELECT count(*) AS total,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS finished,
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS open,
+         count(*) FILTER (WHERE o_orderstatus = 'P') AS pending
+         FROM orders""",
+    "q_status_dist" ->
+      """SELECT CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+              WHEN 'P' THEN 'pending' ELSE 'unknown' END AS status,
+         count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY status""",
+    "q_priority_dist" ->
+      """SELECT o_orderpriority AS priority,
+         CASE o_orderpriority WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+              WHEN '3-MEDIUM' THEN 2 WHEN '4-NOT SPECIFIED' THEN 3
+              WHEN '5-LOW' THEN 4 ELSE 5 END AS prio_score,
+         count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+         FROM orders GROUP BY 1, 2 ORDER BY prio_score""",
+    "q_overdue" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         o_orderpriority AS priority, round(o_totalprice, 2) AS total_price
+         FROM orders
+         WHERE o_orderstatus = 'O' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         ORDER BY order_date, o_orderkey""",
+    "q_oldest_pending" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         o_orderpriority AS priority
+         FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY order_date, o_orderkey LIMIT 5""",
+    "q_backlog_rank" ->
+      """SELECT o_orderkey,
+         CASE o_orderpriority WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+              WHEN '3-MEDIUM' THEN 2 WHEN '4-NOT SPECIFIED' THEN 3
+              WHEN '5-LOW' THEN 4 ELSE 5 END AS prio_score,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         round(o_totalprice, 2) AS total_price
+         FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY prio_score, order_date, o_orderkey LIMIT 15""",
+    "q_weekly_velocity" ->
+      """SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week,
+         count(*) AS n_completed
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY 1 ORDER BY week""",
+    "q_period_report" ->
+      """SELECT o_orderpriority AS priority, count(*) AS n,
+         round(sum(o_totalprice), 2) AS total_price
+         FROM orders
+         WHERE o_orderstatus = 'F'
+           AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate <= TIMESTAMP '1997-06-30 00:00:00'
+         GROUP BY 1 ORDER BY priority""",
+    "q_parent_join" ->
+      """SELECT c_custkey, c_name, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2 ORDER BY c_custkey""",
+    "q_hierarchy_rollup" ->
+      """SELECT r_name, n_name, count(DISTINCT c_custkey) AS n_customers,
+         count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY r_name, n_name""",
+    "q_project_flags" ->
+      """SELECT c_custkey, c_name, coalesce(n_orders, 0) AS n_orders,
+         coalesce(n_orders, 0) >= 12 AS is_project
+         FROM customer LEFT JOIN
+           (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) t
+           ON c_custkey = o_custkey
+         ORDER BY c_custkey""",
+    "q_clean_text" ->
+      """SELECT doc_id,
+         CASE WHEN length(t) > 60 THEN left(t, 57) || '...' ELSE t END AS clean_text
+         FROM (SELECT doc_id,
+               replace(replace(replace(replace(replace(replace(replace(text,
+                 '’', ''''), '‘', ''''), '“', '"'), '”', '"'),
+                 '–', '-'), '—', '-'), '…', '...') AS t
+               FROM documents)
+         ORDER BY doc_id""",
+    "q_uncategorized" ->
+      """SELECT o_orderkey, o_orderstatus AS status FROM orders
+         WHERE o_orderstatus NOT IN ('O', 'F') ORDER BY o_orderkey""",
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_extendedprice), 4) AS avg_price,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
+    "q3_top_revenue" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+         GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_region_volume" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE year(o_orderdate) = 1997
+         GROUP BY 1, 2 ORDER BY r_name, n_name""",
+    "q_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(CAST(ts AS TIMESTAMP))
+                       - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+                  THEN 1 ELSE 0 END AS boundary
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT *, CAST(sum(boundary) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           round(sum(value), 2) AS value_sum
+         FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""",
+    "q_event_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         event_type, count(*) AS n, round(sum(value), 2) AS value_sum
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(k) AS BIGINT) AS k_sum, min(k) AS k_min, max(k) AS k_max
+         FROM (SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+         GROUP BY 1 ORDER BY event_type""",
+  )
 }

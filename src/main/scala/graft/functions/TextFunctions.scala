@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by the text-analysis and dedup operators.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions._`
+  * (codegen'd, whole-stage-compatible) — no Scala UDFs. The hash
+  * functions are *engine-portable*: the same arithmetic is expressible
+  * in ANSI-ish SQL (DuckDB list lambdas), so correctness oracles can
+  * recompute bit-identical signatures.
+  *
+  * Reference provenance: alsyefs/notion backend/text_style.py:103-149
+  * (clean_text / truncate_text) plus the mission's training-data
+  * pipeline surface (tokenize, fingerprint, quality, language-ID).
+  */
+object TextFunctions {
+
+  /** Modulus for the portable polynomial hash (fits 31*p + 2^31 in a Long). */
+  val HashP = 1000000007L
+
+  /** Lowercased alphanumeric word tokens — the canonical token stream
+    * for hashing/dedup. `regexp_extract_all` is codegen'd.
+    */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Portable polynomial hash of one token: fold chars as
+    * `acc = (acc*31 + codepoint) mod p`. Sequential left-to-right via the
+    * `aggregate` HOF, so any engine reproduces it exactly.
+    */
+  def tokenHash(token: Column): Column =
+    aggregate(
+      split(token, ""),
+      lit(0L),
+      (acc, c) => (acc * lit(31L) + ascii(c)) % lit(HashP))
+
+  /** Array of portable token hashes for a text column. */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), tokenHash _)
+
+  /** Portable document fingerprint: fold token hashes as
+    * `acc = (acc*131 + h) mod p` (rolling hash over the token stream).
+    */
+  def docFingerprint(text: Column): Column =
+    aggregate(tokenHashes(text), lit(0L), (acc, h) => (acc * lit(131L) + h) % lit(HashP))
+
+  /** clean_text analog (text_style.py:103-138): normalize smart quotes,
+    * dashes, ellipsis; drop a small emoji set. Chained `replace` stays
+    * inside whole-stage codegen.
+    */
+  def cleanText(text: Column): Column = {
+    val repl: Seq[(String, String)] = Seq(
+      "’" -> "'", "‘" -> "'", "“" -> "\"", "”" -> "\"",
+      "–" -> "-", "—" -> "-", "…" -> "...")
+    repl.foldLeft(text) { case (c, (from, to)) => regexp_replace(c, java.util.regex.Pattern.quote(from), to) }
+  }
+
+  /** truncate_text analog (text_style.py:141-149): cap at `max` chars,
+    * ellipsis when longer.
+    */
+  def truncateText(text: Column, max: Int = 60): Column =
+    when(length(text) > max, concat(substring(text, 1, max - 3), lit("...")))
+      .otherwise(text)
+
+  /** Whitespace token count + BPE-ish regex token count. */
+  def wsTokenCount(text: Column): Column = size(split(text, "\\s+"))
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+
+  /** Stopword list used by quality scoring and language ID. */
+  val EnStop: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  val DeStop: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "ein")
+  val EsStop: Seq[String] = Seq("el", "la", "los", "de", "que", "es", "un")
+
+  /** Quality-score components (length/punct/stopword ratios), all pure
+    * column arithmetic. Returns struct-free individual columns via the
+    * caller; here the composite score in [0,1]-ish, rounded for oracle
+    * stability.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val toks = tokens(text)
+    val nWords = size(toks).cast("double")
+    val avgWordLen = when(nWords > 0, nChars / nWords).otherwise(lit(0.0))
+    val punct = size(regexp_extract_all(text, lit("[!-/:-@\\[-`{-~]"), lit(0))).cast("double")
+    val punctRatio = when(nChars > 0, punct / nChars).otherwise(lit(0.0))
+    val stops = size(array_intersect(toks, lit(EnStop.toArray))).cast("double")
+    val stopRatio = when(nWords > 0, stops / nWords).otherwise(lit(0.0))
+    round(
+      lit(0.4) * least(nWords / lit(100.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio) +
+      lit(0.2) * stopRatio +
+      lit(0.1) * least(avgWordLen / lit(10.0), lit(1.0)), 4)
+  }
+
+  /** Language-ID heuristic: distinct-marker-token overlap per language,
+    * fixed-precedence argmax (en > de > es > unknown on ties).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val en = size(array_intersect(toks, lit(EnStop.toArray)))
+    val de = size(array_intersect(toks, lit(DeStop.toArray)))
+    val es = size(array_intersect(toks, lit(EsStop.toArray)))
+    when(en === 0 && de === 0 && es === 0, lit("unknown"))
+      .when(en >= de && en >= es, lit("en"))
+      .when(de >= es, lit("de"))
+      .otherwise(lit("es"))
+  }
+}
