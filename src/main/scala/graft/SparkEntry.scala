@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.TaskAnalytics
+import graft.operators.{Dedup, Similarity, TaskAnalytics, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §7 (plan).
   *
@@ -41,6 +41,23 @@ object SparkEntry {
     "q_sessionize"       -> TaskAnalytics.sessionize _,
     "q_event_window_agg" -> TaskAnalytics.eventWindowAgg _,
     "q_json_props"       -> TaskAnalytics.jsonProps _,
+    // §2.4 deduplication
+    "q_dedup_exact"         -> Dedup.exact _,
+    "q_dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
+    "q_dedup_minhash"       -> Dedup.minhashLsh _,
+    "q_dedup_simhash"       -> Dedup.simhash _,
+    "q_dedup_embedding"     -> Similarity.embeddingDup _,
+    // §2.5 similarity search
+    "q_ann_brute_topk" -> Similarity.annBruteTopK _,
+    "q_ann_lsh_topk"   -> Similarity.annLshTopK _,
+    "q_ann_ivf_topk"   -> Similarity.annIvfTopK _,
+    // §2.6 text analysis
+    "q_token_count"     -> TextAnalysis.tokenCount _,
+    "q_quality_score"   -> TextAnalysis.quality _,
+    "q_lang_id"         -> TextAnalysis.languageId _,
+    "q_doc_fingerprint" -> TextAnalysis.fingerprint _,
+    // §2.7 multimodal metadata
+    "q_multimodal_meta" -> TextAnalysis.multimodalMeta _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -207,5 +224,67 @@ object SparkEntry {
          FROM (SELECT event_type,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
          GROUP BY 1 ORDER BY event_type""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, count(*) AS n_docs, min(doc_id) AS rep_id
+         FROM documents GROUP BY 1 ORDER BY content_md5""",
+    "q_dedup_ngram_jaccard" -> Dedup.sqlNgramJaccard,
+    "q_dedup_minhash"       -> Dedup.sqlMinhashLsh,
+    "q_dedup_simhash"       -> Dedup.sqlSimhash,
+    "q_dedup_embedding"     -> Similarity.sqlEmbeddingDup,
+    "q_ann_brute_topk"      -> Similarity.sqlAnnBruteTopK,
+    "q_token_count" ->
+      """SELECT doc_id,
+         CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS ws_tokens,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "q_quality_score" ->
+      """WITH t AS (
+           SELECT doc_id, CAST(length(text) AS DOUBLE) AS nchars,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+             CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) AS punct
+           FROM documents),
+         q AS (
+           SELECT doc_id, nchars, punct,
+             CAST(len(toks) AS DOUBLE) AS nwords,
+             CAST(len(list_intersect(toks,
+               ['the','a','of','and','to','in','is','it'])) AS DOUBLE) AS stops
+           FROM t)
+         SELECT doc_id, floor((
+             0.4 * least(nwords / 100.0, 1.0)
+           + 0.3 * (1.0 - CASE WHEN nchars > 0 THEN punct / nchars ELSE 0.0 END)
+           + 0.2 * (CASE WHEN nwords > 0 THEN stops / nwords ELSE 0.0 END)
+           + 0.1 * least((CASE WHEN nwords > 0 THEN nchars / nwords ELSE 0.0 END) / 10.0, 1.0)
+           ) * 10000.0 + 0.5) / 10000.0 AS quality
+         FROM q ORDER BY doc_id""",
+    "q_lang_id" ->
+      """WITH t AS (
+           SELECT doc_id, lang AS declared_lang,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         sc AS (
+           SELECT doc_id, declared_lang,
+             len(list_intersect(toks, ['the','a','of','and','to','in','is','it'])) AS s_en,
+             len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein'])) AS s_de,
+             len(list_intersect(toks, ['el','la','los','de','que','es','un'])) AS s_es
+           FROM t)
+         SELECT doc_id, declared_lang,
+           CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 THEN 'unknown'
+                WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_es THEN 'de'
+                ELSE 'es' END AS pred_lang
+         FROM sc ORDER BY doc_id""",
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+                  (a, c) -> (a * 31 + c) % 1000000007))),
+           (a, h) -> (a * 131 + h) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
+         md5(text) AS content_md5, left(text, 16) AS prefix16
+         FROM documents ORDER BY doc_id""",
   )
 }

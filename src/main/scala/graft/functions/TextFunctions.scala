@@ -26,15 +26,34 @@ object TextFunctions {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
-  /** Portable polynomial hash of one token: fold chars as
+  /** Portable polynomial hash of any string: fold chars as
     * `acc = (acc*31 + codepoint) mod p`. Sequential left-to-right via the
-    * `aggregate` HOF, so any engine reproduces it exactly.
+    * `aggregate` HOF, so any engine reproduces it exactly
+    * (DuckDB: `list_reduce(list_prepend(0, list_transform(string_split(s,''),
+    * c -> ascii(c))), (a,c) -> (a*31+c) % p)`).
     */
-  def tokenHash(token: Column): Column =
+  def charFoldHash(s: Column): Column =
     aggregate(
-      split(token, ""),
+      split(s, ""),
       lit(0L),
       (acc, c) => (acc * lit(31L) + ascii(c)) % lit(HashP))
+
+  def tokenHash(token: Column): Column = charFoldHash(token)
+
+  /** Distinct word n-gram shingles over the canonical token stream;
+    * empty array when fewer than n tokens.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct portable hashes of word n-gram shingles. */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(wordShingles(text, n), charFoldHash _))
 
   /** Array of portable token hashes for a text column. */
   def tokenHashes(text: Column): Column =
@@ -88,11 +107,15 @@ object TextFunctions {
     val punctRatio = when(nChars > 0, punct / nChars).otherwise(lit(0.0))
     val stops = size(array_intersect(toks, lit(EnStop.toArray))).cast("double")
     val stopRatio = when(nWords > 0, stops / nWords).otherwise(lit(0.0))
-    round(
+    // Portable rounding: floor(x*1e4 + 0.5)/1e4 is pure double arithmetic
+    // (identical bits in any engine) — library round() implementations
+    // disagree on the exact-.5 boundaries this formula's small rationals
+    // frequently produce.
+    floor((
       lit(0.4) * least(nWords / lit(100.0), lit(1.0)) +
       lit(0.3) * (lit(1.0) - punctRatio) +
       lit(0.2) * stopRatio +
-      lit(0.1) * least(avgWordLen / lit(10.0), lit(1.0)), 4)
+      lit(0.1) * least(avgWordLen / lit(10.0), lit(1.0))) * lit(10000.0) + lit(0.5)) / lit(10000.0)
   }
 
   /** Language-ID heuristic: distinct-marker-token overlap per language,

@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for the documents corpus (SURVEY §2.4).
+  *
+  * Candidate generation is always an equi-join on derived bucket keys
+  * (shared shingle / minhash band / simhash byte-band) — shuffles are
+  * O(candidates), never a blind O(n²) cross join, which is the property
+  * that survives a 100 TB corpus. Verification then computes the exact
+  * metric on the candidate pairs only.
+  *
+  * Every hash is engine-portable (see TextFunctions.charFoldHash), and
+  * the DuckDB oracle SQL is *generated from the same constants* below —
+  * single source of truth, bit-identical signatures in both engines.
+  */
+object Dedup {
+
+  val P: Long = HashP
+  val ShingleN = 3
+
+  /** MinHash: k=16 universal-hash permutations in 4 bands × 4 rows. */
+  val MinhashA: Seq[Long] = Seq(
+    1203114533L, 1150766481L, 666131619L, 1627628529L,
+    425962821L, 1042741207L, 1619913143L, 878525955L,
+    783681013L, 1312723743L, 481799389L, 1225406611L,
+    563783579L, 1634257343L, 985663049L, 1723734179L)
+  val MinhashB: Seq[Long] = Seq(
+    554564755L, 1024061403L, 130537167L, 415977677L,
+    843255995L, 1769823757L, 480062011L, 1422707987L,
+    1661763179L, 279103603L, 1595419415L, 767131861L,
+    1871831303L, 141955041L, 1077173999L, 663399859L)
+  val Bands = 4
+  val R = 4
+  val MinhashJaccardT = 0.5
+
+  val JaccardT = 0.6
+  val SimhashBits = 32
+  val SimhashBands = 4
+  val HammingMax = 3
+
+  /** §2.4 #24 — exact dedup: content-hash groups with representative =
+    * min doc_id (one shuffle on the hash key; map-side partial agg).
+    */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text").cast("binary")).as("content_md5"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_id"))
+      .orderBy("content_md5")
+
+  /** Documents with their distinct shingle-hash sets (shared scan shape
+    * for the jaccard and minhash paths).
+    */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), shingleHashes(col("text"), ShingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  private def jaccard(interCol: Column, na: Column, nb: Column): Column =
+    interCol.cast("double") / (na + nb - interCol)
+
+  /** §2.4 #25 — n-gram Jaccard near-dup: candidates = pairs sharing ≥1
+    * shingle (exact-complete for J ≥ τ > 0), verified on the distinct
+    * shingle sets. Shuffle key = shingle hash.
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(s, dir)
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("h"))
+    val cand = ex.as("x").join(ex.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(jaccard(col("inter"), size(col("sh_a")), size(col("sh_b"))), 4))
+      .filter(jaccard(col("inter"), size(col("sh_a")), size(col("sh_b"))) >= JaccardT)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** §2.4 #26 — MinHash+LSH near-dup: k minhashes → b bands → band-bucket
+    * equi-join → exact-Jaccard verification of candidates.
+    */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(s, dir)
+    val sig = MinhashA.zip(MinhashB).map { case (a, b) =>
+      array_min(transform(col("sh"), h => (lit(a) * h + lit(b)) % lit(P)))
+    }
+    val bandKeys = (0 until Bands).map { bi =>
+      concat_ws(":", sig.slice(bi * R, bi * R + R): _*)
+    }
+    val banded = docs
+      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band_id", "key")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(jaccard(col("inter"), size(col("sh_a")), size(col("sh_b"))), 4))
+      .filter(jaccard(col("inter"), size(col("sh_a")), size(col("sh_b"))) >= MinhashJaccardT)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** §2.4 #27 — SimHash near-dup: 32-bit signature from token hashes
+    * (with multiplicity), 4×8-bit pigeonhole bands (complete for hamming
+    * ≤ 3), `bit_count(xor)` verification.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenHashes(col("text")).as("th"))
+      .filter(size(col("th")) > 0)
+    val sim = (0 until SimhashBits).map { j =>
+      when(aggregate(col("th"), lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1)) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = docs.select(col("doc_id"), sim.as("sim"))
+    val banded = sigs.select(col("doc_id"), col("sim"),
+      posexplode(array((0 until SimhashBands).map(k =>
+        shiftright(col("sim"), 8 * k).bitwiseAND(lit(255L))): _*)).as(Seq("band_id", "byte")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.byte") === col("y.byte") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("int"))
+      .filter(col("hamming") <= HammingMax)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- oracle SQL generation (same constants as above) ------------------
+
+  /** DuckDB charFoldHash of a string expression. */
+  private def sqlCharFold(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, c) -> (a * 31 + c) % $P)"
+
+  /** Shared WITH-prefix: documents → distinct shingle-hash sets. */
+  private val sqlShingled: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM documents),
+       |sgl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) >= $ShingleN
+       |      THEN list_distinct(list_transform(generate_series(1, len(t) - ${ShingleN - 1}),
+       |             i -> array_to_string(t[i:i + ${ShingleN - 1}], ' ')))
+       |      ELSE [] END AS shs
+       |  FROM toks),
+       |docs AS (
+       |  SELECT doc_id, list_distinct(list_transform(shs, s -> ${sqlCharFold("s")})) AS sh
+       |  FROM sgl WHERE len(shs) > 0)""".stripMargin
+
+  val sqlNgramJaccard: String =
+    s"""$sqlShingled,
+       |ex AS (SELECT doc_id, unnest(sh) AS h FROM docs),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM ex x JOIN ex y ON x.h = y.h AND x.doc_id < y.doc_id),
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS la, len(b.sh) AS lb
+       |  FROM cand JOIN docs a ON a.doc_id = doc_a JOIN docs b ON b.doc_id = doc_b)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
+       |FROM verified
+       |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= $JaccardT
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val sqlMinhashLsh: String = {
+    val mh = MinhashA.zip(MinhashB).map { case (a, b) =>
+      s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))"
+    }.mkString("[", ", ", "]")
+    s"""$sqlShingled,
+       |sigs AS (SELECT doc_id, sh, $mh AS mh FROM docs),
+       |banded AS (
+       |  SELECT doc_id, i AS band_id,
+       |    array_to_string(mh[(i - 1) * $R + 1:(i - 1) * $R + $R], ':') AS key
+       |  FROM sigs, unnest(generate_series(1, $Bands)) AS t(i)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band_id = y.band_id AND x.key = y.key AND x.doc_id < y.doc_id),
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS la, len(b.sh) AS lb
+       |  FROM cand JOIN docs a ON a.doc_id = doc_a JOIN docs b ON b.doc_id = doc_b)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
+       |FROM verified
+       |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= $MinhashJaccardT
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val sqlSimhash: String = {
+    val simExpr = (0 until SimhashBits).map { j =>
+      s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(th, h -> ((h >> $j) & 1) * 2 - 1)), (a, x) -> a + x) > 0 " +
+        s"THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |                   s -> ${sqlCharFold("s")}) AS th
+       |  FROM documents),
+       |sigs AS (
+       |  SELECT doc_id, $simExpr AS sim FROM docs WHERE len(th) > 0),
+       |banded AS (
+       |  SELECT doc_id, sim, k AS band_id, (sim >> (8 * k)) & 255 AS byte
+       |  FROM sigs, unnest(generate_series(0, ${SimhashBands - 1})) AS t(k)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.sim AS sim_a, y.sim AS sim_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band_id = y.band_id AND x.byte = y.byte AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+}

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the embeddings corpus (SURVEY §2.5) and
+  * embedding-cosine near-dup (§2.4 #28).
+  *
+  * The exact/brute variants broadcast the (small) query set — fact side
+  * never shuffles; they double as correctness oracles. The LSH and IVF
+  * variants are the 100 TB scale path: candidate generation is an
+  * equi-join on bucket/cell keys, exact rerank only on candidates.
+  *
+  * Dot products use `zip_with` + `aggregate` (sequential fold → engine-
+  * portable, same value the DuckDB oracle computes via `list_reduce`).
+  */
+object Similarity {
+
+  val CosineDupT = 0.4
+  val TopK = 5
+  val NumQueries = 10
+
+  /** Embeddings with doubles + precomputed L2 norm. */
+  private def normed(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), _ + _)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** §2.4 #28 — embedding-cosine near-dup: all pairs with cosine ≥ τ.
+    * Exact-by-definition baseline (the LSH/IVF paths below are the scale
+    * story); at bench scale the pair join is a nested-loop over ≤2k rows.
+    */
+  def embeddingDup(s: SparkSession, dir: String): DataFrame = {
+    val a = normed(s, dir).select(col("vec_id").as("vec_a"), col("e").as("e_a"), col("nrm").as("n_a"))
+    val b = normed(s, dir).select(col("vec_id").as("vec_b"), col("e").as("e_b"), col("nrm").as("n_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6))
+      .filter(col("cos_sim") >= CosineDupT)
+      .select("vec_a", "vec_b", "cos_sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** §2.5 #29 — brute-force cosine top-k: query set (vec_id < NumQueries)
+    * broadcast against the corpus; rank on rounded cosine with vec_id
+    * tie-break (deterministic across engines).
+    */
+  def annBruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val q = normed(s, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("e_q"), col("nrm").as("n_q"))
+    val c = normed(s, dir)
+      .select(col("vec_id").as("neighbor_id"), col("e").as("e_c"), col("nrm").as("n_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("q_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("q_id", "rank", "neighbor_id", "cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
+  // ---- scale paths (deterministic, rows-only checked) -------------------
+
+  val LshPlanes = 8
+  val Dim = 64
+
+  /** Deterministic pseudo-random hyperplanes (fixed integer recurrence —
+    * reproducible across runs/engines without RNG state).
+    */
+  private[operators] val planes: Array[Array[Double]] =
+    Array.tabulate(LshPlanes, Dim) { (j, i) =>
+      (((j * Dim + i + 1) * 2654435761L & 0x7fffffffL) % 2001L - 1000L) / 1000.0
+    }
+
+  /** Sign-bit LSH signature for an embedding column. */
+  private def lshSig(e: Column): Column =
+    (0 until LshPlanes).map { j =>
+      when(dot(e, lit(planes(j))) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** §2.5 #30 — LSH-bucketed ANN: corpus bucketed by 8-bit hyperplane
+    * signature; queries multi-probe their bucket plus all 1-bit flips
+    * (9 probes), exact rerank inside candidates. Candidate join is an
+    * equi-join on the signature — O(candidates) shuffle at any scale.
+    */
+  def annLshTopK(s: SparkSession, dir: String): DataFrame = {
+    val n = normed(s, dir)
+    val corpus = n.select(col("vec_id").as("neighbor_id"), col("e").as("e_c"),
+      col("nrm").as("n_c"), lshSig(col("e")).as("sig"))
+    val probes = (0 until LshPlanes).map(j => col("qsig").bitwiseXOR(lit(1 << j))) :+ col("qsig")
+    val q = n.filter(col("vec_id") < NumQueries)
+      .withColumn("qsig", lshSig(col("e")))
+      .select(col("vec_id").as("q_id"), col("e").as("e_q"), col("nrm").as("n_q"),
+        explode(array(probes: _*)).as("probe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    broadcast(q).join(corpus, col("probe") === col("sig") && col("q_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("q_id", "rank", "neighbor_id", "cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
+  val IvfCentroidMod = 100
+  val IvfNProbe = 2
+
+  /** §2.5 #31 — IVF-style ANN: deterministic seed centroids
+    * (vec_id % mod == 3), vectors assigned to nearest centroid cell;
+    * queries probe the nProbe nearest cells and rerank exactly.
+    * Assignment and probe are broadcast joins against the (tiny)
+    * centroid set; the candidate join is an equi-join on cell id.
+    */
+  def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val n = normed(s, dir)
+    val cents = n.filter(col("vec_id") % IvfCentroidMod === 3)
+      .select(col("vec_id").as("cent_id"), col("e").as("e_cent"), col("nrm").as("n_cent"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cdist").desc, col("cent_id"))
+    val assigned = n.join(broadcast(cents), lit(true))
+      .withColumn("cdist", dot(col("e"), col("e_cent")) / (col("nrm") * col("n_cent")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("e").as("e_c"),
+        col("nrm").as("n_c"), col("cent_id").as("cell"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cdist").desc, col("cent_id"))
+    val qProbes = n.filter(col("vec_id") < NumQueries)
+      .join(broadcast(cents), lit(true))
+      .withColumn("cdist", dot(col("e"), col("e_cent")) / (col("nrm") * col("n_cent")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= IvfNProbe)
+      .select(col("vec_id").as("q_id"), col("e").as("e_q"),
+        col("nrm").as("n_q"), col("cent_id").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    broadcast(qProbes).join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("q_id", "rank", "neighbor_id", "cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
+  // ---- oracle SQL -------------------------------------------------------
+
+  /** Sequential-fold dot product / norm in DuckDB (list_reduce ≡ Spark's
+    * aggregate fold — same order, bit-identical doubles).
+    */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, $Dim), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  private val sqlNormed: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings)""".stripMargin
+
+  val sqlEmbeddingDup: String =
+    s"""$sqlNormed
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_sim
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE round(${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $CosineDupT
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val sqlAnnBruteTopK: String =
+    s"""$sqlNormed,
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |    round(${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cos_sim
+       |  FROM n q JOIN n c ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, neighbor_id, cos_sim FROM ranked
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+}
