@@ -1,0 +1,106 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY §2.7).
+  *
+  * Image/audio/video payloads are opaque `binary` columns with typed
+  * metadata travelling beside them. The Spark-side plumbing — schema,
+  * partition-parallel batch decode via `mapPartitions`, stable row shape
+  * for downstream joins — is real and tested; the codec itself is a
+  * clearly marked deterministic STUB (no image/audio libraries in this
+  * environment). Swapping `stubDecode`/`stubEmbed` for a real codec
+  * changes no plan shape.
+  *
+  * At 100 TB: payloads dominate row size, so decode runs once per
+  * partition batch (amortized codec init), metadata-only queries never
+  * deserialize payloads (column pruning drops the binary column at the
+  * scan), and `repartition` on id spreads hot media evenly.
+  */
+object Multimodal {
+
+  case class MediaRow(id: Long, kind: String, payload: Array[Byte])
+  case class MediaMeta(id: Long, kind: String, n_bytes: Int,
+                       checksum: Long, width: Int, height: Int)
+  case class MediaFrame(id: Long, frame_no: Int, offset: Int, frame_bytes: Array[Byte])
+  case class MediaEmbedding(id: Long, embedding: Array[Float])
+
+  /** Documents → opaque media rows (text bytes stand in for payloads;
+    * real pipelines read binary blobs the same way).
+    */
+  def toMedia(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").as("id"),
+        concat(lit("media/"), col("source")).as("kind"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** STUB codec: a real implementation would parse the container header
+    * here (JPEG/PNG/WAV...). The fake is deterministic from the payload
+    * bytes so tests are stable and the plumbing is exercised end-to-end.
+    */
+  private def stubDecode(payload: Array[Byte]): (Long, Int, Int) = {
+    var h = 0L
+    payload.foreach(b => h = (h * 31 + (b & 0xff)) % 1000000007L)
+    (h, 16 + (h % 64).toInt, 16 + ((h / 64) % 64).toInt)
+  }
+
+  /** Partition-parallel metadata decode: one `mapPartitions` batch per
+    * partition (codec init amortized), payload dropped on output.
+    */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition codec init would go here
+      it.map { m =>
+        val (checksum, w, h) = stubDecode(m.payload)
+        MediaMeta(m.id, m.kind, m.payload.length, checksum, w, h)
+      }
+    }
+  }
+
+  /** Frame sampling: k evenly spaced fixed-size slices of the payload
+    * (stands in for video frame extraction; preserves batch shape).
+    */
+  def frameSample(media: Dataset[MediaRow], k: Int, frameBytes: Int): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val n = m.payload.length
+      if (n == 0) Iterator.empty
+      else (0 until k).iterator.map { i =>
+        val off = (n.toLong * i / k).toInt
+        MediaFrame(m.id, i, off, m.payload.slice(off, math.min(off + frameBytes, n)))
+      }
+    }
+  }
+
+  val EmbedDim = 16
+
+  /** STUB feature extraction: deterministic pseudo-embedding from payload
+    * bytes (a real model would batch-infer per partition).
+    */
+  def embed(media: Dataset[MediaRow]): Dataset[MediaEmbedding] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val v = new Array[Float](EmbedDim)
+        var h = 1L
+        var i = 0
+        m.payload.foreach { b =>
+          h = (h * 131 + (b & 0xff)) % 1000000007L
+          v(i % EmbedDim) += ((h % 2001) - 1000) / 1000.0f
+          i += 1
+        }
+        MediaEmbedding(m.id, v)
+      }
+    }
+  }
+
+  /** Metadata-only view over a media table — the plan must prune the
+    * payload column at the scan (verified in the spec).
+    */
+  def metaOnly(s: SparkSession, mediaPath: String): DataFrame =
+    s.read.parquet(mediaPath).select("id", "kind")
+}

@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sources / sinks (SURVEY §2.8) — the reference's export surface
+  * (fetch_pages.py:590-620: CSV cache, JSON records export, incremental
+  * keep-last merge) re-expressed as distributed writers.
+  *
+  * CSV/JSON here are line-oriented and partition-parallel (a 100 TB
+  * export is a directory of part files, not one file); the incremental
+  * cache is a keep-last merge the reference does with
+  * `drop_duplicates(keep="last")` in pandas.
+  */
+object Export {
+
+  /** CSV export with header (reference: tasks_df.to_csv). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** JSON-records export (reference: to_json(orient="records") — at
+    * scale the Spark-native form is JSON-lines part files).
+    */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Schema-explicit CSV read — no inference scan (an inference pass at
+    * 100 TB is a full extra read).
+    */
+  def readCsv(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).option("header", "true").csv(path)
+
+  def readJson(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  /** Incremental keep-last upsert (fetch_pages.py:594-601): union the
+    * cached and fresh rows, keep the newest row per key. One shuffle on
+    * the key; `version` breaks ties in favour of updates.
+    */
+  def upsertKeepLast(existing: DataFrame, updates: DataFrame,
+                     key: Seq[String], ord: String): DataFrame = {
+    val tagged = existing.withColumn("_src", lit(0))
+      .unionByName(updates.withColumn("_src", lit(1)))
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col(ord).desc, col("_src").desc)
+    tagged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_src")
+  }
+
+  /** Partitioned parquet sink (natural-key layout, e.g. date for events:
+    * partition pruning makes period queries touch only their slice).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+}

@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.operators.TaskAnalytics
+import graft.sources.Export
+import graft.streaming.EventStreams
+
+/** Usage sample / smoke driver for the library surface beyond the
+  * SparkEntry query contract: streaming ingest, export sinks, and
+  * multimodal plumbing. `sbt "runMain graft.tools.SampleApp <sfDir>"`.
+  */
+object SampleApp {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // streaming: file-source ingest -> watermarked windowed agg -> memory sink
+    val stream = EventStreams.readEventStream(spark, sf)
+    println(s"[sample] stream.isStreaming=${stream.isStreaming}")
+    val q = EventStreams.windowedAgg(stream)
+      .writeStream.format("memory").queryName("sample_win").outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    println(s"[sample] windowed rows=${spark.table("sample_win").count()}")
+    spark.table("sample_win").orderBy("hour", "event_type").show(3, truncate = false)
+
+    // export: csv round trip
+    val dist = TaskAnalytics.statusDist(spark, sf)
+    Export.writeCsv(dist, "/tmp/sample_csv")
+    println(s"[sample] csv parts=${new java.io.File("/tmp/sample_csv").list().count(_.endsWith(".csv"))}")
+
+    // incremental keep-last upsert
+    val existing = Seq((1L, "old", 1L), (2L, "keep", 2L)).toDF("id", "v", "ver")
+    val updates = Seq((1L, "new", 1L)).toDF("id", "v", "ver")
+    Export.upsertKeepLast(existing, updates, Seq("id"), "ver").orderBy("id").show()
+
+    // multimodal: decode + frame-sample the documents corpus
+    val media = Multimodal.toMedia(Tables.documents(spark, sf))
+    Multimodal.decodeMeta(media).show(3, truncate = false)
+    println(s"[sample] frames=${Multimodal.frameSample(media, 4, 8).count()}")
+    spark.stop()
+  }
+}

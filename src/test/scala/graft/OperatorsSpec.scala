@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Operator-level invariants on the sf0.001 testdata (cell-exact oracle
+  * parity is covered by the driver gate / tools/parity.py; these specs
+  * pin structural properties and cross-variant consistency).
+  */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("status summary counts add up") {
+    val r = TaskAnalytics.statusSummary(spark, sf).head()
+    assert(r.getLong(0) === r.getLong(1) + r.getLong(2) + r.getLong(3))
+  }
+
+  test("keep-last dedup has one row per key") {
+    val d = TaskAnalytics.dedupKeepLast(spark, sf)
+    assert(d.groupBy("user_id", "event_type").count().filter(col("count") > 1).isEmpty)
+  }
+
+  test("sessionize covers all events exactly once") {
+    val total = Tables.events(spark, sf).count()
+    val sessions = TaskAnalytics.sessionize(spark, sf)
+    assert(sessions.agg(sum("n_events")).head().getLong(0) === total)
+  }
+
+  test("top-k queries respect their limits") {
+    assert(TaskAnalytics.oldestPending(spark, sf).count() === 5)
+    assert(TaskAnalytics.backlogRank(spark, sf).count() === 15)
+    assert(TaskAnalytics.q3TopRevenue(spark, sf).count() === 10)
+  }
+
+  test("minhash candidates verify to a subset of exhaustive jaccard pairs at its threshold") {
+    // Every minhash-verified pair (J >= 0.5) that also clears the exhaustive
+    // query's higher threshold (J >= 0.6) must appear in the exhaustive result.
+    val mh = Dedup.minhashLsh(spark, sf)
+      .filter(col("jaccard") >= Dedup.JaccardT)
+      .select("doc_a", "doc_b")
+    val ex = Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b")
+    assert(mh.exceptAll(ex).isEmpty)
+  }
+
+  test("simhash pairs are within the hamming bound and symmetric-free") {
+    val sh = Dedup.simhash(spark, sf)
+    assert(sh.filter(col("hamming") > Dedup.HammingMax).isEmpty)
+    assert(sh.filter(col("doc_a") >= col("doc_b")).isEmpty)
+  }
+
+  test("ANN brute top-k is correctly ranked") {
+    val b = Similarity.annBruteTopK(spark, sf)
+    assert(b.groupBy("q_id").count().filter(col("count") =!= Similarity.TopK).isEmpty)
+    // rank 1 similarity >= rank TopK similarity per query
+    val firstLast = b.groupBy("q_id").agg(
+      max(when(col("rank") === 1, col("cos_sim"))).as("first"),
+      max(when(col("rank") === Similarity.TopK, col("cos_sim"))).as("last"))
+    assert(firstLast.filter(col("first") < col("last")).isEmpty)
+  }
+
+  test("IVF ANN recall@5 vs brute force is reasonable") {
+    val b = Similarity.annBruteTopK(spark, sf).select("q_id", "neighbor_id")
+    val i = Similarity.annIvfTopK(spark, sf).select("q_id", "neighbor_id")
+    val hits = b.intersect(i).count()
+    assert(hits >= 10, s"IVF recall too low: $hits/50")   // nprobe=2 of ~5 cells
+  }
+
+  test("LSH ANN returns only true bucket-mates, ranked correctly") {
+    val l = Similarity.annLshTopK(spark, sf)
+    assert(l.count() > 0)
+    assert(l.filter(col("rank") > Similarity.TopK).isEmpty)
+  }
+}

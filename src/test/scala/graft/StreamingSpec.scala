@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+import graft.streaming.{Ev, SessionOut}
+
+/** Streaming suite (SURVEY §2.3 #23): drive the streaming plans with a
+  * MemoryStream and check they reproduce batch semantics.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(min: Long): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("windowed agg over a memory stream matches batch counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.windowedAgg(mem.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(5), 1, "click", 2.0),
+        Ev(3, ts(61), 2, "view", 3.0), Ev(4, ts(62), 1, "click", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("win_out")
+      val clicks0 = out.filter(col("event_type") === "click" && col("n") === 2).count()
+      assert(clicks0 >= 1)   // first hour window has the 2 early clicks
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap and timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 60-min gap event
+      mem.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(5), 1, "a", 2.0),
+        Ev(3, ts(65), 1, "a", 4.0))
+      q.processAllAvailable()
+      // push the watermark far forward so the open session times out
+      mem.addData(Ev(9, ts(10000), 99, "z", 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(10, ts(20000), 98, "z", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_out").as[SessionOut].collect()
+      val u1 = out.filter((x: SessionOut) => x.user_id == 1).sortBy(_.session_start.getTime)
+      assert(u1.length === 2)
+      assert(u1(0).n_events === 2 && u1(0).value_sum === 3.0)
+      assert(u1(1).n_events === 1 && u1(1).value_sum === 4.0)
+    } finally q.stop()
+  }
+
+  test("file-source streaming reader processes the events table incrementally") {
+    val batch = EventStreams.readEventStream(spark, SparkTestSession.Sf)
+    assert(batch.isStreaming)
+    val q = batch.groupBy("event_type").count()
+      .writeStream.format("memory").queryName("file_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("file_out").agg(sum("count")).head().getLong(0)
+      assert(n === Tables.events(spark, SparkTestSession.Sf).count())
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions._
+
+/** Golden tests for the engine-portable hashes: the constants below are
+  * computed independently (plain python arithmetic) — if these break,
+  * DuckDB oracle parity breaks with them.
+  */
+class TextFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq("x").toDF("dummy").select(c).head().get(0)
+
+  test("charFoldHash matches independent computation") {
+    assert(one(charFoldHash(lit("hello"))) === 99162322L)
+    assert(one(charFoldHash(lit("spark join"))) === 317826698L)
+    assert(one(charFoldHash(lit(""))) === 0L)
+  }
+
+  test("docFingerprint folds token hashes") {
+    assert(one(docFingerprint(lit("Hello, World 42!"))) === 569360554L)
+    assert(one(docFingerprint(lit(""))) === 0L)
+  }
+
+  test("tokens / shingles") {
+    assert(one(tokens(lit("A b-c 12!"))) === Seq("a", "b", "c", "12"))
+    assert(one(wordShingles(lit("a b c d"), 3)) === Seq("a b c", "b c d"))
+    assert(one(wordShingles(lit("a b"), 3)) === Seq())
+  }
+
+  test("truncate and clean") {
+    assert(one(truncateText(lit("x" * 100), 60)) === "x" * 57 + "...")
+    assert(one(truncateText(lit("short"), 60)) === "short")
+    assert(one(cleanText(lit("a’b — c…"))) === "a'b - c...")
+  }
+
+  test("langId precedence") {
+    assert(one(langId(lit("the cat and the hat"))) === "en")
+    assert(one(langId(lit("der hund ist nicht da"))) === "de")
+    assert(one(langId(lit("xyzzy qwerty"))) === "unknown")
+  }
+}
