@@ -51,13 +51,18 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct portable hashes of word n-gram shingles. */
+  /** Distinct portable hashes of word n-gram shingles (codegen'd direct
+    * byte fold over the token array — no shingle-string materialization;
+    * identical values to hashing concat_ws(" ", tokens[i..i+n)) ).
+    */
   def shingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(wordShingles(text, n), charFoldHash _))
+    graft.plans.ArrayOps.wordShingleHashes(tokens(text), n, HashP)
 
-  /** Array of portable token hashes for a text column. */
+  /** Array of portable token hashes for a text column (codegen'd one-pass
+    * byte fold — same values as the HOF form, see plans.TokenHashes).
+    */
   def tokenHashes(text: Column): Column =
-    transform(tokens(text), tokenHash _)
+    graft.plans.ArrayOps.tokenHashes(tokens(text), HashP)
 
   /** Portable document fingerprint: fold token hashes as
     * `acc = (acc*131 + h) mod p` (rolling hash over the token stream).

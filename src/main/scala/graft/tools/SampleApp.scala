@@ -16,6 +16,7 @@ object SampleApp {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master("local[4]")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -47,6 +48,12 @@ object SampleApp {
     val media = Multimodal.toMedia(Tables.documents(spark, sf))
     Multimodal.decodeMeta(media).show(3, truncate = false)
     println(s"[sample] frames=${Multimodal.frameSample(media, 4, 8).count()}")
+
+    // custom expressions registered for SQL via SparkSessionExtensions
+    spark.sql(
+      "SELECT graft_dot_f(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+      "array(CAST(3.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS dot, " +
+      "graft_simhash32(array(5L, 7L)) AS sim").show()
     spark.stop()
   }
 }
