@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Similarity, TaskAnalytics, TextAnalysis}
+import graft.operators.{Dedup, ExtendedAnalytics, Similarity, TaskAnalytics, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §7 (plan).
   *
@@ -58,6 +58,17 @@ object SparkEntry {
     "q_doc_fingerprint" -> TextAnalysis.fingerprint _,
     // §2.7 multimodal metadata
     "q_multimodal_meta" -> TextAnalysis.multimodalMeta _,
+    // §2.1b extended composed analytics
+    "q_anti_join"         -> ExtendedAnalytics.customersWithoutOrders _,
+    "q_semi_join"         -> ExtendedAnalytics.activeCustomers _,
+    "q_rollup"            -> ExtendedAnalytics.rollupStatusPriority _,
+    "q_pivot"             -> ExtendedAnalytics.pivotStatusPriority _,
+    "q_stratified_sample" -> ExtendedAnalytics.stratifiedSample _,
+    "q_vocab_topk"        -> ExtendedAnalytics.vocabTopK _,
+    "q_ngram_freq"        -> ExtendedAnalytics.ngramFreqTopK _,
+    "q_running_total"     -> ExtendedAnalytics.runningTotal _,
+    "q_wow_change"        -> ExtendedAnalytics.weekOverWeek _,
+    "q_length_stats"      -> ExtendedAnalytics.lengthStats _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -286,5 +297,70 @@ object SparkEntry {
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
          md5(text) AS content_md5, left(text, 16) AS prefix16
          FROM documents ORDER BY doc_id""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                       AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+         ORDER BY c_custkey""",
+    "q_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+    "q_pivot" ->
+      """SELECT o_orderpriority AS priority,
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+         count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+         FROM orders GROUP BY 1 ORDER BY priority""",
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE ((doc_id * 2654435761) % 2147483648) % 100 <
+           CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 80 WHEN 'es' THEN 80
+                     WHEN 'fr' THEN 80 WHEN 'zh' THEN 50 ELSE 0 END
+         ORDER BY doc_id""",
+    "q_vocab_topk" ->
+      """SELECT token, count(*) AS df FROM (
+           SELECT doc_id, unnest(list_distinct(
+             regexp_extract_all(lower(text), '[a-z0-9]+'))) AS token
+           FROM documents)
+         GROUP BY token ORDER BY df DESC, token LIMIT 20""",
+    "q_ngram_freq" ->
+      """SELECT ngram, count(*) AS df FROM (
+           SELECT doc_id, unnest(sh) AS ngram FROM (
+             SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> array_to_string(t[i:i + 2], ' '))) AS sh
+             FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                   FROM documents)
+             WHERE len(t) >= 3))
+         GROUP BY ngram ORDER BY df DESC, ngram LIMIT 20""",
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2)
+           AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_wow_change" ->
+      """WITH weekly AS (
+           SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week,
+             count(*) AS n
+           FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+         SELECT week, n,
+           coalesce(n - lag(n, 1) OVER (ORDER BY week), 0) AS wow_change
+         FROM weekly ORDER BY week""",
+    "q_length_stats" ->
+      """SELECT lang, count(*) AS n, min(n_chars) AS min_chars,
+         max(n_chars) AS max_chars,
+         round(avg(n_chars), 4) AS avg_chars,
+         round(quantile_cont(n_chars, 0.5), 4) AS median_chars
+         FROM documents GROUP BY 1 ORDER BY lang""",
   )
 }

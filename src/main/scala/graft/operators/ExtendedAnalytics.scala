@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Extended composed analytics (SURVEY §2.1b): join-type coverage,
+  * multi-dimensional aggregates, deterministic sampling, corpus
+  * statistics, and window analytics — the remaining query surface a user
+  * of the reference's report pipeline plus a training-data pipeline
+  * expects. All composed from built-ins; every query has a DuckDB
+  * oracle.
+  */
+object ExtendedAnalytics {
+
+  /** Anti join: parents with no children (generate_reports.py "childless
+    * parent" exclusion, clean_task_list mask). Broadcast-anti at scale:
+    * the aggregated key set is bounded.
+    */
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val SemiPeriodStart = "1997-01-01"
+
+  /** Semi join: customers active in a period (EXISTS shape). */
+  def activeCustomers(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit(SemiPeriodStart).cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Rollup over (status, priority): report subtotal tables in one pass
+    * (map-side partial agg per grouping set). Subtotal rows surface as
+    * 'ALL' (null-free output keeps engine sort semantics identical).
+    */
+  def rollupStatusPriority(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total_price"))
+      .select(coalesce(col("status"), lit("ALL")).as("status"),
+        coalesce(col("priority"), lit("ALL")).as("priority"),
+        col("n"), col("total_price"))
+      .orderBy("status", "priority")
+
+  /** Pivot: status × priority count matrix (the reference's report
+    * sections as a cross-tab). Fixed pivot values → no extra
+    * value-discovery pass.
+    */
+  def pivotStatusPriority(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot(col("o_orderstatus"), Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select(col("priority"), col("O").as("n_open"), col("F").as("n_finished"),
+        col("P").as("n_pending"))
+      .orderBy("priority")
+
+  /** Per-language sampling rates (percent) for the stratified sample. */
+  val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 30, "de" -> 80, "es" -> 80, "fr" -> 80, "zh" -> 50)
+
+  /** Deterministic hash-based stratified sampling — the training-data
+    * rebalancing op (downsample dominant languages). Keep iff
+    * `(doc_id * 2654435761) mod 2^31 mod 100 < rate(lang)`: portable
+    * integer arithmetic, reproducible on any engine, no RNG state; scales
+    * as a pure map-side filter.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(2147483648L)) % 100
+    val rate = SampleRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, r).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .filter(bucket < rate)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  val VocabTopK = 20
+
+  /** Corpus vocabulary stats: document frequency per token, top-k.
+    * Explode-then-count is the canonical one-shuffle corpus stat; at
+    * 100 TB the groupBy key is the token (bounded vocabulary) with
+    * map-side combine.
+    */
+  def vocabTopK(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(VocabTopK)
+
+  /** Word-3-gram document frequency, top-k (n-gram corpus statistics). */
+  def ngramFreqTopK(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(VocabTopK)
+
+  /** Running per-customer order total (window analytics; one shuffle on
+    * the partition key, sort within partitions).
+    */
+  def runningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        round(sum("o_totalprice").over(w), 2).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Week-over-week completion change (velocity + lag — the reference's
+    * weekly chart as a delta series).
+    */
+  def weekOverWeek(s: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd").as("week"))
+      .agg(count(lit(1)).as("n"))
+    weekly
+      .withColumn("prev_n", lag("n", 1).over(Window.orderBy("week")))
+      .select(col("week"), col("n"),
+        coalesce(col("n") - col("prev_n"), lit(0L)).as("wow_change"))
+      .orderBy("week")
+  }
+
+  /** Per-language document length statistics with exact median
+    * (percentile with linear interpolation — matches DuckDB
+    * quantile_cont). Exact percentile is a per-group sort; fine for
+    * bounded group counts, approx_percentile is the unbounded-key path.
+    */
+  def lengthStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("median_chars"))
+      .orderBy("lang")
+}

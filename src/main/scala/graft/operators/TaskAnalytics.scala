@@ -266,7 +266,10 @@ object TaskAnalytics {
     */
   def q5RegionVolume(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir).filter(year(col("o_orderdate")) === Q5Year),
+      // range predicate (not year()) so it pushes down to the parquet scan
+      .join(Tables.orders(s, dir).filter(
+          col("o_orderdate") >= lit(s"$Q5Year-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${Q5Year + 1}-01-01").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
