@@ -13,6 +13,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen paths once so the first measured query doesn't
+    // absorb JIT + session initialization.
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     // noop sink forces the FULL plan (count() would let Catalyst prune
     // the projections being measured).
     val results = SparkEntry.queries.map { case (name, fn) =>

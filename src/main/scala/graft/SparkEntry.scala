@@ -69,6 +69,8 @@ object SparkEntry {
     "q_running_total"     -> ExtendedAnalytics.runningTotal _,
     "q_wow_change"        -> ExtendedAnalytics.weekOverWeek _,
     "q_length_stats"      -> ExtendedAnalytics.lengthStats _,
+    // custom whole-operator (plans.AsOfJoin: LogicalPlan+Strategy+Exec)
+    "q_asof_join"         -> ExtendedAnalytics.purchasesWithLastError _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -362,5 +364,13 @@ object SparkEntry {
          round(avg(n_chars), 4) AS avg_chars,
          round(quantile_cont(n_chars, 0.5), 4) AS median_chars
          FROM documents GROUP BY 1 ORDER BY lang""",
+    "q_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+         strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         e.event_id AS error_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+           ON p.user_id = e.user_id AND p.ts >= e.ts
+         ORDER BY purchase_id""",
   )
 }

@@ -137,6 +137,25 @@ object ExtendedAnalytics {
       .orderBy("week")
   }
 
+  /** As-of join (custom whole-operator, graft.plans.AsOfJoin): for each
+    * purchase event, the latest error event at-or-before it by the same
+    * user — the classic "state as of event time" enrichment. One
+    * hash exchange + sort per side, O(1)-state streaming merge.
+    */
+  def purchasesWithLastError(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+    graft.plans.AsOf.join(purchases, errors, "user_id", "e_user", "ts", "e_ts")
+      .select(col("purchase_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("error_id"),
+        date_format(col("e_ts"), "yyyy-MM-dd HH:mm:ss").as("error_ts"))
+      .orderBy("purchase_id")
+  }
+
   /** Per-language document length statistics with exact median
     * (percentile with linear interpolation — matches DuckDB
     * quantile_cont). Exact percentile is a per-group sort; fine for

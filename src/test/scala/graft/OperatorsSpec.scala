@@ -82,3 +82,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(l.filter(col("rank") > Similarity.TopK).isEmpty)
   }
 }
+
+class AsOfJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+  import org.apache.spark.sql.functions._
+
+  test("asof join matches composed range-join + argmax reference") {
+    val got = operators.ExtendedAnalytics.purchasesWithLastError(spark, sf)
+    // reference: range join then keep latest error per purchase
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("eu"), col("ts").as("ets"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("purchase_id").orderBy(col("ets").desc, col("error_id").desc)
+    val ref = p.join(e, col("user_id") === col("eu") && col("ets") <= col("ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("purchase_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("error_id"),
+        date_format(col("ets"), "yyyy-MM-dd HH:mm:ss").as("error_ts"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
+  test("asof physical plan is exchange + sort + streaming merge (no cartesian)") {
+    val plan = operators.ExtendedAnalytics.purchasesWithLastError(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin") && plan.contains("Exchange hashpartitioning"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+}
