@@ -71,6 +71,10 @@ object SparkEntry {
     "q_length_stats"      -> ExtendedAnalytics.lengthStats _,
     // custom whole-operator (plans.AsOfJoin: LogicalPlan+Strategy+Exec)
     "q_asof_join"         -> ExtendedAnalytics.purchasesWithLastError _,
+    "q_weekly_focus"      -> TaskAnalytics.weeklyFocus _,
+    // sketches (rows-only: HLL/KLL internals are engine-specific;
+    // specs bound error vs exact instead)
+    "q_approx_stats"      -> ExtendedAnalytics.approxStats _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -372,5 +376,22 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
            ON p.user_id = e.user_id AND p.ts >= e.ts
          ORDER BY purchase_id""",
+    "q_weekly_focus" ->
+      """WITH open_orders AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00' THEN '1_IMMEDIATE'
+                  WHEN o_orderdate < TIMESTAMP '1998-01-08 00:00:00' THEN '2_DUE_WEEK'
+                  ELSE '3_BACKLOG' END AS section,
+             CASE o_orderpriority WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+                  WHEN '3-MEDIUM' THEN 2 WHEN '4-NOT SPECIFIED' THEN 3
+                  WHEN '5-LOW' THEN 4 ELSE 5 END AS prio_score,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date
+           FROM orders WHERE o_orderstatus = 'O'),
+         ranked AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY section
+             ORDER BY prio_score, order_date, o_orderkey) AS INTEGER) AS rank
+           FROM open_orders)
+         SELECT section, rank, o_orderkey, prio_score, order_date
+         FROM ranked WHERE rank <= 15 ORDER BY section, rank""",
   )
 }

@@ -156,6 +156,21 @@ object ExtendedAnalytics {
       .orderBy("purchase_id")
   }
 
+  /** Sketch-based statistics (the 100 TB path for distinct counts and
+    * quantiles: HLL++ and KLL-style sketches are mergeable map-side
+    * partials — no exact global sort/distinct). Rows-only check: sketch
+    * internals are engine-specific by nature; specs bound the error vs
+    * exact answers instead.
+    */
+  def approxStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        round(percentile_approx(col("value"), lit(0.5), lit(10000)), 2)
+          .as("approx_median_value"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   /** Per-language document length statistics with exact median
     * (percentile with linear interpolation — matches DuckDB
     * quantile_cont). Exact percentile is a per-group sort; fine for

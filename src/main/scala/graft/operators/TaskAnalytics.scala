@@ -218,6 +218,32 @@ object TaskAnalytics {
       .select(col("o_orderkey"), col("o_orderstatus").as("status"))
       .orderBy("o_orderkey")
 
+  val FocusToday = "1998-01-01"
+
+  /** §2.1 #16b — weekly focus (analyze_pages.py:281-341): classify open
+    * items into IMMEDIATE (overdue), DUE_WEEK (next 7 days), BACKLOG
+    * (rest), ranked within section by (priority, date). Single scan,
+    * one case-map — the reference's three filtered passes fused.
+    */
+  def weeklyFocus(s: SparkSession, dir: String): DataFrame = {
+    val today = lit(FocusToday).cast("timestamp")
+    val nextWeek = lit("1998-01-08").cast("timestamp")
+    Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"),
+        when(col("o_orderdate") < today, "1_IMMEDIATE")
+          .when(col("o_orderdate") < nextWeek, "2_DUE_WEEK")
+          .otherwise("3_BACKLOG").as("section"),
+        prioScore(col("o_orderpriority")).as("prio_score"),
+        dstr(col("o_orderdate")).as("order_date"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("section").orderBy(
+          col("prio_score"), col("order_date"), col("o_orderkey"))))
+      .filter(col("rank") <= 15)
+      .select("section", "rank", "o_orderkey", "prio_score", "order_date")
+      .orderBy("section", "rank")
+  }
+
   // ---- §2.2 headline analytics ------------------------------------------
 
   val Q1Cutoff = "1998-09-02"

@@ -82,6 +82,16 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop replayed event_ids within the watermark
+    * horizon (state is bounded by the watermark — the at-least-once →
+    * effectively-once repair step of a streaming ingest; batch twin is
+    * TaskAnalytics.dedupKeepLast).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** File-source streaming reader over an events parquet directory —
     * the production ingest shape (`readStream` with explicit schema; a
     * directory of parquet drops in, each becomes a micro-batch).

@@ -49,6 +49,22 @@ object SampleApp {
     Multimodal.decodeMeta(media).show(3, truncate = false)
     println(s"[sample] frames=${Multimodal.frameSample(media, 4, 8).count()}")
 
+    // bucketed layout: co-located join, no shuffle exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql("DROP TABLE IF EXISTS s_orders"); spark.sql("DROP TABLE IF EXISTS s_lineitem")
+    graft.sources.Bucketed.writeBucketed(Tables.orders(spark, sf), "s_orders", 4, "o_orderkey")
+    graft.sources.Bucketed.writeBucketed(Tables.lineitem(spark, sf), "s_lineitem", 4, "l_orderkey")
+    val bj = graft.sources.Bucketed.bucketedJoin(spark, "s_lineitem", "s_orders", "l_orderkey", "o_orderkey")
+    println(s"[sample] bucketed join rows=${bj.count()} exchange-free=${!bj.queryExecution.executedPlan.toString.contains("Exchange")}")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    // streaming dedup over the file-source event stream
+    val dq = EventStreams.dedupStream(EventStreams.readEventStream(spark, sf))
+      .groupBy().count()
+      .writeStream.format("memory").queryName("sample_dedup").outputMode("complete").start()
+    dq.processAllAvailable(); dq.stop()
+    println(s"[sample] stream-deduped events=${spark.table("sample_dedup").head().getLong(0)}")
+
     // custom expressions registered for SQL via SparkSessionExtensions
     spark.sql(
       "SELECT graft_dot_f(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +

@@ -83,3 +83,58 @@ class ExportMultimodalSpec extends AnyFunSuite {
       s"payload must be pruned from the scan:\n$plan")
   }
 }
+
+class BucketedStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+  import org.apache.spark.sql.functions._
+
+  test("bucketed join on the bucket key is exchange-free and correct") {
+    import graft.sources.Bucketed
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Bucketed.writeBucketed(Tables.orders(spark, sf), "b_orders", 4, "o_orderkey")
+    Bucketed.writeBucketed(Tables.lineitem(spark, sf), "b_lineitem", 4, "l_orderkey")
+    // force the sort-merge path: with tiny test tables Spark would pick a
+    // broadcast join (which bypasses bucketing entirely)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketed.bucketedJoin(spark, "b_lineitem", "b_orders", "l_orderkey", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      val expected = Tables.lineitem(spark, sf).join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() === expected)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("streaming dedup drops replayed event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.Ev]
+    val q = graft.streaming.EventStreams.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      val t0 = new java.sql.Timestamp(1700000000000L)
+      mem.addData(graft.streaming.Ev(1, t0, 1, "a", 1.0), graft.streaming.Ev(1, t0, 1, "a", 1.0),
+        graft.streaming.Ev(2, t0, 1, "a", 2.0))
+      q.processAllAvailable()
+      mem.addData(graft.streaming.Ev(1, t0, 1, "a", 1.0))   // replay across batches
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").select("event_id").distinct().count() === 2)
+      assert(spark.table("dedup_out").count() === 2)
+    } finally q.stop()
+  }
+
+  test("approx sketch stats are within error bounds of exact answers") {
+    val approx = graft.operators.ExtendedAnalytics.approxStats(spark, sf)
+    val exact = Tables.events(spark, sf).groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"))
+    val j = approx.join(exact, "event_type").collect()
+    j.foreach { r =>
+      val a = r.getAs[Long]("approx_users").toDouble
+      val e = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(a - e) / e <= 0.1, s"approx $a vs exact $e")
+    }
+  }
+}
