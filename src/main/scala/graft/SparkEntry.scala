@@ -75,6 +75,7 @@ object SparkEntry {
     // sketches (rows-only: HLL/KLL internals are engine-specific;
     // specs bound error vs exact instead)
     "q_approx_stats"      -> ExtendedAnalytics.approxStats _,
+    "q_schema_health"     -> ExtendedAnalytics.schemaHealth _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -393,5 +394,24 @@ object SparkEntry {
            FROM open_orders)
          SELECT section, rank, o_orderkey, prio_score, order_date
          FROM ranked WHERE rank <= 15 ORDER BY section, rank""",
+    "q_schema_health" ->
+      """SELECT 'o_orderkey' AS col_name, TRUE AS present,
+             count(*) FILTER (WHERE o_orderkey IS NULL) AS n_nulls,
+             count(DISTINCT o_orderkey) AS n_distinct FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', TRUE,
+             count(*) FILTER (WHERE o_orderstatus IS NULL),
+             count(DISTINCT o_orderstatus) FROM orders
+         UNION ALL
+         SELECT 'o_orderdate', TRUE,
+             count(*) FILTER (WHERE o_orderdate IS NULL),
+             count(DISTINCT o_orderdate) FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', TRUE,
+             count(*) FILTER (WHERE o_totalprice IS NULL),
+             count(DISTINCT o_totalprice) FROM orders
+         UNION ALL
+         SELECT 'o_comment_missing', FALSE, 0, 0
+         ORDER BY col_name""",
   )
 }

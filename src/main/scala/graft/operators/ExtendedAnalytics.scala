@@ -156,6 +156,34 @@ object ExtendedAnalytics {
       .orderBy("purchase_id")
   }
 
+  /** Expected schema for the health check (one deliberately absent
+    * column — the reference reports MISSING entries the same way,
+    * fetch_pages.py:479-535 check_schema_health).
+    */
+  val HealthColumns: Seq[String] =
+    Seq("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice", "o_comment_missing")
+
+  /** Schema health report (check_schema_health): per expected column —
+    * present?, null count, distinct count. One pass over the table for
+    * all present columns (multi-agg + stack unpivot), constants for the
+    * absent ones.
+    */
+  def schemaHealth(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.orders(s, dir)
+    val actual = df.columns.toSet
+    val rows = HealthColumns.map { c =>
+      if (actual.contains(c))
+        df.agg(count(when(col(c).isNull, 1)).as("n_nulls"),
+            countDistinct(col(c)).as("n_distinct"))
+          .select(lit(c).as("col_name"), lit(true).as("present"),
+            col("n_nulls"), col("n_distinct"))
+      else
+        df.limit(1).select(lit(c).as("col_name"), lit(false).as("present"),
+          lit(0L).as("n_nulls"), lit(0L).as("n_distinct"))
+    }
+    rows.reduce(_ unionByName _).orderBy("col_name")
+  }
+
   /** Sketch-based statistics (the 100 TB path for distinct counts and
     * quantiles: HLL++ and KLL-style sketches are mergeable map-side
     * partials — no exact global sort/distinct). Rows-only check: sketch

@@ -69,7 +69,7 @@ object Similarity {
 
   // ---- scale paths (deterministic, rows-only checked) -------------------
 
-  val LshPlanes = 8
+  val LshPlanes = 6
   val Dim = 64
 
   /** Deterministic pseudo-random hyperplanes (fixed integer recurrence —

@@ -115,3 +115,43 @@ class AsOfJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
 }
+
+class SkewRecallSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+  import org.apache.spark.sql.functions._
+
+  test("salted aggregation equals direct aggregation") {
+    val ev = Tables.events(spark, sf)
+    val direct = ev.groupBy("event_type")
+      .agg(sum("value").as("value_sum"), count(lit(1)).as("n"))
+    val salted = operators.Skew.saltedSumCount(ev, Seq("event_type"), "value")
+      .withColumnRenamed("value_sum", "vs")
+    val j = direct.join(salted, "event_type").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      assert(math.abs(r.getAs[Double]("value_sum") - r.getAs[Double]("vs")) < 1e-6)
+      assert(r.getAs[Long]("n") === r.getAs[Long]("n"))
+    }
+  }
+
+  test("salted join equals direct join") {
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    val users = Tables.events(spark, sf).groupBy("user_id").agg(count(lit(1)).as("user_n"))
+    val direct = ev.join(users, "user_id").count()
+    val salted = operators.Skew.saltedJoin(ev, users, "user_id", "user_id").count()
+    assert(salted === direct)
+  }
+
+  test("ANN recall@5: LSH and IVF vs brute force") {
+    val brute = Similarity.annBruteTopK(spark, sf).select("q_id", "neighbor_id")
+    val nQ = brute.select("q_id").distinct().count()
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      brute.intersect(df.select("q_id", "neighbor_id")).count().toDouble / (nQ * Similarity.TopK)
+    val rLsh = recall(Similarity.annLshTopK(spark, sf))
+    val rIvf = recall(Similarity.annIvfTopK(spark, sf))
+    info(f"recall@5 lsh=$rLsh%.2f ivf=$rIvf%.2f")
+    assert(rIvf >= 0.3, s"IVF recall too low: $rIvf")
+    assert(rLsh >= 0.1, s"LSH recall too low: $rLsh")
+  }
+}
