@@ -76,6 +76,11 @@ object SparkEntry {
     // specs bound error vs exact instead)
     "q_approx_stats"      -> ExtendedAnalytics.approxStats _,
     "q_schema_health"     -> ExtendedAnalytics.schemaHealth _,
+    "q_report_goals"      -> ExtendedAnalytics.reportGoals _,
+    "q_moving_avg"        -> ExtendedAnalytics.movingAvg _,
+    "q_value_deciles"     -> ExtendedAnalytics.valueDeciles _,
+    // custom bounded-heap operator (plans.TopKPerKey)
+    "q_topk_per_key"      -> ExtendedAnalytics.topOrdersPerCustomer _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -413,5 +418,42 @@ object SparkEntry {
          UNION ALL
          SELECT 'o_comment_missing', FALSE, 0, 0
          ORDER BY col_name""",
+    "q_report_goals" ->
+      """SELECT o_orderkey,
+         CASE o_orderpriority WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+              WHEN '3-MEDIUM' THEN 2 WHEN '4-NOT SPECIFIED' THEN 3
+              WHEN '5-LOW' THEN 4 ELSE 5 END AS prio_score,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_date
+         FROM orders
+         WHERE o_orderstatus = 'O'
+           AND ((SELECT count(*) FROM orders WHERE o_orderstatus = 'O') <= 15
+                OR o_orderdate <= TIMESTAMP '1998-01-15 00:00:00'
+                OR CASE o_orderpriority WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+                       WHEN '3-MEDIUM' THEN 2 WHEN '4-NOT SPECIFIED' THEN 3
+                       WHEN '5-LOW' THEN 4 ELSE 5 END <= 1)
+         ORDER BY o_orderkey""",
+    "q_moving_avg" ->
+      """WITH daily AS (
+           SELECT date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS day_no,
+             strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS n
+           FROM orders WHERE o_orderstatus = 'F' GROUP BY 1, 2)
+         SELECT day, n,
+           round(avg(n) OVER (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+         FROM daily ORDER BY day""",
+    "q_value_deciles" ->
+      """WITH t AS (
+           SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+           FROM orders)
+         SELECT decile, count(*) AS n,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+         FROM t GROUP BY 1 ORDER BY decile""",
+    "q_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_price
+         FROM orders
+         QUALIFY row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) <= 3
+         ORDER BY o_custkey, o_orderkey""",
   )
 }

@@ -156,6 +156,69 @@ object ExtendedAnalytics {
       .orderBy("purchase_id")
   }
 
+  /** Report goals with the reference's conditional narrowing
+    * (generate_reports.py:448-466): list every open item when there are
+    * ≤ 15, otherwise only due-soon or high-priority ones. The count
+    * gate is a scalar aggregate cross-joined in (one extra reduction,
+    * no second scan of the filtered side at scale thanks to reuse).
+    */
+  val GoalsCutoff = "1998-01-15"
+
+  def reportGoals(s: SparkSession, dir: String): DataFrame = {
+    val open = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+    val total = open.agg(count(lit(1)).as("_total"))
+    open.crossJoin(broadcast(total))
+      .filter(col("_total") <= 15 ||
+        col("o_orderdate") <= lit(GoalsCutoff).cast("timestamp") ||
+        TaskAnalytics.prioScore(col("o_orderpriority")) <= 1)
+      .select(col("o_orderkey"),
+        TaskAnalytics.prioScore(col("o_orderpriority")).as("prio_score"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy("o_orderkey")
+  }
+
+  /** 7-day moving average of daily completions (RANGE window frame over
+    * day numbers — time-based frames, not row counts).
+    */
+  def movingAvg(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("day_no"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("day_no").rangeBetween(-6, 0)
+    daily.select(col("day"), col("n"),
+        round(avg("n").over(w), 4).as("ma7"))
+      .orderBy("day")
+  }
+
+  /** Decile summary of order values (ntile ranking over a total order —
+    * distribution reporting without a full percentile sort per row).
+    */
+  def valueDeciles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_totalprice"), ntile(10).over(w).as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(max("o_totalprice"), 2).as("max_price"))
+      .orderBy("decile")
+  }
+
+  /** Group-wise top-k via the custom bounded-heap operator
+    * (plans.TopKPerKey): top-3 orders per customer by value. Same
+    * result as the window row_number pattern without the per-partition
+    * sort.
+    */
+  def topOrdersPerCustomer(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perKey(
+        Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_custkey", "o_orderkey")
+
   /** Expected schema for the health check (one deliberately absent
     * column — the reference reports MISSING entries the same way,
     * fetch_pages.py:479-535 check_schema_health).

@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.GraftColumnBridge
+
+/** Group-wise top-k as a first-class physical operator (SURVEY §7
+  * round-2 item 4).
+  *
+  * The composed form — `row_number().over(Window.partitionBy(key)
+  * .orderBy(ord)) <= k` — must SORT every partition (O(n log n) over
+  * all rows, full materialization in the window buffer). This operator
+  * keeps one bounded heap per key (O(n log k), O(keys·k) memory) after
+  * the same single hash exchange, and emits each key's rows in rank
+  * order. At 100 TB the difference is a full sort of the fact table vs
+  * a streaming pass.
+  */
+case class TopKPerKeyPlan(child: LogicalPlan, keys: Seq[Expression],
+                          order: Seq[SortOrder], k: Int) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
+}
+
+case class TopKPerKeyExec(child: SparkPlan, keys: Seq[Expression],
+                          order: Seq[SortOrder], k: Int) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(keys))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keysL = keys
+    val orderL = order
+    val kL = k
+    val schema = child.output
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(keysL, schema)
+      val ord = RowOrdering.create(orderL, schema)
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      it.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          // reverse ordering: heap head = currently-worst kept row
+          heap = new java.util.PriorityQueue[InternalRow](kL, ord.reverse)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kL) heap.add(row.copy())
+        else if (ord.lt(row, heap.peek())) { heap.poll(); heap.add(row.copy()) }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      heaps.forEach { (_, heap) =>
+        val rows = new Array[InternalRow](heap.size)
+        var i = rows.length - 1
+        while (i >= 0) { rows(i) = heap.poll(); i -= 1 }   // drain worst-first → rank order
+        out ++= rows
+      }
+      out.iterator
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyPlan(child, keys, order, k) =>
+      TopKPerKeyExec(planLater(child), keys, order, k) :: Nil
+    case _ => Nil
+  }
+}
+
+/** DataFrame API: rows ranking in the top k of their key group under
+  * the given ordering (name, ascending) — equivalent to
+  * `row_number over (partition by keys order by ...) <= k` minus the
+  * partition sort.
+  */
+object TopK {
+  def perKey(df: DataFrame, keyCols: Seq[String],
+             orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
+    val plan = GraftColumnBridge.analyzedPlan(df)
+    def attr(name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val order = orderCols.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    GraftColumnBridge.ofRows(spark, TopKPerKeyPlan(plan, keyCols.map(attr), order, k))
+  }
+}

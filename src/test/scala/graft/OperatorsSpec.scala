@@ -155,3 +155,29 @@ class SkewRecallSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rLsh >= 0.1, s"LSH recall too low: $rLsh")
   }
 }
+
+class TopKPerKeySpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+  import org.apache.spark.sql.functions._
+
+  test("bounded-heap top-k equals window row_number top-k") {
+    val got = operators.ExtendedAnalytics.topOrdersPerCustomer(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val ref = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("total_price"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
+  test("top-k plan has one exchange and no sort before the operator") {
+    val df = graft.plans.TopK.perKey(
+      Tables.orders(spark, sf).select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"))
+    assert(!plan.contains("Sort "), s"no partition sort expected:\n$plan")
+  }
+}
