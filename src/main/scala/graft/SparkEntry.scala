@@ -81,6 +81,8 @@ object SparkEntry {
     "q_value_deciles"     -> ExtendedAnalytics.valueDeciles _,
     // custom bounded-heap operator (plans.TopKPerKey)
     "q_topk_per_key"      -> ExtendedAnalytics.topOrdersPerCustomer _,
+    "q_cube"              -> ExtendedAnalytics.cubeStatusPriority _,
+    "q_argmax"            -> ExtendedAnalytics.argmaxOrder _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -455,5 +457,17 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY o_custkey
            ORDER BY o_totalprice DESC, o_orderkey) <= 3
          ORDER BY o_custkey, o_orderkey""",
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+    "q_argmax" ->
+      """SELECT o_custkey,
+         max_by(o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey)
+           AS best_orderkey,
+         round(max(o_totalprice), 2) AS best_price
+         FROM orders GROUP BY 1 ORDER BY o_custkey""",
   )
 }

@@ -219,6 +219,31 @@ object ExtendedAnalytics {
         round(col("o_totalprice"), 2).as("total_price"))
       .orderBy("o_custkey", "o_orderkey")
 
+  /** Cube over (status, priority): all grouping sets in one pass
+    * (the rollup's big sibling — per-dimension marginals included).
+    */
+  def cubeStatusPriority(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("status"), lit("ALL")).as("status"),
+        coalesce(col("priority"), lit("ALL")).as("priority"), col("n"))
+      .orderBy("status", "priority")
+
+  /** Argmax aggregate: each customer's most expensive order via max_by
+    * over a composite integer key (price cents ·1e6 + orderkey) — a
+    * deterministic total order, so ties cannot make the result
+    * engine-dependent.
+    */
+  def argmaxOrder(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max_by(col("o_orderkey"),
+          (round(col("o_totalprice") * 100).cast("long") * lit(1000000L)) + col("o_orderkey"))
+        .as("best_orderkey"),
+        round(max("o_totalprice"), 2).as("best_price"))
+      .orderBy("o_custkey")
+
   /** Expected schema for the health check (one deliberately absent
     * column — the reference reports MISSING entries the same way,
     * fetch_pages.py:479-535 check_schema_health).

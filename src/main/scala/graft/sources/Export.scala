@@ -50,6 +50,30 @@ object Export {
       .drop("_rn", "_src")
   }
 
+  /** Streaming → batch bridge: maintain an incrementally-upserted
+    * parquet cache from a stream via foreachBatch (the reference's
+    * incremental CSV cache, fetch_pages.py:550-604, as a continuous
+    * process). Each micro-batch merges keep-last into the cache.
+    */
+  def streamingUpsertSink(stream: DataFrame, cachePath: String,
+                          key: Seq[String], ord: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val s = batch.sparkSession
+      val existing =
+        try s.read.parquet(cachePath)
+        catch { case _: Throwable => s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+      val merged = upsertKeepLast(existing, batch, key, ord)
+      // write to a temp dir then swap: the cache is also this batch's input
+      val tmpPath = cachePath + "_tmp"
+      merged.write.mode("overwrite").parquet(tmpPath)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tmpPath), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(cachePath), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmpPath), new org.apache.hadoop.fs.Path(cachePath))
+      ()
+    }.start()
+
   /** Partitioned parquet sink (natural-key layout, e.g. date for events:
     * partition pruning makes period queries touch only their slice).
     */

@@ -20,6 +20,8 @@ object SampleApp {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_sample_wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -64,6 +66,15 @@ object SampleApp {
       .writeStream.format("memory").queryName("sample_dedup").outputMode("complete").start()
     dq.processAllAvailable(); dq.stop()
     println(s"[sample] stream-deduped events=${spark.table("sample_dedup").head().getLong(0)}")
+
+    // streaming incremental upsert cache (foreachBatch keep-last merge)
+    val cachePath = "/tmp/sample_cache/events"
+    val uq = graft.sources.Export.streamingUpsertSink(
+      EventStreams.readEventStream(spark, sf)
+        .select("event_id", "event_type", "ts"),
+      cachePath, Seq("event_id"), "ts")
+    uq.processAllAvailable(); uq.stop()
+    println(s"[sample] upsert cache rows=${spark.read.parquet(cachePath).count()}")
 
     // custom expressions registered for SQL via SparkSessionExtensions
     spark.sql(

@@ -138,3 +138,25 @@ class BucketedStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+class StreamingUpsertSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("streaming upsert sink maintains a keep-last cache across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cache = java.nio.file.Files.createTempDirectory("graft_cache").toString + "/cache"
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val q = graft.sources.Export.streamingUpsertSink(
+      mem.toDF().toDF("id", "v", "ver"), cache, Seq("id"), "ver")
+    try {
+      mem.addData((1L, "a", 1L), (2L, "b", 1L))
+      q.processAllAvailable()
+      mem.addData((1L, "a2", 2L), (3L, "c", 1L))   // update id=1, insert id=3
+      q.processAllAvailable()
+      val out = spark.read.parquet(cache).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(out === Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+}
