@@ -346,7 +346,11 @@ object TaskAnalytics {
   def jsonProps(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        // schema-driven from_json: one parse per row (get_json_object
+        // re-parses per path and is regex-driven — measurably slower)
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
         min("k").as("k_min"), max("k").as("k_max"))

@@ -13,6 +13,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => WindowTopKRewrite)
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectFunction((FunctionIdentifier("graft_dot_f"),
       info("graft_dot_f", "dot product of two float arrays (double accumulation)"),
       (args: Seq[Expression]) => FloatArrayDot(args(0), args(1))))

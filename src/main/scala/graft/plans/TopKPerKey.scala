@@ -27,11 +27,16 @@ case class TopKPerKeyPlan(child: LogicalPlan, keys: Seq[Expression],
 }
 
 case class TopKPerKeyExec(child: SparkPlan, keys: Seq[Expression],
-                          order: Seq[SortOrder], k: Int) extends UnaryExecNode {
+                          order: Seq[SortOrder], k: Int,
+                          partial: Boolean = false) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
+  // partial mode runs before the exchange (map-side top-k per key: only
+  // k rows per key per partition shuffle); final mode demands
+  // co-location and produces the exact answer
   override def requiredChildDistribution: Seq[Distribution] =
-    Seq(ClusteredDistribution(keys))
+    if (partial) Seq(org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(keys))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keysL = keys
@@ -70,7 +75,11 @@ case class TopKPerKeyExec(child: SparkPlan, keys: Seq[Expression],
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(child, keys, order, k) =>
-      TopKPerKeyExec(planLater(child), keys, order, k) :: Nil
+      // two-phase: map-side partial heaps (shuffle only k rows per key
+      // per partition), exact final heaps after the exchange
+      TopKPerKeyExec(
+        TopKPerKeyExec(planLater(child), keys, order, k, partial = true),
+        keys, order, k, partial = false) :: Nil
     case _ => Nil
   }
 }

@@ -76,6 +76,17 @@ object SampleApp {
     uq.processAllAvailable(); uq.stop()
     println(s"[sample] upsert cache rows=${spark.read.parquet(cachePath).count()}")
 
+    // optimizer rule from GraftExtensions: window top-k auto-rewrites to
+    // the two-phase bounded-heap operator
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(org.apache.spark.sql.functions.col("o_totalprice").desc)
+    val topk = Tables.orders(spark, sf)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(org.apache.spark.sql.functions.col("rn") <= 2)
+      .select("o_custkey", "o_orderkey")
+    val topkPlan = topk.queryExecution.executedPlan.toString
+    println(s"[sample] topk rewrite fired=${topkPlan.contains("TopKPerKey")} rows=${topk.count()}")
+
     // custom expressions registered for SQL via SparkSessionExtensions
     spark.sql(
       "SELECT graft_dot_f(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +

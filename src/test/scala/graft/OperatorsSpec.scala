@@ -181,3 +181,78 @@ class TopKPerKeySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!plan.contains("Sort "), s"no partition sort expected:\n$plan")
   }
 }
+
+class WindowTopKRewriteSpec extends org.scalatest.funsuite.AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+  import org.apache.spark.sql.functions._
+
+  // runtime installation on the shared session (getOrCreate would reuse
+  // the existing non-extended session, silently dropping withExtensions;
+  // the withExtensions path itself is exercised by SampleApp in a fresh
+  // JVM). The rewrite is semantics-preserving so leaking it to other
+  // suites would be harmless, but restore state anyway.
+  lazy val spark = SparkTestSession.spark
+  private var savedOpts: Seq[org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] = Nil
+
+  override def beforeAll(): Unit = {
+    savedOpts = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = savedOpts :+ graft.plans.WindowTopKRewrite
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+  }
+  override def afterAll(): Unit = {
+    spark.experimental.extraOptimizations = savedOpts
+  }
+
+  test("window row_number top-k plans rewrite to TopKPerKey and agree with the window result") {
+    val sf = SparkTestSession.Sf
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = orders
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select("o_custkey", "o_orderkey")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("Window"), s"window should be gone:\n$plan")
+    // cross-check against an un-extended session running the same query
+    val ref = TaskSparkRef.run(sf)
+    assert(df.count() === ref)
+  }
+
+  test("rn === 1 keep-last dedup pattern also rewrites") {
+    val sf = SparkTestSession.Sf
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy(col("ts").desc, col("event_id").desc)
+    val df = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id")
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(df.groupBy("user_id", "event_type").count().filter(col("count") > 1).isEmpty)
+  }
+
+  test("rank column referenced downstream blocks the rewrite") {
+    val sf = SparkTestSession.Sf
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+    val df = orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select("o_custkey", "rn")
+    assert(!df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+  }
+}
+
+/** Reference count from the ordinary (un-extended) session. */
+object TaskSparkRef {
+  def run(sf: String): Long = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestSession.spark
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select("o_custkey", "o_orderkey").count()
+  }
+}
