@@ -83,6 +83,9 @@ object SparkEntry {
     "q_topk_per_key"      -> ExtendedAnalytics.topOrdersPerCustomer _,
     "q_cube"              -> ExtendedAnalytics.cubeStatusPriority _,
     "q_argmax"            -> ExtendedAnalytics.argmaxOrder _,
+    "q_string_funcs"      -> ExtendedAnalytics.stringFuncs _,
+    "q_date_funcs"        -> ExtendedAnalytics.dateFuncs _,
+    "q_set_ops"           -> ExtendedAnalytics.setOps _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -469,5 +472,34 @@ object SparkEntry {
            AS best_orderkey,
          round(max(o_totalprice), 2) AS best_price
          FROM orders GROUP BY 1 ORDER BY o_custkey""",
+    "q_string_funcs" ->
+      """SELECT doc_id,
+         levenshtein(left(text, 15), 'spark shuffle') AS lev,
+         reverse(left(text, 8)) AS rev8,
+         lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded,
+         upper(left(text, 10)) AS up10
+         FROM documents ORDER BY doc_id""",
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS INTEGER) AS y,
+         CAST(quarter(o_orderdate) AS INTEGER) AS q,
+         CAST(month(o_orderdate) AS INTEGER) AS m,
+         CAST(day(o_orderdate) AS INTEGER) AS d,
+         CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+         CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+         CAST(weekofyear(o_orderdate) AS INTEGER) AS woy,
+         strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+         strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end
+         FROM orders ORDER BY o_orderkey""",
+    "q_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+              b AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+         SELECT (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS only_1996,
+                (SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)) AS only_1997,
+                (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS both_years""",
   )
 }

@@ -244,6 +244,52 @@ object ExtendedAnalytics {
         round(max("o_totalprice"), 2).as("best_price"))
       .orderBy("o_custkey")
 
+  /** String-function breadth (edit distance, casing, padding, reversal
+    * — the text-wrangling surface a report pipeline leans on).
+    */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        levenshtein(substring(col("text"), 1, 15), lit("spark shuffle")).as("lev"),
+        reverse(substring(col("text"), 1, 8)).as("rev8"),
+        lpad(col("doc_id").cast("string"), 6, "0").as("padded"),
+        upper(substring(col("text"), 1, 10)).as("up10"))
+      .orderBy("doc_id")
+
+  /** Date-function breadth (calendar decomposition + arithmetic).
+    * dow normalized to DuckDB's 0=Sunday convention (Spark's dayofweek
+    * is 1=Sunday).
+    */
+  def dateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow"),
+        weekofyear(col("o_orderdate")).as("woy"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"))
+      .orderBy("o_orderkey")
+
+  /** Set-operation coverage: customer activity overlap between two
+    * years via intersect/except (distinct set semantics).
+    */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    def active(y: Int) = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+      .select("o_custkey").distinct()
+    val a = active(1996); val b = active(1997)
+    val only96 = a.except(b).count()
+    val only97 = b.except(a).count()
+    val both = a.intersect(b).count()
+    import s.implicits._
+    Seq((only96, only97, both)).toDF("only_1996", "only_1997", "both_years")
+  }
+
   /** Expected schema for the health check (one deliberately absent
     * column — the reference reports MISSING entries the same way,
     * fetch_pages.py:479-535 check_schema_health).
