@@ -86,6 +86,8 @@ object SparkEntry {
     "q_string_funcs"      -> ExtendedAnalytics.stringFuncs _,
     "q_date_funcs"        -> ExtendedAnalytics.dateFuncs _,
     "q_set_ops"           -> ExtendedAnalytics.setOps _,
+    // typed Aggregator (functions.WeightedMean)
+    "q_weighted_mean"     -> ExtendedAnalytics.weightedMeanPrice _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -501,5 +503,9 @@ object SparkEntry {
          SELECT (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS only_1996,
                 (SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)) AS only_1997,
                 (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS both_years""",
+    "q_weighted_mean" ->
+      """SELECT l_returnflag,
+         round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wmean
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
   )
 }

@@ -290,6 +290,25 @@ object ExtendedAnalytics {
     Seq((only96, only97, both)).toDF("only_1996", "only_1997", "both_years")
   }
 
+  /** Typed-Aggregator weighted mean (functions.WeightedMean): weighted
+    * average price per return flag, weights = quantities. Exercises the
+    * Dataset-typed aggregation path end-to-end (mergeable buffer,
+    * map-side partials).
+    */
+  def weightedMeanPrice(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .as[(String, Double, Double)]
+      .map(t => (t._1, (t._2, t._3)))
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.WeightedMean.toColumn.name("wmean"))
+      .toDF("l_returnflag", "wmean")
+      .select(col("l_returnflag"), round(col("wmean"), 4).as("wmean"))
+      .orderBy("l_returnflag")
+  }
+
   /** Expected schema for the health check (one deliberately absent
     * column — the reference reports MISSING entries the same way,
     * fetch_pages.py:479-535 check_schema_health).
