@@ -56,6 +56,8 @@ object SparkEntry {
     "q_quality_score"   -> TextAnalysis.quality _,
     "q_lang_id"         -> TextAnalysis.languageId _,
     "q_doc_fingerprint" -> TextAnalysis.fingerprint _,
+    "q_pii_scrub"       -> TextAnalysis.piiScrub _,
+    "q_contamination"   -> TextAnalysis.contamination _,
     // §2.7 multimodal metadata
     "q_multimodal_meta" -> TextAnalysis.multimodalMeta _,
     // §2.1b extended composed analytics
@@ -450,7 +452,7 @@ object SparkEntry {
     "q_value_deciles" ->
       """WITH t AS (
            SELECT o_totalprice,
-             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+             CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS decile
            FROM orders)
          SELECT decile, count(*) AS n,
            round(min(o_totalprice), 2) AS min_price,
@@ -476,7 +478,7 @@ object SparkEntry {
          FROM orders GROUP BY 1 ORDER BY o_custkey""",
     "q_string_funcs" ->
       """SELECT doc_id,
-         levenshtein(left(text, 15), 'spark shuffle') AS lev,
+         CAST(levenshtein(left(text, 15), 'spark shuffle') AS INTEGER) AS lev,
          reverse(left(text, 8)) AS rev8,
          lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded,
          upper(left(text, 10)) AS up10
@@ -503,6 +505,31 @@ object SparkEntry {
          SELECT (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS only_1996,
                 (SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)) AS only_1997,
                 (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS both_years""",
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g'),
+           '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+         FROM documents ORDER BY doc_id""",
+    "q_contamination" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (a, c) -> (a * 31 + c) % 1000000007) AS h
+           FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len(t) - 4),
+                   i -> array_to_string(t[i:i + 4], ' ')))) AS g
+                 FROM toks WHERE len(t) >= 5)),
+         ev AS (SELECT DISTINCT h FROM sh WHERE doc_id < 5)
+         SELECT DISTINCT doc_id FROM sh
+         WHERE doc_id >= 5 AND h IN (SELECT h FROM ev)
+         ORDER BY doc_id""",
     "q_weighted_mean" ->
       """SELECT l_returnflag,
          round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wmean

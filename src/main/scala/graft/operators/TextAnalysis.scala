@@ -40,6 +40,40 @@ object TextAnalysis {
       .select(col("doc_id"), docFingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** PII scrubbing — the redaction pass every training-data pipeline
+    * runs before tokenization: emails, URLs, and long digit runs become
+    * placeholder tokens. Pure codegen'd regexp chain.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"),
+              """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}""", "<EMAIL>"),
+            """https?://[^\s]+""", "<URL>"),
+          "[0-9]{6,}", "<NUM>").as("scrubbed"))
+      .orderBy("doc_id")
+
+  val ContaminationEvalDocs = 5
+  val ContaminationShingleN = 5
+
+  /** Benchmark-contamination detection: corpus documents sharing any
+    * word 5-gram with the held-out eval set (doc_id < 5 stands in for
+    * the benchmark). Semi join on shingle hashes — O(matches) shuffle,
+    * the decontamination shape that scales to a 100 TB corpus vs a
+    * fixed eval set (broadcast the eval shingles).
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingleHashes(col("text"), ContaminationShingleN)).as("h"))
+    val eval_ = docs.filter(col("doc_id") < ContaminationEvalDocs).select("h").distinct()
+    docs.filter(col("doc_id") >= ContaminationEvalDocs)
+      .join(broadcast(eval_), "h")
+      .select("doc_id").distinct()
+      .orderBy("doc_id")
+  }
+
   /** §2.7 #36 — multimodal metadata plumbing: documents as opaque bytes
     * with typed metadata (byte length, content hash, prefix). The decode
     * step for true image/audio payloads lives in graft.multimodal (stubbed
