@@ -39,6 +39,7 @@ object SparkEntry {
     "q5_region_volume"   -> TaskAnalytics.q5RegionVolume _,
     // §2.3 events (batch variants)
     "q_sessionize"       -> TaskAnalytics.sessionize _,
+    "q_session_window"   -> TaskAnalytics.sessionWindow _,
     "q_event_window_agg" -> TaskAnalytics.eventWindowAgg _,
     "q_json_props"       -> TaskAnalytics.jsonProps _,
     // §2.4 deduplication
@@ -246,6 +247,42 @@ object SparkEntry {
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            round(sum(value), 2) AS value_sum
          FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""",
+    "q_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(CAST(ts AS TIMESTAMP))
+                       - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+                  THEN 1 ELSE 0 END AS boundary
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT *, CAST(sum(boundary) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM flagged)
+         SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS value_sum
+         FROM sess GROUP BY user_id, session_id
+         ORDER BY user_id, session_start""",
+    "q_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(CAST(ts AS TIMESTAMP))
+                       - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+                  THEN 1 ELSE 0 END AS boundary
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT *, CAST(sum(boundary) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM flagged)
+         SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS value_sum
+         FROM sess GROUP BY user_id, session_id
+         ORDER BY user_id, session_start""",
     "q_event_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
          event_type, count(*) AS n, round(sum(value), 2) AS value_sum

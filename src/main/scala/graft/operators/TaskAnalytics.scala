@@ -330,6 +330,19 @@ object TaskAnalytics {
       .orderBy("user_id", "session_id")
   }
 
+  /** §2.3 #20b — gap sessionization via Spark's native session_window
+    * (the streaming-capable built-in; same semantics as the lag+cumsum
+    * form, state-store-backed when run on a stream).
+    */
+  def sessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$SessionGapMin minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("value_sum"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("value_sum"))
+      .orderBy("user_id", "session_start")
+
   /** §2.3 #21 — tumbling-window per-type aggregation (batch twin of the
     * streaming watermark+window query).
     */
