@@ -25,6 +25,9 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 case class SessionOut(user_id: Long, session_start: Timestamp,
                       n_events: Long, value_sum: Double)
 case class SessionState(start: Long, last: Long, n: Long, total: Double)
+case class AsOfEnriched(user_id: Long, purchase_id: Long, purchase_ts: Timestamp,
+                        error_id: Option[Long], error_ts: Option[Timestamp])
+case class LatestRight(id: Long, ts: Long)
 
 object EventStreams {
 
@@ -79,6 +82,42 @@ object EventStreams {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /** Streaming as-of enrichment (streaming twin of plans.AsOfJoin): for
+    * each purchase event, attach the latest error event at-or-before it
+    * by the same user. State per key = ONE (id, ts) pair — the latest
+    * right-side row seen — so state size is bounded by key cardinality
+    * regardless of stream length. Within each micro-batch events are
+    * processed in event-time order; cross-batch ordering relies on the
+    * upstream watermark discipline (same contract as any stream-stream
+    * join's left-greater-than-right assumption).
+    */
+  def asOfEnrich(events: Dataset[Ev]): Dataset[AsOfEnriched] = {
+    import events.sparkSession.implicits._
+    events
+      .filter((e: Ev) => e.event_type == "purchase" || e.event_type == "error")
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LatestRight, AsOfEnriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[LatestRight]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[AsOfEnriched]
+          var latest = state.getOption
+          sorted.foreach { e =>
+            if (e.event_type == "error") {
+              if (latest.forall(_.ts <= e.ts.getTime))
+                latest = Some(LatestRight(e.event_id, e.ts.getTime))
+            } else {
+              val m = latest.filter(_.ts <= e.ts.getTime)
+              out += AsOfEnriched(uid, e.event_id, e.ts,
+                m.map(_.id), m.map(r => new Timestamp(r.ts)))
+            }
+          }
+          latest.foreach(state.update)
+          out.result().iterator
       }
   }
 

@@ -76,6 +76,17 @@ object SampleApp {
     uq.processAllAvailable(); uq.stop()
     println(s"[sample] upsert cache rows=${spark.read.parquet(cachePath).count()}")
 
+    // streaming as-of enrichment over the real event stream
+    val aq = EventStreams.asOfEnrich(
+        EventStreams.readEventStream(spark, sf)
+          .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.Ev])
+      .writeStream.format("memory").queryName("sample_asof").outputMode("append").start()
+    aq.processAllAvailable(); aq.stop()
+    val asofN = spark.table("sample_asof").count()
+    val asofMatched = spark.table("sample_asof").filter("error_id IS NOT NULL").count()
+    println(s"[sample] streaming asof purchases=$asofN matched=$asofMatched")
+
     // optimizer rule from GraftExtensions: window top-k auto-rewrites to
     // the two-phase bounded-heap operator
     val w = org.apache.spark.sql.expressions.Window

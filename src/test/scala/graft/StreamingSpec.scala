@@ -72,3 +72,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class StreamingAsOfSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private def ts(min: Long): java.sql.Timestamp = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+  test("streaming as-of enrichment attaches the latest preceding error per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = graft.streaming.EventStreams.asOfEnrich(mem.toDS())
+      .writeStream.format("memory").queryName("asof_out").outputMode("append").start()
+    try {
+      // batch 1: error then purchase for u1; purchase with no error for u2
+      mem.addData(
+        Ev(1, ts(0), 1, "error", 0.0), Ev(2, ts(5), 1, "purchase", 1.0),
+        Ev(3, ts(5), 2, "purchase", 1.0))
+      q.processAllAvailable()
+      // batch 2: newer error then purchase for u1 (state carries across batches)
+      mem.addData(Ev(4, ts(10), 1, "error", 0.0), Ev(5, ts(15), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("asof_out").as[graft.streaming.AsOfEnriched]
+        .collect().sortBy(_.purchase_id)
+      assert(out.map(o => (o.purchase_id, o.error_id)).toSeq ===
+        Seq((2L, Some(1L)), (3L, None), (5L, Some(4L))))
+    } finally q.stop()
+  }
+}
