@@ -52,6 +52,7 @@ object SparkEntry {
     "q_ann_brute_topk" -> Similarity.annBruteTopK _,
     "q_ann_lsh_topk"   -> Similarity.annLshTopK _,
     "q_ann_ivf_topk"   -> Similarity.annIvfTopK _,
+    "q_ann_ivf2_topk"  -> Similarity.annIvfLearnedTopK _,
     // §2.6 text analysis
     "q_token_count"     -> TextAnalysis.tokenCount _,
     "q_quality_score"   -> TextAnalysis.quality _,

@@ -151,6 +151,75 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  val KMeansIters = 2
+
+  /** Lloyd-iteration centroid learning: assignment is distributed
+    * (broadcast centroids, one shuffle per iteration on the cell id);
+    * only the centroid matrix itself — O(cells × dim) metadata, not
+    * data — is collected between iterations. Seeded deterministically
+    * from vec_id % mod == 3 (the same seeds as the static IVF).
+    */
+  private[operators] def learnedCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Float])] = {
+    val n = normed(s, dir)
+    var cents: Seq[(Int, Array[Float])] = n.filter(col("vec_id") % IvfCentroidMod === 3)
+      .select(col("vec_id"), col("e")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq
+    for (_ <- 1 to KMeansIters) {
+      val centDf = s.createDataFrame(cents.map { case (id, v) => (id, v) })
+        .toDF("cent_id", "e_cent")
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("cdist").desc, col("cent_id"))
+      val assigned = n.join(broadcast(centDf), lit(true))
+        .withColumn("cdist", dot(col("e"), col("e_cent")))
+        .withColumn("crank", row_number().over(wAssign))
+        .filter(col("crank") === 1)
+        .select(col("cent_id").as("cell"), posexplode(col("e")).as(Seq("pos", "v")))
+      val means = assigned.groupBy("cell", "pos").agg(avg("v").as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m").cast("float")).as("vec"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
+      if (means.nonEmpty) cents = means
+    }
+    cents
+  }
+
+  /** §2.5 #31b — IVF with LEARNED centroids (k-means-lite): same probe
+    * and rerank shape as the seeded variant, but cells reflect the data
+    * distribution — better recall at the same probe budget.
+    */
+  def annIvfLearnedTopK(s: SparkSession, dir: String): DataFrame = {
+    val cents = learnedCentroids(s, dir)
+    val n = normed(s, dir)
+    val centDf = broadcast(s.createDataFrame(cents).toDF("cent_id", "e_cent")
+      .withColumn("n_cent", sqrt(ArrayOps.dotF(col("e_cent"), col("e_cent")))))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cdist").desc, col("cent_id"))
+    val assigned = n.join(centDf, lit(true))
+      .withColumn("cdist", dot(col("e"), col("e_cent")) / (col("nrm") * col("n_cent")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("e").as("e_c"),
+        col("nrm").as("n_c"), col("cent_id").as("cell"))
+    val qProbes = n.filter(col("vec_id") < NumQueries)
+      .join(centDf, lit(true))
+      .withColumn("cdist", dot(col("e"), col("e_cent")) / (col("nrm") * col("n_cent")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") <= IvfNProbe)
+      .select(col("vec_id").as("q_id"), col("e").as("e_q"),
+        col("nrm").as("n_q"), col("cent_id").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    broadcast(qProbes).join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("q_id", "rank", "neighbor_id", "cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
   // ---- oracle SQL -------------------------------------------------------
 
   /** Sequential-fold dot product / norm in DuckDB (list_reduce ≡ Spark's

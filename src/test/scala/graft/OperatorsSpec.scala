@@ -150,8 +150,10 @@ class SkewRecallSpec extends org.scalatest.funsuite.AnyFunSuite {
       brute.intersect(df.select("q_id", "neighbor_id")).count().toDouble / (nQ * Similarity.TopK)
     val rLsh = recall(Similarity.annLshTopK(spark, sf))
     val rIvf = recall(Similarity.annIvfTopK(spark, sf))
-    info(f"recall@5 lsh=$rLsh%.2f ivf=$rIvf%.2f")
+    val rIvf2 = recall(Similarity.annIvfLearnedTopK(spark, sf))
+    info(f"recall@5 lsh=$rLsh%.2f ivf=$rIvf%.2f ivf-learned=$rIvf2%.2f")
     assert(rIvf >= 0.3, s"IVF recall too low: $rIvf")
+    assert(rIvf2 >= rIvf - 0.1, s"learned IVF should not regress: $rIvf2 vs $rIvf")
     assert(rLsh >= 0.1, s"LSH recall too low: $rLsh")
   }
 }
