@@ -87,6 +87,17 @@ object SampleApp {
     val asofMatched = spark.table("sample_asof").filter("error_id IS NOT NULL").count()
     println(s"[sample] streaming asof purchases=$asofN matched=$asofMatched")
 
+    // streaming minhash near-dup detection over the documents corpus
+    implicit val sqlCtx = spark.sqlContext
+    val dmem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ddq = graft.streaming.StreamingDedup.nearDupPairs(
+        graft.streaming.StreamingDedup.banded(dmem.toDF().toDF("doc_id", "text")))
+      .writeStream.format("memory").queryName("sample_sdedup").outputMode("append").start()
+    val docRows = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toIndexedSeq
+    dmem.addData(docRows: _*); ddq.processAllAvailable(); ddq.stop()
+    println(s"[sample] streaming near-dup pairs=${spark.table("sample_sdedup").select("doc_a","doc_b").distinct().count()}")
+
     // optimizer rule from GraftExtensions: window top-k auto-rewrites to
     // the two-phase bounded-heap operator
     val w = org.apache.spark.sql.expressions.Window
