@@ -258,3 +258,46 @@ object TaskSparkRef {
       .select("o_custkey", "o_orderkey").count()
   }
 }
+
+/** Plan-shape regression guards: the scale properties SURVEY §5 promises,
+  * pinned so future rounds can't silently regress them.
+  */
+class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filters reach the parquet scans (predicate pushdown)") {
+    for (q <- Seq("q1_pricing_summary", "q_overdue", "q3_top_revenue", "q5_region_volume")) {
+      val p = plan(q)
+      assert(p.contains("PushedFilters: [I") || p.contains("PushedFilters: [Less") ||
+        p.contains("PushedFilters: [Greater") || p.contains("PushedFilters: [Equal"),
+        s"$q lost pushdown")
+    }
+  }
+
+  test("bounded dims are broadcast in the join queries") {
+    for (q <- Seq("q3_top_revenue", "q5_region_volume", "q_parent_join", "q_hierarchy_rollup"))
+      assert(plan(q).contains("BroadcastHashJoin"), s"$q lost its broadcast join")
+  }
+
+  test("no accidental cartesian products anywhere") {
+    val allowedBnlj = Set("q_ann_brute_topk", "q_ann_ivf_topk", "q_ann_ivf2_topk",
+      "q_dedup_embedding", "q_report_goals")
+    for ((q, _) <- SparkEntry.queries) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      if (!allowedBnlj(q))
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has an unexpected nested-loop join")
+    }
+  }
+
+  test("custom-operator plans keep their shapes") {
+    val asof = plan("q_asof_join")
+    assert(asof.contains("AsOfJoin") && asof.contains("Exchange hashpartitioning"))
+    val topk = plan("q_topk_per_key")
+    assert(topk.contains("TopKPerKey") && !topk.contains("Sort ("))
+  }
+}
