@@ -60,6 +60,8 @@ object SparkEntry {
     "q_doc_fingerprint" -> TextAnalysis.fingerprint _,
     "q_pii_scrub"       -> TextAnalysis.piiScrub _,
     "q_contamination"   -> TextAnalysis.contamination _,
+    "q_tfidf_top_terms" -> TextAnalysis.tfidfTopTerms _,
+    "q_dedup_clusters"  -> TextAnalysis.dedupClusters _,
     // §2.7 multimodal metadata
     "q_multimodal_meta" -> TextAnalysis.multimodalMeta _,
     // §2.1b extended composed analytics
@@ -568,6 +570,55 @@ object SparkEntry {
          SELECT DISTINCT doc_id FROM sh
          WHERE doc_id >= 5 AND h IN (SELECT h FROM ev)
          ORDER BY doc_id""",
+    "q_tfidf_top_terms" ->
+      """WITH tf AS (
+           SELECT doc_id, token, count(*) AS tf FROM (
+             SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             FROM documents)
+           GROUP BY 1, 2),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT doc_id, token,
+             round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS score
+           FROM tf JOIN df USING (token) CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, token, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, token) AS INTEGER) AS rank
+           FROM scored)
+         SELECT doc_id, rank, token, score FROM ranked
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         sgl AS (
+           SELECT doc_id, CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                    i -> array_to_string(t[i:i + 2], ' ')))
+             ELSE [] END AS shs FROM toks),
+         docs AS (
+           SELECT doc_id, list_distinct(list_transform(shs,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+                  (a, c) -> (a * 31 + c) % 1000000007))) AS sh
+           FROM sgl WHERE len(shs) > 0),
+         ex AS (SELECT doc_id, unnest(sh) AS h FROM docs),
+         cooc AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+           FROM ex x JOIN ex y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         pairs AS (
+           SELECT a, b FROM cooc
+           JOIN docs da ON da.doc_id = a JOIN docs db ON db.doc_id = b
+           WHERE CAST(inter AS DOUBLE) / (len(da.sh) + len(db.sh) - inter) >= 0.6),
+         edges AS (SELECT a AS s, d FROM (SELECT a, b AS d FROM pairs) UNION
+                   SELECT b AS s, a AS d FROM pairs),
+         reach AS (
+           SELECT s, d FROM edges
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+         SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+         FROM reach GROUP BY s ORDER BY doc_id""",
     "q_weighted_mean" ->
       """SELECT l_returnflag,
          round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wmean

@@ -74,6 +74,57 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  val TfIdfTopK = 3
+
+  /** TF-IDF top terms per document: tf with multiplicity, idf =
+    * ln(N/df), top-k by rounded score. Two shuffles (doc-token counts,
+    * token df) + a broadcast of the (bounded-vocabulary) df table.
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(df_), "token")
+      .withColumn("score", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfIdfTopK)
+      .select(col("doc_id"), col("rank"), col("token"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Near-duplicate cluster assignment: connected components over the
+    * verified Jaccard pair graph by iterative min-label propagation —
+    * each iteration is one join+agg (the standard distributed CC shape);
+    * converges in O(component diameter) rounds, checked to fixpoint so
+    * the result is exact. cluster_id = min doc_id in the component.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.Dedup.ngramJaccard(s, dir).select("doc_a", "doc_b")
+    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("cluster_id").as("nbr_min"))
+      val next = labels.join(neighborMin, "doc_id")
+        .select(col("doc_id"), least(col("cluster_id"), col("nbr_min")).as("cluster_id"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    labels.orderBy("doc_id")
+  }
+
   /** §2.7 #36 — multimodal metadata plumbing: documents as opaque bytes
     * with typed metadata (byte length, content hash, prefix). The decode
     * step for true image/audio payloads lives in graft.multimodal (stubbed
