@@ -76,6 +76,28 @@ object Multimodal {
     }
   }
 
+  case class ResizedMedia(id: Long, kind: String, width: Int, height: Int, payload: Array[Byte])
+
+  /** STUB resize: a real codec would decode, resample, and re-encode;
+    * the fake deterministically subsamples payload bytes to the target
+    * "pixel" count so output size, schema, and partition shape are the
+    * real pipeline's. Swapping in a true image library changes only the
+    * body of the map function.
+    */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val target = w * h
+        val n = m.payload.length
+        val outBytes =
+          if (n == 0) Array.emptyByteArray
+          else Array.tabulate(target)(i => m.payload((i.toLong * n / target).toInt))
+        ResizedMedia(m.id, m.kind, w, h, outBytes)
+      }
+    }
+  }
+
   val EmbedDim = 16
 
   /** STUB feature extraction: deterministic pseudo-embedding from payload

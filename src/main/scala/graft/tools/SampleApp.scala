@@ -50,6 +50,7 @@ object SampleApp {
     val media = Multimodal.toMedia(Tables.documents(spark, sf))
     Multimodal.decodeMeta(media).show(3, truncate = false)
     println(s"[sample] frames=${Multimodal.frameSample(media, 4, 8).count()}")
+    println(s"[sample] resized bytes=${Multimodal.resize(media, 8, 8).head().payload.length}")
 
     // bucketed layout: co-located join, no shuffle exchange
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

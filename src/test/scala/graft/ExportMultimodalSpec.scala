@@ -73,6 +73,9 @@ class ExportMultimodalSpec extends AnyFunSuite {
     assert(frames.filter(col("frame_no") >= 4).isEmpty)
     val emb = Multimodal.embed(media)
     assert(emb.head().embedding.length === Multimodal.EmbedDim)
+    val resized = Multimodal.resize(media, 8, 8)
+    assert(resized.filter(col("width") =!= 8).isEmpty)
+    assert(resized.head().payload.length === 64)
   }
 
   test("metadata-only query prunes the payload column at the scan") {
