@@ -268,24 +268,6 @@ object SparkEntry {
            count(*) AS n_events, round(sum(value), 2) AS value_sum
          FROM sess GROUP BY user_id, session_id
          ORDER BY user_id, session_start""",
-    "q_session_window" ->
-      """WITH flagged AS (
-           SELECT user_id, event_id, ts, value,
-             CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch_us(CAST(ts AS TIMESTAMP))
-                       - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
-                  THEN 1 ELSE 0 END AS boundary
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         sess AS (
-           SELECT *, CAST(sum(boundary) OVER (PARTITION BY user_id
-             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-           FROM flagged)
-         SELECT user_id,
-           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           count(*) AS n_events, round(sum(value), 2) AS value_sum
-         FROM sess GROUP BY user_id, session_id
-         ORDER BY user_id, session_start""",
     "q_event_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
          event_type, count(*) AS n, round(sum(value), 2) AS value_sum
@@ -490,14 +472,20 @@ object SparkEntry {
            round(avg(n) OVER (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
          FROM daily ORDER BY day""",
     "q_value_deciles" ->
-      """WITH t AS (
-           SELECT o_totalprice,
-             CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS decile
-           FROM orders)
+      ("""WITH b AS (
+           SELECT """ + (1 to 9).map(i =>
+             s"floor(quantile_cont(o_totalprice, 0.$i) * 100 + 0.5) / 100 AS b$i")
+             .mkString(", ") + """
+           FROM orders),
+         t AS (
+           SELECT o_totalprice, CAST(1 """ + (1 to 9).map(i =>
+             s"+ (CASE WHEN o_totalprice > b$i THEN 1 ELSE 0 END)").mkString(" ") + """
+             AS INTEGER) AS decile
+           FROM orders, b)
          SELECT decile, count(*) AS n,
            round(min(o_totalprice), 2) AS min_price,
            round(max(o_totalprice), 2) AS max_price
-         FROM t GROUP BY 1 ORDER BY decile""",
+         FROM t GROUP BY 1 ORDER BY decile"""),
     "q_topk_per_key" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_price
          FROM orders
@@ -512,7 +500,8 @@ object SparkEntry {
     "q_argmax" ->
       """SELECT o_custkey,
          max_by(o_orderkey,
-           CAST(round(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey)
+           lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 15, '0')
+             || lpad(CAST(o_orderkey AS VARCHAR), 15, '0'))
            AS best_orderkey,
          round(max(o_totalprice), 2) AS best_price
          FROM orders GROUP BY 1 ORDER BY o_custkey""",

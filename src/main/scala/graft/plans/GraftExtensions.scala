@@ -22,9 +22,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_dot_d"),
       info("graft_dot_d", "dot product of two double arrays"),
       (args: Seq[Expression]) => DoubleArrayDot(args(0), args(1))))
-    e.injectFunction((FunctionIdentifier("graft_simhash32"),
-      info("graft_simhash32", "32-bit simhash of a long-array of token hashes"),
-      (args: Seq[Expression]) => SimHash32(args(0))))
+    e.injectFunction((FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "64-bit simhash of a long-array of token hashes " +
+        "(SQL form uses the default remix constants)"),
+      (args: Seq[Expression]) => SimHash64(args(0),
+        graft.operators.Dedup.SimhashA2, graft.operators.Dedup.SimhashB2,
+        graft.functions.TextFunctions.HashP)))
   }
 }
 

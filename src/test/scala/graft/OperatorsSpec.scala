@@ -284,8 +284,11 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
   test("no accidental cartesian products anywhere") {
+    // brute/IVF queries broadcast the bounded query/centroid set; the
+    // others broadcast a SINGLE scalar/boundary row (count gate,
+    // corpus-size N, decile bounds) — O(1) build sides, not cartesians
     val allowedBnlj = Set("q_ann_brute_topk", "q_ann_ivf_topk", "q_ann_ivf2_topk",
-      "q_dedup_embedding", "q_report_goals")
+      "q_report_goals", "q_tfidf_top_terms", "q_value_deciles")
     for ((q, _) <- SparkEntry.queries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
