@@ -33,6 +33,8 @@ object SparkEntry {
     "q_project_flags"    -> TaskAnalytics.projectFlags _,
     "q_clean_text"       -> TaskAnalytics.cleanTruncate _,
     "q_uncategorized"    -> TaskAnalytics.uncategorized _,
+    "q_markdown_runs"    -> TaskAnalytics.markdownRuns _,
+    "q_active_projects"  -> TaskAnalytics.activeProjects _,
     // §2.2 headline analytics
     "q1_pricing_summary" -> TaskAnalytics.q1PricingSummary _,
     "q3_top_revenue"     -> TaskAnalytics.q3TopRevenue _,
@@ -42,6 +44,7 @@ object SparkEntry {
     "q_session_window"   -> TaskAnalytics.sessionWindow _,
     "q_event_window_agg" -> TaskAnalytics.eventWindowAgg _,
     "q_json_props"       -> TaskAnalytics.jsonProps _,
+    "q_json_normalize"   -> TaskAnalytics.jsonNormalize _,
     // §2.4 deduplication
     "q_dedup_exact"         -> Dedup.exact _,
     "q_dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
@@ -278,6 +281,53 @@ object SparkEntry {
          FROM (SELECT event_type,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
          GROUP BY 1 ORDER BY event_type""",
+    "q_markdown_runs" ->
+      """WITH md AS (
+           SELECT doc_id,
+             array_to_string(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+')[1:5],
+               (x, i) -> CASE WHEN i % 2 = 0 THEN '**' || x || '**' ELSE x END), ' ') AS md
+           FROM documents),
+         segs AS (SELECT doc_id, string_split(md, '**') AS segs FROM md)
+         SELECT doc_id, CAST(gs - 1 AS INTEGER) AS run_idx, segs[gs] AS run_text,
+           (gs - 1) % 2 = 1 AS is_bold
+         FROM segs, unnest(generate_series(1, len(segs))) AS g(gs)
+         WHERE segs[gs] <> ''
+         ORDER BY doc_id, run_idx""",
+    "q_active_projects" ->
+      """SELECT c_custkey, c_name, n_orders, n_open, open_prios
+         FROM customer JOIN (
+           SELECT o_custkey, count(*) AS n_orders,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+             array_to_string(list_sort(list(DISTINCT o_orderpriority)
+               FILTER (WHERE o_orderstatus = 'O')), ',') AS open_prios
+           FROM orders GROUP BY 1) t ON c_custkey = o_custkey
+         WHERE n_orders >= 12 AND n_open > 0
+         ORDER BY c_custkey""",
+    "q_json_normalize" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+           FROM documents),
+         page AS (
+           SELECT doc_id, to_json({
+             id: doc_id,
+             properties: {
+               Status: CASE WHEN doc_id % 7 <> 0 THEN {"select": {name: lang}} ELSE NULL END,
+               Tags: CASE WHEN len(t) >= 2
+                 THEN {multi_select: [{name: t[1]}, {name: t[2]}]} ELSE NULL END,
+               Name: {title: list_transform(t[1:3],
+                 (x, i) -> {plain_text: x, bold: i % 2 = 0})}
+             }}) AS j
+           FROM toks)
+         SELECT doc_id,
+           coalesce(json_extract_string(j, '$.properties.Status.select.name'), 'none') AS status,
+           CAST(coalesce(json_array_length(j, '$.properties.Tags.multi_select'), 0) AS INTEGER) AS n_tags,
+           coalesce(json_extract_string(j, '$.properties.Tags.multi_select[0].name'), '') AS first_tag,
+           coalesce(json_extract_string(j, '$.properties.Name.title[0].plain_text'), '')
+             || CASE WHEN json_extract(j, '$.properties.Name.title[1].bold') = 'true'
+                  THEN '**' || json_extract_string(j, '$.properties.Name.title[1].plain_text') || '**'
+                  ELSE coalesce(json_extract_string(j, '$.properties.Name.title[1].plain_text'), '') END
+             || coalesce(json_extract_string(j, '$.properties.Name.title[2].plain_text'), '') AS title_md
+         FROM page ORDER BY doc_id""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_md5, count(*) AS n_docs, min(doc_id) AS rep_id
          FROM documents GROUP BY 1 ORDER BY content_md5""",

@@ -49,14 +49,21 @@ object Multimodal {
 
   /** Partition-parallel metadata decode: one `mapPartitions` batch per
     * partition (codec init amortized), payload dropped on output.
+    * Payloads with a real PNG/JPEG/GIF container header get their TRUE
+    * dimensions (pure byte parsing, see ImageHeaders — no library
+    * needed) and a detected `image/<fmt>` kind; everything else falls
+    * back to the declared stub dimensions.
     */
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition codec init would go here
       it.map { m =>
-        val (checksum, w, h) = stubDecode(m.payload)
-        MediaMeta(m.id, m.kind, m.payload.length, checksum, w, h)
+        val (checksum, sw, sh) = stubDecode(m.payload)
+        ImageHeaders.parse(m.payload) match {
+          case Some((fmt, w, h)) => MediaMeta(m.id, s"image/$fmt", m.payload.length, checksum, w, h)
+          case None => MediaMeta(m.id, m.kind, m.payload.length, checksum, sw, sh)
+        }
       }
     }
   }

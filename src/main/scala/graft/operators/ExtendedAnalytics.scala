@@ -148,7 +148,8 @@ object ExtendedAnalytics {
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
     val errors = ev.filter(col("event_type") === "error")
       .select(col("event_id").as("error_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
-    graft.plans.AsOf.join(purchases, errors, "user_id", "e_user", "ts", "e_ts")
+    graft.plans.AsOf.join(purchases, errors, "user_id", "e_user", "ts", "e_ts",
+        rightTieBreak = Some("error_id"))
       .select(col("purchase_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
         col("error_id"),

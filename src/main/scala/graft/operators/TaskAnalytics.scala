@@ -368,4 +368,99 @@ object TaskAnalytics {
       .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
         min("k").as("k_min"), max("k").as("k_max"))
       .orderBy("event_type")
+
+  /** §2.3 #22b — DEEP nested-JSON normalization, the reference's actual
+    * ingest shape (fetch_pages.py:311-324 `safe_get` multi-level paths,
+    * the property-parsing loops ~:330-460: select name, multi_select
+    * tag list, rich-text title array → styled-run markdown). A
+    * reference-shaped page object is synthesized per document (Status
+    * absent for every 7th doc, Tags absent for short docs — exercising
+    * null-safe extraction), serialized with `to_json`, then parsed back
+    * through `from_json` with the full nested struct/array schema:
+    *   $.properties.Status.select.name        (missing-path safe_get)
+    *   $.properties.Tags.multi_select[].name  (array-of-struct tags)
+    *   $.properties.Name.title[]              (posexplode of rich-text
+    *     runs, bold runs wrapped **…**, reassembled in position order)
+    * Everything is per-row map-side work except one groupBy(doc_id) to
+    * reassemble the exploded runs — the shape of a 100 TB ingest.
+    */
+  def jsonNormalize(s: SparkSession, dir: String): DataFrame = {
+    val pageSchema =
+      "id BIGINT, properties STRUCT<" +
+        "Status: STRUCT<select: STRUCT<name: STRING>>, " +
+        "Tags: STRUCT<multi_select: ARRAY<STRUCT<name: STRING>>>, " +
+        "Name: STRUCT<title: ARRAY<STRUCT<plain_text: STRING, bold: BOOLEAN>>>>"
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val page = d.select(col("doc_id"),
+      to_json(struct(
+        col("doc_id").as("id"),
+        struct(
+          when(col("doc_id") % 7 =!= 0,
+            struct(struct(col("lang").as("name")).as("select"))).as("Status"),
+          when(size(col("toks")) >= 2,
+            struct(transform(slice(col("toks"), 1, 2),
+              t => struct(t.as("name"))).as("multi_select"))).as("Tags"),
+          struct(transform(slice(col("toks"), 1, 3),
+            (t, i) => struct(t.as("plain_text"), (i % 2 === 1).as("bold")))
+            .as("title")).as("Name")
+        ).as("properties"))).as("page_json"))
+    val parsed = page.select(col("doc_id"),
+      from_json(col("page_json"), org.apache.spark.sql.types.StructType.fromDDL(pageSchema)).as("p"))
+    val runs = parsed.select(col("doc_id"),
+        coalesce(col("p.properties.Status.select.name"), lit("none")).as("status"),
+        when(col("p.properties.Tags.multi_select").isNull, lit(0))
+          .otherwise(size(col("p.properties.Tags.multi_select"))).cast("int").as("n_tags"),
+        coalesce(col("p.properties.Tags.multi_select").getItem(0).getField("name"), lit(""))
+          .as("first_tag"),
+        posexplode_outer(col("p.properties.Name.title")).as(Seq("pos", "seg")))
+      .withColumn("md",
+        when(col("seg.bold"), concat(lit("**"), col("seg.plain_text"), lit("**")))
+          .otherwise(col("seg.plain_text")))
+    runs.groupBy("doc_id", "status", "n_tags", "first_tag")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("md")))),
+        x => x.getField("md")), "").as("title_md"))
+      .orderBy("doc_id")
+  }
+
+  /** Markdown → styled runs (generate_reports.py:106-124
+    * `render_markdown`: split on `**`, alternate regular/bold by
+    * segment parity). A bold-marked line is synthesized from each
+    * document's tokens (every 2nd of the first 5 tokens bolded), then
+    * `split` + `posexplode` turns it into (run_idx, run_text, is_bold)
+    * rows — pure map-side string work, the renderer-feeding shape.
+    */
+  def markdownRuns(s: SparkSession, dir: String): DataFrame = {
+    val md = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_join(transform(slice(tokens(col("text")), 1, 5),
+          (t, i) => when(i % 2 === 1, concat(lit("**"), t, lit("**"))).otherwise(t)),
+          " ").as("md"))
+    md.select(col("doc_id"), posexplode(split(col("md"), "\\*\\*")).as(Seq("run_idx", "run_text")))
+      .filter(col("run_text") =!= "")
+      .select(col("doc_id"), col("run_idx"), col("run_text"),
+        (col("run_idx") % 2 === 1).as("is_bold"))
+      .orderBy("doc_id", "run_idx")
+  }
+
+  /** Active-projects view (analyze_pages.py:344-355: the project flag ∧
+    * active status, with the distinct attribute list per parent):
+    * customers qualifying as projects (≥ 12 orders) that still have
+    * open orders, with the sorted distinct open-order priorities. One
+    * aggregation over the fact table, then a broadcast-sized join to
+    * names.
+    */
+  def activeProjects(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+        array_join(array_sort(collect_set(
+          when(col("o_orderstatus") === "O", col("o_orderpriority")))), ",")
+          .as("open_prios"))
+      .filter(col("n_orders") >= ProjectMinOrders && col("n_open") > 0)
+      .join(Tables.customer(s, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "c_name", "n_orders", "n_open", "open_prios")
+      .orderBy("c_custkey")
 }

@@ -33,7 +33,8 @@ import org.apache.spark.sql.execution.SparkStrategy
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    rightTieBreak: Option[Expression]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
@@ -43,7 +44,8 @@ case class AsOfJoinPlan(
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    rightTieBreak: Option[Expression]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -51,9 +53,14 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
 
+  // the optional right tie-break column joins the required ordering so
+  // that among right rows sharing (key, time) the kept match (the last
+  // one the merge passes over) is the MAX tie-break value — stable
+  // across runs and partitionings, not sort-order luck
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTime).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)),
-    (rightKeys :+ rightTime).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)))
+    (rightKeys ++ (rightTime +: rightTieBreak.toSeq))
+      .map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lKeys = leftKeys
@@ -71,7 +78,10 @@ case class AsOfJoinExec(
       val lTimeBound = BindReferences.bindReference(lTime, lSchema)
       val rTimeBound = BindReferences.bindReference(rTime, rSchema)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val outProj = UnsafeProjection.create(out, lSchema ++ rSchema)
+      // bind against the NULLABLE view of the right schema: left-outer
+      // emits nullRight, and a non-nullable input attr would codegen
+      // without the null check (reading 0 instead of null)
+      val outProj = UnsafeProjection.create(out, lSchema ++ rSchema.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rSchema.length)
       val joined = new JoinedRow
 
@@ -81,24 +91,38 @@ case class AsOfJoinExec(
 
       lIt.map { lRow =>
         val lKey = lKeyProj(lRow)
-        val lT = lTimeBound.eval(lRow).asInstanceOf[Long]
-        // advance the right side while it is still <= (key, t); O(1) state
-        var continue = true
-        while (continue && rBuf.hasNext) {
-          val head = rBuf.head
-          val hKey = rKeyProj(head)
-          val cmp = keyOrd.compare(hKey, lKey)
-          if (cmp < 0) {
-            rBuf.next()   // right key behind: no remaining left row needs it
-          } else if (cmp == 0 && rTimeBound.eval(head).asInstanceOf[Long] <= lT) {
-            matchedRow = rBuf.next().copy()
-            matchedKey = hKey.copy()
-          } else {
-            continue = false
+        val lTimeVal = lTimeBound.eval(lRow)
+        if (lTimeVal == null) {
+          // DuckDB ASOF semantics: a null left time never matches (the
+          // naive asInstanceOf would unbox null to epoch-0 and match)
+          outProj(joined(lRow, nullRight))
+        } else {
+          val lT = lTimeVal.asInstanceOf[Long]
+          // advance the right side while it is still <= (key, t); O(1) state
+          var continue = true
+          while (continue && rBuf.hasNext) {
+            val head = rBuf.head
+            val hKey = rKeyProj(head)
+            val cmp = keyOrd.compare(hKey, lKey)
+            if (cmp < 0) {
+              rBuf.next()   // right key behind: no remaining left row needs it
+            } else if (cmp == 0) {
+              val rTimeVal = rTimeBound.eval(head)
+              if (rTimeVal == null) {
+                rBuf.next() // null right time can never be an as-of match
+              } else if (rTimeVal.asInstanceOf[Long] <= lT) {
+                matchedRow = rBuf.next().copy()
+                matchedKey = hKey.copy()
+              } else {
+                continue = false
+              }
+            } else {
+              continue = false
+            }
           }
+          val useMatch = matchedRow != null && keyOrd.compare(matchedKey, lKey) == 0
+          outProj(joined(lRow, if (useMatch) matchedRow else nullRight))
         }
-        val useMatch = matchedRow != null && keyOrd.compare(matchedKey, lKey) == 0
-        outProj(joined(lRow, if (useMatch) matchedRow else nullRight))
       }
     }
   }
@@ -109,24 +133,26 @@ case class AsOfJoinExec(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
     case _ => Nil
   }
 }
 
 /** DataFrame-level API. Column names must be disjoint between the two
   * sides (rename the right side first, as with any self-ish join).
+  * `rightTieBreak` names a right-side column that decides which of
+  * several equal-(key, time) right rows wins (the max value) — without
+  * it the winner is whatever physical row order the sort happened to
+  * produce.
   */
 object AsOf {
   def join(leftDf: DataFrame, rightDf: DataFrame,
            leftKey: String, rightKey: String,
-           leftTimeCol: String, rightTimeCol: String): DataFrame = {
+           leftTimeCol: String, rightTimeCol: String,
+           rightTieBreak: Option[String] = None): DataFrame = {
     val spark: SparkSession = leftDf.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
-    }
+    GraftStrategies.ensure(spark, AsOfJoinStrategy)
     val lPlan = GraftColumnBridge.analyzedPlan(leftDf)
     val rPlan = GraftColumnBridge.analyzedPlan(rightDf)
     def attr(plan: LogicalPlan, name: String): Attribute =
@@ -134,7 +160,23 @@ object AsOf {
         throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
     val node = AsOfJoinPlan(lPlan, rPlan,
       Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
-      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol))
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol),
+      rightTieBreak.map(attr(rPlan, _)))
     GraftColumnBridge.ofRows(spark, node)
+  }
+}
+
+/** Idempotent, thread-safe registration of graft's planner strategies on
+  * sessions built without `GraftExtensions` (e.g. an already-running
+  * session where `withExtensions` no longer applies). The synchronized
+  * check-then-act prevents the double-registration race two concurrent
+  * query constructors could hit.
+  */
+object GraftStrategies {
+  def ensure(spark: SparkSession, strategy: SparkStrategy): Unit = synchronized {
+    if (!spark.experimental.extraStrategies.contains(strategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ strategy
+    }
   }
 }

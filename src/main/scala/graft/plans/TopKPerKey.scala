@@ -93,10 +93,7 @@ object TopK {
   def perKey(df: DataFrame, keyCols: Seq[String],
              orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
-    }
+    GraftStrategies.ensure(spark, TopKPerKeyStrategy)
     val plan = GraftColumnBridge.analyzedPlan(df)
     def attr(name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(

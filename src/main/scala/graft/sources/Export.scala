@@ -79,4 +79,23 @@ object Export {
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Grouped-section export — the reference's report assembly
+    * (generate_reports.py:308-520 feeds one ordered, grouped, truncated
+    * frame per section to the renderer). Each section becomes a
+    * `section=<v>/` partition directory holding its top `maxPerSection`
+    * rows in render order: rank-truncate within sections (one shuffle),
+    * co-locate each section, and sort within the output files so a
+    * renderer streams them as-is.
+    */
+  def writeSectioned(df: DataFrame, path: String, sectionCol: String,
+                     orderCols: Seq[String], maxPerSection: Int): Unit = {
+    val w = Window.partitionBy(col(sectionCol)).orderBy(orderCols.map(col): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxPerSection)
+      .drop("_rn")
+      .repartition(col(sectionCol))
+      .sortWithinPartitions((sectionCol +: orderCols).map(col): _*)
+      .write.mode("overwrite").partitionBy(sectionCol).parquet(path)
+  }
 }

@@ -78,6 +78,55 @@ class ExportMultimodalSpec extends AnyFunSuite {
     assert(resized.head().payload.length === 64)
   }
 
+  test("decodeMeta parses real PNG/JPEG/GIF headers, stub-falls-back otherwise") {
+    import spark.implicits._
+    import graft.multimodal.ImageHeaders
+    // minimal real containers, built byte-by-byte (no imaging library):
+    // PNG signature + IHDR(width=640, height=480)
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 2, 0x80, 0, 0, 1, 0xe0, 8, 6, 0, 0, 0).map(_.toByte)
+    // JPEG SOI + APP0(len 16) + SOF0(precision 8, height=33, width=257)
+    val jpeg = (Array[Int](0xff, 0xd8, 0xff, 0xe0, 0, 16) ++ Array.fill(14)(0) ++
+      Array[Int](0xff, 0xc0, 0, 11, 8, 0, 33, 1, 1, 1, 0x11, 0, 0)).map(_.toByte)
+    // GIF89a, logical screen 320x200 little-endian
+    val gif = ("GIF89a".getBytes.map(_.toInt) ++ Array[Int](0x40, 0x01, 0xc8, 0, 0, 0))
+      .map(_.toByte)
+    assert(ImageHeaders.parse(png) === Some(("png", 640, 480)))
+    assert(ImageHeaders.parse(jpeg) === Some(("jpeg", 257, 33)))
+    assert(ImageHeaders.parse(gif) === Some(("gif", 320, 200)))
+    assert(ImageHeaders.parse("plain text".getBytes) === None)
+    assert(ImageHeaders.parse(Array[Byte](0x89.toByte, 'P')) === None) // truncated
+    val media = Seq(
+      Multimodal.MediaRow(1L, "media/raw", png),
+      Multimodal.MediaRow(2L, "media/raw", jpeg),
+      Multimodal.MediaRow(3L, "media/raw", "not an image".getBytes)).toDS()
+    val meta = Multimodal.decodeMeta(media).collect().map(m => m.id -> m).toMap
+    assert(meta(1L).kind === "image/png" && meta(1L).width === 640 && meta(1L).height === 480)
+    assert(meta(2L).kind === "image/jpeg" && meta(2L).width === 257 && meta(2L).height === 33)
+    assert(meta(3L).kind === "media/raw") // stub fallback keeps declared kind
+  }
+
+  test("sectioned export writes ordered truncated partition dirs") {
+    val out = tmp() + "/sections"
+    val df = operators.TaskAnalytics.normalizeStatus(spark, sf)
+    Export.writeSectioned(df, out, "status", Seq("order_date", "o_orderkey"), 10)
+    val back = spark.read.parquet(out)
+    // truncation: every section capped at 10 rows
+    val caps = back.groupBy("status").count().collect()
+    assert(caps.nonEmpty && caps.forall(_.getLong(1) <= 10))
+    // per-section content = global top-10 under the same ordering
+    val expect = df.filter(col("status") === "open")
+      .orderBy("order_date", "o_orderkey").limit(10)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val got = back.filter(col("status") === "open")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+    // layout: one partition dir per section value
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("status=")))
+  }
+
   test("metadata-only query prunes the payload column at the scan") {
     val out = tmp() + "/media"
     Multimodal.toMedia(Tables.documents(spark, sf)).write.mode("overwrite").parquet(out)

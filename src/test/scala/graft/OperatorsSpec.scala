@@ -114,6 +114,27 @@ class AsOfJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.contains("AsOfJoin") && plan.contains("Exchange hashpartitioning"))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
+
+  test("asof join skips null timestamps and breaks (key, ts) ties deterministically") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, Some(java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))),
+      (2L, 10L, None),  // null left ts → must NOT match as epoch-0
+      (3L, 20L, Some(java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))))
+      .toDF("l_id", "k", "t")
+    val right = Seq(
+      (100L, 10L, Some(java.sql.Timestamp.valueOf("2024-01-01 09:00:00"))),
+      (101L, 10L, Some(java.sql.Timestamp.valueOf("2024-01-01 09:00:00"))), // tie with 100
+      (102L, 10L, None),  // null right ts → never a match
+      (103L, 20L, None))
+      .toDF("r_id", "rk", "rt")
+    val got = graft.plans.AsOf.join(left, right, "k", "rk", "t", "rt",
+        rightTieBreak = Some("r_id"))
+      .select("l_id", "r_id").as[(Long, Option[Long])].collect().toMap
+    assert(got(1L).contains(101L))  // max r_id among the 09:00:00 tie
+    assert(got(2L).isEmpty)         // null left ts matches nothing
+    assert(got(3L).isEmpty)         // only a null-ts right row exists for k=20
+  }
 }
 
 class SkewRecallSpec extends org.scalatest.funsuite.AnyFunSuite {
