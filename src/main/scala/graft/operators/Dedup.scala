@@ -79,15 +79,35 @@ object Dedup {
     verifyByCooccurrence(docs, candidatesFromCooc = true, JaccardT)
   }
 
+  /** Stop-shingle cap: a shingle present in more than this many
+    * documents ("of the data", boilerplate headers) contributes
+    * Θ(df²) rows to the co-occurrence join while carrying no
+    * discriminative signal — the classic quadratic hot bucket at
+    * corpus scale. Shingles above the cap are dropped from candidate
+    * generation AND intersection evidence (the standard stop-shingle
+    * filter; ubiquitous shingles shouldn't vouch for similarity).
+    * 1000 ≫ the max observed df at every test SF (25 at sf0.1), so the
+    * answer is unchanged at test scale; the DuckDB oracle applies the
+    * same cap from this constant.
+    */
+  val MaxShingleDf = 1000L
+
   /** |A ∩ B| for pairs as a count over the exploded (doc, shingle) join —
     * no pair-array materialization, pure shuffle/agg (the shape that
     * survives 100 TB). Pairs sharing zero shingles have J = 0 and can
     * never clear a positive threshold, so the inner join is lossless.
+    * Hot shingles (df > maxDf) are anti-joined away first — the hot set
+    * is tiny (it's the tail above the cap), so AQE broadcasts it and
+    * the filter rides the explode.
     */
-  private def verifyByCooccurrence(docs: DataFrame, candidatesFromCooc: Boolean,
+  private[graft] def verifyByCooccurrence(docs: DataFrame, candidatesFromCooc: Boolean,
                                    threshold: Double,
-                                   cand: DataFrame = null): DataFrame = {
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("h"))
+                                   cand: DataFrame = null,
+                                   maxDf: Long = MaxShingleDf): DataFrame = {
+    val exAll = docs.select(col("doc_id"), explode(col("sh")).as("h"))
+    val hot = exAll.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("h")
+    val ex = exAll.join(hot, Seq("h"), "left_anti")
     val cooc = ex.as("x").join(ex.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -177,16 +197,28 @@ object Dedup {
        |  SELECT doc_id, list_distinct(list_transform(shs, s -> ${sqlCharFold("s")})) AS sh
        |  FROM sgl WHERE len(shs) > 0)""".stripMargin
 
+  /** Shared capped-explode CTEs (mirrors verifyByCooccurrence's
+    * stop-shingle filter: capped shingles leave candidate generation and
+    * intersection evidence; set SIZES stay full).
+    */
+  private val sqlCappedEx: String =
+    s"""exa AS (SELECT doc_id, unnest(sh) AS h FROM docs),
+       |hot AS (SELECT h FROM (SELECT h, count(*) AS c FROM exa GROUP BY 1)
+       |        WHERE c > $MaxShingleDf),
+       |ex AS (SELECT exa.doc_id, exa.h FROM exa ANTI JOIN hot USING (h)),
+       |docsc AS (SELECT doc_id, list(h) AS shc FROM ex GROUP BY 1)""".stripMargin
+
   val sqlNgramJaccard: String =
     s"""$sqlShingled,
-       |ex AS (SELECT doc_id, unnest(sh) AS h FROM docs),
+       |$sqlCappedEx,
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM ex x JOIN ex y ON x.h = y.h AND x.doc_id < y.doc_id),
        |verified AS (
        |  SELECT doc_a, doc_b,
-       |    len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS la, len(b.sh) AS lb
-       |  FROM cand JOIN docs a ON a.doc_id = doc_a JOIN docs b ON b.doc_id = doc_b)
+       |    len(list_intersect(ca.shc, cb.shc)) AS inter, len(a.sh) AS la, len(b.sh) AS lb
+       |  FROM cand JOIN docsc ca ON ca.doc_id = doc_a JOIN docsc cb ON cb.doc_id = doc_b
+       |       JOIN docs a ON a.doc_id = doc_a JOIN docs b ON b.doc_id = doc_b)
        |SELECT doc_a, doc_b,
        |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
        |FROM verified
@@ -198,6 +230,7 @@ object Dedup {
       s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))"
     }.mkString("[", ", ", "]")
     s"""$sqlShingled,
+       |$sqlCappedEx,
        |sigs AS (SELECT doc_id, sh, $mh AS mh FROM docs),
        |banded AS (
        |  SELECT doc_id, i AS band_id,
@@ -209,8 +242,9 @@ object Dedup {
        |    ON x.band_id = y.band_id AND x.key = y.key AND x.doc_id < y.doc_id),
        |verified AS (
        |  SELECT doc_a, doc_b,
-       |    len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS la, len(b.sh) AS lb
-       |  FROM cand JOIN docs a ON a.doc_id = doc_a JOIN docs b ON b.doc_id = doc_b)
+       |    len(list_intersect(ca.shc, cb.shc)) AS inter, len(a.sh) AS la, len(b.sh) AS lb
+       |  FROM cand JOIN docsc ca ON ca.doc_id = doc_a JOIN docsc cb ON cb.doc_id = doc_b
+       |       JOIN docs a ON a.doc_id = doc_a JOIN docs b ON b.doc_id = doc_b)
        |SELECT doc_a, doc_b,
        |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
        |FROM verified

@@ -106,39 +106,54 @@ object Similarity {
   // ---- scale paths (deterministic, rows-only checked) -------------------
 
   val LshPlanes = 6
+  val LshTables = 6
   val Dim = 64
 
   /** Deterministic pseudo-random hyperplanes (fixed integer recurrence —
-    * reproducible across runs/engines without RNG state).
+    * reproducible across runs/engines without RNG state). One
+    * contiguous pool; table t uses planes [t·LshPlanes, (t+1)·LshPlanes).
     */
   private[operators] val planes: Array[Array[Float]] =
-    Array.tabulate(LshPlanes, Dim) { (j, i) =>
+    Array.tabulate(LshTables * LshPlanes, Dim) { (j, i) =>
       ((((j * Dim + i + 1) * 2654435761L & 0x7fffffffL) % 2001L - 1000L) / 1000.0).toFloat
     }
 
-  /** Sign-bit LSH signature for an embedding column. */
-  private def lshSig(e: Column): Column =
+  /** Sign-bit LSH signature for an embedding column under table t's planes. */
+  private def lshSig(e: Column, t: Int): Column =
     (0 until LshPlanes).map { j =>
-      when(dot(e, lit(planes(j))) > 0, lit(1 << j)).otherwise(lit(0))
+      when(dot(e, lit(planes(t * LshPlanes + j))) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** §2.5 #30 — LSH-bucketed ANN: corpus bucketed by 8-bit hyperplane
-    * signature; queries multi-probe their bucket plus all 1-bit flips
-    * (9 probes), exact rerank inside candidates. Candidate join is an
-    * equi-join on the signature — O(candidates) shuffle at any scale.
+  /** §2.5 #30 — LSH-bucketed ANN with OR-amplification: L independent
+    * hash tables of b sign planes each (candidate if ANY table
+    * collides), plus 1-bit multiprobe per table (b+1 probes). Per-table
+    * recall for a neighbor at collision prob p is P(hamming ≤ 1) =
+    * p^b + b·p^(b-1)(1−p); OR over L tables amplifies 1−(1−r)^L — the
+    * single-table version measured recall@5 0.26 on these
+    * near-orthogonal vectors, L=6 lifts it to ~0.8 at 6× corpus index
+    * replication (the standard memory-for-recall LSH trade). The
+    * candidate join stays a pure equi-join on (table, signature) —
+    * O(candidates) shuffle at any scale.
     */
   def annLshTopK(s: SparkSession, dir: String): DataFrame = {
     val n = normed(s, dir)
-    val corpus = n.select(col("vec_id").as("neighbor_id"), col("e").as("e_c"),
-      col("nrm").as("n_c"), lshSig(col("e")).as("sig"))
-    val probes = (0 until LshPlanes).map(j => col("qsig").bitwiseXOR(lit(1 << j))) :+ col("qsig")
-    val q = n.filter(col("vec_id") < NumQueries)
-      .withColumn("qsig", lshSig(col("e")))
+    val corpus = n.select(col("vec_id").as("neighbor_id"), col("e").as("e_c"), col("nrm").as("n_c"),
+      posexplode(array((0 until LshTables).map(t => lshSig(col("e"), t)): _*))
+        .as(Seq("c_tbl", "sig")))
+    val q0 = n.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("e").as("e_q"), col("nrm").as("n_q"),
-        explode(array(probes: _*)).as("probe"))
+        posexplode(array((0 until LshTables).map(t => lshSig(col("e"), t)): _*))
+          .as(Seq("tbl", "qsig")))
+    val probes = (0 until LshPlanes).map(j => col("qsig").bitwiseXOR(lit(1 << j))) :+ col("qsig")
+    val q = q0.select(col("q_id"), col("e_q"), col("n_q"), col("tbl"),
+      explode(array(probes: _*)).as("probe"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-    broadcast(q).join(corpus, col("probe") === col("sig") && col("q_id") =!= col("neighbor_id"))
+    broadcast(q).join(corpus,
+        col("tbl") === col("c_tbl") && col("probe") === col("sig") &&
+          col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("e_q"), col("n_q"), col("neighbor_id"), col("e_c"), col("n_c"))
+      .dropDuplicates("q_id", "neighbor_id")  // pairs colliding in several tables rerank once
       .withColumn("cos_sim", round(dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
@@ -147,7 +162,7 @@ object Similarity {
   }
 
   val IvfCentroidMod = 100
-  val IvfNProbe = 2
+  val IvfNProbe = 3
 
   /** §2.5 #31 — IVF-style ANN: deterministic seed centroids
     * (vec_id % mod == 3), vectors assigned to nearest centroid cell;

@@ -53,6 +53,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mh.exceptAll(ex).isEmpty)
   }
 
+  test("stop-shingle cap drops hot-bucket-only pairs, keeps true near-dups") {
+    import spark.implicits._
+    // shingle 99 is boilerplate (in every doc → df 5 > cap 2); docs 1/2
+    // are true near-dups (share 3 of their 4 distinctive shingles);
+    // docs 3/4/5 share ONLY the boilerplate shingle
+    val docs = Seq(
+      (1L, Seq(99L, 10L, 11L, 12L, 13L)),
+      (2L, Seq(99L, 10L, 11L, 12L, 14L)),
+      (3L, Seq(99L, 20L, 21L)),
+      (4L, Seq(99L, 30L, 31L)),
+      (5L, Seq(99L, 40L, 41L))).toDF("doc_id", "sh")
+    val capped = Dedup.verifyByCooccurrence(docs, candidatesFromCooc = true,
+      threshold = 0.0, maxDf = 2)
+    val pairs = capped.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)), s"only the true near-dup pair should survive, got $pairs")
+    // with the cap disabled the boilerplate shingle manufactures all 10 pairs
+    val uncapped = Dedup.verifyByCooccurrence(docs, candidatesFromCooc = true,
+      threshold = 0.0, maxDf = 1000000)
+    assert(uncapped.count() === 10)
+  }
+
   test("simhash pairs are within the hamming bound and symmetric-free") {
     val sh = Dedup.simhash(spark, sf)
     assert(sh.filter(col("hamming") > Dedup.HammingMax).isEmpty)
@@ -173,9 +194,13 @@ class SkewRecallSpec extends org.scalatest.funsuite.AnyFunSuite {
     val rIvf = recall(Similarity.annIvfTopK(spark, sf))
     val rIvf2 = recall(Similarity.annIvfLearnedTopK(spark, sf))
     info(f"recall@5 lsh=$rLsh%.2f ivf=$rIvf%.2f ivf-learned=$rIvf2%.2f")
-    assert(rIvf >= 0.3, s"IVF recall too low: $rIvf")
+    // nProbe=3 measures ivf 0.82 / ivf-learned 0.86 at sf0.001 (was
+    // 0.52/0.64 at nProbe=2)
+    assert(rIvf >= 0.6, s"IVF recall too low: $rIvf")
     assert(rIvf2 >= rIvf - 0.1, s"learned IVF should not regress: $rIvf2 vs $rIvf")
-    assert(rLsh >= 0.1, s"LSH recall too low: $rLsh")
+    // 6-table OR-amplified LSH with 1-bit multiprobe measures 0.76 at
+    // sf0.001 and 0.72 at sf0.1 (was 0.26 single-table)
+    assert(rLsh >= 0.5, s"LSH recall too low: $rLsh")
   }
 }
 
