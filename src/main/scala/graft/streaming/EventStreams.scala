@@ -93,31 +93,56 @@ object EventStreams {
     * processed in event-time order; cross-batch ordering relies on the
     * upstream watermark discipline (same contract as any stream-stream
     * join's left-greater-than-right assumption).
+    *
+    * `idleRetentionMs` bounds state by TIME as well as key cardinality:
+    * a key whose last event is more than the retention behind the
+    * watermark is evicted (event-time timeout), so at 100 TB/unbounded
+    * key churn the state store holds only recently-active keys. The
+    * trade-off is explicit: a purchase arriving after its key was
+    * evicted sees no match — exactly the eviction-horizon semantics the
+    * streaming MinHash dedup documents. Default None keeps the
+    * exact-forever state (bit-identical to the batch as-of join on any
+    * replayed stream).
     */
-  def asOfEnrich(events: Dataset[Ev]): Dataset[AsOfEnriched] = {
+  def asOfEnrich(events: Dataset[Ev],
+                 idleRetentionMs: Option[Long] = None): Dataset[AsOfEnriched] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleRetentionMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .filter((e: Ev) => e.event_type == "purchase" || e.event_type == "error")
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[LatestRight, AsOfEnriched](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (uid: Long, it: Iterator[Ev], state: GroupState[LatestRight]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val out = Seq.newBuilder[AsOfEnriched]
-          var latest = state.getOption
-          sorted.foreach { e =>
-            if (e.event_type == "error") {
-              if (latest.forall(_.ts <= e.ts.getTime))
-                latest = Some(LatestRight(e.event_id, e.ts.getTime))
-            } else {
-              val m = latest.filter(_.ts <= e.ts.getTime)
-              out += AsOfEnriched(uid, e.event_id, e.ts,
-                m.map(_.id), m.map(r => new Timestamp(r.ts)))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = Seq.newBuilder[AsOfEnriched]
+            var latest = state.getOption
+            var maxTs = Long.MinValue
+            sorted.foreach { e =>
+              maxTs = math.max(maxTs, e.ts.getTime)
+              if (e.event_type == "error") {
+                if (latest.forall(_.ts <= e.ts.getTime))
+                  latest = Some(LatestRight(e.event_id, e.ts.getTime))
+              } else {
+                val m = latest.filter(_.ts <= e.ts.getTime)
+                out += AsOfEnriched(uid, e.event_id, e.ts,
+                  m.map(_.id), m.map(r => new Timestamp(r.ts)))
+              }
             }
+            latest.foreach(state.update)
+            idleRetentionMs.foreach { r =>
+              if (state.exists && maxTs != Long.MinValue)
+                state.setTimeoutTimestamp(maxTs + r)
+            }
+            out.result().iterator
           }
-          latest.foreach(state.update)
-          out.result().iterator
       }
   }
 

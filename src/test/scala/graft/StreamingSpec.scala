@@ -98,6 +98,34 @@ class StreamingAsOfSpec extends org.scalatest.funsuite.AnyFunSuite {
         Seq((2L, Some(1L)), (3L, None), (5L, Some(4L))))
     } finally q.stop()
   }
+
+  test("idle-retention evicts stale as-of state past the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    // retention 5 min, watermark delay 10 min: u1's state (last event t0)
+    // times out once the watermark passes t0+5min
+    val q = graft.streaming.EventStreams.asOfEnrich(mem.toDS(),
+        idleRetentionMs = Some(5L * 60000L))
+      .writeStream.format("memory").queryName("asof_evict").outputMode("append").start()
+    try {
+      mem.addData(Ev(1, ts(0), 1, "error", 0.0), Ev(2, ts(1), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      // u2 traffic advances the watermark to t0+50min (> u1's t0+5min timeout)...
+      mem.addData(Ev(3, ts(60), 2, "error", 0.0))
+      q.processAllAvailable()
+      // ...and the next batch fires the timeout, evicting u1's state
+      mem.addData(Ev(4, ts(61), 2, "error", 0.0))
+      q.processAllAvailable()
+      // a late u1 purchase now finds nothing (explicit eviction-horizon trade)
+      mem.addData(Ev(5, ts(62), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("asof_evict").as[graft.streaming.AsOfEnriched]
+        .collect().sortBy(_.purchase_id)
+      assert(out.map(o => (o.purchase_id, o.error_id)).toSeq ===
+        Seq((2L, Some(1L)), (5L, None)))
+    } finally q.stop()
+  }
 }
 
 class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
