@@ -16,9 +16,17 @@ import org.apache.spark.sql.types.StructType
   */
 object Export {
 
-  /** CSV export with header (reference: tasks_df.to_csv). */
+  /** CSV export with header (reference: tasks_df.to_csv). RFC-4180
+    * quoting (`""` escapes a quote — Spark's default is backslash
+    * escaping, which round-trips only through Spark itself) so embedded
+    * delimiters, quotes, and newlines survive any standard reader
+    * (spec'd).
+    */
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("header", "true").csv(path)
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("escape", "\"")
+      .csv(path)
 
   /** JSON-records export (reference: to_json(orient="records") — at
     * scale the Spark-native form is JSON-lines part files).
@@ -27,13 +35,43 @@ object Export {
     df.write.mode("overwrite").json(path)
 
   /** Schema-explicit CSV read — no inference scan (an inference pass at
-    * 100 TB is a full extra read).
+    * 100 TB is a full extra read). PERMISSIVE mode with multiline quote
+    * support: a malformed row lands in `_corrupt_record` (when the
+    * schema declares it) instead of failing the 100 TB job at hour 9.
     */
   def readCsv(s: SparkSession, path: String, schema: StructType): DataFrame =
-    s.read.schema(schema).option("header", "true").csv(path)
+    s.read.schema(schema)
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
 
+  /** Schema-explicit JSON-lines read, PERMISSIVE: rows that fail to
+    * parse (or conform) surface in `_corrupt_record` when the schema
+    * declares it; fields absent from evolving producers read as null —
+    * the additive-schema-evolution contract.
+    */
   def readJson(s: SparkSession, path: String, schema: StructType): DataFrame =
-    s.read.schema(schema).json(path)
+    s.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+  /** Parquet read across an evolving directory: `mergeSchema` unions
+    * part-file schemas (additive evolution — old parts read new columns
+    * as null). Off by default in Spark because footer-merging costs a
+    * pass over file metadata; turning it on here is the explicit
+    * conformance choice.
+    */
+  def readParquetMerged(s: SparkSession, path: String): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(path)
+
+  /** Compressed parquet export: zstd trades ~10-20% write CPU for
+    * materially smaller files than the snappy default — at 100 TB the
+    * scan is IO-bound, so smaller-on-disk wins reads too. (The zstd
+    * level is a cluster-static conf, `spark.io.compression.zstd.level`
+    * — set it at session build, not per write.)
+    */
+  def writeParquetZstd(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zstd").parquet(path)
 
   /** Incremental keep-last upsert (fetch_pages.py:594-601): union the
     * cached and fresh rows, keep the newest row per key. One shuffle on

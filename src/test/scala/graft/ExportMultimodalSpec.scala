@@ -41,6 +41,59 @@ class ExportMultimodalSpec extends AnyFunSuite {
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
 
+  test("csv quirks round-trip: embedded delimiters, quotes, and newlines") {
+    import spark.implicits._
+    val out = tmp() + "/csvq"
+    val df = Seq(
+      (1L, "plain"),
+      (2L, "comma, inside"),
+      (3L, "a \"quoted\" word"),
+      (4L, "line\nbreak")).toDF("id", "v")
+    Export.writeCsv(df, out)
+    val back = Export.readCsv(spark, out, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
+  test("permissive json read captures corrupt rows, nulls missing fields") {
+    val out = tmp()
+    val f = new java.io.PrintWriter(out + "/data.json")
+    f.println("""{"id": 1, "v": "ok", "extra": 9}""")  // extra field: ignored
+    f.println("""{"id": 2}""")                          // missing v: null
+    f.println("""{not json at all""")                   // corrupt: captured
+    f.close()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    val back = Export.readJson(spark, out, schema).cache()
+    assert(back.count() === 3)
+    assert(back.filter(col("id") === 1 && col("v") === "ok").count() === 1)
+    assert(back.filter(col("id") === 2 && col("v").isNull).count() === 1)
+    assert(back.filter(col("_corrupt_record").isNotNull).count() === 1)
+    back.unpersist()
+  }
+
+  test("parquet mergeSchema reads additively-evolved directories") {
+    import spark.implicits._
+    val out = tmp() + "/evolve"
+    Seq((1L, "a")).toDF("id", "v").write.mode("append").parquet(out)
+    Seq((2L, "b", 7.5)).toDF("id", "v", "score").write.mode("append").parquet(out)
+    val back = Export.readParquetMerged(spark, out)
+    assert(back.columns.toSet === Set("id", "v", "score"))
+    assert(back.filter(col("id") === 1 && col("score").isNull).count() === 1)
+    assert(back.filter(col("id") === 2 && col("score") === 7.5).count() === 1)
+  }
+
+  test("zstd parquet export round-trips and actually writes zstd parts") {
+    val out = tmp() + "/zstd"
+    val df = operators.TaskAnalytics.statusDist(spark, sf)
+    Export.writeParquetZstd(df, out)
+    val parts = new java.io.File(out).listFiles().map(_.getName)
+    assert(parts.exists(_.endsWith(".zstd.parquet")), s"no zstd parts in ${parts.toSeq}")
+    val back = spark.read.parquet(out)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("upsertKeepLast keeps newest row per key, favouring updates on ties") {
     import spark.implicits._
     val existing = Seq((1L, "old", 10L), (2L, "keep", 20L)).toDF("id", "v", "ver")
