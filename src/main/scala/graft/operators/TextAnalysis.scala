@@ -122,12 +122,15 @@ object TextAnalysis {
         .join(labels.withColumnRenamed("doc_id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("doc_id"))
         .agg(min("cluster_id").as("nbr_min"))
+      // carry the change flag through the checkpoint: the convergence
+      // count then reads the materialized result instead of re-joining
+      // old vs new labels (one job per iteration, not two)
       val next = labels.join(neighborMin, "doc_id")
-        .select(col("doc_id"), least(col("cluster_id"), col("nbr_min")).as("cluster_id"))
+        .select(col("doc_id"), least(col("cluster_id"), col("nbr_min")).as("cluster_id"),
+          (col("nbr_min") < col("cluster_id")).as("_changed"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("_changed")).count()
+      labels = next.drop("_changed")
     }
     labels.orderBy("doc_id")
   }

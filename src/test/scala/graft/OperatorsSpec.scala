@@ -349,4 +349,24 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     val topk = plan("q_topk_per_key")
     assert(topk.contains("TopKPerKey") && !topk.contains("Sort ("))
   }
+
+  test("single-scan rewrites stay single-scan (schema health, set ops)") {
+    def scans(q: String): Int = "Scan parquet".r.findAllIn(plan(q)).length
+    assert(scans("q_schema_health") === 1,
+      "schema health must compute every column's stats in ONE scan")
+    assert(scans("q_set_ops") === 1,
+      "set-ops overlap must be one membership-flag scan, not per-set scans")
+  }
+
+  test("CC loop lineage stays bounded (localCheckpoint truncation)") {
+    // after convergence the labels frame must sit on a checkpointed RDD
+    // (no stacked per-iteration joins left in the plan)
+    val clusters = operators.TextAnalysis.dedupClusters(spark, sf)
+    val p = clusters.queryExecution.optimizedPlan
+    val joins = p.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.isEmpty, s"expected checkpoint-truncated lineage, got:\n$p")
+    assert(p.toString.contains("LogicalRDD") || p.toString.contains("ExistingRDD"),
+      s"labels should derive from a checkpointed RDD:\n$p")
+  }
 }
