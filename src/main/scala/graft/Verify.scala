@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // correctness runs default to a small pool on purpose (results are
+    // parallelism-invariant; 4 threads keeps the driver's concurrent
+    // verify cheap) — Bench is where SPARK_GRAFT_CPUS=32 matters
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -74,6 +74,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(uncapped.count() === 10)
   }
 
+  test("json normalization handles short/empty documents and missing paths") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jn").toString
+    // doc 7: Status-absent branch (7 % 7 == 0); doc 8: single token (no
+    // Tags, 1-run title); doc 9: empty text (no title runs at all)
+    Seq((7L, "en", "solo word three"), (8L, "de", "single"), (9L, "es", ""))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.TaskAnalytics.jsonNormalize(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getString(3), r.getString(4))).toMap
+    assert(out(7L) === (("none", 2, "solo", "solo**word**three")))
+    assert(out(8L) === (("de", 0, "", "single")))
+    assert(out(9L) === (("es", 0, "", "")))
+  }
+
   test("simhash pairs are within the hamming bound and symmetric-free") {
     val sh = Dedup.simhash(spark, sf)
     assert(sh.filter(col("hamming") > Dedup.HammingMax).isEmpty)
