@@ -359,6 +359,27 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("queries/oracleSql source literals define each key exactly once") {
+    // Map(...) construction silently keeps only the LAST duplicate key —
+    // an edit to the shadowed literal would no-op (happened in round 1
+    // with q_session_window), so check the SOURCE text, not the Map
+    val src = scala.io.Source.fromFile("src/main/scala/graft/SparkEntry.scala", "UTF-8")
+    val text = try src.mkString finally src.close()
+    val qStart = text.indexOf("def queries")
+    val oStart = text.indexOf("def oracleSql")
+    val keyRe = """"(q[0-9]*_?[a-z0-9_]+)"\s*->""".r
+    def keysIn(s: String) = keyRe.findAllMatchIn(s).map(_.group(1)).toSeq
+    val qKeys = keysIn(text.substring(qStart, oStart))
+    val oKeys = keysIn(text.substring(oStart))
+    assert(qKeys.size === qKeys.distinct.size,
+      s"duplicate queries keys: ${qKeys.diff(qKeys.distinct).distinct}")
+    assert(oKeys.size === oKeys.distinct.size,
+      s"duplicate oracleSql keys: ${oKeys.diff(oKeys.distinct).distinct}")
+    assert(qKeys.toSet === SparkEntry.queries.keySet)
+    assert(oKeys.toSet === SparkEntry.oracleSql.keySet)
+    assert(oKeys.toSet.subsetOf(qKeys.toSet), "every oracle needs a query")
+  }
+
   test("custom-operator plans keep their shapes") {
     val asof = plan("q_asof_join")
     assert(asof.contains("AsOfJoin") && asof.contains("Exchange hashpartitioning"))
