@@ -60,12 +60,19 @@ object Dedup {
       .orderBy("content_md5")
 
   /** Documents with their distinct shingle-hash sets (shared scan shape
-    * for the jaccard and minhash paths).
+    * for the jaccard and minhash paths). Persisted MEMORY_AND_DISK: the
+    * frame feeds 4-5 plan branches (candidate join x/y, hot-shingle df,
+    * set sizes, minhash sigs) and the shingle computation is the
+    * dominant per-row cost — caching the derived frame (same row count
+    * as the input, hash arrays instead of text) trades bounded storage
+    * for recomputing it per branch. Spark's ContextCleaner drops the
+    * cache once the query's frames are unreferenced.
     */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), shingleHashes(col("text"), ShingleN).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private def jaccard(interCol: Column, na: Column, nb: Column): Column =
     interCol.cast("double") / (na + nb - interCol)
