@@ -135,16 +135,28 @@ object Similarity {
     * candidate join stays a pure equi-join on (table, signature) —
     * O(candidates) shuffle at any scale.
     */
-  def annLshTopK(s: SparkSession, dir: String): DataFrame = {
+  def annLshTopK(s: SparkSession, dir: String): DataFrame =
+    annLshTopKParams(s, dir, LshTables, multiprobe = true)
+
+  /** Parameterized form for the recall sweep harness (tools.RecallSweep):
+    * `tables` ≤ LshTables selects a prefix of the plane pool;
+    * `multiprobe` toggles the 1-bit flips.
+    */
+  private[graft] def annLshTopKParams(s: SparkSession, dir: String,
+                                      tables: Int, multiprobe: Boolean): DataFrame = {
+    require(tables >= 1 && tables <= LshTables)
     val n = normed(s, dir)
     val corpus = n.select(col("vec_id").as("neighbor_id"), col("e").as("e_c"), col("nrm").as("n_c"),
-      posexplode(array((0 until LshTables).map(t => lshSig(col("e"), t)): _*))
+      posexplode(array((0 until tables).map(t => lshSig(col("e"), t)): _*))
         .as(Seq("c_tbl", "sig")))
     val q0 = n.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("e").as("e_q"), col("nrm").as("n_q"),
-        posexplode(array((0 until LshTables).map(t => lshSig(col("e"), t)): _*))
+        posexplode(array((0 until tables).map(t => lshSig(col("e"), t)): _*))
           .as(Seq("tbl", "qsig")))
-    val probes = (0 until LshPlanes).map(j => col("qsig").bitwiseXOR(lit(1 << j))) :+ col("qsig")
+    val probes =
+      if (multiprobe)
+        (0 until LshPlanes).map(j => col("qsig").bitwiseXOR(lit(1 << j))) :+ col("qsig")
+      else Seq(col("qsig"))
     val q = q0.select(col("q_id"), col("e_q"), col("n_q"), col("tbl"),
       explode(array(probes: _*)).as("probe"))
     val w = org.apache.spark.sql.expressions.Window
@@ -170,7 +182,11 @@ object Similarity {
     * Assignment and probe are broadcast joins against the (tiny)
     * centroid set; the candidate join is an equi-join on cell id.
     */
-  def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
+  def annIvfTopK(s: SparkSession, dir: String): DataFrame =
+    annIvfTopKParams(s, dir, IvfNProbe)
+
+  /** Parameterized form for the recall sweep harness. */
+  private[graft] def annIvfTopKParams(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
     val n = normed(s, dir)
     val cents = n.filter(col("vec_id") % IvfCentroidMod === 3)
       .select(col("vec_id").as("cent_id"), col("e").as("e_cent"), col("nrm").as("n_cent"))
@@ -188,7 +204,7 @@ object Similarity {
       .join(broadcast(cents), lit(true))
       .withColumn("cdist", dot(col("e"), col("e_cent")) / (col("nrm") * col("n_cent")))
       .withColumn("crank", row_number().over(wProbe))
-      .filter(col("crank") <= IvfNProbe)
+      .filter(col("crank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("e").as("e_q"),
         col("nrm").as("n_q"), col("cent_id").as("cell"))
     val w = org.apache.spark.sql.expressions.Window
