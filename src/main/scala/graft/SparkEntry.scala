@@ -81,9 +81,10 @@ object SparkEntry {
     // custom whole-operator (plans.AsOfJoin: LogicalPlan+Strategy+Exec)
     "q_asof_join"         -> ExtendedAnalytics.purchasesWithLastError _,
     "q_weekly_focus"      -> TaskAnalytics.weeklyFocus _,
-    // sketches (rows-only: HLL/KLL internals are engine-specific;
+    // sketches (rows-only: HLL/KLL/CMS internals are engine-specific;
     // specs bound error vs exact instead)
     "q_approx_stats"      -> ExtendedAnalytics.approxStats _,
+    "q_heavy_hitters"     -> operators.Sketches.heavyHitters _,
     "q_schema_health"     -> ExtendedAnalytics.schemaHealth _,
     "q_report_goals"      -> ExtendedAnalytics.reportGoals _,
     "q_moving_avg"        -> ExtendedAnalytics.movingAvg _,

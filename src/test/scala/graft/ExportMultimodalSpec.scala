@@ -231,6 +231,22 @@ class BucketedStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CMS heavy hitters never undercount and respect the eps*N bound") {
+    import graft.functions.TextFunctions._
+    val hh = graft.operators.Sketches.heavyHitters(spark, sf).collect()
+    assert(hh.length === graft.operators.Sketches.HeavyHittersK)
+    val total = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        tokens(org.apache.spark.sql.functions.col("text")))).count()
+    val slack = (graft.operators.Sketches.CmsEps * total).ceil.toLong
+    hh.foreach { r =>
+      val est = r.getAs[Long]("cms_estimate")
+      val exact = r.getAs[Long]("exact_tf")
+      assert(est >= exact, s"CMS undercounted ${r.getString(0)}: $est < $exact")
+      assert(est <= exact + slack, s"CMS over eps bound for ${r.getString(0)}: $est > $exact + $slack")
+    }
+  }
+
   test("approx sketch stats are within error bounds of exact answers") {
     val approx = graft.operators.ExtendedAnalytics.approxStats(spark, sf)
     val exact = Tables.events(spark, sf).groupBy("event_type")
