@@ -215,7 +215,7 @@ class SkewRecallSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rIvf >= 0.6, s"IVF recall too low: $rIvf")
     assert(rIvf2 >= rIvf - 0.1, s"learned IVF should not regress: $rIvf2 vs $rIvf")
     // 6-table OR-amplified LSH with 1-bit multiprobe measures 0.76 at
-    // sf0.001 and 0.72 at sf0.1 (was 0.26 single-table)
+    // sf0.001 and 0.74 at sf0.1 (was 0.26 single-table)
     assert(rLsh >= 0.5, s"LSH recall too low: $rLsh")
   }
 }
