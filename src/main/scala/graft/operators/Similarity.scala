@@ -175,6 +175,14 @@ object Similarity {
 
   val IvfCentroidMod = 100
   val IvfNProbe = 3
+  /** IVF recall tracks the probed corpus FRACTION (nProbe / cells), so
+    * a fixed probe count degrades as the corpus (and with it the
+    * seeded cell count, n/IvfCentroidMod) grows. Probing
+    * max(IvfNProbe, ⌈fraction·cells⌉) keeps recall roughly
+    * scale-invariant; the cell count comes from a broadcast scalar
+    * aggregate over the (tiny) centroid set — no driver action.
+    */
+  val IvfProbeFraction = 0.3
 
   /** §2.5 #31 — IVF-style ANN: deterministic seed centroids
     * (vec_id % mod == 3), vectors assigned to nearest centroid cell;
@@ -200,11 +208,14 @@ object Similarity {
         col("nrm").as("n_c"), col("cent_id").as("cell"))
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("cdist").desc, col("cent_id"))
+    val nCells = broadcast(cents.agg(count(lit(1)).as("_cells")))
     val qProbes = n.filter(col("vec_id") < NumQueries)
       .join(broadcast(cents), lit(true))
       .withColumn("cdist", dot(col("e"), col("e_cent")) / (col("nrm") * col("n_cent")))
       .withColumn("crank", row_number().over(wProbe))
-      .filter(col("crank") <= nProbe)
+      .crossJoin(nCells)
+      .filter(col("crank") <= greatest(lit(nProbe),
+        ceil(col("_cells") * lit(IvfProbeFraction)).cast("int")))
       .select(col("vec_id").as("q_id"), col("e").as("e_q"),
         col("nrm").as("n_q"), col("cent_id").as("cell"))
     val w = org.apache.spark.sql.expressions.Window
@@ -269,11 +280,14 @@ object Similarity {
       .filter(col("crank") === 1)
       .select(col("vec_id").as("neighbor_id"), col("e").as("e_c"),
         col("nrm").as("n_c"), col("cent_id").as("cell"))
+    // the learned centroid matrix is already driver-local, so the
+    // fraction-scaled probe count needs no extra aggregate
+    val probes = math.max(IvfNProbe, math.ceil(cents.size * IvfProbeFraction).toInt)
     val qProbes = n.filter(col("vec_id") < NumQueries)
       .join(centDf, lit(true))
       .withColumn("cdist", dot(col("e"), col("e_cent")) / (col("nrm") * col("n_cent")))
       .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") <= IvfNProbe)
+      .filter(col("crank") <= probes)
       .select(col("vec_id").as("q_id"), col("e").as("e_q"),
         col("nrm").as("n_q"), col("cent_id").as("cell"))
     val w = org.apache.spark.sql.expressions.Window
