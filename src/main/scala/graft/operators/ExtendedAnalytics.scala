@@ -100,10 +100,15 @@ object ExtendedAnalytics {
       .orderBy(col("df").desc, col("token"))
       .limit(VocabTopK)
 
-  /** Word-3-gram document frequency, top-k (n-gram corpus statistics). */
+  /** Word-3-gram document frequency, top-k (n-gram corpus statistics).
+    * Shingle strings come from the codegen'd WordShingleStrings (one
+    * fused loop) rather than the interpreted transform/slice/concat_ws
+    * HOF chain — same values, ~2× the query.
+    */
   def ngramFreqTopK(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("ngram"))
+      .select(col("doc_id"),
+        explode(graft.plans.ArrayOps.wordShingleStrings(tokens(col("text")), 3)).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("ngram"))

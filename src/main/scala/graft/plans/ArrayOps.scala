@@ -214,6 +214,8 @@ object ArrayOps {
     GraftColumnBridge.column(TokenHashes(GraftColumnBridge.expression(tokens), p))
   def wordShingleHashes(tokens: Column, n: Int, p: Long): Column =
     GraftColumnBridge.column(WordShingleHashes(GraftColumnBridge.expression(tokens), n, p))
+  def wordShingleStrings(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(WordShingleStrings(GraftColumnBridge.expression(tokens), n))
 }
 
 /** Portable charFold hash of each string token: array<string> →
@@ -258,6 +260,57 @@ case class TokenHashes(child: Expression, p: Long) extends UnaryExpression {
          |  graftOut[graftI] = graftH;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graftOut);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct word n-gram shingle STRINGS from a token array — the
+  * codegen'd twin of `array_distinct(transform(sequence(...), i =>
+  * concat_ws(" ", slice(toks, i+1, n))))`, which pays interpreted
+  * lambda dispatch plus a slice copy and a concat per shingle. One
+  * fused loop, first-occurrence distinct order, identical values.
+  * array<string> → array<string>.
+  */
+case class WordShingleStrings(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingle_strings"
+
+  @transient private lazy val sp = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val t = arr.numElements()
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i <= t - n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var k = 0
+      while (k < n) { parts(k) = arr.getUTF8String(i + k); k += 1 }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sp, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |int graftT = $in.numElements();
+         |java.util.LinkedHashSet<org.apache.spark.unsafe.types.UTF8String> graftSeen =
+         |  new java.util.LinkedHashSet<org.apache.spark.unsafe.types.UTF8String>();
+         |org.apache.spark.unsafe.types.UTF8String graftSp =
+         |  org.apache.spark.unsafe.types.UTF8String.fromString(" ");
+         |for (int graftI = 0; graftI + $n <= graftT; graftI++) {
+         |  org.apache.spark.unsafe.types.UTF8String[] graftParts =
+         |    new org.apache.spark.unsafe.types.UTF8String[$n];
+         |  for (int graftK = 0; graftK < $n; graftK++) {
+         |    graftParts[graftK] = $in.getUTF8String(graftI + graftK);
+         |  }
+         |  graftSeen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(graftSp, graftParts));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graftSeen.toArray());
        """.stripMargin)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -32,6 +32,18 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one(wordShingles(lit("a b"), 3)) === Seq())
   }
 
+  test("codegen'd WordShingleStrings equals the HOF reference on the corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, SparkTestSession.Sf)
+    val diff = docs.select(
+        wordShingles(col("text"), 3).as("hof"),
+        graft.plans.ArrayOps.wordShingleStrings(tokens(col("text")), 3).as("gen"))
+      .filter(col("hof") =!= col("gen"))
+    assert(diff.isEmpty, s"mismatch rows: ${diff.count()}")
+    assert(one(graft.plans.ArrayOps.wordShingleStrings(tokens(lit("a b a b a")), 2))
+      === Seq("a b", "b a"))  // first-occurrence distinct order
+  }
+
   test("truncate and clean") {
     assert(one(truncateText(lit("x" * 100), 60)) === "x" * 57 + "...")
     assert(one(truncateText(lit("short"), 60)) === "short")
