@@ -64,6 +64,16 @@ object Export {
   def readParquetMerged(s: SparkSession, path: String): DataFrame =
     s.read.option("mergeSchema", "true").parquet(path)
 
+  /** ORC round-trip — the other columnar format Spark ships natively
+    * (predicate pushdown + column pruning work the same as parquet, so
+    * a reference user on an ORC lake switches formats, not plans).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
   /** Compressed parquet export: zstd trades ~10-20% write CPU for
     * materially smaller files than the snappy default — at 100 TB the
     * scan is IO-bound, so smaller-on-disk wins reads too. (The zstd

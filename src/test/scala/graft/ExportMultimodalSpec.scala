@@ -84,6 +84,18 @@ class ExportMultimodalSpec extends AnyFunSuite {
     assert(back.filter(col("id") === 2 && col("score") === 7.5).count() === 1)
   }
 
+  test("orc round-trip preserves rows and pushes filters to the scan") {
+    val out = tmp() + "/orc"
+    val df = operators.TaskAnalytics.normalizeStatus(spark, sf)
+    Export.writeOrc(df, out)
+    val back = Export.readOrc(spark, out)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    val plan = back.filter(col("status") === "open")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo(status,open)"),
+      s"ORC scan must receive the pushed filter:\n$plan")
+  }
+
   test("zstd parquet export round-trips and actually writes zstd parts") {
     val out = tmp() + "/zstd"
     val df = operators.TaskAnalytics.statusDist(spark, sf)
