@@ -30,10 +30,15 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else -dt)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Centisecond precision keeps the one-line JSON under the driver's
+    // 2000-char tail-capture window (full-precision doubles pushed the
+    // 69-query line past it and the driver recorded parsed:null).
+    def fmt(v: Double): String = f"$v%.2f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(math.abs).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    graft.operators.Dedup.releaseShingleCache(spark, sfDir)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

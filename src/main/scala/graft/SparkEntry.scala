@@ -461,7 +461,13 @@ object SparkEntry {
          strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
          e.event_id AS error_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+         ASOF LEFT JOIN (
+           -- pre-dedupe to one row per (user_id, ts): DuckDB's ASOF does
+           -- not define which row wins a timestamp tie, so make the
+           -- max-event_id tie-break (the Spark side's rightTieBreak)
+           -- explicit here
+           SELECT user_id, ts, max(event_id) AS event_id
+           FROM events WHERE event_type = 'error' GROUP BY user_id, ts) e
            ON p.user_id = e.user_id AND p.ts >= e.ts
          ORDER BY purchase_id""",
     "q_weekly_focus" ->

@@ -48,20 +48,30 @@ object ImageHeaders {
 
   /** JPEG: walk marker segments from offset 2 until a start-of-frame
     * marker (C0-CF minus C4/C8/CC, which are not SOFs); the segment body
-    * is [len][precision][height][width].
+    * is [len][precision][height][width]. Markers may be padded by any
+    * number of 0xFF fill bytes (the spec allows them between segments),
+    * and TEM (0x01), SOI, and RSTn are standalone markers with no length
+    * field; EOI or SOS before any SOF means no dimensions are findable.
     */
   private def parseJpeg(p: Array[Byte]): Option[(String, Int, Int)] = {
     var o = 2
-    while (o + 9 < p.length) {
+    while (o + 1 < p.length) {
       if (u8(p(o)) != 0xff) return None
-      val marker = u8(p(o + 1))
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
-        o += 2 // standalone markers have no length field
+      while (o < p.length && u8(p(o)) == 0xff) o += 1 // skip 0xFF fill bytes
+      if (o >= p.length) return None
+      val marker = u8(p(o))
+      o += 1 // o now points at the segment body (length field, if any)
+      if (marker == 0x01 || marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+        () // standalone markers have no length field
+      } else if (marker == 0xd9 || marker == 0xda) {
+        return None // EOI / start-of-scan without a prior SOF
       } else if (marker >= 0xc0 && marker <= 0xcf &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
-        return Some(("jpeg", be16(p, o + 7), be16(p, o + 5)))
+        return if (o + 6 < p.length) Some(("jpeg", be16(p, o + 5), be16(p, o + 3)))
+               else None
       } else {
-        o += 2 + be16(p, o + 2)
+        if (o + 1 >= p.length) return None
+        o += be16(p, o)
       }
     }
     None

@@ -43,12 +43,19 @@ object Dedup {
   val SimhashBands = 4
   val SimhashBandBits = 16
   val HammingMax = 3
-  /** Remix constants for the high 32 simhash bits (h2 = (a2·h+b2) mod p;
-    * a2·p stays well under 2^63, so the arithmetic is overflow-free in
-    * both engines).
+  /** Remix constants for the high 32 simhash bits. A single remix mod
+    * p ≈ 2^30 would leave its bits 30-31 constant (p < 2^32), so the
+    * high half is built from TWO independent 16-bit remixes instead:
+    * bits 32-47 vote from the low 16 bits of h2 = (a2·h+b2) mod p and
+    * bits 48-63 from the low 16 bits of h3 = (a3·h+b3) mod p — every
+    * 16-bit band now carries 16 effective bits (a full 65,536 buckets).
+    * a·p stays well under 2^63, so the arithmetic is overflow-free in
+    * both engines.
     */
   val SimhashA2 = 1103515245L
   val SimhashB2 = 12345L
+  val SimhashA3 = 214013L
+  val SimhashB3 = 2531011L
 
   /** §2.4 #24 — exact dedup: content-hash groups with representative =
     * min doc_id (one shuffle on the hash key; map-side partial agg).
@@ -65,14 +72,30 @@ object Dedup {
     * set sizes, minhash sigs) and the shingle computation is the
     * dominant per-row cost — caching the derived frame (same row count
     * as the input, hash arrays instead of text) trades bounded storage
-    * for recomputing it per branch. Spark's ContextCleaner drops the
-    * cache once the query's frames are unreferenced.
+    * for recomputing it per branch.
+    *
+    * Lifecycle: `persist` registers the plan in the session
+    * CacheManager, which holds a strong reference until an explicit
+    * unpersist — the cache intentionally lives across the dedup query
+    * family within a session (repeat calls resolve to the one cached
+    * plan, not new copies). Long-lived sessions release it with
+    * [[releaseShingleCache]]; Verify/Bench do so after their query loop.
     */
   private def shingled(s: SparkSession, dir: String): DataFrame =
+    shingledPlan(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def shingledPlan(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), shingleHashes(col("text"), ShingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Drop the session-scoped shingle cache for `dir` (CacheManager
+    * lookup is by analyzed plan, so an identically-built frame releases
+    * the entry registered by any prior dedup call).
+    */
+  def releaseShingleCache(s: SparkSession, dir: String): Unit =
+    shingledPlan(s, dir).unpersist()
 
   private def jaccard(interCol: Column, na: Column, nb: Column): Column =
     interCol.cast("double") / (na + nb - interCol)
@@ -163,7 +186,7 @@ object Dedup {
       .select(col("doc_id"), tokenHashes(col("text")).as("th"))
       .filter(size(col("th")) > 0)
     val sigs = docs.select(col("doc_id"),
-      ArrayOps.simhash64(col("th"), SimhashA2, SimhashB2, P).as("sim"))
+      ArrayOps.simhash64(col("th"), SimhashA2, SimhashB2, SimhashA3, SimhashB3, P).as("sim"))
     val banded = sigs.select(col("doc_id"), col("sim"),
       posexplode(array((0 until SimhashBands).map(k =>
         shiftright(col("sim"), SimhashBandBits * k)
@@ -260,12 +283,14 @@ object Dedup {
   }
 
   val sqlSimhash: String = {
-    // low 32 bits vote from the token hash, high 32 from the remix
-    // h2 = (a2*h+b2) mod p; bit weights are emitted as literals so the
+    // low 32 bits vote from the token hash; bits 32-47 from the low 16
+    // bits of remix h2 = (a2*h+b2) mod p; bits 48-63 from remix
+    // h3 = (a3*h+b3) mod p. Bit weights are emitted as literals so the
     // j=63 term needs no engine-specific shift-overflow semantics
     val simExpr = (0 until SimhashBits).map { j =>
       val bitOf = if (j < 32) s"((h >> $j) & 1)"
-        else s"(((($SimhashA2 * h + $SimhashB2) % $P) >> ${j - 32}) & 1)"
+        else if (j < 48) s"(((($SimhashA2 * h + $SimhashB2) % $P) >> ${j - 32}) & 1)"
+        else s"(((($SimhashA3 * h + $SimhashB3) % $P) >> ${j - 48}) & 1)"
       s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         s"list_transform(th, h -> $bitOf * 2 - 1)), (a, x) -> a + x) > 0 " +
         s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"

@@ -141,16 +141,21 @@ case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
 /** One-pass 64-bit SimHash over a long-array column of token hashes:
   * per-bit vote counts (+1/-1 with multiplicity), sign → bit. The low
   * 32 bits vote from the token hash itself; the high 32 bits vote from
-  * a universal-hash remix `h2 = (a2·h + b2) mod p` — portable integer
-  * arithmetic that the DuckDB oracle reproduces term-for-term. Replaces
-  * 64 separate `aggregate` HOF folds with a fused loop.
+  * TWO independent 16-bit universal-hash remixes — bits 32-47 from the
+  * low 16 bits of `h2 = (a2·h + b2) mod p`, bits 48-63 from the low 16
+  * bits of `h3 = (a3·h + b3) mod p`. (A single remix mod p ≈ 2^30 would
+  * pin its bits 30-31 constant, leaving the top band only 14 effective
+  * bits.) Portable integer arithmetic that the DuckDB oracle reproduces
+  * term-for-term; replaces 64 separate `aggregate` HOF folds with a
+  * fused loop.
   *
   * 64 bits matter at scale: with a 32-bit signature a byte-band
   * partitions the corpus into only 256 buckets, making the band
   * self-join Θ(n²/256); 16-bit bands over 64 bits give 65,536 buckets
-  * while keeping the 4-band pigeonhole complete for hamming ≤ 3.
+  * (all 16 bits effective in every band) while keeping the 4-band
+  * pigeonhole complete for hamming ≤ 3.
   */
-case class SimHash64(child: Expression, a2: Long, b2: Long, p: Long)
+case class SimHash64(child: Expression, a2: Long, b2: Long, a3: Long, b3: Long, p: Long)
     extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
@@ -163,10 +168,16 @@ case class SimHash64(child: Expression, a2: Long, b2: Long, p: Long)
     while (i < n) {
       val h = arr.getLong(i)
       val h2 = (a2 * h + b2) % p
+      val h3 = (a3 * h + b3) % p
       var j = 0
       while (j < 32) {
         counts(j) += (((h >> j) & 1L) * 2 - 1).toInt
+        j += 1
+      }
+      j = 0
+      while (j < 16) {
         counts(j + 32) += (((h2 >> j) & 1L) * 2 - 1).toInt
+        counts(j + 48) += (((h3 >> j) & 1L) * 2 - 1).toInt
         j += 1
       }
       i += 1
@@ -185,9 +196,13 @@ case class SimHash64(child: Expression, a2: Long, b2: Long, p: Long)
          |for (int graftI = 0; graftI < graftN; graftI++) {
          |  long graftH = $in.getLong(graftI);
          |  long graftH2 = (${a2}L * graftH + ${b2}L) % ${p}L;
+         |  long graftH3 = (${a3}L * graftH + ${b3}L) % ${p}L;
          |  for (int graftJ = 0; graftJ < 32; graftJ++) {
          |    graftCounts[graftJ] += (int) (((graftH >> graftJ) & 1L) * 2 - 1);
+         |  }
+         |  for (int graftJ = 0; graftJ < 16; graftJ++) {
          |    graftCounts[graftJ + 32] += (int) (((graftH2 >> graftJ) & 1L) * 2 - 1);
+         |    graftCounts[graftJ + 48] += (int) (((graftH3 >> graftJ) & 1L) * 2 - 1);
          |  }
          |}
          |long graftSim = 0L;
@@ -208,8 +223,8 @@ object ArrayOps {
     GraftColumnBridge.column(DoubleArrayDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def minhashSig(sh: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(sh), a, b, p))
-  def simhash64(th: Column, a2: Long, b2: Long, p: Long): Column =
-    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(th), a2, b2, p))
+  def simhash64(th: Column, a2: Long, b2: Long, a3: Long, b3: Long, p: Long): Column =
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(th), a2, b2, a3, b3, p))
   def tokenHashes(tokens: Column, p: Long): Column =
     GraftColumnBridge.column(TokenHashes(GraftColumnBridge.expression(tokens), p))
   def wordShingleHashes(tokens: Column, n: Int, p: Long): Column =

@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "(SQL form uses the default remix constants)"),
       (args: Seq[Expression]) => SimHash64(args(0),
         graft.operators.Dedup.SimhashA2, graft.operators.Dedup.SimhashB2,
+        graft.operators.Dedup.SimhashA3, graft.operators.Dedup.SimhashB3,
         graft.functions.TextFunctions.HashP)))
   }
 }

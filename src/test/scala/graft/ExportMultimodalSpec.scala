@@ -162,6 +162,16 @@ class ExportMultimodalSpec extends AnyFunSuite {
     assert(ImageHeaders.parse(gif) === Some(("gif", 320, 200)))
     assert(ImageHeaders.parse("plain text".getBytes) === None)
     assert(ImageHeaders.parse(Array[Byte](0x89.toByte, 'P')) === None) // truncated
+    // 0xFF fill bytes may pad between segments, and TEM (0x01) is a
+    // standalone marker with no length field — both legal before the SOF
+    val padded = (Array[Int](0xff, 0xd8, 0xff, 0xff, 0xff, 0x01,
+      0xff, 0xff, 0xe0, 0, 16) ++ Array.fill(14)(0) ++
+      Array[Int](0xff, 0xff, 0xff, 0xc0, 0, 11, 8, 0, 33, 1, 1, 1, 0x11, 0, 0))
+      .map(_.toByte)
+    assert(ImageHeaders.parse(padded) === Some(("jpeg", 257, 33)))
+    // EOI before any SOF: dimensions are unfindable, not garbage
+    assert(ImageHeaders.parse(Array[Int](0xff, 0xd8, 0xff, 0xd9, 0, 0, 0, 0, 0, 0)
+      .map(_.toByte)) === None)
     val media = Seq(
       Multimodal.MediaRow(1L, "media/raw", png),
       Multimodal.MediaRow(2L, "media/raw", jpeg),
