@@ -51,6 +51,8 @@ object SparkEntry {
     "q_dedup_minhash"       -> Dedup.minhashLsh _,
     "q_dedup_simhash"       -> Dedup.simhash _,
     "q_dedup_embedding"     -> Similarity.embeddingDup _,
+    "q_dedup_containment"   -> Dedup.containment _,
+    "q_dedup_incremental"   -> Dedup.incremental _,
     // §2.5 similarity search
     "q_ann_brute_topk" -> Similarity.annBruteTopK _,
     "q_ann_lsh_topk"   -> Similarity.annLshTopK _,
@@ -73,6 +75,9 @@ object SparkEntry {
     "q_rollup"            -> ExtendedAnalytics.rollupStatusPriority _,
     "q_pivot"             -> ExtendedAnalytics.pivotStatusPriority _,
     "q_stratified_sample" -> ExtendedAnalytics.stratifiedSample _,
+    "q_keyed_sample"      -> ExtendedAnalytics.keyedSample _,
+    // bloom runtime-filter pruning (plans.BloomMightContain)
+    "q_bloom_prefilter"   -> operators.BloomPrune.prefilterRevenue _,
     "q_vocab_topk"        -> ExtendedAnalytics.vocabTopK _,
     "q_ngram_freq"        -> ExtendedAnalytics.ngramFreqTopK _,
     "q_running_total"     -> ExtendedAnalytics.runningTotal _,
@@ -336,7 +341,25 @@ object SparkEntry {
     "q_dedup_minhash"       -> Dedup.sqlMinhashLsh,
     "q_dedup_simhash"       -> Dedup.sqlSimhash,
     "q_dedup_embedding"     -> Similarity.sqlEmbeddingDup,
+    "q_dedup_containment"   -> Dedup.sqlContainment,
+    "q_dedup_incremental"   -> Dedup.sqlIncremental,
     "q_ann_brute_topk"      -> Similarity.sqlAnnBruteTopK,
+    "q_keyed_sample" ->
+      s"""WITH h AS (
+           SELECT lang, doc_id,
+             (doc_id * ${operators.ExtendedAnalytics.KeyedSampleA}) % ${functions.TextFunctions.HashP} AS hkey
+           FROM documents)
+         SELECT lang, doc_id, hkey FROM h
+         QUALIFY row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id)
+           <= ${operators.ExtendedAnalytics.KeyedSampleK}
+         ORDER BY lang, hkey, doc_id""",
+    "q_bloom_prefilter" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'F'
+           AND o_orderdate >= TIMESTAMP '${operators.BloomPrune.CutoffDate} 00:00:00'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_token_count" ->
       """SELECT doc_id,
          CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS ws_tokens,

@@ -130,18 +130,33 @@ object Dedup {
     * is tiny (it's the tail above the cap), so AQE broadcasts it and
     * the filter rides the explode.
     */
+  /** Exploded (doc_id, shingle-hash) postings with stop-shingles above
+    * `maxDf` anti-joined away (the hot set is tiny, AQE broadcasts it).
+    */
+  private def cappedPostings(docs: DataFrame, maxDf: Long): DataFrame = {
+    val exAll = docs.select(col("doc_id"), explode(col("sh")).as("h"))
+    val hot = exAll.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("h")
+    exAll.join(hot, Seq("h"), "left_anti")
+  }
+
+  /** (doc_a, doc_b, inter) for every unordered pair sharing ≥1 uncapped
+    * shingle — intersection counting as a shuffle/agg over the postings
+    * equi-join, no pair-array materialization.
+    */
+  private def coocPairs(docs: DataFrame, maxDf: Long): DataFrame = {
+    val ex = cappedPostings(docs, maxDf)
+    ex.as("x").join(ex.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+  }
+
   private[graft] def verifyByCooccurrence(docs: DataFrame, candidatesFromCooc: Boolean,
                                    threshold: Double,
                                    cand: DataFrame = null,
                                    maxDf: Long = MaxShingleDf): DataFrame = {
-    val exAll = docs.select(col("doc_id"), explode(col("sh")).as("h"))
-    val hot = exAll.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select("h")
-    val ex = exAll.join(hot, Seq("h"), "left_anti")
-    val cooc = ex.as("x").join(ex.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    val cooc = coocPairs(docs, maxDf)
     val verified = if (candidatesFromCooc) cooc else cooc.join(cand, Seq("doc_a", "doc_b"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
     verified
@@ -156,22 +171,99 @@ object Dedup {
   /** §2.4 #26 — MinHash+LSH near-dup: k minhashes → b bands → band-bucket
     * equi-join → exact-Jaccard verification of candidates.
     */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val docs = shingled(s, dir)
-    // one fused pass over each shingle set (codegen'd MinHashSig) instead
-    // of k separate array_min(transform(...)) HOF evaluations
+  /** (doc_id, band_id, key) LSH band buckets: one fused pass over each
+    * shingle set (codegen'd MinHashSig) instead of k separate
+    * array_min(transform(...)) HOF evaluations, bands concatenated into
+    * string bucket keys.
+    */
+  private def bandedSigs(docs: DataFrame): DataFrame = {
     val sigs = docs.withColumn("mh", ArrayOps.minhashSig(col("sh"), MinhashA, MinhashB, P))
     val bandKeys = (0 until Bands).map { bi =>
       concat_ws(":", (bi * R until bi * R + R).map(j => col("mh").getItem(j)): _*)
     }
-    val banded = sigs
-      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band_id", "key")))
+    sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band_id", "key")))
+  }
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(s, dir)
+    val banded = bandedSigs(docs)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verifyByCooccurrence(docs, candidatesFromCooc = false, MinhashJaccardT, cand)
+  }
+
+  val ContainT = 0.8
+
+  /** §2.1b — near-superset detection via shingle CONTAINMENT
+    * C(inner → outer) = |inner ∩ outer| / |inner|: the asymmetric
+    * metric that catches quote inclusion and boilerplate-wrapped copies,
+    * which symmetric Jaccard misses whenever the container is much
+    * larger. Same distributed shape as the Jaccard path — candidate
+    * pairs from the capped co-occurrence join, one intersection count
+    * per pair, then BOTH orientations emitted and thresholded (a pair
+    * can qualify in one direction only).
+    */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(s, dir)
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+    val withSizes = coocPairs(docs, MaxShingleDf)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+    withSizes
+      .select(explode(array(
+        struct(col("doc_a").as("doc_inner"), col("doc_b").as("doc_outer"),
+          (col("inter").cast("double") / col("sz_a")).as("c")),
+        struct(col("doc_b").as("doc_inner"), col("doc_a").as("doc_outer"),
+          (col("inter").cast("double") / col("sz_b")).as("c")))).as("o"))
+      .select(col("o.doc_inner").as("doc_inner"), col("o.doc_outer").as("doc_outer"),
+        col("o.c").as("c"))
+      .filter(col("c") >= ContainT)
+      .withColumn("containment", round(col("c"), 4))
+      .select("doc_inner", "doc_outer", "containment")
+      .orderBy("doc_inner", "doc_outer")
+  }
+
+  /** Batch side of the incremental dedup split: doc_id ≡ 0 (mod 10)
+    * stands in for "the arriving batch"; the rest is the standing
+    * corpus.
+    */
+  val IncrementalBatchMod = 10L
+
+  /** §2.1b — INCREMENTAL near-dup detection: the production dedup shape.
+    * A full corpus self-join is a one-time backfill; day-to-day, a new
+    * batch arrives and only batch×corpus (plus batch×batch, covered by
+    * the standard path on the batch alone) candidates matter — the
+    * candidate join is banded-batch ⋈ banded-corpus, never
+    * corpus ⋈ corpus, so daily cost is O(batch × collision rate)
+    * regardless of how large the standing corpus has grown. Verification
+    * is the same capped co-occurrence count restricted to batch-side ⋈
+    * corpus-side postings.
+    */
+  def incremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(s, dir)
+    val isBatch = (c: Column) => pmod(c, lit(IncrementalBatchMod)) === 0
+    val banded = bandedSigs(docs)
+    val cand = banded.filter(isBatch(col("doc_id"))).as("x")
+      .join(banded.filter(!isBatch(col("doc_id"))).as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_corpus"))
+      .distinct()
+    val ex = cappedPostings(docs, MaxShingleDf)
+    val cooc = ex.filter(isBatch(col("doc_id"))).select(col("doc_id").as("doc_new"), col("h"))
+      .join(ex.filter(!isBatch(col("doc_id")))
+        .select(col("doc_id").as("doc_corpus"), col("h")), "h")
+      .groupBy("doc_new", "doc_corpus").agg(count(lit(1)).as("inter"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+    cooc.join(cand, Seq("doc_new", "doc_corpus"))
+      .join(sizes.select(col("doc_id").as("doc_new"), col("sz").as("sz_n")), "doc_new")
+      .join(sizes.select(col("doc_id").as("doc_corpus"), col("sz").as("sz_c")), "doc_corpus")
+      .withColumn("jaccard", round(jaccard(col("inter"), col("sz_n"), col("sz_c")), 4))
+      .filter(jaccard(col("inter"), col("sz_n"), col("sz_c")) >= MinhashJaccardT)
+      .select("doc_new", "doc_corpus", "jaccard")
+      .orderBy("doc_new", "doc_corpus")
   }
 
   /** §2.4 #27 — SimHash near-dup: 64-bit signature from token hashes
@@ -255,10 +347,13 @@ object Dedup {
        |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= $JaccardT
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** DuckDB twin of the fused MinHashSig expression. */
+  private val sqlMhList: String = MinhashA.zip(MinhashB).map { case (a, b) =>
+    s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))"
+  }.mkString("[", ", ", "]")
+
   val sqlMinhashLsh: String = {
-    val mh = MinhashA.zip(MinhashB).map { case (a, b) =>
-      s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))"
-    }.mkString("[", ", ", "]")
+    val mh = sqlMhList
     s"""$sqlShingled,
        |$sqlCappedEx,
        |sigs AS (SELECT doc_id, sh, $mh AS mh FROM docs),
@@ -281,6 +376,51 @@ object Dedup {
        |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= $MinhashJaccardT
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  val sqlContainment: String =
+    s"""$sqlShingled,
+       |$sqlCappedEx,
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM ex x JOIN ex y ON x.h = y.h AND x.doc_id < y.doc_id),
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(ca.shc, cb.shc)) AS inter, len(a.sh) AS la, len(b.sh) AS lb
+       |  FROM cand JOIN docsc ca ON ca.doc_id = doc_a JOIN docsc cb ON cb.doc_id = doc_b
+       |       JOIN docs a ON a.doc_id = doc_a JOIN docs b ON b.doc_id = doc_b),
+       |oriented AS (
+       |  SELECT doc_a AS doc_inner, doc_b AS doc_outer,
+       |    CAST(inter AS DOUBLE) / la AS c FROM verified
+       |  UNION ALL
+       |  SELECT doc_b, doc_a, CAST(inter AS DOUBLE) / lb FROM verified)
+       |SELECT doc_inner, doc_outer, round(c, 4) AS containment
+       |FROM oriented WHERE c >= $ContainT
+       |ORDER BY doc_inner, doc_outer""".stripMargin
+
+  val sqlIncremental: String =
+    s"""$sqlShingled,
+       |$sqlCappedEx,
+       |sigs AS (SELECT doc_id, sh, $sqlMhList AS mh FROM docs),
+       |banded AS (
+       |  SELECT doc_id, i AS band_id,
+       |    array_to_string(mh[(i - 1) * $R + 1:(i - 1) * $R + $R], ':') AS key
+       |  FROM sigs, unnest(generate_series(1, $Bands)) AS t(i)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_new, y.doc_id AS doc_corpus
+       |  FROM banded x JOIN banded y
+       |    ON x.band_id = y.band_id AND x.key = y.key
+       |   AND x.doc_id % $IncrementalBatchMod = 0
+       |   AND y.doc_id % $IncrementalBatchMod <> 0),
+       |verified AS (
+       |  SELECT doc_new, doc_corpus,
+       |    len(list_intersect(cn.shc, cc.shc)) AS inter, len(a.sh) AS la, len(b.sh) AS lb
+       |  FROM cand JOIN docsc cn ON cn.doc_id = doc_new JOIN docsc cc ON cc.doc_id = doc_corpus
+       |       JOIN docs a ON a.doc_id = doc_new JOIN docs b ON b.doc_id = doc_corpus)
+       |SELECT doc_new, doc_corpus,
+       |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
+       |FROM verified
+       |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= $MinhashJaccardT
+       |ORDER BY doc_new, doc_corpus""".stripMargin
 
   val sqlSimhash: String = {
     // low 32 bits vote from the token hash; bits 32-47 from the low 16

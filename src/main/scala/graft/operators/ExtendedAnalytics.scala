@@ -85,6 +85,31 @@ object ExtendedAnalytics {
       .orderBy("doc_id")
   }
 
+  val KeyedSampleK = 20
+  val KeyedSampleA = 1203114533L
+
+  /** Deterministic per-key sample: k documents per language chosen by
+    * portable-hash order — the reproducible "20 random docs per stratum"
+    * eval/debugging staple (a seeded RNG would not replay across
+    * engines or partitionings; a hash order does). Expressed as
+    * Filter(row_number ≤ k, Window) so the WindowTopKRewrite optimizer
+    * rule lowers it to the two-phase bounded-heap operator — O(keys·k)
+    * state, map-side partial heaps, no per-partition sort even when one
+    * language dominates the corpus.
+    */
+  def keyedSample(s: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id") * lit(KeyedSampleA), lit(HashP)).as("hkey"))
+    // the TopK.perKey operator (not a window): bounded heaps on both
+    // sides of one exchange, so a language holding 60% of a 100 TB
+    // corpus costs O(k) memory instead of a partition-wide sort
+    graft.plans.TopK.perKey(hashed, Seq("lang"),
+        Seq(("hkey", true), ("doc_id", true)), KeyedSampleK)
+      .select("lang", "doc_id", "hkey")
+      .orderBy("lang", "hkey", "doc_id")
+  }
+
   val VocabTopK = 20
 
   /** Corpus vocabulary stats: document frequency per token, top-k.

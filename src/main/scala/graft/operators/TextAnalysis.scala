@@ -107,11 +107,16 @@ object TextAnalysis {
     * the result is exact. cluster_id = min doc_id in the component.
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint the verified pairs BEFORE the symmetrize union — the
+    // union's two branches would otherwise each recompute the whole
+    // shingle/co-occurrence pipeline (the most expensive stage here)
     val pairs = graft.operators.Dedup.ngramJaccard(s, dir).select("doc_a", "doc_b")
-    // localCheckpoint truncates lineage: without it each iteration's plan
-    // embeds every previous join, so planning time / stack depth grows
-    // with the component diameter — checkpointing keeps the per-iteration
-    // plan O(1) regardless of how many rounds convergence takes
+      .localCheckpoint()
+    // localCheckpoint also truncates lineage: without it each iteration's
+    // plan embeds every previous join, so planning time / stack depth
+    // grows with the component diameter — checkpointing keeps the
+    // per-iteration plan O(1) regardless of how many rounds convergence
+    // takes
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()

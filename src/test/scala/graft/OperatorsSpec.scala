@@ -395,6 +395,64 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
       "set-ops overlap must be one membership-flag scan, not per-set scans")
   }
 
+  test("bloom prefilter equals the plain join and probes before the join") {
+    val keys = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F" &&
+        col("o_orderdate") >= lit(BloomPrune.CutoffDate).cast("timestamp"))
+      .select("o_orderkey", "o_orderpriority")
+    val plain = Tables.lineitem(spark, sf)
+      .join(keys, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+    // exactness: the fpp false positives must all die in the equi-join
+    // (and bloom false negatives are impossible, so no row is lost)
+    assert(BloomPrune.prefilterRevenue(spark, sf).collect().toSeq ===
+      plain.collect().toSeq)
+    assert(plan("q_bloom_prefilter").contains("graft_bloom_might_contain"),
+      "bloom probe missing from the physical plan")
+  }
+
+  test("keyed sample is bounded per key, deterministic, and heap-rewritten") {
+    val ks = ExtendedAnalytics.keyedSample(spark, sf)
+    val counts = ks.groupBy("lang").count().collect()
+    assert(counts.nonEmpty &&
+      counts.forall(_.getLong(1) <= ExtendedAnalytics.KeyedSampleK))
+    assert(ks.collect().toSeq === ExtendedAnalytics.keyedSample(spark, sf).collect().toSeq,
+      "hash-ordered sample must replay identically")
+    assert(plan("q_keyed_sample").contains("TopKPerKey"),
+      "keyed sample must run on the bounded-heap operator, not a window sort")
+  }
+
+  test("containment is asymmetric and bounds jaccard from above") {
+    val cont = Dedup.containment(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.nonEmpty)
+    assert(cont.values.forall(_ >= Dedup.ContainT))
+    assert(cont.keys.forall { case (i, o) => i != o })
+    // for any pair, containment (inter/|inner|) ≥ jaccard (inter/|union|)
+    val jac = Dedup.ngramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (((a, b), j) <- jac) {
+      val c = math.max(cont.getOrElse((a, b), 0.0), cont.getOrElse((b, a), 0.0))
+      if (c > 0) assert(c >= j - 1e-9, s"containment $c < jaccard $j for ($a,$b)")
+    }
+  }
+
+  test("incremental dedup equals the batch-vs-corpus slice of the full minhash pairs") {
+    val mod = Dedup.IncrementalBatchMod
+    val full = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % mod == 0) != (b % mod == 0) }
+      .map { case (a, b, j) => // orient as (batch, corpus)
+        if (a % mod == 0) (a, b, j) else (b, a, j) }.toSet
+    val inc = Dedup.incremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc === full,
+      "incremental must find exactly the full run's batch×corpus pairs")
+  }
+
   test("CC loop lineage stays bounded (localCheckpoint truncation)") {
     // after convergence the labels frame must sit on a checkpointed RDD
     // (no stacked per-iteration joins left in the plan)
