@@ -58,6 +58,7 @@ object SparkEntry {
     "q_ann_lsh_topk"   -> Similarity.annLshTopK _,
     "q_ann_ivf_topk"   -> Similarity.annIvfTopK _,
     "q_ann_ivf2_topk"  -> Similarity.annIvfLearnedTopK _,
+    "q_ann_pq_topk"    -> Similarity.annPqTopK _,
     // §2.6 text analysis
     "q_token_count"     -> TextAnalysis.tokenCount _,
     "q_quality_score"   -> TextAnalysis.quality _,

@@ -218,6 +218,28 @@ class SkewRecallSpec extends org.scalatest.funsuite.AnyFunSuite {
     // sf0.001 and 0.74 at sf0.1 (was 0.26 single-table)
     assert(rLsh >= 0.5, s"LSH recall too low: $rLsh")
   }
+
+  test("PQ ANN recall@5 vs brute force, and codes stay in range") {
+    val brute = Similarity.annBruteTopK(spark, sf).select("q_id", "neighbor_id")
+    val nQ = brute.select("q_id").distinct().count()
+    val pq = Similarity.annPqTopK(spark, sf)
+    val r = brute.intersect(pq.select("q_id", "neighbor_id")).count().toDouble /
+      (nQ * Similarity.TopK)
+    info(f"recall@5 pq=$r%.2f (rerank pool ${Similarity.PqRerank})")
+    // 8×16 codebooks + rerank-40: the asymmetric-distance candidate
+    // stage must surface most true neighbors into the exact rerank
+    assert(r >= 0.5, s"PQ recall too low: $r")
+    // deterministic: learned codebooks + argmin ties to lower code
+    assert(pq.collect().toSeq === Similarity.annPqTopK(spark, sf).collect().toSeq)
+    val cb = Similarity.pqCodebook(spark, sf)
+    assert(cb.length === Similarity.PqM * Similarity.PqK * Similarity.PqDsub)
+    val enc = Tables.embeddings(spark, sf)
+      .select(graft.plans.PqOps.encode(col("embedding"), cb,
+        Similarity.PqM, Similarity.PqK, Similarity.PqDsub).as("codes"))
+    val mm = enc.select(array_min(col("codes")).as("lo"), array_max(col("codes")).as("hi"))
+      .agg(min("lo"), max("hi")).head()
+    assert(mm.getInt(0) >= 0 && mm.getInt(1) < Similarity.PqK)
+  }
 }
 
 class TopKPerKeySpec extends org.scalatest.funsuite.AnyFunSuite {
@@ -350,7 +372,7 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     // others broadcast a SINGLE scalar/boundary row (count gate,
     // corpus-size N, decile bounds) — O(1) build sides, not cartesians
     val allowedBnlj = Set("q_ann_brute_topk", "q_ann_ivf_topk", "q_ann_ivf2_topk",
-      "q_report_goals", "q_tfidf_top_terms", "q_value_deciles")
+      "q_ann_pq_topk", "q_report_goals", "q_tfidf_top_terms", "q_value_deciles")
     for ((q, _) <- SparkEntry.queries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
