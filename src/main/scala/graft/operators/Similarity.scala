@@ -302,10 +302,19 @@ object Similarity {
   }
 
   val PqM = 8          // subspaces
-  val PqK = 16         // centroids per subspace
+  val PqK = 64         // centroids per subspace
   val PqDsub = Dim / PqM
   val PqLloydIters = 2
-  val PqRerank = 40    // exact-rerank candidate pool per query
+  /** Exact-rerank candidate pool per query: the rerank join reads only
+    * `queries × PqRerank` raw vectors, so a larger pool is nearly free
+    * next to the code scan — sweep (tools.RecallSweep, K=64):
+    * recall@5 at rerank 10/20/40/80 = 0.52/0.68/0.90/0.98 (sf0.001),
+    * 0.38/0.52/0.62/0.86 (sf0.1). K=16 codebooks measured 0.72 at
+    * sf0.1/rerank-80 — codebook resolution, not pool size, is the
+    * production lever as the corpus grows (these synthetic
+    * near-orthogonal vectors are a worst case for quantization).
+    */
+  val PqRerank = 80
 
   /** Product-quantization codebooks, learned distributed: seeds are the
     * sub-vectors of the first PqK corpus vectors, then `PqLloydIters`
@@ -361,7 +370,11 @@ object Similarity {
     * are reranked with exact cosine against the raw vectors — a
     * candidate-sized join, not a corpus-sized one.
     */
-  def annPqTopK(s: SparkSession, dir: String): DataFrame = {
+  def annPqTopK(s: SparkSession, dir: String): DataFrame =
+    annPqTopKParams(s, dir, PqRerank)
+
+  /** Parameterized form for the recall sweep harness. */
+  private[graft] def annPqTopKParams(s: SparkSession, dir: String, rerank: Int): DataFrame = {
     val cb = pqCodebook(s, dir)
     val n = normed(s, dir)
     val enc = n.select(col("vec_id").as("neighbor_id"),
@@ -374,7 +387,7 @@ object Similarity {
         PqOps.adcDot(col("e_q"), col("codes"), cb, PqM, PqK, PqDsub) /
           (col("n_q") * col("rnorm")))
     val cand = graft.plans.TopK.perKey(approx, Seq("q_id"),
-      Seq(("ascore", false), ("neighbor_id", true)), PqRerank)
+      Seq(("ascore", false), ("neighbor_id", true)), rerank)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     cand.join(n.select(col("vec_id").as("neighbor_id"),

@@ -36,23 +36,31 @@ object Sketches {
     */
   def heavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // the tokenize+explode feeds two actions (sketch build, probe-list
+    // top-k) — persist the exploded frame for the query's lifetime so
+    // the regexp tokenization runs once, and release it before
+    // returning (the output frame is built from collected rows, so it
+    // holds no reference to the cache)
     val toks = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("token"))
-    // ONE distributed pass builds the mergeable sketch
-    val cmsBytes = toks
-      .agg(expr(s"count_min_sketch(token, ${CmsEps}d, ${CmsConfidence}d, $CmsSeed)"))
-      .head().getAs[Array[Byte]](0)
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(cmsBytes))
-    // candidate probes: distributed exact top-k by term frequency
-    val top = toks.groupBy("token").agg(count(lit(1)).as("tf"))
-      .orderBy(col("tf").desc, col("token"))
-      .limit(HeavyHittersK)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    top.toSeq
-      .map { case (t, exact) => (t, cms.estimateCount(t), exact) }
-      .toDF("token", "cms_estimate", "exact_tf")
-      .orderBy(col("exact_tf").desc, col("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ONE distributed pass builds the mergeable sketch
+      val cmsBytes = toks
+        .agg(expr(s"count_min_sketch(token, ${CmsEps}d, ${CmsConfidence}d, $CmsSeed)"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(cmsBytes))
+      // candidate probes: distributed exact top-k by term frequency
+      val top = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("token"))
+        .limit(HeavyHittersK)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      top.toSeq
+        .map { case (t, exact) => (t, cms.estimateCount(t), exact) }
+        .toDF("token", "cms_estimate", "exact_tf")
+        .orderBy(col("exact_tf").desc, col("token"))
+    } finally toks.unpersist(blocking = false)
   }
 }
