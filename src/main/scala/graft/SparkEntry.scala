@@ -68,6 +68,7 @@ object SparkEntry {
     "q_contamination"   -> TextAnalysis.contamination _,
     "q_tfidf_top_terms" -> TextAnalysis.tfidfTopTerms _,
     "q_dedup_clusters"  -> TextAnalysis.dedupClusters _,
+    "q_clean_pipeline"  -> TextAnalysis.cleanPipeline _,
     // §2.7 multimodal metadata
     "q_multimodal_meta" -> TextAnalysis.multimodalMeta _,
     // §2.1b extended composed analytics
@@ -105,6 +106,59 @@ object SparkEntry {
     // typed Aggregator (functions.WeightedMean)
     "q_weighted_mean"     -> ExtendedAnalytics.weightedMeanPrice _,
   )
+
+  /** Shared DuckDB fragments — single source for the standalone
+    * quality/lang/PII oracles and the composed cleaning-pipeline oracle
+    * (kept as plain literals: the s-interpolator would reject the regex
+    * backslashes as escape sequences).
+    */
+  private val sqlQualityCtes =
+    """qt AS (
+           SELECT doc_id, CAST(length(text) AS DOUBLE) AS nchars,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+             CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) AS punct
+           FROM documents),
+         qs AS (
+           SELECT doc_id, nchars, punct,
+             CAST(len(toks) AS DOUBLE) AS nwords,
+             CAST(len(list_intersect(toks,
+               ['the','a','of','and','to','in','is','it'])) AS DOUBLE) AS stops
+           FROM qt),
+         qq AS (
+           SELECT doc_id, floor((
+               0.4 * least(nwords / 100.0, 1.0)
+             + 0.3 * (1.0 - CASE WHEN nchars > 0 THEN punct / nchars ELSE 0.0 END)
+             + 0.2 * (CASE WHEN nwords > 0 THEN stops / nwords ELSE 0.0 END)
+             + 0.1 * least((CASE WHEN nwords > 0 THEN nchars / nwords ELSE 0.0 END) / 10.0, 1.0)
+             ) * 10000.0 + 0.5) / 10000.0 AS quality
+           FROM qs)"""
+
+  private val sqlLangCtes =
+    """lt AS (
+           SELECT doc_id, lang AS declared_lang,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         lsc AS (
+           SELECT doc_id, declared_lang,
+             len(list_intersect(toks, ['the','a','of','and','to','in','is','it'])) AS s_en,
+             len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein'])) AS s_de,
+             len(list_intersect(toks, ['el','la','los','de','que','es','un'])) AS s_es
+           FROM lt),
+         lp AS (
+           SELECT doc_id, declared_lang,
+             CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 THEN 'unknown'
+                  WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+                  WHEN s_de >= s_es THEN 'de'
+                  ELSE 'es' END AS pred_lang
+           FROM lsc)"""
+
+  private def sqlPii(c: String): String =
+    """regexp_replace(
+           regexp_replace(
+             regexp_replace(COLREF,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g'),
+           '[0-9]{6,}', '<NUM>', 'g')""".replace("COLREF", c)
 
   def oracleSql: Map[String, String] = Map(
     "q_normalize_status" ->
@@ -367,41 +421,27 @@ object SparkEntry {
          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens
          FROM documents ORDER BY doc_id""",
     "q_quality_score" ->
-      """WITH t AS (
-           SELECT doc_id, CAST(length(text) AS DOUBLE) AS nchars,
-             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
-             CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) AS punct
-           FROM documents),
-         q AS (
-           SELECT doc_id, nchars, punct,
-             CAST(len(toks) AS DOUBLE) AS nwords,
-             CAST(len(list_intersect(toks,
-               ['the','a','of','and','to','in','is','it'])) AS DOUBLE) AS stops
-           FROM t)
-         SELECT doc_id, floor((
-             0.4 * least(nwords / 100.0, 1.0)
-           + 0.3 * (1.0 - CASE WHEN nchars > 0 THEN punct / nchars ELSE 0.0 END)
-           + 0.2 * (CASE WHEN nwords > 0 THEN stops / nwords ELSE 0.0 END)
-           + 0.1 * least((CASE WHEN nwords > 0 THEN nchars / nwords ELSE 0.0 END) / 10.0, 1.0)
-           ) * 10000.0 + 0.5) / 10000.0 AS quality
-         FROM q ORDER BY doc_id""",
+      s"""WITH $sqlQualityCtes
+         SELECT doc_id, quality FROM qq ORDER BY doc_id""",
     "q_lang_id" ->
-      """WITH t AS (
-           SELECT doc_id, lang AS declared_lang,
-             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-           FROM documents),
-         sc AS (
-           SELECT doc_id, declared_lang,
-             len(list_intersect(toks, ['the','a','of','and','to','in','is','it'])) AS s_en,
-             len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein'])) AS s_de,
-             len(list_intersect(toks, ['el','la','los','de','que','es','un'])) AS s_es
-           FROM t)
-         SELECT doc_id, declared_lang,
-           CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 THEN 'unknown'
-                WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
-                WHEN s_de >= s_es THEN 'de'
-                ELSE 'es' END AS pred_lang
-         FROM sc ORDER BY doc_id""",
+      s"""WITH $sqlLangCtes
+         SELECT doc_id, declared_lang, pred_lang FROM lp ORDER BY doc_id""",
+    "q_clean_pipeline" ->
+      s"""WITH $sqlQualityCtes,
+         $sqlLangCtes,
+         gated AS (
+           SELECT d.doc_id, d.text, qq.quality, lp.pred_lang
+           FROM documents d
+           JOIN qq ON qq.doc_id = d.doc_id
+           JOIN lp ON lp.doc_id = d.doc_id
+           WHERE qq.quality >= ${operators.TextAnalysis.PipelineQualityMin}
+             AND lp.pred_lang <> 'unknown'),
+         dd AS (
+           SELECT doc_id, text, quality, pred_lang,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM gated)
+         SELECT doc_id, pred_lang, quality, ${sqlPii("text")} AS scrubbed
+         FROM dd WHERE rn = 1 ORDER BY doc_id""",
     "q_doc_fingerprint" ->
       """SELECT doc_id,
          list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -616,13 +656,7 @@ object SparkEntry {
                 (SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)) AS only_1997,
                 (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS both_years""",
     "q_pii_scrub" ->
-      """SELECT doc_id,
-         regexp_replace(
-           regexp_replace(
-             regexp_replace(text,
-               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-             'https?://[^\s]+', '<URL>', 'g'),
-           '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+      s"""SELECT doc_id, ${sqlPii("text")} AS scrubbed
          FROM documents ORDER BY doc_id""",
     "q_contamination" ->
       """WITH toks AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -40,20 +40,49 @@ object TextAnalysis {
       .select(col("doc_id"), docFingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** The PII redaction chain (emails, URLs, long digit runs →
+    * placeholder tokens) — shared by the standalone scrub query and the
+    * composed cleaning pipeline. Pure codegen'd regexps.
+    */
+  private[graft] def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c,
+          """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}""", "<EMAIL>"),
+        """https?://[^\s]+""", "<URL>"),
+      "[0-9]{6,}", "<NUM>")
+
   /** PII scrubbing — the redaction pass every training-data pipeline
-    * runs before tokenization: emails, URLs, and long digit runs become
-    * placeholder tokens. Pure codegen'd regexp chain.
+    * runs before tokenization.
     */
   def piiScrub(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"),
-              """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}""", "<EMAIL>"),
-            """https?://[^\s]+""", "<URL>"),
-          "[0-9]{6,}", "<NUM>").as("scrubbed"))
+      .select(col("doc_id"), scrubPii(col("text")).as("scrubbed"))
       .orderBy("doc_id")
+
+  val PipelineQualityMin = 0.5
+
+  /** §2.1b — the composed CLEANING PIPELINE: the pass every training
+    * corpus goes through before tokenization, as ONE query — quality
+    * gate, language gate, exact content dedup (keep lowest doc_id),
+    * PII scrub. Plan shape at 100 TB: quality/lang-ID/scrub are
+    * map-only column arithmetic riding the scan; the only shuffle is
+    * the content-hash dedup — so the whole pipeline costs one scan +
+    * one shuffle no matter how many gates compose.
+    */
+  def cleanPipeline(s: SparkSession, dir: String): DataFrame = {
+    val gated = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        qualityScore(col("text")).as("quality"),
+        langId(col("text")).as("pred_lang"))
+      .filter(col("quality") >= PipelineQualityMin && col("pred_lang") =!= "unknown")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")
+    gated.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("doc_id"), col("pred_lang"), col("quality"),
+        scrubPii(col("text")).as("scrubbed"))
+      .orderBy("doc_id")
+  }
 
   val ContaminationEvalDocs = 5
   val ContaminationShingleN = 5

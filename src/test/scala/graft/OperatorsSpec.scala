@@ -475,6 +475,22 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
       "incremental must find exactly the full run's batch×corpus pairs")
   }
 
+  test("cleaning pipeline composes its gates correctly in one scan + one shuffle") {
+    val out = TextAnalysis.cleanPipeline(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getDouble(2) >= TextAnalysis.PipelineQualityMin))
+    assert(out.forall(_.getString(1) != "unknown"))
+    // exact-dedup gate: one survivor per content hash (the testdata's
+    // texts are all distinct, so this checks the no-op direction — the
+    // duplicate direction is covered by the keep-last dedup specs)
+    assert(out.map(_.getLong(0)).toSet.size === out.length)
+    val exactScans = "Scan parquet".r.findAllIn(plan("q_clean_pipeline")).length
+    assert(exactScans === 1, "pipeline gates must ride ONE documents scan")
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan("q_clean_pipeline")).length
+    assert(exchanges === 1, "only the content-hash dedup may shuffle")
+  }
+
   test("CC loop lineage stays bounded (localCheckpoint truncation)") {
     // after convergence the labels frame must sit on a checkpointed RDD
     // (no stacked per-iteration joins left in the plan)
