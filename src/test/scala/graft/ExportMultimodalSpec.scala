@@ -182,6 +182,35 @@ class ExportMultimodalSpec extends AnyFunSuite {
     assert(meta(3L).kind === "media/raw") // stub fallback keeps declared kind
   }
 
+  test("z-ordered layout confines a point filter to a fraction of the files") {
+    import graft.sources.Layout
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("tsl"))
+    val files = 16
+    // time-sorted baseline: the layout every append-only ingest produces
+    val naive = tmp() + "/ev_naive"
+    ev.repartitionByRange(files, col("tsl")).sortWithinPartitions("tsl")
+      .write.mode("overwrite").parquet(naive)
+    val zdir = tmp() + "/ev_z"
+    Layout.writeZOrdered(ev, zdir, "user_id", "tsl", files)
+    assert(spark.read.parquet(zdir).count() === ev.count(), "re-layout must not drop rows")
+    // most-active user = worst case for the time-sorted layout
+    val uid = ev.groupBy("user_id").count()
+      .orderBy(col("count").desc, col("user_id")).head().getLong(0)
+    def touched(dir: String): Long =
+      spark.read.parquet(dir).filter(col("user_id") === uid)
+        .select(input_file_name()).distinct().count()
+    val (tz, tn) = (touched(zdir), touched(naive))
+    info(s"user $uid: z-order touches $tz/$files files, time-sorted touches $tn/$files")
+    assert(tz <= tn / 2,
+      s"z-order should confine the user's rows to a fraction of the files ($tz vs $tn)")
+    // interleave sanity: bits land in alternating positions
+    val z = spark.range(1).select(
+      Layout.zInterleave(lit(5L), lit(3L), 4).as("z")).head().getLong(0)
+    // a=0101, b=0011 → z = b3 a3 b2 a2 b1 a1 b0 a0 = 00 01 10 11 = 27
+    assert(z === 27L)
+  }
+
   test("sectioned export writes ordered truncated partition dirs") {
     val out = tmp() + "/sections"
     val df = operators.TaskAnalytics.normalizeStatus(spark, sf)
