@@ -146,4 +146,30 @@ object Export {
       .sortWithinPartitions((sectionCol +: orderCols).map(col): _*)
       .write.mode("overwrite").partitionBy(sectionCol).parquet(path)
   }
+
+  /** Small-files compaction — the operational companion every streaming
+    * / incremental sink needs: micro-batches and per-key upserts leave
+    * thousands of KB-sized files whose open/footer overhead eventually
+    * dominates the scan. Re-layout to `ceil(bytes / targetFileBytes)`
+    * files, optionally range-clustered+sorted on `sortCols` so min/max
+    * pruning survives the rewrite. Sizing reads the source directory's
+    * byte size from the filesystem — metadata only, no extra data scan;
+    * writes to a fresh directory (a production lakehouse swaps it in
+    * transactionally — out of scope here).
+    */
+  def compact(s: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long = 128L << 20,
+              sortCols: Seq[String] = Nil): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val files = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = s.read.parquet(inPath)
+    val laid =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(files, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(files)
+    laid.write.mode("overwrite").parquet(outPath)
+  }
 }

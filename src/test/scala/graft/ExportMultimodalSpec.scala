@@ -211,6 +211,28 @@ class ExportMultimodalSpec extends AnyFunSuite {
     assert(z === 27L)
   }
 
+  test("compaction merges a fragmented directory and preserves rows + sort pruning") {
+    val frag = tmp() + "/frag"
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts")
+    ev.repartition(64).write.mode("overwrite").parquet(frag) // micro-batch debris
+    def parquetFiles(dir: String): Int =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(frag) === 64)
+    val out = tmp() + "/compacted"
+    Export.compact(spark, frag, out, targetFileBytes = 1L << 20, sortCols = Seq("user_id"))
+    val back = spark.read.parquet(out)
+    assert(back.count() === ev.count())
+    assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty)
+    val n = parquetFiles(out)
+    info(s"64 fragments -> $n compacted files")
+    assert(n < 64)
+    // range clustering: each user's rows live in exactly one file
+    val spread = back.select(col("user_id"), input_file_name().as("f"))
+      .distinct().groupBy("user_id").count()
+      .agg(max("count")).head().getLong(0)
+    assert(spread <= 2, s"range-clustered compaction should keep keys together (max $spread)")
+  }
+
   test("sectioned export writes ordered truncated partition dirs") {
     val out = tmp() + "/sections"
     val df = operators.TaskAnalytics.normalizeStatus(spark, sf)
