@@ -59,6 +59,7 @@ object SparkEntry {
     "q_ann_ivf_topk"   -> Similarity.annIvfTopK _,
     "q_ann_ivf2_topk"  -> Similarity.annIvfLearnedTopK _,
     "q_ann_pq_topk"    -> Similarity.annPqTopK _,
+    "q_ann_ivfpq_topk" -> Similarity.annIvfPqTopK _,
     // §2.6 text analysis
     "q_token_count"     -> TextAnalysis.tokenCount _,
     "q_quality_score"   -> TextAnalysis.quality _,

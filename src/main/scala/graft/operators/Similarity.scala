@@ -399,6 +399,59 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** §2.5 #31d — IVF-PQ: the composed billion-scale index (FAISS
+    * IVFPQ shape). Plain PQ still scans every code; here the corpus is
+    * partitioned into IVF cells AND stored compressed, so a query
+    * touches only its probed cells' code lists: candidate volume =
+    * probe-fraction × corpus, each candidate read as 8 codes + 1 norm.
+    * Cell assignment and probing reuse the seeded-IVF machinery
+    * (broadcast centroid set, fraction-scaled probe count); scoring is
+    * the asymmetric PQ inner product; exact rerank touches only
+    * queries × PqRerank raw vectors.
+    */
+  def annIvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebook(s, dir)
+    val n = normed(s, dir)
+    val cents = n.filter(col("vec_id") % IvfCentroidMod === 3)
+      .select(col("vec_id").as("cent_id"), col("e").as("e_cent"), col("nrm").as("n_cent"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cdist").desc, col("cent_id"))
+    // encoded, cell-partitioned store: what production persists
+    val assigned = n.join(broadcast(cents), lit(true))
+      .withColumn("cdist", dot(col("e"), col("e_cent")) / (col("nrm") * col("n_cent")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id").as("cell"),
+        PqOps.encode(col("e"), cb, PqM, PqK, PqDsub).as("codes"))
+      .withColumn("rnorm", PqOps.reconNorm(col("codes"), cb, PqM, PqK, PqDsub))
+    val nCells = broadcast(cents.agg(count(lit(1)).as("_cells")))
+    val qProbes = n.filter(col("vec_id") < NumQueries)
+      .join(broadcast(cents), lit(true))
+      .withColumn("cdist", dot(col("e"), col("e_cent")) / (col("nrm") * col("n_cent")))
+      .withColumn("crank", row_number().over(wAssign))
+      .crossJoin(nCells)
+      .filter(col("crank") <= greatest(lit(IvfNProbe),
+        ceil(col("_cells") * lit(IvfProbeFraction)).cast("int")))
+      .select(col("vec_id").as("q_id"), col("e").as("e_q"),
+        col("nrm").as("n_q"), col("cent_id").as("cell"))
+    val approx = broadcast(qProbes).join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("ascore",
+        PqOps.adcDot(col("e_q"), col("codes"), cb, PqM, PqK, PqDsub) /
+          (col("n_q") * col("rnorm")))
+    val cand = graft.plans.TopK.perKey(approx, Seq("q_id"),
+      Seq(("ascore", false), ("neighbor_id", true)), PqRerank)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.join(n.select(col("vec_id").as("neighbor_id"),
+        col("e").as("e_c"), col("nrm").as("n_c")), "neighbor_id")
+      .withColumn("cos_sim", round(dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("q_id", "rank", "neighbor_id", "cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
   // ---- oracle SQL -------------------------------------------------------
 
   /** Sequential-fold dot product / norm in DuckDB (list_reduce ≡ Spark's

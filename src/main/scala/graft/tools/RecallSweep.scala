@@ -44,6 +44,8 @@ object RecallSweep {
       val r = recall(Similarity.annPqTopKParams(spark, sfDir, rerank))
       println(f"pq rerank=$rerank%-3d              $r%.2f")
     }
+    val rIvfPq = recall(Similarity.annIvfPqTopK(spark, sfDir))
+    println(f"ivfpq rerank=${Similarity.PqRerank}             $rIvfPq%.2f")
     spark.stop()
   }
 }

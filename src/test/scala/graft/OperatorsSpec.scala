@@ -226,9 +226,15 @@ class SkewRecallSpec extends org.scalatest.funsuite.AnyFunSuite {
     val r = brute.intersect(pq.select("q_id", "neighbor_id")).count().toDouble /
       (nQ * Similarity.TopK)
     info(f"recall@5 pq=$r%.2f (rerank pool ${Similarity.PqRerank})")
-    // 8×16 codebooks + rerank-40: the asymmetric-distance candidate
-    // stage must surface most true neighbors into the exact rerank
+    // the asymmetric-distance candidate stage must surface most true
+    // neighbors into the exact rerank
     assert(r >= 0.5, s"PQ recall too low: $r")
+    // IVF-PQ prunes to probed cells on top of the code compression —
+    // recall pays the probe-fraction miss on top of quantization error
+    val rIvfPq = brute.intersect(Similarity.annIvfPqTopK(spark, sf)
+      .select("q_id", "neighbor_id")).count().toDouble / (nQ * Similarity.TopK)
+    info(f"recall@5 ivfpq=$rIvfPq%.2f")
+    assert(rIvfPq >= 0.4, s"IVF-PQ recall too low: $rIvfPq")
     // deterministic: learned codebooks + argmin ties to lower code
     assert(pq.collect().toSeq === Similarity.annPqTopK(spark, sf).collect().toSeq)
     val cb = Similarity.pqCodebook(spark, sf)
@@ -372,7 +378,8 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     // others broadcast a SINGLE scalar/boundary row (count gate,
     // corpus-size N, decile bounds) — O(1) build sides, not cartesians
     val allowedBnlj = Set("q_ann_brute_topk", "q_ann_ivf_topk", "q_ann_ivf2_topk",
-      "q_ann_pq_topk", "q_report_goals", "q_tfidf_top_terms", "q_value_deciles")
+      "q_ann_pq_topk", "q_ann_ivfpq_topk", "q_report_goals", "q_tfidf_top_terms",
+      "q_value_deciles")
     for ((q, _) <- SparkEntry.queries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
