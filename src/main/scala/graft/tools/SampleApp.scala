@@ -114,7 +114,20 @@ object SampleApp {
     spark.sql(
       "SELECT graft_dot_f(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
       "array(CAST(3.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS dot, " +
-      "graft_simhash32(array(5L, 7L)) AS sim").show()
+      "graft_simhash64(array(5L, 7L)) AS sim").show()
+
+    // round-3 surface: bloom prefilter, PQ/IVF-PQ ANN, cleaning
+    // pipeline, z-order layout, compaction
+    val bloomed = graft.operators.BloomPrune.prefilterRevenue(spark, sf)
+    println(s"[sample] bloom-pruned revenue groups=${bloomed.count()}")
+    println(s"[sample] ivfpq top-k rows=${graft.operators.Similarity.annIvfPqTopK(spark, sf).count()}")
+    println(s"[sample] cleaning pipeline survivors=${graft.operators.TextAnalysis.cleanPipeline(spark, sf).count()}")
+    val zdir = "/tmp/sample_zorder"
+    graft.sources.Layout.writeZOrdered(
+      Tables.events(spark, sf).selectExpr("event_id", "user_id", "CAST(ts AS LONG) AS tsl"),
+      zdir, "user_id", "tsl", 8)
+    Export.compact(spark, zdir, "/tmp/sample_compacted", 1L << 20, Seq("user_id"))
+    println(s"[sample] zorder+compact rows=${spark.read.parquet("/tmp/sample_compacted").count()}")
     spark.stop()
   }
 }
