@@ -51,4 +51,48 @@ class PropertySpec extends AnyFunSuite {
       h >= 0 && h < P
     })
   }
+
+  test("bloom probe has no false negatives over random member sets") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val gen = Gen.nonEmptyContainerOf[List, Long](
+      Gen.choose(Long.MinValue, Long.MaxValue))
+    check(Prop.forAll(gen) { members =>
+      val bf = BloomFilter.create(math.max(members.size.toLong, 1L), 0.03)
+      members.foreach(bf.putLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val probe = graft.plans.BloomMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(0L), bos.toByteArray)
+      members.forall(probe.test) // false positives allowed, negatives never
+    }, n = 200)
+  }
+
+  test("PQ encode is in-range, deterministic, and ADC matches reconstruction") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val (m, k, dsub) = (4, 8, 2)
+    val f = Gen.choose(-1000, 1000).map(_ / 100.0f)
+    val cbGen = Gen.containerOfN[Array, Float](m * k * dsub, f)
+    val vGen = Gen.containerOfN[Array, Float](m * dsub, f)
+    check(Prop.forAll(cbGen, vGen, vGen) { (cb, v, q) =>
+      val enc = graft.plans.PqEncode(Literal(0L), cb, m, k, dsub)
+      def codesOf(x: Array[Float]): Array[Int] = {
+        val a = enc.nullSafeEval(new GenericArrayData(x.map(Float.box)))
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until m).map(a.getInt).toArray
+      }
+      val codes = codesOf(v)
+      val inRange = codes.forall(c => c >= 0 && c < k)
+      val deterministic = codes.sameElements(codesOf(v))
+      // ADC inner product must equal the dot of q against the
+      // codebook reconstruction of v
+      val adc = graft.plans.PqAdcDot(Literal(0L), Literal(0L), cb, m, k, dsub)
+        .nullSafeEval(new GenericArrayData(q.map(Float.box)),
+          new GenericArrayData(codes.map(Int.box))).asInstanceOf[Double]
+      var expect = 0.0
+      for (mi <- 0 until m; d <- 0 until dsub)
+        expect += q(mi * dsub + d).toDouble * cb(((mi * k) + codes(mi)) * dsub + d)
+      inRange && deterministic && math.abs(adc - expect) < 1e-9
+    }, n = 200)
+  }
 }
