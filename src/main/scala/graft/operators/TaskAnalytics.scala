@@ -269,15 +269,20 @@ object TaskAnalytics {
   val Q3Segment = "BUILDING"
   val Q3Date = "1997-06-01"
 
-  /** §2.2 #18 — top-revenue orders (TPC-H Q3 shape): dims broadcast, one
-    * fact shuffle for the orderkey agg, top-10 via TakeOrdered.
+  /** §2.2 #18 — top-revenue orders (TPC-H Q3 shape): only the customer
+    * DIM is broadcast-hinted; the filtered orders side is fact-derived
+    * (O(orders), unbounded at scale), so its join with lineitem is left
+    * to the planner — AQE picks broadcast when the runtime size allows
+    * and sort-merge when it doesn't, instead of an explicit hint forcing
+    * a driver OOM at 100 TB. One fact shuffle for the orderkey agg,
+    * top-10 via TakeOrdered.
     */
   def q3TopRevenue(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === Q3Segment)
     val ord = Tables.orders(s, dir).filter(col("o_orderdate") < lit(Q3Date).cast("timestamp"))
     val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit(Q3Date).cast("timestamp"))
-    li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .select("o_orderkey", "o_orderdate", "o_orderpriority")),
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), dstr(col("o_orderdate")).as("order_date"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))

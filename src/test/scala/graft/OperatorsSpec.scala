@@ -373,6 +373,26 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(plan(q).contains("BroadcastHashJoin"), s"$q lost its broadcast join")
   }
 
+  test("q3 hints broadcast only for the customer dim, never a fact-derived side") {
+    // an explicit broadcast() on the orders⋈customer side is O(orders) —
+    // fact-scale — and forces an OOM at 100 TB where AQE would have
+    // picked sort-merge; only bounded dims may carry the hint
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    val df = SparkEntry.queries("q3_top_revenue")(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    val hinted = joins.flatMap { j =>
+      Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).collect {
+        case (Some(h), side) if h.strategy.contains(BROADCAST) => side
+      }
+    }
+    assert(hinted.nonEmpty, "the customer dim should still carry its broadcast hint")
+    for (side <- hinted) {
+      val leaves = side.collectLeaves().mkString("\n")
+      assert(!leaves.contains("orders") && !leaves.contains("lineitem"),
+        s"fact-derived side carries an explicit broadcast hint:\n$leaves")
+    }
+  }
+
   test("no accidental cartesian products anywhere") {
     // brute/IVF queries broadcast the bounded query/centroid set; the
     // others broadcast a SINGLE scalar/boundary row (count gate,
