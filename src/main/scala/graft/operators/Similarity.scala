@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.plans.{ArrayOps, PqOps}
+import graft.plans.{ArrayOps, CentroidOps, PqOps}
 
 /** Similarity search over the embeddings corpus (SURVEY §2.5) and
   * embedding-cosine near-dup (§2.4 #28).
@@ -173,51 +173,66 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Seed stride floor: cells = n/IvfCentroidMod until ⌈√n⌉ overtakes
+    * it (see [[seededCentroids]]), which caps both the centroid matrix
+    * and the average cell size at O(√n).
+    */
   val IvfCentroidMod = 100
   val IvfNProbe = 3
   /** IVF recall tracks the probed corpus FRACTION (nProbe / cells), so
-    * a fixed probe count degrades as the corpus (and with it the
-    * seeded cell count, n/IvfCentroidMod) grows. Probing
+    * a fixed probe count degrades as the cell count grows. Probing
     * max(IvfNProbe, ⌈fraction·cells⌉) keeps recall roughly
-    * scale-invariant; the cell count comes from a broadcast scalar
-    * aggregate over the (tiny) centroid set — no driver action.
+    * scale-invariant; the cell count is known on the driver (the
+    * centroid set is bounded metadata).
     */
   val IvfProbeFraction = 0.3
 
-  /** §2.5 #31 — IVF-style ANN: deterministic seed centroids
-    * (vec_id % mod == 3), vectors assigned to nearest centroid cell;
-    * queries probe the nProbe nearest cells and rerank exactly.
-    * Assignment and probe are broadcast joins against the (tiny)
-    * centroid set; the candidate join is an equi-join on cell id.
+  /** Driver-local centroid seed set: (id, vector, norm), ids ascending.
+    * The seed stride is max(IvfCentroidMod, ⌈√n⌉), so the cell count is
+    * n/IvfCentroidMod at small corpora (unchanged vs the windowed
+    * implementation — recall numbers carry over exactly) but caps at
+    * ~√n as the corpus grows: at 10⁹ vectors that is ~31,623 cells ×
+    * 64 dims × 4 B ≈ 8 MB of centroid matrix — bounded METADATA (the
+    * same class of collect as the PQ codebook), not data movement.
     */
-  def annIvfTopK(s: SparkSession, dir: String): DataFrame =
-    annIvfTopKParams(s, dir, IvfNProbe)
-
-  /** Parameterized form for the recall sweep harness. */
-  private[graft] def annIvfTopKParams(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
+  private[graft] def seededCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Float], Double)] = {
     val n = normed(s, dir)
-    val cents = n.filter(col("vec_id") % IvfCentroidMod === 3)
-      .select(col("vec_id").as("cent_id"), col("e").as("e_cent"), col("nrm").as("n_cent"))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cdist").desc, col("cent_id"))
-    val assigned = n.join(broadcast(cents), lit(true))
-      .withColumn("cdist", dot(col("e"), col("e_cent")) / (col("nrm") * col("n_cent")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("e").as("e_c"),
-        col("nrm").as("n_c"), col("cent_id").as("cell"))
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cdist").desc, col("cent_id"))
-    val nCells = broadcast(cents.agg(count(lit(1)).as("_cells")))
+    val total = n.count()
+    val stride = math.max(IvfCentroidMod.toLong, math.round(math.sqrt(total.toDouble)))
+    n.filter(col("vec_id") % stride === (3L % stride))
+      .orderBy("vec_id")
+      .select(col("vec_id"), col("e"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .toSeq
+  }
+
+  /** Corpus→cell assignment as a ZERO-SHUFFLE map: the codegen'd
+    * argmin expression scores every centroid inside the scan projection
+    * (identical arithmetic and tie-break to the former broadcast-join +
+    * row_number window, which shuffled the full n×cells expansion —
+    * Θ(n·√n) rows at the capped cell count, 10¹³⁺ at billion scale).
+    */
+  private[graft] def ivfAssigned(s: SparkSession, dir: String,
+                                 cents: Seq[(Int, Array[Float], Double)]): DataFrame =
+    normed(s, dir).select(col("vec_id").as("neighbor_id"), col("e").as("e_c"),
+      col("nrm").as("n_c"), CentroidOps.cell(col("e"), col("nrm"), cents).as("cell"))
+
+  /** Shared IVF probe + exact rerank over an assigned corpus: queries
+    * expand to their probed cells map-side (same expression, top-k
+    * form), the candidate join is an equi-join on the cell id, and only
+    * candidates are reranked.
+    */
+  private def ivfSearch(s: SparkSession, dir: String,
+                        cents: Seq[(Int, Array[Float], Double)], nProbe: Int): DataFrame = {
+    val n = normed(s, dir)
+    val assigned = ivfAssigned(s, dir, cents)
+    // recall tracks the probed corpus FRACTION, so the probe count
+    // scales with the (driver-local, bounded) cell count
+    val probes = math.max(nProbe, math.ceil(cents.size * IvfProbeFraction).toInt)
     val qProbes = n.filter(col("vec_id") < NumQueries)
-      .join(broadcast(cents), lit(true))
-      .withColumn("cdist", dot(col("e"), col("e_cent")) / (col("nrm") * col("n_cent")))
-      .withColumn("crank", row_number().over(wProbe))
-      .crossJoin(nCells)
-      .filter(col("crank") <= greatest(lit(nProbe),
-        ceil(col("_cells") * lit(IvfProbeFraction)).cast("int")))
-      .select(col("vec_id").as("q_id"), col("e").as("e_q"),
-        col("nrm").as("n_q"), col("cent_id").as("cell"))
+      .select(col("vec_id").as("q_id"), col("e").as("e_q"), col("nrm").as("n_q"),
+        explode(CentroidOps.nearest(col("e"), col("nrm"), cents, probes)).as("cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     broadcast(qProbes).join(assigned, Seq("cell"))
@@ -229,29 +244,39 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** §2.5 #31 — IVF-style ANN: deterministic seed centroids, vectors
+    * assigned to their nearest cell map-side (codegen argmin over the
+    * driver-local centroid matrix — no shuffle, no window); queries
+    * probe the nProbe nearest cells and rerank exactly. The candidate
+    * join is an equi-join on cell id.
+    */
+  def annIvfTopK(s: SparkSession, dir: String): DataFrame =
+    annIvfTopKParams(s, dir, IvfNProbe)
+
+  /** Parameterized form for the recall sweep harness. */
+  private[graft] def annIvfTopKParams(s: SparkSession, dir: String, nProbe: Int): DataFrame =
+    ivfSearch(s, dir, seededCentroids(s, dir), nProbe)
+
   val KMeansIters = 2
 
-  /** Lloyd-iteration centroid learning: assignment is distributed
-    * (broadcast centroids, one shuffle per iteration on the cell id);
-    * only the centroid matrix itself — O(cells × dim) metadata, not
-    * data — is collected between iterations. Seeded deterministically
-    * from vec_id % mod == 3 (the same seeds as the static IVF).
+  /** Lloyd-iteration centroid learning: assignment is a zero-shuffle
+    * map (codegen argmin over the driver-local centroid matrix — the
+    * former broadcast-join + window shuffled n×cells rows per
+    * iteration); the only shuffle per round is the per-cell mean, and
+    * only the centroid matrix itself — O(cells × dim) bounded metadata,
+    * not data — is collected between iterations. Seeded from the same
+    * deterministic stride as the static IVF.
     */
   private[operators] def learnedCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Float])] = {
     val n = normed(s, dir)
-    var cents: Seq[(Int, Array[Float])] = n.filter(col("vec_id") % IvfCentroidMod === 3)
-      .select(col("vec_id"), col("e")).collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq
+    var cents: Seq[(Int, Array[Float])] = seededCentroids(s, dir).map(c => (c._1, c._2))
     for (_ <- 1 to KMeansIters) {
-      val centDf = s.createDataFrame(cents.map { case (id, v) => (id, v) })
-        .toDF("cent_id", "e_cent")
-      val wAssign = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("cdist").desc, col("cent_id"))
-      val assigned = n.join(broadcast(centDf), lit(true))
-        .withColumn("cdist", dot(col("e"), col("e_cent")))
-        .withColumn("crank", row_number().over(wAssign))
-        .filter(col("crank") === 1)
-        .select(col("cent_id").as("cell"), posexplode(col("e")).as(Seq("pos", "v")))
+      // Lloyd scores by plain dot product: unit centroid norms and a
+      // unit row norm leave the expression's score = dot exactly
+      val scoring = cents.map { case (id, v) => (id, v, 1.0) }
+      val assigned = n.select(
+          CentroidOps.cell(col("e"), lit(1.0), scoring).as("cell"),
+          posexplode(col("e")).as(Seq("pos", "v")))
       val means = assigned.groupBy("cell", "pos").agg(avg("v").as("m"))
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
@@ -268,37 +293,16 @@ object Similarity {
     * distribution — better recall at the same probe budget.
     */
   def annIvfLearnedTopK(s: SparkSession, dir: String): DataFrame = {
-    val cents = learnedCentroids(s, dir)
-    val n = normed(s, dir)
-    val centDf = broadcast(s.createDataFrame(cents).toDF("cent_id", "e_cent")
-      .withColumn("n_cent", sqrt(ArrayOps.dotF(col("e_cent"), col("e_cent")))))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cdist").desc, col("cent_id"))
-    val assigned = n.join(centDf, lit(true))
-      .withColumn("cdist", dot(col("e"), col("e_cent")) / (col("nrm") * col("n_cent")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("e").as("e_c"),
-        col("nrm").as("n_c"), col("cent_id").as("cell"))
-    // the learned centroid matrix is already driver-local, so the
-    // fraction-scaled probe count needs no extra aggregate
-    val probes = math.max(IvfNProbe, math.ceil(cents.size * IvfProbeFraction).toInt)
-    val qProbes = n.filter(col("vec_id") < NumQueries)
-      .join(centDf, lit(true))
-      .withColumn("cdist", dot(col("e"), col("e_cent")) / (col("nrm") * col("n_cent")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") <= probes)
-      .select(col("vec_id").as("q_id"), col("e").as("e_q"),
-        col("nrm").as("n_q"), col("cent_id").as("cell"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-    broadcast(qProbes).join(assigned, Seq("cell"))
-      .filter(col("q_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", round(dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select("q_id", "rank", "neighbor_id", "cos_sim")
-      .orderBy("q_id", "rank")
+    // centroid norms computed with the same sequential double
+    // accumulation as FloatArrayDot — scores match the former
+    // DataFrame-side sqrt(dotF(c,c)) bit-for-bit
+    val cents = learnedCentroids(s, dir).map { case (id, v) =>
+      var ss = 0.0
+      var j = 0
+      while (j < v.length) { ss += v(j).toDouble * v(j).toDouble; j += 1 }
+      (id, v, math.sqrt(ss))
+    }
+    ivfSearch(s, dir, cents, IvfNProbe)
   }
 
   val PqM = 8          // subspaces
@@ -333,24 +337,20 @@ object Similarity {
         out(((mi * PqK) + ki) * PqDsub + d) = seeds(ki)(mi * PqDsub + d)
       out
     }
-    val subs = n.select(col("vec_id"), posexplode(
-        array((0 until PqM).map(mi => slice(col("e"), mi * PqDsub + 1, PqDsub)): _*))
-      .as(Seq("m", "sub")))
     for (_ <- 1 to PqLloydIters) {
-      val centRows = for (mi <- 0 until PqM; ki <- 0 until PqK)
-        yield (mi, ki, (0 until PqDsub).map(d => cb(((mi * PqK) + ki) * PqDsub + d)))
-      val centDf = s.createDataFrame(centRows).toDF("m", "ck", "c")
-        .withColumn("c", col("c").cast("array<float>"))
-        .withColumn("cnormsq", ArrayOps.dotF(col("c"), col("c")))
-      // argmin ||sub − c||² ≡ argmax (2·sub·c − |c|²): |sub|² is constant
-      // per (vec, m), so the ranking needs no per-row norm
-      val wAssign = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id", "m").orderBy(col("score").desc, col("ck"))
-      val assigned = subs.join(broadcast(centDf), "m")
-        .withColumn("score", ArrayOps.dotF(col("sub"), col("c")) * 2 - col("cnormsq"))
-        .withColumn("crank", row_number().over(wAssign))
-        .filter(col("crank") === 1)
-        .select(col("m"), col("ck"), posexplode(col("sub")).as(Seq("pos", "v")))
+      // assignment IS the encoder: PqEncode's per-subspace argmin-L2
+      // (ties to the lower code) runs map-side over the broadcast
+      // codebook — the former broadcast-join + (vec,m) window shuffled
+      // the n×M×K expansion per round just to keep one code per
+      // subspace. One generator explodes the subspace axis of the
+      // already-encoded row; only the per-(m,ck,pos) means shuffle.
+      val assigned = n
+        .select(col("e"), PqOps.encode(col("e"), cb, PqM, PqK, PqDsub).as("codes"))
+        .select(posexplode(transform(sequence(lit(0), lit(PqM - 1)), mi =>
+            struct(element_at(col("codes"), mi + lit(1)).as("ck"),
+              slice(col("e"), mi * lit(PqDsub) + lit(1), lit(PqDsub)).as("sub"))))
+          .as(Seq("m", "mc")))
+        .select(col("m"), col("mc.ck").as("ck"), posexplode(col("mc.sub")).as(Seq("pos", "v")))
       val means = assigned.groupBy("m", "ck", "pos").agg(avg("v").as("mv"))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
       val next = cb.clone()
@@ -412,28 +412,18 @@ object Similarity {
   def annIvfPqTopK(s: SparkSession, dir: String): DataFrame = {
     val cb = pqCodebook(s, dir)
     val n = normed(s, dir)
-    val cents = n.filter(col("vec_id") % IvfCentroidMod === 3)
-      .select(col("vec_id").as("cent_id"), col("e").as("e_cent"), col("nrm").as("n_cent"))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cdist").desc, col("cent_id"))
-    // encoded, cell-partitioned store: what production persists
-    val assigned = n.join(broadcast(cents), lit(true))
-      .withColumn("cdist", dot(col("e"), col("e_cent")) / (col("nrm") * col("n_cent")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("cent_id").as("cell"),
+    val cents = seededCentroids(s, dir)
+    // encoded, cell-partitioned store: what production persists — cell
+    // id AND codes both computed map-side in the scan projection
+    val assigned = n
+      .select(col("vec_id").as("neighbor_id"),
+        CentroidOps.cell(col("e"), col("nrm"), cents).as("cell"),
         PqOps.encode(col("e"), cb, PqM, PqK, PqDsub).as("codes"))
       .withColumn("rnorm", PqOps.reconNorm(col("codes"), cb, PqM, PqK, PqDsub))
-    val nCells = broadcast(cents.agg(count(lit(1)).as("_cells")))
+    val probes = math.max(IvfNProbe, math.ceil(cents.size * IvfProbeFraction).toInt)
     val qProbes = n.filter(col("vec_id") < NumQueries)
-      .join(broadcast(cents), lit(true))
-      .withColumn("cdist", dot(col("e"), col("e_cent")) / (col("nrm") * col("n_cent")))
-      .withColumn("crank", row_number().over(wAssign))
-      .crossJoin(nCells)
-      .filter(col("crank") <= greatest(lit(IvfNProbe),
-        ceil(col("_cells") * lit(IvfProbeFraction)).cast("int")))
-      .select(col("vec_id").as("q_id"), col("e").as("e_q"),
-        col("nrm").as("n_q"), col("cent_id").as("cell"))
+      .select(col("vec_id").as("q_id"), col("e").as("e_q"), col("nrm").as("n_q"),
+        explode(CentroidOps.nearest(col("e"), col("nrm"), cents, probes)).as("cell"))
     val approx = broadcast(qProbes).join(assigned, Seq("cell"))
       .filter(col("q_id") =!= col("neighbor_id"))
       .withColumn("ascore",
