@@ -21,15 +21,20 @@ import org.apache.spark.sql.GraftColumnBridge
   * a streaming pass.
   */
 case class TopKPerKeyPlan(child: LogicalPlan, keys: Seq[Expression],
-                          order: Seq[SortOrder], k: Int) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output
+                          order: Seq[SortOrder], k: Int,
+                          rank: Option[Attribute] = None) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output ++ rank
   override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
 }
 
 case class TopKPerKeyExec(child: SparkPlan, keys: Seq[Expression],
                           order: Seq[SortOrder], k: Int,
-                          partial: Boolean = false) extends UnaryExecNode {
-  override def output: Seq[Attribute] = child.output
+                          partial: Boolean = false,
+                          rank: Option[Attribute] = None) extends UnaryExecNode {
+  // rank (the row_number the window form would have produced) is
+  // appended by the FINAL phase only — the partial phase ships plain
+  // child rows, since a map-side rank is meaningless before the merge
+  override def output: Seq[Attribute] = child.output ++ rank
 
   // partial mode runs before the exchange (map-side top-k per key: only
   // k rows per key per partition shuffle); final mode demands
@@ -43,6 +48,8 @@ case class TopKPerKeyExec(child: SparkPlan, keys: Seq[Expression],
     val orderL = order
     val kL = k
     val schema = child.output
+    val withRank = rank.isDefined
+    val outAttrs = output
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keysL, schema)
       val ord = RowOrdering.create(orderL, schema)
@@ -59,7 +66,24 @@ case class TopKPerKeyExec(child: SparkPlan, keys: Seq[Expression],
         else if (ord.lt(row, heap.peek())) { heap.poll(); heap.add(row.copy()) }
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      heaps.forEach { (_, heap) =>
+      if (withRank) {
+        // row_number() semantics: 1-based position within the key group
+        // under the operator ordering (rows drain in exactly that order)
+        val proj = UnsafeProjection.create(outAttrs, schema ++ rank)
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        heaps.forEach { (_, heap) =>
+          val rows = new Array[InternalRow](heap.size)
+          var i = rows.length - 1
+          while (i >= 0) { rows(i) = heap.poll(); i -= 1 }
+          i = 0
+          while (i < rows.length) {
+            rankRow.update(0, i + 1)
+            out += proj(joined(rows(i), rankRow)).copy()
+            i += 1
+          }
+        }
+      } else heaps.forEach { (_, heap) =>
         val rows = new Array[InternalRow](heap.size)
         var i = rows.length - 1
         while (i >= 0) { rows(i) = heap.poll(); i -= 1 }   // drain worst-first → rank order
@@ -74,12 +98,12 @@ case class TopKPerKeyExec(child: SparkPlan, keys: Seq[Expression],
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyPlan(child, keys, order, k) =>
+    case TopKPerKeyPlan(child, keys, order, k, rank) =>
       // two-phase: map-side partial heaps (shuffle only k rows per key
       // per partition), exact final heaps after the exchange
       TopKPerKeyExec(
         TopKPerKeyExec(planLater(child), keys, order, k, partial = true),
-        keys, order, k, partial = false) :: Nil
+        keys, order, k, partial = false, rank = rank) :: Nil
     case _ => Nil
   }
 }

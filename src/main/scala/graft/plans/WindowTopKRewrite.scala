@@ -37,8 +37,7 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
         if partitionSpec.nonEmpty && orderSpec.nonEmpty &&
           limitOf(cond, alias.toAttribute).isDefined &&
           limitOf(cond, alias.toAttribute).get > 0 &&
-          projList.forall(!_.references.contains(alias.toAttribute)) &&
-          projList.forall(_.references.subsetOf(child.outputSet)) =>
+          projList.forall(_.references.subsetOf(child.outputSet + alias.toAttribute)) =>
       // Spark's own InferWindowGroupLimit may already have inserted a
       // (sort-based) WindowGroupLimit below the window — our two-phase
       // heap operator replaces it entirely
@@ -46,9 +45,15 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
         case WindowGroupLimit(_, _, _, _, grandchild) => grandchild
         case other => other
       }
+      // a projection that keeps the rank column (tf-idf's `rank`,
+      // decile labels, …) gets it from the operator itself — the final
+      // heap drains each key in rank order, so emitting the 1-based
+      // position IS row_number(), with no window to compute it
+      val rank = if (projList.exists(_.references.contains(alias.toAttribute)))
+        Some(alias.toAttribute) else None
       Project(projList,
         TopKPerKeyPlan(base, partitionSpec,
           orderSpec.map(_.asInstanceOf[SortOrder]),
-          limitOf(cond, alias.toAttribute).get))
+          limitOf(cond, alias.toAttribute).get, rank))
   }
 }
