@@ -14,9 +14,20 @@ import graft.functions.TextFunctions._
   * (`count_min_sketch` partials combine map-side, exactly like any
   * sum), and only the FINISHED sketch — kilobytes, independent of
   * corpus size — is collected. Driver-side estimate lookups over a
-  * bounded probe list are sketch *reads*, not data movement; the
-  * candidate probe set comes from the distributed exact top-k (at true
-  * scale: a sampled or streamed candidate set).
+  * bounded probe list are sketch *reads*, not data movement.
+  *
+  * The candidate probe set is the part that must NOT be an exact
+  * full-vocabulary aggregate (that aggregate is precisely what the CMS
+  * exists to avoid): each partition keeps a bounded Misra-Gries summary
+  * ([[MgSummarySize]] counters, fixed memory regardless of partition
+  * vocabulary), and only the ≤ m surviving (token, weight) rows per
+  * partition shuffle — O(m·partitions), corpus-size-independent.
+  * Superset guarantee (pigeonhole): any token with global tf > N/m
+  * exceeds the local threshold n_p/m in at least one partition and
+  * survives that partition's summary, so the true top-k is contained in
+  * the merged candidates whenever the k-th frequency clears N/m — vast
+  * headroom for Zipfian text at m=4096 (spec-checked as a strict
+  * superset of the exact top-20).
   *
   * CMS guarantees: estimate ≥ true count (never undercounts), and
   * estimate ≤ true + ε·N with probability ≥ confidence — both bounds
@@ -28,6 +39,51 @@ object Sketches {
   val CmsConfidence = 0.99
   val CmsSeed = 42
   val HeavyHittersK = 20
+  /** Misra-Gries counters per partition; error ≤ n_p/m local counts. */
+  val MgSummarySize = 4096
+  /** Candidate margin over k kept after the merge (MG weights are
+    * lower bounds, so ranking by them needs slack before the cut). */
+  val CandidateMargin = 8
+
+  /** Bounded-memory Misra-Gries pass over one partition's tokens:
+    * at most m counters; decrement-all on overflow. Survivor weights
+    * undercount by at most n_p/m.
+    */
+  private[graft] def misraGries(it: Iterator[String], m: Int): Iterator[(String, Long)] = {
+    val counts = new java.util.HashMap[String, Long](m * 2)
+    it.foreach { t =>
+      val c = counts.get(t)
+      if (c != 0L || counts.containsKey(t)) counts.put(t, c + 1L)
+      else if (counts.size < m) counts.put(t, 1L)
+      else {
+        // decrement every counter, dropping zeros — O(m), amortized
+        // O(1) per stream element (each decrement pays off an insert)
+        val dead = new java.util.ArrayList[String](8)
+        counts.replaceAll((k, v) => v - 1L)
+        counts.forEach { (k, v) => if (v == 0L) dead.add(k) }
+        dead.forEach(k => counts.remove(k))
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    counts.asScala.iterator.map { case (k, v) => (k, v) }.toArray.iterator
+  }
+
+  /** Bounded candidate list for the heavy-hitter probe: partition-local
+    * Misra-Gries summaries merged by weight — never a full-vocabulary
+    * aggregate (the groupBy input is ≤ m rows per partition). Exposed
+    * for the plan/superset spec.
+    */
+  private[graft] def mgCandidates(s: SparkSession, toks: DataFrame): DataFrame = {
+    import s.implicits._
+    val mg = MgSummarySize
+    toks.as[String]
+      .mapPartitions(it => misraGries(it, mg))
+      .toDF("token", "wt")
+      .groupBy("token").agg(sum("wt").as("wt"))
+      .orderBy(col("wt").desc, col("token"))
+      .limit(HeavyHittersK * CandidateMargin)
+      .select("token")
+  }
 
   /** Top-k tokens with their CMS-estimated and exact total frequencies
     * (with multiplicity — term frequency, not document frequency).
@@ -36,11 +92,11 @@ object Sketches {
     */
   def heavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // the tokenize+explode feeds two actions (sketch build, probe-list
-    // top-k) — persist the exploded frame for the query's lifetime so
-    // the regexp tokenization runs once, and release it before
-    // returning (the output frame is built from collected rows, so it
-    // holds no reference to the cache)
+    // the tokenize+explode feeds three actions (sketch build, candidate
+    // pass, exact probe counts) — persist the exploded frame for the
+    // query's lifetime so the regexp tokenization runs once, and
+    // release it before returning (the output frame is built from
+    // collected rows, so it holds no reference to the cache)
     val toks = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -51,8 +107,14 @@ object Sketches {
         .head().getAs[Array[Byte]](0)
       val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(cmsBytes))
-      // candidate probes: distributed exact top-k by term frequency
-      val top = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+      // candidate probes: bounded partition-local summaries; the only
+      // shuffled/aggregated rows are the ≤ m survivors per partition
+      val candidates = mgCandidates(s, toks).as[String].collect().toSeq
+      // exact tf restricted to the bounded candidate set: the map-side
+      // partial agg collapses to ≤ |candidates| rows per partition —
+      // NOT a full-vocabulary aggregate
+      val top = toks.filter(col("token").isin(candidates: _*))
+        .groupBy("token").agg(count(lit(1)).as("tf"))
         .orderBy(col("tf").desc, col("token"))
         .limit(HeavyHittersK)
         .collect()

@@ -320,6 +320,38 @@ class BucketedStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("heavy-hitter candidates come from bounded summaries, superset of exact top-k") {
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.functions.{col, explode, count, lit}
+    val toks = Tables.documents(spark, sf).select(explode(tokens(col("text"))).as("token"))
+    val cand = graft.operators.Sketches.mgCandidates(spark, toks)
+    // plan shape: candidates are produced by the bounded mapPartitions
+    // summary — the merge groupBy aggregates summary rows, never the
+    // raw token stream (the full-vocabulary aggregate the CMS avoids)
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), s"MG partition pass missing:\n$plan")
+    val exactTop = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(graft.operators.Sketches.HeavyHittersK)
+      .select("token").collect().map(_.getString(0)).toSet
+    val candSet = cand.collect().map(_.getString(0)).toSet
+    assert(exactTop.subsetOf(candSet),
+      s"candidates miss true heavy hitters: ${(exactTop -- candSet).mkString(", ")}")
+  }
+
+  test("Misra-Gries summary keeps every token above the n/m threshold") {
+    // synthetic skewed stream: hot tokens must survive any ordering
+    val m = 64
+    val hot = (0 until 8).flatMap(i => Seq.fill(500 - i * 30)(s"hot$i"))
+    val noise = (0 until 5000).map(i => s"noise${i % 2500}")
+    val stream = new scala.util.Random(7).shuffle(hot ++ noise)
+    val survivors = graft.operators.Sketches.misraGries(stream.iterator, m).map(_._1).toSet
+    val n = stream.size
+    val counts = stream.groupBy(identity).map { case (k, v) => k -> v.size }
+    for ((t, c) <- counts if c > n / m)
+      assert(survivors.contains(t), s"$t (count $c > ${n / m}) evicted from MG summary")
+  }
+
   test("approx sketch stats are within error bounds of exact answers") {
     val approx = graft.operators.ExtendedAnalytics.approxStats(spark, sf)
     val exact = Tables.events(spark, sf).groupBy("event_type")
