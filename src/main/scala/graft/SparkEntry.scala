@@ -81,6 +81,9 @@ object SparkEntry {
     "q_keyed_sample"      -> ExtendedAnalytics.keyedSample _,
     // bloom runtime-filter pruning (plans.BloomMightContain)
     "q_bloom_prefilter"   -> operators.BloomPrune.prefilterRevenue _,
+    // attachment-content extraction (sources.Attachments: binaryFile
+    // tree round-trip — download stage + readable-content query)
+    "q_attachment_text"   -> sources.Attachments.attachmentText _,
     "q_vocab_topk"        -> ExtendedAnalytics.vocabTopK _,
     "q_ngram_freq"        -> ExtendedAnalytics.ngramFreqTopK _,
     "q_running_total"     -> ExtendedAnalytics.runningTotal _,
@@ -416,6 +419,7 @@ object SparkEntry {
          WHERE o_orderstatus = 'F'
            AND o_orderdate >= TIMESTAMP '${operators.BloomPrune.CutoffDate} 00:00:00'
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_attachment_text" -> sources.Attachments.oracleSql,
     "q_token_count" ->
       """SELECT doc_id,
          CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS ws_tokens,

@@ -339,6 +339,30 @@ class BucketedStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"candidates miss true heavy hitters: ${(exactTop -- candSet).mkString(", ")}")
   }
 
+  test("attachment extraction: glob-filtered scan, truncation marker, ordered sections") {
+    import org.apache.spark.sql.functions.{col, length => slen}
+    val A = graft.sources.Attachments
+    val root = A.materialize(spark, sf)
+    // the skipped extensions exist on disk but never enter the scan
+    val onDisk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(onDisk === 500, s"fixture tree should hold one file per document, got $onDisk")
+    val readable = A.readableContent(spark, root)
+    val out = A.attachmentText(spark, sf).collect()
+    assert(out.nonEmpty)
+    val all = out.map(_.getString(1)).mkString
+    for (ext <- Seq(".csv", ".xlsx", ".bin", ".png"))
+      assert(!all.contains(s"$ext ---"), s"skipped extension $ext leaked into the report")
+    // truncation: every section body ≤ 1000 chars + marker; long files marked
+    assert(all.contains(A.TruncatedMarker), "no section hit the truncation cap")
+    // sections are in doc_id order within a task
+    val ids = "doc_(\\d+)\\.".r.findAllMatchIn(out.head.getString(1)).map(_.group(1).toLong).toSeq
+    assert(ids === ids.sorted, s"sections out of file-list order: $ids")
+    // file-listing pushdown: the binaryFile relation only surfaces readable files
+    val n = readable.select(org.apache.spark.sql.functions.sum(slen(col("attachment_text")))).head()
+    assert(!n.isNullAt(0))
+  }
+
   test("Misra-Gries summary keeps every token above the n/m threshold") {
     // synthetic skewed stream: hot tokens must survive any ordering
     val m = 64
