@@ -84,6 +84,9 @@ object SparkEntry {
     // attachment-content extraction (sources.Attachments: binaryFile
     // tree round-trip — download stage + readable-content query)
     "q_attachment_text"   -> sources.Attachments.attachmentText _,
+    // block-tree + comments normalization (operators.BlockTree:
+    // recursive page tree → ordered markdown lines, json_extract oracle)
+    "q_block_tree"        -> operators.BlockTree.blockTree _,
     "q_vocab_topk"        -> ExtendedAnalytics.vocabTopK _,
     "q_ngram_freq"        -> ExtendedAnalytics.ngramFreqTopK _,
     "q_running_total"     -> ExtendedAnalytics.runningTotal _,
@@ -420,6 +423,7 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '${operators.BloomPrune.CutoffDate} 00:00:00'
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_attachment_text" -> sources.Attachments.oracleSql,
+    "q_block_tree" -> operators.BlockTree.oracleSql,
     "q_token_count" ->
       """SELECT doc_id,
          CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS ws_tokens,

@@ -363,6 +363,29 @@ class BucketedStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!n.isNullAt(0))
   }
 
+  test("block tree flattens pre-order with checkbox state and trailing comments") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.BlockTree.blockTree(spark, sf)
+      .orderBy("doc_id", "pos").collect().groupBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    for ((docId, rs) <- rows.take(50)) {
+      val lines = rs.sortBy(_.getInt(1)).map(r => (r.getString(2), r.getString(3)))
+      // to_do checkbox reflects doc parity
+      val todo = lines(1)._2
+      assert(todo.startsWith(if (docId % 2 == 0) "[x] " else "[ ] "),
+        s"doc $docId to_do line: $todo")
+      // children (if any) sit directly after their bulleted parent,
+      // before the code block — pre-order
+      val codeIdx = lines.indexWhere(_._2.startsWith("[Code: "))
+      assert(codeIdx === 3 || codeIdx === 5, s"doc $docId code at $codeIdx")
+      // comments come last, kind-tagged
+      assert(lines.takeRight(2).forall(_._1 == "comment"), s"doc $docId comment tail")
+      assert(lines.dropRight(2).forall(_._1 == "block"))
+      // heading styles: bold first run, italicized link second
+      assert(lines.head._2.startsWith("**") && lines.head._2.contains("](https://x/"))
+    }
+  }
+
   test("Misra-Gries summary keeps every token above the n/m threshold") {
     // synthetic skewed stream: hot tokens must survive any ordering
     val m = 64
