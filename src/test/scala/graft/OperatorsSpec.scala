@@ -201,6 +201,81 @@ class SkewRecallSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(salted === direct)
   }
 
+  test("under a real hot key the plain exchange straggles and salting spreads it") {
+    // synthetic celebrity key: 90% of 400k rows share k=7
+    val n = 400000L
+    val parts = 16
+    val skewed = spark.range(n).select(
+      when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 1000).as("k"),
+      (col("id") % 97).cast("double").as("v"))
+    // reducer placement: rows landing on each post-exchange partition.
+    // This IS the task-straggle mechanism — task time is proportional
+    // to partition rows; durations on test-sized data are noise, row
+    // placement is exact.
+    def partShares(df: org.apache.spark.sql.DataFrame,
+                   cols: Seq[org.apache.spark.sql.Column]): (Double, Seq[Long], Long) = {
+      val t0 = System.nanoTime()
+      val byPart = df.repartition(parts, cols: _*)
+        .select(spark_partition_id().as("p")).groupBy("p").count()
+        .collect().map(_.getLong(1)).toSeq
+      (byPart.max.toDouble / byPart.sum, byPart.sorted.reverse, (System.nanoTime() - t0) / 1000000)
+    }
+    val (hotShare, hotDist, hotMs) = partShares(skewed, Seq(col("k")))
+    val salt = pmod(hash(col("v"), monotonically_increasing_id()), lit(16))
+    val (saltShare, saltDist, saltMs) =
+      partShares(skewed.withColumn("_s", salt), Seq(col("k"), col("_s")))
+    info(s"plain exchange: max reducer share ${(hotShare * 100).round}% " +
+      s"(top ${hotDist.take(3)}), ${hotMs} ms")
+    info(s"salted exchange: max reducer share ${(saltShare * 100).round}% " +
+      s"(top ${saltDist.take(3)}), ${saltMs} ms")
+    assert(hotShare > 0.85, s"hot key should dominate one reducer: $hotShare")
+    assert(saltShare < 0.25, s"salting should spread the hot key: $saltShare")
+    // and the two-phase salted aggregate still equals the plain one
+    val direct = skewed.groupBy("k").agg(sum("v").as("vs"), count(lit(1)).as("n0"))
+    val salted = operators.Skew.saltedSumCount(skewed, Seq("k"), "v")
+    val j = direct.join(salted, "k").collect()
+    assert(j.length === 101)
+    j.foreach { r =>
+      assert(math.abs(r.getAs[Double]("vs") - r.getAs[Double]("value_sum")) < 1e-6)
+      assert(r.getAs[Long]("n0") === r.getAs[Long]("n"))
+    }
+  }
+
+  test("AQE skew-join splits the hot partition of a skewed sort-merge join") {
+    val saved = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // thresholds scaled to test-sized data (defaults are 256 MB)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val skewed = spark.range(400000L).select(
+        when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 1000).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = skewed.join(dim, "k")
+      // execute THIS QueryExecution (count() would plan a new one and
+      // leave this plan un-finalized, isFinalPlan=false)
+      assert(joined.collect().length === 400000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed join partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("ANN recall@5: LSH and IVF vs brute force") {
     val brute = Similarity.annBruteTopK(spark, sf).select("q_id", "neighbor_id")
     val nQ = brute.select("q_id").distinct().count()
