@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout UNPREFIXED: sbt's default
+// LoggedOutput wraps every line in "[info] ", which breaks the
+// driver's line-oriented JSON parse of Bench's one-line result
+// (BENCH_r1..r4 all recorded parsed:null). StdoutOutput passes the
+// child's stdout/stderr straight through.
+run / outputStrategy := Some(StdoutOutput)
+// ...and the trailing "[success] Total time" banner would otherwise be
+// the last line of output, displacing the JSON line a last-line parser
+// would read.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
