@@ -34,6 +34,13 @@ import graft.functions.TextFunctions.tokens
 object BlockTree {
 
   val ChildrenMinTokens = 50
+  /** Fixture guard: blocks reference t[1..6], and Spark's concat_ws /
+    * array_join SKIP null elements while DuckDB's `||` null-propagates
+    * the whole line — a <6-token document would render differently per
+    * engine. Both fixture derivations filter on this shared bound so
+    * the divergence cannot fire regardless of corpus.
+    */
+  val MinFixtureTokens = 6
 
   private val PageSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "blocks ARRAY<STRUCT<type: STRING, checked: BOOLEAN, language: STRING, " +
@@ -84,6 +91,7 @@ object BlockTree {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
       .withColumn("n", size(col("t")))
+      .filter(col("n") >= MinFixtureTokens)
     def tk(i: Int) = element_at(col("t"), i)
     def run(pt: Column, bold: Boolean = false, italic: Boolean = false,
             href: Column = lit(null).cast("string")) =
@@ -201,7 +209,8 @@ object BlockTree {
     s"""WITH toks AS (
        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
        |         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n
-       |  FROM documents),
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= $MinFixtureTokens),
        |page AS (
        |  -- every list element carries the FULL field set (DuckDB lists
        |  -- need one unified struct type; to_json keeps the nulls, which

@@ -24,9 +24,11 @@ import graft.functions.TextFunctions._
   * partition shuffle — O(m·partitions), corpus-size-independent.
   * Superset guarantee (pigeonhole): any token with global tf > N/m
   * exceeds the local threshold n_p/m in at least one partition and
-  * survives that partition's summary, so the true top-k is contained in
-  * the merged candidates whenever the k-th frequency clears N/m — vast
-  * headroom for Zipfian text at m=4096 (spec-checked as a strict
+  * survives that partition's summary; the merge then cuts ADAPTIVELY —
+  * every token whose weight upper bound (merged wt + ⌈N/m⌉) clears the
+  * provisional k-th merged weight survives — so the true top-k is
+  * contained in the candidates whenever the k-th frequency clears N/m.
+  * Vast headroom for Zipfian text at m=4096 (spec-checked as a strict
   * superset of the exact top-20).
   *
   * CMS guarantees: estimate ≥ true count (never undercounts), and
@@ -41,9 +43,11 @@ object Sketches {
   val HeavyHittersK = 20
   /** Misra-Gries counters per partition; error ≤ n_p/m local counts. */
   val MgSummarySize = 4096
-  /** Candidate margin over k kept after the merge (MG weights are
-    * lower bounds, so ranking by them needs slack before the cut). */
-  val CandidateMargin = 8
+  /** Hard cap on the adaptive candidate list (bounds the probe `isin`
+    * and the driver collect). Only reachable on near-flat
+    * distributions, where the k-th frequency sits within N/m of the
+    * cut and the pigeonhole superset guarantee is void anyway. */
+  val CandidateCap = HeavyHittersK * 512
 
   /** Bounded-memory Misra-Gries pass over one partition's tokens:
     * at most m counters; decrement-all on overflow. Survivor weights
@@ -73,15 +77,29 @@ object Sketches {
     * aggregate (the groupBy input is ≤ m rows per partition). Exposed
     * for the plan/superset spec.
     */
-  private[graft] def mgCandidates(s: SparkSession, toks: DataFrame): DataFrame = {
+  private[graft] def mgCandidates(s: SparkSession, toks: DataFrame,
+                                  totalTokens: Long): DataFrame = {
     import s.implicits._
     val mg = MgSummarySize
-    toks.as[String]
+    val merged = toks.as[String]
       .mapPartitions(it => misraGries(it, mg))
       .toDF("token", "wt")
       .groupBy("token").agg(sum("wt").as("wt"))
+    // Merged MG weights are lower bounds, undercounting by at most
+    // Σ_p n_p/m = N/m. A true top-k token's merged weight can thus sit
+    // up to N/m BELOW the provisional k-th merged weight, so a fixed
+    // k·margin cut can drop it on a near-flat distribution. The
+    // adaptive cut keeps every token whose upper bound (wt + ⌈N/m⌉)
+    // clears the provisional k-th weight — that provably retains the
+    // exact top-k whenever any token survives the summaries at all
+    // (w_k ≤ f_(k) and wt(T) ≥ f_T − N/m for each true top-k T).
+    val slack = lit((totalTokens + mg - 1) / mg)
+    val kth = merged.orderBy(col("wt").desc, col("token"))
+      .limit(HeavyHittersK).agg(min(col("wt")).as("wk"))
+    merged.crossJoin(broadcast(kth))
+      .filter(col("wt") + slack >= coalesce(col("wk"), lit(0L)))
       .orderBy(col("wt").desc, col("token"))
-      .limit(HeavyHittersK * CandidateMargin)
+      .limit(CandidateCap)
       .select("token")
   }
 
@@ -109,7 +127,9 @@ object Sketches {
         new java.io.ByteArrayInputStream(cmsBytes))
       // candidate probes: bounded partition-local summaries; the only
       // shuffled/aggregated rows are the ≤ m survivors per partition
-      val candidates = mgCandidates(s, toks).as[String].collect().toSeq
+      // toks is already materialized in the cache by the sketch build,
+      // so the count is a cached-partition sweep, not a second scan
+      val candidates = mgCandidates(s, toks, toks.count()).as[String].collect().toSeq
       // exact tf restricted to the bounded candidate set: the map-side
       // partial agg collapses to ≤ |candidates| rows per partition —
       // NOT a full-vocabulary aggregate

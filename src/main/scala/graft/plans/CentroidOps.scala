@@ -74,39 +74,47 @@ case class NearestCentroids(left: Expression, right: Expression,
     val matRef = ctx.addReferenceObj("graftCentMat", mat, "float[]")
     val nrmRef = ctx.addReferenceObj("graftCentNorms", norms, "double[]")
     val kk = math.min(k, ids.length)
+    // ctx.freshName, not fixed names: two NearestCentroids instances fused
+    // into one whole-stage-codegen function would otherwise declare
+    // duplicate Java locals and trip Janino into interpreted fallback.
+    val nc = ctx.freshName("nc"); val bestS = ctx.freshName("bestS")
+    val bestI = ctx.freshName("bestI"); val filled = ctx.freshName("filled")
+    val i = ctx.freshName("i"); val d = ctx.freshName("d")
+    val base = ctx.freshName("base"); val j = ctx.freshName("j")
+    val score = ctx.freshName("score"); val p = ctx.freshName("p")
     nullSafeCodeGen(ctx, ev, (e, nrm) =>
       s"""
-         |int graftNc = $idsRef.length;
-         |double[] graftBestS = new double[$kk];
-         |int[] graftBestI = new int[$kk];
-         |int graftFilled = 0;
-         |for (int graftI = 0; graftI < graftNc; graftI++) {
-         |  double graftD = 0.0;
-         |  int graftBase = graftI * $dim;
-         |  for (int graftJ = 0; graftJ < $dim; graftJ++) {
-         |    graftD += ((double) $e.getFloat(graftJ)) * ((double) $matRef[graftBase + graftJ]);
+         |int $nc = $idsRef.length;
+         |double[] $bestS = new double[$kk];
+         |int[] $bestI = new int[$kk];
+         |int $filled = 0;
+         |for (int $i = 0; $i < $nc; $i++) {
+         |  double $d = 0.0;
+         |  int $base = $i * $dim;
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    $d += ((double) $e.getFloat($j)) * ((double) $matRef[$base + $j]);
          |  }
-         |  double graftScore = graftD / ($nrm * $nrmRef[graftI]);
-         |  if (graftFilled < $kk) {
-         |    int graftP = graftFilled;
-         |    while (graftP > 0 && graftScore > graftBestS[graftP - 1]) {
-         |      graftBestS[graftP] = graftBestS[graftP - 1];
-         |      graftBestI[graftP] = graftBestI[graftP - 1];
-         |      graftP--;
+         |  double $score = $d / ($nrm * $nrmRef[$i]);
+         |  if ($filled < $kk) {
+         |    int $p = $filled;
+         |    while ($p > 0 && $score > $bestS[$p - 1]) {
+         |      $bestS[$p] = $bestS[$p - 1];
+         |      $bestI[$p] = $bestI[$p - 1];
+         |      $p--;
          |    }
-         |    graftBestS[graftP] = graftScore; graftBestI[graftP] = $idsRef[graftI];
-         |    graftFilled++;
-         |  } else if (graftScore > graftBestS[$kk - 1]) {
-         |    int graftP = $kk - 1;
-         |    while (graftP > 0 && graftScore > graftBestS[graftP - 1]) {
-         |      graftBestS[graftP] = graftBestS[graftP - 1];
-         |      graftBestI[graftP] = graftBestI[graftP - 1];
-         |      graftP--;
+         |    $bestS[$p] = $score; $bestI[$p] = $idsRef[$i];
+         |    $filled++;
+         |  } else if ($score > $bestS[$kk - 1]) {
+         |    int $p = $kk - 1;
+         |    while ($p > 0 && $score > $bestS[$p - 1]) {
+         |      $bestS[$p] = $bestS[$p - 1];
+         |      $bestI[$p] = $bestI[$p - 1];
+         |      $p--;
          |    }
-         |    graftBestS[graftP] = graftScore; graftBestI[graftP] = $idsRef[graftI];
+         |    $bestS[$p] = $score; $bestI[$p] = $idsRef[$i];
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graftBestI);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bestI);
        """.stripMargin)
   }
 
@@ -121,6 +129,8 @@ object CentroidOps {
     */
   def nearest(e: Column, nrm: Column, cents: Seq[(Int, Array[Float], Double)],
               k: Int): Column = {
+    require(cents.nonEmpty,
+      "CentroidOps.nearest: empty centroid set (empty training corpus?)")
     val sorted = cents.sortBy(_._1)
     val dim = sorted.head._2.length
     val mat = new Array[Float](sorted.size * dim)

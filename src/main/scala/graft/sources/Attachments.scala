@@ -46,15 +46,29 @@ object Attachments {
   val TruncatedMarker = "... [Truncated]"
   val NidBuckets = 100
   val ContentRepeat = 3
+  /** Fixture bound: only documents below this id materialize files.
+    * Keeps the "download" stage O(1) in the corpus (a real pipeline
+    * downloads the attachments it reports on, not the whole corpus) —
+    * shared with the oracle, so parity is unaffected. Covers every
+    * document at the correctness SFs (≤2000 docs). */
+  val MaxFixtureDocs = 2000L
 
-  /** Deterministic root for a testdata dir's attachment tree. */
-  def fixtureRoot(dir: String): String =
-    "/tmp/graft_attachments/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+  /** Root for a testdata dir's attachment tree, scoped by the Spark
+    * application id: two concurrent sessions verifying the same
+    * testdata dir must not race delete-while-read on a shared path.
+    * (Node-local /tmp — local-mode assumption, noted in SURVEY §2; a
+    * cluster deployment would point this at shared storage.)
+    */
+  def fixtureRoot(s: SparkSession, dir: String): String =
+    "/tmp/graft_attachments/" + s.sparkContext.applicationId + "/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Corpus-derived fixture set: one attachment file per document. */
   private def fixtureFiles(s: SparkSession, dir: String): DataFrame = {
     val extArr = array(ExtensionCycle.map(lit): _*)
-    Tables.documents(s, dir).select(
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < MaxFixtureDocs)
+      .select(
       (col("doc_id") % NidBuckets).as("nid"),
       concat(lit("doc_"), col("doc_id"), lit("."),
         element_at(extArr, (col("doc_id") % ExtensionCycle.size).cast("int") + 1)).as("filename"),
@@ -65,9 +79,10 @@ object Attachments {
     * (same bytes every run); executor-side, one file per row.
     */
   def materialize(s: SparkSession, dir: String): String = {
-    val root = fixtureRoot(dir)
+    val root = fixtureRoot(s, dir)
     // clear stale fixtures (a changed mapping must not leave orphans
-    // behind for the glob to pick up)
+    // behind for the glob to pick up); the root is app-id-scoped, so
+    // this can only delete this session's own tree
     val rootPath = java.nio.file.Paths.get(root)
     if (java.nio.file.Files.exists(rootPath)) {
       import scala.jdk.CollectionConverters._
@@ -139,6 +154,7 @@ object Attachments {
        |         repeat(text || chr(10), $ContentRepeat) AS content,
        |         list_extract($extList, (doc_id % ${ExtensionCycle.size})::INT + 1) AS ext
        |  FROM documents
+       |  WHERE doc_id < $MaxFixtureDocs
        |), readable AS (
        |  SELECT nid, doc_id, filename,
        |         CASE WHEN length(content) >= $TruncateChars

@@ -324,7 +324,7 @@ class BucketedStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     import graft.functions.TextFunctions._
     import org.apache.spark.sql.functions.{col, explode, count, lit}
     val toks = Tables.documents(spark, sf).select(explode(tokens(col("text"))).as("token"))
-    val cand = graft.operators.Sketches.mgCandidates(spark, toks)
+    val cand = graft.operators.Sketches.mgCandidates(spark, toks, toks.count())
     // plan shape: candidates are produced by the bounded mapPartitions
     // summary — the merge groupBy aggregates summary rows, never the
     // raw token stream (the full-vocabulary aggregate the CMS avoids)
