@@ -119,17 +119,20 @@ object Sketches {
       .select(explode(tokens(col("text"))).as("token"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // ONE distributed pass builds the mergeable sketch
-      val cmsBytes = toks
-        .agg(expr(s"count_min_sketch(token, ${CmsEps}d, ${CmsConfidence}d, $CmsSeed)"))
-        .head().getAs[Array[Byte]](0)
+      // ONE distributed pass builds the mergeable sketch AND the total
+      // token count (the adaptive candidate slack needs N; riding the
+      // same partial agg saves a separate count job)
+      val row = toks
+        .agg(expr(s"count_min_sketch(token, ${CmsEps}d, ${CmsConfidence}d, $CmsSeed)"),
+          count(lit(1)))
+        .head()
+      val cmsBytes = row.getAs[Array[Byte]](0)
+      val totalTokens = row.getLong(1)
       val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(cmsBytes))
       // candidate probes: bounded partition-local summaries; the only
       // shuffled/aggregated rows are the ≤ m survivors per partition
-      // toks is already materialized in the cache by the sketch build,
-      // so the count is a cached-partition sweep, not a second scan
-      val candidates = mgCandidates(s, toks, toks.count()).as[String].collect().toSeq
+      val candidates = mgCandidates(s, toks, totalTokens).as[String].collect().toSeq
       // exact tf restricted to the bounded candidate set: the map-side
       // partial agg collapses to ≤ |candidates| rows per partition —
       // NOT a full-vocabulary aggregate
