@@ -145,7 +145,18 @@ object Dedup {
     * equi-join, no pair-array materialization.
     */
   private def coocPairs(docs: DataFrame, maxDf: Long): DataFrame = {
-    val ex = cappedPostings(docs, maxDf)
+    // Pin the postings exchange to the configured shuffle parallelism
+    // (explicit numPartitions disables AQE coalescing for this
+    // exchange): the postings are SMALL IN BYTES, so AQE's byte-sized
+    // advisory target would legally coalesce them to one partition —
+    // but this join FANS OUT ~df× per row and partial-aggregates a
+    // pair-key hash map, so per-task cost scales with pairs, not input
+    // bytes. Measured at sf1 (4.3M postings ≈ 70 MB): AQE coalesced to
+    // a single task that burned 10+ CPU-minutes on ~35M joined rows;
+    // pinned at 32 the same work rides 32 tasks. Both self-join sides
+    // read the ONE pinned exchange (ReusedExchange, co-partitioned).
+    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val ex = cappedPostings(docs, maxDf).repartition(n, col("h"))
     ex.as("x").join(ex.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -186,7 +197,11 @@ object Dedup {
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val docs = shingled(s, dir)
+    // pinned exchange (see coocPairs): the banded rows are tiny in
+    // bytes but the bucket self-join fans out Θ(bucket²) — AQE's
+    // byte-based coalesce must not serialize that fan-out
     val banded = bandedSigs(docs)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("band_id"), col("key"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -245,13 +260,18 @@ object Dedup {
   def incremental(s: SparkSession, dir: String): DataFrame = {
     val docs = shingled(s, dir)
     val isBatch = (c: Column) => pmod(c, lit(IncrementalBatchMod)) === 0
-    val banded = bandedSigs(docs)
+    val nPart = s.sessionState.conf.numShufflePartitions
+    // pinned exchanges (see coocPairs): both fan-out joins read one
+    // explicit-N shuffle each; the batch/corpus filters preserve the
+    // partitioning, so each join is co-partitioned with no extra
+    // exchange and AQE cannot coalesce the fan-out to one task
+    val banded = bandedSigs(docs).repartition(nPart, col("band_id"), col("key"))
     val cand = banded.filter(isBatch(col("doc_id"))).as("x")
       .join(banded.filter(!isBatch(col("doc_id"))).as("y"),
         col("x.band_id") === col("y.band_id") && col("x.key") === col("y.key"))
       .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_corpus"))
       .distinct()
-    val ex = cappedPostings(docs, MaxShingleDf)
+    val ex = cappedPostings(docs, MaxShingleDf).repartition(nPart, col("h"))
     val cooc = ex.filter(isBatch(col("doc_id"))).select(col("doc_id").as("doc_new"), col("h"))
       .join(ex.filter(!isBatch(col("doc_id")))
         .select(col("doc_id").as("doc_corpus"), col("h")), "h")
@@ -283,6 +303,9 @@ object Dedup {
       posexplode(array((0 until SimhashBands).map(k =>
         shiftright(col("sim"), SimhashBandBits * k)
           .bitwiseAND(lit((1L << SimhashBandBits) - 1))): _*)).as(Seq("band_id", "byte")))
+      // pinned exchange (see coocPairs): Θ(n²/65536) band fan-out must
+      // not be AQE-coalesced into one task on byte size
+      .repartition(s.sessionState.conf.numShufflePartitions, col("band_id"), col("byte"))
     banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") && col("x.byte") === col("y.byte") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -32,6 +32,31 @@ object Similarity {
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", sqrt(ArrayOps.dotF(col("e"), col("e"))))
 
+  /** Lloyd-round training input cap: quantizer quality depends on the
+    * data DISTRIBUTION, not the corpus size, so training passes are
+    * bounded to a deterministic hash-sample of ≤ this many vectors —
+    * at 10⁹ vectors a Lloyd round costs the same as at 10⁴ (the full
+    * corpus is only ever touched by the one ENCODE/assign pass, which
+    * is map-side and unavoidable). The bound sits above the shipped
+    * correctness SFs (≤ 2000 vectors) so their recall measurements are
+    * untouched, and engages from sf1 (20k vectors) up — exercised by
+    * the sf1 sweep, not just declared.
+    */
+  val TrainSampleCap = 8192L
+
+  /** Deterministic, partitioning-independent training sample: keep
+    * vec_id where xxhash64(vec_id) mod stride == 0, stride sized from
+    * a cheap count. No shuffle — a filter on the scan.
+    */
+  private[graft] def trainingSample(df: DataFrame): DataFrame = {
+    val n = df.count()
+    if (n <= TrainSampleCap) df
+    else {
+      val stride = math.ceil(n.toDouble / TrainSampleCap).toLong
+      df.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+    }
+  }
+
   private def dot(a: Column, b: Column): Column = ArrayOps.dotF(a, b)
 
   /** Tile count for the blocked all-pairs join: each side shuffles
@@ -268,7 +293,9 @@ object Similarity {
     * deterministic stride as the static IVF.
     */
   private[operators] def learnedCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Float])] = {
-    val n = normed(s, dir)
+    // Lloyd rounds see only the bounded training sample; the final
+    // corpus-wide cell assignment (in ivfSearch) is map-side anyway
+    val n = trainingSample(normed(s, dir))
     var cents: Seq[(Int, Array[Float])] = seededCentroids(s, dir).map(c => (c._1, c._2))
     for (_ <- 1 to KMeansIters) {
       // Lloyd scores by plain dot product: unit centroid norms and a
@@ -328,9 +355,12 @@ object Similarity {
     * rounds. Same bounded-metadata pattern as the IVF centroid learning.
     */
   private[graft] def pqCodebook(s: SparkSession, dir: String): Array[Float] = {
-    val n = normed(s, dir)
+    // Lloyd rounds train on the bounded sample; encoding stays full-corpus
+    val n = trainingSample(normed(s, dir))
     var cb: Array[Float] = {
-      val seeds = n.filter(col("vec_id") < PqK).orderBy("vec_id")
+      // first PqK vectors OF THE TRAINING SAMPLE (== vec_id < PqK when
+      // the sample is the whole corpus, i.e. at every shipped SF)
+      val seeds = n.orderBy("vec_id").limit(PqK)
         .select("e").collect().map(_.getSeq[Float](0).toArray)
       val out = new Array[Float](PqM * PqK * PqDsub)
       for (mi <- 0 until PqM; ki <- 0 until seeds.length; d <- 0 until PqDsub)

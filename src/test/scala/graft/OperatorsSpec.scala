@@ -276,6 +276,23 @@ class SkewRecallSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("Lloyd training sample is deterministic, bounded, and identity below the cap") {
+    import spark.implicits._
+    // below the cap: the sample IS the input (shipped-SF recall untouched)
+    val small = spark.range(100).select(col("id").as("vec_id"))
+    assert(Similarity.trainingSample(small).count() === 100)
+    // above the cap: bounded near the cap, deterministic across runs
+    // and across partitioning (hash of vec_id, not position)
+    val big = spark.range(50000).select(col("id").as("vec_id"))
+    val s1 = Similarity.trainingSample(big).as[Long].collect().sorted
+    val s2 = Similarity.trainingSample(big.repartition(7)).as[Long].collect().sorted
+    assert(s1 sameElements s2, "sample depends on partitioning")
+    assert(s1.length <= Similarity.TrainSampleCap,
+      s"sample exceeds cap: ${s1.length}")
+    assert(s1.length >= Similarity.TrainSampleCap / 2,
+      s"sample far below cap: ${s1.length}")
+  }
+
   test("ANN recall@5: LSH and IVF vs brute force") {
     val brute = Similarity.annBruteTopK(spark, sf).select("q_id", "neighbor_id")
     val nQ = brute.select("q_id").distinct().count()

@@ -159,4 +159,31 @@ class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
         s"missing=${batchPairs -- streamPairs} extra=${streamPairs -- batchPairs}")
     } finally q.stop()
   }
+
+  test("streaming CMS heavy hitters keep stream-wide bounds across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val hh = new graft.streaming.StreamingHeavyHitters(k = 5, m = 64)
+    val q = mem.toDF().writeStream.foreachBatch(hh.sink _).start()
+    try {
+      val b1 = Seq.fill(50)("alpha") ++ Seq.fill(30)("beta") ++ (0 until 40).map(i => s"n$i")
+      val b2 = Seq.fill(45)("gamma") ++ Seq.fill(25)("alpha") ++ (0 until 40).map(i => s"m$i")
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val all = b1 ++ b2
+      assert(hh.totalTokens === all.size.toLong)
+      val exact = all.groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+      val top = hh.current()
+      // the true heavies span both batches: alpha 75 (cross-batch sum),
+      // gamma 45, beta 30 — the merged state must rank them first
+      assert(top.take(3).map(_._1) === Seq("alpha", "gamma", "beta"),
+        s"got $top")
+      val slack = (graft.operators.Sketches.CmsEps * all.size).ceil.toLong
+      top.foreach { case (t, est) =>
+        assert(est >= exact(t), s"$t undercounted: $est < ${exact(t)}")
+        assert(est <= exact(t) + slack, s"$t over eps bound: $est")
+      }
+    } finally q.stop()
+  }
 }
