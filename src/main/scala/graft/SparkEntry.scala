@@ -87,6 +87,9 @@ object SparkEntry {
     // block-tree + comments normalization (operators.BlockTree:
     // recursive page tree → ordered markdown lines, json_extract oracle)
     "q_block_tree"        -> operators.BlockTree.blockTree _,
+    // report-document assembly (operators.ReportDoc: the reference's
+    // PDF-report sections/grouping/numbering as position-ordered lines)
+    "q_report_doc"        -> operators.ReportDoc.reportDoc _,
     "q_vocab_topk"        -> ExtendedAnalytics.vocabTopK _,
     "q_ngram_freq"        -> ExtendedAnalytics.ngramFreqTopK _,
     "q_running_total"     -> ExtendedAnalytics.runningTotal _,
@@ -424,6 +427,7 @@ object SparkEntry {
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_attachment_text" -> sources.Attachments.oracleSql,
     "q_block_tree" -> operators.BlockTree.oracleSql,
+    "q_report_doc" -> operators.ReportDoc.oracleSql,
     "q_token_count" ->
       """SELECT doc_id,
          CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS ws_tokens,

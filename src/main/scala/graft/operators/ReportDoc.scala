@@ -1,0 +1,270 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Status-report document assembly (SURVEY §2 row 84) — the data half
+  * of the reference's report presentation layer
+  * (generate_reports.py:309-604 `generate_pdf_report`): the PDF/chart
+  * rendering is out of scope for a query engine, but everything the
+  * renderer consumes — section membership, parent grouping, group
+  * headers, continuous item numbering, empty-section placeholders, and
+  * the report-period status distribution behind
+  * `generate_report_charts` (generate_reports.py:221-254) — is
+  * relational and fully oracle-able.
+  *
+  * Output: one row per rendered report line, `(section_no, pos, line)`,
+  * position-ordered — the same shape `q_block_tree` uses for the
+  * ingest direction, here for the publish direction.
+  *
+  * Sections mirror generate_reports.py:548-578:
+  *   0  title + period header (pinned period constants — the
+  *      reference's `datetime.now()` is a parameter here, SURVEY §3)
+  *   1  Completed Tasks   — done in [start, end], grouped by parent,
+  *                          newest first   (generate_reports.py:476-487)
+  *   2  In Progress       — grouped by parent, priority order (:489-499)
+  *   3  To Do             — the >15 ⇒ due-soon ∨ high-prio narrowing,
+  *                          shared with `q_report_goals` (:448-466)
+  *   4  Uncategorized     — catch-all, emitted only when non-empty
+  *                          (:570-576; always empty on this corpus —
+  *                          `orders` has no status outside O/F/P)
+  *   5  Analysis          — status counts over the union of the three
+  *                          task sections = the pie-chart series
+  *                          (generate_reports.py:231-238)
+  *
+  * Grouped-section line layout (generate_reports.py:527-546
+  * `print_grouped_section`): a group header (upper-cased parent name)
+  * precedes each parent's run; item numbering is the enumerate over
+  * the section's rows, continuous ACROSS group changes. With rows
+  * sorted parent-first, `r` = global row number and `g` = dense rank
+  * of the parent give header pos `r+g-1` / item pos `r+g` with no
+  * gaps — both engines compute positions from the same two window
+  * functions rather than a stateful renderer.
+  *
+  * Scale: a rendered report is presentation-bounded — the reference
+  * itself narrows any section a human would not read (the >15 goals
+  * cut). The unpartitioned windows here run AFTER the period/status
+  * filters, on document-sized frames (the 100 TB work is the filter
+  * scan, which distributes); assembling the final total order of a
+  * human-readable document on one partition is inherent to emitting
+  * it.
+  */
+object ReportDoc {
+
+  import TaskAnalytics.{PeriodStart, PeriodEnd, prioScore}
+  import ExtendedAnalytics.GoalsCutoff
+
+  /** The reference renders each item as clean_text(Name) truncated to
+    * 60 (add_task_item → text_style.py; that path is oracle-covered by
+    * `q_clean_text`); `orders` has no free-text column, so the task
+    * Name analog is synthesized from the key + priority label.
+    */
+  private def itemName(okey: Column, prio: Column): Column =
+    concat(lit("Order "), okey.cast("string"), lit(" ("), prio, lit(")"))
+
+  private val sqlItemName =
+    "'Order ' || CAST(o_orderkey AS VARCHAR) || ' (' || o_orderpriority || ')'"
+
+  private def sqlPrio(c: String): String =
+    s"""CASE $c WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+        WHEN '3-MEDIUM' THEN 2 WHEN '4-NOT SPECIFIED' THEN 3
+        WHEN '5-LOW' THEN 4 ELSE 5 END"""
+
+  // ---- section sources (parent_name, item_name, sort keys) ----------
+
+  private def withParent(s: SparkSession, dir: String, df: DataFrame): DataFrame =
+    df.join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name").as("parent_name"),
+        itemName(col("o_orderkey"), col("o_orderpriority")).as("item_name"),
+        prioScore(col("o_orderpriority")).as("prio"),
+        col("o_orderdate").as("due"), col("o_orderkey").as("okey"))
+
+  private def completedSrc(s: SparkSession, dir: String): DataFrame =
+    withParent(s, dir, Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F" &&
+        col("o_orderdate") >= lit(PeriodStart).cast("timestamp") &&
+        col("o_orderdate") <= lit(PeriodEnd).cast("timestamp")))
+
+  private def inProgressSrc(s: SparkSession, dir: String): DataFrame =
+    withParent(s, dir, Tables.orders(s, dir).filter(col("o_orderstatus") === "P"))
+
+  private def goalsSrc(s: SparkSession, dir: String): DataFrame = {
+    val open = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+    val total = open.agg(count(lit(1)).as("_total"))
+    withParent(s, dir, open.crossJoin(broadcast(total))
+      .filter(col("_total") <= 15 ||
+        col("o_orderdate") <= lit(GoalsCutoff).cast("timestamp") ||
+        prioScore(col("o_orderpriority")) <= 1))
+  }
+
+  private val sqlSrcCols =
+    s"""c_name AS parent_name, $sqlItemName AS item_name,
+        ${sqlPrio("o_orderpriority")} AS prio,
+        o_orderdate AS due, o_orderkey AS okey
+        FROM orders JOIN customer ON o_custkey = c_custkey"""
+
+  private val sqlCompletedSrc =
+    s"""SELECT $sqlSrcCols
+        WHERE o_orderstatus = 'F'
+          AND o_orderdate >= TIMESTAMP '$PeriodStart 00:00:00'
+          AND o_orderdate <= TIMESTAMP '$PeriodEnd 00:00:00'"""
+
+  private val sqlInProgressSrc =
+    s"""SELECT $sqlSrcCols WHERE o_orderstatus = 'P'"""
+
+  private val sqlGoalsSrc =
+    s"""SELECT $sqlSrcCols
+        WHERE o_orderstatus = 'O'
+          AND ((SELECT count(*) FROM orders WHERE o_orderstatus = 'O') <= 15
+               OR o_orderdate <= TIMESTAMP '$GoalsCutoff 00:00:00'
+               OR ${sqlPrio("o_orderpriority")} <= 1)"""
+
+  // ---- grouped-section assembly -------------------------------------
+
+  private def grouped(s: SparkSession, no: Int, title: String, rows: DataFrame,
+      sort: Seq[Column], emptyMsg: String): DataFrame = {
+    val wAll = Window.orderBy(sort: _*)
+    val wGrp = Window.orderBy(col("parent_name"))
+    val ranked = rows.select(col("parent_name"), col("item_name"),
+      row_number().over(wAll).as("r"),
+      dense_rank().over(wGrp).as("g"),
+      lag(col("parent_name"), 1).over(wAll).as("prev"))
+    val titleRow = s.range(1).select(lit(no).as("section_no"), lit(0).as("pos"),
+      lit(s"$no. $title").as("line"))
+    val headers = ranked
+      .filter(col("prev").isNull || col("prev") =!= col("parent_name"))
+      .select(lit(no).as("section_no"), (col("r") + col("g") - 1).as("pos"),
+        upper(col("parent_name")).as("line"))
+    val items = ranked.select(lit(no).as("section_no"),
+      (col("r") + col("g")).as("pos"),
+      concat(col("r").cast("string"), lit(". "), col("item_name")).as("line"))
+    val placeholder = rows.agg(count(lit(1)).as("_n")).filter(col("_n") === 0)
+      .select(lit(no).as("section_no"), lit(1).as("pos"), lit(emptyMsg).as("line"))
+    titleRow.union(headers).union(items).union(placeholder)
+  }
+
+  private def sqlGrouped(no: Int, title: String, src: String, sort: String,
+      emptyMsg: String): String =
+    s"""SELECT $no AS section_no, 0 AS pos, '$no. $title' AS line
+        UNION ALL
+        SELECT $no, CAST(r + g - 1 AS INTEGER), upper(parent_name)
+        FROM (SELECT parent_name,
+                row_number() OVER (ORDER BY $sort) AS r,
+                dense_rank() OVER (ORDER BY parent_name) AS g,
+                lag(parent_name) OVER (ORDER BY $sort) AS prev
+              FROM ($src) s_$no) h_$no
+        WHERE prev IS NULL OR prev <> parent_name
+        UNION ALL
+        SELECT $no, CAST(r + g AS INTEGER), CAST(r AS VARCHAR) || '. ' || item_name
+        FROM (SELECT parent_name, item_name,
+                row_number() OVER (ORDER BY $sort) AS r,
+                dense_rank() OVER (ORDER BY parent_name) AS g
+              FROM ($src) s2_$no) i_$no
+        UNION ALL
+        SELECT $no, 1, '$emptyMsg' WHERE (SELECT count(*) FROM ($src) e_$no) = 0"""
+
+  // ---- the operator -------------------------------------------------
+
+  def reportDoc(s: SparkSession, dir: String): DataFrame = {
+    val header = s.range(1).select(lit(0).as("section_no"), lit(0).as("pos"),
+        lit(s"Status Report - $PeriodStart to $PeriodEnd").as("line"))
+      .union(s.range(1).select(lit(0).as("section_no"), lit(1).as("pos"),
+        lit(s"Period: $PeriodStart to $PeriodEnd").as("line")))
+
+    val completed = completedSrc(s, dir)
+    val inprog    = inProgressSrc(s, dir)
+    val goals     = goalsSrc(s, dir)
+
+    val s1 = grouped(s, 1, "Completed Tasks", completed,
+      Seq(col("parent_name"), col("due").desc, col("okey")),
+      "No tasks completed in this period.")
+    val s2 = grouped(s, 2, "In Progress", inprog,
+      Seq(col("parent_name"), col("prio"), col("okey")),
+      "No tasks currently in progress.")
+    val s3 = grouped(s, 3, "To Do", goals,
+      Seq(col("parent_name"), col("prio"), col("due"), col("okey")),
+      "No immediate high priority goals with due dates.")
+
+    // §4 catch-all: emitted only when a task has a status outside the
+    // normalized set (generate_reports.py:570-576) — structurally
+    // present, empty on this corpus.
+    val unc = Tables.orders(s, dir)
+      .filter(!col("o_orderstatus").isin("O", "F", "P"))
+      .select(itemName(col("o_orderkey"), col("o_orderpriority")).as("item_name"),
+        col("o_orderkey").as("okey"))
+    val uncCnt = unc.agg(count(lit(1)).as("_n")).filter(col("_n") > 0)
+    val s4 = uncCnt.select(lit(4).as("section_no"), lit(0).as("pos"),
+        lit("4. Uncategorized / Other Tasks").as("line"))
+      .union(uncCnt.select(lit(4).as("section_no"), lit(1).as("pos"),
+        lit("These tasks do not match standard status filters (To Do, Doing, Done).").as("line")))
+      .union(unc.select(col("item_name"),
+          row_number().over(Window.orderBy(col("okey"))).as("r"))
+        .select(lit(4).as("section_no"), (col("r") + 1).as("pos"),
+          concat(col("r").cast("string"), lit(". "), col("item_name")).as("line")))
+
+    // §5 analysis: the report-period status pie series — normalized
+    // status counts over the union of the three task sections, ordered
+    // (count desc, status) for a deterministic legend.
+    val combined = completed.select(lit("finished").as("status"))
+      .union(inprog.select(lit("pending").as("status")))
+      .union(goals.select(lit("open").as("status")))
+    val counts = combined.groupBy("status").agg(count(lit(1)).as("n"))
+    val s5 = counts.agg(count(lit(1)).as("_n")).filter(col("_n") > 0)
+      .select(lit(5).as("section_no"), lit(0).as("pos"),
+        lit("Analysis. Work Distribution & Productivity Trends").as("line"))
+      .union(counts.select(lit(5).as("section_no"),
+        row_number().over(Window.orderBy(col("n").desc, col("status"))).as("pos"),
+        concat(col("status"), lit(": "), col("n").cast("string")).as("line")))
+
+    header.union(s1).union(s2).union(s3).union(s4).union(s5)
+      .orderBy("section_no", "pos")
+  }
+
+  /** DuckDB oracle — generated beside the operator so the section
+    * sources, sort keys, and line formats have one source of truth.
+    */
+  def oracleSql: String = {
+    val sqlCombined =
+      s"""SELECT 'finished' AS status FROM ($sqlCompletedSrc) ca
+          UNION ALL SELECT 'pending' FROM ($sqlInProgressSrc) cb
+          UNION ALL SELECT 'open' FROM ($sqlGoalsSrc) cc"""
+    val sqlUncSrc =
+      s"""SELECT $sqlItemName AS item_name, o_orderkey AS okey
+          FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P')"""
+    s"""SELECT 0 AS section_no, 0 AS pos,
+           'Status Report - $PeriodStart to $PeriodEnd' AS line
+        UNION ALL
+        SELECT 0, 1, 'Period: $PeriodStart to $PeriodEnd'
+        UNION ALL
+        ${sqlGrouped(1, "Completed Tasks", sqlCompletedSrc,
+          "parent_name, due DESC, okey", "No tasks completed in this period.")}
+        UNION ALL
+        ${sqlGrouped(2, "In Progress", sqlInProgressSrc,
+          "parent_name, prio, okey", "No tasks currently in progress.")}
+        UNION ALL
+        ${sqlGrouped(3, "To Do", sqlGoalsSrc,
+          "parent_name, prio, due, okey",
+          "No immediate high priority goals with due dates.")}
+        UNION ALL
+        SELECT 4, 0, '4. Uncategorized / Other Tasks'
+        WHERE EXISTS (SELECT 1 FROM ($sqlUncSrc) u0)
+        UNION ALL
+        SELECT 4, 1, 'These tasks do not match standard status filters (To Do, Doing, Done).'
+        WHERE EXISTS (SELECT 1 FROM ($sqlUncSrc) u1)
+        UNION ALL
+        SELECT 4, CAST(r + 1 AS INTEGER), CAST(r AS VARCHAR) || '. ' || item_name
+        FROM (SELECT item_name, row_number() OVER (ORDER BY okey) AS r
+              FROM ($sqlUncSrc) u2) u3
+        UNION ALL
+        SELECT 5, 0, 'Analysis. Work Distribution & Productivity Trends'
+        WHERE EXISTS (SELECT 1 FROM ($sqlCombined) a0)
+        UNION ALL
+        SELECT 5, CAST(row_number() OVER (ORDER BY n DESC, status) AS INTEGER),
+           status || ': ' || CAST(n AS VARCHAR)
+        FROM (SELECT status, count(*) AS n FROM ($sqlCombined) a1 GROUP BY status) a2
+        ORDER BY section_no, pos"""
+  }
+}

@@ -43,6 +43,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(TaskAnalytics.q3TopRevenue(spark, sf).count() === 10)
   }
 
+  test("report doc renders contiguous positions, grouped headers, continuous numbering") {
+    val lines = ReportDoc.reportDoc(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    val bySection = lines.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // header section + 3 task sections + analysis; §4 empty on this corpus
+    assert(bySection.keySet === Set(0, 1, 2, 3, 5))
+    for ((sec, rs) <- bySection) {
+      val ps = rs.map(_._2).toSeq
+      assert(ps === (0 until rs.length),
+        s"section $sec positions not contiguous: ${ps.take(10)}")
+    }
+    for (sec <- Seq(1, 2, 3)) {
+      val rs = bySection(sec).map(_._3)
+      assert(rs.head.startsWith(s"$sec. "), s"section $sec title: ${rs.head}")
+      val items = rs.tail.filter(l => l.headOption.exists(_.isDigit))
+      // numbering is the enumerate over the section's items, across groups
+      assert(items.zipWithIndex.forall { case (l, i) => l.startsWith(s"${i + 1}. ") },
+        s"section $sec numbering broken: ${items.take(3).toSeq}")
+      val headers = rs.tail.filterNot(l => l.headOption.exists(_.isDigit))
+      assert(headers.nonEmpty && headers.forall(h => h == h.toUpperCase),
+        s"section $sec group headers: ${headers.take(3).toSeq}")
+      // a group header always directly precedes an item
+      val seq = rs.tail
+      for (i <- seq.indices if !seq(i).headOption.exists(_.isDigit))
+        assert(i + 1 < seq.length && seq(i + 1).headOption.exists(_.isDigit))
+    }
+    // analysis counts = section item counts
+    val itemCount = (sec: Int) =>
+      bySection(sec).count(r => r._2 > 0 && r._3.headOption.exists(_.isDigit))
+    val analysis = bySection(5).map(_._3).tail.map { l =>
+      val Array(k, v) = l.split(": "); k -> v.toLong
+    }.toMap
+    assert(analysis("finished") === itemCount(1))
+    assert(analysis("pending") === itemCount(2))
+    assert(analysis("open") === itemCount(3))
+  }
+
   test("minhash candidates verify to a subset of exhaustive jaccard pairs at its threshold") {
     // Every minhash-verified pair (J >= 0.5) that also clears the exhaustive
     // query's higher threshold (J >= 0.6) must appear in the exhaustive result.
@@ -526,8 +563,8 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     // others broadcast a SINGLE scalar/boundary row (count gate,
     // corpus-size N, decile bounds) — O(1) build sides, not cartesians
     val allowedBnlj = Set("q_ann_brute_topk", "q_ann_ivf_topk", "q_ann_ivf2_topk",
-      "q_ann_pq_topk", "q_ann_ivfpq_topk", "q_report_goals", "q_tfidf_top_terms",
-      "q_value_deciles")
+      "q_ann_pq_topk", "q_ann_ivfpq_topk", "q_report_goals", "q_report_doc",
+      "q_tfidf_top_terms", "q_value_deciles")
     for ((q, _) <- SparkEntry.queries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
