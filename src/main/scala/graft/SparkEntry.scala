@@ -90,6 +90,10 @@ object SparkEntry {
     // report-document assembly (operators.ReportDoc: the reference's
     // PDF-report sections/grouping/numbering as position-ordered lines)
     "q_report_doc"        -> operators.ReportDoc.reportDoc _,
+    // paginated-API ingest (sources.PagedTasks: DataSource V2 over
+    // response-envelope pages — parallel cursor chain, 429 retry,
+    // pruned parse, keep-last merge)
+    "q_paged_ingest"      -> sources.PagedTasks.pagedIngest _,
     "q_vocab_topk"        -> ExtendedAnalytics.vocabTopK _,
     "q_ngram_freq"        -> ExtendedAnalytics.ngramFreqTopK _,
     "q_running_total"     -> ExtendedAnalytics.runningTotal _,
@@ -428,6 +432,7 @@ object SparkEntry {
     "q_attachment_text" -> sources.Attachments.oracleSql,
     "q_block_tree" -> operators.BlockTree.oracleSql,
     "q_report_doc" -> operators.ReportDoc.oracleSql,
+    "q_paged_ingest" -> sources.PagedTasks.oracleSql,
     "q_token_count" ->
       """SELECT doc_id,
          CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS ws_tokens,

@@ -1,0 +1,309 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.Tables
+
+/** Paginated REST ingest as a Spark DataSource V2 — the reference's
+  * front door (fetch_pages.py:38-116 `fetch_all_pages`: POST
+  * database/query with `start_cursor`/`page_size`, follow
+  * `has_more`/`next_cursor`, retry on 429 with backoff; results merged
+  * keep-last-by-UID into the CSV cache, fetch_pages.py:590-604).
+  *
+  * The network is out of scope (zero egress), so the API surface is a
+  * directory of page files, each one response envelope
+  * `{"results":[…], "has_more":…, "next_cursor":…}` — exactly what the
+  * reference's HTTP loop sees per request. What IS in scope is the
+  * Spark-side shape of ingesting such an API at 100 TB, which this
+  * connector makes first-class instead of a driver-side loop:
+  *
+  *  - the reference walks the cursor chain SERIALLY; the connector
+  *    plans one `InputPartition` per page up front, so 1000 executors
+  *    pull 1000 pages concurrently (the cursor chain is still
+  *    validated — each reader checks its page's `next_cursor` links to
+  *    the successor — but validation is distributed, not a serial walk)
+  *  - rate-limit handling lives in the reader: a page whose first
+  *    "request" returns the 429 error envelope (deterministic
+  *    `.attempt0.json` sidecar fixtures) is retried, mirroring
+  *    fetch_pages.py:58-77's backoff loop, task-locally and without
+  *    failing the stage
+  *  - column pruning is pushed into the source
+  *    (`SupportsPushDownRequiredColumns`): a `select(nid)` parses ONLY
+  *    the nid field out of each result object — at ingest scale the
+  *    bytes you don't materialize are the win
+  *  - the keep-last merge (the reference's incremental cache update)
+  *    is the same one-shuffle `row_number` dedup as
+  *    `q_dedup_keep_last`, riding the heap-rewritten TopKPerKey path
+  *    under the installed extensions
+  *
+  * Fixture mapping (shared verbatim with the DuckDB oracle): tasks =
+  * `orders` rows with `o_orderkey < MaxFixtureKey`, version 0, spread
+  * over [[BasePages]] pages by key hash; every `o_orderkey % 7 == 0`
+  * task appears AGAIN (version 1, status forced to the done state) in
+  * one of the [[UpdatePages]] trailing pages, so the keep-last merge
+  * is load-bearing; every [[RetryEvery]]-th page carries a 429
+  * first-attempt sidecar.
+  */
+object PagedTasks {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("nid", LongType, nullable = false),
+    StructField("status", StringType, nullable = false),
+    StructField("priority", StringType, nullable = false),
+    StructField("created", StringType, nullable = false),
+    StructField("parent_nid", LongType, nullable = false),
+    StructField("total", DoubleType, nullable = false),
+    StructField("version", IntegerType, nullable = false),
+    StructField("page_no", IntegerType, nullable = false)))
+
+  /** Fixture bound: keys below this (≈20k tasks at sf≥0.01, every task
+    * at sf0.001) materialize — the ingest fixture is O(1) in the
+    * corpus, like a real incremental fetch window.
+    */
+  val MaxFixtureKey = 80000L
+  val BasePages = 16
+  val UpdatePages = 4
+  val NumPages: Int = BasePages + UpdatePages
+  val RetryEvery = 5
+  val DoneStatus = "F"
+
+  def cursorOf(page: Int): String = s"cur-$page"
+
+  def fixtureRoot(s: SparkSession, dir: String): String =
+    "/tmp/graft_pages/" + s.sparkContext.applicationId + "/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** One row per fixture task instance (base + update overlay), with
+    * its page assignment.
+    */
+  private def fixtureRows(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).filter(col("o_orderkey") < MaxFixtureKey)
+      .select(col("o_orderkey").as("nid"), col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("created"),
+        col("o_custkey").as("parent_nid"), col("o_totalprice").as("total"))
+    val base = o.select(col("nid"), col("status"), col("priority"), col("created"),
+      col("parent_nid"), col("total"), lit(0).as("version"),
+      (col("nid") % BasePages).cast("int").as("page_no"))
+    val updates = o.filter(col("nid") % 7 === 0)
+      .select(col("nid"), lit(DoneStatus).as("status"), col("priority"), col("created"),
+        col("parent_nid"), col("total"), lit(1).as("version"),
+        (lit(BasePages) + col("nid") % UpdatePages).cast("int").as("page_no"))
+    base.union(updates)
+  }
+
+  /** "Fetch" stage: write the page-response fixture tree. Executor-side
+    * (repartition by page so each page's rows land in one task), one
+    * envelope file per page + the 429 first-attempt sidecars. Pages a
+    * fetch window doesn't fill still exist (empty `results`) so the
+    * cursor chain is closed.
+    */
+  def materialize(s: SparkSession, dir: String): String = {
+    val root = fixtureRoot(s, dir)
+    val rootPath = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(rootPath)) {
+      java.nio.file.Files.walk(rootPath).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.createDirectories(rootPath)
+    val n = NumPages
+    fixtureRows(s, dir).repartition(n, col("page_no"))
+      .sortWithinPartitions("page_no", "nid", "version")
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val byPage = rows.toSeq.groupBy(_.getInt(7))
+        byPage.foreach { case (page, rs) =>
+          val sb = new StringBuilder
+          sb.append("{\"object\":\"list\",\"results\":[")
+          rs.zipWithIndex.foreach { case (r, i) =>
+            if (i > 0) sb.append(',')
+            sb.append(s"""{"nid":${r.getLong(0)},"status":"${r.getString(1)}",""")
+            sb.append(s""""priority":"${r.getString(2)}","created":"${r.getString(3)}",""")
+            sb.append(s""""parent_nid":${r.getLong(4)},"total":${r.getDouble(5)},""")
+            sb.append(s""""version":${r.getInt(6)}}""")
+          }
+          val hasMore = page + 1 < n
+          val cursor = if (hasMore) s""""${cursorOf(page + 1)}"""" else "null"
+          sb.append(s"],\"has_more\":$hasMore,\"next_cursor\":$cursor}")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$root/page-$page.json"),
+            sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    // empty trailing pages the fetch window didn't fill + 429 sidecars
+    // (driver-side: O(NumPages) metadata files, no data rows)
+    for (page <- 0 until n) {
+      val p = java.nio.file.Paths.get(s"$root/page-$page.json")
+      if (!java.nio.file.Files.exists(p)) {
+        val hasMore = page + 1 < n
+        val cursor = if (hasMore) s""""${cursorOf(page + 1)}"""" else "null"
+        java.nio.file.Files.write(p,
+          s"""{"object":"list","results":[],"has_more":$hasMore,"next_cursor":$cursor}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      if (page % RetryEvery == 0) {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$root/page-$page.attempt0.json"),
+          """{"object":"error","status":429,"code":"rate_limited"}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+    root
+  }
+
+  /** §2 catalog entry: materialize the fetch fixture, ingest through
+    * the connector, keep-last merge by version — the reference's
+    * incremental cache update as one query.
+    */
+  def pagedIngest(s: SparkSession, dir: String): DataFrame = {
+    val root = materialize(s, dir)
+    val raw = s.read.format("graft.sources.PagedTasksSource")
+      .option("path", root).load()
+    val w = Window.partitionBy("nid").orderBy(col("version").desc)
+    raw.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("nid"), col("status"), col("priority"), col("created"),
+        col("parent_nid"), col("total"), col("version"))
+      .orderBy("nid")
+  }
+
+  /** DuckDB oracle: the fixture derivation is deterministic from
+    * `orders`, so the merged result has a closed form — the overlay
+    * rows win exactly where they exist.
+    */
+  def oracleSql: String =
+    s"""SELECT o_orderkey AS nid,
+       |  CASE WHEN o_orderkey % 7 = 0 THEN '$DoneStatus' ELSE o_orderstatus END AS status,
+       |  o_orderpriority AS priority,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS created,
+       |  o_custkey AS parent_nid,
+       |  o_totalprice AS total,
+       |  CAST(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS INTEGER) AS version
+       |FROM orders WHERE o_orderkey < $MaxFixtureKey
+       |ORDER BY nid""".stripMargin
+}
+
+/** The `TableProvider` behind `format("graft.sources.PagedTasksSource")`. */
+class PagedTasksSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = PagedTasks.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new PagedTasksTable(properties.get("path"))
+}
+
+class PagedTasksTable(root: String) extends Table with SupportsRead {
+  override def name(): String = s"paged_tasks($root)"
+  override def schema(): StructType = PagedTasks.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedScanBuilder(root)
+}
+
+class PagedScanBuilder(root: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = PagedTasks.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new PagedScan(root, required)
+}
+
+class PagedScan(root: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"PagedTasks $root ${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = java.nio.file.Paths.get(root)
+    val listing = java.nio.file.Files.list(dir)
+    val pages =
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("page-\\d+\\.json") =>
+          s.stripPrefix("page-").stripSuffix(".json").toInt }
+        .toArray.sorted
+      finally listing.close()
+    require(pages.nonEmpty && pages.head == 0 && pages.last == pages.length - 1,
+      s"page chain has holes: ${pages.mkString(",")}")
+    val last = pages.last
+    pages.map { p =>
+      val retry = s"$root/page-$p.attempt0.json"
+      PagedPartition(p, s"$root/page-$p.json",
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(retry))) Some(retry) else None,
+        expectedNext = if (p == last) None else Some(PagedTasks.cursorOf(p + 1)))
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(required)
+}
+
+case class PagedPartition(pageNo: Int, path: String, retryPath: Option[String],
+    expectedNext: Option[String]) extends InputPartition
+
+class PagedReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PagedReader(partition.asInstanceOf[PagedPartition], required)
+}
+
+/** Reads one page "response". The first attempt may be the 429 error
+  * envelope (retry sidecar) — mirrored from fetch_pages.py:58-77, the
+  * reader backs off and re-requests instead of failing the task. The
+  * page's `next_cursor` is validated against the planned successor so
+  * a broken chain fails loudly.
+  */
+class PagedReader(p: PagedPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper
+  /** retries this reader performed (0 or 1 with the fixture sidecars) */
+  var retried = 0
+
+  private val results: java.util.Iterator[JsonNode] = {
+    p.retryPath.foreach { rp =>
+      val attempt = mapper.readTree(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(rp)))
+      if (attempt.path("status").asInt() == 429) retried += 1
+      // (backoff would sleep here; the fixture's retry always succeeds)
+    }
+    val env = mapper.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p.path)))
+    val next = Option(env.get("next_cursor")).filterNot(_.isNull).map(_.asText)
+    require(next == p.expectedNext,
+      s"page ${p.pageNo}: next_cursor $next != planned ${p.expectedNext}")
+    require(env.path("has_more").asBoolean == p.expectedNext.isDefined,
+      s"page ${p.pageNo}: has_more disagrees with the chain position")
+    env.path("results").elements()
+  }
+
+  private var row: InternalRow = _
+
+  override def next(): Boolean =
+    if (results.hasNext) { row = convert(results.next()); true } else false
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+
+  /** Materializes ONLY the pruned columns out of the result object. */
+  private def convert(node: JsonNode): InternalRow =
+    new GenericInternalRow(required.fields.map { f =>
+      (f.name match {
+        case "nid"        => node.get("nid").asLong
+        case "status"     => UTF8String.fromString(node.get("status").asText)
+        case "priority"   => UTF8String.fromString(node.get("priority").asText)
+        case "created"    => UTF8String.fromString(node.get("created").asText)
+        case "parent_nid" => node.get("parent_nid").asLong
+        case "total"      => node.get("total").asDouble
+        case "version"    => node.get("version").asInt
+        case "page_no"    => p.pageNo
+      }): Any
+    })
+}

@@ -363,6 +363,39 @@ class BucketedStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!n.isNullAt(0))
   }
 
+  test("paged ingest: one partition per page, pruned scan, retry handled, merge wins") {
+    import graft.sources.{PagedPartition, PagedReader, PagedTasks => P}
+    val root = P.materialize(spark, sf)
+    val raw = spark.read.format("graft.sources.PagedTasksSource")
+      .option("path", root).load()
+    // the cursor chain is read in parallel: one input partition per page
+    assert(raw.rdd.getNumPartitions === P.NumPages)
+    // column pruning reaches the source: a 1-column projection scans 1 field
+    val pruned = raw.select("nid")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.output.map(_.name) === Seq("nid"), scan.output.mkString(","))
+    // every nid%7==0 task has its version-1 overlay in an update page
+    val vmax = raw.groupBy("nid").agg(max("version").as("v")).collect()
+    assert(vmax.forall(r => r.getInt(1) === (if (r.getLong(0) % 7 == 0) 1 else 0)))
+    // update rows live in the trailing pages only
+    assert(raw.filter(col("version") === 1 && col("page_no") < P.BasePages).isEmpty)
+    // the reader consumes the 429 first attempt and still yields the page
+    val retryPage = P.RetryEvery  // page 5: has a sidecar, 5 % 16 bucket is non-empty
+    val part = PagedPartition(retryPage, s"$root/page-$retryPage.json",
+      Some(s"$root/page-$retryPage.attempt0.json"), Some(P.cursorOf(retryPage + 1)))
+    val reader = new PagedReader(part, P.Schema)
+    var n = 0
+    while (reader.next()) n += 1
+    assert(reader.retried === 1 && n > 0)
+    // a broken cursor chain fails loudly
+    val bad = PagedPartition(retryPage, s"$root/page-$retryPage.json", None, None)
+    intercept[IllegalArgumentException] { new PagedReader(bad, P.Schema).next() }
+    // keep-last merge: every overlaid task reports the done status
+    val merged = P.pagedIngest(spark, sf)
+    assert(merged.filter(col("nid") % 7 === 0 && col("status") =!= P.DoneStatus).isEmpty)
+    assert(merged.groupBy("nid").count().filter(col("count") > 1).isEmpty)
+  }
+
   test("block tree flattens pre-order with checkbox state and trailing comments") {
     import org.apache.spark.sql.functions.col
     val rows = graft.operators.BlockTree.blockTree(spark, sf)
