@@ -122,30 +122,6 @@ object ReportDoc {
                OR o_orderdate <= TIMESTAMP '$GoalsCutoff 00:00:00'
                OR ${sqlPrio("o_orderpriority")} <= 1)"""
 
-  // ---- grouped-section assembly -------------------------------------
-
-  private def grouped(s: SparkSession, no: Int, title: String, rows: DataFrame,
-      sort: Seq[Column], emptyMsg: String): DataFrame = {
-    val wAll = Window.orderBy(sort: _*)
-    val wGrp = Window.orderBy(col("parent_name"))
-    val ranked = rows.select(col("parent_name"), col("item_name"),
-      row_number().over(wAll).as("r"),
-      dense_rank().over(wGrp).as("g"),
-      lag(col("parent_name"), 1).over(wAll).as("prev"))
-    val titleRow = s.range(1).select(lit(no).as("section_no"), lit(0).as("pos"),
-      lit(s"$no. $title").as("line"))
-    val headers = ranked
-      .filter(col("prev").isNull || col("prev") =!= col("parent_name"))
-      .select(lit(no).as("section_no"), (col("r") + col("g") - 1).as("pos"),
-        upper(col("parent_name")).as("line"))
-    val items = ranked.select(lit(no).as("section_no"),
-      (col("r") + col("g")).as("pos"),
-      concat(col("r").cast("string"), lit(". "), col("item_name")).as("line"))
-    val placeholder = rows.agg(count(lit(1)).as("_n")).filter(col("_n") === 0)
-      .select(lit(no).as("section_no"), lit(1).as("pos"), lit(emptyMsg).as("line"))
-    titleRow.union(headers).union(items).union(placeholder)
-  }
-
   private def sqlGrouped(no: Int, title: String, src: String, sort: String,
       emptyMsg: String): String =
     s"""SELECT $no AS section_no, 0 AS pos, '$no. $title' AS line
@@ -168,25 +144,61 @@ object ReportDoc {
 
   // ---- the operator -------------------------------------------------
 
+  private val SectionTitles = Seq(
+    1 -> "Completed Tasks", 2 -> "In Progress", 3 -> "To Do")
+  private val EmptyMsgs = Map(
+    1 -> "No tasks completed in this period.",
+    2 -> "No tasks currently in progress.",
+    3 -> "No immediate high priority goals with due dates.")
+
   def reportDoc(s: SparkSession, dir: String): DataFrame = {
     val header = s.range(1).select(lit(0).as("section_no"), lit(0).as("pos"),
         lit(s"Status Report - $PeriodStart to $PeriodEnd").as("line"))
       .union(s.range(1).select(lit(0).as("section_no"), lit(1).as("pos"),
         lit(s"Period: $PeriodStart to $PeriodEnd").as("line")))
 
-    val completed = completedSrc(s, dir)
-    val inprog    = inProgressSrc(s, dir)
-    val goals     = goalsSrc(s, dir)
+    // All three grouped sections ride ONE window pass, PARTITIONED by
+    // section (no unpartitioned window anywhere): each section's sort
+    // keys are encoded as two case-mapped columns (completed = newest
+    // first ⇒ negated day number; goals add the due date as the
+    // tiebreak after priority), so one exchange on section_no computes
+    // every r/g/prev.
+    val tasks = completedSrc(s, dir).withColumn("section_no", lit(1))
+      .union(inProgressSrc(s, dir).withColumn("section_no", lit(2)))
+      .union(goalsSrc(s, dir).withColumn("section_no", lit(3)))
+    val dayNo = datediff(col("due"), lit("1990-01-01").cast("timestamp"))
+    val t = tasks
+      .withColumn("sa", when(col("section_no") === 1, -dayNo).otherwise(col("prio")))
+      .withColumn("sb", when(col("section_no") === 3, dayNo).otherwise(lit(0)))
+    val wAll = Window.partitionBy("section_no")
+      .orderBy(col("parent_name"), col("sa"), col("sb"), col("okey"))
+    val wGrp = Window.partitionBy("section_no").orderBy(col("parent_name"))
+    val ranked = t.select(col("section_no"), col("parent_name"), col("item_name"),
+      row_number().over(wAll).as("r"),
+      dense_rank().over(wGrp).as("g"),
+      lag(col("parent_name"), 1).over(wAll).as("prev"))
 
-    val s1 = grouped(s, 1, "Completed Tasks", completed,
-      Seq(col("parent_name"), col("due").desc, col("okey")),
-      "No tasks completed in this period.")
-    val s2 = grouped(s, 2, "In Progress", inprog,
-      Seq(col("parent_name"), col("prio"), col("okey")),
-      "No tasks currently in progress.")
-    val s3 = grouped(s, 3, "To Do", goals,
-      Seq(col("parent_name"), col("prio"), col("due"), col("okey")),
-      "No immediate high priority goals with due dates.")
+    val titles = SectionTitles.map { case (no, title) =>
+      s.range(1).select(lit(no).as("section_no"), lit(0).as("pos"),
+        lit(s"$no. $title").as("line"))
+    }.reduce(_ union _)
+    val headers = ranked
+      .filter(col("prev").isNull || col("prev") =!= col("parent_name"))
+      .select(col("section_no"), (col("r") + col("g") - 1).as("pos"),
+        upper(col("parent_name")).as("line"))
+    val items = ranked.select(col("section_no"),
+      (col("r") + col("g")).as("pos"),
+      concat(col("r").cast("string"), lit(". "), col("item_name")).as("line"))
+    // empty-section placeholders: a section with no tasks has no group
+    // row at all, so "empty" = anti-join of the static section list
+    // against the per-section counts
+    val secCounts = t.groupBy("section_no").agg(count(lit(1)).as("_n"))
+    val placeholders = EmptyMsgs.toSeq.sortBy(_._1).map { case (no, msg) =>
+      s.range(1).select(lit(no).as("section_no"), lit(1).as("pos"),
+        lit(msg).as("line"))
+    }.reduce(_ union _)
+      .join(secCounts.select("section_no"), Seq("section_no"), "left_anti")
+    val s123 = titles.union(headers).union(items).union(placeholders)
 
     // §4 catch-all: emitted only when a task has a status outside the
     // normalized set (generate_reports.py:570-576) — structurally
@@ -205,13 +217,16 @@ object ReportDoc {
         .select(lit(4).as("section_no"), (col("r") + 1).as("pos"),
           concat(col("r").cast("string"), lit(". "), col("item_name")).as("line")))
 
-    // §5 analysis: the report-period status pie series — normalized
-    // status counts over the union of the three task sections, ordered
-    // (count desc, status) for a deterministic legend.
-    val combined = completed.select(lit("finished").as("status"))
-      .union(inprog.select(lit("pending").as("status")))
-      .union(goals.select(lit("open").as("status")))
-    val counts = combined.groupBy("status").agg(count(lit(1)).as("n"))
+    // §5 analysis: the report-period status pie series. Each section
+    // maps to one normalized status (1→finished, 2→pending, 3→open),
+    // so the series IS the per-section count frame relabeled — no
+    // second aggregation. Ordered (count desc, status) for a
+    // deterministic legend.
+    val counts = secCounts.select(
+      when(col("section_no") === 1, "finished")
+        .when(col("section_no") === 2, "pending")
+        .otherwise("open").as("status"),
+      col("_n").as("n"))
     val s5 = counts.agg(count(lit(1)).as("_n")).filter(col("_n") > 0)
       .select(lit(5).as("section_no"), lit(0).as("pos"),
         lit("Analysis. Work Distribution & Productivity Trends").as("line"))
@@ -219,7 +234,7 @@ object ReportDoc {
         row_number().over(Window.orderBy(col("n").desc, col("status"))).as("pos"),
         concat(col("status"), lit(": "), col("n").cast("string")).as("line")))
 
-    header.union(s1).union(s2).union(s3).union(s4).union(s5)
+    header.union(s123).union(s4).union(s5)
       .orderBy("section_no", "pos")
   }
 

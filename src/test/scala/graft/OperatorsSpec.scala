@@ -44,6 +44,16 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("report doc renders contiguous positions, grouped headers, continuous numbering") {
+    // the grouped sections ride ONE window pass partitioned by
+    // section_no — the only unpartitioned windows are the bounded
+    // legend/catch-all frames (≤ a handful of rows by construction),
+    // recognizable by not carrying parent_name
+    val wins = ReportDoc.reportDoc(spark, sf).queryExecution.optimizedPlan
+      .collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(wins.exists(_.partitionSpec.nonEmpty), "section window lost partitioning")
+    assert(wins.filter(_.partitionSpec.isEmpty)
+      .forall(w => !w.child.output.exists(_.name == "parent_name")),
+      "a grouped-section window runs unpartitioned")
     val lines = ReportDoc.reportDoc(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
     val bySection = lines.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
