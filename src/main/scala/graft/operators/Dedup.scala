@@ -245,7 +245,12 @@ object Dedup {
     * stands in for "the arriving batch"; the rest is the standing
     * corpus.
     */
-  val IncrementalBatchMod = 10L
+  /** Coprime with the generator's planted-duplicate offsets (multiples
+    * of 10 at every SF): with a mod-10 batch both members of a planted
+    * pair always share residue and the batch⋈corpus slice is vacuously
+    * empty; mod 7 makes pairs straddle the boundary at all SFs.
+    */
+  val IncrementalBatchMod = 7L
 
   /** §2.1b — INCREMENTAL near-dup detection: the production dedup shape.
     * A full corpus self-join is a one-time backfill; day-to-day, a new
