@@ -128,6 +128,10 @@ object SampleApp {
       zdir, "user_id", "tsl", 8)
     Export.compact(spark, zdir, "/tmp/sample_compacted", 1L << 20, Seq("user_id"))
     println(s"[sample] zorder+compact rows=${spark.read.parquet("/tmp/sample_compacted").count()}")
+
+    // round-5 surface: report-document assembly, paged-API ingest (DSv2)
+    println(s"[sample] report lines=${graft.operators.ReportDoc.reportDoc(spark, sf).count()}")
+    println(s"[sample] paged ingest tasks=${graft.sources.PagedTasks.pagedIngest(spark, sf).count()}")
     spark.stop()
   }
 }
