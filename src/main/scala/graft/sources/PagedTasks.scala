@@ -177,6 +177,30 @@ object PagedTasks {
       .orderBy("nid")
   }
 
+  /** Streaming twin of [[pagedIngest]] — the reference's fetch loop is
+    * INCREMENTAL (new pages arrive per poll; the cache merges
+    * keep-last): pages land as files, each line one response envelope;
+    * `from_json` + `explode(results)` unwraps them and the keep-last
+    * cache updates per micro-batch through the streaming upsert sink.
+    * A 429 error envelope has no `results`, so it contributes zero
+    * rows map-side — the retried real page is its own later arrival;
+    * no stream-side special-casing.
+    */
+  def pagedIngestStream(s: SparkSession, root: String,
+      cachePath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val envSchema = StructType(Seq(
+      StructField("results", ArrayType(
+        StructType(Schema.fields.filterNot(_.name == "page_no")))),
+      StructField("has_more", BooleanType),
+      StructField("next_cursor", StringType)))
+    val parsed = s.readStream.format("text")
+      .option("pathGlobFilter", "page-*.json").load(root)
+      .select(from_json(col("value"), envSchema).as("env"))
+      .select(explode(col("env.results")).as("r"))
+      .select(col("r.*"))
+    Export.streamingUpsertSink(parsed, cachePath, Seq("nid"), "version")
+  }
+
   /** DuckDB oracle: the fixture derivation is deterministic from
     * `orders`, so the merged result has a closed form — the overlay
     * rows win exactly where they exist.

@@ -396,6 +396,39 @@ class BucketedStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(merged.groupBy("nid").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("streaming paged ingest converges to the batch merge as pages arrive") {
+    import graft.sources.{PagedTasks => P}
+    val fixture = P.materialize(spark, sf)
+    val streamDir = Files.createTempDirectory("graft_pstream").toString
+    val cache = Files.createTempDirectory("graft_pcache").toString + "/cache"
+    def copyPages(from: Int, until: Int): Unit =
+      for (pg <- from until until) {
+        val f = s"page-$pg.json"
+        java.nio.file.Files.copy(java.nio.file.Paths.get(fixture, f),
+          java.nio.file.Paths.get(streamDir, f))
+        // 429 sidecars arrive too — they parse to zero rows
+        val retry = java.nio.file.Paths.get(fixture, s"page-$pg.attempt0.json")
+        if (java.nio.file.Files.exists(retry))
+          java.nio.file.Files.copy(retry,
+            java.nio.file.Paths.get(streamDir, s"page-$pg.attempt0.json"))
+      }
+    copyPages(0, P.BasePages)
+    val q = P.pagedIngestStream(spark, streamDir, cache)
+    try {
+      q.processAllAvailable()
+      val afterBase = spark.read.parquet(cache)
+      assert(afterBase.filter(col("version") =!= 0).isEmpty,
+        "no overlay rows may exist before the update pages arrive")
+      copyPages(P.BasePages, P.NumPages)   // the incremental poll
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(cache)
+        .select("nid", "status", "priority", "created", "parent_nid", "total", "version")
+        .collect().map(_.toSeq).toSet
+      val batch = P.pagedIngest(spark, sf).collect().map(_.toSeq).toSet
+      assert(streamed === batch, "streamed cache must equal the batch merge")
+    } finally q.stop()
+  }
+
   test("block tree flattens pre-order with checkbox state and trailing comments") {
     import org.apache.spark.sql.functions.col
     val rows = graft.operators.BlockTree.blockTree(spark, sf)
