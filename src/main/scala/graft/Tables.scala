@@ -16,13 +16,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   private def p(dir: String, name: String) = s"$dir/$name.parquet"
 
-  def region(s: SparkSession, dir: String): DataFrame   = s.read.parquet(p(dir, "region"))
-  def nation(s: SparkSession, dir: String): DataFrame   = s.read.parquet(p(dir, "nation"))
-  def customer(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "customer"))
-  def supplier(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "supplier"))
-  def part(s: SparkSession, dir: String): DataFrame     = s.read.parquet(p(dir, "part"))
-  def orders(s: SparkSession, dir: String): DataFrame   = s.read.parquet(p(dir, "orders"))
-  def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "lineitem"))
+  /** Relation memo: `spark.read.parquet` lists the directory and reads
+    * footers to resolve the schema EVERY call — across an 80-query
+    * catalog that re-resolution is pure per-query overhead. The
+    * testdata dirs are immutable for a session's lifetime, so the
+    * resolved (and analyzed) DataFrame is reused; keyed by session so
+    * concurrent sessions never share plans.
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def load(s: SparkSession, dir: String, name: String): DataFrame =
+    memo.computeIfAbsent((s, p(dir, name)),
+      { case (ss, path) => ss.read.parquet(path) })
+
+  def region(s: SparkSession, dir: String): DataFrame   = load(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame   = load(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame = load(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = load(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame     = load(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame   = load(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
     * reader rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`
     * and we normalize here to a microsecond TimestampType via exact
@@ -31,9 +44,10 @@ object Tables {
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    s.read.parquet(p(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    memo.computeIfAbsent((s, p(dir, "events") + "#norm"),
+      { case (ss, _) => ss.read.parquet(p(dir, "events"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000"))) })
   }
-  def documents(s: SparkSession, dir: String): DataFrame  = s.read.parquet(p(dir, "documents"))
-  def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))
+  def documents(s: SparkSession, dir: String): DataFrame  = load(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 }
