@@ -43,6 +43,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(math.abs).sum else 0.0
     graft.operators.Dedup.releaseShingleCache(spark, sfDir)
+    graft.operators.ReportDoc.releaseReportCache(spark, sfDir)
     // sf as the basename only ("sf0.1"), not the full path: every char
     // counts against the tail window.
     val sfName = new java.io.File(sfDir).getName

@@ -25,9 +25,14 @@ object Tables {
     */
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private def load(s: SparkSession, dir: String, name: String): DataFrame =
+  private def load(s: SparkSession, dir: String, name: String): DataFrame = {
+    // lazily evict entries whose session was stopped — otherwise the
+    // static map would pin dead sessions (and their plan graphs) for
+    // the JVM lifetime in a process that cycles sessions
+    memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     memo.computeIfAbsent((s, p(dir, name)),
       { case (ss, path) => ss.read.parquet(path) })
+  }
 
   def region(s: SparkSession, dir: String): DataFrame   = load(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame   = load(s, dir, "nation")

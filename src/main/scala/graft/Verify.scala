@@ -33,6 +33,7 @@ object Verify {
     // release it once the query loop is done (cache hygiene for any
     // embedding process that keeps the session alive)
     graft.operators.Dedup.releaseShingleCache(spark, sfDir)
+    graft.operators.ReportDoc.releaseReportCache(spark, sfDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -148,6 +148,23 @@ object ReportDoc {
 
   // ---- the operator -------------------------------------------------
 
+  /** The sectioned report frame with the per-section sort keys encoded
+    * as two case-mapped columns (completed = newest first ⇒ negated day
+    * number; goals add the due date as the tiebreak after priority).
+    */
+  private def reportFramePlan(s: SparkSession, dir: String): DataFrame = {
+    val dayNo = datediff(col("due"), lit("1990-01-01").cast("timestamp"))
+    sectionedTasks(s, dir)
+      .withColumn("sa", when(col("section_no") === 1, -dayNo).otherwise(col("prio")))
+      .withColumn("sb", when(col("section_no") === 3, dayNo).otherwise(lit(0)))
+  }
+
+  /** Drop the session-scoped report-frame cache for `dir` (CacheManager
+    * lookup is by analyzed plan, same as the dedup shingle cache).
+    */
+  def releaseReportCache(s: SparkSession, dir: String): Unit =
+    reportFramePlan(s, dir).unpersist()
+
   private val SectionTitles = Seq(
     1 -> "Completed Tasks", 2 -> "In Progress", 3 -> "To Do")
   private val EmptyMsgs = Map(
@@ -162,22 +179,15 @@ object ReportDoc {
         lit(s"Period: $PeriodStart to $PeriodEnd").as("line")))
 
     // All three grouped sections ride ONE window pass, PARTITIONED by
-    // section (no unpartitioned window anywhere): each section's sort
-    // keys are encoded as two case-mapped columns (completed = newest
-    // first ⇒ negated day number; goals add the due date as the
-    // tiebreak after priority), so one exchange on section_no computes
-    // every r/g/prev.
-    val tasks = sectionedTasks(s, dir)
-    val dayNo = datediff(col("due"), lit("1990-01-01").cast("timestamp"))
-    // persist the report frame: it feeds the rank window, the section
+    // section (no unpartitioned window anywhere): one exchange on
+    // section_no computes every r/g/prev.
+    // Persist the report frame: it feeds the rank window, the section
     // counts, the placeholders, and the legend — without the cache each
     // union branch re-scans its sources (38 parquet scans in the
-    // uncached plan). Presentation-bounded (period/status-filtered), so
-    // the cached footprint stays document-sized at any corpus scale.
-    val t = tasks
-      .withColumn("sa", when(col("section_no") === 1, -dayNo).otherwise(col("prio")))
-      .withColumn("sb", when(col("section_no") === 3, dayNo).otherwise(lit(0)))
-      .persist()
+    // uncached plan). CacheManager resolves the identical plan on
+    // repeat calls to the one entry; long-lived sessions release it
+    // with [[releaseReportCache]] (Verify/Bench do, after their loop).
+    val t = reportFramePlan(s, dir).persist()
     val wAll = Window.partitionBy("section_no")
       .orderBy(col("parent_name"), col("sa"), col("sb"), col("okey"))
     val wGrp = Window.partitionBy("section_no").orderBy(col("parent_name"))

@@ -44,9 +44,15 @@ object Similarity {
     */
   val TrainSampleCap = 8192L
 
-  /** Deterministic, partitioning-independent training sample: keep
-    * vec_id where xxhash64(vec_id) mod stride == 0, stride sized from
-    * a cheap count. No shuffle — a filter on the scan.
+  /** Deterministic, partitioning-independent training sample: the
+    * stride filter (keep vec_id where xxhash64 mod stride == 0) thins
+    * the scan map-side to ~cap EXPECTED rows, then an ordered take by
+    * (hash, vec_id) makes the ≤ cap bound STRICT — the expected count
+    * alone can overshoot the cap by chance when n isn't a multiple of
+    * the stride. The take is a per-partition heap over the ≤ ~2·cap
+    * filtered rows (TakeOrdered), not a global sort, and the (hash,
+    * id) order is a property of the values, so the same set survives
+    * under any partitioning.
     */
   private[graft] def trainingSample(df: DataFrame): DataFrame = {
     val n = df.count()
@@ -54,6 +60,8 @@ object Similarity {
     else {
       val stride = math.ceil(n.toDouble / TrainSampleCap).toLong
       df.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(TrainSampleCap.toInt)
     }
   }
 

@@ -80,6 +80,7 @@ object Attachments {
     */
   def materialize(s: SparkSession, dir: String): String = {
     val root = fixtureRoot(s, dir)
+    FixtureCleanup.onExit(root)
     // clear stale fixtures (a changed mapping must not leave orphans
     // behind for the glob to pick up); the root is app-id-scoped, so
     // this can only delete this session's own tree

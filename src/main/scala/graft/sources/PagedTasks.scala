@@ -112,6 +112,7 @@ object PagedTasks {
     */
   def materialize(s: SparkSession, dir: String): String = {
     val root = fixtureRoot(s, dir)
+    FixtureCleanup.onExit(root)
     val rootPath = java.nio.file.Paths.get(root)
     if (java.nio.file.Files.exists(rootPath)) {
       java.nio.file.Files.walk(rootPath).sorted(java.util.Comparator.reverseOrder())
