@@ -68,6 +68,7 @@ object SparkEntry {
     "q_pii_scrub"       -> TextAnalysis.piiScrub _,
     "q_contamination"   -> TextAnalysis.contamination _,
     "q_tfidf_top_terms" -> TextAnalysis.tfidfTopTerms _,
+    "q_lm_score"        -> TextAnalysis.lmScore _,
     "q_dedup_clusters"  -> TextAnalysis.dedupClusters _,
     "q_clean_pipeline"  -> TextAnalysis.cleanPipeline _,
     // §2.7 multimodal metadata
@@ -433,6 +434,31 @@ object SparkEntry {
     "q_block_tree" -> operators.BlockTree.oracleSql,
     "q_report_doc" -> operators.ReportDoc.oracleSql,
     "q_paged_ingest" -> sources.PagedTasks.oracleSql,
+    "q_lm_score" ->
+      s"""WITH d2 AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+         |  FROM documents
+         |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 2
+         |), pairs AS (
+         |  SELECT doc_id, i - 1 AS pos, ts[i] AS w1, ts[i+1] AS w2
+         |  FROM d2 CROSS JOIN unnest(generate_series(1, len(ts) - 1)) AS u(i)
+         |), big AS (
+         |  SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2
+         |), uni AS (
+         |  SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM big GROUP BY 1
+         |), vocab AS (
+         |  SELECT count(DISTINCT w.t) AS v
+         |  FROM (SELECT unnest(ts) AS t FROM d2) w
+         |), scored AS (
+         |  SELECT p.doc_id, p.pos,
+         |         ln(CAST(b.cb + ${TextAnalysis.LmAlpha} AS DOUBLE) /
+         |            CAST(u.cu + ${TextAnalysis.LmAlpha} * v.v AS DOUBLE)) AS logp
+         |  FROM pairs p JOIN big b USING (w1, w2) JOIN uni u USING (w1) CROSS JOIN vocab v
+         |)
+         |SELECT doc_id, count(*) AS n_pairs,
+         |  round(-list_reduce(list_prepend(0.0, list(logp ORDER BY pos)), (a, x) -> a + x)
+         |        / count(*), ${TextAnalysis.LmScoreDp}) AS lm_score
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
          CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS ws_tokens,

@@ -169,6 +169,65 @@ object TextAnalysis {
     labels.orderBy("doc_id")
   }
 
+  /** Laplace pseudo-count for the bigram LM. */
+  val LmAlpha = 1
+  /** Score rounding — log arithmetic never lands on exact .5
+    * boundaries, so plain round() agrees across engines here.
+    */
+  val LmScoreDp = 4
+
+  /** §2.6 #35b — bigram-LM quality scoring (`q_lm_score`): the
+    * CCNet/Gopher-style perplexity filter — train a Laplace-smoothed
+    * bigram LM on the corpus, score every document by average negative
+    * log-likelihood; high scores = LM-improbable text (boilerplate,
+    * noise, wrong-language) that a pretraining pipeline gates out.
+    *
+    * Distributed shape: the MODEL is two aggregations (bigram counts;
+    * history counts derived from them — no second corpus pass) plus a
+    * scalar vocabulary size; SCORING is one equi-join of the per-doc
+    * bigram stream against the model (the model is corpus-vocabulary-
+    * sized, so AQE broadcasts it when small and shuffles when not) and
+    * one per-doc aggregation. At 100 TB the model build and the
+    * scoring pass are each one shuffle.
+    *
+    * Cross-engine determinism: counts and the smoothed ratio are exact
+    * integer/double arithmetic; `ln` is 1-ulp in both engines; the
+    * per-doc sum folds the POSITION-SORTED log list sequentially (the
+    * HOF `aggregate` here, `list_reduce` over `list(... ORDER BY pos)`
+    * in the oracle), so both engines add in the same order and the
+    * 4-dp rounding absorbs last-ulp drift.
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val pairs = docs.select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("ts")) - 2),
+          i => struct(element_at(col("ts"), i + 1).as("w1"),
+            element_at(col("ts"), i + 2).as("w2")))).as(Seq("pos", "pr")))
+      .select(col("doc_id"), col("pos"),
+        col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    // history counts = Σ_w2 c(w1,w2), derived from the bigram model
+    // itself — never a second pass over the corpus
+    val uni = big.groupBy("w1").agg(sum("cb").as("cu"))
+    val vocab = docs.select(explode(col("ts")).as("t"))
+      .agg(countDistinct("t").as("v"))
+    val scored = pairs
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp", log((col("cb") + lit(LmAlpha)).cast("double") /
+        (col("cu") + lit(LmAlpha) * col("v")).cast("double")))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        aggregate(transform(array_sort(collect_list(struct(col("pos"), col("logp")))),
+          x => x.getField("logp")), lit(0.0), (a, x) => a + x).as("ll"))
+      .select(col("doc_id"), col("n_pairs"),
+        round(-col("ll") / col("n_pairs"), LmScoreDp).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   /** §2.7 #36 — multimodal metadata plumbing: documents as opaque bytes
     * with typed metadata (byte length, content hash, prefix). The decode
     * step for true image/audio payloads lives in graft.multimodal (stubbed
