@@ -12,6 +12,10 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      // default openCost (4 MB) + 4 MB partitions = one file per task:
+      // the attachment tree's ~2000 tiny files became ~2000 tasks of
+      // pure scheduling overhead. 64 KB packs small files ~60/task.
+      .config("spark.sql.files.openCostInBytes", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

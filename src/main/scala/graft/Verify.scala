@@ -18,6 +18,9 @@ object Verify {
       // load-bearing: WindowTopKRewrite + custom strategies fire in the
       // measured/verified sessions, not just SampleApp demos
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // pack many-small-file scans (attachment tree) instead of one
+      // file per task — see the note in Bench.scala
+      .config("spark.sql.files.openCostInBytes", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -77,10 +77,20 @@ object Attachments {
 
   /** "Download" stage: write the per-task attachment tree. Idempotent
     * (same bytes every run); executor-side, one file per row.
+    *
+    * A completion marker short-circuits re-materialization: the fixture
+    * set is a pure function of (dir), and the root is app-id-scoped, so
+    * a marker written by THIS session proves the tree is already exactly
+    * what this call would write — a second query over the same dir
+    * (re-run, report pipeline) skips the delete+rewrite pass entirely,
+    * the same way a production fetch stage skips already-downloaded
+    * attachments.
     */
   def materialize(s: SparkSession, dir: String): String = {
     val root = fixtureRoot(s, dir)
     FixtureCleanup.onExit(root)
+    val marker = java.nio.file.Paths.get(root, "_GRAFT_COMPLETE")
+    if (java.nio.file.Files.exists(marker)) return root
     // clear stale fixtures (a changed mapping must not leave orphans
     // behind for the glob to pick up); the root is app-id-scoped, so
     // this can only delete this session's own tree
@@ -99,6 +109,10 @@ object Attachments {
             r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
     }
+    // `_`-prefixed = hidden to Spark's file index (and outside the
+    // readable-extension glob), so the marker never appears as data
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
     root
   }
 
