@@ -69,6 +69,8 @@ object SparkEntry {
     "q_contamination"   -> TextAnalysis.contamination _,
     "q_tfidf_top_terms" -> TextAnalysis.tfidfTopTerms _,
     "q_lm_score"        -> TextAnalysis.lmScore _,
+    "q_gopher_filter"   -> TextAnalysis.gopherFilter _,
+    "q_repetition"      -> TextAnalysis.repetition _,
     "q_dedup_clusters"  -> TextAnalysis.dedupClusters _,
     "q_clean_pipeline"  -> TextAnalysis.cleanPipeline _,
     // §2.7 multimodal metadata
@@ -431,6 +433,8 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '${operators.BloomPrune.CutoffDate} 00:00:00'
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_attachment_text" -> sources.Attachments.oracleSql,
+    "q_gopher_filter" -> TextAnalysis.gopherOracleSql,
+    "q_repetition" -> TextAnalysis.repetitionOracleSql,
     "q_block_tree" -> operators.BlockTree.oracleSql,
     "q_report_doc" -> operators.ReportDoc.oracleSql,
     "q_paged_ingest" -> sources.PagedTasks.oracleSql,

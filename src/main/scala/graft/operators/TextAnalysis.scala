@@ -228,6 +228,163 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+    * Models", table A1 document-filter heuristics — public paper). Word
+    * bounds tightened at the low end so the rule discriminates on this
+    * corpus (10–99-word docs); the band semantics are the paper's.
+    */
+  val GopherMinWords = 30
+  val GopherMaxWords = 100000
+  val GopherMinMeanWordLen = 3.0
+  val GopherMaxMeanWordLen = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMinStopwordHits = 2
+  val GopherStopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "it")
+  /** Shared 4-dp rounding exponent for the rule ratios. */
+  val GopherDp = 1e4
+
+  /** Rationals (p/q of small ints) can land exactly on .5 rounding
+    * boundaries where Spark and DuckDB `round()` disagree — shared
+    * floor-shift rounding on both sides (CLAUDE.md parity trap).
+    */
+  private def r4(c: Column): Column = floor(c * GopherDp + 0.5) / GopherDp
+
+  /** §2.6 #36b — Gopher-style document quality rules (`q_gopher_filter`):
+    * the pretraining-corpus gate from the Gopher paper — word-count
+    * bounds, mean-word-length band, symbol-to-word ratio cap (`#` and
+    * `...`), and minimum stopword evidence; `keep` is the conjunction.
+    *
+    * Distributed shape: pure per-row column arithmetic over the token
+    * array (higher-order `aggregate`/`filter`, all codegen) — map-only,
+    * rides a single scan, embarrassingly parallel at 100 TB.
+    */
+  def gopherFilter(s: SparkSession, dir: String): DataFrame = {
+    val stop = array(GopherStopwords.map(lit): _*)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"), col("text"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_words"),
+        r4(aggregate(col("ts"), lit(0L), (a, w) => a + length(w)).cast("double") /
+          size(col("ts"))).as("mean_word_len"),
+        size(filter(col("ts"), w => array_contains(stop, w))).cast("long")
+          .as("stopword_hits"),
+        r4(((length(col("text")) - length(regexp_replace(col("text"), "#", ""))) +
+          ((length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+            .cast("long"))
+          .cast("double") / size(col("ts"))).as("symbol_ratio"))
+      .withColumn("keep",
+        col("n_words").between(GopherMinWords, GopherMaxWords) &&
+          col("mean_word_len").between(GopherMinMeanWordLen, GopherMaxMeanWordLen) &&
+          col("symbol_ratio") < GopherMaxSymbolRatio &&
+          col("stopword_hits") >= GopherMinStopwordHits)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[gopherFilter]] — same constants, same
+    * floor-shift rounding; `//` avoided (DuckDB `/` is float division,
+    * the ellipsis third must stay integer like Spark's long division).
+    */
+  def gopherOracleSql: String = {
+    val stop = GopherStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id,
+       |    CAST(len(ts) AS BIGINT) AS n_words,
+       |    floor(CAST(list_aggregate(list_transform(ts, w -> length(w)), 'sum')
+       |          AS DOUBLE) / len(ts) * ${GopherDp.toLong} + 0.5) / ${GopherDp.toLong}
+       |      AS mean_word_len,
+       |    CAST(len(list_filter(ts, w -> w IN $stop)) AS BIGINT) AS stopword_hits,
+       |    floor(CAST((length(text) - length(replace(text, '#', ''))) +
+       |          (length(text) - length(replace(text, '...', ''))) // 3
+       |          AS DOUBLE) / len(ts) * ${GopherDp.toLong} + 0.5) / ${GopherDp.toLong}
+       |      AS symbol_ratio
+       |  FROM t)
+       |SELECT doc_id, n_words, mean_word_len, stopword_hits, symbol_ratio,
+       |  (n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+       |   AND mean_word_len BETWEEN $GopherMinMeanWordLen AND $GopherMaxMeanWordLen
+       |   AND symbol_ratio < $GopherMaxSymbolRatio
+       |   AND stopword_hits >= $GopherMinStopwordHits) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Repetition-rule minimum tokens: 5-grams need >=5 tokens; >=6 keeps
+    * at least two so the duplicate fraction is defined non-trivially.
+    */
+  val RepMinTokens = 6
+
+  /** §2.6 #36c — repetition removal (`q_repetition`): the Gopher/C4
+    * duplicate-n-gram rules — per document, the fraction of 2-gram
+    * occurrences taken by the single most frequent 2-gram (`top2_frac`)
+    * and the fraction of 5-gram occurrences that are repeats of an
+    * already-seen 5-gram (`dup5_frac`). High values = boilerplate /
+    * template spam a pretraining pipeline drops.
+    *
+    * Distributed shape: both gram sizes ride ONE scan — a single
+    * `explode` emits (n, gram) tagged rows for both sizes, then two
+    * hash aggregations keyed on (doc_id, n, gram) and doc_id, both with
+    * map-side partial aggregation. One shuffle chain, no windows, no
+    * per-doc quadratic work; at 100 TB the shuffle carries one row per
+    * distinct (doc, gram), already combiner-reduced.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    def gramStructs(nGram: Int) =
+      transform(sequence(lit(1), size(col("ts")) - (nGram - 1)),
+        i => struct(lit(nGram).as("n"),
+          array_join(slice(col("ts"), i, lit(nGram)), " ").as("gram")))
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= RepMinTokens)
+      .select(col("doc_id"),
+        explode(concat(gramStructs(2), gramStructs(5))).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+    val counted = grams.groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+    counted.groupBy("doc_id")
+      .agg(
+        sum(when(col("n") === 2, col("cnt"))).as("n2"),
+        max(when(col("n") === 2, col("cnt"))).as("_m2"),
+        sum(when(col("n") === 5, col("cnt"))).as("_t5"),
+        count(when(col("n") === 5, lit(1))).as("_d5"))
+      .select(col("doc_id"), col("n2"),
+        r4(col("_m2").cast("double") / col("n2")).as("top2_frac"),
+        r4(lit(1.0) - col("_d5").cast("double") / col("_t5")).as("dup5_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[repetition]] — same gram derivation (DuckDB
+    * list slices are INCLUSIVE: `ts[i:i+1]` is the 2-gram) and the same
+    * floor-shift rounding.
+    */
+  def repetitionOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, 2 AS n,
+       |         unnest(list_transform(generate_series(1, len(ts) - 1),
+       |                i -> array_to_string(ts[i:i + 1], ' '))) AS gram
+       |  FROM t WHERE len(ts) >= $RepMinTokens
+       |  UNION ALL
+       |  SELECT doc_id, 5,
+       |         unnest(list_transform(generate_series(1, len(ts) - 4),
+       |                i -> array_to_string(ts[i:i + 4], ' '))) AS gram
+       |  FROM t WHERE len(ts) >= $RepMinTokens
+       |), c AS (
+       |  SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3)
+       |SELECT doc_id,
+       |  CAST(sum(cnt) FILTER (WHERE n = 2) AS BIGINT) AS n2,
+       |  floor(CAST(max(cnt) FILTER (WHERE n = 2) AS DOUBLE)
+       |        / sum(cnt) FILTER (WHERE n = 2)
+       |        * ${GopherDp.toLong} + 0.5) / ${GopherDp.toLong} AS top2_frac,
+       |  floor((1.0 - CAST(count(*) FILTER (WHERE n = 5) AS DOUBLE)
+       |        / sum(cnt) FILTER (WHERE n = 5))
+       |        * ${GopherDp.toLong} + 0.5) / ${GopherDp.toLong} AS dup5_frac
+       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** §2.7 #36 — multimodal metadata plumbing: documents as opaque bytes
     * with typed metadata (byte length, content hash, prefix). The decode
     * step for true image/audio payloads lives in graft.multimodal (stubbed

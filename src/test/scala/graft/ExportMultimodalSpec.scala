@@ -344,8 +344,10 @@ class BucketedStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     val A = graft.sources.Attachments
     val root = A.materialize(spark, sf)
     // the skipped extensions exist on disk but never enter the scan
+    // (exclude the `_`-prefixed completion marker — hidden to Spark)
     val onDisk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
-      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("_")).count()
     assert(onDisk === 500, s"fixture tree should hold one file per document, got $onDisk")
     val readable = A.readableContent(spark, root)
     val out = A.attachmentText(spark, sf).collect()

@@ -722,6 +722,37 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(diff.isEmpty, s"assignment drift:\n${diff.limit(5).collect().mkString("\n")}")
   }
 
+  test("gopher filter: each rule gates independently, keep is the conjunction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gopher").toString
+    val good = (Seq("the", "a") ++ (1 to 38).map(i => s"word$i")).mkString(" ")
+    val short_ = (Seq("the", "a") ++ (1 to 8).map(i => s"word$i")).mkString(" ")
+    val noStop = (1 to 35).map(i => s"word$i").mkString(" ")
+    val longWords = (Seq("the", "a") ++ (1 to 33).map(i => "x" * 15 + i)).mkString(" ")
+    val symbols = good + " " + ("#" * 30)
+    Seq((0L, good), (1L, short_), (2L, noStop), (3L, longWords), (4L, symbols))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.gopherFilter(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out === Map(0L -> true, 1L -> false, 2L -> false, 3L -> false, 4L -> false))
+  }
+
+  test("repetition: repeated n-grams raise both fractions, distinct text zeroes dup5") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    val spammy = Seq.fill(20)("spam ham").mkString(" ")       // 40 tokens
+    val distinct_ = (1 to 35).map(i => s"w$i").mkString(" ")  // 35 distinct
+    Seq((0L, spammy), (1L, distinct_)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.repetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // spammy: 39 2-grams ("spam ham" x20 / "ham spam" x19), 36 5-grams of 2 kinds
+    assert(out(0L) === ((39L, 0.5128, 0.9444)))
+    // distinct: every gram unique -> top2 = 1/34, dup5 = 0
+    assert(out(1L) === ((34L, 0.0294, 0.0)))
+  }
+
   test("CC loop lineage stays bounded (localCheckpoint truncation)") {
     // after convergence the labels frame must sit on a checkpointed RDD
     // (no stacked per-iteration joins left in the plan)
