@@ -21,6 +21,10 @@ run / outputStrategy := Some(StdoutOutput)
 // the last line of output, displacing the JSON line a last-line parser
 // would read.
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exclude
+// it from the unused-key lint so every batch invocation isn't prefixed
+// by a 6-line warning banner.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -341,59 +341,88 @@ object Similarity {
   }
 
   val PqM = 8          // subspaces
-  val PqK = 64         // centroids per subspace
+  val PqK = 128        // centroids per subspace
   val PqDsub = Dim / PqM
-  val PqLloydIters = 2
+  val PqLloydIters = 6
   /** Exact-rerank candidate pool per query: the rerank join reads only
     * `queries × PqRerank` raw vectors, so a larger pool is nearly free
-    * next to the code scan — sweep (tools.RecallSweep, K=64):
-    * recall@5 at rerank 10/20/40/80 = 0.52/0.68/0.90/0.98 (sf0.001),
-    * 0.38/0.52/0.62/0.86 (sf0.1). K=16 codebooks measured 0.72 at
-    * sf0.1/rerank-80 — codebook resolution, not pool size, is the
-    * production lever as the corpus grows (these synthetic
-    * near-orthogonal vectors are a worst case for quantization).
+    * next to the code scan. Round-5 sweep (tools.RecallSweep, K=128,
+    * 6 Lloyd rounds): recall@5 at rerank 80/160/320 = 0.70/0.82/0.92 at
+    * sf1 (20k vectors), 1.00 at 160 at sf0.001 — both the codebook
+    * (K 64→128, iters 2→6; training is driver-local on the bounded
+    * sample, so extra rounds cost ms not jobs) and the pool are live
+    * levers on these synthetic near-orthogonal vectors (a quantization
+    * worst case); 160 = the knee of the recall/scan-width curve.
     */
-  val PqRerank = 80
+  val PqRerank = 160
 
-  /** Product-quantization codebooks, learned distributed: seeds are the
-    * sub-vectors of the first PqK corpus vectors, then `PqLloydIters`
-    * Lloyd rounds — ALL subspaces assigned in one pass per round (explode
-    * the subspace axis, broadcast the codebook, argmin per (vec, m)),
-    * and only the M×K×dsub codebook matrix (4 KB) is collected between
-    * rounds. Same bounded-metadata pattern as the IVF centroid learning.
+  /** Codebook memo: the codebook is a pure function of the table dir
+    * (deterministic sample, seeds, and iteration order), so one
+    * training per JVM serves every query over that dir — the PQ and
+    * IVF-PQ entries (and repeat invocations) share it instead of each
+    * re-running the Lloyd rounds.
     */
-  private[graft] def pqCodebook(s: SparkSession, dir: String): Array[Float] = {
-    // Lloyd rounds train on the bounded sample; encoding stays full-corpus
-    val n = trainingSample(normed(s, dir))
-    var cb: Array[Float] = {
-      // first PqK vectors OF THE TRAINING SAMPLE (== vec_id < PqK when
-      // the sample is the whole corpus, i.e. at every shipped SF)
-      val seeds = n.orderBy("vec_id").limit(PqK)
+  private val cbMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]()
+
+  /** Product-quantization codebooks. The cluster's share of the work is
+    * exactly the bounded-sample selection (`trainingSample`, ≤ 8192
+    * vectors regardless of corpus size); the Lloyd rounds themselves
+    * run DRIVER-LOCAL on the collected sample (≤ 2 MB — metadata
+    * scale, the FAISS `train()` shape): at any corpus size the rounds
+    * are a few ms of arithmetic, where the former one-job-per-round
+    * distributed form paid fixed scheduling overhead per iteration to
+    * aggregate the same ≤ 8192 rows. Seeds are the first PqK sample
+    * vectors (== vec_id < PqK at every shipped SF, where the sample is
+    * the whole corpus); empty cells keep their previous centroid.
+    */
+  private[graft] def pqCodebook(s: SparkSession, dir: String): Array[Float] =
+    cbMemo.computeIfAbsent(dir, _ => {
+      val sample = trainingSample(normed(s, dir)).orderBy("vec_id")
         .select("e").collect().map(_.getSeq[Float](0).toArray)
-      val out = new Array[Float](PqM * PqK * PqDsub)
-      for (mi <- 0 until PqM; ki <- 0 until seeds.length; d <- 0 until PqDsub)
-        out(((mi * PqK) + ki) * PqDsub + d) = seeds(ki)(mi * PqDsub + d)
-      out
-    }
+      trainPqLocal(sample)
+    })
+
+  /** Driver-local Lloyd rounds; assignment semantics identical to
+    * PqEncode (argmin-L2 per subspace, ties to the lower code).
+    */
+  private[graft] def trainPqLocal(sample: Array[Array[Float]]): Array[Float] = {
+    val cb = new Array[Float](PqM * PqK * PqDsub)
+    val seeds = sample.take(PqK)
+    for (mi <- 0 until PqM; ki <- seeds.indices; d <- 0 until PqDsub)
+      cb(((mi * PqK) + ki) * PqDsub + d) = seeds(ki)(mi * PqDsub + d)
     for (_ <- 1 to PqLloydIters) {
-      // assignment IS the encoder: PqEncode's per-subspace argmin-L2
-      // (ties to the lower code) runs map-side over the broadcast
-      // codebook — the former broadcast-join + (vec,m) window shuffled
-      // the n×M×K expansion per round just to keep one code per
-      // subspace. One generator explodes the subspace axis of the
-      // already-encoded row; only the per-(m,ck,pos) means shuffle.
-      val assigned = n
-        .select(col("e"), PqOps.encode(col("e"), cb, PqM, PqK, PqDsub).as("codes"))
-        .select(posexplode(transform(sequence(lit(0), lit(PqM - 1)), mi =>
-            struct(element_at(col("codes"), mi + lit(1)).as("ck"),
-              slice(col("e"), mi * lit(PqDsub) + lit(1), lit(PqDsub)).as("sub"))))
-          .as(Seq("m", "mc")))
-        .select(col("m"), col("mc.ck").as("ck"), posexplode(col("mc.sub")).as(Seq("pos", "v")))
-      val means = assigned.groupBy("m", "ck", "pos").agg(avg("v").as("mv"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
-      val next = cb.clone()
-      for ((mi, ki, pos, mv) <- means) next(((mi * PqK) + ki) * PqDsub + pos) = mv.toFloat
-      cb = next // cells that captured no vectors keep their old centroid
+      val sums = new Array[Double](PqM * PqK * PqDsub)
+      val cnts = new Array[Long](PqM * PqK)
+      for (v <- sample; mi <- 0 until PqM) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var ki = 0
+        while (ki < PqK) {
+          val base = ((mi * PqK) + ki) * PqDsub
+          var d2 = 0.0
+          var d = 0
+          while (d < PqDsub) {
+            val diff = v(mi * PqDsub + d) - cb(base + d)
+            d2 += diff * diff
+            d += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = ki }
+          ki += 1
+        }
+        val b = ((mi * PqK) + best) * PqDsub
+        var d = 0
+        while (d < PqDsub) { sums(b + d) += v(mi * PqDsub + d); d += 1 }
+        cnts((mi * PqK) + best) += 1
+      }
+      for (mi <- 0 until PqM; ki <- 0 until PqK) {
+        val c = cnts((mi * PqK) + ki)
+        if (c > 0) {
+          val b = ((mi * PqK) + ki) * PqDsub
+          var d = 0
+          while (d < PqDsub) { cb(b + d) = (sums(b + d) / c).toFloat; d += 1 }
+        }
+      }
     }
     cb
   }

@@ -40,7 +40,7 @@ object RecallSweep {
     }
     val r2 = recall(Similarity.annIvfLearnedTopK(spark, sfDir))
     println(f"ivf learned nProbe=${Similarity.IvfNProbe}       $r2%.2f")
-    for (rerank <- Seq(10, 20, 40, 80)) {
+    for (rerank <- Seq(10, 20, 40, 80, 160, 320)) {
       val r = recall(Similarity.annPqTopKParams(spark, sfDir, rerank))
       println(f"pq rerank=$rerank%-3d              $r%.2f")
     }
