@@ -693,6 +693,18 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(exchanges === 1, "only the content-hash dedup may shuffle")
   }
 
+  test("gopher filter is map-only; repetition rides one scan and two combined aggs") {
+    val gp = plan("q_gopher_filter")
+    assert("Scan parquet".r.findAllIn(gp).length === 1)
+    assert(!gp.contains("Exchange hashpartitioning"),
+      s"gopher rules must ride the scan map-side:\n$gp")
+    val rp = plan("q_repetition")
+    assert("Scan parquet".r.findAllIn(rp).length === 1,
+      "both gram sizes must ride ONE scan")
+    assert("Exchange hashpartitioning".r.findAllIn(rp).length === 2,
+      s"(doc,n,gram) then (doc) — both map-side-combined:\n$rp")
+  }
+
   test("IVF cell assignment is a zero-shuffle map (no exchange, no window)") {
     val cents = Similarity.seededCentroids(spark, sf)
     val assigned = Similarity.ivfAssigned(spark, sf, cents)
