@@ -35,15 +35,15 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else -dt)
     }
-    // Centisecond precision, trailing zeros trimmed: the one-line JSON
-    // must fit the driver's 2000-char tail-capture window even as the
-    // catalog grows ("1.20"->"1.2", "1.00"->"1" saves ~60 chars over
-    // ~80 queries).
-    def fmt(v: Double): String = {
-      val s = f"$v%.2f"
+    // The one-line JSON must fit the driver's 2000-char tail-capture
+    // window even as the catalog grows (83 queries at 2-dp measured
+    // 1901 chars — one more round of queries would overflow): per-query
+    // times at 1 dp with trailing zeros trimmed, total at 2 dp.
+    def fmt(dp: Int)(v: Double): String = {
+      val s = if (dp == 1) f"$v%.1f" else f"$v%.2f"
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(1)(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(math.abs).sum else 0.0
     graft.operators.Dedup.releaseShingleCache(spark, sfDir)
@@ -51,7 +51,7 @@ object Bench {
     // sf as the basename only ("sf0.1"), not the full path: every char
     // counts against the tail window.
     val sfName = new java.io.File(sfDir).getName
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    val line = s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     // Stop Spark BEFORE printing so shutdown-time log lines can't land
     // after the JSON and push it out of a last-line/tail parse.
     spark.stop()
