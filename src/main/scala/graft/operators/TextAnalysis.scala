@@ -259,9 +259,17 @@ object TextAnalysis {
     * array (higher-order `aggregate`/`filter`, all codegen) — map-only,
     * rides a single scan, embarrassingly parallel at 100 TB.
     */
-  def gopherFilter(s: SparkSession, dir: String): DataFrame = {
+  def gopherFilter(s: SparkSession, dir: String): DataFrame =
+    gopherColumns(Tables.documents(s, dir)).orderBy("doc_id")
+
+  /** The gate over any (doc_id, text) frame — map-only column
+    * arithmetic, so it applies unchanged to a STREAMING documents
+    * source (the corpus-ingest gate runs in the stream path with no
+    * state; StreamingSpec proves stream == batch row-for-row).
+    */
+  private[graft] def gopherColumns(docs: DataFrame): DataFrame = {
     val stop = array(GopherStopwords.map(lit): _*)
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), tokens(col("text")).as("ts"), col("text"))
       .select(col("doc_id"),
         size(col("ts")).cast("long").as("n_words"),
@@ -278,7 +286,6 @@ object TextAnalysis {
           col("mean_word_len").between(GopherMinMeanWordLen, GopherMaxMeanWordLen) &&
           col("symbol_ratio") < GopherMaxSymbolRatio &&
           col("stopword_hits") >= GopherMinStopwordHits)
-      .orderBy("doc_id")
   }
 
   /** DuckDB oracle for [[gopherFilter]] — same constants, same
