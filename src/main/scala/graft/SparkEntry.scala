@@ -60,6 +60,10 @@ object SparkEntry {
     "q_ann_ivf2_topk"  -> Similarity.annIvfLearnedTopK _,
     "q_ann_pq_topk"    -> Similarity.annPqTopK _,
     "q_ann_ivfpq_topk" -> Similarity.annIvfPqTopK _,
+    // persisted-index twin: same ranking from the materialized
+    // cell-partitioned artifact (sources.PqIndex; rows-only like the
+    // other ANN entries — equality with q_ann_ivfpq_topk is spec'd)
+    "q_ann_pq_indexed" -> sources.PqIndex.annPqIndexed _,
     // §2.6 text analysis
     "q_token_count"     -> TextAnalysis.tokenCount _,
     "q_quality_score"   -> TextAnalysis.quality _,

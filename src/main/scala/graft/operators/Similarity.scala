@@ -27,7 +27,7 @@ object Similarity {
     * identical sequential double accumulation to the HOF fold (oracle
     * parity bit-exact), ~30x faster.
     */
-  private def normed(s: SparkSession, dir: String): DataFrame =
+  private[graft] def normed(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", sqrt(ArrayOps.dotF(col("e"), col("e"))))
@@ -491,7 +491,18 @@ object Similarity {
     val qProbes = n.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("e").as("e_q"), col("nrm").as("n_q"),
         explode(CentroidOps.nearest(col("e"), col("nrm"), cents, probes)).as("cell"))
-    val approx = broadcast(qProbes).join(assigned, Seq("cell"))
+    ivfPqSearch(assigned, qProbes,
+      n.select(col("vec_id").as("neighbor_id"), col("e").as("e_c"), col("nrm").as("n_c")), cb)
+  }
+
+  /** The IVF-PQ probe/score/rerank tail over an encoded cell-partitioned
+    * store `(neighbor_id, cell, codes, rnorm)` — shared by the in-memory
+    * path above and the PERSISTED index path (sources.PqIndex), so the
+    * two produce identical rankings by construction.
+    */
+  private[graft] def ivfPqSearch(encoded: DataFrame, qProbes: DataFrame,
+      raw: DataFrame, cb: Array[Float]): DataFrame = {
+    val approx = broadcast(qProbes).join(encoded, Seq("cell"))
       .filter(col("q_id") =!= col("neighbor_id"))
       .withColumn("ascore",
         PqOps.adcDot(col("e_q"), col("codes"), cb, PqM, PqK, PqDsub) /
@@ -500,8 +511,7 @@ object Similarity {
       Seq(("ascore", false), ("neighbor_id", true)), PqRerank)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-    cand.join(n.select(col("vec_id").as("neighbor_id"),
-        col("e").as("e_c"), col("nrm").as("n_c")), "neighbor_id")
+    cand.join(raw, "neighbor_id")
       .withColumn("cos_sim", round(dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)

@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.plans.{CentroidOps, PqOps}
+
+/** Persisted IVF-PQ index (the FAISS `write_index`/`read_index` analogue,
+  * Spark-native): the one-time encode pass materializes the corpus as an
+  * encoded, CELL-PARTITIONED parquet table, and queries run against that
+  * artifact alone — the raw vectors are touched only by the bounded
+  * exact-rerank join. This operationalizes the claim the in-memory PQ
+  * operators document ("in production the encoded table is materialized
+  * once"): after `materialize`, a search session never re-trains and
+  * never re-encodes.
+  *
+  * Layout under the index root:
+  *   codes/          parquet (neighbor_id, codes int[m], rnorm), written
+  *                   `partitionBy("cell")` — one directory per IVF cell,
+  *                   so a probe set prunes to its cells' FILES at the
+  *                   scan (PartitionFilters, no data read outside the
+  *                   probed cells; at 100 TB this is the difference
+  *                   between reading probe-fraction×corpus and corpus)
+  *   meta/           1-row parquet sidecar: PQ codebook + IVF centroid
+  *                   set (bounded metadata, ~40 KB)
+  *
+  * The probed cell list is computed driver-side from the (bounded) query
+  * batch and pushed as an `isin` literal — a JOIN on cell would compute
+  * the same rows but could not prune partitions at plan time.
+  */
+object PqIndex {
+
+  /** App-id-scoped root (same rationale as Attachments.fixtureRoot:
+    * concurrent sessions must not race on a shared /tmp tree; a real
+    * deployment points this at shared storage).
+    */
+  def indexRoot(s: SparkSession, dir: String): String =
+    "/tmp/graft_pqindex/" + s.sparkContext.applicationId + "/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** One-time encode pass: train (memoized), assign cells + encode
+    * map-side in the scan projection, write cell-partitioned codes and
+    * the metadata sidecar. Marker-skipped on re-invocation.
+    */
+  def materialize(s: SparkSession, dir: String): String = {
+    val root = indexRoot(s, dir)
+    FixtureCleanup.onExit(root)
+    val marker = java.nio.file.Paths.get(root, "_GRAFT_COMPLETE")
+    if (java.nio.file.Files.exists(marker)) return root
+    val cb = Similarity.pqCodebook(s, dir)
+    val cents = Similarity.seededCentroids(s, dir)
+    Similarity.normed(s, dir)
+      .select(col("vec_id").as("neighbor_id"),
+        CentroidOps.cell(col("e"), col("nrm"), cents).as("cell"),
+        PqOps.encode(col("e"), cb, Similarity.PqM, Similarity.PqK, Similarity.PqDsub).as("codes"))
+      .withColumn("rnorm",
+        PqOps.reconNorm(col("codes"), cb, Similarity.PqM, Similarity.PqK, Similarity.PqDsub))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes")
+    import s.implicits._
+    Seq((cb.toSeq, cents.map(_._1), cents.map(_._2.toSeq), cents.map(_._3)))
+      .toDF("cb", "cent_ids", "cent_vecs", "cent_norms")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
+    root
+  }
+
+  /** Read the metadata sidecar back: (codebook, centroid set). */
+  private[graft] def loadMeta(s: SparkSession, root: String)
+      : (Array[Float], Seq[(Int, Array[Float], Double)]) = {
+    val r = s.read.parquet(s"$root/meta").head()
+    val cb = r.getSeq[Float](0).toArray
+    val ids = r.getSeq[Int](1)
+    val vecs = r.getSeq[Seq[Float]](2)
+    val norms = r.getSeq[Double](3)
+    (cb, ids.indices.map(i => (ids(i), vecs(i).toArray, norms(i))))
+  }
+
+  /** §2 catalog entry (`q_ann_pq_indexed`): materialize the index, then
+    * answer the standard query batch FROM the persisted artifact —
+    * training and corpus encode are absent from the query path by
+    * construction (the sidecar, not the memo, supplies the codebook).
+    * Identical output to `q_ann_ivfpq_topk` (shared search tail; the
+    * equality is spec-asserted), so its quality is covered by the same
+    * recall measurements.
+    */
+  def annPqIndexed(s: SparkSession, dir: String): DataFrame = {
+    val root = materialize(s, dir)
+    val (cb, cents) = loadMeta(s, root)
+    val probes = math.max(Similarity.IvfNProbe,
+      math.ceil(cents.size * Similarity.IvfProbeFraction).toInt)
+    val n = Similarity.normed(s, dir)
+    val qProbes = n.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("e_q"), col("nrm").as("n_q"),
+        explode(CentroidOps.nearest(col("e"), col("nrm"), cents, probes)).as("cell"))
+    // bounded query batch -> driver-known probe set -> partition pruning
+    val probedCells = qProbes.select("cell").distinct().collect().map(_.getInt(0))
+    val encoded = s.read.parquet(s"$root/codes")
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+    Similarity.ivfPqSearch(encoded, qProbes,
+      n.select(col("vec_id").as("neighbor_id"), col("e").as("e_c"), col("nrm").as("n_c")), cb)
+  }
+}

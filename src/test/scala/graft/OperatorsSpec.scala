@@ -734,6 +734,19 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(diff.isEmpty, s"assignment drift:\n${diff.limit(5).collect().mkString("\n")}")
   }
 
+  test("persisted PQ index reproduces the in-memory ranking and prunes probed cells") {
+    val fromIndex = graft.sources.PqIndex.annPqIndexed(spark, sf)
+    val inMemory = Similarity.annIvfPqTopK(spark, sf)
+    assert(fromIndex.collect().toSeq === inMemory.collect().toSeq)
+    // the codes scan must carry the probe set as PartitionFilters (file
+    // pruning at plan time), not re-read the whole encoded corpus
+    val scans = fromIndex.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("codes"))
+    assert(scans.exists(_.contains("PartitionFilters: [cell#")) ||
+      scans.exists(s => s.contains("PartitionFilters") && s.contains("cell")),
+      s"probe set should prune index partitions:\n${scans.mkString("\n")}")
+  }
+
   test("gopher filter: each rule gates independently, keep is the conjunction") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_gopher").toString
