@@ -301,23 +301,38 @@ object Similarity {
     * deterministic stride as the static IVF.
     */
   private[operators] def learnedCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Float])] = {
-    // Lloyd rounds see only the bounded training sample; the final
-    // corpus-wide cell assignment (in ivfSearch) is map-side anyway
-    val n = trainingSample(normed(s, dir))
+    // Lloyd rounds see only the bounded training sample, collected once
+    // (shared memo with the PQ codebook) and iterated DRIVER-LOCAL —
+    // same rationale as trainPqLocal: each round is a few ms of
+    // arithmetic over ≤ 8192 vectors, where the former distributed form
+    // paid one job of scheduling overhead per round. Assignment
+    // reproduces CentroidOps.cell: score = sequential-fold dot (unit
+    // norms), best score desc, centroid id asc on ties; cells that
+    // capture no sample vectors drop out (as the former groupBy did).
+    // The final corpus-wide assignment (in ivfSearch) stays map-side.
+    val sample = trainSampleLocal(s, dir)
     var cents: Seq[(Int, Array[Float])] = seededCentroids(s, dir).map(c => (c._1, c._2))
     for (_ <- 1 to KMeansIters) {
-      // Lloyd scores by plain dot product: unit centroid norms and a
-      // unit row norm leave the expression's score = dot exactly
-      val scoring = cents.map { case (id, v) => (id, v, 1.0) }
-      val assigned = n.select(
-          CentroidOps.cell(col("e"), lit(1.0), scoring).as("cell"),
-          posexplode(col("e")).as(Seq("pos", "v")))
-      val means = assigned.groupBy("cell", "pos").agg(avg("v").as("m"))
-        .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m").cast("float")).as("vec"))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
+      val byId = cents.sortBy(_._1)
+      val sums = Array.fill(byId.size)(new Array[Double](Dim))
+      val cnts = new Array[Long](byId.size)
+      for (v <- sample) {
+        var best = 0
+        var bestScore = Double.NegativeInfinity
+        for (ci <- byId.indices) {
+          val cv = byId(ci)._2
+          var dp = 0.0
+          var j = 0
+          while (j < Dim) { dp += v(j).toDouble * cv(j).toDouble; j += 1 }
+          if (dp > bestScore) { bestScore = dp; best = ci }
+        }
+        var j = 0
+        while (j < Dim) { sums(best)(j) += v(j).toDouble; j += 1 }
+        cnts(best) += 1
+      }
+      val means = byId.indices.filter(cnts(_) > 0).map { ci =>
+        (byId(ci)._1, Array.tabulate(Dim)(j => (sums(ci)(j) / cnts(ci)).toFloat))
+      }
       if (means.nonEmpty) cents = means
     }
     cents
@@ -365,6 +380,18 @@ object Similarity {
   private val cbMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]()
 
+  /** Collected training sample, memoized per table dir (vec_id order,
+    * deterministic): one collect serves the PQ codebook AND the learned
+    * IVF centroids. Bounded by TrainSampleCap × Dim floats (≤ 2 MB).
+    */
+  private val sampleMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+
+  private[graft] def trainSampleLocal(s: SparkSession, dir: String): Array[Array[Float]] =
+    sampleMemo.computeIfAbsent(dir, _ =>
+      trainingSample(normed(s, dir)).orderBy("vec_id")
+        .select("e").collect().map(_.getSeq[Float](0).toArray))
+
   /** Product-quantization codebooks. The cluster's share of the work is
     * exactly the bounded-sample selection (`trainingSample`, ≤ 8192
     * vectors regardless of corpus size); the Lloyd rounds themselves
@@ -377,11 +404,7 @@ object Similarity {
     * the whole corpus); empty cells keep their previous centroid.
     */
   private[graft] def pqCodebook(s: SparkSession, dir: String): Array[Float] =
-    cbMemo.computeIfAbsent(dir, _ => {
-      val sample = trainingSample(normed(s, dir)).orderBy("vec_id")
-        .select("e").collect().map(_.getSeq[Float](0).toArray)
-      trainPqLocal(sample)
-    })
+    cbMemo.computeIfAbsent(dir, _ => trainPqLocal(trainSampleLocal(s, dir)))
 
   /** Driver-local Lloyd rounds; assignment semantics identical to
     * PqEncode (argmin-L2 per subspace, ties to the lower code).
