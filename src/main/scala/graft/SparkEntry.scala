@@ -108,6 +108,9 @@ object SparkEntry {
     "q_length_stats"      -> ExtendedAnalytics.lengthStats _,
     // custom whole-operator (plans.AsOfJoin: LogicalPlan+Strategy+Exec)
     "q_asof_join"         -> ExtendedAnalytics.purchasesWithLastError _,
+    // bucketized range join (no nested loop: (user, ts-bucket) equi-join
+    // with the probe exploded to its 2 covering buckets)
+    "q_interval_join"     -> ExtendedAnalytics.errorContext _,
     "q_weekly_focus"      -> TaskAnalytics.weeklyFocus _,
     // sketches (rows-only: HLL/KLL/CMS internals are engine-specific;
     // specs bound error vs exact instead)
@@ -438,6 +441,20 @@ object SparkEntry {
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_attachment_text" -> sources.Attachments.oracleSql,
     "q_gopher_filter" -> TextAnalysis.gopherOracleSql,
+    "q_interval_join" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, value,
+         |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM events)
+         |SELECT a.event_id, a.user_id,
+         |  count(b.us) AS n_prior,
+         |  round(coalesce(sum(b.value), 0), 2) AS prior_value
+         |FROM (SELECT * FROM e WHERE event_type = 'error') a
+         |LEFT JOIN e b ON b.user_id = a.user_id
+         |  AND b.us >= a.us - ${operators.ExtendedAnalytics.IntervalUs}
+         |  AND b.us < a.us
+         |GROUP BY a.event_id, a.user_id
+         |ORDER BY a.event_id""".stripMargin,
     "q_repetition" -> TextAnalysis.repetitionOracleSql,
     "q_block_tree" -> operators.BlockTree.oracleSql,
     "q_report_doc" -> operators.ReportDoc.oracleSql,

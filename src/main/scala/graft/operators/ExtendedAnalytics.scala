@@ -167,6 +167,43 @@ object ExtendedAnalytics {
       .orderBy("week")
   }
 
+  /** Interval-join bucket width (1 h in µs): the probe row explodes to
+    * the TWO buckets its lookback window can touch; the build side is
+    * bucketed once — each qualifying pair meets in exactly one bucket.
+    */
+  val IntervalUs: Long = 3600L * 1000000L
+
+  /** Interval (range) join (`q_interval_join`): for each error event,
+    * count + sum the same user's event values in the preceding hour —
+    * the error-context window. Spark has no native range join; the
+    * naive form is a BroadcastNestedLoopJoin (quadratic per user).
+    * Scalable shape: BUCKETIZED range join — both sides key on
+    * (user, ⌊ts/width⌋), the probe explodes to its 2 covering buckets,
+    * and the range predicate is an exact filter AFTER a plain shuffle
+    * equi-join. One shuffle, O(pairs-in-bucket) compute, no nested
+    * loop; the standard interval-join shape at any scale (width tuned
+    * to the window so each probe touches ≤ 2 buckets).
+    */
+  def errorContext(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+    val bkt = (col("us") / IntervalUs).cast("long")
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("us"),
+        explode(array(bkt - 1, bkt)).as("bkt"))
+    val prior = ev.select(col("user_id"), col("us").as("p_us"), col("value"),
+      bkt.as("bkt"))
+    // left join: errors with an empty lookback window still report 0
+    errs.join(prior, Seq("user_id", "bkt"), "left")
+      .withColumn("hit",
+        col("p_us") >= col("us") - IntervalUs && col("p_us") < col("us"))
+      .groupBy("event_id", "user_id")
+      .agg(count(when(col("hit"), lit(1))).as("n_prior"),
+        // values are 2-decimal money (sum-then-round is engine-stable)
+        round(coalesce(sum(when(col("hit"), col("value"))), lit(0.0)), 2)
+          .as("prior_value"))
+      .orderBy("event_id")
+  }
+
   /** As-of join (custom whole-operator, graft.plans.AsOfJoin): for each
     * purchase event, the latest error event at-or-before it by the same
     * user — the classic "state as of event time" enrichment. One

@@ -734,6 +734,27 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(diff.isEmpty, s"assignment drift:\n${diff.limit(5).collect().mkString("\n")}")
   }
 
+  test("bucketized interval join equals brute-force lookback, no nested loop") {
+    val out = graft.operators.ExtendedAnalytics.errorContext(spark, sf)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$p")
+    // brute-force reference computed driver-side on the small corpus
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    val W = graft.operators.ExtendedAnalytics.IntervalUs
+    val expected = ev.filter(_._3 == "error").map { case (id, u, _, us, _) =>
+      val prior = ev.filter(e => e._2 == u && e._4 >= us - W && e._4 < us)
+      (id, u, prior.length.toLong,
+        BigDecimal(prior.map(_._5).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1).toSeq
+    val got = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+  }
+
   test("persisted PQ index reproduces the in-memory ranking and prunes probed cells") {
     val fromIndex = graft.sources.PqIndex.annPqIndexed(spark, sf)
     val inMemory = Similarity.annIvfPqTopK(spark, sf)
