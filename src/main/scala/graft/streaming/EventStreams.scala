@@ -43,6 +43,32 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("value_sum"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("value_sum"))
 
+  /** Streaming twin of the bucketized interval join
+    * (operators.ExtendedAnalytics.errorContext): stream-stream join of
+    * errors against the event stream with an EVENT-TIME RANGE condition
+    * — Spark's state store keeps only rows inside the watermark + range
+    * horizon on each side (the range bound is what makes the join state
+    * bounded on an unbounded stream; without it, stream-stream join
+    * state grows forever). Emits one row per (error, prior-event) pair;
+    * the per-error aggregation composes downstream the same way the
+    * batch twin's groupBy does.
+    */
+  def errorContextJoin(events: DataFrame): DataFrame = {
+    val windowUs = graft.operators.ExtendedAnalytics.IntervalUs
+    val errs = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", "10 minutes")
+    val prior = events
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    errs.join(prior,
+      col("err_user") === col("p_user") &&
+        col("p_ts") >= col("err_ts") - expr(s"INTERVAL ${windowUs / 1000000L} SECONDS") &&
+        col("p_ts") < col("err_ts"))
+      .select(col("err_id"), col("err_user").as("user_id"), col("p_ts"), col("value"))
+  }
+
   /** Gap-based sessionization with bounded per-key state. Sessions close
     * when a new event arrives more than `GapMs` after the last one, or
     * when the event-time watermark passes the open session's

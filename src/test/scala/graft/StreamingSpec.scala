@@ -160,6 +160,39 @@ class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join reproduces the batch error-context pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = EventStreams.errorContextJoin(mem.toDF())
+      .writeStream.format("memory").queryName("ij_stream").outputMode("append").start()
+    try {
+      // collect exact micros alongside the rows (Timestamp.getTime is
+      // millis-truncated -- boundary pairs need full precision)
+      val rows = Tables.events(spark, SparkTestSession.Sf)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getString(3), r.getDouble(4), r.getLong(5)))
+        .sortBy(_._6)
+      val evs = rows.map(r => Ev(r._1, r._2, r._3, r._4, r._5))
+      val (h1, h2) = evs.splitAt(evs.length / 2)
+      mem.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+      // batch reference: the exploded pair set behind q_interval_join
+      val W = graft.operators.ExtendedAnalytics.IntervalUs
+      val expected = (for {
+        e <- rows if e._4 == "error"
+        p <- rows
+        if p._3 == e._3 && p._6 >= e._6 - W && p._6 < e._6
+      } yield (e._1, e._3, p._2, p._5)).toSet
+      val got = spark.table("ij_stream")
+        .as[(Long, Long, Timestamp, Double)].collect().toSet
+      assert(got === expected,
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    } finally q.stop()
+  }
+
   test("gopher quality gate applies unchanged to a streaming documents source") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
