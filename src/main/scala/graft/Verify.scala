@@ -31,6 +31,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a typo'd subset name must not silently verify nothing
+    (only -- SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[verify] unknown query in subset: $n"))
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only(name))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -56,7 +59,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // in subset mode, dump only the selected oracles — parity.py walks
+    // every oracle_sql.json entry, so unselected entries (with no
+    // parquet dump beside them) would FAIL the very gate the subset
+    // flow feeds
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -426,7 +426,10 @@ object Similarity {
           var d2 = 0.0
           var d = 0
           while (d < PqDsub) {
-            val diff = v(mi * PqDsub + d) - cb(base + d)
+            // double-precision difference — identical arithmetic to
+            // PqEncode.nullSafeEval, so training assigns exactly the
+            // code the encoder will
+            val diff = v(mi * PqDsub + d).toDouble - cb(base + d)
             d2 += diff * diff
             d += 1
           }

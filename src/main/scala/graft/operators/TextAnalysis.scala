@@ -269,18 +269,23 @@ object TextAnalysis {
     */
   private[graft] def gopherColumns(docs: DataFrame): DataFrame = {
     val stop = array(GopherStopwords.map(lit): _*)
+    // zero-token guard: a doc with no [a-z0-9] tokens must come out as
+    // keep=false (n_words=0), not crash the job — Spark 4 runs ANSI
+    // mode by default, where /0 throws instead of yielding null. The
+    // greatest(n,1) denominator is shared with the oracle.
+    val denom = greatest(size(col("ts")), lit(1)).cast("double")
     docs
       .select(col("doc_id"), tokens(col("text")).as("ts"), col("text"))
       .select(col("doc_id"),
         size(col("ts")).cast("long").as("n_words"),
         r4(aggregate(col("ts"), lit(0L), (a, w) => a + length(w)).cast("double") /
-          size(col("ts"))).as("mean_word_len"),
+          denom).as("mean_word_len"),
         size(filter(col("ts"), w => array_contains(stop, w))).cast("long")
           .as("stopword_hits"),
         r4(((length(col("text")) - length(regexp_replace(col("text"), "#", ""))) +
           ((length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
             .cast("long"))
-          .cast("double") / size(col("ts"))).as("symbol_ratio"))
+          .cast("double") / denom).as("symbol_ratio"))
       .withColumn("keep",
         col("n_words").between(GopherMinWords, GopherMaxWords) &&
           col("mean_word_len").between(GopherMinMeanWordLen, GopherMaxMeanWordLen) &&
@@ -301,13 +306,13 @@ object TextAnalysis {
        |), m AS (
        |  SELECT doc_id,
        |    CAST(len(ts) AS BIGINT) AS n_words,
-       |    floor(CAST(list_aggregate(list_transform(ts, w -> length(w)), 'sum')
-       |          AS DOUBLE) / len(ts) * ${GopherDp.toLong} + 0.5) / ${GopherDp.toLong}
+       |    floor(CAST(coalesce(list_aggregate(list_transform(ts, w -> length(w)), 'sum'), 0)
+       |          AS DOUBLE) / greatest(len(ts), 1) * ${GopherDp.toLong} + 0.5) / ${GopherDp.toLong}
        |      AS mean_word_len,
        |    CAST(len(list_filter(ts, w -> w IN $stop)) AS BIGINT) AS stopword_hits,
        |    floor(CAST((length(text) - length(replace(text, '#', ''))) +
        |          (length(text) - length(replace(text, '...', ''))) // 3
-       |          AS DOUBLE) / len(ts) * ${GopherDp.toLong} + 0.5) / ${GopherDp.toLong}
+       |          AS DOUBLE) / greatest(len(ts), 1) * ${GopherDp.toLong} + 0.5) / ${GopherDp.toLong}
        |      AS symbol_ratio
        |  FROM t)
        |SELECT doc_id, n_words, mean_word_len, stopword_hits, symbol_ratio,

@@ -60,8 +60,7 @@ object Attachments {
     * cluster deployment would point this at shared storage.)
     */
   def fixtureRoot(s: SparkSession, dir: String): String =
-    "/tmp/graft_attachments/" + s.sparkContext.applicationId + "/" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    ScopedFixture.root(s, "graft_attachments", dir)
 
   /** Corpus-derived fixture set: one attachment file per document. */
   private def fixtureFiles(s: SparkSession, dir: String): DataFrame = {
@@ -89,8 +88,7 @@ object Attachments {
   def materialize(s: SparkSession, dir: String): String = {
     val root = fixtureRoot(s, dir)
     FixtureCleanup.onExit(root)
-    val marker = java.nio.file.Paths.get(root, "_GRAFT_COMPLETE")
-    if (java.nio.file.Files.exists(marker)) return root
+    if (ScopedFixture.isComplete(root)) return root
     // clear stale fixtures (a changed mapping must not leave orphans
     // behind for the glob to pick up); the root is app-id-scoped, so
     // this can only delete this session's own tree
@@ -109,10 +107,7 @@ object Attachments {
             r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
     }
-    // `_`-prefixed = hidden to Spark's file index (and outside the
-    // readable-extension glob), so the marker never appears as data
-    java.nio.file.Files.createDirectories(marker.getParent)
-    java.nio.file.Files.write(marker, Array.emptyByteArray)
+    ScopedFixture.markComplete(root)
     root
   }
 

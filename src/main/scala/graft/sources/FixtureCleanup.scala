@@ -10,6 +10,31 @@ package graft.sources
   * shutdown hook deletes the process's own trees (best-effort — a
   * kill -9 still leaks, which is /tmp's lifecycle to reclaim).
   */
+/** Shared protocol for app-id-scoped /tmp artifact trees (attachment
+  * fixtures, persisted indexes): one place owns the root naming and the
+  * completion-marker convention so the copies cannot drift.
+  *
+  * The `_`-prefixed marker is hidden to Spark's file index and sits
+  * outside every extension glob, so it never appears as data.
+  */
+private[sources] object ScopedFixture {
+  def root(s: org.apache.spark.sql.SparkSession, family: String, dir: String): String =
+    s"/tmp/$family/" + s.sparkContext.applicationId + "/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private def marker(root: String): java.nio.file.Path =
+    java.nio.file.Paths.get(root, "_GRAFT_COMPLETE")
+
+  def isComplete(root: String): Boolean =
+    java.nio.file.Files.exists(marker(root))
+
+  def markComplete(root: String): Unit = {
+    val m = marker(root)
+    java.nio.file.Files.createDirectories(m.getParent)
+    java.nio.file.Files.write(m, Array.emptyByteArray)
+  }
+}
+
 private[sources] object FixtureCleanup {
   private val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 

@@ -35,8 +35,7 @@ object PqIndex {
     * deployment points this at shared storage).
     */
   def indexRoot(s: SparkSession, dir: String): String =
-    "/tmp/graft_pqindex/" + s.sparkContext.applicationId + "/" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    ScopedFixture.root(s, "graft_pqindex", dir)
 
   /** One-time encode pass: train (memoized), assign cells + encode
     * map-side in the scan projection, write cell-partitioned codes and
@@ -45,8 +44,7 @@ object PqIndex {
   def materialize(s: SparkSession, dir: String): String = {
     val root = indexRoot(s, dir)
     FixtureCleanup.onExit(root)
-    val marker = java.nio.file.Paths.get(root, "_GRAFT_COMPLETE")
-    if (java.nio.file.Files.exists(marker)) return root
+    if (ScopedFixture.isComplete(root)) return root
     val cb = Similarity.pqCodebook(s, dir)
     val cents = Similarity.seededCentroids(s, dir)
     Similarity.normed(s, dir)
@@ -60,7 +58,7 @@ object PqIndex {
     Seq((cb.toSeq, cents.map(_._1), cents.map(_._2.toSeq), cents.map(_._3)))
       .toDF("cb", "cent_ids", "cent_vecs", "cent_norms")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
-    java.nio.file.Files.write(marker, Array.emptyByteArray)
+    ScopedFixture.markComplete(root)
     root
   }
 
@@ -89,11 +87,18 @@ object PqIndex {
     val probes = math.max(Similarity.IvfNProbe,
       math.ceil(cents.size * Similarity.IvfProbeFraction).toInt)
     val n = Similarity.normed(s, dir)
-    val qProbes = n.filter(col("vec_id") < Similarity.NumQueries)
+    // the query batch is bounded by construction: compute the probe
+    // rows ONCE, collect them, and re-plan as a local relation — the
+    // driver both extracts the probed cell set (for partition pruning)
+    // and feeds the broadcast join from the same collected rows, so the
+    // embeddings scan + centroid scoring never runs twice
+    val qPlan = n.filter(col("vec_id") < Similarity.NumQueries)
       .select(col("vec_id").as("q_id"), col("e").as("e_q"), col("nrm").as("n_q"),
         explode(CentroidOps.nearest(col("e"), col("nrm"), cents, probes)).as("cell"))
-    // bounded query batch -> driver-known probe set -> partition pruning
-    val probedCells = qProbes.select("cell").distinct().collect().map(_.getInt(0))
+    val probeRows = qPlan.collect()
+    val qProbes = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), qPlan.schema)
+    val probedCells = probeRows.map(_.getAs[Int]("cell")).distinct
     val encoded = s.read.parquet(s"$root/codes")
       .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
     Similarity.ivfPqSearch(encoded, qProbes,

@@ -776,12 +776,17 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     val noStop = (1 to 35).map(i => s"word$i").mkString(" ")
     val longWords = (Seq("the", "a") ++ (1 to 33).map(i => "x" * 15 + i)).mkString(" ")
     val symbols = good + " " + ("#" * 30)
-    Seq((0L, good), (1L, short_), (2L, noStop), (3L, longWords), (4L, symbols))
+    // doc 5 tokenizes to ZERO tokens: must gate out (keep=false), not
+    // crash on the ratio divisions (Spark 4 ANSI /0 throws)
+    val noTokens = "!!! ### ..."
+    Seq((0L, good), (1L, short_), (2L, noStop), (3L, longWords), (4L, symbols),
+        (5L, noTokens))
       .toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = TextAnalysis.gopherFilter(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
-    assert(out === Map(0L -> true, 1L -> false, 2L -> false, 3L -> false, 4L -> false))
+    assert(out === Map(0L -> true, 1L -> false, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false))
   }
 
   test("repetition: repeated n-grams raise both fractions, distinct text zeroes dup5") {
