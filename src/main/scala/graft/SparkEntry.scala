@@ -111,6 +111,8 @@ object SparkEntry {
     // bucketized range join (no nested loop: (user, ts-bucket) equi-join
     // with the probe exploded to its 2 covering buckets)
     "q_interval_join"     -> ExtendedAnalytics.errorContext _,
+    // SCD2 versioned-dimension build (keep-last dedup is the SCD1 half)
+    "q_scd2"              -> ExtendedAnalytics.scd2Intervals _,
     "q_weekly_focus"      -> TaskAnalytics.weeklyFocus _,
     // sketches (rows-only: HLL/KLL/CMS internals are engine-specific;
     // specs bound error vs exact instead)
@@ -441,6 +443,15 @@ object SparkEntry {
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_attachment_text" -> sources.Attachments.oracleSql,
     "q_gopher_filter" -> TextAnalysis.gopherOracleSql,
+    "q_scd2" ->
+      """SELECT user_id,
+         |  CAST(row_number() OVER w AS INTEGER) AS version,
+         |  event_type AS state,
+         |  CAST(ts AS TIMESTAMP) AS valid_from,
+         |  CAST(lead(ts, 1) OVER w AS TIMESTAMP) AS valid_to
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY user_id, version""".stripMargin,
     "q_interval_join" ->
       s"""WITH e AS (
          |  SELECT event_id, user_id, event_type, value,

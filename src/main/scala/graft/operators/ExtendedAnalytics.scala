@@ -167,6 +167,26 @@ object ExtendedAnalytics {
       .orderBy("week")
   }
 
+  /** SCD2 effective-interval construction (`q_scd2`): the change-log →
+    * versioned-dimension build every warehouse runs — each event opens
+    * a validity interval for its state, closed by the user's next event
+    * (open-ended NULL for the current state). The keep-last dedup
+    * (`q_dedup_keep_last`) is the SCD1 half; this is the SCD2 half.
+    * Shape: one hash exchange + per-key sort (row_number + lead ride
+    * the same window) — the standard distributed versioning pass.
+    */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("user_id"),
+        row_number().over(w).as("version"),
+        col("event_type").as("state"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"))
+      .orderBy("user_id", "version")
+  }
+
   /** Interval-join bucket width (1 h in µs): the probe row explodes to
     * the TWO buckets its lookback window can touch; the build side is
     * bucketed once — each qualifying pair meets in exactly one bucket.

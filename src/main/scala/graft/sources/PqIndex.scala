@@ -53,6 +53,11 @@ object PqIndex {
         PqOps.encode(col("e"), cb, Similarity.PqM, Similarity.PqK, Similarity.PqDsub).as("codes"))
       .withColumn("rnorm",
         PqOps.reconNorm(col("codes"), cb, Similarity.PqM, Similarity.PqK, Similarity.PqDsub))
+      // cluster by cell before the partitioned write: without it every
+      // writer task emits a file into every cell directory (tasks ×
+      // cells small files); with it each cell's codes land in one file
+      // per owning task — the layout a probe-pruned read wants
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes")
     import s.implicits._
     Seq((cb.toSeq, cents.map(_._1), cents.map(_._2.toSeq), cents.map(_._3)))

@@ -734,6 +734,21 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(diff.isEmpty, s"assignment drift:\n${diff.limit(5).collect().mkString("\n")}")
   }
 
+  test("scd2 intervals are contiguous per user with one open-ended current state") {
+    val iv = graft.operators.ExtendedAnalytics.scd2Intervals(spark, sf)
+    val n = Tables.events(spark, sf).count()
+    assert(iv.count() === n, "one interval per change-log event")
+    // exactly one open-ended (current) interval per user
+    val open = iv.filter(col("valid_to").isNull).groupBy("user_id").count()
+    assert(open.filter(col("count") =!= 1).isEmpty)
+    // contiguity: each closed interval's valid_to is the next version's valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("version")
+    val gaps = iv.withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("valid_to").isNotNull && col("valid_to") =!= col("next_from"))
+    assert(gaps.isEmpty, s"non-contiguous intervals:\n${gaps.limit(3).collect().mkString("\n")}")
+  }
+
   test("bucketized interval join equals brute-force lookback, no nested loop") {
     val out = graft.operators.ExtendedAnalytics.errorContext(spark, sf)
     val p = out.queryExecution.executedPlan.toString
