@@ -20,9 +20,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen paths once so the first measured query doesn't
-    // absorb JIT + session initialization.
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // absorb JIT + session initialization. The flagship alone leaves the
+    // window/HOF/aggregate codegen paths cold, and the first measured
+    // query then swings up to 3x run-to-run (observed 18 s vs 3.7 s for
+    // the same query in BENCH_r05 trial runs) — touch each major path
+    // against each table once, unmeasured. These are generic plans, not
+    // catalog queries: per-query session state (caches, fixture trees)
+    // still costs the query that builds it.
+    try {
+      import org.apache.spark.sql.functions._
+      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts")
+      Tables.events(spark, sfDir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .write.format("noop").mode("overwrite").save()
+      Tables.documents(spark, sfDir)
+        .select(aggregate(graft.functions.TextFunctions.tokens(col("text")),
+          lit(0L), (a, x) => a + length(x)).as("n"))
+        .agg(sum("n")).write.format("noop").mode("overwrite").save()
+      Tables.embeddings(spark, sfDir)
+        .select(graft.plans.ArrayOps.dotF(col("embedding"), col("embedding")).as("d"))
+        .agg(sum("d")).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     // noop sink forces the FULL plan (count() would let Catalyst prune
     // the projections being measured).
     // failed queries record NEGATIVE elapsed time — the JSON stays
