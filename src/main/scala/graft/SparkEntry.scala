@@ -113,6 +113,9 @@ object SparkEntry {
     "q_interval_join"     -> ExtendedAnalytics.errorContext _,
     // SCD2 versioned-dimension build (keep-last dedup is the SCD1 half)
     "q_scd2"              -> ExtendedAnalytics.scd2Intervals _,
+    // product-analytics staples over the event log
+    "q_funnel"            -> ExtendedAnalytics.funnel _,
+    "q_retention"         -> ExtendedAnalytics.retention _,
     "q_weekly_focus"      -> TaskAnalytics.weeklyFocus _,
     // sketches (rows-only: HLL/KLL/CMS internals are engine-specific;
     // specs bound error vs exact instead)
@@ -443,6 +446,40 @@ object SparkEntry {
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_attachment_text" -> sources.Attachments.oracleSql,
     "q_gopher_filter" -> TextAnalysis.gopherOracleSql,
+    "q_funnel" ->
+      """WITH e AS (
+         |  SELECT user_id, event_type,
+         |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM events
+         |), s1 AS (
+         |  SELECT user_id, min(us) AS t FROM e
+         |  WHERE event_type = 'signup' GROUP BY user_id
+         |), s2 AS (
+         |  SELECT e.user_id, min(us) AS t FROM e JOIN s1 USING (user_id)
+         |  WHERE event_type = 'click' AND us > s1.t GROUP BY e.user_id
+         |), s3 AS (
+         |  SELECT e.user_id, min(us) AS t FROM e JOIN s2 USING (user_id)
+         |  WHERE event_type = 'purchase' AND us > s2.t GROUP BY e.user_id
+         |)
+         |SELECT 1 AS stage_no, 'signup' AS stage,
+         |       (SELECT count(*) FROM s1) AS users
+         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+         |ORDER BY stage_no""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (
+         |  SELECT DISTINCT user_id,
+         |         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+         |  FROM events
+         |), c AS (
+         |  SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id
+         |)
+         |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+         |  CAST(date_diff('day', cohort_week, week) // 7 AS INTEGER) AS week_offset,
+         |  count(DISTINCT e.user_id) AS users
+         |FROM e JOIN c USING (user_id)
+         |GROUP BY c.cohort_week, week_offset
+         |ORDER BY cohort_week, week_offset""".stripMargin,
     "q_scd2" ->
       """SELECT user_id,
          |  CAST(row_number() OVER w AS INTEGER) AS version,

@@ -167,6 +167,70 @@ object ExtendedAnalytics {
       .orderBy("week")
   }
 
+  /** Funnel stage order: first signup, then first click AFTER it, then
+    * first purchase after that — strict event-time sequence.
+    */
+  val FunnelStages = Seq("signup", "click", "purchase")
+
+  /** Funnel analysis (`q_funnel`): how many users complete each stage
+    * of signup → click → purchase IN ORDER (each stage's event must
+    * follow the user's previous stage's first qualifying event) — the
+    * product-analytics staple for conversion measurement.
+    *
+    * Distributed shape: one shuffle per stage, each keyed on user_id
+    * (min-aggregations with map-side partial agg); stage k joins the
+    * (already user-keyed, shrinking) stage k-1 frame, so AQE plans
+    * broadcast joins as the funnel narrows. No per-user event lists
+    * are ever collected — a power user with 10⁸ events costs the same
+    * as any other key.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    // stage 1: first qualifying event per user; stage k: first
+    // qualifying event strictly after the user's stage k-1 time
+    val reached = FunnelStages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stage, _)) =>
+        val base = ev.filter(col("event_type") === stage)
+        val gated = prev match {
+          case None => base
+          case Some(p) => base.join(p, "user_id").filter(col("us") > col("t"))
+        }
+        Some(gated.groupBy("user_id").agg(min("us").as("t")))
+    }.flatten
+    reached.zip(FunnelStages).zipWithIndex.map { case ((df, stage), i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("stage_no"), lit(stage).as("stage"), col("users"))
+    }.reduce(_ union _).orderBy("stage_no")
+  }
+
+  /** Cohort retention (`q_retention`): users bucketed by first-seen
+    * week (cohort), counted as retained in each later week they were
+    * active — the (cohort, week-offset) retention matrix behind every
+    * engagement dashboard.
+    *
+    * Shape: two user-keyed aggregations (first-seen; distinct active
+    * weeks) + one join on user + one (cohort, offset) count — all
+    * map-side-combined shuffles on bounded-cardinality keys.
+    */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+    val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val active = ev.distinct()
+    active.join(cohort, "user_id")
+      .select(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int").as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("users"))
+      // week as a string — raw DATE dtypes convert differently into the
+      // parity compare (repo precedent: q_weekly_velocity et al.)
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** SCD2 effective-interval construction (`q_scd2`): the change-log →
     * versioned-dimension build every warehouse runs — each event opens
     * a validity interval for its state, closed by the user's next event

@@ -734,6 +734,32 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(diff.isEmpty, s"assignment drift:\n${diff.limit(5).collect().mkString("\n")}")
   }
 
+  test("funnel enforces stage ORDER; retention buckets by first-seen cohort") {
+    import spark.implicits._
+    // the shipped corpus is dense enough that every user completes every
+    // stage — the order gating needs planted counterexamples
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    val day = 86400L * 1000000000L // ns (events.parquet carries ns longs)
+    // u1 full ordered funnel (+ an event two weeks later for retention);
+    // u2 clicks only BEFORE signup -> must stop at stage 1;
+    // u3 signup->click, no purchase; u4 never signs up -> reaches nothing
+    val rows = Seq(
+      (1L, 1 * day, 1L, "signup", 1.0), (2L, 2 * day, 1L, "click", 1.0),
+      (3L, 3 * day, 1L, "purchase", 1.0), (4L, 15 * day, 1L, "view", 1.0),
+      (5L, 1 * day, 2L, "click", 1.0), (6L, 2 * day, 2L, "signup", 1.0),
+      (7L, 1 * day, 3L, "signup", 1.0), (8L, 2 * day, 3L, "click", 1.0),
+      (9L, 1 * day, 4L, "click", 1.0), (10L, 2 * day, 4L, "purchase", 1.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val f = ExtendedAnalytics.funnel(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(f === Map("signup" -> 3L, "click" -> 2L, "purchase" -> 1L))
+    val ret = ExtendedAnalytics.retention(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val wk = ret.keys.map(_._1).min
+    assert(ret === Map((wk, 0) -> 4L, (wk, 2) -> 1L), s"got $ret")
+  }
+
   test("scd2 intervals are contiguous per user with one open-ended current state") {
     val iv = graft.operators.ExtendedAnalytics.scd2Intervals(spark, sf)
     val n = Tables.events(spark, sf).count()
