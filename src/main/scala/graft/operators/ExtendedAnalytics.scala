@@ -177,31 +177,31 @@ object ExtendedAnalytics {
     * follow the user's previous stage's first qualifying event) — the
     * product-analytics staple for conversion measurement.
     *
-    * Distributed shape: one shuffle per stage, each keyed on user_id
-    * (min-aggregations with map-side partial agg); stage k joins the
-    * (already user-keyed, shrinking) stage k-1 frame, so AQE plans
-    * broadcast joins as the funnel narrows. No per-user event lists
-    * are ever collected — a power user with 10⁸ events costs the same
-    * as any other key.
+    * Distributed shape: ONE scan + ONE user-keyed exchange. The three
+    * stage times are chained whole-partition window minimums over the
+    * same partitioning (t2's predicate reads t1's column, so they
+    * stack as Window nodes on one exchange — no join, no re-scan; a
+    * naive stage-per-pass formulation scans the event log once per
+    * stage). The per-user reduction then rides the same partitioning
+    * exchange-free, and only the 3-row summary is re-shuffled.
     */
   def funnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val Seq(st1, st2, st3) = FunnelStages
+    val staged = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-    // stage 1: first qualifying event per user; stage k: first
-    // qualifying event strictly after the user's stage k-1 time
-    val reached = FunnelStages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
-      case (prev, (stage, _)) =>
-        val base = ev.filter(col("event_type") === stage)
-        val gated = prev match {
-          case None => base
-          case Some(p) => base.join(p, "user_id").filter(col("us") > col("t"))
-        }
-        Some(gated.groupBy("user_id").agg(min("us").as("t")))
-    }.flatten
-    reached.zip(FunnelStages).zipWithIndex.map { case ((df, stage), i) =>
-      df.agg(count(lit(1)).as("users"))
-        .select(lit(i + 1).as("stage_no"), lit(stage).as("stage"), col("users"))
-    }.reduce(_ union _).orderBy("stage_no")
+      .withColumn("t1", min(when(col("event_type") === st1, col("us"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === st2 &&
+        col("us") > col("t1"), col("us"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === st3 &&
+        col("us") > col("t2"), col("us"))).over(w))
+    staged.groupBy("user_id")
+      .agg(first("t1").as("t1"), first("t2").as("t2"), first("t3").as("t3"))
+      .agg(count(col("t1")).as("s1"), count(col("t2")).as("s2"),
+        count(col("t3")).as("s3"))
+      .select(expr(s"stack(3, 1, '$st1', s1, 2, '$st2', s2, 3, '$st3', s3) " +
+        "AS (stage_no, stage, users)"))
+      .orderBy("stage_no")
   }
 
   /** Cohort retention (`q_retention`): users bucketed by first-seen
@@ -209,16 +209,16 @@ object ExtendedAnalytics {
     * active — the (cohort, week-offset) retention matrix behind every
     * engagement dashboard.
     *
-    * Shape: two user-keyed aggregations (first-seen; distinct active
-    * weeks) + one join on user + one (cohort, offset) count — all
-    * map-side-combined shuffles on bounded-cardinality keys.
+    * Shape: ONE scan — map-side-combined distinct on (user, week),
+    * the cohort week as a whole-partition window min over user (no
+    * self-join, no second scan), then the (cohort, offset) count.
     */
   def retention(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    Tables.events(s, dir)
       .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
-    val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
-    val active = ev.distinct()
-    active.join(cohort, "user_id")
+      .distinct()
+      .withColumn("cohort_week", min("week").over(w))
       .select(col("cohort_week"),
         (datediff(col("week"), col("cohort_week")) / 7).cast("int").as("week_offset"),
         col("user_id"))
