@@ -27,22 +27,26 @@ object Bench {
     // against each table once, unmeasured. These are generic plans, not
     // catalog queries: per-query session state (caches, fixture trees)
     // still costs the query that builds it.
-    try {
+    locally {
       import org.apache.spark.sql.functions._
-      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+      // each warmup fails independently — one missing table must not
+      // silently skip the rest and reintroduce the first-query swing
+      def warm(df: => org.apache.spark.sql.DataFrame): Unit =
+        try df.write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
+      warm(SparkEntry.entry(spark))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts")
-      Tables.events(spark, sfDir)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .write.format("noop").mode("overwrite").save()
-      Tables.documents(spark, sfDir)
+      warm(Tables.events(spark, sfDir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1))
+      warm(Tables.documents(spark, sfDir)
         .select(aggregate(graft.functions.TextFunctions.tokens(col("text")),
           lit(0L), (a, x) => a + length(x)).as("n"))
-        .agg(sum("n")).write.format("noop").mode("overwrite").save()
-      Tables.embeddings(spark, sfDir)
+        .agg(sum("n")))
+      warm(Tables.embeddings(spark, sfDir)
         .select(graft.plans.ArrayOps.dotF(col("embedding"), col("embedding")).as("d"))
-        .agg(sum("d")).write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+        .agg(sum("d")))
+    }
     // noop sink forces the FULL plan (count() would let Catalyst prune
     // the projections being measured).
     // failed queries record NEGATIVE elapsed time — the JSON stays

@@ -223,7 +223,11 @@ object ExtendedAnalytics {
         (datediff(col("week"), col("cohort_week")) / 7).cast("int").as("week_offset"),
         col("user_id"))
       .groupBy("cohort_week", "week_offset")
-      .agg(countDistinct("user_id").as("users"))
+      // rows are the DISTINCT (user, week) set and offset is injective
+      // in week per user, so each user appears once per group — plain
+      // count (map-side combine) equals countDistinct without the
+      // extra partial-distinct aggregation
+      .agg(count(lit(1)).as("users"))
       // week as a string — raw DATE dtypes convert differently into the
       // parity compare (repo precedent: q_weekly_velocity et al.)
       .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
