@@ -45,11 +45,22 @@ import graft.Tables
   *
   * Scale: a rendered report is presentation-bounded — the reference
   * itself narrows any section a human would not read (the >15 goals
-  * cut). The unpartitioned windows here run AFTER the period/status
-  * filters, on document-sized frames (the 100 TB work is the filter
-  * scan, which distributes); assembling the final total order of a
-  * human-readable document on one partition is inherent to emitting
-  * it.
+  * cut) — but the section FRAMES are fact-derived, so no window here
+  * may serialize a fact-sized frame through one task (the round-5
+  * weakness). Numbering is two-phase everywhere:
+  *   §1–3  rank within (section_no, parent_name) — high-cardinality,
+  *         parallel — then add per-group offsets from a running sum
+  *         over the aggregated group-count frame (parent-cardinality,
+  *         broadcast-scale by the same argument as the customer dim).
+  *         Group headers come entirely from the groups frame.
+  *   §4    rank within ≤4096 order-aligned okey range buckets, then
+  *         add bucket offsets from a one-pass `aggregate` prefix sum
+  *         over the bucket-count array (bounded by construction).
+  *   §5    sort_array + posexplode over the ≤3-row legend — no window
+  *         at all.
+  * Net: zero unpartitioned windows, and the only section_no-partitioned
+  * window runs over a post-aggregate (group-count) frame.
+  * PlanRegressionSpec pins both properties.
   */
 object ReportDoc {
 
@@ -165,6 +176,41 @@ object ReportDoc {
   def releaseReportCache(s: SparkSession, dir: String): Unit =
     reportFramePlan(s, dir).unpersist()
 
+  /** Continuous okey-ordered numbering for the §4 catch-all WITHOUT an
+    * unpartitioned window (the round-5 `Window.orderBy(okey)` ran the
+    * whole fact-derived frame through one task). Two phases:
+    *   1. range-bucket okey into ≤4096 order-aligned buckets (bucket
+    *      width derives from the min/max okey, so the bucket count is
+    *      bounded at ANY corpus size) and rank within each bucket;
+    *   2. bucket offsets from a single `aggregate` prefix-sum pass over
+    *      the sorted bucket-count array — a post-aggregate ≤4096-element
+    *      structure, driver-safe, no window needed.
+    * Global r = off + lr. Empty input flows through as zero rows (the
+    * min/max row is all-null and the bucket array is empty).
+    * Package-private so the spec can exercise it on planted dirty
+    * statuses — the shipped corpus has none (§4 always empty).
+    */
+  private[graft] def catchAllItems(unc: DataFrame): DataFrame = {
+    val bounds = unc.agg(min(col("okey")).as("lo"), max(col("okey")).as("hi"))
+    val bucketed = unc.crossJoin(broadcast(bounds))
+      .withColumn("b", expr("((okey - lo) * 4096) div (hi - lo + 1)"))
+    val localU = bucketed.withColumn("lr",
+      row_number().over(Window.partitionBy("b").orderBy("okey")))
+    val offs = bucketed.groupBy("b").agg(count(lit(1)).as("cnt"))
+      .agg(sort_array(collect_list(struct(col("b"), col("cnt")))).as("arr"))
+      .select(explode(expr(
+        """aggregate(arr,
+             struct(cast(array() as array<struct<b:bigint,off:bigint>>) as acc,
+                    0L as run),
+             (s, x) -> struct(
+               array_append(s.acc, named_struct('b', x.b, 'off', s.run)),
+               s.run + x.cnt),
+             s -> s.acc)""")).as("e"))
+      .select(col("e.b").as("b"), col("e.off").as("off"))
+    localU.join(broadcast(offs), Seq("b"))
+      .select(col("item_name"), (col("off") + col("lr")).as("r"))
+  }
+
   private val SectionTitles = Seq(
     1 -> "Completed Tasks", 2 -> "In Progress", 3 -> "To Do")
   private val EmptyMsgs = Map(
@@ -178,9 +224,15 @@ object ReportDoc {
       .union(s.range(1).select(lit(0).as("section_no"), lit(1).as("pos"),
         lit(s"Period: $PeriodStart to $PeriodEnd").as("line")))
 
-    // All three grouped sections ride ONE window pass, PARTITIONED by
-    // section (no unpartitioned window anywhere): one exchange on
-    // section_no computes every r/g/prev.
+    // Two-phase continuous numbering (round-6 fix of the cardinality-3
+    // window): phase 1 ranks WITHIN each (section, parent) group — a
+    // high-cardinality partitioning that parallelizes — and phase 2
+    // adds each group's offset (= rows in preceding groups of its
+    // section) from the aggregated group-count frame. The offsets
+    // window IS partitioned by section_no, but over a parent-cardinality
+    // post-aggregate frame — broadcast-scale, not fact-scale. Global
+    // row number r = off + lr; dense group rank g comes free as the
+    // groups frame's row_number.
     // Persist the report frame: it feeds the rank window, the section
     // counts, the placeholders, and the legend — without the cache each
     // union branch re-scans its sources (38 parquet scans in the
@@ -188,25 +240,33 @@ object ReportDoc {
     // repeat calls to the one entry; long-lived sessions release it
     // with [[releaseReportCache]] (Verify/Bench do, after their loop).
     val t = reportFramePlan(s, dir).persist()
-    val wAll = Window.partitionBy("section_no")
-      .orderBy(col("parent_name"), col("sa"), col("sb"), col("okey"))
+    val wLocal = Window.partitionBy("section_no", "parent_name")
+      .orderBy(col("sa"), col("sb"), col("okey"))
+    val local = t.select(col("section_no"), col("parent_name"), col("item_name"),
+      row_number().over(wLocal).as("lr"))
     val wGrp = Window.partitionBy("section_no").orderBy(col("parent_name"))
-    val ranked = t.select(col("section_no"), col("parent_name"), col("item_name"),
-      row_number().over(wAll).as("r"),
-      dense_rank().over(wGrp).as("g"),
-      lag(col("parent_name"), 1).over(wAll).as("prev"))
+    val groups = t.groupBy("section_no", "parent_name")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("section_no"), col("parent_name"),
+        row_number().over(wGrp).as("g"),
+        coalesce(sum(col("cnt")).over(
+          wGrp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
 
     val titles = SectionTitles.map { case (no, title) =>
       s.range(1).select(lit(no).as("section_no"), lit(0).as("pos"),
         lit(s"$no. $title").as("line"))
     }.reduce(_ union _)
-    val headers = ranked
-      .filter(col("prev").isNull || col("prev") =!= col("parent_name"))
-      .select(col("section_no"), (col("r") + col("g") - 1).as("pos"),
-        upper(col("parent_name")).as("line"))
-    val items = ranked.select(col("section_no"),
-      (col("r") + col("g")).as("pos"),
-      concat(col("r").cast("string"), lit(". "), col("item_name")).as("line"))
+    // a group header precedes the group's first item at pos r+g-1 with
+    // r = off+1 — i.e. off+g: computable from the groups frame alone,
+    // no per-row filter pass needed
+    val headers = groups.select(col("section_no"),
+      (col("off") + col("g")).cast("int").as("pos"),
+      upper(col("parent_name")).as("line"))
+    val items = local.join(broadcast(groups), Seq("section_no", "parent_name"))
+      .select(col("section_no"),
+        (col("off") + col("lr") + col("g")).cast("int").as("pos"),
+        concat((col("off") + col("lr")).cast("string"), lit(". "),
+          col("item_name")).as("line"))
     // empty-section placeholders: a section with no tasks has no group
     // row at all, so "empty" = anti-join of the static section list
     // against the per-section counts
@@ -230,16 +290,17 @@ object ReportDoc {
         lit("4. Uncategorized / Other Tasks").as("line"))
       .union(uncCnt.select(lit(4).as("section_no"), lit(1).as("pos"),
         lit("These tasks do not match standard status filters (To Do, Doing, Done).").as("line")))
-      .union(unc.select(col("item_name"),
-          row_number().over(Window.orderBy(col("okey"))).as("r"))
-        .select(lit(4).as("section_no"), (col("r") + 1).as("pos"),
+      .union(catchAllItems(unc)
+        .select(lit(4).as("section_no"), (col("r") + 1).cast("int").as("pos"),
           concat(col("r").cast("string"), lit(". "), col("item_name")).as("line")))
 
     // §5 analysis: the report-period status pie series. Each section
     // maps to one normalized status (1→finished, 2→pending, 3→open),
     // so the series IS the per-section count frame relabeled — no
     // second aggregation. Ordered (count desc, status) for a
-    // deterministic legend.
+    // deterministic legend — via sort_array + posexplode over the
+    // ≤3-element array, not a window (keeps the plan free of
+    // unpartitioned WindowExecs entirely).
     val counts = secCounts.select(
       when(col("section_no") === 1, "finished")
         .when(col("section_no") === 2, "pending")
@@ -248,9 +309,12 @@ object ReportDoc {
     val s5 = counts.agg(count(lit(1)).as("_n")).filter(col("_n") > 0)
       .select(lit(5).as("section_no"), lit(0).as("pos"),
         lit("Analysis. Work Distribution & Productivity Trends").as("line"))
-      .union(counts.select(lit(5).as("section_no"),
-        row_number().over(Window.orderBy(col("n").desc, col("status"))).as("pos"),
-        concat(col("status"), lit(": "), col("n").cast("string")).as("line")))
+      .union(counts
+        .agg(sort_array(collect_list(
+          struct((-col("n")).as("nn"), col("status"), col("n")))).as("arr"))
+        .select(posexplode(col("arr")).as(Seq("i", "e")))
+        .select(lit(5).as("section_no"), (col("i") + 1).cast("int").as("pos"),
+          concat(col("e.status"), lit(": "), col("e.n").cast("string")).as("line")))
 
     header.union(s123).union(s4).union(s5)
       .orderBy("section_no", "pos")

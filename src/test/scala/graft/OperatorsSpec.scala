@@ -44,16 +44,11 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("report doc renders contiguous positions, grouped headers, continuous numbering") {
-    // the grouped sections ride ONE window pass partitioned by
-    // section_no — the only unpartitioned windows are the bounded
-    // legend/catch-all frames (≤ a handful of rows by construction),
-    // recognizable by not carrying parent_name
+    // window-shape guards live in PlanRegressionSpec ("report doc has no
+    // unpartitioned window..."); this spec pins the rendered document
     val wins = ReportDoc.reportDoc(spark, sf).queryExecution.optimizedPlan
       .collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
     assert(wins.exists(_.partitionSpec.nonEmpty), "section window lost partitioning")
-    assert(wins.filter(_.partitionSpec.isEmpty)
-      .forall(w => !w.child.output.exists(_.name == "parent_name")),
-      "a grouped-section window runs unpartitioned")
     val lines = ReportDoc.reportDoc(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
     val bySection = lines.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
@@ -602,6 +597,51 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(qKeys.toSet === SparkEntry.queries.keySet)
     assert(oKeys.toSet === SparkEntry.oracleSql.keySet)
     assert(oKeys.toSet.subsetOf(qKeys.toSet), "every oracle needs a query")
+  }
+
+  test("report doc has no unpartitioned window and no fact-scale low-cardinality window") {
+    // the round-5 weakness: a Window.partitionBy(section_no) —
+    // cardinality 3 — serialized each section's full fact-derived frame
+    // through one task, and the §4 catch-all ranked with NO partition
+    // at all. The round-6 rule this spec pins: every Window must either
+    // (a) partition by something finer than section_no (the per-group
+    // local rank, the §4 bucket rank), or (b) run over a post-aggregate
+    // frame (group counts, bucket counts, the ≤3-row legend) — bounded
+    // metadata scale, where a coarse partition spec is harmless. And no
+    // Window may have an EMPTY partition spec (that is what emits
+    // `WindowExec: No Partition Defined` and single-tasks the sort).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = operators.ReportDoc.reportDoc(spark, sf)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "report doc lost its rank windows entirely")
+    for (w <- wins) {
+      val parts = w.partitionSpec.flatMap(_.references.map(_.name)).distinct
+      assert(parts.nonEmpty, s"unpartitioned window in report doc plan:\n$w")
+      val postAggregate = w.child.collectFirst { case a: Aggregate => a }.nonEmpty
+      if (!postAggregate)
+        assert(parts.exists(_ != "section_no"),
+          s"fact-derived window partitioned only by $parts (single-digit cardinality):\n$w")
+    }
+  }
+
+  test("catch-all numbering: bucketed two-phase equals a sequential enumerate") {
+    // §4 is empty on the shipped corpus, so exercise the operator on
+    // planted dirty statuses: sparse, unordered okeys across the full
+    // bucket range, including a bucket-boundary cluster
+    import spark.implicits._
+    val okeys = Seq(9000000L, 3L, 4097L, 4096L, 4095L, 777L, 12L, 500000L, 1L, 8191L)
+    val unc = okeys.map(k => (s"Order $k (x)", k)).toDF("item_name", "okey")
+    val got = operators.ReportDoc.catchAllItems(unc)
+      .orderBy("r").collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = okeys.sorted.zipWithIndex
+      .map { case (k, i) => (s"Order $k (x)", (i + 1).toLong) }
+    assert(got.toSeq === want, s"two-phase numbering drifted: ${got.toSeq}")
+    // and the rank window is bucket-partitioned, not global
+    val wins = operators.ReportDoc.catchAllItems(unc)
+      .queryExecution.optimizedPlan
+      .collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "catch-all rank must partition by the okey range bucket")
   }
 
   test("custom-operator plans keep their shapes") {
