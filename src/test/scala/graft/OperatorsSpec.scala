@@ -897,3 +897,30 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"labels should derive from a checkpointed RDD:\n$p")
   }
 }
+
+/** The bench stdout line must survive the driver's ~2000-char
+  * tail-capture window (rounds 1–4 lost bench visibility to exactly
+  * this). Pins the ShortKey map's integrity and a worst-case length
+  * bound with ≥25% headroom.
+  */
+class BenchLineSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("short keys are unique, non-stale, and cover every query") {
+    val stale = Bench.ShortKey.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"ShortKey maps queries that no longer exist: $stale")
+    val emitted = SparkEntry.queries.keySet.toSeq.map(Bench.shortKey)
+    assert(emitted.size === emitted.distinct.size,
+      s"short-key collision: ${emitted.diff(emitted.distinct).distinct}")
+  }
+
+  test("worst-case bench line stays under 1500 chars (driver window is ~2000)") {
+    // every query slow AND failed: "-999.9" is the widest 1-dp value
+    // the clamp can emit for a sub-17-minute run
+    val qs = SparkEntry.queries.keySet.toSeq.sorted
+      .map(k => "\"" + Bench.shortKey(k) + "\":-999.9").mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":99999.99,"unit":"sec","queries":$qs,""" +
+      s""""cpu":99999.9,"ld":[99.99,99.99],"sf":"sf0.1"}"""
+    assert(line.length < 1500,
+      s"bench line worst case ${line.length} chars — shrink ShortKey before growing the catalog")
+  }
+}
