@@ -484,8 +484,8 @@ object SparkEntry {
       """SELECT user_id,
          |  CAST(row_number() OVER w AS INTEGER) AS version,
          |  event_type AS state,
-         |  CAST(ts AS TIMESTAMP) AS valid_from,
-         |  CAST(lead(ts, 1) OVER w AS TIMESTAMP) AS valid_to
+         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+         |  strftime(CAST(lead(ts, 1) OVER w AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS valid_to
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          |ORDER BY user_id, version""".stripMargin,

@@ -31,9 +31,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // a typo'd subset name must not silently verify nothing
-    (only -- SparkEntry.queries.keySet).foreach(n =>
-      System.err.println(s"[verify] unknown query in subset: $n"))
+    // a typo'd subset name must not silently verify nothing — fail the
+    // run, don't just warn (a fully typo'd subset would otherwise dump
+    // nothing, write an empty oracle_sql.json, and exit 0)
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[verify] unknown queries in subset: ${unknown.mkString(", ")}")
+      spark.stop()
+      sys.exit(1)
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only(name))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -250,8 +250,12 @@ object ExtendedAnalytics {
       .select(col("user_id"),
         row_number().over(w).as("version"),
         col("event_type").as("state"),
-        col("ts").as("valid_from"),
-        lead(col("ts"), 1).over(w).as("valid_to"))
+        // stringified (micros) — raw TIMESTAMP dtypes land as
+        // datetime64[us] vs [ns] across engines in the parity compare;
+        // repo precedent: q_retention / q_weekly_velocity
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+        date_format(lead(col("ts"), 1).over(w),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"))
       .orderBy("user_id", "version")
   }
 
