@@ -185,22 +185,36 @@ object ExtendedAnalytics {
     * stage). The per-user reduction then rides the same partitioning
     * exchange-free, and only the 3-row summary is re-shuffled.
     */
-  def funnel(s: SparkSession, dir: String): DataFrame = {
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelStaged(Tables.events(s, dir), FunnelStages)
+
+  /** N-stage generalization (round 6; the 3-stage `q_funnel` is the
+    * oracle-checked instance): the chained-window construction folds
+    * over any stage list — stage i+1's predicate reads stage i's
+    * column, so all N minimums still stack on the SAME user exchange.
+    * FunnelSpec runs a 5-stage funnel on planted in/out-of-order users.
+    */
+  def funnelStaged(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
-    val Seq(st1, st2, st3) = FunnelStages
-    val staged = Tables.events(s, dir)
+    val base = events
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-      .withColumn("t1", min(when(col("event_type") === st1, col("us"))).over(w))
-      .withColumn("t2", min(when(col("event_type") === st2 &&
-        col("us") > col("t1"), col("us"))).over(w))
-      .withColumn("t3", min(when(col("event_type") === st3 &&
-        col("us") > col("t2"), col("us"))).over(w))
-    staged.groupBy("user_id")
-      .agg(first("t1").as("t1"), first("t2").as("t2"), first("t3").as("t3"))
-      .agg(count(col("t1")).as("s1"), count(col("t2")).as("s2"),
-        count(col("t3")).as("s3"))
-      .select(expr(s"stack(3, 1, '$st1', s1, 2, '$st2', s2, 3, '$st3', s3) " +
-        "AS (stage_no, stage, users)"))
+    val staged = stages.zipWithIndex.foldLeft(base) { case (df, (st, i)) =>
+      val qualifies =
+        if (i == 0) col("event_type") === st
+        else col("event_type") === st && col("us") > col(s"t$i")
+      df.withColumn(s"t${i + 1}", min(when(qualifies, col("us"))).over(w))
+    }
+    val tCols = stages.indices.map(i => s"t${i + 1}")
+    val perUser = staged.groupBy("user_id")
+      .agg(first(tCols.head).as(tCols.head),
+        tCols.tail.map(c => first(c).as(c)): _*)
+    val counted = perUser.agg(count(col(tCols.head)).as("s1"),
+      tCols.tail.zipWithIndex.map { case (c, i) => count(col(c)).as(s"s${i + 2}") }: _*)
+    val stackArgs = stages.zipWithIndex
+      .map { case (st, i) => s"${i + 1}, '$st', s${i + 1}" }.mkString(", ")
+    counted.select(expr(
+      s"stack(${stages.length}, $stackArgs) AS (stage_no, stage, users)"))
       .orderBy("stage_no")
   }
 

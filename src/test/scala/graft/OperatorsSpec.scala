@@ -924,3 +924,41 @@ class BenchLineSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"bench line worst case ${line.length} chars — shrink ShortKey before growing the catalog")
   }
 }
+
+/** N-stage funnel generalization (`funnelStaged`) on planted users —
+  * the 3-stage oracle instance is driver-checked; this pins the
+  * order-gating fold at 5 stages plus the one-user-exchange shape.
+  */
+class FunnelSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("5-stage funnel gates each stage on the previous stage's first time") {
+    import spark.implicits._
+    val stages = Seq("s1", "s2", "s3", "s4", "s5")
+    def ev(u: Long, et: String, sec: Int) = (u, et, new java.sql.Timestamp(sec * 1000L))
+    val events = Seq(
+      // user 1: all five stages in order
+      ev(1, "s1", 1), ev(1, "s2", 2), ev(1, "s3", 3), ev(1, "s4", 4), ev(1, "s5", 5),
+      // user 2: s3 arrives BEFORE its s2 — conversion stops after s2
+      // (the later s4 can't qualify against a null t3)
+      ev(2, "s1", 1), ev(2, "s3", 2), ev(2, "s2", 3), ev(2, "s4", 4),
+      // user 3: enters mid-funnel — never counted anywhere
+      ev(3, "s2", 1), ev(3, "s3", 2),
+      // user 4: first four stages with repeated noise, no s5
+      ev(4, "s1", 10), ev(4, "s2", 11), ev(4, "s2", 12), ev(4, "s3", 13), ev(4, "s4", 14),
+      // user 5: skips s2 then backfills — s3 sits before the first
+      // valid s2, so the chain ends at s2 (s5 can't rescue it)
+      ev(5, "s1", 1), ev(5, "s3", 2), ev(5, "s2", 3), ev(5, "s5", 4)
+    ).toDF("user_id", "event_type", "ts")
+    val out = operators.ExtendedAnalytics.funnelStaged(events, stages)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1, "s1", 4L), (2, "s2", 4L), (3, "s3", 2L),
+      (4, "s4", 2L), (5, "s5", 1L)))
+    // all five chained minimums + the per-user reduction ride ONE
+    // user-keyed exchange
+    val p = operators.ExtendedAnalytics.funnelStaged(events, stages)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).length === 1,
+      s"expected one user exchange:\n$p")
+  }
+}
