@@ -290,16 +290,35 @@ object ExtendedAnalytics {
     * loop; the standard interval-join shape at any scale (width tuned
     * to the window so each probe touches ≤ 2 buckets).
     */
-  def errorContext(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+  def errorContext(s: SparkSession, dir: String): DataFrame =
+    errorContextOn(Tables.events(s, dir))
+
+  /** `salts` > 1 enables the hot-entity path (SURVEY §5, same family as
+    * [[Skew.saltedJoin]]): a celebrity user with an extreme per-window
+    * event rate concentrates one (user, bucket) key on one reducer —
+    * salting spreads the PRIOR side over `salts` sub-keys and
+    * replicates each probe across them, so every (error, prior) pair
+    * still meets exactly once and the result is identical (spec:
+    * IntervalSkewSpec, planted celebrity, measured reducer shares).
+    * The salt hashes the prior row's own columns — deterministic,
+    * replay-stable.
+    */
+  def errorContextOn(eventsIn: DataFrame, salts: Int = 1): DataFrame = {
+    val ev = eventsIn.withColumn("us", unix_micros(col("ts")))
     val bkt = (col("us") / IntervalUs).cast("long")
-    val errs = ev.filter(col("event_type") === "error")
+    val errs0 = ev.filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id"), col("us"),
         explode(array(bkt - 1, bkt)).as("bkt"))
-    val prior = ev.select(col("user_id"), col("us").as("p_us"), col("value"),
+    val prior0 = ev.select(col("user_id"), col("us").as("p_us"), col("value"),
       bkt.as("bkt"))
+    val (errs, prior, keys) =
+      if (salts <= 1) (errs0, prior0, Seq("user_id", "bkt"))
+      else (
+        errs0.withColumn("_salt", explode(array((0 until salts).map(lit): _*))),
+        prior0.withColumn("_salt", pmod(hash(col("p_us"), col("value")), lit(salts))),
+        Seq("user_id", "bkt", "_salt"))
     // left join: errors with an empty lookback window still report 0
-    errs.join(prior, Seq("user_id", "bkt"), "left")
+    errs.join(prior, keys, "left")
       .withColumn("hit",
         col("p_us") >= col("us") - IntervalUs && col("p_us") < col("us"))
       .groupBy("event_id", "user_id")

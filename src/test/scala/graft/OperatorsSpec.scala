@@ -962,3 +962,61 @@ class FunnelSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"expected one user exchange:\n$p")
   }
 }
+
+/** Interval-join hot-entity salting (SURVEY §5): a celebrity user
+  * whose per-window event rate concentrates one (user, bucket) key
+  * must not serialize the range join through one reducer. Same
+  * row-placement methodology as SkewRecallSpec (task time is
+  * proportional to partition rows; durations at test scale are noise),
+  * same salting family as operators/Skew.scala.
+  */
+class IntervalSkewSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import org.apache.spark.sql.functions._
+
+  // 45k celebrity events inside ONE hour bucket (user 7) + 55k events
+  // spread over 100 users and ~14 hourly buckets; every 100th event is
+  // an error so the lookback aggregation has real work on both sides
+  private def planted = {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-03-01 10:00:00").getTime
+    spark.range(100000).select(
+      col("id").as("event_id"),
+      when(col("id") < 45000, lit(7L)).otherwise(col("id") % 100 + 100).as("user_id"),
+      when(col("id") < 45000,
+        timestamp_millis(lit(base) + (col("id") % 3500) * 1000))
+        .otherwise(timestamp_millis(lit(base) + (col("id") % 50000) * 1000)).as("ts"),
+      when(col("id") % 100 === 0, "error").otherwise("view").as("event_type"),
+      (col("id") % 97).cast("double").as("value"))
+  }
+
+  test("salted interval join equals the plain one and caps the max reducer share") {
+    val ev = planted
+    val plain = operators.ExtendedAnalytics.errorContextOn(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val salted = operators.ExtendedAnalytics.errorContextOn(ev, salts = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(plain.nonEmpty && plain.exists(_._3 > 0))
+    assert(salted.toSeq === plain.toSeq,
+      "salting must not change the interval-join result")
+
+    // reducer placement of the PRIOR (build) side under the join keys
+    val us = unix_micros(col("ts"))
+    val bkt = (us / operators.ExtendedAnalytics.IntervalUs).cast("long")
+    val prior = ev.select(col("user_id"), us.as("p_us"), col("value"), bkt.as("bkt"))
+    def share(df: org.apache.spark.sql.DataFrame,
+              keys: Seq[org.apache.spark.sql.Column]): Double = {
+      val byPart = df.repartition(16, keys: _*)
+        .select(spark_partition_id().as("p")).groupBy("p").count()
+        .collect().map(_.getLong(1))
+      byPart.max.toDouble / byPart.sum
+    }
+    val hot = share(prior, Seq(col("user_id"), col("bkt")))
+    val salt = pmod(hash(col("p_us"), col("value")), lit(16))
+    val spread = share(prior.withColumn("_salt", salt),
+      Seq(col("user_id"), col("bkt"), col("_salt")))
+    info(f"plain keys: max reducer share ${hot * 100}%.0f%%; salted: ${spread * 100}%.0f%%")
+    assert(hot > 0.40, s"celebrity bucket should dominate a reducer: $hot")
+    assert(spread < 0.15, s"salting should spread the hot (user,bucket): $spread")
+  }
+}
