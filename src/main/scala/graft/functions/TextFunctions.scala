@@ -88,6 +88,24 @@ object TextFunctions {
     when(length(text) > max, concat(substring(text, 1, max - 3), lit("...")))
       .otherwise(text)
 
+  /** sanitize_filename analog (fetch_pages.py:462-468): each of the
+    * nine filesystem-invalid chars `<>:"/\|?*` becomes "_", then the
+    * name is capped at 255 chars — `translate` + `substring`, both
+    * codegen'd. Feeds the attachment fixture filenames
+    * (sources/Attachments.scala).
+    */
+  def sanitizeFilename(name: Column): Column =
+    substring(translate(name, "<>:\"/\\|?*", "_________"), 1, 255)
+
+  /** safe_encode analog (generate_reports.py:126-131): latin-1 encode
+    * with 'replace' — every codepoint above U+00FF becomes '?'. The
+    * `\x{...}` class form spans supplementary planes as WHOLE
+    * codepoints, so an astral char yields ONE '?' exactly like
+    * Python's per-codepoint replacement (not one per UTF-16 unit).
+    */
+  def safeEncode(text: Column): Column =
+    regexp_replace(text, "[\\x{100}-\\x{10FFFF}]", "?")
+
   /** Whitespace token count + BPE-ish regex token count. */
   def wsTokenCount(text: Column): Column = size(split(text, "\\s+"))
   def bpeTokenCount(text: Column): Column =

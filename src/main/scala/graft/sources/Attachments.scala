@@ -69,8 +69,13 @@ object Attachments {
       .filter(col("doc_id") < MaxFixtureDocs)
       .select(
       (col("doc_id") % NidBuckets).as("nid"),
-      concat(lit("doc_"), col("doc_id"), lit("."),
-        element_at(extArr, (col("doc_id") % ExtensionCycle.size).cast("int") + 1)).as("filename"),
+      // filenames pass through the reference's sanitize transform
+      // (fetch_pages.py:462-468) — a no-op on these synthesized names,
+      // but the scrub is in the path for any dirty source
+      graft.functions.TextFunctions.sanitizeFilename(
+        concat(lit("doc_"), col("doc_id"), lit("."),
+          element_at(extArr, (col("doc_id") % ExtensionCycle.size).cast("int") + 1)))
+        .as("filename"),
       repeat(concat(col("text"), lit("\n")), ContentRepeat).as("content"))
   }
 

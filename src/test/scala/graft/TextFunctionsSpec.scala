@@ -56,3 +56,26 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one(langId(lit("xyzzy qwerty"))) === "unknown")
   }
 }
+
+class FilenameEncodeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.functions.TextFunctions._
+  import org.apache.spark.sql.functions._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq("x").toDF("dummy").select(c).head().get(0)
+
+  test("sanitizeFilename scrubs the nine invalid chars and caps at 255") {
+    assert(one(sanitizeFilename(lit("a<b>c:d\"e/f\\g|h?i*.txt"))) === "a_b_c_d_e_f_g_h_i_.txt")
+    assert(one(length(sanitizeFilename(lit("x" * 300)))) === 255)
+    assert(one(sanitizeFilename(lit("clean-name_01.png"))) === "clean-name_01.png")
+  }
+
+  test("safeEncode maps each non-latin-1 codepoint to exactly one '?'") {
+    // latin-1 chars survive; BMP and astral non-latin-1 each become ONE '?'
+    assert(one(safeEncode(lit("naïve café 🚀 – ok"))) === "naïve café ? ? ok")
+    assert(one(safeEncode(lit("plain ascii"))) === "plain ascii")
+    assert(one(safeEncode(lit("𝔘𝔫𝔦"))) === "???")
+  }
+}
