@@ -73,8 +73,8 @@ object SparkEntry {
     "q_contamination"   -> TextAnalysis.contamination _,
     "q_tfidf_top_terms" -> TextAnalysis.tfidfTopTerms _,
     "q_lm_score"        -> TextAnalysis.lmScore _,
-    "q_gopher_filter"   -> TextAnalysis.gopherFilter _,
-    "q_repetition"      -> TextAnalysis.repetition _,
+    "q_gopher_filter"   -> ((s, d) => TextAnalysis.gopherFilter(s, d)),
+    "q_repetition"      -> ((s, d) => TextAnalysis.repetition(s, d)),
     "q_dedup_clusters"  -> TextAnalysis.dedupClusters _,
     "q_clean_pipeline"  -> TextAnalysis.cleanPipeline _,
     // §2.7 multimodal metadata

@@ -259,8 +259,17 @@ object TextAnalysis {
     * array (higher-order `aggregate`/`filter`, all codegen) — map-only,
     * rides a single scan, embarrassingly parallel at 100 TB.
     */
-  def gopherFilter(s: SparkSession, dir: String): DataFrame =
-    gopherColumns(Tables.documents(s, dir)).orderBy("doc_id")
+  /** `ordered=true` (the default) appends the deterministic terminal
+    * sort the oracle-parity harness hashes against. It is the
+    * VERIFICATION contract, not a plan requirement — at production
+    * scale pass `ordered=false`: a corpus-sized gate output has no
+    * business paying a global range-exchange + sort for row order no
+    * downstream consumer needs (see README "Determinism vs scale").
+    */
+  def gopherFilter(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
+    val out = gopherColumns(Tables.documents(s, dir))
+    if (ordered) out.orderBy("doc_id") else out
+  }
 
   /** The gate over any (doc_id, text) frame — map-only column
     * arithmetic, so it applies unchanged to a STREAMING documents
@@ -342,7 +351,10 @@ object TextAnalysis {
     * per-doc quadratic work; at 100 TB the shuffle carries one row per
     * distinct (doc, gram), already combiner-reduced.
     */
-  def repetition(s: SparkSession, dir: String): DataFrame = {
+  /** `ordered` as in [[gopherFilter]]: the terminal sort is the oracle
+    * contract; corpus-scale callers take the unsorted frame.
+    */
+  def repetition(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
     def gramStructs(nGram: Int) =
       transform(sequence(lit(1), size(col("ts")) - (nGram - 1)),
         i => struct(lit(nGram).as("n"),
@@ -355,7 +367,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
     val counted = grams.groupBy("doc_id", "n", "gram")
       .agg(count(lit(1)).as("cnt"))
-    counted.groupBy("doc_id")
+    val out = counted.groupBy("doc_id")
       .agg(
         sum(when(col("n") === 2, col("cnt"))).as("n2"),
         max(when(col("n") === 2, col("cnt"))).as("_m2"),
@@ -364,7 +376,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("n2"),
         r4(col("_m2").cast("double") / col("n2")).as("top2_frac"),
         r4(lit(1.0) - col("_d5").cast("double") / col("_t5")).as("dup5_frac"))
-      .orderBy("doc_id")
+    if (ordered) out.orderBy("doc_id") else out
   }
 
   /** DuckDB oracle for [[repetition]] — same gram derivation (DuckDB

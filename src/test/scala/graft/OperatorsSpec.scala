@@ -1020,3 +1020,33 @@ class IntervalSkewSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(spread < 0.15, s"salting should spread the hot (user,bucket): $spread")
   }
 }
+
+/** The terminal orderBy is the oracle contract, not a plan
+  * requirement (README "Determinism vs scale"): the unsorted form of
+  * the corpus-sized operators must plan WITHOUT a global sort /
+  * range exchange, and differ from the sorted form only in order.
+  */
+class UnorderedFormSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  private def check(sorted: org.apache.spark.sql.DataFrame,
+                    unsorted: org.apache.spark.sql.DataFrame): Unit = {
+    val p = unsorted.queryExecution.executedPlan.toString
+    assert(!p.contains("rangepartitioning"),
+      s"unsorted form still pays a global range exchange:\n$p")
+    val a = sorted.collect().map(_.toString).toSeq
+    val b = unsorted.collect().map(_.toString).toSeq
+    assert(a.sorted === b.sorted, "unsorted form changed the result set")
+  }
+
+  test("gopher filter exposes a sort-free corpus-scale form") {
+    check(operators.TextAnalysis.gopherFilter(spark, sf),
+      operators.TextAnalysis.gopherFilter(spark, sf, ordered = false))
+  }
+
+  test("repetition exposes a sort-free corpus-scale form") {
+    check(operators.TextAnalysis.repetition(spark, sf),
+      operators.TextAnalysis.repetition(spark, sf, ordered = false))
+  }
+}
