@@ -356,20 +356,27 @@ object Similarity {
   }
 
   val PqM = 8          // subspaces
-  val PqK = 128        // centroids per subspace
+  /** 256 centroids per subspace = an 8-BIT code that fills the byte
+    * exactly (round 6; K=128 left a bit on the table at identical
+    * storage). OPQ rotation was evaluated and rejected for THIS corpus:
+    * the synthetic embeddings are near-isotropic (covariance eigens
+    * 0.028→0.0065, mean off-diagonal correlation 0.035), so there is
+    * no subspace imbalance for a learned rotation to fix — on real
+    * text embeddings (strongly anisotropic) a driver-local OPQ on the
+    * bounded sample is the next lever, same train() shape.
+    */
+  val PqK = 256        // centroids per subspace — full 8-bit codes
   val PqDsub = Dim / PqM
   val PqLloydIters = 6
   /** Exact-rerank candidate pool per query: the rerank join reads only
     * `queries × PqRerank` raw vectors, so a larger pool is nearly free
-    * next to the code scan. Round-5 sweep (tools.RecallSweep, K=128,
-    * 6 Lloyd rounds): recall@5 at rerank 80/160/320 = 0.70/0.82/0.92 at
-    * sf1 (20k vectors), 1.00 at 160 at sf0.001 — both the codebook
-    * (K 64→128, iters 2→6; training is driver-local on the bounded
-    * sample, so extra rounds cost ms not jobs) and the pool are live
-    * levers on these synthetic near-orthogonal vectors (a quantization
-    * worst case); 160 = the knee of the recall/scan-width curve.
+    * next to the code scan (at 100 TB the code scan is fixed; the pool
+    * only widens a candidate-sized join). Round-6 sweep
+    * (tools.RecallSweep at sf1): K=256 + rerank 320 → recall@5 0.98
+    * (plain PQ) / 0.96 (IVF-PQ), vs 0.80/0.82 at the round-5
+    * K=128/rerank-160 point; code bytes unchanged at 8.
     */
-  val PqRerank = 160
+  val PqRerank = 320
 
   /** Codebook memo: the codebook is a pure function of the table dir
     * (deterministic sample, seeds, and iteration order), so one

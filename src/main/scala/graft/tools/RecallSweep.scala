@@ -29,17 +29,23 @@ object RecallSweep {
     def recall(df: DataFrame): Double =
       brute.intersect(df.select("q_id", "neighbor_id")).count() / denom
 
+    // `pq` as the 2nd arg restricts to the PQ family (the LSH/IVF grid
+    // is corpus-sized work per point — skip it when tuning codebooks)
+    val pqOnly = args.lift(1).contains("pq")
+
     println(f"${"variant"}%-28s recall@${Similarity.TopK}")
-    for (tables <- 1 to Similarity.LshTables; mp <- Seq(false, true)) {
-      val r = recall(Similarity.annLshTopKParams(spark, sfDir, tables, mp))
-      println(f"lsh tables=$tables mp=$mp%-5s        $r%.2f")
+    if (!pqOnly) {
+      for (tables <- 1 to Similarity.LshTables; mp <- Seq(false, true)) {
+        val r = recall(Similarity.annLshTopKParams(spark, sfDir, tables, mp))
+        println(f"lsh tables=$tables mp=$mp%-5s        $r%.2f")
+      }
+      for (nProbe <- 1 to 5) {
+        val r = recall(Similarity.annIvfTopKParams(spark, sfDir, nProbe))
+        println(f"ivf nProbe=$nProbe               $r%.2f")
+      }
+      val r2 = recall(Similarity.annIvfLearnedTopK(spark, sfDir))
+      println(f"ivf learned nProbe=${Similarity.IvfNProbe}       $r2%.2f")
     }
-    for (nProbe <- 1 to 5) {
-      val r = recall(Similarity.annIvfTopKParams(spark, sfDir, nProbe))
-      println(f"ivf nProbe=$nProbe               $r%.2f")
-    }
-    val r2 = recall(Similarity.annIvfLearnedTopK(spark, sfDir))
-    println(f"ivf learned nProbe=${Similarity.IvfNProbe}       $r2%.2f")
     for (rerank <- Seq(10, 20, 40, 80, 160, 320)) {
       val r = recall(Similarity.annPqTopKParams(spark, sfDir, rerank))
       println(f"pq rerank=$rerank%-3d              $r%.2f")
