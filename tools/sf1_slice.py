@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Build a doc_id-sliced copy of an SF dir for the sf1 slice-parity
+sweep (SURVEY §6): the three dedup oracles DuckDB cannot run at full
+sf1 (q_dedup_ngram_jaccard / q_dedup_containment / q_dedup_clusters
+exhaust its 37 GB memory limit or 76 GB of spill) ARE feasible on a
+deterministic doc_id range — both engines then run the identical
+computation on the identical slice, closing the "semantics verified
+only at ≤sf0.1" gap at sf1-scale document lengths and frequencies.
+
+Usage: python3 tools/sf1_slice.py <sf1Dir> <outDir> <maxDocId>
+Then:  sbt "runMain graft.Verify <outDir> <dump> q_dedup_ngram_jaccard \
+            q_dedup_containment q_dedup_clusters"
+       python3 tools/parity.py <outDir> <dump>
+
+Dev-only tool (driver-side python, validation only) — same standing
+as tools/parity.py.
+"""
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir: str, out_dir: str, max_doc_id: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        src = os.path.abspath(f"{sf_dir}/{t}.parquet")
+        dst = f"{out_dir}/{t}.parquet"
+        if os.path.lexists(dst):
+            os.remove(dst)
+        if t == "documents":
+            duckdb.sql(
+                f"COPY (SELECT * FROM '{src}' WHERE doc_id < {max_doc_id} "
+                f"ORDER BY doc_id) TO '{dst}' (FORMAT PARQUET)")
+        else:
+            os.symlink(src, dst)
+    n = duckdb.sql(f"SELECT count(*) FROM '{out_dir}/documents.parquet'").fetchone()[0]
+    print(f"slice ready: {n} documents (doc_id < {max_doc_id}) in {out_dir}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
