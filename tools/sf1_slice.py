@@ -7,10 +7,19 @@ deterministic doc_id range — both engines then run the identical
 computation on the identical slice, closing the "semantics verified
 only at ≤sf0.1" gap at sf1-scale document lengths and frequencies.
 
-Usage: python3 tools/sf1_slice.py <sf1Dir> <outDir> <maxDocId>
+Usage: python3 tools/sf1_slice.py <sf1Dir> <outDir> <width> [foldModulus]
 Then:  sbt "runMain graft.Verify <outDir> <dump> q_dedup_ngram_jaccard \
             q_dedup_containment q_dedup_clusters"
        python3 tools/parity.py <outDir> <dump>
+
+The slice predicate is `doc_id % foldModulus < width` (plain
+`doc_id < width` when no modulus is given). The FOLD matters: the
+generator plants near-dup twins at a half-corpus offset — (i,
+i+25000) at sf1 — so any contiguous prefix slice is pair-free and
+the parity run passes vacuously (0 = 0). Folding at the plant
+offset keeps both members of every planted pair in range:
+`--fold 25000, width 7500` → docs [0,7500) ∪ [25000,32500), 15k
+docs with the real cross-pairs inside.
 
 Dev-only tool (driver-side python, validation only) — same standing
 as tools/parity.py.
@@ -24,8 +33,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir: str, out_dir: str, max_doc_id: int) -> None:
+def main(sf_dir: str, out_dir: str, width: int, fold: int = 0) -> None:
     os.makedirs(out_dir, exist_ok=True)
+    pred = f"doc_id % {fold} < {width}" if fold > 0 else f"doc_id < {width}"
     for t in TABLES:
         src = os.path.abspath(f"{sf_dir}/{t}.parquet")
         dst = f"{out_dir}/{t}.parquet"
@@ -33,13 +43,14 @@ def main(sf_dir: str, out_dir: str, max_doc_id: int) -> None:
             os.remove(dst)
         if t == "documents":
             duckdb.sql(
-                f"COPY (SELECT * FROM '{src}' WHERE doc_id < {max_doc_id} "
+                f"COPY (SELECT * FROM '{src}' WHERE {pred} "
                 f"ORDER BY doc_id) TO '{dst}' (FORMAT PARQUET)")
         else:
             os.symlink(src, dst)
     n = duckdb.sql(f"SELECT count(*) FROM '{out_dir}/documents.parquet'").fetchone()[0]
-    print(f"slice ready: {n} documents (doc_id < {max_doc_id}) in {out_dir}")
+    print(f"slice ready: {n} documents ({pred}) in {out_dir}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]),
+         int(sys.argv[4]) if len(sys.argv) > 4 else 0)
