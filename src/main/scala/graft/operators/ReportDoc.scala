@@ -170,11 +170,27 @@ object ReportDoc {
       .withColumn("sb", when(col("section_no") === 3, dayNo).otherwise(lit(0)))
   }
 
-  /** Drop the session-scoped report-frame cache for `dir` (CacheManager
+  /** The §4 catch-all source: the dirty-status subset as a narrow
+    * (item_name, okey) projection. Persisted in [[reportDoc]]: five
+    * branches read it (count gate ×2, okey bounds, bucket rank, bucket
+    * counts) and an uncached plan re-scans the FACT table for each —
+    * one materialized narrow projection beats five orders scans at any
+    * scale, and the subset is small by the same argument that makes §4
+    * a catch-all (dirty statuses are the exception, not the corpus).
+    */
+  private def uncPlan(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(!col("o_orderstatus").isin("O", "F", "P"))
+      .select(itemName(col("o_orderkey"), col("o_orderpriority")).as("item_name"),
+        col("o_orderkey").as("okey"))
+
+  /** Drop the session-scoped report-frame caches for `dir` (CacheManager
     * lookup is by analyzed plan, same as the dedup shingle cache).
     */
-  def releaseReportCache(s: SparkSession, dir: String): Unit =
+  def releaseReportCache(s: SparkSession, dir: String): Unit = {
     reportFramePlan(s, dir).unpersist()
+    uncPlan(s, dir).unpersist()
+  }
 
   /** Continuous okey-ordered numbering for the §4 catch-all WITHOUT an
     * unpartitioned window (the round-5 `Window.orderBy(okey)` ran the
@@ -281,10 +297,7 @@ object ReportDoc {
     // §4 catch-all: emitted only when a task has a status outside the
     // normalized set (generate_reports.py:570-576) — structurally
     // present, empty on this corpus.
-    val unc = Tables.orders(s, dir)
-      .filter(!col("o_orderstatus").isin("O", "F", "P"))
-      .select(itemName(col("o_orderkey"), col("o_orderpriority")).as("item_name"),
-        col("o_orderkey").as("okey"))
+    val unc = uncPlan(s, dir).persist()
     val uncCnt = unc.agg(count(lit(1)).as("_n")).filter(col("_n") > 0)
     val s4 = uncCnt.select(lit(4).as("section_no"), lit(0).as("pos"),
         lit("4. Uncategorized / Other Tasks").as("line"))
