@@ -644,6 +644,22 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
       "catch-all rank must partition by the okey range bucket")
   }
 
+  test("no query in the catalog runs an unpartitioned window over a non-aggregated frame") {
+    // the catalog-wide form of the report-doc rule: an empty window
+    // partition spec single-tasks its input, so it is only admissible
+    // over a post-aggregate (bounded, metadata-scale) frame — e.g. the
+    // weekly/daily count series under q_wow_change / q_moving_avg.
+    // Anything fact-derived must partition.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    for ((q, fn) <- SparkEntry.queries) {
+      val wins = fn(spark, sf).queryExecution.optimizedPlan
+        .collect { case w: LWindow => w }
+      for (w <- wins if w.partitionSpec.isEmpty)
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"$q: unpartitioned window over a non-aggregated frame:\n$w")
+    }
+  }
+
   test("custom-operator plans keep their shapes") {
     val asof = plan("q_asof_join")
     assert(asof.contains("AsOfJoin") && asof.contains("Exchange hashpartitioning"))
