@@ -28,6 +28,8 @@ case class SessionState(start: Long, last: Long, n: Long, total: Double)
 case class AsOfEnriched(user_id: Long, purchase_id: Long, purchase_ts: Timestamp,
                         error_id: Option[Long], error_ts: Option[Timestamp])
 case class LatestRight(id: Long, ts: Long)
+case class FunnelReach(user_id: Long, stage_no: Int, at: Timestamp)
+case class FunnelState(times: Seq[Long])
 
 object EventStreams {
 
@@ -108,6 +110,44 @@ object EventStreams {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /** Streaming funnel (twin of ExtendedAnalytics.funnelStaged): emits a
+    * `FunnelReach(user, stage_no)` row the moment a user's first
+    * qualifying event for their NEXT stage arrives — continuous
+    * conversion tracking. State per user is the frontier vector (first
+    * qualifying time per reached stage, ≤ `stages.length` longs —
+    * bounded regardless of stream length), and the frontier algorithm
+    * over time-ordered events computes exactly the batch chained-window
+    * minimums: the first stage-k event after t(k-1) IS the minimum, and
+    * once set it can never improve, so Append output is monotone-safe.
+    * Per-stage user counts over the output equal the batch funnel on
+    * the same data (StreamingSpec). Cross-batch ordering relies on the
+    * upstream watermark discipline, same contract as `asOfEnrich`.
+    */
+  def funnelReaches(events: Dataset[Ev], stages: Seq[String]): Dataset[FunnelReach] = {
+    import events.sparkSession.implicits._
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelReach](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[FunnelState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var times = state.getOption.map(_.times).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[FunnelReach]
+          sorted.foreach { e =>
+            val i = times.length
+            if (i < stages.length && e.event_type == stages(i) &&
+                (i == 0 || e.ts.getTime > times(i - 1))) {
+              times = times :+ e.ts.getTime
+              out += FunnelReach(uid, i + 1, e.ts)
+            }
+          }
+          if (times.nonEmpty) state.update(FunnelState(times))
+          out.result().iterator
       }
   }
 

@@ -241,3 +241,54 @@ class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** Streaming funnel twin: per-stage reach counts over the stream output
+  * must equal the batch N-stage funnel on the same planted data —
+  * including a cross-batch conversion (a user whose later stages
+  * arrive in a second micro-batch).
+  */
+class StreamingFunnelSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+
+  test("streaming funnel reaches reproduce the batch stage counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stages = Seq("s1", "s2", "s3", "s4", "s5")
+    def ev(id: Long, u: Long, et: String, sec: Long) = graft.streaming.Ev(id, ts(sec), u, et, 0.0)
+    // same shapes as FunnelSpec: full conversion, out-of-order stop,
+    // mid-funnel entry, no-s5, skip-then-backfill — user 1's s4/s5 and
+    // all of user 4 arrive in the SECOND batch (cross-batch state)
+    val batch1 = Seq(
+      ev(1, 1, "s1", 1), ev(2, 1, "s2", 2), ev(3, 1, "s3", 3),
+      ev(6, 2, "s1", 1), ev(7, 2, "s3", 2), ev(8, 2, "s2", 3), ev(9, 2, "s4", 4),
+      ev(10, 3, "s2", 1), ev(11, 3, "s3", 2),
+      ev(15, 5, "s1", 1), ev(16, 5, "s3", 2), ev(17, 5, "s2", 3), ev(18, 5, "s5", 4))
+    val batch2 = Seq(
+      ev(4, 1, "s4", 10), ev(5, 1, "s5", 11),
+      ev(12, 4, "s1", 10), ev(13, 4, "s2", 11), ev(19, 4, "s2", 12),
+      ev(14, 4, "s3", 13), ev(20, 4, "s4", 14))
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.funnelReaches(mem.toDS(), stages)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val streamCounts = spark.table("funnel_out")
+        .groupBy("stage_no").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val batchDf = (batch1 ++ batch2).toDS()
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val batchCounts = graft.operators.ExtendedAnalytics.funnelStaged(batchDf, stages)
+        .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+      assert(batchCounts === Map(1 -> 4L, 2 -> 4L, 3 -> 2L, 4 -> 2L, 5 -> 1L))
+      assert(streamCounts === batchCounts,
+        s"stream $streamCounts != batch $batchCounts")
+      // a reach row fires at the qualifying event's own time
+      val u1 = spark.table("funnel_out").filter(col("user_id") === 1)
+        .orderBy("stage_no").collect().map(_.getTimestamp(2).getTime)
+      assert(u1.toSeq === Seq(ts(1), ts(2), ts(3), ts(10), ts(11)).map(_.getTime))
+    } finally q.stop()
+  }
+}
