@@ -481,10 +481,12 @@ object Similarity {
         PqOps.encode(col("e"), cb, PqM, PqK, PqDsub).as("codes"))
       .withColumn("rnorm", PqOps.reconNorm(col("codes"), cb, PqM, PqK, PqDsub))
     val q = n.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("e").as("e_q"), col("nrm").as("n_q"))
+      .select(col("vec_id").as("q_id"), col("e").as("e_q"), col("nrm").as("n_q"),
+        // ADC table built once per query row (see ivfPqSearch)
+        PqOps.adcTable(col("e"), cb, PqM, PqK, PqDsub).as("adct"))
     val approx = broadcast(q).join(enc, col("q_id") =!= col("neighbor_id"))
       .withColumn("ascore",
-        PqOps.adcDot(col("e_q"), col("codes"), cb, PqM, PqK, PqDsub) /
+        PqOps.adcLookup(col("adct"), col("codes"), PqM, PqK) /
           (col("n_q") * col("rnorm")))
     val cand = graft.plans.TopK.perKey(approx, Seq("q_id"),
       Seq(("ascore", false), ("neighbor_id", true)), rerank)
@@ -535,10 +537,16 @@ object Similarity {
     */
   private[graft] def ivfPqSearch(encoded: DataFrame, qProbes: DataFrame,
       raw: DataFrame, cb: Array[Float]): DataFrame = {
-    val approx = broadcast(qProbes).join(encoded, Seq("cell"))
+    // ADC split (FAISS shape): the m×k dot table builds ONCE per query
+    // row on the broadcast side; per candidate the score is m array
+    // lookups, not m×dsub multiplies — the candidate stream is the
+    // probed corpus, so that factor is the scan-side win
+    val approx = broadcast(qProbes
+        .withColumn("adct", PqOps.adcTable(col("e_q"), cb, PqM, PqK, PqDsub)))
+      .join(encoded, Seq("cell"))
       .filter(col("q_id") =!= col("neighbor_id"))
       .withColumn("ascore",
-        PqOps.adcDot(col("e_q"), col("codes"), cb, PqM, PqK, PqDsub) /
+        PqOps.adcLookup(col("adct"), col("codes"), PqM, PqK) /
           (col("n_q") * col("rnorm")))
     val cand = graft.plans.TopK.perKey(approx, Seq("q_id"),
       Seq(("ascore", false), ("neighbor_id", true)), PqRerank)

@@ -127,6 +127,93 @@ case class PqAdcDot(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** query(float[d]) → ADC lookup table (double[m×k]):
+  * `table[mi*k + ki] = Σ_d q[mi*dsub+d] · cb[((mi*k)+ki)*dsub+d]` — the
+  * classic FAISS ADC shape. Built ONCE per query row on the (bounded)
+  * query side of the join, so the per-candidate score collapses to `m`
+  * array lookups ([[PqAdcLookup]]) instead of `m×dsub` multiplies: at
+  * 100 TB the candidate stream is the corpus, and 8 reads beat 64
+  * fused multiply-adds per row. The table is m×k doubles (16 KB at
+  * m=8, k=256) per query — metadata-scale on a driver-known query set.
+  */
+case class PqAdcTable(child: Expression, cb: Array[Float], m: Int, k: Int, dsub: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_adc_table"
+
+  override def nullSafeEval(in: Any): Any = {
+    val q = in.asInstanceOf[ArrayData]
+    val out = new Array[Double](m * k)
+    var i = 0
+    while (i < m * k) {
+      val mi = i / k
+      var s = 0.0
+      var d = 0
+      while (d < dsub) {
+        s += q.getFloat(mi * dsub + d).toDouble * cb(i * dsub + d)
+        d += 1
+      }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("graftPqCb", cb, "float[]")
+    nullSafeCodeGen(ctx, ev, q =>
+      s"""
+         |double[] graftT = new double[$m * $k];
+         |for (int graftI = 0; graftI < $m * $k; graftI++) {
+         |  int graftM = graftI / $k;
+         |  double graftS = 0.0;
+         |  for (int graftD = 0; graftD < $dsub; graftD++) {
+         |    graftS += ((double) $q.getFloat(graftM * $dsub + graftD))
+         |      * ((double) $cbRef[graftI * $dsub + graftD]);
+         |  }
+         |  graftT[graftI] = graftS;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graftT);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** (table double[m×k], codes int[m]) → Σ_mi table[mi*k + codes[mi]]:
+  * the per-candidate half of the ADC split. Accumulates per-subspace
+  * partial dots, which differs from [[PqAdcDot]]'s single running sum
+  * only in float association order (spec-bounded ≤ 1e-9); the rerank
+  * by exact cosine makes the final rows identical.
+  */
+case class PqAdcLookup(left: Expression, right: Expression, m: Int, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc_lookup"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val table = l.asInstanceOf[ArrayData]
+    val codes = r.asInstanceOf[ArrayData]
+    var s = 0.0
+    var mi = 0
+    while (mi < m) { s += table.getDouble(mi * k + codes.getInt(mi)); mi += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (table, codes) =>
+      s"""
+         |double graftS = 0.0;
+         |for (int graftM = 0; graftM < $m; graftM++) {
+         |  graftS += $table.getDouble(graftM * $k + $codes.getInt(graftM));
+         |}
+         |${ev.value} = graftS;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** codes(int[m]) → L2 norm of the reconstructed vector, via per-centroid
   * squared-norm lookup tables precomputed at plan time (m×k doubles).
   */
@@ -179,4 +266,9 @@ object PqOps {
       GraftColumnBridge.expression(q), GraftColumnBridge.expression(codes), cb, m, k, dsub))
   def reconNorm(codes: Column, cb: Array[Float], m: Int, k: Int, dsub: Int): Column =
     GraftColumnBridge.column(PqReconNorm(GraftColumnBridge.expression(codes), cb, m, k, dsub))
+  def adcTable(q: Column, cb: Array[Float], m: Int, k: Int, dsub: Int): Column =
+    GraftColumnBridge.column(PqAdcTable(GraftColumnBridge.expression(q), cb, m, k, dsub))
+  def adcLookup(table: Column, codes: Column, m: Int, k: Int): Column =
+    GraftColumnBridge.column(PqAdcLookup(
+      GraftColumnBridge.expression(table), GraftColumnBridge.expression(codes), m, k))
 }

@@ -1066,3 +1066,39 @@ class UnorderedFormSpec extends org.scalatest.funsuite.AnyFunSuite {
       operators.TextAnalysis.repetition(spark, sf, ordered = false))
   }
 }
+
+/** ADC split correctness: the per-query table + per-candidate lookup
+  * must reproduce the direct asymmetric dot (association order is the
+  * only difference — bounded at 1e-9), and the PQ plans must actually
+  * score via the lookup form.
+  */
+class PqAdcSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+  import org.apache.spark.sql.functions._
+  import graft.plans.PqOps
+  import graft.operators.Similarity._
+
+  test("table+lookup equals the direct ADC dot on the real corpus") {
+    val cb = graft.operators.Similarity.pqCodebook(spark, sf)
+    val n = graft.operators.Similarity.normed(spark, sf)
+    val enc = n.select(col("vec_id").as("nid"),
+      PqOps.encode(col("e"), cb, PqM, PqK, PqDsub).as("codes"))
+    val q = n.limit(20).select(col("vec_id").as("qid"), col("e").as("eq"),
+      PqOps.adcTable(col("e"), cb, PqM, PqK, PqDsub).as("adct"))
+    val maxDiff = broadcast(q).join(enc, col("qid") =!= col("nid"))
+      .select(abs(
+        PqOps.adcDot(col("eq"), col("codes"), cb, PqM, PqK, PqDsub) -
+        PqOps.adcLookup(col("adct"), col("codes"), PqM, PqK)).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    assert(maxDiff <= 1e-9, s"ADC split drifted: $maxDiff")
+  }
+
+  test("PQ and IVF-PQ plans score via the lookup expression") {
+    for (q <- Seq("q_ann_pq_topk", "q_ann_ivfpq_topk", "q_ann_pq_indexed")) {
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(p.contains("graft_pq_adc_lookup"), s"$q lost the ADC lookup:\n${p.take(600)}")
+      assert(!p.contains("graft_pq_adc_dot"), s"$q still pays the per-candidate dot")
+    }
+  }
+}
