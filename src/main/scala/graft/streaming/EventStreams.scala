@@ -30,6 +30,8 @@ case class AsOfEnriched(user_id: Long, purchase_id: Long, purchase_ts: Timestamp
 case class LatestRight(id: Long, ts: Long)
 case class FunnelReach(user_id: Long, stage_no: Int, at: Timestamp)
 case class FunnelState(times: Seq[Long])
+case class RetainReach(cohort_week: String, week_offset: Int, user_id: Long)
+case class RetentionState(cohort: Long, seen: Seq[Long])
 
 object EventStreams {
 
@@ -147,6 +149,47 @@ object EventStreams {
             }
           }
           if (times.nonEmpty) state.update(FunnelState(times))
+          out.result().iterator
+      }
+  }
+
+  /** Streaming cohort retention (twin of ExtendedAnalytics.retention):
+    * emits ONE `(cohort_week, week_offset, user)` row the first time a
+    * user is active in each calendar week — counting those rows per
+    * (cohort, offset) downstream IS the retention matrix, continuously.
+    * State per user = cohort week + distinct active weeks (longs,
+    * bounded by the stream's CALENDAR span — 52/user/year — not by
+    * event volume). The cohort is the first week seen under the
+    * watermark ordering contract (same as `asOfEnrich`/`funnelReaches`);
+    * each batch's events are processed in event-time order, so
+    * within-batch disorder cannot mis-assign the cohort. Monday-start
+    * weeks in UTC, matching the batch `date_trunc('week')`.
+    */
+  def retentionReaches(events: Dataset[Ev]): Dataset[RetainReach] = {
+    import events.sparkSession.implicits._
+    def weekStart(t: Timestamp): Long =
+      java.time.Instant.ofEpochMilli(t.getTime).atZone(java.time.ZoneOffset.UTC)
+        .toLocalDate
+        .`with`(java.time.temporal.TemporalAdjusters.previousOrSame(
+          java.time.DayOfWeek.MONDAY)).toEpochDay
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetainReach](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[RetentionState]) =>
+          val weeks = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map(e => weekStart(e.ts))
+          var st = state.getOption.getOrElse(RetentionState(weeks.head, Seq.empty))
+          val out = Seq.newBuilder[RetainReach]
+          weeks.foreach { w =>
+            if (!st.seen.contains(w)) {
+              st = st.copy(seen = st.seen :+ w)
+              out += RetainReach(
+                java.time.LocalDate.ofEpochDay(st.cohort).toString,
+                ((w - st.cohort) / 7).toInt, uid)
+            }
+          }
+          state.update(st)
           out.result().iterator
       }
   }

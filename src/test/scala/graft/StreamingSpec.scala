@@ -292,3 +292,61 @@ class StreamingFunnelSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** Streaming retention twin: (cohort, offset) counts over the stream's
+  * first-activity-per-week rows must equal the batch retention matrix
+  * on the same data, including users whose later weeks arrive in a
+  * second micro-batch and duplicate activity within a week.
+  */
+class StreamingRetentionSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  // Monday 2023-11-20 00:00 UTC + offset days
+  private def ts(day: Long, hr: Long = 0) =
+    new java.sql.Timestamp(1700438400000L + day * 86400000L + hr * 3600000L)
+
+  test("streaming retention reaches reproduce the batch cohort matrix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, u: Long, day: Long, hr: Long = 0) =
+      graft.streaming.Ev(id, ts(day, hr), u, "view", 0.0)
+    // users 1,2 start week 0; user 3 starts week 1. user 1 active in
+    // weeks 0,1,2 (twice in week 1); user 2 only week 0; user 3 weeks 1,3
+    val batch1 = Seq(
+      ev(1, 1, 0), ev(2, 1, 1),          // u1 week 0 (dup within week)
+      ev(3, 2, 2),                        // u2 week 0
+      ev(4, 3, 7))                        // u3 week 1
+    val batch2 = Seq(
+      ev(5, 1, 8), ev(6, 1, 9, 5),        // u1 week 1 (dup)
+      ev(7, 1, 15),                       // u1 week 2
+      ev(8, 3, 22))                       // u3 week 3 (skips week 2)
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.retentionReaches(mem.toDS())
+      .writeStream.format("memory").queryName("reten_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val got = spark.table("reten_out")
+        .groupBy("cohort_week", "week_offset").count()
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(got === Map(
+        ("2023-11-20", 0) -> 2L,   // u1, u2
+        ("2023-11-20", 1) -> 1L,   // u1
+        ("2023-11-20", 2) -> 1L,   // u1
+        ("2023-11-27", 0) -> 1L,   // u3
+        ("2023-11-27", 2) -> 1L),  // u3 (week 3 = offset 2 from its cohort)
+        s"got $got")
+      // and the batch operator agrees on identical data written as a table
+      val dir = java.nio.file.Files.createTempDirectory("graft_reten").toString
+      // shipped events.parquet stores ts as TIMESTAMP(NANOS)-as-long —
+      // Tables.events divides by 1000 and reinterprets as micros
+      (batch1 ++ batch2).toDS()
+        .select(col("event_id"), (unix_micros(col("ts")) * 1000).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = graft.operators.ExtendedAnalytics.retention(spark, dir)
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(batch === got, s"stream $got != batch $batch")
+    } finally q.stop()
+  }
+}
