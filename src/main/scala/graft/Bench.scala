@@ -20,7 +20,7 @@ object Bench {
     "q_ann_pq_indexed" -> "an_pqidx", "q_ann_pq_topk" -> "an_pq",
     "q_anti_join" -> "anti", "q_approx_stats" -> "approx",
     "q_asof_join" -> "asof", "q_attachment_text" -> "attach",
-    "q_backlog_rank" -> "backlog", "q_block_tree" -> "btree",
+    "q_backlog_rank" -> "bklog", "q_block_tree" -> "btree",
     "q_bloom_prefilter" -> "bloom", "q_clean_pipeline" -> "cpipe",
     "q_clean_text" -> "ctext", "q_contamination" -> "contam",
     "q_date_funcs" -> "datefn", "q_dedup_clusters" -> "dd_clus",
@@ -28,12 +28,13 @@ object Bench {
     "q_dedup_exact" -> "dd_exact", "q_dedup_incremental" -> "dd_incr",
     "q_dedup_keep_last" -> "keepl", "q_dedup_minhash" -> "dd_minh",
     "q_dedup_ngram_jaccard" -> "dd_ngram", "q_dedup_simhash" -> "dd_simh",
-    "q_doc_fingerprint" -> "fingerp", "q_event_window_agg" -> "evwin",
+    "q_doc_fingerprint" -> "fingerp",
+    "q_domain_mix" -> "dmix", "q_event_window_agg" -> "evwin",
     "q_filter_tags" -> "ftags", "q_gopher_filter" -> "gopher",
     "q_heavy_hitters" -> "hh", "q_hierarchy_rollup" -> "hier",
-    "q_interval_join" -> "interval", "q_json_normalize" -> "jnorm",
-    "q_json_props" -> "jprops", "q_keyed_sample" -> "keysamp",
-    "q_lang_id" -> "langid", "q_length_stats" -> "lenstats",
+    "q_interval_join" -> "intvl", "q_json_normalize" -> "jnorm",
+    "q_json_props" -> "jprops", "q_keyed_sample" -> "ksamp",
+    "q_lang_id" -> "langid", "q_length_stats" -> "lstats",
     "q_markdown_runs" -> "mdruns", "q_moving_avg" -> "movavg",
     "q_multimodal_meta" -> "mmeta", "q_ngram_freq" -> "ngramfq",
     "q_normalize_status" -> "nstat", "q_oldest_pending" -> "oldest",
@@ -41,16 +42,16 @@ object Bench {
     "q_period_report" -> "period", "q_pii_scrub" -> "pii",
     "q_priority_dist" -> "prdist", "q_project_flags" -> "pflags",
     "q_quality_score" -> "quality", "q_repetition" -> "repet",
-    "q_report_doc" -> "repdoc", "q_report_goals" -> "repgoals",
+    "q_report_doc" -> "repdoc", "q_report_goals" -> "rgoals",
     "q_retention" -> "reten", "q_running_total" -> "runtot",
     "q_schema_health" -> "schema", "q_semi_join" -> "semi",
     "q_session_window" -> "seswin", "q_sessionize" -> "sessize",
     "q_set_ops" -> "setops", "q_status_dist" -> "stdist",
     "q_status_summary" -> "stsum", "q_stratified_sample" -> "strat",
     "q_string_funcs" -> "strfn", "q_tfidf_top_terms" -> "tfidf",
-    "q_token_count" -> "tokens", "q_topk_per_key" -> "topkkey",
+    "q_token_count" -> "tokens", "q_topk_per_key" -> "topkk",
     "q_uncategorized" -> "uncat", "q_value_deciles" -> "deciles",
-    "q_vocab_topk" -> "vocab", "q_weekly_focus" -> "wkfocus",
+    "q_vocab_topk" -> "vocab", "q_weekly_focus" -> "wkfoc",
     "q_weekly_velocity" -> "wkvel", "q_weighted_mean" -> "wmean",
     "q_wow_change" -> "wow")
 

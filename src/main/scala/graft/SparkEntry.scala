@@ -86,6 +86,9 @@ object SparkEntry {
     "q_pivot"             -> ExtendedAnalytics.pivotStatusPriority _,
     "q_stratified_sample" -> ExtendedAnalytics.stratifiedSample _,
     "q_keyed_sample"      -> ExtendedAnalytics.keyedSample _,
+    // pretraining-mixture resampling: map-side hash filter against
+    // broadcast per-lang thresholds from one aggregate scan
+    "q_domain_mix"        -> ExtendedAnalytics.domainMix _,
     // bloom runtime-filter pruning (plans.BloomMightContain)
     "q_bloom_prefilter"   -> operators.BloomPrune.prefilterRevenue _,
     // attachment-content extraction (sources.Attachments: binaryFile
@@ -599,6 +602,7 @@ object SparkEntry {
            CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 80 WHEN 'es' THEN 80
                      WHEN 'fr' THEN 80 WHEN 'zh' THEN 50 ELSE 0 END
          ORDER BY doc_id""",
+    "q_domain_mix" -> ExtendedAnalytics.domainMixOracleSql,
     "q_vocab_topk" ->
       """SELECT token, count(*) AS df FROM (
            SELECT doc_id, unnest(list_distinct(

@@ -85,6 +85,64 @@ object ExtendedAnalytics {
       .orderBy("doc_id")
   }
 
+  /** Target corpus mixture for [[domainMix]] — en-heavy with the two
+    * mid-size languages, dropping the rest (zh/fr): the shape of a
+    * real pretraining-mixture spec.
+    */
+  val MixTargets: Seq[(String, Double)] =
+    Seq("en" -> 0.5, "de" -> 0.3, "es" -> 0.2)
+
+  /** Domain mixing (`q_domain_mix`): resample the corpus to a TARGET
+    * language distribution — the data-mixture operator every LLM
+    * pretraining pipeline runs. The output is the largest subset with
+    * exactly the target shares (up to per-mille threshold granularity):
+    * feasible size S = min_g n_g/f_g, per-group keep fraction
+    * S·f_g/n_g, membership decided by the same portable doc_id hash as
+    * the stratified sample (deterministic, replayable, engine-portable
+    * — a seeded RNG is neither).
+    *
+    * Scale shape: ONE column-pruned aggregate scan computes the group
+    * counts (lang-cardinality frame), the thresholds broadcast back,
+    * and the corpus pass is a MAP-SIDE hash filter — no corpus shuffle
+    * at any size. Double arithmetic is written in the same association
+    * order in both engines (((S·f)/n)·1000) so the floor'd per-mille
+    * thresholds match bit-for-bit.
+    */
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val fCol = MixTargets.foldLeft(lit(null).cast("double")) {
+      case (acc, (l, f)) => when(col("lang") === l, lit(f)).otherwise(acc)
+    }
+    val counts = d.select(col("lang")).withColumn("f", fCol)
+      .filter(col("f").isNotNull)
+      .groupBy("lang", "f").agg(count(lit(1)).as("ng"))
+    val smax = counts.agg(min(col("ng").cast("double") / col("f")).as("smax"))
+    val thr = counts.crossJoin(broadcast(smax))
+      .select(col("lang"),
+        floor(col("smax") * col("f") / col("ng").cast("double") * lit(1000))
+          .cast("long").as("thr"))
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(2147483648L)) % 1000
+    d.join(broadcast(thr), Seq("lang"))
+      .filter(bucket < col("thr"))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  def domainMixOracleSql: String = {
+    val targets = MixTargets.map { case (l, f) =>
+      s"SELECT '$l' AS lang, CAST($f AS DOUBLE) AS f" }.mkString(" UNION ALL ")
+    s"""WITH t AS ($targets),
+       |n AS (SELECT d.lang, f, count(*) AS ng
+       |      FROM documents d JOIN t ON d.lang = t.lang GROUP BY d.lang, f),
+       |s AS (SELECT min(CAST(ng AS DOUBLE) / f) AS smax FROM n),
+       |thr AS (SELECT lang,
+       |          CAST(floor(smax * f / CAST(ng AS DOUBLE) * 1000) AS BIGINT) AS thr
+       |        FROM n CROSS JOIN s)
+       |SELECT d.doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.lang
+       |WHERE (d.doc_id * 2654435761) % 2147483648 % 1000 < thr
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val KeyedSampleK = 20
   val KeyedSampleA = 1203114533L
 

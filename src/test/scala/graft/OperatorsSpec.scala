@@ -1102,3 +1102,41 @@ class PqAdcSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+/** Domain mixing: the resampled corpus must hit the target language
+  * shares (within per-mille threshold granularity on a finite corpus),
+  * drop non-target languages, and keep the corpus pass shuffle-free.
+  */
+class DomainMixSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+  import org.apache.spark.sql.functions._
+
+  test("output shares track the target mixture and non-targets are dropped") {
+    val out = operators.ExtendedAnalytics.domainMix(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets = operators.ExtendedAnalytics.MixTargets.toMap
+    assert(out.keySet.subsetOf(targets.keySet), s"non-target lang kept: $out")
+    val total = out.values.sum.toDouble
+    assert(total > 0)
+    for ((l, f) <- targets) {
+      val share = out.getOrElse(l, 0L) / total
+      // hash-bucket granularity on a few hundred docs/stratum: ±8pp
+      assert(math.abs(share - f) < 0.08, s"$l share $share vs target $f ($out)")
+    }
+  }
+
+  test("the corpus pass is a map-side broadcast filter, no corpus shuffle") {
+    val p = operators.ExtendedAnalytics.domainMix(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"thresholds must broadcast:\n$p")
+    // the only hash exchanges feed the lang-cardinality count frame,
+    // upstream of an aggregate — the documents join side must not
+    // repartition (rangepartitioning at the end is the parity sort)
+    val hashEx = "Exchange hashpartitioning\\(([a-z_#0-9L, ]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashEx.forall(_.contains("lang")),
+      s"unexpected corpus exchange on $hashEx:\n$p")
+  }
+}
