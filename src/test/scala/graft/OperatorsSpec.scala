@@ -569,7 +569,9 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     // corpus-size N, decile bounds) — O(1) build sides, not cartesians
     val allowedBnlj = Set("q_ann_brute_topk", "q_ann_ivf_topk", "q_ann_ivf2_topk",
       "q_ann_pq_topk", "q_ann_ivfpq_topk", "q_report_goals", "q_report_doc",
-      "q_tfidf_top_terms", "q_value_deciles", "q_lm_score")
+      "q_tfidf_top_terms", "q_value_deciles", "q_lm_score",
+      // lang-cardinality counts × the single feasible-size scalar row
+      "q_domain_mix")
     for ((q, _) <- SparkEntry.queries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
