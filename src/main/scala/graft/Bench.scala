@@ -14,22 +14,23 @@ object Bench {
   private[graft] val ShortKey = Map(
     "q1_pricing_summary" -> "q1", "q3_top_revenue" -> "q3",
     "q5_region_volume" -> "q5",
-    "q_active_projects" -> "actproj", "q_ann_brute_topk" -> "an_brute",
+    "q_active_projects" -> "actproj", "q_ann_brute_topk" -> "anbrut",
     "q_ann_ivf2_topk" -> "an_ivf2", "q_ann_ivf_topk" -> "an_ivf",
-    "q_ann_ivfpq_topk" -> "an_ivfpq", "q_ann_lsh_topk" -> "an_lsh",
-    "q_ann_pq_indexed" -> "an_pqidx", "q_ann_pq_topk" -> "an_pq",
+    "q_ann_ivfpq_topk" -> "anivfpq", "q_ann_lsh_topk" -> "an_lsh",
+    "q_ann_pq_indexed" -> "anpqidx", "q_ann_pq_topk" -> "an_pq",
     "q_anti_join" -> "anti", "q_approx_stats" -> "approx",
     "q_asof_join" -> "asof", "q_attachment_text" -> "attach",
     "q_backlog_rank" -> "bklog", "q_block_tree" -> "btree",
     "q_bloom_prefilter" -> "bloom", "q_clean_pipeline" -> "cpipe",
     "q_clean_text" -> "ctext", "q_contamination" -> "contam",
-    "q_date_funcs" -> "datefn", "q_dedup_clusters" -> "dd_clus",
-    "q_dedup_containment" -> "dd_cont", "q_dedup_embedding" -> "dd_emb",
-    "q_dedup_exact" -> "dd_exact", "q_dedup_incremental" -> "dd_incr",
+    "q_date_funcs" -> "datefn", "q_dedup_clusters" -> "ddclus",
+    "q_dedup_containment" -> "ddcont", "q_dedup_embedding" -> "ddemb",
+    "q_dedup_exact" -> "ddexact", "q_dedup_incremental" -> "dd_incr",
     "q_dedup_keep_last" -> "keepl", "q_dedup_minhash" -> "dd_minh",
-    "q_dedup_ngram_jaccard" -> "dd_ngram", "q_dedup_simhash" -> "dd_simh",
-    "q_doc_fingerprint" -> "fingerp",
-    "q_domain_mix" -> "dmix", "q_event_window_agg" -> "evwin",
+    "q_dedup_ngram_jaccard" -> "ddngram", "q_dedup_simhash" -> "dd_simh",
+    "q_doc_fingerprint" -> "fingp",
+    "q_domain_mix" -> "dmix",
+    "q_domain_mix_up" -> "dmixup", "q_event_window_agg" -> "evwin",
     "q_filter_tags" -> "ftags", "q_gopher_filter" -> "gopher",
     "q_heavy_hitters" -> "hh", "q_hierarchy_rollup" -> "hier",
     "q_interval_join" -> "intvl", "q_json_normalize" -> "jnorm",

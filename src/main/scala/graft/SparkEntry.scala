@@ -89,6 +89,7 @@ object SparkEntry {
     // pretraining-mixture resampling: map-side hash filter against
     // broadcast per-lang thresholds from one aggregate scan
     "q_domain_mix"        -> ExtendedAnalytics.domainMix _,
+    "q_domain_mix_up"     -> ExtendedAnalytics.domainMixUpsample _,
     // bloom runtime-filter pruning (plans.BloomMightContain)
     "q_bloom_prefilter"   -> operators.BloomPrune.prefilterRevenue _,
     // attachment-content extraction (sources.Attachments: binaryFile
@@ -603,6 +604,7 @@ object SparkEntry {
                      WHEN 'fr' THEN 80 WHEN 'zh' THEN 50 ELSE 0 END
          ORDER BY doc_id""",
     "q_domain_mix" -> ExtendedAnalytics.domainMixOracleSql,
+    "q_domain_mix_up" -> ExtendedAnalytics.domainMixUpsampleOracleSql,
     "q_vocab_topk" ->
       """SELECT token, count(*) AS df FROM (
            SELECT doc_id, unnest(list_distinct(

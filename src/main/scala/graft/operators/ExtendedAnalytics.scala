@@ -143,6 +143,62 @@ object ExtendedAnalytics {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** With-replacement mixture (`q_domain_mix_up`): resample to the
+    * target shares at the ORIGINAL corpus size, so scarce domains
+    * UPSAMPLE by repetition — the "epochs per domain" knob real
+    * mixtures use alongside downsampling. Per group the repetition
+    * rate r_g = f_g·N / n_g splits into ⌊r_g⌋ whole epochs for every
+    * doc plus one fractional epoch gated by the portable doc_id hash;
+    * output rows carry a `copy` index. Plan shape identical to
+    * [[domainMix]] (aggregate scan → broadcast thresholds → map-side),
+    * with the repetition as a map-side `posexplode(array_repeat)` —
+    * fan-out happens AT the consumer, nothing shuffles r_g× data.
+    */
+  def domainMixUpsample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val fCol = MixTargets.foldLeft(lit(null).cast("double")) {
+      case (acc, (l, f)) => when(col("lang") === l, lit(f)).otherwise(acc)
+    }
+    val counts = d.select(col("lang")).withColumn("f", fCol)
+      .filter(col("f").isNotNull)
+      .groupBy("lang", "f").agg(count(lit(1)).as("ng"))
+    val tot = counts.agg(sum("ng").cast("double").as("ntot"))
+    val rate = col("ntot") * col("f") / col("ng").cast("double")
+    val thr = counts.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        floor(rate).cast("long").as("base"),
+        floor((rate - floor(rate)) * lit(1000)).cast("long").as("fracthr"))
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(2147483648L)) % 1000
+    d.join(broadcast(thr), Seq("lang"))
+      .withColumn("copies",
+        (col("base") + when(bucket < col("fracthr"), 1).otherwise(0)).cast("int"))
+      .select(col("doc_id"), col("lang"),
+        posexplode(array_repeat(lit(1), col("copies"))).as(Seq("copy", "_one")))
+      .select(col("doc_id"), col("lang"), col("copy").cast("int").as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
+  def domainMixUpsampleOracleSql: String = {
+    val targets = MixTargets.map { case (l, f) =>
+      s"SELECT '$l' AS lang, CAST($f AS DOUBLE) AS f" }.mkString(" UNION ALL ")
+    s"""WITH t AS ($targets),
+       |n AS (SELECT d.lang, f, count(*) AS ng
+       |      FROM documents d JOIN t ON d.lang = t.lang GROUP BY d.lang, f),
+       |s AS (SELECT CAST(sum(ng) AS DOUBLE) AS ntot FROM n),
+       |thr AS (SELECT lang,
+       |          CAST(floor(ntot * f / CAST(ng AS DOUBLE)) AS BIGINT) AS base,
+       |          CAST(floor((ntot * f / CAST(ng AS DOUBLE)
+       |            - floor(ntot * f / CAST(ng AS DOUBLE))) * 1000) AS BIGINT) AS fracthr
+       |        FROM n CROSS JOIN s)
+       |SELECT doc_id, lang, CAST(gs - 1 AS INTEGER) AS copy
+       |FROM (SELECT d.doc_id, d.lang,
+       |        base + CASE WHEN (d.doc_id * 2654435761) % 2147483648 % 1000 < fracthr
+       |                    THEN 1 ELSE 0 END AS n_copies
+       |      FROM documents d JOIN thr ON d.lang = thr.lang) x,
+       |     unnest(generate_series(1, n_copies)) AS u(gs)
+       |ORDER BY doc_id, copy""".stripMargin
+  }
+
   val KeyedSampleK = 20
   val KeyedSampleA = 1203114533L
 

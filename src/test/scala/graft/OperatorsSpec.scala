@@ -571,7 +571,7 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
       "q_ann_pq_topk", "q_ann_ivfpq_topk", "q_report_goals", "q_report_doc",
       "q_tfidf_top_terms", "q_value_deciles", "q_lm_score",
       // lang-cardinality counts × the single feasible-size scalar row
-      "q_domain_mix")
+      "q_domain_mix", "q_domain_mix_up")
     for ((q, _) <- SparkEntry.queries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
@@ -1127,6 +1127,28 @@ class DomainMixSpec extends org.scalatest.funsuite.AnyFunSuite {
       // hash-bucket granularity on a few hundred docs/stratum: ±8pp
       assert(math.abs(share - f) < 0.08, s"$l share $share vs target $f ($out)")
     }
+  }
+
+  test("upsample mix: shares hit targets at corpus size via whole+fractional epochs") {
+    val out = operators.ExtendedAnalytics.domainMixUpsample(spark, sf)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets = operators.ExtendedAnalytics.MixTargets.toMap
+    val total = byLang.values.sum.toDouble
+    for ((l, f) <- targets)
+      assert(math.abs(byLang.getOrElse(l, 0L) / total - f) < 0.08,
+        s"$l share off target: $byLang")
+    // per-doc copies differ by at most one within a language (whole
+    // epochs + at most one hash-gated fractional epoch)
+    val spread = out.groupBy("lang", "doc_id").count()
+      .groupBy("lang").agg(max("count").as("mx"), min("count").as("mn"))
+      .collect()
+    assert(spread.nonEmpty)
+    assert(spread.forall(r => r.getLong(1) - r.getLong(2) <= 1),
+      s"copy spread exceeds one epoch: ${spread.mkString(", ")}")
+    // the scarce language actually upsamples (some doc has >= 2 copies)
+    assert(out.groupBy("doc_id", "lang").count().filter(col("count") >= 2).count() > 0,
+      "expected at least one upsampled document")
   }
 
   test("the corpus pass is a map-side broadcast filter, no corpus shuffle") {
