@@ -14,46 +14,52 @@ object Bench {
   private[graft] val ShortKey = Map(
     "q1_pricing_summary" -> "q1", "q3_top_revenue" -> "q3",
     "q5_region_volume" -> "q5",
-    "q_active_projects" -> "actproj", "q_ann_brute_topk" -> "anbrut",
-    "q_ann_ivf2_topk" -> "an_ivf2", "q_ann_ivf_topk" -> "an_ivf",
-    "q_ann_ivfpq_topk" -> "anivfpq", "q_ann_lsh_topk" -> "an_lsh",
-    "q_ann_pq_indexed" -> "anpqidx", "q_ann_pq_topk" -> "an_pq",
-    "q_anti_join" -> "anti", "q_approx_stats" -> "approx",
-    "q_asof_join" -> "asof", "q_attachment_text" -> "attach",
-    "q_backlog_rank" -> "bklog", "q_block_tree" -> "btree",
-    "q_bloom_prefilter" -> "bloom", "q_clean_pipeline" -> "cpipe",
-    "q_clean_text" -> "ctext", "q_contamination" -> "contam",
-    "q_date_funcs" -> "datefn", "q_dedup_clusters" -> "ddclus",
-    "q_dedup_containment" -> "ddcont", "q_dedup_embedding" -> "ddemb",
-    "q_dedup_exact" -> "ddexact", "q_dedup_incremental" -> "dd_incr",
-    "q_dedup_keep_last" -> "keepl", "q_dedup_minhash" -> "dd_minh",
-    "q_dedup_ngram_jaccard" -> "ddngram", "q_dedup_simhash" -> "dd_simh",
-    "q_doc_fingerprint" -> "fingp",
-    "q_domain_mix" -> "dmix",
-    "q_domain_mix_up" -> "dmixup", "q_event_window_agg" -> "evwin",
-    "q_filter_tags" -> "ftags", "q_gopher_filter" -> "gopher",
+    "q_active_projects" -> "aprj", "q_ann_brute_topk" -> "abrt",
+    "q_ann_ivf2_topk" -> "aiv2", "q_ann_ivf_topk" -> "aivf",
+    "q_ann_ivfpq_topk" -> "aipq", "q_ann_lsh_topk" -> "alsh",
+    "q_ann_pq_indexed" -> "apqi", "q_ann_pq_topk" -> "apq",
+    "q_anti_join" -> "anti", "q_approx_stats" -> "apx",
+    "q_argmax" -> "amax",
+    "q_asof_join" -> "asof", "q_attachment_text" -> "atch",
+    "q_backlog_rank" -> "bklg", "q_block_tree" -> "btre",
+    "q_bloom_prefilter" -> "blom", "q_clean_pipeline" -> "cpip",
+    "q_clean_text" -> "ctxt", "q_contamination" -> "ctam",
+    "q_date_funcs" -> "dtfn", "q_dedup_clusters" -> "ddcl",
+    "q_dedup_containment" -> "ddct", "q_dedup_embedding" -> "dde",
+    "q_dedup_exact" -> "ddex", "q_dedup_incremental" -> "ddin",
+    "q_dedup_keep_last" -> "klst", "q_dedup_minhash" -> "ddmh",
+    "q_dedup_ngram_jaccard" -> "ddng", "q_dedup_simhash" -> "ddsh",
+    "q_doc_fingerprint" -> "fgp",
+    "q_domain_mix" -> "dmx", "q_domain_mix_alpha" -> "dmxa",
+    "q_domain_mix_up" -> "dmxu", "q_event_window_agg" -> "evw",
+    "q_filter_tags" -> "ftag", "q_funnel" -> "funl",
+    "q_gopher_filter" -> "goph",
     "q_heavy_hitters" -> "hh", "q_hierarchy_rollup" -> "hier",
-    "q_interval_join" -> "intvl", "q_json_normalize" -> "jnorm",
-    "q_json_props" -> "jprops", "q_keyed_sample" -> "ksamp",
-    "q_lang_id" -> "langid", "q_length_stats" -> "lstats",
-    "q_markdown_runs" -> "mdruns", "q_moving_avg" -> "movavg",
-    "q_multimodal_meta" -> "mmeta", "q_ngram_freq" -> "ngramfq",
-    "q_normalize_status" -> "nstat", "q_oldest_pending" -> "oldest",
-    "q_paged_ingest" -> "paged", "q_parent_join" -> "parjoin",
-    "q_period_report" -> "period", "q_pii_scrub" -> "pii",
-    "q_priority_dist" -> "prdist", "q_project_flags" -> "pflags",
-    "q_quality_score" -> "quality", "q_repetition" -> "repet",
-    "q_report_doc" -> "repdoc", "q_report_goals" -> "rgoals",
-    "q_retention" -> "reten", "q_running_total" -> "runtot",
-    "q_schema_health" -> "schema", "q_semi_join" -> "semi",
-    "q_session_window" -> "seswin", "q_sessionize" -> "sessize",
-    "q_set_ops" -> "setops", "q_status_dist" -> "stdist",
-    "q_status_summary" -> "stsum", "q_stratified_sample" -> "strat",
-    "q_string_funcs" -> "strfn", "q_tfidf_top_terms" -> "tfidf",
-    "q_token_count" -> "tokens", "q_topk_per_key" -> "topkk",
-    "q_uncategorized" -> "uncat", "q_value_deciles" -> "deciles",
-    "q_vocab_topk" -> "vocab", "q_weekly_focus" -> "wkfoc",
-    "q_weekly_velocity" -> "wkvel", "q_weighted_mean" -> "wmean",
+    "q_interval_join" -> "intv", "q_json_normalize" -> "jnrm",
+    "q_json_props" -> "jprp", "q_keyed_sample" -> "ksmp",
+    "q_lang_id" -> "lang", "q_length_stats" -> "lsts",
+    "q_lm_score" -> "lmsc",
+    "q_markdown_runs" -> "mdrn", "q_moving_avg" -> "mavg",
+    "q_multimodal_meta" -> "mmet", "q_ngram_freq" -> "ngfq",
+    "q_normalize_status" -> "nst", "q_oldest_pending" -> "olds",
+    "q_overdue" -> "ovd",
+    "q_paged_ingest" -> "pagd", "q_parent_join" -> "pjn",
+    "q_period_report" -> "perd", "q_pii_scrub" -> "pii",
+    "q_pivot" -> "pvt",
+    "q_priority_dist" -> "prds", "q_project_flags" -> "pflg",
+    "q_quality_score" -> "qual", "q_repetition" -> "rept",
+    "q_report_doc" -> "rdoc", "q_report_goals" -> "rgls",
+    "q_retention" -> "retn", "q_rollup" -> "rlup",
+    "q_running_total" -> "rtot",
+    "q_schema_health" -> "schm", "q_semi_join" -> "semi",
+    "q_session_window" -> "sswn", "q_sessionize" -> "sesz",
+    "q_set_ops" -> "sops", "q_status_dist" -> "stds",
+    "q_status_summary" -> "stsm", "q_stratified_sample" -> "strt",
+    "q_string_funcs" -> "strf", "q_tfidf_top_terms" -> "tfid",
+    "q_token_count" -> "tokn", "q_topk_per_key" -> "topk",
+    "q_uncategorized" -> "uncg", "q_value_deciles" -> "decl",
+    "q_vocab_topk" -> "vocb", "q_weekly_focus" -> "wkfc",
+    "q_weekly_velocity" -> "wkvl", "q_weighted_mean" -> "wmn",
     "q_wow_change" -> "wow")
 
   private[graft] def shortKey(name: String): String =

@@ -90,6 +90,7 @@ object SparkEntry {
     // broadcast per-lang thresholds from one aggregate scan
     "q_domain_mix"        -> ExtendedAnalytics.domainMix _,
     "q_domain_mix_up"     -> ExtendedAnalytics.domainMixUpsample _,
+    "q_domain_mix_alpha"  -> ExtendedAnalytics.domainMixAlpha _,
     // bloom runtime-filter pruning (plans.BloomMightContain)
     "q_bloom_prefilter"   -> operators.BloomPrune.prefilterRevenue _,
     // attachment-content extraction (sources.Attachments: binaryFile
@@ -605,6 +606,7 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q_domain_mix" -> ExtendedAnalytics.domainMixOracleSql,
     "q_domain_mix_up" -> ExtendedAnalytics.domainMixUpsampleOracleSql,
+    "q_domain_mix_alpha" -> ExtendedAnalytics.domainMixAlphaOracleSql,
     "q_vocab_topk" ->
       """SELECT token, count(*) AS df FROM (
            SELECT doc_id, unnest(list_distinct(

@@ -199,6 +199,74 @@ object ExtendedAnalytics {
        |ORDER BY doc_id, copy""".stripMargin
   }
 
+  /** Temperature exponent for [[domainMixAlpha]] (α = 0.5 — the
+    * multilingual-pretraining smoothing that lifts scarce languages
+    * without letting any single one dominate).
+    */
+  val MixAlphaMilli = 1000 // weight quantum: w_g = floor(n_g^α · 1000)
+
+  /** Temperature-smoothed mixture (`q_domain_mix_alpha`): target shares
+    * DERIVED from the corpus itself as f_g ∝ n_g^α (α=0.5) — the
+    * exponent-smoothing every multilingual pretraining mix uses (XLM-R
+    * style) instead of a hand-written target table. Sampling is
+    * with-replacement at corpus size, so the dominant language
+    * downsamples and scarce ones upsample by repetition epochs, same
+    * row contract as [[domainMixUpsample]] (`copy` index).
+    *
+    * Cross-engine float determinism: the smoothed weight is quantized
+    * to an INTEGER w_g = ⌊√n_g·1000⌋ (sqrt is IEEE correctly-rounded in
+    * both engines; a non-square n keeps √n·1000 far from integers, a
+    * square computes exactly), so Σw and Σn are exact integer sums and
+    * the rate r_g = ((w_g/W)·N)/n_g is three float ops in pinned
+    * association order. Plan shape: one column-pruned aggregate scan →
+    * lang-cardinality thresholds broadcast back → map-side hash gate +
+    * posexplode repetition; zero corpus shuffle.
+    */
+  def domainMixAlpha(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("ng"))
+      .withColumn("wg",
+        floor(sqrt(col("ng").cast("double")) * lit(MixAlphaMilli)).cast("long"))
+    val tot = counts.agg(sum("wg").as("wtot"), sum("ng").as("ntot"))
+    val rate = col("wg").cast("double") / col("wtot").cast("double") *
+      col("ntot").cast("double") / col("ng").cast("double")
+    val thr = counts.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        floor(rate).cast("long").as("base"),
+        floor((rate - floor(rate)) * lit(1000)).cast("long").as("fracthr"))
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(2147483648L)) % 1000
+    d.join(broadcast(thr), Seq("lang"))
+      .withColumn("copies",
+        (col("base") + when(bucket < col("fracthr"), 1).otherwise(0)).cast("int"))
+      .select(col("doc_id"), col("lang"),
+        posexplode(array_repeat(lit(1), col("copies"))).as(Seq("copy", "_one")))
+      .select(col("doc_id"), col("lang"), col("copy").cast("int").as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
+  def domainMixAlphaOracleSql: String =
+    s"""WITH n AS (SELECT lang, count(*) AS ng FROM documents GROUP BY lang),
+       |w AS (SELECT lang, ng,
+       |        CAST(floor(sqrt(CAST(ng AS DOUBLE)) * $MixAlphaMilli) AS BIGINT) AS wg
+       |      FROM n),
+       |s AS (SELECT CAST(sum(wg) AS BIGINT) AS wtot,
+       |             CAST(sum(ng) AS BIGINT) AS ntot FROM w),
+       |thr AS (SELECT lang,
+       |          CAST(floor(CAST(wg AS DOUBLE) / CAST(wtot AS DOUBLE)
+       |            * CAST(ntot AS DOUBLE) / CAST(ng AS DOUBLE)) AS BIGINT) AS base,
+       |          CAST(floor((CAST(wg AS DOUBLE) / CAST(wtot AS DOUBLE)
+       |              * CAST(ntot AS DOUBLE) / CAST(ng AS DOUBLE)
+       |            - floor(CAST(wg AS DOUBLE) / CAST(wtot AS DOUBLE)
+       |              * CAST(ntot AS DOUBLE) / CAST(ng AS DOUBLE))) * 1000) AS BIGINT) AS fracthr
+       |        FROM w CROSS JOIN s)
+       |SELECT doc_id, lang, CAST(gs - 1 AS INTEGER) AS copy
+       |FROM (SELECT d.doc_id, d.lang,
+       |        base + CASE WHEN (d.doc_id * 2654435761) % 2147483648 % 1000 < fracthr
+       |                    THEN 1 ELSE 0 END AS n_copies
+       |      FROM documents d JOIN thr ON d.lang = thr.lang) x,
+       |     unnest(generate_series(1, n_copies)) AS u(gs)
+       |ORDER BY doc_id, copy""".stripMargin
+
   val KeyedSampleK = 20
   val KeyedSampleA = 1203114533L
 

@@ -571,7 +571,7 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
       "q_ann_pq_topk", "q_ann_ivfpq_topk", "q_report_goals", "q_report_doc",
       "q_tfidf_top_terms", "q_value_deciles", "q_lm_score",
       // lang-cardinality counts × the single feasible-size scalar row
-      "q_domain_mix", "q_domain_mix_up")
+      "q_domain_mix", "q_domain_mix_up", "q_domain_mix_alpha")
     for ((q, _) <- SparkEntry.queries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
@@ -1149,6 +1149,37 @@ class DomainMixSpec extends org.scalatest.funsuite.AnyFunSuite {
     // the scarce language actually upsamples (some doc has >= 2 copies)
     assert(out.groupBy("doc_id", "lang").count().filter(col("count") >= 2).count() > 0,
       "expected at least one upsampled document")
+  }
+
+  test("alpha mix: smoothing pulls shares toward n^0.5 at corpus size") {
+    val d = Tables.documents(spark, sf)
+    val raw = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = raw.values.sum.toDouble
+    val out = operators.ExtendedAnalytics.domainMixAlpha(spark, sf)
+    val mixed = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = mixed.values.sum.toDouble
+    // with-replacement at corpus size: totals match within threshold granularity
+    assert(math.abs(m - n) / n < 0.01, s"corpus size drifted: $n -> $m")
+    // shares land on the sqrt-smoothed targets
+    val wsum = raw.values.map(v => math.sqrt(v.toDouble)).sum
+    for ((l, ng) <- raw) {
+      val target = math.sqrt(ng.toDouble) / wsum
+      assert(math.abs(mixed.getOrElse(l, 0L) / m - target) < 0.02,
+        s"$l share off sqrt target $target: $mixed")
+    }
+    // the dominant language moved DOWN, the scarcest moved UP
+    val dom = raw.maxBy(_._2)._1
+    val sc = raw.minBy(_._2)._1
+    assert(mixed(dom) / m < raw(dom) / n, "dominant language did not downsample")
+    assert(mixed(sc) / m > raw(sc) / n, "scarce language did not upsample")
+    // whole + at-most-one fractional epoch per doc
+    val spread = out.groupBy("lang", "doc_id").count()
+      .groupBy("lang").agg(max("count").as("mx"), min("count").as("mn"))
+      .collect()
+    assert(spread.forall(r => r.getLong(1) - r.getLong(2) <= 1),
+      s"copy spread exceeds one epoch: ${spread.mkString(", ")}")
   }
 
   test("the corpus pass is a map-side broadcast filter, no corpus shuffle") {
