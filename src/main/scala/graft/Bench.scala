@@ -28,7 +28,8 @@ object Bench {
     "q_dedup_containment" -> "ddct", "q_dedup_embedding" -> "dde",
     "q_dedup_exact" -> "ddex", "q_dedup_incremental" -> "ddin",
     "q_dedup_keep_last" -> "klst", "q_dedup_minhash" -> "ddmh",
-    "q_dedup_ngram_jaccard" -> "ddng", "q_dedup_simhash" -> "ddsh",
+    "q_dedup_ngram_jaccard" -> "ddng", "q_dedup_semantic" -> "ddse",
+    "q_dedup_simhash" -> "ddsh", "q_dedup_span" -> "ddsp",
     "q_doc_fingerprint" -> "fgp",
     "q_domain_mix" -> "dmx", "q_domain_mix_alpha" -> "dmxa",
     "q_domain_mix_up" -> "dmxu", "q_event_window_agg" -> "evw",

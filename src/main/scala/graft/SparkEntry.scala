@@ -53,6 +53,10 @@ object SparkEntry {
     "q_dedup_embedding"     -> Similarity.embeddingDup _,
     "q_dedup_containment"   -> Dedup.containment _,
     "q_dedup_incremental"   -> Dedup.incremental _,
+    // span-level (substring) dedup: maximal duplicated token spans
+    "q_dedup_span"          -> Dedup.spanDedup _,
+    // SemDeDup: cluster-restricted embedding near-dup prune
+    "q_dedup_semantic"      -> Similarity.semanticDedup _,
     // §2.5 similarity search
     "q_ann_brute_topk" -> Similarity.annBruteTopK _,
     "q_ann_lsh_topk"   -> Similarity.annLshTopK _,
@@ -432,6 +436,8 @@ object SparkEntry {
     "q_dedup_embedding"     -> Similarity.sqlEmbeddingDup,
     "q_dedup_containment"   -> Dedup.sqlContainment,
     "q_dedup_incremental"   -> Dedup.sqlIncremental,
+    "q_dedup_span"          -> Dedup.sqlSpanDedup,
+    "q_dedup_semantic"      -> Similarity.sqlSemanticDedup,
     "q_ann_brute_topk"      -> Similarity.sqlAnnBruteTopK,
     "q_keyed_sample" ->
       s"""WITH h AS (

@@ -323,6 +323,62 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Span-dedup gram size: 5-token grams, matching the decontamination
+    * gram — the smallest span worth locating.
+    */
+  val SpanGramN = 5
+
+  /** A gram is "duplicated" when it occurs at least this many times in
+    * the whole corpus (across documents or repeated within one — both
+    * are verbatim repetition a span-level dedup pass would cut).
+    */
+  val SpanMinCount = 2L
+
+  /** §2.4 span-level dedup (the suffix-array substring-dedup shape of
+    * "Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022, re-expressed relationally): find every MAXIMAL
+    * token span covered by corpus-duplicated 5-grams. Doc-level dedup
+    * misses boilerplate embedded in otherwise-unique pages; this
+    * locates the duplicated region itself, so a cleaning pass can cut
+    * the span and keep the document.
+    *
+    * Shape: positional gram hashes are a map-side codegen'd expression
+    * (WordShingleHashesPos) riding the scan; the corpus-frequency gate
+    * is ONE count-over-hash window (one shuffle of the postings — no
+    * separate df aggregate + semi-join, which would shuffle the same
+    * frame twice); island-merging the surviving positions is a per-doc
+    * window (second shuffle, key = doc_id). Θ(tokens) rows total, both
+    * shuffles key-partitioned — the distributed analogue of the suffix
+    * array's global sort. A hyper-frequent gram concentrates its
+    * postings in one hash partition; its df is bounded by the docs that
+    * contain it, and the per-position rows carry no payload beyond
+    * (doc, pos), so the hot bucket is narrow.
+    */
+  def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(ArrayOps.wordShingleHashesPos(tokens(col("text")), SpanGramN, P))
+          .as(Seq("pos", "h")))
+    val hits = pos
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("cnt") >= SpanMinCount)
+      .select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("prev_end",
+        max(col("pos") + lit(SpanGramN)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L).otherwise(0L))
+      .withColumn("island", sum("brk").over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").cast("int").as("span_start"),
+        (max("pos") + lit(SpanGramN)).cast("int").as("span_end"),
+        count(lit(1)).as("dup_grams"))
+      .select("doc_id", "span_start", "span_end", "dup_grams")
+      .orderBy("doc_id", "span_start")
+  }
+
   // ---- oracle SQL generation (same constants as above) ------------------
 
   /** DuckDB charFoldHash of a string expression. */
@@ -484,4 +540,33 @@ object Dedup {
        |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= $HammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  val sqlSpanDedup: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+       |    ${sqlCharFold(s"array_to_string(t[i:i + ${SpanGramN - 1}], ' ')")} AS h
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${SpanGramN - 1})) AS i
+       |        FROM toks WHERE len(t) >= $SpanGramN)),
+       |hits AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM pos)
+       |  WHERE cnt >= $SpanMinCount),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    max(pos + $SpanGramN) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM hits),
+       |grp AS (
+       |  SELECT doc_id, pos,
+       |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl)
+       |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+       |  CAST(max(pos) + $SpanGramN AS INTEGER) AS span_end,
+       |  CAST(count(*) AS BIGINT) AS dup_grams
+       |FROM grp GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
 }

@@ -117,6 +117,38 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** §2.4 semantic dedup (the SemDeDup shape, Abbas et al. 2023):
+    * cluster the embedding space, then prune near-duplicates WITHIN
+    * each cluster only — the clustering restricts the quadratic pair
+    * search to same-cluster candidates. Cells are the deterministic
+    * seeded centroids the IVF family uses (stride-capped at ~√n, so
+    * cluster size ~√n and the within-cell self-join does Θ(n^1.5) pair
+    * work instead of Θ(n²) — the SemDeDup economics); assignment is the
+    * zero-shuffle codegen'd argmin. A vector is dropped when a
+    * same-cell vector with a SMALLER id is within τ (deterministic
+    * keep-lowest-id rule — the parallel-safe analogue of SemDeDup's
+    * sequential keep-first sweep; pairs straddling a cell boundary are
+    * missed by design, the approximation the clustering buys speed
+    * with). Output: every vector with its cell and keep/drop verdict.
+    */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val cents = seededCentroids(s, dir)
+    val assigned = normed(s, dir).select(col("vec_id"), col("e"), col("nrm"),
+      CentroidOps.cell(col("e"), col("nrm"), cents).as("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("e").as("e_a"), col("nrm").as("n_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("e").as("e_b"), col("nrm").as("n_b"))
+    val removed = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(round(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6) >= CosineDupT)
+      .select(col("vec_b").as("vec_id")).distinct()
+    assigned.select("vec_id", "cell")
+      .join(removed.withColumn("rm", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("rm").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** §2.5 #29 — brute-force cosine top-k: query set (vec_id < NumQueries)
     * broadcast against the corpus; rank on rounded cosine with vec_id
     * tie-break (deterministic across engines).
@@ -597,4 +629,35 @@ object Similarity {
        |  FROM scored)
        |SELECT q_id, rank, neighbor_id, cos_sim FROM ranked
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
+  /** DuckDB twin of [[semanticDedup]]. The stride/centroid selection
+    * mirrors seededCentroids (max(IvfCentroidMod, round(√n)) — Scala
+    * math.round and DuckDB round agree on positives), and the argmin
+    * assignment compares UNROUNDED scores: both engines compute the
+    * identical sequential-fold dot, so the doubles — and therefore the
+    * argmin — are bit-identical; `ORDER BY score DESC, cid` reproduces
+    * NearestCentroids' strict-improvement insertion (lowest id wins
+    * ties).
+    */
+  val sqlSemanticDedup: String =
+    s"""$sqlNormed,
+       |str AS (SELECT greatest($IvfCentroidMod,
+       |          CAST(round(sqrt(CAST(count(*) AS DOUBLE)), 0) AS BIGINT)) AS stride FROM n),
+       |c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm FROM n, str
+       |      WHERE vec_id % stride = 3 % stride),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, CAST(c.cid AS INTEGER) AS cell,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${sqlDot("n.embedding", "c.ce")} / (n.nrm * c.cnrm) DESC, c.cid) AS rn
+       |    FROM n CROSS JOIN c) WHERE rn = 1),
+       |rm AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  JOIN n nx ON nx.vec_id = x.vec_id JOIN n ny ON ny.vec_id = y.vec_id
+       |  WHERE round(${sqlDot("nx.embedding", "ny.embedding")} / (nx.nrm * ny.nrm), 6)
+       |    >= $CosineDupT)
+       |SELECT a.vec_id, a.cell, rm.vec_id IS NULL AS keep
+       |FROM asg a LEFT JOIN rm ON rm.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
 }

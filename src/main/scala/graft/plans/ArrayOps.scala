@@ -229,6 +229,8 @@ object ArrayOps {
     GraftColumnBridge.column(TokenHashes(GraftColumnBridge.expression(tokens), p))
   def wordShingleHashes(tokens: Column, n: Int, p: Long): Column =
     GraftColumnBridge.column(WordShingleHashes(GraftColumnBridge.expression(tokens), n, p))
+  def wordShingleHashesPos(tokens: Column, n: Int, p: Long): Column =
+    GraftColumnBridge.column(WordShingleHashesPos(GraftColumnBridge.expression(tokens), n, p))
   def wordShingleStrings(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(WordShingleStrings(GraftColumnBridge.expression(tokens), n))
 }
@@ -390,6 +392,73 @@ case class WordShingleHashes(child: Expression, n: Int, p: Long) extends UnaryEx
          |for (Long graftV : graftSeen) { graftOut[graftJ++] = graftV.longValue(); }
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graftOut);
        """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** POSITIONAL word-shingle hashes: same space-joined charFold as
+  * [[WordShingleHashes]] but one hash PER STARTING POSITION, duplicates
+  * kept and array index == token position — the form span-level dedup
+  * needs (a duplicated gram's position locates the duplicated span;
+  * the deduped set form cannot). `posexplode` over the result yields
+  * (position, hash) pairs map-side.
+  */
+case class WordShingleHashesPos(child: Expression, n: Int, p: Long) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes_pos"
+
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val t = arr.numElements()
+    val m = math.max(t - n + 1, 0)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var k = 0
+      while (k < n) {
+        val s = arr.getUTF8String(i + k)
+        var b = 0
+        val nb = s.numBytes()
+        while (b < nb) { h = (h * 31 + (s.getByte(b) & 0xff)) % p; b += 1 }
+        if (k < n - 1) h = (h * 31 + 32) % p
+        k += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName locals: two instances fused into one whole-stage-codegen
+    // function must not collide (see CentroidOps' Janino lesson)
+    val t = ctx.freshName("t"); val m = ctx.freshName("m")
+    val out = ctx.freshName("out"); val i = ctx.freshName("i")
+    val h = ctx.freshName("h"); val k = ctx.freshName("k")
+    val s = ctx.freshName("s"); val b = ctx.freshName("b")
+    val nb = ctx.freshName("nb")
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |int $t = $in.numElements();
+         |int $m = $t - $n + 1; if ($m < 0) $m = 0;
+         |long[] $out = new long[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  long $h = 0L;
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $in.getUTF8String($i + $k);
+         |    int $nb = $s.numBytes();
+         |    for (int $b = 0; $b < $nb; $b++) {
+         |      $h = ($h * 31 + ($s.getByte($b) & 0xff)) % ${p}L;
+         |    }
+         |    if ($k < $n - 1) $h = ($h * 31 + 32) % ${p}L;
+         |  }
+         |  $out[$i] = $h;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin)
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

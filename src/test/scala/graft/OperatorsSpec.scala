@@ -1195,3 +1195,73 @@ class DomainMixSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"unexpected corpus exchange on $hashEx:\n$p")
   }
 }
+
+/** Span-level dedup (Dedup.spanDedup) and SemDeDup
+  * (Similarity.semanticDedup) invariants on sf0.001 — oracle parity
+  * covers cell-exactness; these pin the structural semantics against
+  * the corpus' planted duplicates.
+  */
+class SpanSemanticDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+  import org.apache.spark.sql.functions._
+
+  test("spans are maximal: disjoint, gap-separated, gram counts bounded") {
+    val n = operators.Dedup.SpanGramN
+    val rows = operators.Dedup.spanDedup(spark, sf).collect()
+    assert(rows.nonEmpty, "no duplicated spans found on planted corpus")
+    for ((_, docRows) <- rows.groupBy(_.getLong(0))) {
+      val sorted = docRows.sortBy(_.getInt(1)).toSeq
+      for (r <- sorted) {
+        val (st, en, g) = (r.getInt(1), r.getInt(2), r.getLong(3))
+        assert(en - st >= n, s"span shorter than one gram: [$st,$en)")
+        assert(g >= 1 && g <= en - st - n + 1, s"gram count $g impossible for [$st,$en)")
+      }
+      // maximality: had two islands overlapped or touched, the merge
+      // pass would have fused them — consecutive spans must leave a gap
+      for (w <- sorted.sliding(2) if w.size == 2)
+        assert(w(1).getInt(1) > w(0).getInt(2),
+          s"unmerged adjacent islands: ${w(0)} / ${w(1)}")
+    }
+  }
+
+  test("planted spans: cross-doc shared region, within-doc repeat, unique doc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("spandedup").toString
+    Seq(
+      // docs 1/2 share the 5-grams "a b c d e" and "b c d e f" at
+      // offsets 0/3 — each reports exactly that shared region
+      (1L, "a b c d e f g h", "en", "t", 15L),
+      (2L, "x y z a b c d e f q w", "en", "t", 21L),
+      // doc 3: verbatim WITHIN-DOC repetition — islands at 0 and 5
+      // touch (5 <= 0+5) and must merge to one full span
+      (3L, "p q r s t p q r s t", "en", "t", 19L),
+      // doc 4: all grams unique — no span
+      (4L, "one two three four five six seven", "en", "t", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = operators.Dedup.spanDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(out === Set((1L, 0, 6, 2L), (2L, 3, 9, 2L), (3L, 0, 10, 2L)))
+  }
+
+  test("semantic drop set == embedding-dup pairs restricted to one cell") {
+    val sem = operators.Similarity.semanticDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    val pairs = operators.Similarity.embeddingDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the exact pair graph restricted to same-cell endpoints defines
+    // the drop set: vec_b dropped iff SOME smaller same-cell tau-dup
+    val expectedDrops = pairs.collect {
+      case (a, b, _) if sem(a)._1 == sem(b)._1 => b
+    }.toSet
+    val actualDrops = sem.collect { case (v, (_, keep)) if !keep => v }.toSet
+    assert(actualDrops === expectedDrops)
+    assert(actualDrops.nonEmpty, "planted near-dups produced zero drops")
+    // the clustering is a real approximation on this corpus: some
+    // tau-pairs must straddle cells (otherwise the test is vacuous —
+    // equality would hold for ANY assignment)
+    assert(pairs.exists { case (a, b, _) => sem(a)._1 != sem(b)._1 },
+      "every pair landed in one cell; cross-cell approximation untested")
+  }
+}
