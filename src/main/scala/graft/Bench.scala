@@ -43,7 +43,7 @@ object Bench {
     "q_markdown_runs" -> "mdrn", "q_moving_avg" -> "mavg",
     "q_multimodal_meta" -> "mmet", "q_ngram_freq" -> "ngfq",
     "q_normalize_status" -> "nst", "q_oldest_pending" -> "olds",
-    "q_overdue" -> "ovd",
+    "q_overdue" -> "ovd", "q_pack_sequences" -> "pack",
     "q_paged_ingest" -> "pagd", "q_parent_join" -> "pjn",
     "q_period_report" -> "perd", "q_pii_scrub" -> "pii",
     "q_pivot" -> "pvt",

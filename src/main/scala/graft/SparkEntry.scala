@@ -95,6 +95,8 @@ object SparkEntry {
     "q_domain_mix"        -> ExtendedAnalytics.domainMix _,
     "q_domain_mix_up"     -> ExtendedAnalytics.domainMixUpsample _,
     "q_domain_mix_alpha"  -> ExtendedAnalytics.domainMixAlpha _,
+    // GPT-style concat-and-chunk packing via two-phase prefix sum
+    "q_pack_sequences"    -> ExtendedAnalytics.packSequences _,
     // bloom runtime-filter pruning (plans.BloomMightContain)
     "q_bloom_prefilter"   -> operators.BloomPrune.prefilterRevenue _,
     // attachment-content extraction (sources.Attachments: binaryFile
@@ -613,6 +615,7 @@ object SparkEntry {
     "q_domain_mix" -> ExtendedAnalytics.domainMixOracleSql,
     "q_domain_mix_up" -> ExtendedAnalytics.domainMixUpsampleOracleSql,
     "q_domain_mix_alpha" -> ExtendedAnalytics.domainMixAlphaOracleSql,
+    "q_pack_sequences" -> ExtendedAnalytics.packSequencesOracleSql,
     "q_vocab_topk" ->
       """SELECT token, count(*) AS df FROM (
            SELECT doc_id, unnest(list_distinct(

@@ -267,6 +267,85 @@ object ExtendedAnalytics {
        |     unnest(generate_series(1, n_copies)) AS u(gs)
        |ORDER BY doc_id, copy""".stripMargin
 
+  /** Training-sequence token length for [[packSequences]]. */
+  val PackSeqLen = 512L
+
+  /** Phase-one bucket cap for the packing prefix sum: bucket totals are
+    * collected to the driver (≤ this many rows, 16 B each) — the same
+    * bounded-metadata collect Spark's own zipWithIndex does with
+    * per-partition counts.
+    */
+  val PackMaxBuckets = 4096L
+
+  /** Concat-and-chunk sequence packing (`q_pack_sequences`) — the
+    * GPT-style pretraining step that concatenates the tokenized corpus
+    * in doc_id order and slices it into fixed-length training
+    * sequences. Output: one row per (document, sequence) it lands in,
+    * with the document's token sub-range [tok_from, tok_to) and its
+    * offset inside the sequence — exactly what a loader needs to
+    * assemble sequence tensors without materializing the concatenation.
+    *
+    * The global token offset is a distributed TWO-PHASE prefix sum (no
+    * unpartitioned window anywhere): docs bucket by contiguous id range
+    * (≤ PackMaxBuckets buckets), phase one is a cumsum window
+    * partitioned BY bucket, phase two broadcast-joins each bucket's
+    * running start offset (bucket totals are driver-bounded metadata).
+    * The chunk fan-out is a map-side sequence/explode. One scan, one
+    * key-partitioned shuffle, O(buckets) driver state.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("ntok"))
+      .filter(col("ntok") > 0)
+    val maxId = d.agg(max("doc_id")).head().getLong(0)
+    val g = math.max(1L, (maxId + PackMaxBuckets) / PackMaxBuckets)
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    val local = d.withColumn("bucket", expr(s"doc_id div $g"))
+      .withColumn("lend", sum("ntok").over(w))
+    // running start offset per bucket from the collected totals —
+    // buckets are contiguous id ranges, so boff + lend == the global
+    // inclusive cumsum
+    val totals = local.groupBy("bucket").agg(max("lend").as("btot"))
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val running = totals.map(_._2).scanLeft(0L)(_ + _) // exclusive prefix
+    val offs = totals.map(_._1).zip(running).toSeq
+    import s.implicits._
+    val offDf = offs.toDF("bucket", "boff")
+    local.join(broadcast(offDf), "bucket")
+      .withColumn("gstart", col("boff") + col("lend") - col("ntok"))
+      .withColumn("first_seq", expr(s"gstart div $PackSeqLen"))
+      .withColumn("last_seq", expr(s"(gstart + ntok - 1) div $PackSeqLen"))
+      .select(col("doc_id"), col("ntok"), col("gstart"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+      .select(col("doc_id"), col("seq_id"),
+        greatest(lit(0L), col("gstart") - col("seq_id") * lit(PackSeqLen))
+          .cast("int").as("seq_off"),
+        greatest(lit(0L), col("seq_id") * lit(PackSeqLen) - col("gstart"))
+          .cast("int").as("tok_from"),
+        least(col("ntok"), (col("seq_id") + 1) * lit(PackSeqLen) - col("gstart"))
+          .cast("int").as("tok_to"))
+      .orderBy("doc_id", "seq_id")
+  }
+
+  def packSequencesOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS ntok
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 1),
+       |c AS (SELECT doc_id, ntok,
+       |        CAST(sum(ntok) OVER (ORDER BY doc_id) AS BIGINT) - ntok AS gstart
+       |      FROM d),
+       |x AS (SELECT doc_id, ntok, gstart,
+       |        gstart // $PackSeqLen AS first_seq,
+       |        (gstart + ntok - 1) // $PackSeqLen AS last_seq FROM c)
+       |SELECT doc_id, CAST(sq AS BIGINT) AS seq_id,
+       |  CAST(greatest(0, gstart - sq * $PackSeqLen) AS INTEGER) AS seq_off,
+       |  CAST(greatest(0, sq * $PackSeqLen - gstart) AS INTEGER) AS tok_from,
+       |  CAST(least(ntok, (sq + 1) * $PackSeqLen - gstart) AS INTEGER) AS tok_to
+       |FROM x, unnest(generate_series(first_seq, last_seq)) AS u(sq)
+       |ORDER BY doc_id, seq_id""".stripMargin
+
   val KeyedSampleK = 20
   val KeyedSampleA = 1203114533L
 

@@ -1265,3 +1265,48 @@ class SpanSemanticDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
       "every pair landed in one cell; cross-cell approximation untested")
   }
 }
+
+/** Sequence-packing invariants (ExtendedAnalytics.packSequences):
+  * oracle parity pins cell-exactness; these pin that the chunk map is
+  * actually a packing — docs tile completely, sequences fill to the
+  * token budget, nothing overlaps.
+  */
+class PackSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+  import org.apache.spark.sql.functions._
+
+  test("chunks tile every doc and every non-final sequence is full") {
+    val L = operators.ExtendedAnalytics.PackSeqLen
+    val rows = operators.ExtendedAnalytics.packSequences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    // per doc: chunks in seq order cover [0, ntok) contiguously
+    val ntok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+      .filter(col("n") > 0).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((doc, chunks) <- rows.groupBy(_._1)) {
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.head._4 === 0, s"doc $doc first chunk starts at ${sorted.head._4}")
+      assert(sorted.last._5 === ntok(doc), s"doc $doc last chunk ends early")
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray) if sorted.length > 1) {
+        assert(b._4 === a._5, s"doc $doc gap between chunks $a / $b")
+        assert(b._2 === a._2 + 1, s"doc $doc skips a sequence between $a / $b")
+      }
+    }
+    // per sequence: pieces are disjoint in [0, L) and fill all
+    // sequences but the last completely
+    val lastSeq = rows.map(_._2).max
+    for ((seq, pieces) <- rows.groupBy(_._2)) {
+      val spans = pieces.map(p => (p._3, p._3 + (p._5 - p._4))).sortBy(_._1)
+      for (Array(a, b) <- spans.sliding(2).map(_.toArray) if spans.length > 1)
+        assert(b._1 === a._2, s"seq $seq pieces overlap or gap: $a / $b")
+      assert(spans.head._1 === 0, s"seq $seq starts at ${spans.head._1}")
+      val filled = spans.last._2
+      if (seq < lastSeq) assert(filled === L, s"seq $seq only $filled/$L tokens")
+      else assert(filled <= L)
+    }
+    // conservation: chunk lengths sum to the corpus token count
+    assert(rows.map(r => (r._5 - r._4).toLong).sum === ntok.values.map(_.toLong).sum)
+  }
+}
