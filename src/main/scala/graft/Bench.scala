@@ -48,6 +48,7 @@ object Bench {
     "q_period_report" -> "perd", "q_pii_scrub" -> "pii",
     "q_pivot" -> "pvt",
     "q_priority_dist" -> "prds", "q_project_flags" -> "pflg",
+    "q_quality_sample" -> "qsmp",
     "q_quality_score" -> "qual", "q_repetition" -> "rept",
     "q_report_doc" -> "rdoc", "q_report_goals" -> "rgls",
     "q_retention" -> "retn", "q_rollup" -> "rlup",

@@ -71,6 +71,8 @@ object SparkEntry {
     // §2.6 text analysis
     "q_token_count"     -> TextAnalysis.tokenCount _,
     "q_quality_score"   -> TextAnalysis.quality _,
+    // quality-weighted (importance) sampling: keep-prob == score
+    "q_quality_sample"  -> TextAnalysis.qualitySample _,
     "q_lang_id"         -> TextAnalysis.languageId _,
     "q_doc_fingerprint" -> TextAnalysis.fingerprint _,
     "q_pii_scrub"       -> TextAnalysis.piiScrub _,
@@ -553,6 +555,12 @@ object SparkEntry {
     "q_quality_score" ->
       s"""WITH $sqlQualityCtes
          SELECT doc_id, quality FROM qq ORDER BY doc_id""",
+    "q_quality_sample" ->
+      s"""WITH $sqlQualityCtes
+         SELECT doc_id, quality FROM qq
+         WHERE (doc_id * ${operators.TextAnalysis.QualitySampleA}) % 2147483648 % 10000
+           < CAST(floor(quality * 10000.0 + 0.5) AS BIGINT)
+         ORDER BY doc_id""",
     "q_lang_id" ->
       s"""WITH $sqlLangCtes
          SELECT doc_id, declared_lang, pred_lang FROM lp ORDER BY doc_id""",

@@ -27,6 +27,32 @@ object TextAnalysis {
       .select(col("doc_id"), qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** Hash-gate multiplier for [[qualitySample]] (Knuth multiplicative
+    * constant — the same gate family as the domain-mix and keyed-sample
+    * operators).
+    */
+  val QualitySampleA = 2654435761L
+
+  /** Quality-WEIGHTED sampling (`q_quality_sample`): keep each document
+    * with probability equal to its quality score — the soft
+    * (importance-sampling) alternative to a hard quality cutoff that
+    * classifier-filtered pretraining corpora use (keep some low-quality
+    * mass, deterministically, instead of a cliff at a threshold).
+    *
+    * The score is exactly k/10⁴ by construction (portable floor
+    * rounding in qualityScore), so `floor(q·10⁴ + 0.5)` recovers the
+    * integer per-myriad threshold exactly in both engines and the keep
+    * decision is an integer compare against a portable hash bucket —
+    * reproducible under any partitioning, no RNG. Map-only plan: the
+    * gate rides the scan; the only exchange is the parity sort.
+    */
+  def qualitySample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      .filter(pmod(col("doc_id") * lit(QualitySampleA), lit(2147483648L)) % 10000 <
+        floor(col("quality") * lit(10000.0) + lit(0.5)).cast("long"))
+      .orderBy("doc_id")
+
   /** §2.6 #34 — language-ID heuristic (marker-token overlap argmax). */
   def languageId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)

@@ -1309,4 +1309,55 @@ class PackSpec extends org.scalatest.funsuite.AnyFunSuite {
     // conservation: chunk lengths sum to the corpus token count
     assert(rows.map(r => (r._5 - r._4).toLong).sum === ntok.values.map(_.toLong).sum)
   }
+
+  test("span dedup and packing keep their shuffle budgets") {
+    // span dedup: the frequency gate must stay a count-over-hash window
+    // (ONE full-frame exchange on h), never regress to df-agg +
+    // semi-join (two exchanges of the same postings frame); islands add
+    // the doc_id exchange, the terminal sort is the parity contract
+    val span = operators.Dedup.spanDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(span).size
+    assert(hashEx === 2, s"span dedup hash exchanges $hashEx != 2:\n$span")
+    // packing: ONE hash exchange (the bucket cumsum window) + the
+    // broadcast of driver-bounded bucket offsets; the chunk fan-out is
+    // map-side
+    val pack = operators.ExtendedAnalytics.packSequences(spark, sf)
+      .queryExecution.executedPlan.toString
+    val packEx = "Exchange hashpartitioning".r.findAllIn(pack).size
+    assert(packEx === 1, s"packing hash exchanges $packEx != 1:\n$pack")
+    assert(pack.contains("BroadcastExchange"), s"bucket offsets must broadcast:\n$pack")
+  }
+}
+
+/** Quality-weighted sampling (TextAnalysis.qualitySample): keep-prob
+  * equals the score, deterministically.
+  */
+class QualitySampleSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+  import org.apache.spark.sql.functions._
+
+  test("kept fraction tracks mean quality; gate is map-only") {
+    val all = operators.TextAnalysis.quality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val kept = operators.TextAnalysis.qualitySample(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kept.nonEmpty && kept.size < all.size,
+      s"sampling kept ${kept.size}/${all.size} — gate is pass-through or empty")
+    // importance-sampling contract: P(keep) == quality, so the kept
+    // fraction concentrates on the mean score (hash buckets are
+    // uniform; tolerance covers the finite-corpus variance)
+    val meanQ = all.values.sum / all.size
+    val frac = kept.size.toDouble / all.size
+    assert(math.abs(frac - meanQ) < 0.05, s"kept $frac vs mean quality $meanQ")
+    // kept docs carry their original score, and a zero-score doc can
+    // never survive (bucket < 0 is impossible)
+    for ((id, q) <- kept) { assert(all(id) === q); assert(q > 0.0) }
+    // map-only: no hash exchange anywhere — the only exchange is the
+    // terminal parity sort
+    val p = operators.TextAnalysis.qualitySample(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), s"gate must ride the scan:\n$p")
+  }
 }
