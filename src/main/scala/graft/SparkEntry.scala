@@ -54,7 +54,7 @@ object SparkEntry {
     "q_dedup_containment"   -> Dedup.containment _,
     "q_dedup_incremental"   -> Dedup.incremental _,
     // span-level (substring) dedup: maximal duplicated token spans
-    "q_dedup_span"          -> Dedup.spanDedup _,
+    "q_dedup_span"          -> ((s, d) => Dedup.spanDedup(s, d)),
     // SemDeDup: cluster-restricted embedding near-dup prune
     "q_dedup_semantic"      -> Similarity.semanticDedup _,
     // §2.5 similarity search
@@ -72,7 +72,7 @@ object SparkEntry {
     "q_token_count"     -> TextAnalysis.tokenCount _,
     "q_quality_score"   -> TextAnalysis.quality _,
     // quality-weighted (importance) sampling: keep-prob == score
-    "q_quality_sample"  -> TextAnalysis.qualitySample _,
+    "q_quality_sample"  -> ((s, d) => TextAnalysis.qualitySample(s, d)),
     "q_lang_id"         -> TextAnalysis.languageId _,
     "q_doc_fingerprint" -> TextAnalysis.fingerprint _,
     "q_pii_scrub"       -> TextAnalysis.piiScrub _,
@@ -98,7 +98,7 @@ object SparkEntry {
     "q_domain_mix_up"     -> ExtendedAnalytics.domainMixUpsample _,
     "q_domain_mix_alpha"  -> ExtendedAnalytics.domainMixAlpha _,
     // GPT-style concat-and-chunk packing via two-phase prefix sum
-    "q_pack_sequences"    -> ExtendedAnalytics.packSequences _,
+    "q_pack_sequences"    -> ((s, d) => ExtendedAnalytics.packSequences(s, d)),
     // bloom runtime-filter pruning (plans.BloomMightContain)
     "q_bloom_prefilter"   -> operators.BloomPrune.prefilterRevenue _,
     // attachment-content extraction (sources.Attachments: binaryFile

@@ -354,7 +354,7 @@ object Dedup {
     * contain it, and the per-position rows carry no payload beyond
     * (doc, pos), so the hot bucket is narrow.
     */
-  def spanDedup(s: SparkSession, dir: String): DataFrame = {
+  def spanDedup(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pos = Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -365,7 +365,10 @@ object Dedup {
       .filter(col("cnt") >= SpanMinCount)
       .select("doc_id", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    hits
+    // `ordered` as in TextAnalysis.gopherFilter: the terminal sort is
+    // the oracle-parity contract, not a semantic requirement — a
+    // corpus-sized span list should not pay a global range exchange
+    val out = hits
       .withColumn("prev_end",
         max(col("pos") + lit(SpanGramN)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("brk",
@@ -376,7 +379,7 @@ object Dedup {
         (max("pos") + lit(SpanGramN)).cast("int").as("span_end"),
         count(lit(1)).as("dup_grams"))
       .select("doc_id", "span_start", "span_end", "dup_grams")
-      .orderBy("doc_id", "span_start")
+    if (ordered) out.orderBy("doc_id", "span_start") else out
   }
 
   // ---- oracle SQL generation (same constants as above) ------------------

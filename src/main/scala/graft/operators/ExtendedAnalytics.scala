@@ -293,7 +293,7 @@ object ExtendedAnalytics {
     * The chunk fan-out is a map-side sequence/explode. One scan, one
     * key-partitioned shuffle, O(buckets) driver state.
     */
-  def packSequences(s: SparkSession, dir: String): DataFrame = {
+  def packSequences(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("ntok"))
       .filter(col("ntok") > 0)
@@ -311,7 +311,7 @@ object ExtendedAnalytics {
     val offs = totals.map(_._1).zip(running).toSeq
     import s.implicits._
     val offDf = offs.toDF("bucket", "boff")
-    local.join(broadcast(offDf), "bucket")
+    val chunks = local.join(broadcast(offDf), "bucket")
       .withColumn("gstart", col("boff") + col("lend") - col("ntok"))
       .withColumn("first_seq", expr(s"gstart div $PackSeqLen"))
       .withColumn("last_seq", expr(s"(gstart + ntok - 1) div $PackSeqLen"))
@@ -324,7 +324,8 @@ object ExtendedAnalytics {
           .cast("int").as("tok_from"),
         least(col("ntok"), (col("seq_id") + 1) * lit(PackSeqLen) - col("gstart"))
           .cast("int").as("tok_to"))
-      .orderBy("doc_id", "seq_id")
+    // terminal sort = parity contract only (corpus-sized chunk map)
+    if (ordered) chunks.orderBy("doc_id", "seq_id") else chunks
   }
 
   def packSequencesOracleSql: String =

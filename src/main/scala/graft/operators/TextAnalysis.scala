@@ -46,12 +46,14 @@ object TextAnalysis {
     * reproducible under any partitioning, no RNG. Map-only plan: the
     * gate rides the scan; the only exchange is the parity sort.
     */
-  def qualitySample(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  def qualitySample(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
+    val out = Tables.documents(s, dir)
       .select(col("doc_id"), qualityScore(col("text")).as("quality"))
       .filter(pmod(col("doc_id") * lit(QualitySampleA), lit(2147483648L)) % 10000 <
         floor(col("quality") * lit(10000.0) + lit(0.5)).cast("long"))
-      .orderBy("doc_id")
+    // terminal sort = parity contract only (corpus-sized sample)
+    if (ordered) out.orderBy("doc_id") else out
+  }
 
   /** §2.6 #34 — language-ID heuristic (marker-token overlap argmax). */
   def languageId(s: SparkSession, dir: String): DataFrame =

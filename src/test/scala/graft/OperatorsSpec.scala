@@ -1067,6 +1067,21 @@ class UnorderedFormSpec extends org.scalatest.funsuite.AnyFunSuite {
     check(operators.TextAnalysis.repetition(spark, sf),
       operators.TextAnalysis.repetition(spark, sf, ordered = false))
   }
+
+  test("span dedup exposes a sort-free corpus-scale form") {
+    check(operators.Dedup.spanDedup(spark, sf),
+      operators.Dedup.spanDedup(spark, sf, ordered = false))
+  }
+
+  test("sequence packing exposes a sort-free corpus-scale form") {
+    check(operators.ExtendedAnalytics.packSequences(spark, sf),
+      operators.ExtendedAnalytics.packSequences(spark, sf, ordered = false))
+  }
+
+  test("quality sampling exposes a sort-free corpus-scale form") {
+    check(operators.TextAnalysis.qualitySample(spark, sf),
+      operators.TextAnalysis.qualitySample(spark, sf, ordered = false))
+  }
 }
 
 /** ADC split correctness: the per-query table + per-candidate lookup
