@@ -344,15 +344,25 @@ object Dedup {
     *
     * Shape: positional gram hashes are a map-side codegen'd expression
     * (WordShingleHashesPos) riding the scan; the corpus-frequency gate
-    * is ONE count-over-hash window (one shuffle of the postings — no
-    * separate df aggregate + semi-join, which would shuffle the same
-    * frame twice); island-merging the surviving positions is a per-doc
-    * window (second shuffle, key = doc_id). Θ(tokens) rows total, both
-    * shuffles key-partitioned — the distributed analogue of the suffix
-    * array's global sort. A hyper-frequent gram concentrates its
-    * postings in one hash partition; its df is bounded by the docs that
-    * contain it, and the per-position rows carry no payload beyond
-    * (doc, pos), so the hot bucket is narrow.
+    * is a partial-combined count aggregate (the exchange carries
+    * per-partition combined counts — vocabulary-sized, skew-FREE by
+    * construction) followed by a semi-join of the postings against the
+    * duplicated-gram set; island-merging the surviving positions is a
+    * per-doc window. Θ(tokens) rows total — the distributed analogue
+    * of the suffix array's global sort.
+    *
+    * Why agg+semi-join and not one count-over-hash window (which would
+    * save the small counts exchange): a boilerplate gram at corpus
+    * scale ("all rights reserved …" × 10⁹) sends its ENTIRE postings
+    * list to a single window partition, and AQE cannot split a window —
+    * a guaranteed straggler. The same hot key inside a shuffled
+    * semi-join is 1:1 (each position matches at most one build row) and
+    * OptimizeSkewedJoin splits the oversized stream-side partition
+    * (LeftSemi is split-safe). The gram fold is computed twice (once
+    * per branch); that is deliberate — persisting a corpus-sized
+    * positions frame at 100 TB would trade cheap codegen'd CPU for
+    * storage pressure. (SpanSkewSpec plants the hot gram and pins the
+    * skew-free counts exchange + splittable join shape.)
     */
   def spanDedup(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -360,10 +370,9 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(ArrayOps.wordShingleHashesPos(tokens(col("text")), SpanGramN, P))
           .as(Seq("pos", "h")))
-    val hits = pos
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("cnt") >= SpanMinCount)
-      .select("doc_id", "pos")
+    val dup = pos.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= SpanMinCount).select("h")
+    val hits = pos.join(dup, Seq("h"), "left_semi").select("doc_id", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     // `ordered` as in TextAnalysis.gopherFilter: the terminal sort is
     // the oracle-parity contract, not a semantic requirement — a

@@ -1326,14 +1326,17 @@ class PackSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
   test("span dedup and packing keep their shuffle budgets") {
-    // span dedup: the frequency gate must stay a count-over-hash window
-    // (ONE full-frame exchange on h), never regress to df-agg +
-    // semi-join (two exchanges of the same postings frame); islands add
-    // the doc_id exchange, the terminal sort is the parity contract
+    // span dedup: the frequency gate must stay a partial-combined
+    // count AGGREGATE + SEMI-JOIN (skew-free counts exchange, AQE can
+    // split a hot stream-side join partition) — never a count-over-
+    // hash window, which pins a boilerplate gram's whole postings list
+    // to one unsplittable window partition
     val span = operators.Dedup.spanDedup(spark, sf)
       .queryExecution.executedPlan.toString
+    assert(span.contains("LeftSemi"), s"frequency gate must be a semi-join:\n$span")
+    assert(span.contains("partial_count"), s"gram counts must map-side combine:\n$span")
     val hashEx = "Exchange hashpartitioning".r.findAllIn(span).size
-    assert(hashEx === 2, s"span dedup hash exchanges $hashEx != 2:\n$span")
+    assert(hashEx <= 3, s"span dedup hash exchanges $hashEx > 3:\n$span")
     // packing: ONE hash exchange (the bucket cumsum window) + the
     // broadcast of driver-bounded bucket offsets; the chunk fan-out is
     // map-side
@@ -1374,5 +1377,48 @@ class QualitySampleSpec extends org.scalatest.funsuite.AnyFunSuite {
     val p = operators.TextAnalysis.qualitySample(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange hashpartitioning"), s"gate must ride the scan:\n$p")
+  }
+}
+
+/** Hot-gram skew for span dedup (the IntervalSkewSpec methodology):
+  * a boilerplate gram shared by every doc must not concentrate the
+  * postings frame — the counts exchange carries combined counts
+  * (vocabulary-sized, one row per gram per map side), and the
+  * positions side rides a semi-join that AQE can split, not a window.
+  */
+class SpanSkewSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import org.apache.spark.sql.functions._
+
+  test("a gram in every doc yields correct spans and a skew-free count path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("spanskew").toString
+    // 2000 docs, each ending in the SAME boilerplate sentence (one hot
+    // gram chain) after a unique prefix
+    val docs = spark.range(2000).select(
+      col("id").as("doc_id"),
+      concat(
+        format_string("u%d v%d w%d x%d y%d z%d ", col("id"), col("id"),
+          col("id"), col("id"), col("id"), col("id")),
+        lit("all rights reserved by the corporation")).as("text"),
+      lit("en").as("lang"), lit("t").as("source"),
+      lit(0L).as("n_chars"))
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = operators.Dedup.spanDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // every doc: 6 unique-prefix tokens + the 6-token boilerplate =
+    // 12 tokens; duplicated grams are exactly the two fully-boilerplate
+    // 5-grams at positions 6 and 7 -> one span [6, 12) with 2 grams
+    assert(out.length === 2000)
+    assert(out.forall { case (_, st, en, g) => st === 6 && en === 12 && g === 2L },
+      s"unexpected spans: ${out.take(5).mkString(",")}")
+    // the count exchange is skew-free by construction: map-side combine
+    // means the hot gram contributes ONE row per map partition, not its
+    // full postings list — pin the partial/final aggregate pair
+    val p = operators.Dedup.spanDedup(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"), s"counts must combine map-side:\n$p")
+    assert(p.contains("LeftSemi"), s"positions must ride a splittable join:\n$p")
+    assert(!p.contains("Window [count"), s"no count window allowed:\n$p")
   }
 }
