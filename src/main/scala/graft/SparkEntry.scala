@@ -83,6 +83,8 @@ object SparkEntry {
     "q_repetition"      -> ((s, d) => TextAnalysis.repetition(s, d)),
     "q_dedup_clusters"  -> TextAnalysis.dedupClusters _,
     "q_clean_pipeline"  -> TextAnalysis.cleanPipeline _,
+    // the full corpus→training-sequences path as one composed query
+    "q_corpus_pipeline" -> ((s, d) => TextAnalysis.corpusPipeline(s, d)),
     // §2.7 multimodal metadata
     "q_multimodal_meta" -> TextAnalysis.multimodalMeta _,
     // §2.1b extended composed analytics
@@ -580,6 +582,38 @@ object SparkEntry {
            FROM gated)
          SELECT doc_id, pred_lang, quality, ${sqlPii("text")} AS scrubbed
          FROM dd WHERE rn = 1 ORDER BY doc_id""",
+    "q_corpus_pipeline" ->
+      s"""WITH $sqlQualityCtes,
+         $sqlLangCtes,
+         gated AS (
+           SELECT d.doc_id, d.text, qq.quality, lp.pred_lang
+           FROM documents d
+           JOIN qq ON qq.doc_id = d.doc_id
+           JOIN lp ON lp.doc_id = d.doc_id
+           WHERE qq.quality >= ${operators.TextAnalysis.PipelineQualityMin}
+             AND lp.pred_lang <> 'unknown'),
+         dd AS (
+           SELECT doc_id, text,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM gated),
+         surv AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(${sqlPii("text")}), '[a-z0-9]+')) AS BIGINT) AS ntok
+           FROM dd WHERE rn = 1),
+         pd AS (SELECT doc_id, ntok FROM surv WHERE ntok >= 1),
+         pc AS (SELECT doc_id, ntok,
+                  CAST(sum(ntok) OVER (ORDER BY doc_id) AS BIGINT) - ntok AS gstart
+                FROM pd),
+         px AS (SELECT doc_id, ntok, gstart,
+                  gstart // ${operators.ExtendedAnalytics.PackSeqLen} AS first_seq,
+                  (gstart + ntok - 1) // ${operators.ExtendedAnalytics.PackSeqLen} AS last_seq
+                FROM pc)
+         SELECT doc_id, CAST(sq AS BIGINT) AS seq_id,
+           CAST(greatest(0, gstart - sq * ${operators.ExtendedAnalytics.PackSeqLen}) AS INTEGER) AS seq_off,
+           CAST(greatest(0, sq * ${operators.ExtendedAnalytics.PackSeqLen} - gstart) AS INTEGER) AS tok_from,
+           CAST(least(ntok, (sq + 1) * ${operators.ExtendedAnalytics.PackSeqLen} - gstart) AS INTEGER) AS tok_to
+         FROM px, unnest(generate_series(first_seq, last_seq)) AS u(sq)
+         ORDER BY doc_id, seq_id""",
     "q_doc_fingerprint" ->
       """SELECT doc_id,
          list_reduce(list_prepend(CAST(0 AS BIGINT),

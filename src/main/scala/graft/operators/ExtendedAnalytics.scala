@@ -293,11 +293,23 @@ object ExtendedAnalytics {
     * The chunk fan-out is a map-side sequence/explode. One scan, one
     * key-partitioned shuffle, O(buckets) driver state.
     */
-  def packSequences(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
-    val d = Tables.documents(s, dir)
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("ntok"))
-      .filter(col("ntok") > 0)
-    val maxId = d.agg(max("doc_id")).head().getLong(0)
+  def packSequences(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame =
+    packOn(s,
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("ntok")),
+      ordered)
+
+  /** Packing core over any (doc_id, ntok) frame — the composed corpus
+    * pipeline packs its SURVIVORS through the same machinery.
+    */
+  private[graft] def packOnForTest(s: SparkSession, d0: DataFrame): DataFrame =
+    packOn(s, d0, ordered = true)
+
+  private[operators] def packOn(s: SparkSession, d0: DataFrame,
+                                ordered: Boolean): DataFrame = {
+    val d = d0.filter(col("ntok") > 0)
+    val mrow = d.agg(max("doc_id")).head()
+    val maxId = if (mrow.isNullAt(0)) 0L else mrow.getLong(0) // empty input → empty output
     val g = math.max(1L, (maxId + PackMaxBuckets) / PackMaxBuckets)
     val w = Window.partitionBy("bucket").orderBy("doc_id")
     val local = d.withColumn("bucket", expr(s"doc_id div $g"))

@@ -112,6 +112,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The end-to-end corpus→training-sequences pipeline
+    * (`q_corpus_pipeline`): quality gate ∧ language gate ∧ exact
+    * content dedup ∧ PII scrub (the [[cleanPipeline]] stages), then the
+    * survivors tokenized and PACKED into fixed-length training
+    * sequences — the whole "raw documents to loader-ready chunk map"
+    * path as ONE composed query. Demonstrates the library's operators
+    * composing without materialization barriers: the gates ride the
+    * scan, the dedup window is the only corpus exchange before packing,
+    * and packing adds its bucket-cumsum exchange + bounded offset
+    * broadcast (ExtendedAnalytics.packOn).
+    */
+  def corpusPipeline(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
+    val gated = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        qualityScore(col("text")).as("quality"),
+        langId(col("text")).as("pred_lang"))
+      .filter(col("quality") >= PipelineQualityMin && col("pred_lang") =!= "unknown")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")
+    val survivors = gated
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("doc_id"),
+        size(tokens(scrubPii(col("text")))).cast("long").as("ntok"))
+    ExtendedAnalytics.packOn(s, survivors, ordered)
+  }
+
   val ContaminationEvalDocs = 5
   val ContaminationShingleN = 5
 

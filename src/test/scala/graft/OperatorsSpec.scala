@@ -1325,6 +1325,24 @@ class PackSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rows.map(r => (r._5 - r._4).toLong).sum === ntok.values.map(_.toLong).sum)
   }
 
+  test("corpus pipeline == clean gates composed with packing") {
+    // the one-query composition must equal running cleanPipeline and
+    // packing its survivors' scrubbed-token counts independently
+    val composed = operators.TextAnalysis.corpusPipeline(spark, sf).collect()
+      .map(_.toString).sorted
+    val survivors = operators.TextAnalysis.cleanPipeline(spark, sf)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("scrubbed"))).cast("long").as("ntok"))
+    val twoStep = operators.ExtendedAnalytics.packOnForTest(spark, survivors)
+      .collect().map(_.toString).sorted
+    assert(composed.nonEmpty)
+    assert(composed === twoStep, "composition diverged from two-step run")
+    // the gates must actually gate: fewer docs packed than exist
+    val packedDocs = operators.TextAnalysis.corpusPipeline(spark, sf)
+      .select("doc_id").distinct().count()
+    assert(packedDocs < Tables.documents(spark, sf).count())
+  }
+
   test("span dedup and packing keep their shuffle budgets") {
     // span dedup: the frequency gate must stay a partial-combined
     // count AGGREGATE + SEMI-JOIN (skew-free counts exchange, AQE can
