@@ -47,13 +47,19 @@ object TextAnalysis {
     * gate rides the scan; the only exchange is the parity sort.
     */
   def qualitySample(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
-    val out = Tables.documents(s, dir)
-      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
-      .filter(pmod(col("doc_id") * lit(QualitySampleA), lit(2147483648L)) % 10000 <
-        floor(col("quality") * lit(10000.0) + lit(0.5)).cast("long"))
+    val out = qualitySampleColumns(Tables.documents(s, dir))
     // terminal sort = parity contract only (corpus-sized sample)
     if (ordered) out.orderBy("doc_id") else out
   }
+
+  /** Frame-level form of the quality-sample gate (stateless map —
+    * applies unchanged to a streaming source, like gopherColumns).
+    */
+  private[graft] def qualitySampleColumns(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      .filter(pmod(col("doc_id") * lit(QualitySampleA), lit(2147483648L)) % 10000 <
+        floor(col("quality") * lit(10000.0) + lit(0.5)).cast("long"))
 
   /** §2.6 #34 — language-ID heuristic (marker-token overlap argmax). */
   def languageId(s: SparkSession, dir: String): DataFrame =

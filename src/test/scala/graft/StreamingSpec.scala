@@ -214,6 +214,27 @@ class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quality-sample gate applies unchanged to a streaming documents source") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic hash gate, no RNG and no state: identical keep set
+    // on a stream regardless of batch boundaries
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = operators.TextAnalysis.qualitySampleColumns(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qsample_stream").outputMode("append").start()
+    try {
+      val docs = Tables.documents(spark, SparkTestSession.Sf)
+        .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+      val (h1, h2) = docs.splitAt(docs.length / 3)
+      mem.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("qsample_stream").orderBy("doc_id").collect()
+      val batch = operators.TextAnalysis.qualitySample(spark, SparkTestSession.Sf).collect()
+      assert(streamed.length === batch.length)
+      assert(streamed.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming CMS heavy hitters keep stream-wide bounds across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
