@@ -270,12 +270,16 @@ object ExtendedAnalytics {
   /** Training-sequence token length for [[packSequences]]. */
   val PackSeqLen = 512L
 
-  /** Phase-one bucket cap for the packing prefix sum: bucket totals are
-    * collected to the driver (≤ this many rows, 16 B each) — the same
-    * bounded-metadata collect Spark's own zipWithIndex does with
-    * per-partition counts.
+  /** Bucket width (docs per bucket) for the packing prefix sum. Fixed
+    * width — not a width derived from max(doc_id) — so the bucket
+    * totals are ONE action over the input instead of two (max, then
+    * totals), which matters when the input is an expensive subtree
+    * (the composed corpus pipeline re-executes its gates once per
+    * action). Driver state = (maxId/width) 16 B rows: ~24 MB at 10¹¹
+    * docs — the zipWithIndex per-partition-counts class of collect,
+    * and each phase-one window sorts at most `width` rows.
     */
-  val PackMaxBuckets = 4096L
+  val PackBucketWidth = 65536L
 
   /** Concat-and-chunk sequence packing (`q_pack_sequences`) — the
     * GPT-style pretraining step that concatenates the tokenized corpus
@@ -287,11 +291,13 @@ object ExtendedAnalytics {
     *
     * The global token offset is a distributed TWO-PHASE prefix sum (no
     * unpartitioned window anywhere): docs bucket by contiguous id range
-    * (≤ PackMaxBuckets buckets), phase one is a cumsum window
+    * (PackBucketWidth docs per bucket), phase one is a cumsum window
     * partitioned BY bucket, phase two broadcast-joins each bucket's
-    * running start offset (bucket totals are driver-bounded metadata).
-    * The chunk fan-out is a map-side sequence/explode. One scan, one
-    * key-partitioned shuffle, O(buckets) driver state.
+    * running start offset (bucket totals are a driver-bounded
+    * metadata collect — see PackBucketWidth). The chunk fan-out is a
+    * map-side sequence/explode. One key-partitioned shuffle,
+    * O(buckets) driver state, two passes over the input (totals, then
+    * the windowed chunk map).
     */
   def packSequences(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame =
     packOn(s,
@@ -308,16 +314,14 @@ object ExtendedAnalytics {
   private[operators] def packOn(s: SparkSession, d0: DataFrame,
                                 ordered: Boolean): DataFrame = {
     val d = d0.filter(col("ntok") > 0)
-    val mrow = d.agg(max("doc_id")).head()
-    val maxId = if (mrow.isNullAt(0)) 0L else mrow.getLong(0) // empty input → empty output
-    val g = math.max(1L, (maxId + PackMaxBuckets) / PackMaxBuckets)
+      .withColumn("bucket", expr(s"doc_id div $PackBucketWidth"))
     val w = Window.partitionBy("bucket").orderBy("doc_id")
-    val local = d.withColumn("bucket", expr(s"doc_id div $g"))
-      .withColumn("lend", sum("ntok").over(w))
-    // running start offset per bucket from the collected totals —
-    // buckets are contiguous id ranges, so boff + lend == the global
-    // inclusive cumsum
-    val totals = local.groupBy("bucket").agg(max("lend").as("btot"))
+    val local = d.withColumn("lend", sum("ntok").over(w))
+    // running start offset per bucket from the collected totals (ONE
+    // action, partial-combined agg — no window in this pass) — buckets
+    // are contiguous id ranges, so boff + lend == the global inclusive
+    // cumsum
+    val totals = d.groupBy("bucket").agg(sum("ntok").as("btot"))
       .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
     val running = totals.map(_._2).scanLeft(0L)(_ + _) // exclusive prefix
     val offs = totals.map(_._1).zip(running).toSeq
