@@ -165,6 +165,7 @@ object Bench {
     val cpuTotal = results.map(_._3).sum
     graft.operators.Dedup.releaseShingleCache(spark, sfDir)
     graft.operators.ReportDoc.releaseReportCache(spark, sfDir)
+    graft.operators.TextAnalysis.releasePipelineCache(spark, sfDir)
     val load1 = osBean.getSystemLoadAverage
     // sf as the basename only ("sf0.1"), not the full path: every char
     // counts against the tail window.

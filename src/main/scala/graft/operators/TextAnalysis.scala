@@ -129,7 +129,22 @@ object TextAnalysis {
     * and packing adds its bucket-cumsum exchange + bounded offset
     * broadcast (ExtendedAnalytics.packOn).
     */
-  def corpusPipeline(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
+  def corpusPipeline(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame =
+    ExtendedAnalytics.packOn(s, survivorCounts(s, dir), ordered)
+
+  /** Gated + deduped survivor token counts, persisted: packOn executes
+    * its input twice (totals pass + chunk-map pass), and the gates +
+    * md5-dedup window are the expensive half of the pipeline — the
+    * cached frame is (doc_id, ntok), 16 B/row, three orders smaller
+    * than the text it derives from (the shingled()-cache argument).
+    * Session-scoped via CacheManager plan identity; released by
+    * [[releasePipelineCache]] (Verify/Bench call it after their loops).
+    */
+  private def survivorCounts(s: SparkSession, dir: String): DataFrame =
+    survivorCountsPlan(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def survivorCountsPlan(s: SparkSession, dir: String): DataFrame = {
     val gated = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"),
         qualityScore(col("text")).as("quality"),
@@ -137,12 +152,15 @@ object TextAnalysis {
       .filter(col("quality") >= PipelineQualityMin && col("pred_lang") =!= "unknown")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")
-    val survivors = gated
+    gated
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .select(col("doc_id"),
         size(tokens(scrubPii(col("text")))).cast("long").as("ntok"))
-    ExtendedAnalytics.packOn(s, survivors, ordered)
   }
+
+  /** Drop the session-scoped survivor-counts cache for `dir`. */
+  def releasePipelineCache(s: SparkSession, dir: String): Unit =
+    survivorCountsPlan(s, dir).unpersist()
 
   val ContaminationEvalDocs = 5
   val ContaminationShingleN = 5
