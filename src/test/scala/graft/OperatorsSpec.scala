@@ -1082,6 +1082,11 @@ class UnorderedFormSpec extends org.scalatest.funsuite.AnyFunSuite {
     check(operators.TextAnalysis.qualitySample(spark, sf),
       operators.TextAnalysis.qualitySample(spark, sf, ordered = false))
   }
+
+  test("corpus pipeline exposes a sort-free corpus-scale form") {
+    check(operators.TextAnalysis.corpusPipeline(spark, sf),
+      operators.TextAnalysis.corpusPipeline(spark, sf, ordered = false))
+  }
 }
 
 /** ADC split correctness: the per-query table + per-candidate lookup
