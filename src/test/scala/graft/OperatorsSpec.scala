@@ -1445,3 +1445,47 @@ class SpanSkewSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!p.contains("Window [count"), s"no count window allowed:\n$p")
   }
 }
+
+/** WordShingleHashesPos vs a plain-Scala reference fold and vs the
+  * deduped set form — guards the codegen path (seeded-random token
+  * streams, incl. empty and shorter-than-gram docs).
+  */
+class ShinglePosFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import org.apache.spark.sql.functions._
+
+  private val P = graft.functions.TextFunctions.HashP
+  private def ref(tokens: Seq[String], n: Int): Seq[Long] =
+    (0 to tokens.length - n).map { i =>
+      var h = 0L
+      for (k <- 0 until n) {
+        tokens(i + k).getBytes("UTF-8").foreach(b => h = (h * 31 + (b & 0xff)) % P)
+        if (k < n - 1) h = (h * 31 + 32) % P
+      }
+      h
+    }
+
+  test("positional hashes equal the reference fold; set form is their dedup") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val cases = (0L until 60L).map { i =>
+      val n = rng.nextInt(12) // includes 0- and sub-gram-length docs
+      (i, (0 until n).map(_ => "tok" + rng.nextInt(5)).mkString(" "))
+    }
+    val out = cases.toDF("id", "text")
+      .select(col("id"),
+        graft.plans.ArrayOps.wordShingleHashesPos(
+          graft.functions.TextFunctions.tokens(col("text")), 3, P).as("hs"),
+        graft.plans.ArrayOps.wordShingleHashes(
+          graft.functions.TextFunctions.tokens(col("text")), 3, P).as("set"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getSeq[Long](2)))).toMap
+    for ((id, text) <- cases) {
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+      val expect = ref(toks, 3)
+      val (pos, set) = out(id)
+      assert(pos === expect, s"doc $id positional mismatch")
+      assert(set === pos.distinct, s"doc $id set form != dedup of positions")
+    }
+  }
+}
