@@ -23,8 +23,9 @@ object Bench {
     "q_asof_join" -> "asof", "q_attachment_text" -> "atch",
     "q_backlog_rank" -> "bklg", "q_block_tree" -> "btre",
     "q_bloom_prefilter" -> "blom", "q_clean_pipeline" -> "cpip",
+    "q_chunk_docs" -> "chnk",
     "q_clean_text" -> "ctxt", "q_contamination" -> "ctam",
-    "q_corpus_pipeline" -> "corp",
+    "q_cooccur" -> "cooc", "q_corpus_pipeline" -> "corp",
     "q_date_funcs" -> "dtfn", "q_dedup_clusters" -> "ddcl",
     "q_dedup_containment" -> "ddct", "q_dedup_embedding" -> "dde",
     "q_dedup_exact" -> "ddex", "q_dedup_incremental" -> "ddin",

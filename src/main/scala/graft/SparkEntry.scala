@@ -81,6 +81,8 @@ object SparkEntry {
     "q_lm_score"        -> TextAnalysis.lmScore _,
     "q_gopher_filter"   -> ((s, d) => TextAnalysis.gopherFilter(s, d)),
     "q_repetition"      -> ((s, d) => TextAnalysis.repetition(s, d)),
+    "q_chunk_docs"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
+    "q_cooccur"         -> TextAnalysis.cooccur _,
     "q_dedup_clusters"  -> TextAnalysis.dedupClusters _,
     "q_clean_pipeline"  -> TextAnalysis.cleanPipeline _,
     // the full corpus→training-sequences path as one composed query
@@ -521,6 +523,8 @@ object SparkEntry {
          |GROUP BY a.event_id, a.user_id
          |ORDER BY a.event_id""".stripMargin,
     "q_repetition" -> TextAnalysis.repetitionOracleSql,
+    "q_chunk_docs" -> TextAnalysis.chunkDocsOracleSql,
+    "q_cooccur" -> TextAnalysis.cooccurOracleSql,
     "q_block_tree" -> operators.BlockTree.oracleSql,
     "q_report_doc" -> operators.ReportDoc.oracleSql,
     "q_paged_ingest" -> sources.PagedTasks.oracleSql,

@@ -487,6 +487,142 @@ object TextAnalysis {
        |        * ${GopherDp.toLong} + 0.5) / ${GopherDp.toLong} AS dup5_frac
        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Chunking geometry: ChunkLen-token windows every ChunkStride tokens
+    * (overlap = ChunkLen − ChunkStride = 16) — the sliding-window
+    * sequence prep (Dai et al. 2019 §3.1 "context fragmentation";
+    * RoBERTa's FULL-SENTENCES packing uses the same stride-overlap
+    * shape) as opposed to q_pack_sequences' disjoint greedy packing.
+    */
+  val ChunkLen = 64
+  val ChunkStride = 48
+
+  /** §2.6 — training-sequence chunking (`q_chunk_docs`): split each
+    * document's token stream into ChunkLen-token windows starting every
+    * ChunkStride tokens (final window may be short; a start is emitted
+    * iff it is < n_tokens, so every token is covered and chunk count =
+    * ceil(n/stride)). Emits the window bounds plus a portable rolling
+    * hash of the window's token hashes — the same `acc·131 + h mod p`
+    * fold as [[graft.functions.TextFunctions.docFingerprint]], so a
+    * single-chunk document's `chunk_hash` IS its fingerprint (pinned in
+    * ChunkDocsSpec).
+    *
+    * Distributed shape: token hashes are computed ONCE per document
+    * (codegen'd one-pass byte fold), the window explode and per-window
+    * fold are pure array ops on that hash array — map-only, no shuffle,
+    * no re-tokenization per chunk; output is ~n/stride rows per doc.
+    * The terminal sort is the oracle contract (see [[gopherFilter]]).
+    */
+  def chunkDocs(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
+    val th = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenHashes(col("text")).as("th"))
+      .withColumn("ntok", size(col("th")))
+      .filter(col("ntok") > 0)
+    val out = th
+      .select(col("doc_id"), col("th"), col("ntok"),
+        posexplode(sequence(lit(0), col("ntok") - 1, lit(ChunkStride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        col("start").cast("int").as("tok_from"),
+        least(col("start") + ChunkLen, col("ntok")).cast("int").as("tok_to"),
+        aggregate(slice(col("th"), col("start") + 1, lit(ChunkLen)), lit(0L),
+          (a, h) => (a * lit(131L) + h) % lit(HashP)).as("chunk_hash"))
+    if (ordered) out.orderBy("doc_id", "chunk_idx") else out
+  }
+
+  /** DuckDB oracle for [[chunkDocs]] — same start series, inclusive
+    * 1-based list_slice window, and the same two-level portable fold.
+    */
+  def chunkDocsOracleSql: String =
+    s"""WITH th AS (
+       |  SELECT doc_id,
+       |    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |      s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |           (a, c) -> (a * 31 + c) % $HashP)) AS th
+       |  FROM documents
+       |), x AS (SELECT doc_id, th, len(th) AS ntok FROM th WHERE len(th) > 0)
+       |SELECT doc_id,
+       |  CAST(u.i AS INTEGER) AS chunk_idx,
+       |  CAST(u.i * $ChunkStride AS INTEGER) AS tok_from,
+       |  CAST(least(u.i * $ChunkStride + $ChunkLen, ntok) AS INTEGER) AS tok_to,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_slice(th, u.i * $ChunkStride + 1, u.i * $ChunkStride + $ChunkLen)),
+       |    (a, h) -> (a * 131 + h) % $HashP) AS chunk_hash
+       |FROM x, unnest(generate_series(0,
+       |       CAST(ceil(ntok / ${ChunkStride.toDouble}) AS BIGINT) - 1)) AS u(i)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Co-occurrence window / result size and the PMI rounding scale. */
+  val CoocWindow = 3
+  val CoocTopK = 20
+
+  /** §2.6 — windowed co-occurrence with PMI (`q_cooccur`): unordered
+    * token pairs within CoocWindow positions, counted corpus-wide; the
+    * CoocTopK most frequent pairs with their pointwise mutual
+    * information `ln(c_ab·N / (c_a·c_b))` (N = total corpus tokens;
+    * pair space and unigram space share the token normalization, the
+    * usual PMI convention for sliding-window co-occurrence à la GloVe's
+    * count pass). Ranking is on the integer pair count (ties by pair) —
+    * never on the float PMI, which rides along as a value column, so
+    * cross-engine float ordering can't perturb the result set.
+    *
+    * Distributed shape: pair generation is a per-row array
+    * comprehension (map-side, no self-join on positions), then one
+    * map-side-combined count per distinct pair, a scalar token-total
+    * broadcast, and two shuffle joins pair→unigram counts (vocab-sized
+    * sides — NOT assumed broadcastable at corpus scale; AQE may choose
+    * to). Top-k is a TakeOrdered, not a global sort.
+    */
+  def cooccur(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(tokens(col("text")).as("t"))
+    val pairs = docs.filter(size(col("t")) >= 2)
+      .select(explode(flatten(transform(sequence(lit(1), size(col("t")) - 1), i =>
+        transform(sequence(i + 1, least(i + CoocWindow, size(col("t")))), j =>
+          struct(
+            least(element_at(col("t"), i), element_at(col("t"), j)).as("ta"),
+            greatest(element_at(col("t"), i), element_at(col("t"), j)).as("tb"))))))
+        .as("p"))
+      .select(col("p.ta").as("ta"), col("p.tb").as("tb"))
+    val pairCounts = pairs.groupBy("ta", "tb").agg(count(lit(1)).as("pair_n"))
+    val uni = docs.select(explode(col("t")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tok_n"))
+    val nTot = docs.select(sum(size(col("t"))).as("n_tot"))
+    pairCounts
+      .join(uni.select(col("token").as("ta"), col("tok_n").as("na")), "ta")
+      .join(uni.select(col("token").as("tb"), col("tok_n").as("nb")), "tb")
+      .crossJoin(broadcast(nTot))
+      .select(col("ta"), col("tb"), col("pair_n"),
+        round(log(col("pair_n").cast("double") * col("n_tot") /
+          (col("na") * col("nb"))), 4).as("pmi"))
+      .orderBy(col("pair_n").desc, col("ta"), col("tb"))
+      .limit(CoocTopK)
+  }
+
+  /** DuckDB oracle for [[cooccur]] — identical pair comprehension and
+    * PMI expression shape (double numerator, BIGINT denominator).
+    */
+  def cooccurOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), p AS (
+       |  SELECT unnest(flatten(list_transform(generate_series(1, len(t) - 1), i ->
+       |    list_transform(generate_series(i + 1, least(i + $CoocWindow, len(t))), j ->
+       |      [least(t[i], t[j]), greatest(t[i], t[j])])))) AS pr
+       |  FROM t WHERE len(t) >= 2
+       |), pc AS (
+       |  SELECT pr[1] AS ta, pr[2] AS tb, count(*) AS pair_n FROM p GROUP BY 1, 2
+       |), ug AS (
+       |  SELECT token, count(*) AS tok_n
+       |  FROM (SELECT unnest(t) AS token FROM t) GROUP BY 1
+       |), nt AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n_tot FROM t)
+       |SELECT ta, tb, pair_n,
+       |  round(ln(CAST(pair_n AS DOUBLE) * n_tot / (ua.tok_n * ub.tok_n)), 4) AS pmi
+       |FROM pc JOIN ug ua ON ua.token = ta JOIN ug ub ON ub.token = tb
+       |CROSS JOIN nt
+       |ORDER BY pair_n DESC, ta, tb LIMIT $CoocTopK""".stripMargin
+
   /** §2.7 #36 — multimodal metadata plumbing: documents as opaque bytes
     * with typed metadata (byte length, content hash, prefix). The decode
     * step for true image/audio payloads lives in graft.multimodal (stubbed

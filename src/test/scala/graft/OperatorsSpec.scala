@@ -570,6 +570,8 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     val allowedBnlj = Set("q_ann_brute_topk", "q_ann_ivf_topk", "q_ann_ivf2_topk",
       "q_ann_pq_topk", "q_ann_ivfpq_topk", "q_report_goals", "q_report_doc",
       "q_tfidf_top_terms", "q_value_deciles", "q_lm_score",
+      // pair/unigram counts × the single corpus-token-total scalar row
+      "q_cooccur",
       // lang-cardinality counts × the single feasible-size scalar row
       "q_domain_mix", "q_domain_mix_up", "q_domain_mix_alpha")
     for ((q, _) <- SparkEntry.queries) {
@@ -1487,5 +1489,69 @@ class ShinglePosFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(pos === expect, s"doc $id positional mismatch")
       assert(set === pos.distinct, s"doc $id set form != dedup of positions")
     }
+  }
+}
+
+/** q_chunk_docs / q_cooccur — sliding-window chunk geometry and the
+  * windowed co-occurrence counts against hand-computed plants.
+  */
+class ChunkCoocSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+  import org.apache.spark.sql.functions._
+
+  test("chunks tile every doc at stride spacing and hash like the fingerprint") {
+    val L = operators.TextAnalysis.ChunkLen
+    val S = operators.TextAnalysis.ChunkStride
+    val rows = operators.TextAnalysis.chunkDocs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val ntok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+      .filter(col("n") > 0).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.map(_._1).toSet === ntok.keySet, "every tokenized doc chunks")
+    for ((doc, chunks) <- rows.groupBy(_._1)) {
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === sorted.indices, s"doc $doc chunk_idx not dense")
+      for ((_, idx, from, to, _) <- sorted) {
+        assert(from === idx * S, s"doc $doc chunk $idx start off-stride")
+        assert(to === math.min(from + L, ntok(doc)), s"doc $doc chunk $idx bad end")
+        assert(from < ntok(doc), s"doc $doc emits a start past its tokens")
+      }
+      assert(sorted.length === (ntok(doc) + S - 1) / S, s"doc $doc chunk count")
+    }
+    // a single-chunk doc's rolling hash IS its document fingerprint
+    val fp = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.TextFunctions.docFingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val single = rows.groupBy(_._1).filter(_._2.length == 1)
+    assert(single.nonEmpty || ntok.values.forall(_ > L))
+    for ((doc, Array(c)) <- single) assert(c._5 === fp(doc), s"doc $doc hash != fingerprint")
+  }
+
+  test("chunking is map-only: the unordered form plans zero exchanges") {
+    val p = operators.TextAnalysis.chunkDocs(spark, sf, ordered = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking should not shuffle:\n$p")
+  }
+
+  test("co-occurrence counts and PMI match a hand-computed plant") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cooc").toString
+    Seq((1L, "a b a c"), (2L, "b b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = operators.TextAnalysis.cooccur(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // pairs within window 3 of "a b a c": (a,b)x2 (a,a) (a,c)x2 (b,c);
+    // "b b": (b,b). unigrams a:2 b:3 c:1, N=6.
+    def pmi(cab: Long, na: Long, nb: Long) =
+      math.floor(math.log(cab.toDouble * 6 / (na * nb)) * 1e4 + 0.5) / 1e4
+    val expect = Seq(
+      ("a", "b", 2L, pmi(2, 2, 3)),
+      ("a", "c", 2L, pmi(2, 2, 1)),
+      ("a", "a", 1L, pmi(1, 2, 2)),
+      ("b", "b", 1L, pmi(1, 3, 3)),
+      ("b", "c", 1L, pmi(1, 3, 1)))
+    assert(out.toSeq === expect)
   }
 }
