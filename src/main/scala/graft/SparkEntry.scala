@@ -103,6 +103,8 @@ object SparkEntry {
     "q_domain_mix_alpha"  -> ExtendedAnalytics.domainMixAlpha _,
     // GPT-style concat-and-chunk packing via two-phase prefix sum
     "q_pack_sequences"    -> ((s, d) => ExtendedAnalytics.packSequences(s, d)),
+    // distributed BPE vocabulary learning (operators.Bpe)
+    "q_bpe_merges"        -> operators.Bpe.bpeMerges _,
     // bloom runtime-filter pruning (plans.BloomMightContain)
     "q_bloom_prefilter"   -> operators.BloomPrune.prefilterRevenue _,
     // attachment-content extraction (sources.Attachments: binaryFile
@@ -524,6 +526,7 @@ object SparkEntry {
          |ORDER BY a.event_id""".stripMargin,
     "q_repetition" -> TextAnalysis.repetitionOracleSql,
     "q_chunk_docs" -> TextAnalysis.chunkDocsOracleSql,
+    "q_bpe_merges" -> operators.Bpe.bpeOracleSql,
     "q_cooccur" -> TextAnalysis.cooccurOracleSql,
     "q_block_tree" -> operators.BlockTree.oracleSql,
     "q_report_doc" -> operators.ReportDoc.oracleSql,

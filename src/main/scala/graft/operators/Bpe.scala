@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Distributed BPE vocabulary learning (`q_bpe_merges`) — the
+  * tokenizer-TRAINING step of an LLM data pipeline (Sennrich et al.
+  * 2016), complementing the catalog's tokenizer-APPLICATION queries
+  * (q_token_count, q_pack_sequences, q_chunk_docs): learn the first
+  * [[BpeRounds]] merge rules from corpus word frequencies.
+  *
+  * Algorithm per round: count adjacent symbol pairs weighted by word
+  * frequency, take the globally most frequent pair (ties broken by
+  * (lhs, rhs) — deterministic cross-engine), merge every
+  * left-to-right non-overlapping occurrence in every word.
+  *
+  * == The cross-engine merge representation ==
+  * Each word is a string of space-WRAPPED symbols — every symbol
+  * carries its own leading and trailing space, so `"cat"` is
+  * `" c  a  t "` (adjacent symbols are separated by exactly two
+  * spaces). Under this representation, plain string `replace` of
+  * `" a  b "` with `" ab "` is EXACTLY the BPE greedy merge:
+  *   - a match can only align on symbol boundaries (symbols are
+  *     alnum-only, so the pattern's spaces can't land inside one);
+  *   - each match consumes only the matched pair's own wrapper
+  *     spaces, so the next adjacent pair is still matchable
+  *     (`" a  b  a  b "` merges both pairs in one pass) while runs
+  *     stay greedily non-overlapping (`" a  a  a "` → `" aa  a "`);
+  *   - both Spark's `StringReplace` and DuckDB's `replace` scan
+  *     left-to-right non-overlapping, so the oracle reproduces the
+  *     merge bit-exactly (BpeSpec fuzzes this against a plain-Scala
+  *     symbol-list reference).
+  *
+  * == Distributed shape ==
+  * The ONLY corpus-sized operation is the initial word count (one
+  * map-side-combined shuffle, the q_vocab_topk shape). All
+  * [[BpeRounds]] rounds operate on the persisted VOCABULARY frame:
+  * pair explode (≈ avg word length × vocab rows, map-side-combined
+  * agg) + a 1-row TakeOrdered collect + one map-side `replace`
+  * projection. Driver state is one (pair, count) row per round; at
+  * 100 TB the vocab frame is ~10⁸ rows regardless of corpus size, and
+  * rounds never touch the documents table again.
+  */
+object Bpe {
+
+  /** Merge rounds learned (= output rows). */
+  val BpeRounds = 10
+
+  private val SymSep = "  " // between wrapped symbols
+
+  /** Learn [[BpeRounds]] merges; output (merge_rank, lhs, rhs, merged,
+    * freq) ordered by rank. `freq` is the weighted pair count at the
+    * time of the merge.
+    */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(
+        concat(lit(" "), array_join(split(col("w"), ""), SymSep), lit(" ")).as("rep"),
+        col("n"))
+      .persist()
+    try {
+      var cur = words.select(col("rep"), col("n"))
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      var k = 0
+      var exhausted = false
+      while (k < BpeRounds && !exhausted) {
+        val syms = split(trim(col("rep")), SymSep)
+        val top = cur
+          .filter(size(syms) >= 2)
+          .select(
+            explode(transform(sequence(lit(1), size(syms) - 1), i =>
+              struct(element_at(syms, i).as("a"), element_at(syms, i + 1).as("b"))))
+              .as("p"),
+            col("n"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("n")).as("c"))
+          .orderBy(col("c").desc, col("a"), col("b"))
+          .limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          k += 1
+          merges += ((k, a, b, a + b, c))
+          cur = cur.withColumn("rep",
+            replace(col("rep"), lit(s" $a$SymSep$b "), lit(s" $a$b ")))
+        }
+      }
+      merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "freq")
+        .orderBy("merge_rank")
+    } finally words.unpersist()
+  }
+
+  /** DuckDB oracle — the same word count, then [[BpeRounds]] UNROLLED
+    * rounds (pair count → deterministic argmax → wrapped-string
+    * replace), generated from the same constants so round count and
+    * representation have one source of truth.
+    */
+  def bpeOracleSql: String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH toks AS (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         |  FROM documents
+         |), w0 AS (
+         |  SELECT ' ' || array_to_string(string_split(w, ''), '$SymSep') || ' ' AS rep,
+         |         count(*) AS n
+         |  FROM toks GROUP BY 1
+         |)""".stripMargin
+    for (k <- 1 to BpeRounds) {
+      sb ++=
+        s""", p$k AS (
+           |  SELECT pr[1] AS a, pr[2] AS b, sum(n) AS c FROM (
+           |    SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+           |                                 i -> [s[i], s[i + 1]])) AS pr, n
+           |    FROM (SELECT string_split(trim(rep), '$SymSep') AS s, n FROM w${k - 1})
+           |    WHERE len(s) >= 2
+           |  ) GROUP BY 1, 2
+           |), m$k AS (
+           |  SELECT a, b, c FROM p$k ORDER BY c DESC, a, b LIMIT 1
+           |), w$k AS (
+           |  SELECT replace(rep, ' ' || m.a || '$SymSep' || m.b || ' ',
+           |                 ' ' || m.a || m.b || ' ') AS rep, n
+           |  FROM w${k - 1}, m$k m
+           |)""".stripMargin
+    }
+    sb ++= "\nSELECT * FROM (\n"
+    sb ++= (1 to BpeRounds).map { k =>
+      s"""  SELECT $k AS merge_rank, a AS lhs, b AS rhs, a || b AS merged,
+         |         CAST(c AS BIGINT) AS freq FROM m$k""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    sb ++= "\n) ORDER BY merge_rank"
+    sb.result()
+  }
+}

@@ -1555,3 +1555,71 @@ class ChunkCoocSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out.toSeq === expect)
   }
 }
+
+/** q_bpe_merges — the distributed BPE learner against an INDEPENDENT
+  * plain-Scala reference (symbol lists, no string-replace trick) on
+  * the real corpus, plus a hand-computed run/exhaustion plant.
+  */
+class BpeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+  import org.apache.spark.sql.functions._
+
+  /** Reference BPE on symbol LISTS: greedy left-to-right merge,
+    * (count desc, lhs, rhs) tie-break — shares nothing with the
+    * operator's wrapped-string representation.
+    */
+  private def refBpe(wordCounts: Map[String, Long], rounds: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    var words: Map[List[String], Long] =
+      wordCounts.map { case (w, n) => w.map(_.toString).toList -> n }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var k = 0
+    var exhausted = false
+    while (k < rounds && !exhausted) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, n) <- words if syms.length >= 2; Seq(x, y) <- syms.sliding(2))
+        pc((x, y)) += n
+      if (pc.isEmpty) exhausted = true
+      else {
+        val ((a, b), c) = pc.minBy { case ((x, y), m) => (-m, x, y) }
+        def merge(l: List[String]): List[String] = l match {
+          case x :: y :: rest if x == a && y == b => (a + b) :: merge(rest)
+          case x :: rest                          => x :: merge(rest)
+          case Nil                                => Nil
+        }
+        words = words.map { case (s, n) => merge(s) -> n }
+        k += 1
+        out += ((k, a, b, a + b, c))
+      }
+    }
+    out.result()
+  }
+
+  test("learned merges equal the symbol-list reference on the corpus") {
+    val wc = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = refBpe(wc, operators.Bpe.BpeRounds)
+    assert(expect.length === operators.Bpe.BpeRounds, "corpus exhausts too early")
+    val got = operators.Bpe.bpeMerges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq === expect)
+  }
+
+  test("runs merge greedily left-to-right and exhaustion stops early") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Bpe.bpeMerges(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // "aaaa"×2: pairs (a,a)×3 per word → c=6, greedy merge → [aa,aa];
+    // then (aa,aa) c=2 → [aaaa]; then no pairs → stop at 2 < BpeRounds.
+    assert(got.toSeq === Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "aa", "aa", "aaaa", 2L)))
+  }
+}
