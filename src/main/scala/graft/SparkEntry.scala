@@ -105,6 +105,7 @@ object SparkEntry {
     "q_pack_sequences"    -> ((s, d) => ExtendedAnalytics.packSequences(s, d)),
     // distributed BPE vocabulary learning (operators.Bpe)
     "q_bpe_merges"        -> operators.Bpe.bpeMerges _,
+    "q_bpe_vocab"         -> operators.Bpe.bpeVocab _,
     // bloom runtime-filter pruning (plans.BloomMightContain)
     "q_bloom_prefilter"   -> operators.BloomPrune.prefilterRevenue _,
     // attachment-content extraction (sources.Attachments: binaryFile
@@ -527,6 +528,7 @@ object SparkEntry {
     "q_repetition" -> TextAnalysis.repetitionOracleSql,
     "q_chunk_docs" -> TextAnalysis.chunkDocsOracleSql,
     "q_bpe_merges" -> operators.Bpe.bpeOracleSql,
+    "q_bpe_vocab" -> operators.Bpe.bpeVocabOracleSql,
     "q_cooccur" -> TextAnalysis.cooccurOracleSql,
     "q_block_tree" -> operators.BlockTree.oracleSql,
     "q_report_doc" -> operators.ReportDoc.oracleSql,

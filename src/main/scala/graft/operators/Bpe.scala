@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
 
-/** Distributed BPE vocabulary learning (`q_bpe_merges`) — the
-  * tokenizer-TRAINING step of an LLM data pipeline (Sennrich et al.
-  * 2016), complementing the catalog's tokenizer-APPLICATION queries
-  * (q_token_count, q_pack_sequences, q_chunk_docs): learn the first
-  * [[BpeRounds]] merge rules from corpus word frequencies.
+/** Distributed BPE vocabulary learning (`q_bpe_merges` /
+  * `q_bpe_vocab`) — the tokenizer-TRAINING step of an LLM data
+  * pipeline (Sennrich et al. 2016), complementing the catalog's
+  * tokenizer-APPLICATION queries (q_token_count, q_pack_sequences,
+  * q_chunk_docs): learn the first [[BpeRounds]] merge rules from
+  * corpus word frequencies, and the subword vocabulary they induce.
   *
   * Algorithm per round: count adjacent symbol pairs weighted by word
   * frequency, take the globally most frequent pair (ties broken by
@@ -30,7 +31,7 @@ import graft.functions.TextFunctions
   *     stay greedily non-overlapping (`" a  a  a "` → `" aa  a "`);
   *   - both Spark's `StringReplace` and DuckDB's `replace` scan
   *     left-to-right non-overlapping, so the oracle reproduces the
-  *     merge bit-exactly (BpeSpec fuzzes this against a plain-Scala
+  *     merge bit-exactly (BpeSpec checks an independent plain-Scala
   *     symbol-list reference).
   *
   * == Distributed shape ==
@@ -39,23 +40,27 @@ import graft.functions.TextFunctions
   * [[BpeRounds]] rounds operate on the persisted VOCABULARY frame:
   * pair explode (≈ avg word length × vocab rows, map-side-combined
   * agg) + a 1-row TakeOrdered collect + one map-side `replace`
-  * projection. Driver state is one (pair, count) row per round; at
-  * 100 TB the vocab frame is ~10⁸ rows regardless of corpus size, and
-  * rounds never touch the documents table again.
+  * projection. Driver state is one (pair, count) row per round — the
+  * Lloyd-training class; at 100 TB the vocab frame is ~10⁸ rows
+  * regardless of corpus size, and rounds never touch the documents
+  * table again.
   */
 object Bpe {
 
-  /** Merge rounds learned (= output rows). */
+  /** Merge rounds learned (= q_bpe_merges output rows). */
   val BpeRounds = 10
+
+  /** Subword-vocabulary rows emitted by q_bpe_vocab. */
+  val VocabTopK = 30
 
   private val SymSep = "  " // between wrapped symbols
 
-  /** Learn [[BpeRounds]] merges; output (merge_rank, lhs, rhs, merged,
-    * freq) ordered by rank. `freq` is the weighted pair count at the
-    * time of the merge.
+  /** Run the learner: the merge list plus the final (rep, n) vocab
+    * frame (still backed by the persisted base — call `release` after
+    * the last action on it).
     */
-  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  private def learn(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, String, Long)], DataFrame, () => Unit) = {
     val words = Tables.documents(s, dir)
       .select(explode(TextFunctions.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
@@ -63,45 +68,74 @@ object Bpe {
         concat(lit(" "), array_join(split(col("w"), ""), SymSep), lit(" ")).as("rep"),
         col("n"))
       .persist()
-    try {
-      var cur = words.select(col("rep"), col("n"))
-      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-      var k = 0
-      var exhausted = false
-      while (k < BpeRounds && !exhausted) {
-        val syms = split(trim(col("rep")), SymSep)
-        val top = cur
-          .filter(size(syms) >= 2)
-          .select(
-            explode(transform(sequence(lit(1), size(syms) - 1), i =>
-              struct(element_at(syms, i).as("a"), element_at(syms, i + 1).as("b"))))
-              .as("p"),
-            col("n"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("n")).as("c"))
-          .orderBy(col("c").desc, col("a"), col("b"))
-          .limit(1)
-          .collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          k += 1
-          merges += ((k, a, b, a + b, c))
-          cur = cur.withColumn("rep",
-            replace(col("rep"), lit(s" $a$SymSep$b "), lit(s" $a$b ")))
-        }
+    var cur = words.select(col("rep"), col("n"))
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var k = 0
+    var exhausted = false
+    while (k < BpeRounds && !exhausted) {
+      val syms = split(trim(col("rep")), SymSep)
+      val top = cur
+        .filter(size(syms) >= 2)
+        .select(
+          explode(transform(sequence(lit(1), size(syms) - 1), i =>
+            struct(element_at(syms, i).as("a"), element_at(syms, i + 1).as("b"))))
+            .as("p"),
+          col("n"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        k += 1
+        merges += ((k, a, b, a + b, c))
+        cur = cur.withColumn("rep",
+          replace(col("rep"), lit(s" $a$SymSep$b "), lit(s" $a$b ")))
       }
-      merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "freq")
-        .orderBy("merge_rank")
-    } finally words.unpersist()
+    }
+    (merges.result(), cur, () => { words.unpersist(); () })
   }
 
-  /** DuckDB oracle — the same word count, then [[BpeRounds]] UNROLLED
-    * rounds (pair count → deterministic argmax → wrapped-string
-    * replace), generated from the same constants so round count and
-    * representation have one source of truth.
+  /** Learned merges: (merge_rank, lhs, rhs, merged, freq) ordered by
+    * rank. `freq` is the weighted pair count at the time of the merge.
     */
-  def bpeOracleSql: String = {
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (merges, _, release) = learn(s, dir)
+    try merges.toDF("merge_rank", "lhs", "rhs", "merged", "freq").orderBy("merge_rank")
+    finally release()
+  }
+
+  /** The subword vocabulary the learned merges induce: top
+    * [[VocabTopK]] subwords by weighted frequency (occurrences ×
+    * word count) after applying all merges, ties by subword. The
+    * vocab aggregation is one more vocab-frame pass; the bounded
+    * result is collected before the persisted base is released, so
+    * the returned frame replays no corpus work.
+    */
+  def bpeVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, fin, release) = learn(s, dir)
+    try {
+      val top = fin
+        .select(explode(split(trim(col("rep")), SymSep)).as("subword"), col("n"))
+        .groupBy("subword").agg(sum(col("n")).as("freq"))
+        .orderBy(col("freq").desc, col("subword"))
+        .limit(VocabTopK)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .toSeq
+      top.toDF("subword", "freq").orderBy(col("freq").desc, col("subword"))
+    } finally release()
+  }
+
+  /** Shared oracle prefix: word count + [[BpeRounds]] unrolled rounds
+    * (pair count → deterministic argmax → wrapped-string replace),
+    * generated from the same constants as the Scala learner.
+    */
+  private def oraclePrefix: String = {
     val sb = new StringBuilder
     sb ++=
       s"""WITH toks AS (
@@ -129,12 +163,28 @@ object Bpe {
            |  FROM w${k - 1}, m$k m
            |)""".stripMargin
     }
-    sb ++= "\nSELECT * FROM (\n"
-    sb ++= (1 to BpeRounds).map { k =>
-      s"""  SELECT $k AS merge_rank, a AS lhs, b AS rhs, a || b AS merged,
-         |         CAST(c AS BIGINT) AS freq FROM m$k""".stripMargin
-    }.mkString("\n  UNION ALL\n")
-    sb ++= "\n) ORDER BY merge_rank"
     sb.result()
+  }
+
+  /** DuckDB oracle for [[bpeMerges]]. */
+  def bpeOracleSql: String = {
+    oraclePrefix + "\nSELECT * FROM (\n" +
+      (1 to BpeRounds).map { k =>
+        s"""  SELECT $k AS merge_rank, a AS lhs, b AS rhs, a || b AS merged,
+           |         CAST(c AS BIGINT) AS freq FROM m$k""".stripMargin
+      }.mkString("\n  UNION ALL\n") +
+      "\n) ORDER BY merge_rank"
+  }
+
+  /** DuckDB oracle for [[bpeVocab]]: explode the final frame's
+    * symbols, weight by word count, top [[VocabTopK]].
+    */
+  def bpeVocabOracleSql: String = {
+    oraclePrefix +
+      s"""
+         |SELECT sub AS subword, CAST(sum(n) AS BIGINT) AS freq FROM (
+         |  SELECT unnest(string_split(trim(rep), '$SymSep')) AS sub, n
+         |  FROM w$BpeRounds
+         |) GROUP BY 1 ORDER BY freq DESC, subword LIMIT $VocabTopK""".stripMargin
   }
 }

@@ -1609,6 +1609,29 @@ class BpeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got.toSeq === expect)
   }
 
+  test("induced vocabulary equals the reference segmentation") {
+    val wc = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def mergeWith(a: String, b: String)(l: List[String]): List[String] = l match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: mergeWith(a, b)(rest)
+      case x :: rest                          => x :: mergeWith(a, b)(rest)
+      case Nil                                => Nil
+    }
+    var words: Map[List[String], Long] =
+      wc.map { case (w, n) => w.map(_.toString).toList -> n }
+    for ((_, a, b, _, _) <- refBpe(wc, operators.Bpe.BpeRounds))
+      words = words.map { case (s, n) => mergeWith(a, b)(s) -> n }
+    val freq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((syms, n) <- words; s <- syms) freq(s) += n
+    val expect = freq.toSeq.sortBy { case (s, f) => (-f, s) }
+      .take(operators.Bpe.VocabTopK)
+    val got = operators.Bpe.bpeVocab(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === expect)
+  }
+
   test("runs merge greedily left-to-right and exhaustion stops early") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
