@@ -23,7 +23,8 @@ object Bench {
     "q_asof_join" -> "asof", "q_attachment_text" -> "atch",
     "q_backlog_rank" -> "bklg", "q_block_tree" -> "btre",
     "q_bloom_prefilter" -> "blom", "q_bpe_merges" -> "bpe",
-    "q_bpe_vocab" -> "bpev", "q_clean_pipeline" -> "cpip",
+    "q_bpe_vocab" -> "bpev", "q_bpe_encode" -> "bpee",
+    "q_clean_pipeline" -> "cpip",
     "q_chunk_docs" -> "chnk",
     "q_clean_text" -> "ctxt", "q_contamination" -> "ctam",
     "q_cooccur" -> "cooc", "q_corpus_pipeline" -> "corp",

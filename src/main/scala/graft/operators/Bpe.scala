@@ -131,6 +131,44 @@ object Bpe {
     } finally release()
   }
 
+  /** Tokenizer APPLICATION of the learned merges: per document, the
+    * word / alnum-char / BPE-token counts under the learned
+    * vocabulary — the compression measurement every tokenizer
+    * training loop ends with. The whole document is encoded as ONE
+    * wrapped-symbol string with a non-alnum `|` boundary symbol
+    * between words: merge patterns are alnum-only, so no merge can
+    * cross a boundary, and one `replace` chain per document costs the
+    * same scan as per-word encoding with none of the per-word
+    * expression overhead. Distributed shape: the learner's word-count
+    * shuffle, then a MAP-ONLY encode pass over the documents scan
+    * (the merge list is driver state, [[BpeRounds]] rows).
+    *
+    * `ordered` as in `TextAnalysis.gopherFilter`: the terminal sort
+    * is the oracle-determinism contract, not a plan requirement.
+    */
+  def bpeEncode(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
+    val (merges, _, release) = learn(s, dir)
+    release() // encode needs only the driver-side merge list
+    val toks = TextFunctions.tokens(col("text"))
+    val docRep = concat(
+      lit(" "),
+      array_join(transform(toks, w => array_join(split(w, ""), SymSep)),
+        s"$SymSep|$SymSep"),
+      lit(" "))
+    val rep = merges.foldLeft(docRep) { case (r, (_, a, b, _, _)) =>
+      replace(r, lit(s" $a$SymSep$b "), lit(s" $a$b "))
+    }
+    val out = Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        length(array_join(toks, "")).cast("long").as("n_chars"),
+        when(size(toks) === 0, lit(0L))
+          .otherwise((size(split(trim(rep), SymSep)) - (size(toks) - 1)).cast("long"))
+          .as("n_bpe"))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
   /** Shared oracle prefix: word count + [[BpeRounds]] unrolled rounds
     * (pair count → deterministic argmax → wrapped-string replace),
     * generated from the same constants as the Scala learner.
@@ -186,5 +224,38 @@ object Bpe {
          |  SELECT unnest(string_split(trim(rep), '$SymSep')) AS sub, n
          |  FROM w$BpeRounds
          |) GROUP BY 1 ORDER BY freq DESC, subword LIMIT $VocabTopK""".stripMargin
+  }
+
+  /** DuckDB oracle for [[bpeEncode]]: the same whole-document
+    * boundary-symbol encoding, the ten learned merges cross-joined in
+    * from the unrolled rounds' one-row m-CTEs (scalar-broadcast
+    * class, like the tfidf N join).
+    */
+  def bpeEncodeOracleSql: String = {
+    val chained = (1 to BpeRounds).foldLeft("rep") { (e, k) =>
+      s"replace($e, ' ' || g$k.a || '$SymSep' || g$k.b || ' ', ' ' || g$k.a || g$k.b || ' ')"
+    }
+    oraclePrefix +
+      s"""
+         |, base AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+         |  FROM documents
+         |), brep AS (
+         |  SELECT doc_id, len(tk) AS n_words,
+         |         length(array_to_string(tk, '')) AS n_chars,
+         |         ' ' || array_to_string(list_transform(tk,
+         |             w -> array_to_string(string_split(w, ''), '$SymSep')),
+         |           '$SymSep|$SymSep') || ' ' AS rep
+         |  FROM base
+         |), enc AS (
+         |  SELECT doc_id, n_words, n_chars, $chained AS rep
+         |  FROM brep, ${(1 to BpeRounds).map(k => s"m$k g$k").mkString(", ")}
+         |)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |       CAST(n_chars AS BIGINT) AS n_chars,
+         |       CAST(CASE WHEN n_words = 0 THEN 0
+         |            ELSE len(string_split(trim(rep), '$SymSep')) - (n_words - 1)
+         |            END AS BIGINT) AS n_bpe
+         |FROM enc ORDER BY doc_id""".stripMargin
   }
 }

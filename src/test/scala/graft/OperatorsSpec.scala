@@ -1085,6 +1085,11 @@ class UnorderedFormSpec extends org.scalatest.funsuite.AnyFunSuite {
       operators.TextAnalysis.qualitySample(spark, sf, ordered = false))
   }
 
+  test("bpe encode exposes a sort-free corpus-scale form") {
+    check(operators.Bpe.bpeEncode(spark, sf),
+      operators.Bpe.bpeEncode(spark, sf, ordered = false))
+  }
+
   test("corpus pipeline exposes a sort-free corpus-scale form") {
     check(operators.TextAnalysis.corpusPipeline(spark, sf),
       operators.TextAnalysis.corpusPipeline(spark, sf, ordered = false))
@@ -1630,6 +1635,41 @@ class BpeSpec extends org.scalatest.funsuite.AnyFunSuite {
     val got = operators.Bpe.bpeVocab(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq === expect)
+  }
+
+  test("encoded per-doc counts equal the reference segmentation") {
+    val wc = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def mergeWith(a: String, b: String)(l: List[String]): List[String] = l match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: mergeWith(a, b)(rest)
+      case x :: rest                          => x :: mergeWith(a, b)(rest)
+      case Nil                                => Nil
+    }
+    var segs: Map[String, List[String]] =
+      wc.keysIterator.map(w => w -> w.map(_.toString).toList).toMap
+    for ((_, a, b, _, _) <- refBpe(wc, operators.Bpe.BpeRounds))
+      segs = segs.map { case (w, s) => w -> mergeWith(a, b)(s) }
+    val tokRe = "[a-z0-9]+".r
+    val expect = Tables.documents(spark, sf).select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = tokRe.findAllIn(r.getString(1).toLowerCase).toList
+        r.get(0).toString ->
+          ((toks.length.toLong, toks.map(_.length.toLong).sum,
+            toks.map(w => segs(w).length.toLong).sum))
+      }.toMap
+    val got = operators.Bpe.bpeEncode(spark, sf).collect()
+      .map(r => r.get(0).toString -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expect)
+  }
+
+  test("encode pass is map-only once the merges are learned") {
+    val p = operators.Bpe.bpeEncode(spark, sf, ordered = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("exchange"),
+      s"encode pass should ride the documents scan:\n$p")
   }
 
   test("runs merge greedily left-to-right and exhaustion stops early") {
