@@ -169,6 +169,7 @@ object Bench {
     graft.operators.Dedup.releaseShingleCache(spark, sfDir)
     graft.operators.ReportDoc.releaseReportCache(spark, sfDir)
     graft.operators.TextAnalysis.releasePipelineCache(spark, sfDir)
+    graft.operators.Bpe.releaseLearnedCache(spark, sfDir)
     val load1 = osBean.getSystemLoadAverage
     // sf as the basename only ("sf0.1"), not the full path: every char
     // counts against the tail window.
