@@ -6,66 +6,63 @@ object Bench {
     * ~2000 chars and parses the LAST line; at 88 queries the full
     * `q_*` names measured 1903 chars — five more queries would
     * overflow the window and kill bench visibility (memory: rounds
-    * 1–4 recorded `parsed:null`). Explicit map for long names, strip
-    * the `q_` prefix otherwise; full names + per-query cpu go to
-    * `bench_detail.json` instead. BenchLineSpec pins uniqueness and a
-    * worst-case line length < 1500.
+    * 1–4 recorded `parsed:null`). Keys are ≤3 chars (the 4-char set
+    * overflowed the worst-case bound at 103 queries); full names +
+    * per-query cpu go to `bench_detail.json` instead. BenchLineSpec
+    * pins uniqueness and a worst-case line length < 1500.
     */
   private[graft] val ShortKey = Map(
     "q1_pricing_summary" -> "q1", "q3_top_revenue" -> "q3",
-    "q5_region_volume" -> "q5",
-    "q_active_projects" -> "aprj", "q_ann_brute_topk" -> "abrt",
-    "q_ann_ivf2_topk" -> "aiv2", "q_ann_ivf_topk" -> "aivf",
-    "q_ann_ivfpq_topk" -> "aipq", "q_ann_lsh_topk" -> "alsh",
-    "q_ann_pq_indexed" -> "apqi", "q_ann_pq_topk" -> "apq",
-    "q_anti_join" -> "anti", "q_approx_stats" -> "apx",
-    "q_argmax" -> "amax",
-    "q_asof_join" -> "asof", "q_attachment_text" -> "atch",
-    "q_backlog_rank" -> "bklg", "q_block_tree" -> "btre",
-    "q_bloom_prefilter" -> "blom", "q_bpe_merges" -> "bpe",
-    "q_bpe_vocab" -> "bpev", "q_bpe_encode" -> "bpee",
-    "q_clean_pipeline" -> "cpip",
-    "q_chunk_docs" -> "chnk",
-    "q_clean_text" -> "ctxt", "q_contamination" -> "ctam",
-    "q_cooccur" -> "cooc", "q_corpus_pipeline" -> "corp",
-    "q_date_funcs" -> "dtfn", "q_dedup_clusters" -> "ddcl",
-    "q_dedup_containment" -> "ddct", "q_dedup_embedding" -> "dde",
-    "q_dedup_exact" -> "ddex", "q_dedup_incremental" -> "ddin",
-    "q_dedup_keep_last" -> "klst", "q_dedup_minhash" -> "ddmh",
-    "q_dedup_ngram_jaccard" -> "ddng", "q_dedup_semantic" -> "ddse",
-    "q_dedup_simhash" -> "ddsh", "q_dedup_span" -> "ddsp",
-    "q_doc_fingerprint" -> "fgp",
-    "q_domain_mix" -> "dmx", "q_domain_mix_alpha" -> "dmxa",
-    "q_domain_mix_up" -> "dmxu", "q_event_window_agg" -> "evw",
-    "q_filter_tags" -> "ftag", "q_funnel" -> "funl",
-    "q_gopher_filter" -> "goph",
-    "q_heavy_hitters" -> "hh", "q_hierarchy_rollup" -> "hier",
-    "q_interval_join" -> "intv", "q_json_normalize" -> "jnrm",
-    "q_json_props" -> "jprp", "q_keyed_sample" -> "ksmp",
-    "q_lang_id" -> "lang", "q_length_stats" -> "lsts",
-    "q_lm_score" -> "lmsc",
-    "q_markdown_runs" -> "mdrn", "q_moving_avg" -> "mavg",
-    "q_multimodal_meta" -> "mmet", "q_ngram_freq" -> "ngfq",
-    "q_normalize_status" -> "nst", "q_oldest_pending" -> "olds",
-    "q_overdue" -> "ovd", "q_pack_sequences" -> "pack",
-    "q_paged_ingest" -> "pagd", "q_parent_join" -> "pjn",
-    "q_period_report" -> "perd", "q_pii_scrub" -> "pii",
-    "q_pivot" -> "pvt",
-    "q_priority_dist" -> "prds", "q_project_flags" -> "pflg",
-    "q_quality_sample" -> "qsmp",
-    "q_quality_score" -> "qual", "q_repetition" -> "rept",
-    "q_report_doc" -> "rdoc", "q_report_goals" -> "rgls",
-    "q_retention" -> "retn", "q_rollup" -> "rlup",
-    "q_running_total" -> "rtot",
-    "q_schema_health" -> "schm", "q_semi_join" -> "semi",
-    "q_session_window" -> "sswn", "q_sessionize" -> "sesz",
-    "q_set_ops" -> "sops", "q_status_dist" -> "stds",
-    "q_status_summary" -> "stsm", "q_stratified_sample" -> "strt",
-    "q_string_funcs" -> "strf", "q_tfidf_top_terms" -> "tfid",
-    "q_token_count" -> "tokn", "q_topk_per_key" -> "topk",
-    "q_uncategorized" -> "uncg", "q_value_deciles" -> "decl",
-    "q_vocab_topk" -> "vocb", "q_weekly_focus" -> "wkfc",
-    "q_weekly_velocity" -> "wkvl", "q_weighted_mean" -> "wmn",
+    "q5_region_volume" -> "q5", "q_active_projects" -> "apj",
+    "q_ann_brute_topk" -> "ab", "q_ann_ivf2_topk" -> "ai2",
+    "q_ann_ivf_topk" -> "aiv", "q_ann_ivfpq_topk" -> "aip",
+    "q_ann_lsh_topk" -> "als", "q_ann_pq_indexed" -> "api",
+    "q_ann_pq_topk" -> "apq", "q_anti_join" -> "ant",
+    "q_approx_stats" -> "apx", "q_argmax" -> "amx",
+    "q_asof_join" -> "aso", "q_attachment_text" -> "att",
+    "q_backlog_rank" -> "bkl", "q_block_tree" -> "btr",
+    "q_bloom_prefilter" -> "blo", "q_bpe_encode" -> "bpe",
+    "q_bpe_merges" -> "bpm", "q_bpe_vocab" -> "bpv",
+    "q_chunk_docs" -> "chk", "q_clean_pipeline" -> "clp",
+    "q_clean_text" -> "clt", "q_contamination" -> "ctm",
+    "q_contamination_score" -> "cts", "q_cooccur" -> "coo",
+    "q_corpus_pipeline" -> "cor", "q_cube" -> "cub",
+    "q_data_split" -> "dsp", "q_date_funcs" -> "dtf",
+    "q_dedup_clusters" -> "dcl", "q_dedup_containment" -> "dct",
+    "q_dedup_embedding" -> "dem", "q_dedup_exact" -> "dex",
+    "q_dedup_incremental" -> "din", "q_dedup_keep_last" -> "dkl",
+    "q_dedup_minhash" -> "dmh", "q_dedup_ngram_jaccard" -> "dng",
+    "q_dedup_semantic" -> "dse", "q_dedup_simhash" -> "dsh",
+    "q_dedup_span" -> "dsn", "q_doc_fingerprint" -> "fgp",
+    "q_domain_mix" -> "dmx", "q_domain_mix_alpha" -> "dma",
+    "q_domain_mix_up" -> "dmu", "q_event_window_agg" -> "evw",
+    "q_filter_tags" -> "ftg", "q_funnel" -> "fun",
+    "q_gopher_filter" -> "gop", "q_heavy_hitters" -> "hh",
+    "q_hierarchy_rollup" -> "hir", "q_interval_join" -> "itv",
+    "q_json_normalize" -> "jnr", "q_json_props" -> "jpr",
+    "q_keyed_sample" -> "ksm", "q_lang_id" -> "lng",
+    "q_length_stats" -> "lst", "q_lm_score" -> "lms",
+    "q_markdown_runs" -> "mdr", "q_moving_avg" -> "mav",
+    "q_multimodal_meta" -> "mmm", "q_ngram_freq" -> "ngf",
+    "q_normalize_status" -> "nst", "q_oldest_pending" -> "old",
+    "q_overdue" -> "ovd", "q_pack_sequences" -> "pck",
+    "q_paged_ingest" -> "pgd", "q_parent_join" -> "pjn",
+    "q_period_report" -> "prd", "q_pii_scrub" -> "pii",
+    "q_pivot" -> "pvt", "q_priority_dist" -> "pds",
+    "q_project_flags" -> "pfl", "q_quality_sample" -> "qsm",
+    "q_quality_score" -> "qsc", "q_repetition" -> "rep",
+    "q_report_doc" -> "rdc", "q_report_goals" -> "rgl",
+    "q_retention" -> "rtn", "q_rollup" -> "rlp",
+    "q_running_total" -> "rto", "q_scd2" -> "sc2",
+    "q_schema_health" -> "sch", "q_semi_join" -> "sem",
+    "q_session_window" -> "ssw", "q_sessionize" -> "ssz",
+    "q_set_ops" -> "sop", "q_status_dist" -> "std",
+    "q_status_summary" -> "sts", "q_stratified_sample" -> "str",
+    "q_string_funcs" -> "stf", "q_tfidf_top_terms" -> "tfi",
+    "q_token_count" -> "tok", "q_topk_per_key" -> "tpk",
+    "q_uncategorized" -> "unc", "q_value_deciles" -> "dec",
+    "q_vocab_topk" -> "vcb", "q_weekly_focus" -> "wkf",
+    "q_weekly_velocity" -> "wkv", "q_weighted_mean" -> "wmn",
     "q_wow_change" -> "wow")
 
   private[graft] def shortKey(name: String): String =

@@ -77,6 +77,7 @@ object SparkEntry {
     "q_doc_fingerprint" -> TextAnalysis.fingerprint _,
     "q_pii_scrub"       -> TextAnalysis.piiScrub _,
     "q_contamination"   -> TextAnalysis.contamination _,
+    "q_contamination_score" -> TextAnalysis.contaminationScore _,
     "q_tfidf_top_terms" -> TextAnalysis.tfidfTopTerms _,
     "q_lm_score"        -> TextAnalysis.lmScore _,
     "q_gopher_filter"   -> ((s, d) => TextAnalysis.gopherFilter(s, d)),
@@ -95,6 +96,7 @@ object SparkEntry {
     "q_rollup"            -> ExtendedAnalytics.rollupStatusPriority _,
     "q_pivot"             -> ExtendedAnalytics.pivotStatusPriority _,
     "q_stratified_sample" -> ExtendedAnalytics.stratifiedSample _,
+    "q_data_split"        -> ((s, d) => ExtendedAnalytics.dataSplit(s, d)),
     "q_keyed_sample"      -> ExtendedAnalytics.keyedSample _,
     // pretraining-mixture resampling: map-side hash filter against
     // broadcast per-lang thresholds from one aggregate scan
@@ -665,6 +667,7 @@ object SparkEntry {
            CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 80 WHEN 'es' THEN 80
                      WHEN 'fr' THEN 80 WHEN 'zh' THEN 50 ELSE 0 END
          ORDER BY doc_id""",
+    "q_data_split" -> ExtendedAnalytics.dataSplitOracleSql,
     "q_domain_mix" -> ExtendedAnalytics.domainMixOracleSql,
     "q_domain_mix_up" -> ExtendedAnalytics.domainMixUpsampleOracleSql,
     "q_domain_mix_alpha" -> ExtendedAnalytics.domainMixAlphaOracleSql,
@@ -861,6 +864,7 @@ object SparkEntry {
          SELECT DISTINCT doc_id FROM sh
          WHERE doc_id >= 5 AND h IN (SELECT h FROM ev)
          ORDER BY doc_id""",
+    "q_contamination_score" -> TextAnalysis.contaminationScoreOracleSql,
     "q_tfidf_top_terms" ->
       """WITH tf AS (
            SELECT doc_id, token, count(*) AS tf FROM (

@@ -85,6 +85,47 @@ object ExtendedAnalytics {
       .orderBy("doc_id")
   }
 
+  /** Split permille thresholds: 98% train / 1% val / 1% test. */
+  val SplitTrainPermille = 980
+  val SplitValPermille = 990
+
+  /** Multiplier for the split hash — a different odd constant than the
+    * stratified sample's, so split and sample membership stay
+    * decorrelated.
+    */
+  val SplitHashA = 2246822519L
+
+  /** Deterministic train/val/test split (`q_data_split`): every
+    * training pipeline's last step before writing shards — assign each
+    * document a split by a portable doc_id hash (98/1/1 permille).
+    * Hash assignment is replayable on any engine and stable under
+    * corpus growth: a document's split never changes when other
+    * documents arrive, which row-position or RNG-draw splits cannot
+    * guarantee. Scale shape: pure MAP-SIDE projection, no shuffle.
+    *
+    * `ordered` as in `TextAnalysis.gopherFilter`: the terminal sort is
+    * the oracle-determinism contract, not a plan requirement.
+    */
+  def dataSplit(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(SplitHashA), lit(2147483648L)) % 1000
+    val out = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        when(bucket < SplitTrainPermille, "train")
+          .when(bucket < SplitValPermille, "val")
+          .otherwise("test").as("split"))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
+  def dataSplitOracleSql: String =
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN b < $SplitTrainPermille THEN 'train'
+       |       WHEN b < $SplitValPermille THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, lang,
+       |        ((doc_id * $SplitHashA) % 2147483648) % 1000 AS b
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   /** Target corpus mixture for [[domainMix]] — en-heavy with the two
     * mid-size languages, dropping the rest (zh/fr): the shape of a
     * real pretraining-mixture spec.

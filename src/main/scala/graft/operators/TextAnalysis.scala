@@ -181,6 +181,65 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document contamination SCORE (`q_contamination_score`):
+    * [[contamination]] says WHICH corpus documents share any eval
+    * 5-gram; this says HOW MUCH — per contaminated document, its
+    * distinct-shingle count, the number found in the eval set, and
+    * the overlap fraction (the threshold real decontamination sweeps
+    * tune on: drop at ≥X% overlap, keep incidental single-gram hits).
+    *
+    * Scale shape: the eval shingle set is bounded by declaration
+    * (fixed benchmark suite), so it collects to the driver — the
+    * ANN-probe-set class — and the corpus pass is MAP-ONLY: per-doc
+    * `array_intersect` against the literal, no explode, no shuffle
+    * (vs [[contamination]]'s explode + semi join, which is the right
+    * shape when only membership is needed and the hit set is sparse).
+    * The fraction is floor(x·1e4+0.5)/1e4 with identical association
+    * order in both engines (the .5-boundary rule).
+    */
+  def contaminationScore(s: SparkSession, dir: String): DataFrame = {
+    val evalHashes = Tables.documents(s, dir)
+      .filter(col("doc_id") < ContaminationEvalDocs)
+      .select(explode(shingleHashes(col("text"), ContaminationShingleN)).as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val sh = shingleHashes(col("text"), ContaminationShingleN)
+    Tables.documents(s, dir)
+      .filter(col("doc_id") >= ContaminationEvalDocs)
+      .select(col("doc_id"),
+        size(sh).cast("long").as("n_shingles"),
+        size(array_intersect(sh, typedLit(evalHashes))).cast("long").as("n_hit"))
+      .filter(col("n_hit") > 0)
+      .withColumn("overlap",
+        floor(col("n_hit") * lit(10000.0) / col("n_shingles") + lit(0.5)) / 10000.0)
+      .orderBy("doc_id")
+  }
+
+  def contaminationScoreOracleSql: String = {
+    val n = ContaminationShingleN
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (a, c) -> (a * 31 + c) % 1000000007) AS h
+       |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+       |          generate_series(1, len(t) - ${n - 1}),
+       |          i -> array_to_string(t[i:i + ${n - 1}], ' ')))) AS g
+       |        FROM toks WHERE len(t) >= $n)),
+       |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id < $ContaminationEvalDocs)
+       |SELECT doc_id, n_shingles, n_hit,
+       |       floor(n_hit * 10000.0 / n_shingles + 0.5) / 10000.0 AS overlap
+       |FROM (
+       |  SELECT s.doc_id,
+       |         CAST(count(DISTINCT s.h) AS BIGINT) AS n_shingles,
+       |         CAST(count(DISTINCT e.h) AS BIGINT) AS n_hit
+       |  FROM sh s LEFT JOIN ev e ON s.h = e.h
+       |  WHERE s.doc_id >= $ContaminationEvalDocs GROUP BY 1
+       |) WHERE n_hit > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val TfIdfTopK = 3
 
   /** TF-IDF top terms per document: tf with multiplicity, idf =

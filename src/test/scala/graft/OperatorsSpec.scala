@@ -1686,3 +1686,79 @@ class BpeSpec extends org.scalatest.funsuite.AnyFunSuite {
       (2, "aa", "aa", "aaaa", 2L)))
   }
 }
+
+class DataSplitSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+  import org.apache.spark.sql.functions._
+
+  test("splits are disjoint-exhaustive, near 98/1/1, and map-only") {
+    import spark.implicits._
+    // 20k synthetic docs: the shipped test SF is too small to resolve
+    // a 1% split, so the fraction check needs its own corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft_split").toString
+    (0L until 20000L).map(i => (i, "en", "t")).toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.ExtendedAnalytics.dataSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size === 20000, "every doc gets exactly one split")
+    val n = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(n("train") / 20000.0 - 0.98) < 0.01, s"train ${n("train")}")
+    assert(math.abs(n("val") / 20000.0 - 0.01) < 0.005, s"val ${n.get("val")}")
+    assert(math.abs(n("test") / 20000.0 - 0.01) < 0.005, s"test ${n.get("test")}")
+    // membership is a pure doc_id hash: a document's split is
+    // identical when computed over any subset of the corpus
+    val sub = operators.ExtendedAnalytics.dataSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+    val bucket = (id: Long) => ((id * operators.ExtendedAnalytics.SplitHashA)
+      % 2147483648L) % 1000L
+    for ((id, sp) <- sub) {
+      val b = bucket(id)
+      val want = if (b < operators.ExtendedAnalytics.SplitTrainPermille) "train"
+        else if (b < operators.ExtendedAnalytics.SplitValPermille) "val" else "test"
+      assert(sp === want)
+    }
+    val p = operators.ExtendedAnalytics.dataSplit(spark, sf, ordered = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("exchange"), s"split must ride the scan:\n$p")
+  }
+}
+
+class ContaminationScoreSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+  import org.apache.spark.sql.functions._
+
+  /** Plain-Scala distinct shingle-hash set — shares nothing with the
+    * codegen'd WordShingleHashes expression.
+    */
+  private def refShingles(text: String): Set[Long] =
+    "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+      .sliding(operators.TextAnalysis.ContaminationShingleN)
+      .filter(_.length == operators.TextAnalysis.ContaminationShingleN)
+      .map(_.mkString(" ").foldLeft(0L)((a, ch) => (a * 31 + ch.toInt) % 1000000007L))
+      .toSet
+
+  test("scores equal the reference shingle-set arithmetic") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val evalSet = docs.collect {
+      case (id, t) if id < operators.TextAnalysis.ContaminationEvalDocs => refShingles(t)
+    }.foldLeft(Set.empty[Long])(_ ++ _)
+    val expect = docs.toSeq.collect {
+      case (id, t) if id >= operators.TextAnalysis.ContaminationEvalDocs =>
+        val sh = refShingles(t)
+        val nh = (sh & evalSet).size
+        (id, sh.size.toLong, nh.toLong,
+          math.floor(nh * 10000.0 / sh.size + 0.5) / 10000.0)
+    }.filter(_._3 > 0).sortBy(_._1)
+    assert(expect.nonEmpty, "corpus plants no contaminated docs — vacuous")
+    val got = operators.TextAnalysis.contaminationScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === expect)
+    // the flagged doc set must agree with the membership-only operator
+    val member = operators.TextAnalysis.contamination(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet === member)
+  }
+}
