@@ -56,7 +56,8 @@ object Bench {
     "q_running_total" -> "rto", "q_scd2" -> "sc2",
     "q_schema_health" -> "sch", "q_semi_join" -> "sem",
     "q_session_window" -> "ssw", "q_sessionize" -> "ssz",
-    "q_set_ops" -> "sop", "q_status_dist" -> "std",
+    "q_set_ops" -> "sop", "q_span_scrub" -> "ssc",
+    "q_status_dist" -> "std",
     "q_status_summary" -> "sts", "q_stratified_sample" -> "str",
     "q_string_funcs" -> "stf", "q_tfidf_top_terms" -> "tfi",
     "q_token_count" -> "tok", "q_topk_per_key" -> "tpk",

@@ -55,6 +55,8 @@ object SparkEntry {
     "q_dedup_incremental"   -> Dedup.incremental _,
     // span-level (substring) dedup: maximal duplicated token spans
     "q_dedup_span"          -> ((s, d) => Dedup.spanDedup(s, d)),
+    // the cleaning ACTION: cut the located spans out of the stream
+    "q_span_scrub"          -> ((s, d) => Dedup.spanScrub(s, d)),
     // SemDeDup: cluster-restricted embedding near-dup prune
     "q_dedup_semantic"      -> Similarity.semanticDedup _,
     // §2.5 similarity search
@@ -451,6 +453,7 @@ object SparkEntry {
     "q_dedup_containment"   -> Dedup.sqlContainment,
     "q_dedup_incremental"   -> Dedup.sqlIncremental,
     "q_dedup_span"          -> Dedup.sqlSpanDedup,
+    "q_span_scrub"          -> Dedup.sqlSpanScrub,
     "q_dedup_semantic"      -> Similarity.sqlSemanticDedup,
     "q_ann_brute_topk"      -> Similarity.sqlAnnBruteTopK,
     "q_keyed_sample" ->

@@ -391,6 +391,36 @@ object Dedup {
     if (ordered) out.orderBy("doc_id", "span_start") else out
   }
 
+  /** Span-level SCRUB (`q_span_scrub`): [[spanDedup]] locates the
+    * corpus-duplicated spans; this CUTS them — per affected document,
+    * the token stream with every duplicated span removed (the
+    * cleaning ACTION of substring dedup: the page survives with its
+    * unique content instead of being dropped whole). Output: affected
+    * docs only, original/kept token counts + the scrubbed stream.
+    *
+    * Scale shape: the span frame is sparse (hits only) and aggregates
+    * per doc into a bounded list (disjoint islands); the join back to
+    * the documents scan is left to AQE — the tf⋈df argument: span
+    * lists grow with the corpus, so force-broadcast is unbounded. The
+    * cut itself is a map-side indexed `filter` HOF against the
+    * per-doc span list — no second corpus shuffle.
+    */
+  def spanScrub(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
+    val spans = spanDedup(s, dir, ordered = false)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val toks = tokens(col("text"))
+    val kept = filter(toks, (_, i) =>
+      !exists(col("spans"), sp => i >= sp("span_start") && i < sp("span_end")))
+    val out = Tables.documents(s, dir)
+      .join(spans, Seq("doc_id"))
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(kept, " ").as("scrubbed"))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
   // ---- oracle SQL generation (same constants as above) ------------------
 
   /** DuckDB charFoldHash of a string expression. */
@@ -553,7 +583,10 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  val sqlSpanDedup: String =
+  /** Shared span-island CTE chain: documents → positional gram
+    * hashes → corpus-frequency gate → merged islands (`grp`).
+    */
+  private val sqlSpanIslands: String =
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
        |  FROM documents),
@@ -575,10 +608,44 @@ object Dedup {
        |  SELECT doc_id, pos,
        |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
-       |  FROM isl)
+       |  FROM isl)""".stripMargin
+
+  val sqlSpanDedup: String =
+    sqlSpanIslands +
+      s"""
        |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
        |  CAST(max(pos) + $SpanGramN AS INTEGER) AS span_end,
        |  CAST(count(*) AS BIGINT) AS dup_grams
        |FROM grp GROUP BY doc_id, island
        |ORDER BY doc_id, span_start""".stripMargin
+
+  /** DuckDB oracle for [[spanScrub]]: the same islands, then an
+    * anti-range filter of each affected doc's 0-based token positions
+    * and an order-preserving re-aggregation.
+    */
+  val sqlSpanScrub: String =
+    sqlSpanIslands +
+      s""",
+       |spn AS (
+       |  SELECT doc_id, min(pos) AS s, max(pos) + $SpanGramN AS e
+       |  FROM grp GROUP BY doc_id, island),
+       |aff AS (
+       |  SELECT DISTINCT spn.doc_id, len(t) AS n FROM spn
+       |  JOIN toks ON toks.doc_id = spn.doc_id),
+       |tp AS (
+       |  SELECT doc_id, t[i] AS tok, i - 1 AS p
+       |  FROM (SELECT toks.doc_id, t, unnest(generate_series(1, len(t))) AS i
+       |        FROM toks JOIN aff ON toks.doc_id = aff.doc_id)),
+       |kept AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    array_to_string(list(tok ORDER BY p), ' ') AS scrubbed
+       |  FROM tp
+       |  WHERE NOT EXISTS (SELECT 1 FROM spn
+       |    WHERE spn.doc_id = tp.doc_id AND tp.p >= spn.s AND tp.p < spn.e)
+       |  GROUP BY doc_id)
+       |SELECT aff.doc_id, CAST(aff.n AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+       |  coalesce(kept.scrubbed, '') AS scrubbed
+       |FROM aff LEFT JOIN kept ON aff.doc_id = kept.doc_id
+       |ORDER BY aff.doc_id""".stripMargin
 }

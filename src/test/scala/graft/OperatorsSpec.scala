@@ -1272,6 +1272,48 @@ class SpanSemanticDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out === Set((1L, 0, 6, 2L), (2L, 3, 9, 2L), (3L, 0, 10, 2L)))
   }
 
+  test("scrub cuts exactly the located spans, in order") {
+    // plain-Scala cut driven by the TEXTS plus the span frame: kept
+    // tokens = positions outside every [start, end) — checks the
+    // indexed-filter HOF wiring, ordering, and the affected-doc set
+    val spans = operators.Dedup.spanDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).toSeq).toMap
+    assert(spans.nonEmpty, "no spans on the corpus — scrub test vacuous")
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tokRe = "[a-z0-9]+".r
+    val expect = spans.map { case (id, sp) =>
+      val toks = tokRe.findAllIn(texts(id).toLowerCase).toVector
+      val kept = toks.zipWithIndex.collect {
+        case (t, i) if !sp.exists(s => i >= s._1 && i < s._2) => t
+      }
+      id -> ((toks.size.toLong, kept.size.toLong, kept.mkString(" ")))
+    }
+    val got = operators.Dedup.spanScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got === expect)
+  }
+
+  test("planted scrub: shared region cut, full-repeat doc empties, unique doc absent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("spanscrub").toString
+    Seq(
+      (1L, "a b c d e f g h", "en", "t", 15L),
+      (2L, "x y z a b c d e f q w", "en", "t", 21L),
+      (3L, "p q r s t p q r s t", "en", "t", 19L),
+      (4L, "one two three four five six seven", "en", "t", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = operators.Dedup.spanScrub(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got === Set(
+      (1L, 8L, 2L, "g h"),
+      (2L, 11L, 5L, "x y z q w"),
+      (3L, 10L, 0L, "")))
+  }
+
   test("semantic drop set == embedding-dup pairs restricted to one cell") {
     val sem = operators.Similarity.semanticDedup(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
