@@ -41,17 +41,27 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame     = load(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame   = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`
-    * and we normalize here to a microsecond TimestampType via exact
-    * integer division (`div`, not `/` — double division would lose
-    * precision at 1e18-ns epochs), matching DuckDB's ns→µs truncation.
+  /** events.parquet has shipped with two `ts` encodings across driver
+    * testdata generations: TIMESTAMP(NANOS) (read as a nanosecond long
+    * under `spark.sql.legacy.parquet.nanosAsLong`) and plain
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Normalize both to a
+    * session-zone TimestampType so every downstream operator sees one
+    * schema: ns-longs via exact integer division (`div`, not `/` —
+    * double division would lose precision at 1e18-ns epochs, and the
+    * truncation matches DuckDB's ns→µs cast), NTZ via a cast that is
+    * wall-clock identity under the UTC session zone all entry points set.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     memo.computeIfAbsent((s, p(dir, "events") + "#norm"),
-      { case (ss, _) => ss.read.parquet(p(dir, "events"))
-          .withColumn("ts", timestamp_micros(expr("ts div 1000"))) })
+      { case (ss, _) =>
+          val raw = ss.read.parquet(p(dir, "events"))
+          raw.schema("ts").dataType match {
+            case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            case TimestampType => raw
+            case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+          } })
   }
   def documents(s: SparkSession, dir: String): DataFrame  = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")

@@ -268,12 +268,22 @@ object EventStreams {
   /** File-source streaming reader over an events parquet directory —
     * the production ingest shape (`readStream` with explicit schema; a
     * directory of parquet drops in, each becomes a micro-batch).
+    *
+    * `readStream` requires a declared schema, and `ts` has shipped as
+    * both ns-as-long and TIMESTAMP(MICROS) across testdata generations
+    * (see Tables.events) — probe the existing file's footer once with a
+    * cheap batch read to declare the matching type, then normalize so
+    * downstream watermarks always see a session-zone TimestampType.
     */
   def readEventStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-    s.readStream.schema(schema)
+    val tsIsLong = s.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsDecl = if (tsIsLong) "BIGINT" else "TIMESTAMP_NTZ"
+    val schema = s"event_id BIGINT, ts $tsDecl, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
   }
 }
