@@ -35,12 +35,14 @@ object Bench {
     "q_dedup_semantic" -> "dse", "q_dedup_simhash" -> "dsh",
     "q_dedup_span" -> "dsn", "q_doc_fingerprint" -> "fgp",
     "q_domain_mix" -> "dmx", "q_domain_mix_alpha" -> "dma",
-    "q_domain_mix_up" -> "dmu", "q_event_window_agg" -> "evw",
+    "q_domain_mix_up" -> "dmu", "q_epoch_shuffle" -> "eps",
+    "q_event_window_agg" -> "evw",
     "q_filter_tags" -> "ftg", "q_funnel" -> "fun",
     "q_gopher_filter" -> "gop", "q_heavy_hitters" -> "hh",
     "q_hierarchy_rollup" -> "hir", "q_interval_join" -> "itv",
     "q_json_normalize" -> "jnr", "q_json_props" -> "jpr",
-    "q_keyed_sample" -> "ksm", "q_lang_id" -> "lng",
+    "q_keyed_sample" -> "ksm", "q_kl_drift" -> "kld",
+    "q_lang_id" -> "lng",
     "q_length_stats" -> "lst", "q_lm_score" -> "lms",
     "q_markdown_runs" -> "mdr", "q_moving_avg" -> "mav",
     "q_multimodal_meta" -> "mmm", "q_ngram_freq" -> "ngf",
@@ -48,7 +50,8 @@ object Bench {
     "q_overdue" -> "ovd", "q_pack_sequences" -> "pck",
     "q_paged_ingest" -> "pgd", "q_parent_join" -> "pjn",
     "q_period_report" -> "prd", "q_pii_scrub" -> "pii",
-    "q_pivot" -> "pvt", "q_priority_dist" -> "pds",
+    "q_pivot" -> "pvt", "q_ppl_buckets" -> "ppb",
+    "q_priority_dist" -> "pds",
     "q_project_flags" -> "pfl", "q_quality_sample" -> "qsm",
     "q_quality_score" -> "qsc", "q_repetition" -> "rep",
     "q_report_doc" -> "rdc", "q_report_goals" -> "rgl",
@@ -56,11 +59,13 @@ object Bench {
     "q_running_total" -> "rto", "q_scd2" -> "sc2",
     "q_schema_health" -> "sch", "q_semi_join" -> "sem",
     "q_session_window" -> "ssw", "q_sessionize" -> "ssz",
-    "q_set_ops" -> "sop", "q_span_scrub" -> "ssc",
-    "q_status_dist" -> "std",
+    "q_set_ops" -> "sop", "q_source_overlap" -> "sov",
+    "q_source_sim" -> "ssm",
+    "q_span_scrub" -> "ssc", "q_status_dist" -> "std",
     "q_status_summary" -> "sts", "q_stratified_sample" -> "str",
     "q_string_funcs" -> "stf", "q_tfidf_top_terms" -> "tfi",
-    "q_token_count" -> "tok", "q_topk_per_key" -> "tpk",
+    "q_token_budget" -> "tbg", "q_token_count" -> "tok",
+    "q_topk_per_key" -> "tpk",
     "q_uncategorized" -> "unc", "q_value_deciles" -> "dec",
     "q_vocab_topk" -> "vcb", "q_weekly_focus" -> "wkf",
     "q_weekly_velocity" -> "wkv", "q_weighted_mean" -> "wmn",
@@ -148,7 +153,11 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       drain()
       val cpu = (cpuNs.get - c0) / 1e9
-      (name, if (ok) dt else -math.max(dt, 0.1), cpu)
+      // per-query value clamped to ±99.9: a >100 s query at sf0.1 is a
+      // catastrophe either way, and the cap bounds the JSON line width
+      // (the driver tail-captures ~2000 chars — BenchLineSpec)
+      val clamped = math.min(dt, 99.9)
+      (name, if (ok) clamped else -math.min(math.max(dt, 0.1), 99.9), cpu)
     }
     // The one-line JSON must fit the driver's 2000-char tail-capture
     // window even as the catalog grows: short keys (ShortKey above),

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, ExtendedAnalytics, Similarity, TaskAnalytics, TextAnalysis}
+import graft.operators.{CorpusCuration, Dedup, ExtendedAnalytics, Similarity, TaskAnalytics, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §7 (plan).
   *
@@ -90,6 +90,13 @@ object SparkEntry {
     "q_clean_pipeline"  -> TextAnalysis.cleanPipeline _,
     // the full corpus→training-sequences path as one composed query
     "q_corpus_pipeline" -> ((s, d) => TextAnalysis.corpusPipeline(s, d)),
+    // §2.6b corpus curation (round 7): data selection / mixture monitors
+    "q_token_budget"   -> CorpusCuration.tokenBudget _,
+    "q_ppl_buckets"    -> CorpusCuration.pplBuckets _,
+    "q_source_sim"     -> CorpusCuration.sourceSim _,
+    "q_source_overlap" -> CorpusCuration.sourceOverlap _,
+    "q_kl_drift"       -> CorpusCuration.klDrift _,
+    "q_epoch_shuffle"  -> CorpusCuration.epochShuffle _,
     // §2.7 multimodal metadata
     "q_multimodal_meta" -> TextAnalysis.multimodalMeta _,
     // §2.1b extended composed analytics
@@ -186,6 +193,36 @@ object SparkEntry {
              + 0.1 * least((CASE WHEN nwords > 0 THEN nchars / nwords ELSE 0.0 END) / 10.0, 1.0)
              ) * 10000.0 + 0.5) / 10000.0 AS quality
            FROM qs)"""
+
+  /** Shared bigram-LM CTEs: documents → per-doc (n_pairs, lm_score) as
+    * `lm` — single source for the q_lm_score oracle and the CCNet
+    * perplexity-bucket oracle built on top of it.
+    */
+  private val sqlLmCtes =
+    s"""d2 AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 2
+       |), pairs AS (
+       |  SELECT doc_id, i - 1 AS pos, ts[i] AS w1, ts[i+1] AS w2
+       |  FROM d2 CROSS JOIN unnest(generate_series(1, len(ts) - 1)) AS u(i)
+       |), big AS (
+       |  SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2
+       |), uni AS (
+       |  SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM big GROUP BY 1
+       |), vocab AS (
+       |  SELECT count(DISTINCT w.t) AS v
+       |  FROM (SELECT unnest(ts) AS t FROM d2) w
+       |), scored AS (
+       |  SELECT p.doc_id, p.pos,
+       |         ln(CAST(b.cb + ${TextAnalysis.LmAlpha} AS DOUBLE) /
+       |            CAST(u.cu + ${TextAnalysis.LmAlpha} * v.v AS DOUBLE)) AS logp
+       |  FROM pairs p JOIN big b USING (w1, w2) JOIN uni u USING (w1) CROSS JOIN vocab v
+       |), lm AS (
+       |  SELECT doc_id, count(*) AS n_pairs,
+       |    round(-list_reduce(list_prepend(0.0, list(logp ORDER BY pos)), (a, x) -> a + x)
+       |          / count(*), ${TextAnalysis.LmScoreDp}) AS lm_score
+       |  FROM scored GROUP BY doc_id)""".stripMargin
 
   private val sqlLangCtes =
     """lt AS (
@@ -541,30 +578,38 @@ object SparkEntry {
     "q_report_doc" -> operators.ReportDoc.oracleSql,
     "q_paged_ingest" -> sources.PagedTasks.oracleSql,
     "q_lm_score" ->
-      s"""WITH d2 AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
-         |  FROM documents
-         |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 2
-         |), pairs AS (
-         |  SELECT doc_id, i - 1 AS pos, ts[i] AS w1, ts[i+1] AS w2
-         |  FROM d2 CROSS JOIN unnest(generate_series(1, len(ts) - 1)) AS u(i)
-         |), big AS (
-         |  SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2
-         |), uni AS (
-         |  SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM big GROUP BY 1
-         |), vocab AS (
-         |  SELECT count(DISTINCT w.t) AS v
-         |  FROM (SELECT unnest(ts) AS t FROM d2) w
-         |), scored AS (
-         |  SELECT p.doc_id, p.pos,
-         |         ln(CAST(b.cb + ${TextAnalysis.LmAlpha} AS DOUBLE) /
-         |            CAST(u.cu + ${TextAnalysis.LmAlpha} * v.v AS DOUBLE)) AS logp
-         |  FROM pairs p JOIN big b USING (w1, w2) JOIN uni u USING (w1) CROSS JOIN vocab v
-         |)
-         |SELECT doc_id, count(*) AS n_pairs,
-         |  round(-list_reduce(list_prepend(0.0, list(logp ORDER BY pos)), (a, x) -> a + x)
-         |        / count(*), ${TextAnalysis.LmScoreDp}) AS lm_score
-         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $sqlLmCtes
+         |SELECT doc_id, n_pairs, lm_score FROM lm ORDER BY doc_id""".stripMargin,
+    // CCNet head/middle/tail perplexity terciles per language
+    "q_ppl_buckets" ->
+      s"""WITH $sqlLmCtes,
+         |ld AS (SELECT l.doc_id, d.lang, l.lm_score
+         |       FROM lm l JOIN documents d USING (doc_id)),
+         |thr AS (SELECT lang, quantile_cont(lm_score,
+         |          [CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3]) AS t
+         |        FROM ld GROUP BY lang)
+         |SELECT doc_id, lang, lm_score,
+         |  CASE WHEN lm_score <= t[1] THEN 'head'
+         |       WHEN lm_score <= t[2] THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM ld JOIN thr USING (lang) ORDER BY doc_id""".stripMargin,
+    // greedy best-quality-first selection under a corpus token budget
+    "q_token_budget" ->
+      s"""WITH $sqlQualityCtes,
+         |tb AS (SELECT q.doc_id, q.quality, CAST(s.nwords AS BIGINT) AS ntok
+         |       FROM qq q JOIN qs s USING (doc_id)),
+         |tc AS (SELECT doc_id, quality, ntok,
+         |         CAST(sum(ntok) OVER (ORDER BY quality DESC, doc_id) AS BIGINT)
+         |           AS cum_tokens
+         |       FROM tb),
+         |bg AS (SELECT CAST(sum(ntok) AS BIGINT) // ${CorpusCuration.TokenBudgetDen}
+         |         AS budget FROM tb)
+         |SELECT doc_id, quality, ntok, cum_tokens FROM tc, bg
+         |WHERE cum_tokens <= budget
+         |ORDER BY quality DESC, doc_id""".stripMargin,
+    "q_source_sim"     -> CorpusCuration.sourceSimOracleSql,
+    "q_source_overlap" -> CorpusCuration.sourceOverlapOracleSql,
+    "q_kl_drift"       -> CorpusCuration.klDriftOracleSql,
+    "q_epoch_shuffle"  -> CorpusCuration.epochShuffleOracleSql,
     "q_token_count" ->
       """SELECT doc_id,
          CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS ws_tokens,

@@ -1,0 +1,411 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators (round 7): the data-selection half of a
+  * pretraining pipeline — what to TRAIN ON once cleaning and dedup have
+  * decided what is usable. Four staples:
+  *
+  *   - [[tokenBudget]]    greedy best-quality-first selection under a
+  *                        corpus token budget (the "data-constrained
+  *                        scaling" selection step),
+  *   - [[pplBuckets]]     CCNet-style head/middle/tail perplexity
+  *                        terciles per language (Wenzek et al. 2019),
+  *   - [[sourceSim]]      pairwise corpus-level Jaccard similarity
+  *                        between sources estimated from per-source
+  *                        MinHash signatures (mergeable sketch union),
+  *   - [[klDrift]]        per-source unigram-distribution KL divergence
+  *                        from the corpus distribution (the curation
+  *                        drift monitor).
+  *
+  * Mirrors the reference's analytics intent (alsyefs/notion
+  * backend/generate_reports.py aggregates per-category distributions);
+  * the statistics here are the corpus-scale equivalents.
+  */
+object CorpusCuration {
+
+  // ---------------------------------------------------------------------
+  // q_token_budget — greedy selection under a token budget
+  // ---------------------------------------------------------------------
+
+  /** Keep the best docs covering 1/TokenBudgetDen of corpus tokens. */
+  val TokenBudgetDen = 2L
+  /** quality is k/10⁴ by construction (qualityScore's floor rounding),
+    * so this scale recovers the integer bucket id exactly.
+    */
+  val BudgetQScale = 10000.0
+
+  /** Greedy token-budget selection (`q_token_budget`): rank documents
+    * by quality (desc, doc_id tiebreak), keep the prefix whose
+    * cumulative token count fits the budget — the selection step of a
+    * data-constrained pretraining run ("we can afford N tokens; take
+    * the best N").
+    *
+    * The global cumulative sum over the quality ordering is a
+    * distributed TWO-PHASE prefix sum, same machinery as
+    * ExtendedAnalytics.packOn: documents bucket by their integer
+    * quality id (≤ 10,001 buckets — quality is 4-dp quantized by
+    * construction), phase one is a cumsum window partitioned BY
+    * bucket (high cardinality, parallel), phase two broadcast-joins
+    * each bucket's running start offset from a driver-bounded
+    * bucket-totals collect. No unpartitioned window anywhere; one
+    * key-partitioned shuffle + the totals agg.
+    */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        qualityScore(col("text")).as("quality"),
+        size(tokens(col("text"))).cast("long").as("ntok"))
+      .withColumn("qb", floor(col("quality") * BudgetQScale + lit(0.5)).cast("long"))
+    val w = Window.partitionBy("qb").orderBy("doc_id")
+    val local = d.withColumn("lend", sum("ntok").over(w))
+    // bucket totals: ≤10,001 rows of metadata — the packOn driver-state
+    // class; selection order is quality DESC, so the exclusive prefix
+    // runs from the highest bucket down
+    val totals = d.groupBy("qb").agg(sum("ntok").as("btot"))
+      .orderBy(col("qb").desc).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val running = totals.map(_._2).scanLeft(0L)(_ + _)
+    val budget = totals.map(_._2).sum / TokenBudgetDen
+    import s.implicits._
+    val offDf = totals.map(_._1).zip(running).toSeq.toDF("qb", "boff")
+    local.join(broadcast(offDf), "qb")
+      .withColumn("cum_tokens", col("boff") + col("lend"))
+      .filter(col("cum_tokens") <= lit(budget))
+      .select(col("doc_id"), col("quality"), col("ntok"), col("cum_tokens"))
+      .orderBy(col("quality").desc, col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q_ppl_buckets — CCNet head/middle/tail perplexity terciles
+  // ---------------------------------------------------------------------
+
+  /** CCNet-style perplexity bucketing (`q_ppl_buckets`): per language,
+    * split documents into head/middle/tail terciles of the bigram-LM
+    * score (lower = more LM-probable = head) — the public CCNet recipe
+    * keeps head+middle and drops or down-weights tail.
+    *
+    * Distributed shape: the LM scores come from the session-persisted
+    * [[TextAnalysis.lmScoreFrame]] (built once, reused by q_lm_score);
+    * the tercile THRESHOLDS are a per-lang `percentile` aggregate — a
+    * lang-cardinality frame, broadcast back — and the bucket assignment
+    * is a map-side compare. No low-cardinality window (an `ntile(3)
+    * over (partition by lang)` would serialize each language through
+    * one task at 100 TB — the threshold-join shape is the scale-safe
+    * equivalent).
+    *
+    * Cross-engine determinism: Spark `percentile` and DuckDB
+    * `quantile_cont` both use the R-7 rank `(n-1)p` + linear
+    * interpolation on identical 4-dp-quantized doubles; an interpolated
+    * threshold is either an exact data value (integer rank) or lies
+    * strictly between two distinct quantized values, so the `<=`
+    * comparisons agree even under last-ulp drift.
+    */
+  def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val lm = TextAnalysis.lmScoreFrame(s, dir)
+    val thr = lm.groupBy("lang")
+      // CAST(1 AS DOUBLE)/3 in BOTH engines: a bare 1.0/3 literal is
+      // DECIMAL division in either SQL dialect (6-digit truncation,
+      // engine-dependent scale) — IEEE double division is bit-identical
+      .agg(expr("percentile(lm_score, array(cast(1 as double)/3, cast(2 as double)/3))").as("t"))
+      .select(col("lang"),
+        element_at(col("t"), 1).as("t1"), element_at(col("t"), 2).as("t2"))
+    lm.join(broadcast(thr), "lang")
+      .withColumn("bucket",
+        when(col("lm_score") <= col("t1"), lit("head"))
+          .when(col("lm_score") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("lm_score"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // q_source_sim — pairwise source similarity from MinHash sketch union
+  // ---------------------------------------------------------------------
+
+  /** Pairwise source-level Jaccard similarity (`q_source_sim`),
+    * estimated from per-source MinHash signatures: each source's
+    * signature component i is min over ALL its shingle hashes of
+    * (aᵢ·h+bᵢ) mod p — i.e. the MinHash of the UNION of its documents'
+    * shingle sets, computed as a plain min aggregate (MinHash is a
+    * mergeable sketch; groupBy-min IS the distributed sketch union,
+    * map-side combined, one shuffle). The estimate for a source pair is
+    * the fraction of equal components — the standard corpus-overlap
+    * triage before any pairwise document comparison (which source
+    * scraped which other source).
+    *
+    * The pairwise stage joins the SIGNATURE frame with itself — one
+    * row per source (a bounded catalog dimension, like the nation/
+    * region dims), so the quadratic pair count is dim-sized and the
+    * join broadcasts; the corpus-sized work is the single sketch pass.
+    * Constants are Dedup's MinHash family (one source of truth — same
+    * k=16 permutations, same shingle width, same modulus).
+    */
+  def sourceSim(s: SparkSession, dir: String): DataFrame = {
+    import Dedup.{MinhashA, MinhashB, ShingleN}
+    val ex = Tables.documents(s, dir)
+      .select(col("source"), explode(shingleHashes(col("text"), ShingleN)).as("h"))
+    val mins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(HashP))).as(s"m$i")
+    }
+    val sig = ex.groupBy("source")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("source"),
+        array(MinhashA.indices.map(i => col(s"m$i")): _*).as("sig"))
+    val a = sig.select(col("source").as("source_a"), col("sig").as("sa"))
+    val b = sig.select(col("source").as("source_b"), col("sig").as("sb"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .withColumn("n_match",
+        aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("est_jaccard",
+        round(col("n_match").cast("double") / MinhashA.size, 4))
+      .select(col("source_a"), col("source_b"), col("n_match"), col("est_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** DuckDB twin of [[sourceSim]] — same shingle fold, same MinHash
+    * constants (generated from Dedup's, one source of truth).
+    */
+  def sourceSimOracleSql: String = {
+    import Dedup.{MinhashA, MinhashB, ShingleN}
+    val minExprs = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % $HashP) AS m$i"
+    }.mkString(", ")
+    val matchExpr = MinhashA.indices
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM documents),
+       |sgl AS (
+       |  SELECT source, unnest(list_transform(
+       |      generate_series(1, len(t) - ${ShingleN - 1}),
+       |      i -> array_to_string(t[i:i + ${ShingleN - 1}], ' '))) AS g
+       |  FROM toks WHERE len(t) >= $ShingleN),
+       |ex AS (
+       |  SELECT source, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (x, c) -> (x * 31 + c) % $HashP) AS h
+       |  FROM sgl),
+       |sig AS (SELECT source, $minExprs FROM ex GROUP BY source)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST($matchExpr AS BIGINT) AS n_match,
+       |  round(CAST($matchExpr AS DOUBLE) / ${MinhashA.size}, 4) AS est_jaccard
+       |FROM sig a JOIN sig b ON a.source < b.source
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_kl_drift — per-source unigram KL divergence from the corpus
+  // ---------------------------------------------------------------------
+
+  /** KL rounding — floor-shift at 6 dp (log arithmetic; the decimal
+    * sum below is exact, so only the final double rounding matters).
+    */
+  val KlDp = 1e6
+
+  /** Per-source unigram-distribution drift (`q_kl_drift`):
+    * KL(P_source ‖ P_corpus) over token unigram distributions — the
+    * standing curation monitor for "this crawl slice stopped looking
+    * like the corpus" (vocabulary shift, language drift, template
+    * floods). Per source: token count, distinct-token count, KL in
+    * nats.
+    *
+    * Distributed shape: ONE corpus pass (explode → (source, token)
+    * counts, map-side combined); the token totals, per-source totals
+    * and the corpus total all DERIVE from that frame — never a second
+    * pass. The per-token contribution joins are vocabulary-sized (AQE
+    * picks broadcast when the vocab fits) and dim-sized respectively.
+    *
+    * Cross-engine determinism: each contribution is identical double
+    * arithmetic (`ln` is reproducible across both engines — the
+    * q_lm_score precedent); the per-source SUM is over
+    * DECIMAL(38,18)-cast contributions, which is exact and therefore
+    * ASSOCIATIVE — no collect-and-fold needed for determinism, the
+    * aggregation stays a plain partial-combined agg at any scale
+    * (unlike a float sum, whose value depends on partitioning).
+    */
+  def klDrift(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+    val tt = st.groupBy("t").agg(sum("c_st").as("c_t"))
+    val ns = st.groupBy("source")
+      .agg(sum("c_st").as("n_tokens"), count(lit(1)).as("n_distinct"))
+    val tot = tt.agg(sum("c_t").as("n"))
+    val contrib = (col("c_st").cast("double") / col("n_tokens")) *
+      log((col("c_st").cast("double") * col("n")) /
+        (col("n_tokens").cast("double") * col("c_t")))
+    st.join(ns, "source")
+      .join(tt, "t")
+      .crossJoin(broadcast(tot))
+      .groupBy("source", "n_tokens", "n_distinct")
+      .agg(sum(contrib.cast("decimal(38,18)")).as("klx"))
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        (floor(col("klx").cast("double") * KlDp + lit(0.5)) / KlDp).as("kl"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------------
+  // q_source_overlap — exact source-pair Jaccard / containment
+  // ---------------------------------------------------------------------
+
+  /** Shared floor-shift rounding (set-ratio rationals can land on .5). */
+  private def r4c(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / 10000.0
+
+  /** Exact source-pair overlap (`q_source_overlap`): Jaccard AND both
+    * containment orientations over each source's DISTINCT shingle set —
+    * the exact companion to [[sourceSim]]'s MinHash estimate (the spec
+    * checks the estimate against this within the k=16 sampling bound).
+    * Containment is the mirror-detection signal proper: a small source
+    * fully contained in a big one has low Jaccard but containment ≈ 1.
+    *
+    * Distributed shape: the postings co-occurrence pattern (Dedup's
+    * candidate generator) lifted to source granularity — distinct
+    * (source, shingle) postings, per-shingle source pairs, one
+    * map-side-combined pair count. Per-shingle fan-out is bounded by
+    * C(|sources|, 2) — sources are a catalog dimension, so the
+    * quadratic term is dim-sized, never corpus-sized; the corpus-sized
+    * work is the one distinct + one count shuffle.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import Dedup.ShingleN
+    val post = Tables.documents(s, dir)
+      .select(col("source"), explode(shingleHashes(col("text"), ShingleN)).as("h"))
+      .distinct()
+    val sz = post.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = post.select(col("source").as("source_a"), col("h"))
+      .join(post.select(col("source").as("source_b"), col("h")), "h")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sz.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
+      .join(broadcast(sz.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("inter"),
+        r4c(col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"),
+        r4c(col("inter").cast("double") / col("na")).as("cont_a"),
+        r4c(col("inter").cast("double") / col("nb")).as("cont_b"))
+      .orderBy("source_a", "source_b")
+  }
+
+  def sourceOverlapOracleSql: String = {
+    import Dedup.ShingleN
+    s"""WITH toks AS (
+       |  SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM documents),
+       |sgl AS (
+       |  SELECT source, unnest(list_transform(
+       |      generate_series(1, len(t) - ${ShingleN - 1}),
+       |      i -> array_to_string(t[i:i + ${ShingleN - 1}], ' '))) AS g
+       |  FROM toks WHERE len(t) >= $ShingleN),
+       |post AS (
+       |  SELECT DISTINCT source, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (x, c) -> (x * 31 + c) % $HashP) AS h
+       |  FROM sgl),
+       |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM post GROUP BY 1),
+       |iv AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |         CAST(count(*) AS BIGINT) AS inter
+       |  FROM post a JOIN post b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, inter,
+       |  floor(CAST(inter AS DOUBLE) / (za.n + zb.n - inter) * 10000.0 + 0.5) / 10000.0 AS jaccard,
+       |  floor(CAST(inter AS DOUBLE) / za.n * 10000.0 + 0.5) / 10000.0 AS cont_a,
+       |  floor(CAST(inter AS DOUBLE) / zb.n * 10000.0 + 0.5) / 10000.0 AS cont_b
+       |FROM iv JOIN sz za ON za.source = iv.source_a
+       |        JOIN sz zb ON zb.source = iv.source_b
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_epoch_shuffle — deterministic per-epoch training order
+  // ---------------------------------------------------------------------
+
+  /** Per-epoch multiplicative permutation constants (odd, < p). */
+  val EpochMults: Seq[Long] = Seq(1203114533L, 781532189L, 1429676689L)
+  /** Contiguous hash ranges for the two-phase global rank. */
+  val EpochRankBuckets = 1024L
+
+  /** Deterministic multi-epoch training order (`q_epoch_shuffle`): for
+    * each epoch e, every document's position in that epoch's data
+    * order — the reproducible shuffle a training loader replays
+    * (epoch orders must differ from each other, be engine- and
+    * partitioning-independent, and never need an RNG). Epoch e orders
+    * docs by `(doc_id · A_e) mod p` — A_e invertible mod the prime p,
+    * so each epoch is a distinct exact permutation (keys collide only
+    * beyond 10⁹ ids; doc_id tiebreak keeps the order total).
+    *
+    * The per-epoch global position is the same TWO-PHASE rank as the
+    * packing/token-budget prefix sums, keyed by contiguous HASH ranges:
+    * phase-1 `row_number` within (epoch, range) — 1024 ranges/epoch,
+    * parallel, hash keys are uniform so ranges balance — phase-2
+    * broadcast offsets from an (epoch, range)-count collect (≤ 3·1024
+    * rows of driver metadata). No unpartitioned window.
+    */
+  def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val bw = (HashP + EpochRankBuckets - 1) / EpochRankBuckets // ceil → ids < HashP
+    val epochs = EpochMults.zipWithIndex.map { case (a, e) =>
+      Tables.documents(s, dir).select(
+        lit(e).as("epoch"), col("doc_id"),
+        pmod(col("doc_id") * lit(a), lit(HashP)).as("h"))
+    }.reduce(_ union _)
+      .withColumn("rng", expr(s"h div $bw"))
+    val w = Window.partitionBy("epoch", "rng").orderBy("h", "doc_id")
+    val local = epochs.withColumn("rn", row_number().over(w).cast("long"))
+    val totals = epochs.groupBy("epoch", "rng").agg(count(lit(1)).as("c"))
+      .orderBy("epoch", "rng").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // exclusive prefix per epoch over its ranges (driver metadata)
+    val offs = totals.groupBy(_._1).toSeq.flatMap { case (e, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.map(_._3).scanLeft(0L)(_ + _).zip(sorted).map {
+        case (off, (_, rng, _)) => (e, rng, off)
+      }
+    }
+    import s.implicits._
+    val offDf = offs.toDF("epoch", "rng", "off")
+    local.join(broadcast(offDf), Seq("epoch", "rng"))
+      .select(col("epoch"), (col("off") + col("rn")).as("pos"), col("doc_id"))
+      .orderBy("epoch", "pos")
+  }
+
+  def epochShuffleOracleSql: String = {
+    val cases = EpochMults.zipWithIndex
+      .map { case (a, e) => s"WHEN $e THEN (doc_id * $a) % $HashP" }
+      .mkString(" ")
+    s"""WITH ep AS (
+       |  SELECT CAST(e AS INTEGER) AS epoch, doc_id,
+       |    CASE CAST(e AS INTEGER) $cases END AS h
+       |  FROM documents, unnest(generate_series(0, ${EpochMults.size - 1})) AS u(e))
+       |SELECT epoch, CAST(row_number() OVER
+       |    (PARTITION BY epoch ORDER BY h, doc_id) AS BIGINT) AS pos,
+       |  doc_id
+       |FROM ep ORDER BY epoch, pos""".stripMargin
+  }
+
+  def klDriftOracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+       |  FROM documents),
+       |st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c_st
+       |       FROM tok GROUP BY 1, 2),
+       |tt AS (SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+       |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_tokens,
+       |              CAST(count(*) AS BIGINT) AS n_distinct
+       |       FROM st GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM tt)
+       |SELECT st.source, n_tokens, n_distinct,
+       |  floor(CAST(sum(CAST(
+       |      (CAST(c_st AS DOUBLE) / n_tokens) *
+       |      ln((CAST(c_st AS DOUBLE) * n) / (CAST(n_tokens AS DOUBLE) * c_t))
+       |    AS DECIMAL(38,18))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS kl
+       |FROM st JOIN ns USING (source) JOIN tt USING (t), tot
+       |GROUP BY st.source, n_tokens, n_distinct
+       |ORDER BY source""".stripMargin
+}

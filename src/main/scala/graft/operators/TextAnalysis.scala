@@ -158,9 +158,13 @@ object TextAnalysis {
         size(tokens(scrubPii(col("text")))).cast("long").as("ntok"))
   }
 
-  /** Drop the session-scoped survivor-counts cache for `dir`. */
-  def releasePipelineCache(s: SparkSession, dir: String): Unit =
+  /** Drop the session-scoped survivor-counts and LM-score caches for
+    * `dir`.
+    */
+  def releasePipelineCache(s: SparkSession, dir: String): Unit = {
     survivorCountsPlan(s, dir).unpersist()
+    lmScoreFramePlan(s, dir).unpersist()
+  }
 
   val ContaminationEvalDocs = 5
   val ContaminationShingleN = 5
@@ -334,15 +338,35 @@ object TextAnalysis {
     * in the oracle), so both engines add in the same order and the
     * 4-dp rounding absorbs last-ulp drift.
     */
-  def lmScore(s: SparkSession, dir: String): DataFrame = {
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    lmScoreFrame(s, dir)
+      .select(col("doc_id"), col("n_pairs"), col("lm_score"))
+      .orderBy("doc_id")
+
+  /** LM-scored frame with the document's declared language carried
+    * through (`(doc_id, lang, n_pairs, lm_score)`, unsorted) — shared
+    * by [[lmScore]] and the CCNet-style perplexity bucketing
+    * (CorpusCuration.pplBuckets, which needs the scores TWICE: once
+    * for per-lang tercile thresholds, once for the per-doc bucket
+    * assignment). Persisted for the session — the frame is 4 columns
+    * ≈ 30 B/row, three orders smaller than the bigram stream it
+    * derives from; released by [[releasePipelineCache]]. Carrying
+    * `lang` through the existing groupBy is free (functionally
+    * dependent on doc_id) and saves pplBuckets a corpus-sized join.
+    */
+  private[operators] def lmScoreFrame(s: SparkSession, dir: String): DataFrame =
+    lmScoreFramePlan(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def lmScoreFramePlan(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= 2)
-    val pairs = docs.select(col("doc_id"), posexplode(
+    val pairs = docs.select(col("doc_id"), col("lang"), posexplode(
         transform(sequence(lit(0), size(col("ts")) - 2),
           i => struct(element_at(col("ts"), i + 1).as("w1"),
             element_at(col("ts"), i + 2).as("w2")))).as(Seq("pos", "pr")))
-      .select(col("doc_id"), col("pos"),
+      .select(col("doc_id"), col("lang"), col("pos"),
         col("pr.w1").as("w1"), col("pr.w2").as("w2"))
     val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     // history counts = Σ_w2 c(w1,w2), derived from the bigram model
@@ -356,13 +380,12 @@ object TextAnalysis {
       .crossJoin(broadcast(vocab))
       .withColumn("logp", log((col("cb") + lit(LmAlpha)).cast("double") /
         (col("cu") + lit(LmAlpha) * col("v")).cast("double")))
-    scored.groupBy("doc_id")
+    scored.groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_pairs"),
         aggregate(transform(array_sort(collect_list(struct(col("pos"), col("logp")))),
           x => x.getField("logp")), lit(0.0), (a, x) => a + x).as("ll"))
-      .select(col("doc_id"), col("n_pairs"),
+      .select(col("doc_id"), col("lang"), col("n_pairs"),
         round(-col("ll") / col("n_pairs"), LmScoreDp).as("lm_score"))
-      .orderBy("doc_id")
   }
 
   /** Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language

@@ -1,0 +1,258 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.CorpusCuration
+
+/** Round-7 corpus-curation operators: token-budget selection, CCNet
+  * perplexity terciles, source-similarity sketch, KL drift monitor.
+  */
+class CorpusCurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  // -------------------------------------------------------------------
+  // q_token_budget
+  // -------------------------------------------------------------------
+
+  test("token budget keeps the maximal greedy quality prefix within budget") {
+    val sel = CorpusCuration.tokenBudget(spark, sf).collect()
+    val all = operators.TextAnalysis.quality(spark, sf)
+      .join(operators.TextAnalysis.tokenCount(spark, sf), "doc_id")
+      .select(col("doc_id"), col("quality"),
+        col("ws_tokens")) // only for count sanity; ordering below uses own frame
+    val total = Tables.documents(spark, sf)
+      .select(size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sum
+    val budget = total / CorpusCuration.TokenBudgetDen
+    val cum = sel.map(_.getLong(3))
+    assert(cum.forall(_ <= budget), "every selected doc fits the budget")
+    // rows arrive quality DESC, doc_id ASC; cum_tokens must be the
+    // running inclusive sum of ntok in exactly that order
+    val ntoks = sel.map(_.getLong(2))
+    val expectCum = ntoks.scanLeft(0L)(_ + _).drop(1)
+    assert(cum.sameElements(expectCum), "cum_tokens is the prefix sum in selection order")
+    // greedy maximality: one more doc would overflow (unless everything fit)
+    if (sel.length < all.count())
+      assert(cum.isEmpty || cum.last <= budget)
+    assert(sel.nonEmpty)
+  }
+
+  test("token budget plan has no unpartitioned window") {
+    val p = CorpusCuration.tokenBudget(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the cumsum window must be partitioned by the quality bucket —
+    // an empty partition spec would be the single-task global sort
+    val wlines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(wlines.nonEmpty, "two-phase cumsum window present")
+    assert(wlines.forall(_.contains("qb")), s"window partitioned by qb:\n$p")
+  }
+
+  // -------------------------------------------------------------------
+  // q_ppl_buckets
+  // -------------------------------------------------------------------
+
+  test("ppl buckets: per-lang terciles are near-thirds and ordered") {
+    val b = CorpusCuration.pplBuckets(spark, sf)
+    val counts = b.groupBy("lang", "bucket").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val langs = counts.keys.map(_._1).toSet
+    for (l <- langs) {
+      val h = counts.getOrElse((l, "head"), 0L)
+      val m = counts.getOrElse((l, "middle"), 0L)
+      val t = counts.getOrElse((l, "tail"), 0L)
+      val n = h + m + t
+      assert(h > 0 && m > 0 && t > 0, s"$l: all buckets populated")
+      // quantile thresholds put ~n/3 in each bucket (ties can shift a few)
+      assert(math.abs(h - n / 3.0) <= n * 0.15 + 2, s"$l head $h of $n")
+      assert(math.abs(t - n / 3.0) <= n * 0.15 + 2, s"$l tail $t of $n")
+    }
+    // head docs score strictly below tail docs within a language
+    val rows = b.collect().map(r => (r.getString(1), r.getDouble(2), r.getString(3)))
+    for (l <- langs) {
+      val heads = rows.collect { case (`l`, s, "head") => s }
+      val tails = rows.collect { case (`l`, s, "tail") => s }
+      assert(heads.max <= tails.min, s"$l: head scores <= tail scores")
+    }
+  }
+
+  test("ppl buckets plan assigns via broadcast threshold join, not a per-lang window") {
+    val p = CorpusCuration.pplBuckets(spark, sf)
+      .queryExecution.executedPlan.toString
+    // an ntile()/rank() formulation would serialize each language
+    // through one task — the scale-safe shape is agg + broadcast join
+    assert(!p.contains("WindowExec"), "no window in the bucket assignment")
+    assert(p.contains("BroadcastHashJoin"), "threshold frame broadcasts")
+  }
+
+  // -------------------------------------------------------------------
+  // q_source_sim
+  // -------------------------------------------------------------------
+
+  test("source sim: identical sources estimate 1.0, disjoint estimate 0.0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssim").toString
+    val words = (0 until 40).map(i => s"alpha$i").mkString(" ")
+    val other = (0 until 40).map(i => s"omega$i").mkString(" ")
+    Seq(
+      (1L, words, "en", "srcA", words.length.toLong),
+      (2L, words, "en", "srcB", words.length.toLong),
+      (3L, other, "en", "srcC", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusCuration.sourceSim(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(got(("srcA", "srcB")) === 1.0, "identical shingle sets match on every component")
+    assert(got(("srcA", "srcC")) === 0.0, "disjoint vocab shares no component")
+    assert(got(("srcB", "srcC")) === 0.0)
+  }
+
+  test("source sim emits every source pair exactly once") {
+    val rows = CorpusCuration.sourceSim(spark, sf).collect()
+    val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(rows.length === nSrc * (nSrc - 1) / 2)
+    assert(rows.forall { r =>
+      val e = r.getDouble(3); e >= 0.0 && e <= 1.0 && r.getString(0) < r.getString(1)
+    })
+  }
+
+  // -------------------------------------------------------------------
+  // q_kl_drift
+  // -------------------------------------------------------------------
+
+  test("kl drift: identical distributions give exactly 0, drifted source > 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kl").toString
+    val common = "one two three four five"
+    Seq(
+      (1L, common, "en", "srcA", common.length.toLong),
+      (2L, common, "en", "srcB", common.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val same = CorpusCuration.klDrift(spark, dir).collect()
+    // every per-token ratio is exactly 1 → ln 1 = 0 → decimal sum 0
+    assert(same.forall(_.getDouble(3) === 0.0))
+
+    // fresh dir: Tables memoizes the resolved relation per (session,
+    // path), so rewriting the same path would serve the stale frame
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_kl2").toString
+    val drifted = "zzz zzz zzz zzz zzz"
+    Seq(
+      (1L, common, "en", "srcA", common.length.toLong),
+      (2L, common, "en", "srcB", common.length.toLong),
+      (3L, drifted, "en", "srcD", drifted.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val kl = CorpusCuration.klDrift(spark, dir2).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(kl("srcD") > kl("srcA"), "the template-flood source drifts hardest")
+    assert(kl("srcD") > 1.0, "disjoint unigram mass is far from the corpus")
+  }
+
+  test("kl drift on the corpus: 20 sources, all finite and non-negative") {
+    val rows = CorpusCuration.klDrift(spark, sf).collect()
+    assert(rows.length === 20)
+    assert(rows.forall { r =>
+      val k = r.getDouble(3); !k.isNaN && !k.isInfinite && k >= 0.0
+    })
+  }
+
+  // -------------------------------------------------------------------
+  // q_source_overlap + cross-validation of the MinHash estimate
+  // -------------------------------------------------------------------
+
+  test("source overlap is exact and bounds the MinHash estimate's error") {
+    val exact = CorpusCuration.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val est = CorpusCuration.sourceSim(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(exact.keySet.subsetOf(est.keySet), "every overlapping pair has an estimate")
+    // k=16 MinHash: per-pair std ≤ 1/(2√16) = 0.125; allow 3σ per pair
+    // and a tight mean bound across the 190 pairs
+    val errs = est.map { case (p, e) => math.abs(e - exact.getOrElse(p, 0.0)) }
+    assert(errs.max <= 0.38, s"worst pair error ${errs.max}")
+    assert(errs.sum / errs.size <= 0.12, s"mean error ${errs.sum / errs.size}")
+  }
+
+  test("source overlap containment: identical sources contain each other fully") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sov").toString
+    val words = (0 until 40).map(i => s"beta$i").mkString(" ")
+    val half = (0 until 21).map(i => s"beta$i").mkString(" ") // prefix shingles ⊂ full
+    Seq(
+      (1L, words, "en", "srcA", words.length.toLong),
+      (2L, words, "en", "srcB", words.length.toLong),
+      (3L, half, "en", "srcC", half.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusCuration.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val (jAB, _, _) = got(("srcA", "srcB"))
+    assert(jAB === 1.0)
+    val (jAC, contA, contC) = got(("srcA", "srcC"))
+    assert(jAC < 1.0 && contC === 1.0, "srcC's shingles all inside srcA")
+    assert(contA === jAC, "asymmetry: srcA only partially covered")
+  }
+
+  // -------------------------------------------------------------------
+  // q_epoch_shuffle
+  // -------------------------------------------------------------------
+
+  test("epoch shuffle: each epoch is a complete permutation, orders differ") {
+    val rows: Seq[(Int, Long, Long)] = CorpusCuration.epochShuffle(spark, sf)
+      .collect().toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val n = Tables.documents(spark, sf).count()
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet === CorpusCuration.EpochMults.indices.toSet)
+    for ((e, rs) <- byEpoch) {
+      assert(rs.length === n, s"epoch $e covers the corpus")
+      assert(rs.map(_._2).sorted === (1L to n).toSeq,
+        s"epoch $e positions are 1..$n exactly once")
+      assert(rs.map(_._3).distinct.length === n, s"epoch $e permutes all docs")
+    }
+    // different epochs produce genuinely different orders
+    val o0 = byEpoch(0).sortBy(_._2).map(_._3).toSeq
+    val o1 = byEpoch(1).sortBy(_._2).map(_._3).toSeq
+    assert(o0 !== o1, "epoch orders differ")
+    assert(o0.zip(o1).count { case (a, b) => a == b } < n / 10,
+      "orders are not near-identical")
+  }
+
+  test("epoch shuffle plan: rank windows are hash-range-partitioned") {
+    val p = CorpusCuration.epochShuffle(spark, sf)
+      .queryExecution.executedPlan.toString
+    val wlines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(wlines.nonEmpty && wlines.forall(_.contains("rng")),
+      s"two-phase rank windows keyed by hash range:\n${wlines.mkString("\n")}")
+  }
+
+  // -------------------------------------------------------------------
+  // streaming twin: mergeable per-source MinHash signatures
+  // -------------------------------------------------------------------
+
+  test("streaming source-sim signatures equal the batch operator's over any split") {
+    val docs = Tables.documents(spark, sf).select("source", "text", "doc_id")
+    val twin = new graft.streaming.StreamingSourceSim
+    // three arbitrary micro-batches by doc_id residue
+    for (r <- 0 until 3)
+      twin.mergeBatch(docs.filter(pmod(col("doc_id"), lit(3)) === r)
+        .select("source", "text"))
+    val got = twin.current
+    val want = {
+      import graft.operators.Dedup
+      val ex = docs.select(col("source"),
+        explode(graft.functions.TextFunctions.shingleHashes(
+          col("text"), Dedup.ShingleN)).as("h"))
+      val mins = Dedup.MinhashA.zip(Dedup.MinhashB).zipWithIndex.map {
+        case ((a, b), i) =>
+          min(pmod(lit(a) * col("h") + lit(b),
+            lit(graft.functions.TextFunctions.HashP))).as(s"m$i")
+      }
+      ex.groupBy("source").agg(mins.head, mins.tail: _*).collect()
+        .map(r => r.getString(0) ->
+          Seq.tabulate(Dedup.MinhashA.size)(i => r.getLong(i + 1))).toMap
+    }
+    assert(got === want, "merged per-batch mins == full-history signature")
+  }
+}

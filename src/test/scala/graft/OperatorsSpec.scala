@@ -570,10 +570,16 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     val allowedBnlj = Set("q_ann_brute_topk", "q_ann_ivf_topk", "q_ann_ivf2_topk",
       "q_ann_pq_topk", "q_ann_ivfpq_topk", "q_report_goals", "q_report_doc",
       "q_tfidf_top_terms", "q_value_deciles", "q_lm_score",
+      // inherits q_lm_score's scalar vocab-size cross join
+      "q_ppl_buckets",
       // pair/unigram counts × the single corpus-token-total scalar row
       "q_cooccur",
       // lang-cardinality counts × the single feasible-size scalar row
-      "q_domain_mix", "q_domain_mix_up", "q_domain_mix_alpha")
+      "q_domain_mix", "q_domain_mix_up", "q_domain_mix_alpha",
+      // vocab counts × the single corpus-total scalar row
+      "q_kl_drift",
+      // source-catalog (dim-sized) signature self-join on an inequality
+      "q_source_sim")
     for ((q, _) <- SparkEntry.queries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
@@ -934,10 +940,10 @@ class BenchLineSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
   test("worst-case bench line stays under 1500 chars (driver window is ~2000)") {
-    // every query slow AND failed: "-999.9" is the widest 1-dp value
-    // the clamp can emit for a sub-17-minute run
+    // every query slow AND failed: "-99.9" is the widest value the
+    // ±99.9 clamp in Bench's timing loop can emit
     val qs = SparkEntry.queries.keySet.toSeq.sorted
-      .map(k => "\"" + Bench.shortKey(k) + "\":-999.9").mkString("{", ",", "}")
+      .map(k => "\"" + Bench.shortKey(k) + "\":-99.9").mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":99999.99,"unit":"sec","queries":$qs,""" +
       s""""cpu":99999.9,"ld":[99.99,99.99],"sf":"sf0.1"}"""
     assert(line.length < 1500,
