@@ -53,6 +53,7 @@ object Bench {
     "q_pivot" -> "pvt", "q_ppl_buckets" -> "ppb",
     "q_priority_dist" -> "pds",
     "q_project_flags" -> "pfl", "q_quality_sample" -> "qsm",
+    "q_quality_calibration" -> "qcl",
     "q_quality_score" -> "qsc", "q_repetition" -> "rep",
     "q_report_doc" -> "rdc", "q_report_goals" -> "rgl",
     "q_retention" -> "rtn", "q_rollup" -> "rlp",

@@ -91,12 +91,13 @@ object SparkEntry {
     // the full corpus→training-sequences path as one composed query
     "q_corpus_pipeline" -> ((s, d) => TextAnalysis.corpusPipeline(s, d)),
     // §2.6b corpus curation (round 7): data selection / mixture monitors
-    "q_token_budget"   -> CorpusCuration.tokenBudget _,
-    "q_ppl_buckets"    -> CorpusCuration.pplBuckets _,
+    "q_token_budget"   -> ((s, d) => CorpusCuration.tokenBudget(s, d)),
+    "q_ppl_buckets"    -> ((s, d) => CorpusCuration.pplBuckets(s, d)),
     "q_source_sim"     -> CorpusCuration.sourceSim _,
     "q_source_overlap" -> CorpusCuration.sourceOverlap _,
     "q_kl_drift"       -> CorpusCuration.klDrift _,
-    "q_epoch_shuffle"  -> CorpusCuration.epochShuffle _,
+    "q_epoch_shuffle"  -> ((s, d) => CorpusCuration.epochShuffle(s, d)),
+    "q_quality_calibration" -> CorpusCuration.qualityCalibration _,
     // §2.7 multimodal metadata
     "q_multimodal_meta" -> TextAnalysis.multimodalMeta _,
     // §2.1b extended composed analytics
@@ -606,6 +607,16 @@ object SparkEntry {
          |SELECT doc_id, quality, ntok, cum_tokens FROM tc, bg
          |WHERE cum_tokens <= budget
          |ORDER BY quality DESC, doc_id""".stripMargin,
+    // quality-decile vs mean LM score: composes the shared LM + quality
+    // CTE families (names are disjoint: d2..lm vs qt/qs/qq)
+    "q_quality_calibration" ->
+      s"""WITH $sqlLmCtes, $sqlQualityCtes
+         |SELECT CAST(floor(q.quality * 10.0) AS BIGINT) AS qbucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  floor(CAST(sum(CAST(l.lm_score AS DECIMAL(38,18))) AS DOUBLE)
+         |        / count(*) * 1e6 + 0.5) / 1e6 AS mean_lm
+         |FROM lm l JOIN qq q USING (doc_id)
+         |GROUP BY 1 ORDER BY qbucket""".stripMargin,
     "q_source_sim"     -> CorpusCuration.sourceSimOracleSql,
     "q_source_overlap" -> CorpusCuration.sourceOverlapOracleSql,
     "q_kl_drift"       -> CorpusCuration.klDriftOracleSql,

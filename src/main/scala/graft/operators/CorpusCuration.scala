@@ -55,7 +55,12 @@ object CorpusCuration {
     * bucket-totals collect. No unpartitioned window anywhere; one
     * key-partitioned shuffle + the totals agg.
     */
-  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+  /** `ordered=true` appends the parity-harness sort (the verification
+    * contract, not a plan requirement — README "Determinism vs scale");
+    * the selected set is ~half the corpus, so production callers take
+    * the unsorted form.
+    */
+  def tokenBudget(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"),
         qualityScore(col("text")).as("quality"),
@@ -72,11 +77,11 @@ object CorpusCuration {
     val budget = totals.map(_._2).sum / TokenBudgetDen
     import s.implicits._
     val offDf = totals.map(_._1).zip(running).toSeq.toDF("qb", "boff")
-    local.join(broadcast(offDf), "qb")
+    val out = local.join(broadcast(offDf), "qb")
       .withColumn("cum_tokens", col("boff") + col("lend"))
       .filter(col("cum_tokens") <= lit(budget))
       .select(col("doc_id"), col("quality"), col("ntok"), col("cum_tokens"))
-      .orderBy(col("quality").desc, col("doc_id"))
+    if (ordered) out.orderBy(col("quality").desc, col("doc_id")) else out
   }
 
   // ---------------------------------------------------------------------
@@ -104,7 +109,7 @@ object CorpusCuration {
     * strictly between two distinct quantized values, so the `<=`
     * comparisons agree even under last-ulp drift.
     */
-  def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+  def pplBuckets(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
     val lm = TextAnalysis.lmScoreFrame(s, dir)
     val thr = lm.groupBy("lang")
       // CAST(1 AS DOUBLE)/3 in BOTH engines: a bare 1.0/3 literal is
@@ -113,13 +118,13 @@ object CorpusCuration {
       .agg(expr("percentile(lm_score, array(cast(1 as double)/3, cast(2 as double)/3))").as("t"))
       .select(col("lang"),
         element_at(col("t"), 1).as("t1"), element_at(col("t"), 2).as("t2"))
-    lm.join(broadcast(thr), "lang")
+    val out = lm.join(broadcast(thr), "lang")
       .withColumn("bucket",
         when(col("lm_score") <= col("t1"), lit("head"))
           .when(col("lm_score") <= col("t2"), lit("middle"))
           .otherwise(lit("tail")))
       .select(col("doc_id"), col("lang"), col("lm_score"), col("bucket"))
-      .orderBy("doc_id")
+    if (ordered) out.orderBy("doc_id") else out
   }
 
   // ---------------------------------------------------------------------
@@ -252,6 +257,40 @@ object CorpusCuration {
   }
 
   // ---------------------------------------------------------------------
+  // q_quality_calibration — do the two quality signals agree?
+  // ---------------------------------------------------------------------
+
+  /** Quality-vs-perplexity calibration curve (`q_quality_calibration`):
+    * mean bigram-LM score per heuristic-quality decile — the standing
+    * check that a cheap map-side filter and an expensive model-based
+    * filter rank documents the same way (a flat or inverted curve means
+    * one of the gates is miscalibrated for this corpus; every filtered
+    * pretraining run does this comparison before trusting a cheap gate).
+    *
+    * Shape: the LM side is the session-persisted [[TextAnalysis
+    * .lmScoreFrame]] (narrow, built once); quality is map-side column
+    * arithmetic riding a documents scan; combining two per-doc signals
+    * is one doc_id equi-join (corpus-sized on both sides — the honest
+    * unavoidable shuffle, left to AQE) into an 11-bucket aggregate.
+    * The per-bucket mean uses the q_kl_drift DECIMAL(38,18) sum —
+    * exact, associative, partitioning-independent.
+    */
+  def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val lm = TextAnalysis.lmScoreFrame(s, dir).select("doc_id", "lm_score")
+    val q = Tables.documents(s, dir)
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+    lm.join(q, "doc_id")
+      .withColumn("qbucket", floor(col("quality") * lit(10.0)).cast("long"))
+      .groupBy("qbucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("lm_score").cast("decimal(38,18)")).as("sx"))
+      .select(col("qbucket"), col("n_docs"),
+        (floor(col("sx").cast("double") / col("n_docs") * KlDp + lit(0.5)) / KlDp)
+          .as("mean_lm"))
+      .orderBy("qbucket")
+  }
+
+  // ---------------------------------------------------------------------
   // q_source_overlap — exact source-pair Jaccard / containment
   // ---------------------------------------------------------------------
 
@@ -348,7 +387,7 @@ object CorpusCuration {
     * broadcast offsets from an (epoch, range)-count collect (≤ 3·1024
     * rows of driver metadata). No unpartitioned window.
     */
-  def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+  def epochShuffle(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
     val bw = (HashP + EpochRankBuckets - 1) / EpochRankBuckets // ceil → ids < HashP
     val epochs = EpochMults.zipWithIndex.map { case (a, e) =>
       Tables.documents(s, dir).select(
@@ -370,9 +409,9 @@ object CorpusCuration {
     }
     import s.implicits._
     val offDf = offs.toDF("epoch", "rng", "off")
-    local.join(broadcast(offDf), Seq("epoch", "rng"))
+    val out = local.join(broadcast(offDf), Seq("epoch", "rng"))
       .select(col("epoch"), (col("off") + col("rn")).as("pos"), col("doc_id"))
-      .orderBy("epoch", "pos")
+    if (ordered) out.orderBy("epoch", "pos") else out
   }
 
   def epochShuffleOracleSql: String = {

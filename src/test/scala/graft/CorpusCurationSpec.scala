@@ -158,6 +158,29 @@ class CorpusCurationSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // q_quality_calibration
+  // -------------------------------------------------------------------
+
+  test("quality calibration: buckets partition the scored docs, means are exact") {
+    val cal = CorpusCuration.qualityCalibration(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+    assert(cal.map(_._1).distinct.length === cal.length, "one row per decile")
+    assert(cal.forall { case (b, _) => b >= 0 && b <= 10 })
+    // doc coverage: every doc with an LM score lands in exactly one bucket
+    val scored = operators.TextAnalysis.lmScore(spark, sf).count()
+    assert(cal.map(_._2._1).sum === scored)
+    // cross-check one bucket's mean against a direct computation
+    val (b0, (n0, m0)) = cal.head
+    val direct = operators.TextAnalysis.lmScore(spark, sf)
+      .join(operators.TextAnalysis.quality(spark, sf), "doc_id")
+      .filter(floor(col("quality") * 10.0).cast("long") === b0)
+      .agg(count(lit(1)), sum("lm_score")).head()
+    assert(direct.getLong(0) === n0)
+    val want = math.floor(direct.getDouble(1) / n0 * 1e6 + 0.5) / 1e6
+    assert(math.abs(m0 - want) < 2e-6, s"bucket $b0 mean $m0 vs $want")
+  }
+
+  // -------------------------------------------------------------------
   // q_source_overlap + cross-validation of the MinHash estimate
   // -------------------------------------------------------------------
 
