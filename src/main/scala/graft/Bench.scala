@@ -178,6 +178,7 @@ object Bench {
     graft.operators.ReportDoc.releaseReportCache(spark, sfDir)
     graft.operators.TextAnalysis.releasePipelineCache(spark, sfDir)
     graft.operators.Bpe.releaseLearnedCache(spark, sfDir)
+    graft.operators.CorpusCuration.releaseCurationCache(spark, sfDir)
     val load1 = osBean.getSystemLoadAverage
     // sf as the basename only ("sf0.1"), not the full path: every char
     // counts against the tail window.

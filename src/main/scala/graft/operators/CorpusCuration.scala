@@ -156,10 +156,19 @@ object CorpusCuration {
     val mins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(HashP))).as(s"m$i")
     }
-    val sig = ex.groupBy("source")
+    // the corpus-sized sketch pass runs ONCE: the finished signature
+    // frame is |sources|×16 longs — driver-bounded metadata (the
+    // packOn/ANN-probe-set class) — so it collects and the pairwise
+    // stage runs on a local frame instead of re-executing the scan
+    // for each side of the self-join (ReuseExchange is not guaranteed
+    // across differently-aliased subtrees; measured: it did not fire)
+    val sigRows = ex.groupBy("source")
       .agg(mins.head, mins.tail: _*)
-      .select(col("source"),
-        array(MinhashA.indices.map(i => col(s"m$i")): _*).as("sig"))
+      .collect()
+      .map(r => (r.getString(0),
+        Seq.tabulate(MinhashA.size)(i => r.getLong(i + 1))))
+    import s.implicits._
+    val sig = sigRows.toSeq.toDF("source", "sig")
     val a = sig.select(col("source").as("source_a"), col("sig").as("sa"))
     val b = sig.select(col("source").as("source_b"), col("sig").as("sb"))
     a.join(broadcast(b), col("source_a") < col("source_b"))
@@ -236,9 +245,7 @@ object CorpusCuration {
     * (unlike a float sum, whose value depends on partitioning).
     */
   def klDrift(s: SparkSession, dir: String): DataFrame = {
-    val st = Tables.documents(s, dir)
-      .select(col("source"), explode(tokens(col("text"))).as("t"))
-      .groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+    val st = sourceTokenCounts(s, dir)
     val tt = st.groupBy("t").agg(sum("c_st").as("c_t"))
     val ns = st.groupBy("source")
       .agg(sum("c_st").as("n_tokens"), count(lit(1)).as("n_distinct"))
@@ -313,10 +320,7 @@ object CorpusCuration {
     * work is the one distinct + one count shuffle.
     */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    import Dedup.ShingleN
-    val post = Tables.documents(s, dir)
-      .select(col("source"), explode(shingleHashes(col("text"), ShingleN)).as("h"))
-      .distinct()
+    val post = postings(s, dir)
     val sz = post.groupBy("source").agg(count(lit(1)).as("n"))
     val inter = post.select(col("source").as("source_a"), col("h"))
       .join(post.select(col("source").as("source_b"), col("h")), "h")
@@ -330,6 +334,27 @@ object CorpusCuration {
         r4c(col("inter").cast("double") / col("na")).as("cont_a"),
         r4c(col("inter").cast("double") / col("nb")).as("cont_b"))
       .orderBy("source_a", "source_b")
+  }
+
+  /** Distinct (source, shingle-hash) postings, session-persisted: the
+    * overlap operator reads this frame THREE times (both self-join
+    * sides + the size aggregate), and exchange reuse across
+    * differently-aliased subtrees is not guaranteed — without the
+    * persist each reference re-runs the corpus explode+distinct
+    * (measured as duplicate scans in the final adaptive plan). The
+    * frame is the distinct postings set — bounded by corpus vocabulary
+    * × source count, the same class Dedup persists its shingle frame
+    * in. Released by [[releaseCurationCache]] (Verify/Bench call it).
+    */
+  private def postings(s: SparkSession, dir: String): DataFrame =
+    postingsPlan(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def postingsPlan(s: SparkSession, dir: String): DataFrame = {
+    import Dedup.ShingleN
+    Tables.documents(s, dir)
+      .select(col("source"), explode(shingleHashes(col("text"), ShingleN)).as("h"))
+      .distinct()
   }
 
   def sourceOverlapOracleSql: String = {
@@ -389,11 +414,12 @@ object CorpusCuration {
     */
   def epochShuffle(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
     val bw = (HashP + EpochRankBuckets - 1) / EpochRankBuckets // ceil → ids < HashP
-    val epochs = EpochMults.zipWithIndex.map { case (a, e) =>
-      Tables.documents(s, dir).select(
-        lit(e).as("epoch"), col("doc_id"),
-        pmod(col("doc_id") * lit(a), lit(HashP)).as("h"))
-    }.reduce(_ union _)
+    // epoch fan-out as ONE scan + posexplode (a per-epoch union would
+    // read the corpus once per epoch per pass)
+    val epochs = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(array(
+        EpochMults.map(a => pmod(col("doc_id") * lit(a), lit(HashP))): _*))
+        .as(Seq("epoch", "h")))
       .withColumn("rng", expr(s"h div $bw"))
     val w = Window.partitionBy("epoch", "rng").orderBy("h", "doc_id")
     val local = epochs.withColumn("rn", row_number().over(w).cast("long"))
@@ -426,6 +452,30 @@ object CorpusCuration {
        |    (PARTITION BY epoch ORDER BY h, doc_id) AS BIGINT) AS pos,
        |  doc_id
        |FROM ep ORDER BY epoch, pos""".stripMargin
+  }
+
+  /** (source, token) counts, session-persisted: four frames derive
+    * from this one aggregate (token totals, per-source totals, corpus
+    * total, and the contribution join's probe side) — without the
+    * persist each derivation physically re-runs the corpus explode
+    * (measured: 8 scans in the final adaptive plan, ReuseExchange did
+    * not fire across the differing partial-agg outputs). The persisted
+    * frame is vocabulary × sources sized — post-aggregation, orders
+    * smaller than the corpus. Released by [[releaseCurationCache]].
+    */
+  private def sourceTokenCounts(s: SparkSession, dir: String): DataFrame =
+    sourceTokenCountsPlan(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def sourceTokenCountsPlan(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+
+  /** Drop the session-scoped curation caches for `dir`. */
+  def releaseCurationCache(s: SparkSession, dir: String): Unit = {
+    postingsPlan(s, dir).unpersist()
+    sourceTokenCountsPlan(s, dir).unpersist()
   }
 
   def klDriftOracleSql: String =
