@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   case class MediaRow(id: Long, kind: String, payload: Array[Byte])
+  case class AudioMeta(id: Long, format: String, sample_rate: Int,
+                       channels: Int, bits: Int, duration_ms: Long)
   case class MediaMeta(id: Long, kind: String, n_bytes: Int,
                        checksum: Long, width: Int, height: Int)
   case class MediaFrame(id: Long, frame_no: Int, offset: Int, frame_bytes: Array[Byte])
@@ -64,6 +66,24 @@ object Multimodal {
           case Some((fmt, w, h)) => MediaMeta(m.id, s"image/$fmt", m.payload.length, checksum, w, h)
           case None => MediaMeta(m.id, m.kind, m.payload.length, checksum, sw, sh)
         }
+      }
+    }
+  }
+
+  /** Partition-parallel AUDIO metadata decode: payloads with a real
+    * WAV/FLAC/MP3 container header (pure byte parsing, see
+    * AudioHeaders) emit typed audio rows — sample rate, channels, bit
+    * depth, duration — and everything else drops (audio fields have no
+    * honest stub: dimensions-by-hash made sense for the image path's
+    * plumbing tests, a fake sample rate would not). Same mapPartitions
+    * batch shape as [[decodeMeta]].
+    */
+  def audioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        AudioHeaders.parse(m.payload).map(a =>
+          AudioMeta(m.id, a.format, a.sampleRate, a.channels, a.bits, a.durationMs))
       }
     }
   }

@@ -182,6 +182,54 @@ class ExportMultimodalSpec extends AnyFunSuite {
     assert(meta(3L).kind === "media/raw") // stub fallback keeps declared kind
   }
 
+  test("audioMeta parses real WAV/FLAC/MP3 headers, drops everything else") {
+    import spark.implicits._
+    import graft.multimodal.AudioHeaders
+    // WAV: RIFF/WAVE, fmt(PCM stereo 44100 Hz 16-bit), data = 1 s
+    def le32(v: Long) = Array((v & 0xff).toInt, ((v >> 8) & 0xff).toInt,
+      ((v >> 16) & 0xff).toInt, ((v >> 24) & 0xff).toInt)
+    val wav = ("RIFF".getBytes.map(_.toInt) ++ le32(36 + 176400) ++
+      "WAVEfmt ".getBytes.map(_.toInt) ++ le32(16) ++
+      Array(1, 0, 2, 0) ++ le32(44100) ++ le32(176400) ++ Array(4, 0, 16, 0) ++
+      "data".getBytes.map(_.toInt) ++ le32(176400)).map(_.toByte)
+    assert(AudioHeaders.parse(wav) ===
+      Some(AudioHeaders.AudioInfo("wav", 44100, 2, 16, 1000L)))
+    // FLAC: fLaC + STREAMINFO (48 kHz mono 16-bit, 96000 samples = 2 s)
+    val streaminfo = Array.fill(34)(0)
+    streaminfo(10) = 48000 >> 12
+    streaminfo(11) = (48000 >> 4) & 0xff
+    streaminfo(12) = ((48000 & 0xf) << 4) | (0 << 1) | 0 // channels-1=0, bits msb
+    streaminfo(13) = (15 << 4) | 0                       // bits-1=15, total msb
+    streaminfo(14) = (96000 >> 24) & 0xff
+    streaminfo(15) = (96000 >> 16) & 0xff
+    streaminfo(16) = (96000 >> 8) & 0xff
+    streaminfo(17) = 96000 & 0xff
+    val flac = ("fLaC".getBytes.map(_.toInt) ++
+      Array(0x80, 0, 0, 34) ++ streaminfo).map(_.toByte)
+    assert(AudioHeaders.parse(flac) ===
+      Some(AudioHeaders.AudioInfo("flac", 48000, 1, 16, 2000L)))
+    // MP3: ID3v2 tag (zero size) + MPEG1 Layer III 128 kbps 44.1 kHz
+    // stereo frame; payload sized so the CBR estimate lands at ~1 s
+    val mp3 = (Array[Int]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 0) ++
+      Array[Int](0xff, 0xfb, 0x90, 0x00) ++ Array.fill(15996)(0xaa)).map(_.toByte)
+    val m = AudioHeaders.parse(mp3).get
+    assert(m.format === "mp3" && m.sampleRate === 44100 && m.channels === 2)
+    assert(m.durationMs === 16000L * 8 / 128, "CBR duration estimate")
+    // non-audio payloads: text, images, truncated WAV
+    assert(AudioHeaders.parse("plain text".getBytes) === None)
+    assert(AudioHeaders.parse(wav.take(20)) === None)
+    // end-to-end: only the audio rows survive the typed decode
+    val media = Seq(
+      Multimodal.MediaRow(1L, "media/raw", wav),
+      Multimodal.MediaRow(2L, "media/raw", flac),
+      Multimodal.MediaRow(3L, "media/raw", mp3),
+      Multimodal.MediaRow(4L, "media/raw", "not audio".getBytes)).toDS()
+    val out = Multimodal.audioMeta(media).collect().map(a => a.id -> a).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L).format === "wav" && out(1L).duration_ms === 1000L)
+    assert(out(2L).format === "flac" && out(2L).sample_rate === 48000)
+  }
+
   test("z-ordered layout confines a point filter to a fraction of the files") {
     import graft.sources.Layout
     val ev = Tables.events(spark, sf)
