@@ -586,12 +586,17 @@ object SparkEntry {
       s"""WITH $sqlLmCtes,
          |ld AS (SELECT l.doc_id, d.lang, l.lm_score
          |       FROM lm l JOIN documents d USING (doc_id)),
-         |thr AS (SELECT lang, quantile_cont(lm_score,
-         |          [CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3]) AS t
+         |thr AS (SELECT lang,
+         |          floor(list_extract(quantile_cont(lm_score,
+         |            [CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3]), 1)
+         |            * 10000.0 + 0.5) / 10000.0 AS t1,
+         |          floor(list_extract(quantile_cont(lm_score,
+         |            [CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3]), 2)
+         |            * 10000.0 + 0.5) / 10000.0 AS t2
          |        FROM ld GROUP BY lang)
          |SELECT doc_id, lang, lm_score,
-         |  CASE WHEN lm_score <= t[1] THEN 'head'
-         |       WHEN lm_score <= t[2] THEN 'middle' ELSE 'tail' END AS bucket
+         |  CASE WHEN lm_score <= t1 THEN 'head'
+         |       WHEN lm_score <= t2 THEN 'middle' ELSE 'tail' END AS bucket
          |FROM ld JOIN thr USING (lang) ORDER BY doc_id""".stripMargin,
     // greedy best-quality-first selection under a corpus token budget
     "q_token_budget" ->

@@ -116,8 +116,16 @@ object CorpusCuration {
       // DECIMAL division in either SQL dialect (6-digit truncation,
       // engine-dependent scale) — IEEE double division is bit-identical
       .agg(expr("percentile(lm_score, array(cast(1 as double)/3, cast(2 as double)/3))").as("t"))
+      // snap thresholds to the 4-dp score grid: Spark `percentile` and
+      // DuckDB `quantile_cont` interpolate with last-ulp differences,
+      // and a doc whose score EQUALS a threshold flips buckets across
+      // engines (hit at sf0.1). Tercile positions have fractional part
+      // ∈ {0, 1/3, 2/3} — never .5 — so the floor-shift snap is itself
+      // ulp-robust, and scores are 4-dp quantized so `<=` against the
+      // snapped threshold is exact in both engines.
       .select(col("lang"),
-        element_at(col("t"), 1).as("t1"), element_at(col("t"), 2).as("t2"))
+        (floor(element_at(col("t"), 1) * 1e4 + lit(0.5)) / 1e4).as("t1"),
+        (floor(element_at(col("t"), 2) * 1e4 + lit(0.5)) / 1e4).as("t2"))
     val out = lm.join(broadcast(thr), "lang")
       .withColumn("bucket",
         when(col("lm_score") <= col("t1"), lit("head"))
