@@ -147,6 +147,37 @@ object Export {
       .write.mode("overwrite").partitionBy(sectionCol).parquet(path)
   }
 
+  /** Deterministic training-shard export — the webdataset-style sink a
+    * pretraining loader reads: the frame lands in `n` shard directories
+    * (`shard=<k>/`) with a JSON manifest recording per-shard row counts
+    * and the key range, so a loader can size epochs and resume without
+    * listing data files. Shard assignment is the portable multiplicative
+    * hash of `keyCol` mod n — engine- and partitioning-independent and
+    * STABLE under corpus growth (a doc's shard never changes when other
+    * docs arrive), same contract as q_data_split. One hash-partitioned
+    * exchange, rows sorted by key within each shard for reproducible
+    * iteration order; the manifest is one bounded aggregate (n rows).
+    */
+  val ShardHashA = 2654435761L
+  def writeSharded(df: DataFrame, path: String, keyCol: String, n: Int): Unit = {
+    require(n > 0, "shard count must be positive")
+    val sharded = df.withColumn("shard",
+      pmod(pmod(col(keyCol) * lit(ShardHashA), lit(1000000007L)), lit(n.toLong)))
+    sharded
+      .repartition(n, col("shard"))
+      .sortWithinPartitions(col("shard"), col(keyCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val manifest = sharded.groupBy("shard")
+      .agg(count(lit(1)).as("rows"),
+        min(col(keyCol)).as("key_min"), max(col(keyCol)).as("key_max"))
+      .orderBy("shard")
+      .toJSON.collect().mkString("\n") // JSON-lines: any engine reads it
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, "_manifest.json"), true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Small-files compaction — the operational companion every streaming
     * / incremental sink needs: micro-batches and per-key upserts leave
     * thousands of KB-sized files whose open/footer overhead eventually

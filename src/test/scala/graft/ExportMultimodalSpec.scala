@@ -230,6 +230,38 @@ class ExportMultimodalSpec extends AnyFunSuite {
     assert(out(2L).format === "flac" && out(2L).sample_rate === 48000)
   }
 
+  test("sharded export: disjoint-exhaustive shards, hash-stable assignment, manifest agrees") {
+    import graft.sources.Export
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val dir = tmp() + "/shards"
+    val n = 8
+    Export.writeSharded(docs, dir, "doc_id", n)
+    val back = spark.read.parquet(dir)
+    // round-trip: nothing dropped, nothing duplicated
+    assert(back.count() === docs.count())
+    assert(back.select("doc_id").distinct().count() === docs.count())
+    // every shard dir populated and the assignment matches the algebra
+    val byShard = back.groupBy("shard").count().collect()
+      .map(r => r.getAs[Int]("shard").toLong -> r.getLong(1)).toMap
+    assert(byShard.keySet === (0L until n).toSet, s"all $n shards populated")
+    val wrong = back.filter(
+      pmod(pmod(col("doc_id") * lit(Export.ShardHashA), lit(1000000007L)), lit(n.toLong))
+        =!= col("shard")).count()
+    assert(wrong === 0, "shard is the portable hash of the key")
+    // balance: multiplicative hashing spreads uniform keys within ~3x
+    assert(byShard.values.max <= byShard.values.min * 3, s"balance: $byShard")
+    // manifest rows match the data (read as plain text: Spark's file
+    // index hides _-prefixed files, which is what lets the manifest
+    // coexist with the parquet dir)
+    import spark.implicits._
+    val lines = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(dir, "_manifest.json"))
+    val manifest = spark.read.json(spark.createDataset(
+        scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala.toSeq))
+      .collect().map(r => r.getAs[Long]("shard") -> r.getAs[Long]("rows")).toMap
+    assert(manifest === byShard)
+  }
+
   test("z-ordered layout confines a point filter to a fraction of the files") {
     import graft.sources.Layout
     val ev = Tables.events(spark, sf)
