@@ -42,11 +42,12 @@ object Bench {
     "q_hierarchy_rollup" -> "hir", "q_interval_join" -> "itv",
     "q_json_normalize" -> "jnr", "q_json_props" -> "jpr",
     "q_keyed_sample" -> "ksm", "q_kl_drift" -> "kld",
-    "q_lang_id" -> "lng",
+    "q_lang_id" -> "lng", "q_lang_mismatch" -> "lmm",
     "q_length_stats" -> "lst", "q_lm_score" -> "lms",
     "q_markdown_runs" -> "mdr", "q_moving_avg" -> "mav",
     "q_multimodal_meta" -> "mmm", "q_ngram_freq" -> "ngf",
-    "q_normalize_status" -> "nst", "q_oldest_pending" -> "old",
+    "q_normalize_status" -> "nst", "q_novelty" -> "nov",
+    "q_oldest_pending" -> "old",
     "q_overdue" -> "ovd", "q_pack_sequences" -> "pck",
     "q_paged_ingest" -> "pgd", "q_parent_join" -> "pjn",
     "q_period_report" -> "prd", "q_pii_scrub" -> "pii",

@@ -98,6 +98,8 @@ object SparkEntry {
     "q_kl_drift"       -> CorpusCuration.klDrift _,
     "q_epoch_shuffle"  -> ((s, d) => CorpusCuration.epochShuffle(s, d)),
     "q_quality_calibration" -> CorpusCuration.qualityCalibration _,
+    "q_novelty"       -> ((s, d) => CorpusCuration.novelty(s, d)),
+    "q_lang_mismatch" -> CorpusCuration.langMismatch _,
     // §2.7 multimodal metadata
     "q_multimodal_meta" -> TextAnalysis.multimodalMeta _,
     // §2.1b extended composed analytics
@@ -227,17 +229,17 @@ object SparkEntry {
 
   private val sqlLangCtes =
     """lt AS (
-           SELECT doc_id, lang AS declared_lang,
+           SELECT doc_id, source, lang AS declared_lang,
              regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
            FROM documents),
          lsc AS (
-           SELECT doc_id, declared_lang,
+           SELECT doc_id, source, declared_lang,
              len(list_intersect(toks, ['the','a','of','and','to','in','is','it'])) AS s_en,
              len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein'])) AS s_de,
              len(list_intersect(toks, ['el','la','los','de','que','es','un'])) AS s_es
            FROM lt),
          lp AS (
-           SELECT doc_id, declared_lang,
+           SELECT doc_id, source, declared_lang,
              CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 THEN 'unknown'
                   WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
                   WHEN s_de >= s_es THEN 'de'
@@ -625,6 +627,22 @@ object SparkEntry {
     "q_source_sim"     -> CorpusCuration.sourceSimOracleSql,
     "q_source_overlap" -> CorpusCuration.sourceOverlapOracleSql,
     "q_kl_drift"       -> CorpusCuration.klDriftOracleSql,
+    "q_novelty"        -> CorpusCuration.noveltyOracleSql,
+    // per-source declared-vs-predicted language audit (shared lang CTEs)
+    "q_lang_mismatch" ->
+      s"""WITH $sqlLangCtes
+         |SELECT source, n_docs, n_confident, n_mismatch,
+         |  floor(CAST(n_mismatch AS DOUBLE) / greatest(n_confident, 1)
+         |        * 10000.0 + 0.5) / 10000.0 AS mismatch_rate
+         |FROM (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN pred_lang != 'unknown' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_confident,
+         |    CAST(sum(CASE WHEN pred_lang != 'unknown'
+         |                   AND pred_lang != declared_lang THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_mismatch
+         |  FROM lp GROUP BY source)
+         |ORDER BY source""".stripMargin,
     "q_epoch_shuffle"  -> CorpusCuration.epochShuffleOracleSql,
     "q_token_count" ->
       """SELECT doc_id,

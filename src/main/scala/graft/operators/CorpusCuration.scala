@@ -223,6 +223,94 @@ object CorpusCuration {
   }
 
   // ---------------------------------------------------------------------
+  // q_novelty — per-doc fraction of n-grams first seen earlier
+  // ---------------------------------------------------------------------
+
+  /** Novelty gram width (the decontamination family's 5-gram unit). */
+  val NoveltyShingleN = 5
+
+  /** Per-document novelty (`q_novelty`): the fraction of a document's
+    * distinct 5-grams NOT already present in any earlier document
+    * (doc_id order = ingest order) — the memorization-risk / data-
+    * freshness curve a curation pass watches as a crawl ages: novelty
+    * decaying toward 0 means new data is re-crawl, not new content.
+    *
+    * Distributed shape: gram first-occurrence is one gram-keyed
+    * `min(doc_id)` aggregate (map-side combined, gram-vocabulary
+    * sized); the per-doc verdict joins the gram stream back against
+    * that frame (AQE — the first-occurrence table grows with the gram
+    * vocabulary, force-broadcast is unbounded; the tf⋈df precedent)
+    * and reduces per doc. The gram stream is RECOMPUTED for the probe
+    * side rather than persisted: it is map-only explode work riding a
+    * column-pruned scan — two cheap scans beat materializing a
+    * corpus-gram-sized frame (the opposite call from the kl_drift
+    * aggregate, which is post-shuffle and small).
+    */
+  def novelty(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
+    def grams = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(shingleHashes(col("text"), NoveltyShingleN)).as("h"))
+    val first = grams.groupBy("h").agg(min("doc_id").as("first_id"))
+    val out = grams.join(first, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        r4c(lit(1.0) - col("n_seen").cast("double") / col("n_grams")).as("novelty"))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
+  def noveltyOracleSql: String = {
+    val n = NoveltyShingleN
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (a, c) -> (a * 31 + c) % $HashP) AS h
+       |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+       |          generate_series(1, len(t) - ${n - 1}),
+       |          i -> array_to_string(t[i:i + ${n - 1}], ' ')))) AS g
+       |        FROM toks WHERE len(t) >= $n)),
+       |fst AS (SELECT h, min(doc_id) AS first_id FROM sh GROUP BY h)
+       |SELECT s.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN f.first_id < s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+       |  floor((1.0 - CAST(sum(CASE WHEN f.first_id < s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / count(*)) * 10000.0 + 0.5) / 10000.0 AS novelty
+       |FROM sh s JOIN fst f USING (h)
+       |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_lang_mismatch — per-source declared-vs-predicted language audit
+  // ---------------------------------------------------------------------
+
+  /** Per-source language-label audit (`q_lang_mismatch`): of each
+    * source's documents where the n-gram language-ID heuristic is
+    * confident (not `unknown`), how many disagree with the declared
+    * `lang` column — the metadata-trust monitor (a source whose labels
+    * stop matching its content is mislabeled upstream or changed
+    * content type). Map-only scoring riding one scan into a dim-sized
+    * aggregate; the rate denominator carries the ANSI `/0` guard
+    * (`greatest(n,1)`) mirrored in the oracle.
+    */
+  def langMismatch(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang").as("declared"),
+        langId(col("text")).as("pred"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") =!= lit("unknown"), 1L).otherwise(0L)).as("n_confident"),
+        sum(when(col("pred") =!= lit("unknown") && col("pred") =!= col("declared"), 1L)
+          .otherwise(0L)).as("n_mismatch"))
+      .select(col("source"), col("n_docs"), col("n_confident"), col("n_mismatch"),
+        r4c(col("n_mismatch").cast("double") / greatest(col("n_confident"), lit(1L)))
+          .as("mismatch_rate"))
+      .orderBy("source")
+
+  // ---------------------------------------------------------------------
   // q_kl_drift — per-source unigram KL divergence from the corpus
   // ---------------------------------------------------------------------
 

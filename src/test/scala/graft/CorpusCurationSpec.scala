@@ -251,6 +251,50 @@ class CorpusCurationSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // q_novelty + q_lang_mismatch
+  // -------------------------------------------------------------------
+
+  test("novelty: an exact copy of an earlier doc scores 0, fresh text scores 1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nov").toString
+    val a = (0 until 20).map(i => s"nova$i").mkString(" ")
+    val fresh = (0 until 20).map(i => s"ultra$i").mkString(" ")
+    val mixed = ((0 until 8).map(i => s"nova$i") ++ // head overlaps doc 1's grams
+      (0 until 12).map(i => s"mixx$i")).mkString(" ")
+    Seq((1L, a, "en", "s", 1L), (2L, a, "en", "s", 1L),
+      (3L, fresh, "en", "s", 1L), (4L, mixed, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val nov = CorpusCuration.novelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(nov(1L) === 1.0, "first occurrence is fully novel")
+    assert(nov(2L) === 0.0, "verbatim re-crawl is fully seen")
+    assert(nov(3L) === 1.0)
+    assert(nov(4L) > 0.0 && nov(4L) < 1.0, "partial overlap in between")
+  }
+
+  test("lang mismatch: planted mislabeled docs are counted, unknowns are not") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lmm").toString
+    val en = "the cat is in the house and it is warm"
+    val de = "der hund ist nicht ein problem und das ist gut"
+    val unk = "zz yy xx ww vv uu tt ss"
+    Seq(
+      (1L, en, "en", "good", 1L),  // label matches
+      (2L, de, "de", "good", 1L),  // label matches
+      (3L, en, "de", "bad", 1L),   // mislabeled
+      (4L, de, "en", "bad", 1L),   // mislabeled
+      (5L, unk, "en", "bad", 1L))  // no evidence → not confident
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusCuration.langMismatch(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(got("good") === ((2L, 2L, 0L, 0.0)))
+    assert(got("bad") === ((3L, 2L, 2L, 1.0)), "unknown doc excluded from the rate")
+  }
+
+  // -------------------------------------------------------------------
   // streaming twin: mergeable per-source MinHash signatures
   // -------------------------------------------------------------------
 
