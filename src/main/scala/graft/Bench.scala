@@ -56,6 +56,7 @@ object Bench {
     "q_project_flags" -> "pfl", "q_quality_sample" -> "qsm",
     "q_quality_calibration" -> "qcl",
     "q_quality_score" -> "qsc", "q_repetition" -> "rep",
+    "q_rate_anomaly" -> "rta",
     "q_report_doc" -> "rdc", "q_report_goals" -> "rgl",
     "q_retention" -> "rtn", "q_rollup" -> "rlp",
     "q_running_total" -> "rto", "q_scd2" -> "sc2",
@@ -65,7 +66,8 @@ object Bench {
     "q_source_sim" -> "ssm",
     "q_span_scrub" -> "ssc", "q_status_dist" -> "std",
     "q_status_summary" -> "sts", "q_stratified_sample" -> "str",
-    "q_string_funcs" -> "stf", "q_tfidf_top_terms" -> "tfi",
+    "q_string_funcs" -> "stf", "q_term_search" -> "tsr",
+    "q_tfidf_top_terms" -> "tfi",
     "q_token_budget" -> "tbg", "q_token_count" -> "tok",
     "q_topk_per_key" -> "tpk",
     "q_uncategorized" -> "unc", "q_value_deciles" -> "dec",

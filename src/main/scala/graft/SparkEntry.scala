@@ -100,6 +100,8 @@ object SparkEntry {
     "q_quality_calibration" -> CorpusCuration.qualityCalibration _,
     "q_novelty"       -> ((s, d) => CorpusCuration.novelty(s, d)),
     "q_lang_mismatch" -> CorpusCuration.langMismatch _,
+    "q_term_search"   -> ((s, d) => CorpusCuration.termSearch(s, d)),
+    "q_rate_anomaly"  -> CorpusCuration.rateAnomaly _,
     // §2.7 multimodal metadata
     "q_multimodal_meta" -> TextAnalysis.multimodalMeta _,
     // §2.1b extended composed analytics
@@ -628,6 +630,8 @@ object SparkEntry {
     "q_source_overlap" -> CorpusCuration.sourceOverlapOracleSql,
     "q_kl_drift"       -> CorpusCuration.klDriftOracleSql,
     "q_novelty"        -> CorpusCuration.noveltyOracleSql,
+    "q_term_search"    -> CorpusCuration.termSearchOracleSql,
+    "q_rate_anomaly"   -> CorpusCuration.rateAnomalyOracleSql,
     // per-source declared-vs-predicted language audit (shared lang CTEs)
     "q_lang_mismatch" ->
       s"""WITH $sqlLangCtes

@@ -223,6 +223,122 @@ object CorpusCuration {
   }
 
   // ---------------------------------------------------------------------
+  // q_term_search — conjunctive term search over the corpus
+  // ---------------------------------------------------------------------
+
+  /** Fixed conjunctive query terms (generator-vocabulary words). */
+  val SearchTerms: Seq[String] = Seq("spark", "window", "merge")
+
+  /** Conjunctive term search (`q_term_search`): documents containing
+    * ALL query terms, with per-term occurrence counts — the ad-hoc
+    * search staple. The Spark-honest shape for a one-off query is a
+    * MAP-ONLY scan filter (`array_intersect` against the literal term
+    * set — no index, no shuffle, embarrassingly parallel); a standing
+    * search workload would build the postings table once (the
+    * vocab_topk explode shape) and semi-join per query — noted, not
+    * built, because the catalog's one-off semantics don't amortize an
+    * index.
+    */
+  def termSearch(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
+    val toks = tokens(col("text"))
+    val counts = SearchTerms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === lit(t))).cast("long").as(s"n_${t}")
+    }
+    val out = Tables.documents(s, dir)
+      .select(col("doc_id") +: counts: _*)
+      .filter(SearchTerms.map(t => col(s"n_${t}") > 0).reduce(_ && _))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
+  def termSearchOracleSql: String = {
+    val cols = SearchTerms.map(t =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS n_$t").mkString(", ")
+    val preds = SearchTerms.map(t => s"n_$t > 0").mkString(" AND ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents)
+       |SELECT * FROM (SELECT doc_id, $cols FROM tk)
+       |WHERE $preds
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_rate_anomaly — hourly event-rate z-score vs trailing day
+  // ---------------------------------------------------------------------
+
+  /** Trailing window width (hours) and anomaly threshold. */
+  val AnomalyTrailHours = 24
+  val AnomalyMinTrail = 12
+
+  /** Event-rate anomaly detection (`q_rate_anomaly`): per hour, the
+    * z-score of the event count against the trailing 24 h mean/stddev —
+    * the ops-dashboard staple (traffic spike / outage detection). Hours
+    * with |z| ≥ 2 flag as anomalies; hours with under half a day of
+    * trailing history emit NULL z (insufficient baseline).
+    *
+    * Scale + determinism: the window runs over the HOURLY AGGREGATE
+    * (calendar-bounded input — the moving-average precedent), and all
+    * window arithmetic is on INTEGER counts (sum, sum of squares), so
+    * both engines compute identical exact sums regardless of their
+    * window-aggregation tree shape; the float work (mean, variance,
+    * z) happens per output row in pinned association order with the
+    * shared floor-shift rounding.
+    */
+  def rateAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hr_no", (unix_timestamp(col("hr")) / 3600L).cast("long"))
+    val w = Window.orderBy("hr_no")
+      .rangeBetween(-AnomalyTrailHours.toLong, -1L)
+    val stats = hourly
+      .withColumn("t_cnt", count(lit(1)).over(w))
+      .withColumn("t_sum", sum("n").over(w))
+      .withColumn("t_sq", sum(col("n") * col("n")).over(w))
+    val mean = col("t_sum").cast("double") / col("t_cnt")
+    val varPop = col("t_sq").cast("double") / col("t_cnt") - mean * mean
+    val z = (col("n").cast("double") - mean) /
+      sqrt(greatest(varPop, lit(1e-12)))
+    stats
+      .withColumn("z", when(col("t_cnt") >= AnomalyMinTrail,
+        floor(z * lit(100.0) + lit(0.5)) / 100.0).otherwise(lit(null))
+        .cast("double"))
+      .withColumn("anomaly", coalesce(abs(col("z")) >= 2.0, lit(false)))
+      .select(date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n"), col("z"), col("anomaly"))
+      .orderBy("hour")
+  }
+
+  def rateAnomalyOracleSql: String =
+    s"""WITH hourly AS (
+       |  SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |hx AS (SELECT hr, n, CAST(epoch(CAST(hr AS TIMESTAMP)) // 3600 AS BIGINT) AS hr_no
+       |       FROM hourly),
+       |st AS (
+       |  SELECT hr, n,
+       |    CAST(count(*) OVER w AS BIGINT) AS t_cnt,
+       |    CAST(sum(n) OVER w AS BIGINT) AS t_sum,
+       |    CAST(sum(n * n) OVER w AS BIGINT) AS t_sq
+       |  FROM hx
+       |  WINDOW w AS (ORDER BY hr_no RANGE BETWEEN $AnomalyTrailHours PRECEDING
+       |               AND 1 PRECEDING))
+       |SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour, n,
+       |  CASE WHEN t_cnt >= $AnomalyMinTrail THEN
+       |    floor((CAST(n AS DOUBLE) - CAST(t_sum AS DOUBLE) / t_cnt)
+       |      / sqrt(greatest(CAST(t_sq AS DOUBLE) / t_cnt
+       |             - (CAST(t_sum AS DOUBLE) / t_cnt) * (CAST(t_sum AS DOUBLE) / t_cnt),
+       |             1e-12)) * 100.0 + 0.5) / 100.0
+       |  ELSE NULL END AS z,
+       |  coalesce(abs(CASE WHEN t_cnt >= $AnomalyMinTrail THEN
+       |    floor((CAST(n AS DOUBLE) - CAST(t_sum AS DOUBLE) / t_cnt)
+       |      / sqrt(greatest(CAST(t_sq AS DOUBLE) / t_cnt
+       |             - (CAST(t_sum AS DOUBLE) / t_cnt) * (CAST(t_sum AS DOUBLE) / t_cnt),
+       |             1e-12)) * 100.0 + 0.5) / 100.0
+       |  ELSE NULL END) >= 2.0, false) AS anomaly
+       |FROM st ORDER BY hour""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_novelty — per-doc fraction of n-grams first seen earlier
   // ---------------------------------------------------------------------
 

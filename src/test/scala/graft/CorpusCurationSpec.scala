@@ -295,6 +295,53 @@ class CorpusCurationSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // q_term_search + q_rate_anomaly
+  // -------------------------------------------------------------------
+
+  test("term search: conjunctive membership with per-term counts, map-only plan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts").toString
+    val all3 = "spark spark window merge other words here"
+    val two = "spark window no third term"
+    Seq((1L, all3, "en", "s", 1L), (2L, two, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusCuration.termSearch(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L), "only the doc with all terms")
+    assert(got.head.getLong(1) === 2L, "spark occurs twice")
+    // unordered form is exchange-free (map-only gate riding the scan)
+    val p = CorpusCuration.termSearch(spark, SparkTestSession.Sf, ordered = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"term search must not shuffle:\n$p")
+  }
+
+  test("rate anomaly: planted spike flags, warmup hours have null z") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    // 48 steady hours of 10 events, then one 100-event spike hour
+    val rows = (0 until 48).flatMap { h =>
+      (0 until 10).map(i => (h * 10L + i, new java.sql.Timestamp(
+        base + h * 3600000L + i * 1000L), 1L, "view", 1.0, "{}"))
+    } ++ (0 until 100).map(i => (9000L + i, new java.sql.Timestamp(
+      base + 48 * 3600000L + i * 1000L), 1L, "view", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = CorpusCuration.rateAnomaly(spark, dir).collect()
+      .map(r => r.getString(0) -> (Option(r.get(2)).map(_ => r.getDouble(2)),
+        r.getBoolean(3))).toMap
+    assert(got.size === 49)
+    // first hours lack the 12-hour baseline → null z, not flagged
+    assert(got("2024-03-01 00:00:00")._1.isEmpty)
+    assert(!got("2024-03-01 00:00:00")._2)
+    // steady mid-run hour: z == 0 (variance floored, count == mean)
+    assert(got("2024-03-01 20:00:00")._1.contains(0.0))
+    // the spike hour is a flagged anomaly with a huge z
+    val (zSpike, flagged) = got("2024-03-03 00:00:00")
+    assert(flagged && zSpike.exists(_ > 2.0), s"spike hour: $zSpike")
+  }
+
+  // -------------------------------------------------------------------
   // streaming twin: mergeable per-source MinHash signatures
   // -------------------------------------------------------------------
 
