@@ -65,7 +65,11 @@ object AudioHeaders {
         byteRate = le32(p, o + 16)
         bits = le16(p, o + 22)
       } else if (ascii(p, o, "data")) dataLen = len
-      o += 8 + len.toInt + (len.toInt & 1) // chunks pad to even offsets
+      // a corrupt length beyond the payload (or one whose Int cast
+      // would wrap negative and stall the walk) ends the scan — what
+      // is parsed so far still stands
+      if (len < 0 || len > p.length) o = p.length
+      else o += 8 + len.toInt + (len.toInt & 1) // chunks pad to even offsets
     }
     if (rate > 0 && ch > 0)
       Some(AudioInfo("wav", rate, ch, bits,
