@@ -345,6 +345,38 @@ class CorpusCurationSpec extends AnyFunSuite {
   // streaming twin: mergeable per-source MinHash signatures
   // -------------------------------------------------------------------
 
+  test("streaming rate anomaly equals the batch operator over any split; pruning is safe") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val rows = (0 until 48).flatMap { h =>
+      (0 until 10).map(i => (h * 10L + i, new java.sql.Timestamp(
+        base + h * 3600000L + i * 1000L), 1L, "view", 1.0, "{}"))
+    } ++ (0 until 100).map(i => (9000L + i, new java.sql.Timestamp(
+      base + 48 * 3600000L + i * 1000L), 1L, "view", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sanom").toString
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val twin = new graft.streaming.StreamingRateAnomaly
+    for (r <- 0 until 3) // arbitrary micro-batches, hours split across them
+      twin.mergeBatch(df.filter(pmod(col("event_id"), lit(3)) === r))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), Option(r.get(2)).map(_ => r.getDouble(2)),
+        r.getBoolean(3))
+    val got = twin.current(spark).collect().map(key).sortBy(_._1).toSeq
+    val want = operators.CorpusCuration.rateAnomaly(spark, dir)
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(got === want, "merged per-batch counts reproduce the batch anomaly table")
+    // pruning hours older than any future trailing window keeps the tail intact
+    twin.pruneBefore((base / 1000L) / 3600L + 24)
+    val pruned = twin.current(spark).collect().map(key)
+      .map(k => k._1 -> k).toMap
+    val tail = want.filter(_._1 >= "2024-03-02 00:00:00")
+    // hours ≥ base+48h-24h still have their FULL trailing window in state;
+    // the spike hour's verdict must survive the prune
+    assert(pruned("2024-03-03 00:00:00") === want.find(_._1 == "2024-03-03 00:00:00").get)
+    assert(tail.nonEmpty)
+  }
+
   test("streaming source-sim signatures equal the batch operator's over any split") {
     val docs = Tables.documents(spark, sf).select("source", "text", "doc_id")
     val twin = new graft.streaming.StreamingSourceSim
