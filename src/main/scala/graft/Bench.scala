@@ -22,7 +22,8 @@ object Bench {
     "q_asof_join" -> "aso", "q_attachment_text" -> "att",
     "q_backlog_rank" -> "bkl", "q_block_tree" -> "btr",
     "q_bloom_prefilter" -> "blo", "q_bpe_encode" -> "bpe",
-    "q_bpe_merges" -> "bpm", "q_bpe_vocab" -> "bpv",
+    "q_bpe_fertility" -> "bpf", "q_bpe_merges" -> "bpm",
+    "q_bpe_vocab" -> "bpv",
     "q_chunk_docs" -> "chk", "q_clean_pipeline" -> "clp",
     "q_clean_text" -> "clt", "q_contamination" -> "ctm",
     "q_contamination_score" -> "cts", "q_cooccur" -> "coo",

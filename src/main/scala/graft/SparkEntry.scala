@@ -123,6 +123,7 @@ object SparkEntry {
     "q_bpe_merges"        -> operators.Bpe.bpeMerges _,
     "q_bpe_vocab"         -> operators.Bpe.bpeVocab _,
     "q_bpe_encode"        -> ((s, d) => operators.Bpe.bpeEncode(s, d)),
+    "q_bpe_fertility"     -> operators.Bpe.bpeFertility _,
     // bloom runtime-filter pruning (plans.BloomMightContain)
     "q_bloom_prefilter"   -> operators.BloomPrune.prefilterRevenue _,
     // attachment-content extraction (sources.Attachments: binaryFile
@@ -578,6 +579,7 @@ object SparkEntry {
     "q_bpe_merges" -> operators.Bpe.bpeOracleSql,
     "q_bpe_vocab" -> operators.Bpe.bpeVocabOracleSql,
     "q_bpe_encode" -> operators.Bpe.bpeEncodeOracleSql,
+    "q_bpe_fertility" -> operators.Bpe.bpeFertilityOracleSql,
     "q_cooccur" -> TextAnalysis.cooccurOracleSql,
     "q_block_tree" -> operators.BlockTree.oracleSql,
     "q_report_doc" -> operators.ReportDoc.oracleSql,

@@ -174,6 +174,14 @@ object Bpe {
     * is the oracle-determinism contract, not a plan requirement.
     */
   def bpeEncode(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
+    val out = encodeFrame(s, dir).drop("lang")
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
+  /** Per-doc encode columns with the declared language carried (free —
+    * rides the same scan); shared by [[bpeEncode]] and [[bpeFertility]].
+    */
+  private def encodeFrame(s: SparkSession, dir: String): DataFrame = {
     val merges = learned(s, dir)._1 // encode needs only the driver-side merge list
     val toks = TextFunctions.tokens(col("text"))
     val docRep = concat(
@@ -184,16 +192,34 @@ object Bpe {
     val rep = merges.foldLeft(docRep) { case (r, (_, a, b, _, _)) =>
       replace(r, lit(s" $a$SymSep$b "), lit(s" $a$b "))
     }
-    val out = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(
-        col("doc_id"),
+        col("doc_id"), col("lang"),
         size(toks).cast("long").as("n_words"),
         length(array_join(toks, "")).cast("long").as("n_chars"),
         when(size(toks) === 0, lit(0L))
           .otherwise((size(split(trim(rep), SymSep)) - (size(toks) - 1)).cast("long"))
           .as("n_bpe"))
-    if (ordered) out.orderBy("doc_id") else out
   }
+
+  /** Tokenizer fertility by language (`q_bpe_fertility`): BPE tokens
+    * per word under the learned vocabulary, per declared language —
+    * the standard multilingual-tokenizer evaluation (a language whose
+    * fertility is far above the corpus mean is being fragmented to
+    * characters: its vocabulary share is too small). One map-only
+    * encode pass (the memoized learner's merges are driver state)
+    * into a lang-cardinality aggregate; integer sums, pinned-order
+    * ratio, ANSI /0 guard mirrored in the oracle.
+    */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame =
+    encodeFrame(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"), sum("n_bpe").as("n_bpe"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
+        (floor(col("n_bpe").cast("double") / greatest(col("n_words"), lit(1L))
+          * lit(10000.0) + lit(0.5)) / 10000.0).as("fertility"))
+      .orderBy("lang")
 
   /** Shared oracle prefix: word count + [[BpeRounds]] unrolled rounds
     * (pair count → deterministic argmax → wrapped-string replace),
@@ -257,31 +283,56 @@ object Bpe {
     * from the unrolled rounds' one-row m-CTEs (scalar-broadcast
     * class, like the tfidf N join).
     */
-  def bpeEncodeOracleSql: String = {
-    val chained = (1 to BpeRounds).foldLeft("rep") { (e, k) =>
-      s"replace($e, ' ' || g$k.a || '$SymSep' || g$k.b || ' ', ' ' || g$k.a || g$k.b || ' ')"
-    }
-    oraclePrefix +
+  def bpeEncodeOracleSql: String =
+    encodeOracleCtes +
       s"""
-         |, base AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
-         |  FROM documents
-         |), brep AS (
-         |  SELECT doc_id, len(tk) AS n_words,
-         |         length(array_to_string(tk, '')) AS n_chars,
-         |         ' ' || array_to_string(list_transform(tk,
-         |             w -> array_to_string(string_split(w, ''), '$SymSep')),
-         |           '$SymSep|$SymSep') || ' ' AS rep
-         |  FROM base
-         |), enc AS (
-         |  SELECT doc_id, n_words, n_chars, $chained AS rep
-         |  FROM brep, ${(1 to BpeRounds).map(k => s"m$k g$k").mkString(", ")}
-         |)
          |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
          |       CAST(n_chars AS BIGINT) AS n_chars,
          |       CAST(CASE WHEN n_words = 0 THEN 0
          |            ELSE len(string_split(trim(rep), '$SymSep')) - (n_words - 1)
          |            END AS BIGINT) AS n_bpe
          |FROM enc ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for [[bpeFertility]]: the shared encode CTEs into a
+    * per-language aggregate (HUGEINT sums cast back, /0 guard).
+    */
+  def bpeFertilityOracleSql: String =
+    encodeOracleCtes +
+      s"""
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_words) AS BIGINT) AS n_words,
+         |       CAST(sum(CASE WHEN n_words = 0 THEN 0
+         |            ELSE len(string_split(trim(rep), '$SymSep')) - (n_words - 1)
+         |            END) AS BIGINT) AS n_bpe,
+         |       floor(CAST(sum(CASE WHEN n_words = 0 THEN 0
+         |            ELSE len(string_split(trim(rep), '$SymSep')) - (n_words - 1)
+         |            END) AS DOUBLE)
+         |         / greatest(CAST(sum(n_words) AS BIGINT), 1)
+         |         * 10000.0 + 0.5) / 10000.0 AS fertility
+         |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Shared whole-document encode CTEs (lang carried) — single source
+    * for the encode and fertility oracles.
+    */
+  private def encodeOracleCtes: String = {
+    val chained = (1 to BpeRounds).foldLeft("rep") { (e, k) =>
+      s"replace($e, ' ' || g$k.a || '$SymSep' || g$k.b || ' ', ' ' || g$k.a || g$k.b || ' ')"
+    }
+    oraclePrefix +
+      s"""
+         |, base AS (
+         |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+         |  FROM documents
+         |), brep AS (
+         |  SELECT doc_id, lang, len(tk) AS n_words,
+         |         length(array_to_string(tk, '')) AS n_chars,
+         |         ' ' || array_to_string(list_transform(tk,
+         |             w -> array_to_string(string_split(w, ''), '$SymSep')),
+         |           '$SymSep|$SymSep') || ' ' AS rep
+         |  FROM base
+         |), enc AS (
+         |  SELECT doc_id, lang, n_words, n_chars, $chained AS rep
+         |  FROM brep, ${(1 to BpeRounds).map(k => s"m$k g$k").mkString(", ")}
+         |)""".stripMargin
   }
 }

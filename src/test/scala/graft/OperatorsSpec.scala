@@ -1733,6 +1733,24 @@ class BpeSpec extends org.scalatest.funsuite.AnyFunSuite {
       (1, "a", "a", "aa", 6L),
       (2, "aa", "aa", "aaaa", 2L)))
   }
+
+  test("fertility aggregates the per-doc encode exactly, per language") {
+    val enc = operators.Bpe.bpeEncode(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val langs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = enc.groupBy { case (id, _) => langs(id) }
+      .map { case (l, m) =>
+        val w = m.values.map(_._1).sum
+        val b = m.values.map(_._2).sum
+        l -> (m.size.toLong, w, b,
+          math.floor(b.toDouble / math.max(w, 1L) * 1e4 + 0.5) / 1e4)
+      }
+    val got = operators.Bpe.bpeFertility(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got === want)
+  }
 }
 
 class DataSplitSpec extends org.scalatest.funsuite.AnyFunSuite {
