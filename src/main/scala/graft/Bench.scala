@@ -6,75 +6,72 @@ object Bench {
     * ~2000 chars and parses the LAST line; at 88 queries the full
     * `q_*` names measured 1903 chars — five more queries would
     * overflow the window and kill bench visibility (memory: rounds
-    * 1–4 recorded `parsed:null`). Keys are ≤3 chars (the 4-char set
-    * overflowed the worst-case bound at 103 queries); full names +
-    * per-query cpu go to `bench_detail.json` instead. BenchLineSpec
-    * pins uniqueness and a worst-case line length < 1500.
+    * 1–4 recorded `parsed:null`). Keys are 2 chars where the prefix is
+    * unambiguous, 3 on collision (the uniform 3-char set overflowed
+    * the worst-case bound at 117 queries); full names + per-query cpu
+    * go to `bench_detail.json` instead. BenchLineSpec pins uniqueness
+    * and a worst-case line length < 1500.
     */
   private[graft] val ShortKey = Map(
     "q1_pricing_summary" -> "q1", "q3_top_revenue" -> "q3",
-    "q5_region_volume" -> "q5", "q_active_projects" -> "apj",
-    "q_ann_brute_topk" -> "ab", "q_ann_ivf2_topk" -> "ai2",
+    "q5_region_volume" -> "q5", "q_active_projects" -> "ap",
+    "q_ann_brute_topk" -> "ab", "q_ann_ivf2_topk" -> "ai",
     "q_ann_ivf_topk" -> "aiv", "q_ann_ivfpq_topk" -> "aip",
-    "q_ann_lsh_topk" -> "als", "q_ann_pq_indexed" -> "api",
-    "q_ann_pq_topk" -> "apq", "q_anti_join" -> "ant",
-    "q_approx_stats" -> "apx", "q_argmax" -> "amx",
-    "q_asof_join" -> "aso", "q_attachment_text" -> "att",
-    "q_backlog_rank" -> "bkl", "q_block_tree" -> "btr",
-    "q_bloom_prefilter" -> "blo", "q_bpe_encode" -> "bpe",
+    "q_ann_lsh_topk" -> "al", "q_ann_pq_indexed" -> "api",
+    "q_ann_pq_topk" -> "apq", "q_anti_join" -> "an",
+    "q_approx_stats" -> "apx", "q_argmax" -> "am",
+    "q_asof_join" -> "as", "q_attachment_text" -> "at",
+    "q_backlog_rank" -> "bk", "q_block_tree" -> "bt",
+    "q_bloom_prefilter" -> "bl", "q_bpe_encode" -> "bp",
     "q_bpe_fertility" -> "bpf", "q_bpe_merges" -> "bpm",
-    "q_bpe_vocab" -> "bpv",
-    "q_chunk_docs" -> "chk", "q_clean_pipeline" -> "clp",
-    "q_clean_text" -> "clt", "q_contamination" -> "ctm",
-    "q_contamination_score" -> "cts", "q_cooccur" -> "coo",
-    "q_corpus_pipeline" -> "cor", "q_cube" -> "cub",
-    "q_data_split" -> "dsp", "q_date_funcs" -> "dtf",
-    "q_dedup_clusters" -> "dcl", "q_dedup_containment" -> "dct",
-    "q_dedup_embedding" -> "dem", "q_dedup_exact" -> "dex",
-    "q_dedup_incremental" -> "din", "q_dedup_keep_last" -> "dkl",
-    "q_dedup_minhash" -> "dmh", "q_dedup_ngram_jaccard" -> "dng",
-    "q_dedup_semantic" -> "dse", "q_dedup_simhash" -> "dsh",
-    "q_dedup_span" -> "dsn", "q_doc_fingerprint" -> "fgp",
-    "q_domain_mix" -> "dmx", "q_domain_mix_alpha" -> "dma",
-    "q_domain_mix_up" -> "dmu", "q_epoch_shuffle" -> "eps",
-    "q_event_window_agg" -> "evw",
-    "q_filter_tags" -> "ftg", "q_funnel" -> "fun",
-    "q_gopher_filter" -> "gop", "q_heavy_hitters" -> "hh",
-    "q_hierarchy_rollup" -> "hir", "q_interval_join" -> "itv",
-    "q_json_normalize" -> "jnr", "q_json_props" -> "jpr",
-    "q_keyed_sample" -> "ksm", "q_kl_drift" -> "kld",
-    "q_lang_id" -> "lng", "q_lang_mismatch" -> "lmm",
-    "q_length_stats" -> "lst", "q_lm_score" -> "lms",
-    "q_markdown_runs" -> "mdr", "q_moving_avg" -> "mav",
-    "q_multimodal_meta" -> "mmm", "q_ngram_freq" -> "ngf",
-    "q_normalize_status" -> "nst", "q_novelty" -> "nov",
-    "q_oldest_pending" -> "old",
-    "q_overdue" -> "ovd", "q_pack_sequences" -> "pck",
-    "q_paged_ingest" -> "pgd", "q_parent_join" -> "pjn",
-    "q_period_report" -> "prd", "q_pii_scrub" -> "pii",
-    "q_pivot" -> "pvt", "q_ppl_buckets" -> "ppb",
-    "q_priority_dist" -> "pds",
-    "q_project_flags" -> "pfl", "q_quality_sample" -> "qsm",
-    "q_quality_calibration" -> "qcl",
-    "q_quality_score" -> "qsc", "q_repetition" -> "rep",
-    "q_rate_anomaly" -> "rta",
-    "q_report_doc" -> "rdc", "q_report_goals" -> "rgl",
-    "q_retention" -> "rtn", "q_rollup" -> "rlp",
-    "q_running_total" -> "rto", "q_scd2" -> "sc2",
-    "q_schema_health" -> "sch", "q_semi_join" -> "sem",
-    "q_session_window" -> "ssw", "q_sessionize" -> "ssz",
-    "q_set_ops" -> "sop", "q_source_overlap" -> "sov",
-    "q_source_sim" -> "ssm",
-    "q_span_scrub" -> "ssc", "q_status_dist" -> "std",
+    "q_bpe_vocab" -> "bpv", "q_chunk_docs" -> "ch",
+    "q_clean_pipeline" -> "cl", "q_clean_text" -> "clt",
+    "q_contamination" -> "ct", "q_contamination_score" -> "cts",
+    "q_cooccur" -> "co", "q_corpus_pipeline" -> "cor",
+    "q_cube" -> "cu", "q_data_split" -> "ds",
+    "q_date_funcs" -> "dt", "q_dedup_clusters" -> "dc",
+    "q_dedup_containment" -> "dct", "q_dedup_embedding" -> "de",
+    "q_dedup_exact" -> "dex", "q_dedup_incremental" -> "di",
+    "q_dedup_keep_last" -> "dk", "q_dedup_minhash" -> "dm",
+    "q_dedup_ngram_jaccard" -> "dn", "q_dedup_semantic" -> "dse",
+    "q_dedup_simhash" -> "dsh", "q_dedup_span" -> "dsn",
+    "q_doc_fingerprint" -> "fg", "q_domain_mix" -> "dmx",
+    "q_domain_mix_alpha" -> "dma", "q_domain_mix_up" -> "dmu",
+    "q_embed_drift" -> "em", "q_epoch_shuffle" -> "ep",
+    "q_event_window_agg" -> "ev", "q_filter_tags" -> "ft",
+    "q_funnel" -> "fu", "q_gopher_filter" -> "go",
+    "q_heavy_hitters" -> "hh", "q_hierarchy_rollup" -> "hi",
+    "q_interval_join" -> "it", "q_json_normalize" -> "jn",
+    "q_json_props" -> "jp", "q_keyed_sample" -> "ks",
+    "q_kl_drift" -> "kl", "q_lang_id" -> "ln",
+    "q_lang_mismatch" -> "lm", "q_length_stats" -> "ls",
+    "q_lm_score" -> "lms", "q_markdown_runs" -> "md",
+    "q_moving_avg" -> "ma", "q_multimodal_meta" -> "mm",
+    "q_ngram_freq" -> "ng", "q_normalize_status" -> "ns",
+    "q_novelty" -> "no", "q_oldest_pending" -> "ol",
+    "q_overdue" -> "ov", "q_pack_sequences" -> "pc",
+    "q_paged_ingest" -> "pg", "q_parent_join" -> "pj",
+    "q_period_report" -> "pr", "q_pii_scrub" -> "pi",
+    "q_pivot" -> "pv", "q_ppl_buckets" -> "pp",
+    "q_priority_dist" -> "pd", "q_project_flags" -> "pf",
+    "q_quality_calibration" -> "qc", "q_quality_sample" -> "qs",
+    "q_quality_score" -> "qsc", "q_rate_anomaly" -> "rt",
+    "q_repetition" -> "re", "q_report_doc" -> "rd",
+    "q_report_goals" -> "rg", "q_retention" -> "rtn",
+    "q_rollup" -> "rl", "q_running_total" -> "rto",
+    "q_scd2" -> "sc", "q_schema_health" -> "sch",
+    "q_semi_join" -> "se", "q_session_window" -> "ss",
+    "q_sessionize" -> "ssz", "q_set_ops" -> "so",
+    "q_source_overlap" -> "sov", "q_source_sim" -> "ssm",
+    "q_span_scrub" -> "ssc", "q_status_dist" -> "st",
     "q_status_summary" -> "sts", "q_stratified_sample" -> "str",
-    "q_string_funcs" -> "stf", "q_term_search" -> "tsr",
-    "q_tfidf_top_terms" -> "tfi",
-    "q_token_budget" -> "tbg", "q_token_count" -> "tok",
-    "q_topk_per_key" -> "tpk",
-    "q_uncategorized" -> "unc", "q_value_deciles" -> "dec",
-    "q_vocab_topk" -> "vcb", "q_weekly_focus" -> "wkf",
-    "q_weekly_velocity" -> "wkv", "q_weighted_mean" -> "wmn",
-    "q_wow_change" -> "wow")
+    "q_string_funcs" -> "stf", "q_term_search" -> "ts",
+    "q_tfidf_top_terms" -> "tf", "q_token_budget" -> "tb",
+    "q_token_count" -> "to", "q_topk_per_key" -> "tp",
+    "q_uncategorized" -> "un", "q_value_deciles" -> "dec",
+    "q_vocab_topk" -> "vc", "q_weekly_focus" -> "wk",
+    "q_weekly_velocity" -> "wkv", "q_weighted_mean" -> "wm",
+    "q_wow_change" -> "wo")
 
   private[graft] def shortKey(name: String): String =
     ShortKey.getOrElse(name, name.stripPrefix("q_"))

@@ -102,6 +102,7 @@ object SparkEntry {
     "q_lang_mismatch" -> CorpusCuration.langMismatch _,
     "q_term_search"   -> ((s, d) => CorpusCuration.termSearch(s, d)),
     "q_rate_anomaly"  -> CorpusCuration.rateAnomaly _,
+    "q_embed_drift"   -> CorpusCuration.embedDrift _,
     // §2.7 multimodal metadata
     "q_multimodal_meta" -> TextAnalysis.multimodalMeta _,
     // §2.1b extended composed analytics
@@ -634,6 +635,7 @@ object SparkEntry {
     "q_novelty"        -> CorpusCuration.noveltyOracleSql,
     "q_term_search"    -> CorpusCuration.termSearchOracleSql,
     "q_rate_anomaly"   -> CorpusCuration.rateAnomalyOracleSql,
+    "q_embed_drift"    -> CorpusCuration.embedDriftOracleSql,
     // per-source declared-vs-predicted language audit (shared lang CTEs)
     "q_lang_mismatch" ->
       s"""WITH $sqlLangCtes

@@ -223,6 +223,70 @@ object CorpusCuration {
   }
 
   // ---------------------------------------------------------------------
+  // q_embed_drift — per-cluster mean-embedding drift from the corpus
+  // ---------------------------------------------------------------------
+
+  /** Embedding-space drift (`q_embed_drift`): per cluster label, the
+    * cosine similarity of the cluster's MEAN embedding to the corpus
+    * mean — the embedding-space companion to [[klDrift]]'s token-space
+    * monitor (a cluster whose centroid swings away from the corpus
+    * center is new content, collapse, or a labeling fault; the same
+    * statistic over ingest batches watches embedding-model drift).
+    *
+    * Distributed + deterministic shape: ONE pass explodes vectors to
+    * (label, dim, value) and sums per (label, dim) in DECIMAL(38,18)
+    * — exact ⇒ associative ⇒ partitioning-independent (the kl_drift
+    * rule); corpus sums DERIVE from label sums (exact decimals add
+    * associatively — no second pass); means and the 64-term cosine
+    * accumulate the same way (per-dim double products, decimal sum),
+    * so no collect-and-fold anywhere and every stage is a plain
+    * partial-combined aggregate. All frames after the first aggregate
+    * are (labels × dims)-sized.
+    */
+  def embedDrift(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+    val sums = ex.groupBy("label", "dim")
+      .agg(sum(col("v").cast("decimal(38,18)")).as("sx"), count(lit(1)).as("n"))
+    val corpus = sums.groupBy("dim").agg(sum("sx").as("cx"), sum("n").as("cn"))
+    val m = sums.join(corpus, "dim")
+      .withColumn("ma", col("sx").cast("double") / col("n"))
+      .withColumn("mc", col("cx").cast("double") / col("cn"))
+    m.groupBy("label")
+      .agg(max("n").as("n_vectors"),
+        sum((col("ma") * col("mc")).cast("decimal(38,18)")).as("dot"),
+        sum((col("ma") * col("ma")).cast("decimal(38,18)")).as("aa"),
+        sum((col("mc") * col("mc")).cast("decimal(38,18)")).as("cc"))
+      .select(col("label"), col("n_vectors"),
+        (floor(col("dot").cast("double") /
+          (sqrt(col("aa").cast("double")) * sqrt(col("cc").cast("double")))
+          * KlDp + lit(0.5)) / KlDp).as("cos_to_corpus"))
+      .orderBy("label")
+  }
+
+  def embedDriftOracleSql: String =
+    s"""WITH ex AS (
+       |  SELECT label, i AS dim, embedding[i] AS v
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+       |sums AS (
+       |  SELECT label, dim, sum(CAST(v AS DECIMAL(38,18))) AS sx,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM ex GROUP BY 1, 2),
+       |corpus AS (
+       |  SELECT dim, sum(sx) AS cx, CAST(sum(n) AS BIGINT) AS cn
+       |  FROM sums GROUP BY 1),
+       |m AS (
+       |  SELECT label, n,
+       |         CAST(sx AS DOUBLE) / n AS ma, CAST(cx AS DOUBLE) / cn AS mc
+       |  FROM sums JOIN corpus USING (dim))
+       |SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+       |  floor(CAST(sum(CAST(ma * mc AS DECIMAL(38,18))) AS DOUBLE)
+       |    / (sqrt(CAST(sum(CAST(ma * ma AS DECIMAL(38,18))) AS DOUBLE))
+       |       * sqrt(CAST(sum(CAST(mc * mc AS DECIMAL(38,18))) AS DOUBLE)))
+       |    * 1e6 + 0.5) / 1e6 AS cos_to_corpus
+       |FROM m GROUP BY label ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_term_search — conjunctive term search over the corpus
   // ---------------------------------------------------------------------
 

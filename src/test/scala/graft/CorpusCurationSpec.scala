@@ -295,6 +295,36 @@ class CorpusCurationSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // q_embed_drift
+  // -------------------------------------------------------------------
+
+  test("embed drift matches a plain-Scala per-label centroid cosine") {
+    val got = CorpusCuration.embedDrift(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val dims = vecs.head._2.length
+    def mean(vs: Seq[Seq[Double]]): Array[Double] = {
+      val m = new Array[Double](dims)
+      vs.foreach(v => (0 until dims).foreach(i => m(i) += v(i)))
+      m.map(_ / vs.size)
+    }
+    val corpusMean = mean(vecs.map(_._2).toSeq)
+    for ((label, (n, cos)) <- got) {
+      val mine = vecs.filter(_._1 == label).map(_._2).toSeq
+      assert(mine.size.toLong === n)
+      val lm = mean(mine)
+      val dot = (0 until dims).map(i => lm(i) * corpusMean(i)).sum
+      val want = dot / (math.sqrt(lm.map(x => x * x).sum) *
+        math.sqrt(corpusMean.map(x => x * x).sum))
+      assert(math.abs(cos - want) < 1e-4, s"label $label: $cos vs $want")
+      assert(cos >= -1.0 && cos <= 1.0000001)
+    }
+    assert(got.size === 10)
+  }
+
+  // -------------------------------------------------------------------
   // q_term_search + q_rate_anomaly
   // -------------------------------------------------------------------
 
