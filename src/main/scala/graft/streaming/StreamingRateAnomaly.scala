@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusCuration
+
+/** Streaming event-rate anomaly monitor (the streaming twin of
+  * `operators.CorpusCuration.rateAnomaly` — and the shape the operator
+  * naturally wants: rate anomalies are watched live, not in batch).
+  *
+  * Hourly counts are ADDITIVE: per micro-batch one distributed
+  * hour-keyed aggregate runs (the batch operator's first stage) and
+  * only the hours-in-batch frame — calendar-bounded — crosses to the
+  * driver, merging by addition into an hour → count map inside
+  * `foreachBatch` (the StreamingHeavyHitters shape). The z-scores then
+  * compute from the merged counts with EXACTLY the batch arithmetic:
+  * integer trailing sums, pinned-order float z, floor-shift rounding —
+  * so after any prefix of batches the flagged set equals the batch
+  * operator run over the same events (StreamingCurationSpec, 3-way
+  * split).
+  *
+  * State is O(retained hours). A forever-running monitor calls
+  * [[pruneBefore]] to drop hours older than the trailing window needs
+  * (24 h + the live edge); pruning only forgets hours that can no
+  * longer affect any future z.
+  */
+class StreamingRateAnomaly extends Serializable {
+
+  private val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+
+  /** Merge one micro-batch of events (needs a `ts` timestamp column). */
+  def mergeBatch(events: DataFrame): Unit = {
+    val batch = events
+      .groupBy(expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("hr_no"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    this.synchronized {
+      batch.foreach { r =>
+        val h = r.getLong(0)
+        counts.update(h, counts.getOrElse(h, 0L) + r.getLong(1))
+      }
+    }
+  }
+
+  /** Drop state for hours strictly before `hourNo` (they are outside
+    * every future trailing window once the stream has moved on).
+    */
+  def pruneBefore(hourNo: Long): Unit =
+    this.synchronized { counts.filterInPlace((h, _) => h >= hourNo) }
+
+  /** Current anomaly table — same columns and arithmetic as the batch
+    * operator (`hour, n, z, anomaly`).
+    */
+  def current(s: SparkSession): DataFrame = {
+    val hours = this.synchronized { counts.toSeq.sortBy(_._1) }
+    val rows = hours.map { case (h, n) =>
+      val trail = hours.filter { case (t, _) =>
+        t >= h - CorpusCuration.AnomalyTrailHours && t < h }
+      val tCnt = trail.size.toLong
+      val z: java.lang.Double =
+        if (tCnt >= CorpusCuration.AnomalyMinTrail) {
+          val tSum = trail.map(_._2).sum
+          val tSq = trail.map(p => p._2 * p._2).sum
+          val mean = tSum.toDouble / tCnt
+          val varPop = tSq.toDouble / tCnt - mean * mean
+          val raw = (n.toDouble - mean) / math.sqrt(math.max(varPop, 1e-12))
+          math.floor(raw * 100.0 + 0.5) / 100.0
+        } else null
+      val hourStr = java.time.Instant.ofEpochSecond(h * 3600L)
+        .atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      Row(hourStr, n, z, z != null && math.abs(z) >= 2.0)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("hour",
+        org.apache.spark.sql.types.StringType, false),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("z",
+        org.apache.spark.sql.types.DoubleType, true),
+      org.apache.spark.sql.types.StructField("anomaly",
+        org.apache.spark.sql.types.BooleanType, false)))
+    s.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+  }
+}
