@@ -49,7 +49,7 @@ object Bench {
     "q_moving_avg" -> "ma", "q_multimodal_meta" -> "mm",
     "q_ngram_freq" -> "ng", "q_normalize_status" -> "ns",
     "q_novelty" -> "no", "q_oldest_pending" -> "ol",
-    "q_overdue" -> "ov", "q_pack_sequences" -> "pc",
+    "q_overdue" -> "ov", "q_pack_efficiency" -> "pke", "q_pack_sequences" -> "pc",
     "q_paged_ingest" -> "pg", "q_parent_join" -> "pj",
     "q_period_report" -> "pr", "q_pii_scrub" -> "pi",
     "q_pivot" -> "pv", "q_ppl_buckets" -> "pp",
@@ -69,7 +69,7 @@ object Bench {
     "q_tfidf_top_terms" -> "tf", "q_token_budget" -> "tb",
     "q_token_count" -> "to", "q_topk_per_key" -> "tp",
     "q_uncategorized" -> "un", "q_value_deciles" -> "dec",
-    "q_vocab_topk" -> "vc", "q_weekly_focus" -> "wk",
+    "q_vocab_coverage" -> "vcv", "q_vocab_topk" -> "vc", "q_weekly_focus" -> "wk",
     "q_weekly_velocity" -> "wkv", "q_weighted_mean" -> "wm",
     "q_wow_change" -> "wo")
 

@@ -103,6 +103,8 @@ object SparkEntry {
     "q_term_search"   -> ((s, d) => CorpusCuration.termSearch(s, d)),
     "q_rate_anomaly"  -> CorpusCuration.rateAnomaly _,
     "q_embed_drift"   -> CorpusCuration.embedDrift _,
+    "q_pack_efficiency" -> CorpusCuration.packEfficiency _,
+    "q_vocab_coverage"  -> CorpusCuration.vocabCoverage _,
     // §2.7 multimodal metadata
     "q_multimodal_meta" -> TextAnalysis.multimodalMeta _,
     // §2.1b extended composed analytics
@@ -636,6 +638,8 @@ object SparkEntry {
     "q_term_search"    -> CorpusCuration.termSearchOracleSql,
     "q_rate_anomaly"   -> CorpusCuration.rateAnomalyOracleSql,
     "q_embed_drift"    -> CorpusCuration.embedDriftOracleSql,
+    "q_pack_efficiency" -> CorpusCuration.packEfficiencyOracleSql,
+    "q_vocab_coverage"  -> CorpusCuration.vocabCoverageOracleSql,
     // per-source declared-vs-predicted language audit (shared lang CTEs)
     "q_lang_mismatch" ->
       s"""WITH $sqlLangCtes

@@ -223,6 +223,112 @@ object CorpusCuration {
   }
 
   // ---------------------------------------------------------------------
+  // q_pack_efficiency — padding waste vs packing across sequence lengths
+  // ---------------------------------------------------------------------
+
+  /** Candidate training-sequence lengths. */
+  val PackCandidateLens: Seq[Int] = Seq(128, 256, 512, 1024)
+
+  /** Sequence-length planning table (`q_pack_efficiency`): for each
+    * candidate length L, the cost of PADDED per-document batching
+    * (each doc rounded up to ⌈ntok/L⌉ sequences) vs concat-packing
+    * (⌈Σntok/L⌉ sequences, zero padding except the final tail) — the
+    * table a pipeline reads before fixing its sequence length (pad
+    * waste grows with L, truncation-free packing does not). One
+    * column-pruned scan; the per-L fan-out is a 4-element explode on
+    * the aggregate side; everything after the first agg is 4 rows.
+    */
+  def packEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(size(tokens(col("text"))).cast("long").as("ntok"))
+      .filter(col("ntok") > 0)
+    val perL = d.select(explode(typedLit(PackCandidateLens)).as("seq_len"), col("ntok"))
+      .groupBy("seq_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").as("total_tokens"),
+        sum(expr("(ntok + seq_len - 1) div seq_len")).as("padded_seqs"))
+    perL
+      .withColumn("packed_seqs",
+        expr("(total_tokens + seq_len - 1) div seq_len"))
+      .withColumn("pad_waste",
+        r4c(lit(1.0) - col("total_tokens").cast("double") /
+          (col("padded_seqs") * col("seq_len"))))
+      .select(col("seq_len").cast("int").as("seq_len"), col("n_docs"),
+        col("total_tokens"), col("padded_seqs"), col("packed_seqs"),
+        col("pad_waste"))
+      .orderBy("seq_len")
+  }
+
+  def packEfficiencyOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+       |           AS ntok
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+       |perl AS (
+       |  SELECT CAST(l AS INTEGER) AS seq_len,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(ntok) AS BIGINT) AS total_tokens,
+       |    CAST(sum((ntok + l - 1) // l) AS BIGINT) AS padded_seqs
+       |  FROM d, unnest(${PackCandidateLens.mkString("[", ", ", "]")}) AS t(l)
+       |  GROUP BY 1)
+       |SELECT seq_len, n_docs, total_tokens, padded_seqs,
+       |  (total_tokens + seq_len - 1) // seq_len AS packed_seqs,
+       |  floor((1.0 - CAST(total_tokens AS DOUBLE) / (padded_seqs * seq_len))
+       |        * 10000.0 + 0.5) / 10000.0 AS pad_waste
+       |FROM perl ORDER BY seq_len""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_vocab_coverage — OOV rate at candidate vocabulary sizes
+  // ---------------------------------------------------------------------
+
+  /** Candidate word-vocabulary sizes. */
+  val VocabCandidates: Seq[Int] = Seq(10, 20, 30)
+
+  /** Vocabulary-size planning table (`q_vocab_coverage`): for each
+    * candidate size k, the fraction of corpus TOKEN OCCURRENCES covered
+    * by the k most frequent words (ties broken by word) — the OOV-rate
+    * curve read before fixing a tokenizer's vocabulary budget.
+    *
+    * Shape: token counts DERIVE from the session-persisted
+    * (source, token) frame (zero extra corpus pass — the kl_drift
+    * cache); each k's covered mass is a bounded TakeOrdered (top-k by
+    * count desc, word) collected and summed on the driver — k is a
+    * constant, so driver state is O(max k), the ANN-probe-set class.
+    */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val tt = sourceTokenCounts(s, dir)
+      .groupBy("t").agg(sum("c_st").as("c"))
+    val total = tt.agg(sum("c")).head().getLong(0)
+    val topMax = tt.orderBy(col("c").desc, col("t"))
+      .limit(VocabCandidates.max).collect().map(_.getLong(1))
+    import s.implicits._
+    VocabCandidates.map { k =>
+      val covered = topMax.take(k).sum
+      (k, covered, total,
+        math.floor(covered.toDouble / total * 10000.0 + 0.5) / 10000.0)
+    }.toDF("vocab_k", "covered", "total_tokens", "coverage")
+      .orderBy("vocab_k")
+  }
+
+  def vocabCoverageOracleSql: String = {
+    val ks = VocabCandidates.mkString("[", ", ", "]")
+    s"""WITH tok AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+       |  FROM documents),
+       |tt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM tt),
+       |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r FROM tt)
+       |SELECT CAST(k AS INTEGER) AS vocab_k,
+       |  CAST(sum(CASE WHEN r <= k THEN c ELSE 0 END) AS BIGINT) AS covered,
+       |  max(total) AS total_tokens,
+       |  floor(CAST(sum(CASE WHEN r <= k THEN c ELSE 0 END) AS DOUBLE)
+       |        / max(total) * 10000.0 + 0.5) / 10000.0 AS coverage
+       |FROM rk, tot, unnest($ks) AS u(k)
+       |GROUP BY k ORDER BY vocab_k""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_embed_drift — per-cluster mean-embedding drift from the corpus
   // ---------------------------------------------------------------------
 

@@ -295,6 +295,38 @@ class CorpusCurationSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // q_pack_efficiency + q_vocab_coverage
+  // -------------------------------------------------------------------
+
+  test("pack efficiency: packing never loses to padding, waste grows with L") {
+    val rows = CorpusCuration.packEfficiency(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq === CorpusCuration.PackCandidateLens)
+    for ((l, padded, packed, waste) <- rows) {
+      assert(packed <= padded, s"L=$l: packing cannot need more sequences")
+      assert(waste >= 0.0 && waste < 1.0)
+    }
+    // per-doc padding waste is monotone in L on any fixed corpus
+    assert(rows.map(_._4).toSeq === rows.map(_._4).toSeq.sorted,
+      "pad waste non-decreasing in sequence length")
+  }
+
+  test("vocab coverage: monotone in k and equal to a direct top-k sum") {
+    val rows = CorpusCuration.vocabCoverage(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === CorpusCuration.VocabCandidates)
+    assert(rows.map(_._2).toSeq === rows.map(_._2).toSeq.sorted, "covered mass monotone")
+    assert(rows.forall { case (_, cov, tot, c) => cov <= tot && c <= 1.0 && c > 0.0 })
+    // direct recomputation of the largest k
+    val toks = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1))
+    val kMax = CorpusCuration.VocabCandidates.max
+    val want = toks.sortBy { case (t, c) => (-c, t) }.take(kMax).map(_._2).sum
+    assert(rows.last._2 === want)
+  }
+
+  // -------------------------------------------------------------------
   // q_embed_drift
   // -------------------------------------------------------------------
 
