@@ -157,29 +157,82 @@ object CorpusCuration {
     * Constants are Dedup's MinHash family (one source of truth — same
     * k=16 permutations, same shingle width, same modulus).
     */
+  /** Cardinality contract / gate for the source-pair family. At or
+    * below this many sources the pairwise stage runs LOCALLY on the
+    * collected signature frame — exact all-pairs, the catalog-dimension
+    * regime the shipped testdata lives in (20 sources). ABOVE it the
+    * quadratic pair count stops being dim-sized (10⁵-10⁶ web domains →
+    * 10¹⁰-10¹² pairs): [[sourceSim]] switches to the fully distributed
+    * LSH band join (candidate pairs sharing ≥1 of the 4 MinHash bands —
+    * the Dedup.minhashLsh machinery at source granularity) and
+    * [[sourceOverlap]] df-caps its postings (the stop-shingle
+    * precedent), so neither collects nor fans out quadratically.
+    */
+  val SourcePairLocalMax = 256L
+
   def sourceSim(s: SparkSession, dir: String): DataFrame = {
-    import Dedup.{MinhashA, MinhashB, ShingleN}
-    val ex = Tables.documents(s, dir)
-      .select(col("source"), explode(shingleHashes(col("text"), ShingleN)).as("h"))
-    val mins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("h") + lit(b), lit(HashP))).as(s"m$i")
+    import Dedup.MinhashA
+    // the corpus-sized sketch pass runs ONCE into the session-persisted
+    // signature frame — |sources|×16 longs, released by
+    // [[releaseCurationCache]] — because BOTH the cardinality probe and
+    // the pairwise stage read it, and exchange reuse across
+    // differently-aliased self-join subtrees is not guaranteed
+    // (measured: it did not fire)
+    val sig = sourceSig(s, dir)
+    if (sig.count() <= SourcePairLocalMax) {
+      // exact all-pairs on the driver-bounded collected frame
+      val sigRows = sig.collect()
+        .map(r => (r.getString(0),
+          Seq.tabulate(MinhashA.size)(i => r.getLong(i + 1))))
+      import s.implicits._
+      val local = sigRows.toSeq.toDF("source", "sig")
+      val a = local.select(col("source").as("source_a"), col("sig").as("sa"))
+      val b = local.select(col("source").as("source_b"), col("sig").as("sb"))
+      pairSims(a.join(broadcast(b), col("source_a") < col("source_b")))
+    } else sourceSimBanded(sig)
+  }
+
+  /** High-cardinality path: candidate source pairs from the LSH band
+    * equi-join over the distributed signature frame (same 4×4 banding
+    * as Dedup.minhashLsh — a pair surfaces iff one band's 4 components
+    * all match, i.e. est. Jaccard is in the band curve's recall
+    * regime), then exact signature agreement per candidate. Emitted
+    * pairs carry EXACTLY the values the all-pairs path would give
+    * them; pairs sharing no band (low similarity — the triage
+    * non-answers) are absent instead of materializing the quadratic
+    * frame. The band exchange is pinned (AQE's byte-based coalesce
+    * must not serialize the Θ(bucket²) fan-out — the coocPairs
+    * lesson).
+    */
+  private def sourceSimBanded(sig: DataFrame): DataFrame = {
+    import Dedup.{Bands, R, MinhashA}
+    val sigArr = sig.select(col("source"),
+      array(MinhashA.indices.map(i => col(s"m$i")): _*).as("sig"))
+    val bandKeys = (0 until Bands).map { bi =>
+      concat_ws(":", (bi * R until bi * R + R).map(j => col(s"m$j")): _*)
     }
-    // the corpus-sized sketch pass runs ONCE: the finished signature
-    // frame is |sources|×16 longs — driver-bounded metadata (the
-    // packOn/ANN-probe-set class) — so it collects and the pairwise
-    // stage runs on a local frame instead of re-executing the scan
-    // for each side of the self-join (ReuseExchange is not guaranteed
-    // across differently-aliased subtrees; measured: it did not fire)
-    val sigRows = ex.groupBy("source")
-      .agg(mins.head, mins.tail: _*)
-      .collect()
-      .map(r => (r.getString(0),
-        Seq.tabulate(MinhashA.size)(i => r.getLong(i + 1))))
-    import s.implicits._
-    val sig = sigRows.toSeq.toDF("source", "sig")
-    val a = sig.select(col("source").as("source_a"), col("sig").as("sa"))
-    val b = sig.select(col("source").as("source_b"), col("sig").as("sb"))
-    a.join(broadcast(b), col("source_a") < col("source_b"))
+    val n = sig.sparkSession.sessionState.conf.numShufflePartitions
+    val banded = sig
+      .select(col("source"), posexplode(array(bandKeys: _*)).as(Seq("band_id", "key")))
+      .repartition(n, col("band_id"), col("key"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.key") === col("y.key") &&
+          col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .distinct()
+    pairSims(cand
+      .join(sigArr.select(col("source").as("source_a"), col("sig").as("sa")), "source_a")
+      .join(sigArr.select(col("source").as("source_b"), col("sig").as("sb")), "source_b"))
+  }
+
+  /** Shared value stage: component agreement count + Jaccard estimate
+    * from a (source_a, source_b, sa, sb) pair frame — both the local
+    * all-pairs and the banded candidate frame land here, so the two
+    * paths are value-identical by construction.
+    */
+  private def pairSims(pairs: DataFrame): DataFrame = {
+    import Dedup.MinhashA
+    pairs
       .withColumn("n_match",
         aggregate(zip_with(col("sa"), col("sb"),
             (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
@@ -188,6 +241,26 @@ object CorpusCuration {
         round(col("n_match").cast("double") / MinhashA.size, 4))
       .select(col("source_a"), col("source_b"), col("n_match"), col("est_jaccard"))
       .orderBy("source_a", "source_b")
+  }
+
+  /** Session-persisted per-source MinHash signature frame (m0..m15):
+    * min over all the source's shingle hashes of (aᵢ·h+bᵢ) mod p — the
+    * distributed sketch union as one map-side-combined aggregate.
+    * Bounded at |sources|×16 longs. Released by
+    * [[releaseCurationCache]].
+    */
+  private def sourceSig(s: SparkSession, dir: String): DataFrame =
+    sourceSigPlan(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def sourceSigPlan(s: SparkSession, dir: String): DataFrame = {
+    import Dedup.{MinhashA, MinhashB, ShingleN}
+    val ex = Tables.documents(s, dir)
+      .select(col("source"), explode(shingleHashes(col("text"), ShingleN)).as("h"))
+    val mins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(HashP))).as(s"m$i")
+    }
+    ex.groupBy("source").agg(mins.head, mins.tail: _*)
   }
 
   /** DuckDB twin of [[sourceSim]] — same shingle fold, same MinHash
@@ -458,7 +531,12 @@ object CorpusCuration {
     val hourly = Tables.events(s, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hr"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("hr_no", (unix_timestamp(col("hr")) / 3600L).cast("long"))
+      // floor(x/3600) — not cast-truncation — so a pre-1970 (negative
+      // epoch) hour lands in the same bucket as DuckDB's `//` floor
+      // division. hr is hour-truncated in UTC, so x is a multiple of
+      // 3600 and the double division is exact.
+      .withColumn("hr_no",
+        floor(unix_timestamp(col("hr")).cast("double") / 3600.0).cast("long"))
     val w = Window.orderBy("hr_no")
       .rangeBetween(-AnomalyTrailHours.toLong, -1L)
     val stats = hourly
@@ -552,7 +630,7 @@ object CorpusCuration {
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
        |  FROM documents),
        |sh AS (
-       |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  SELECT DISTINCT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
        |    list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT))),
        |    (a, c) -> (a * 31 + c) % $HashP) AS h
        |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -697,12 +775,42 @@ object CorpusCuration {
     * candidate generator) lifted to source granularity — distinct
     * (source, shingle) postings, per-shingle source pairs, one
     * map-side-combined pair count. Per-shingle fan-out is bounded by
-    * C(|sources|, 2) — sources are a catalog dimension, so the
-    * quadratic term is dim-sized, never corpus-sized; the corpus-sized
-    * work is the one distinct + one count shuffle.
+    * C(|sources|, 2) in the catalog-dimension regime (≤
+    * [[SourcePairLocalMax]] sources — the shipped data's 20, where the
+    * quadratic term is dim-sized and the answer is EXACT over all
+    * shingles); above the gate the postings are df-capped at
+    * [[SourceOverlapMaxDf]] so the fan-out is C(cap, 2) per shingle
+    * regardless of source cardinality, and the reported overlap is
+    * exact over the discriminative-shingle universe.
     */
+  /** Stop-shingle df cap for the high-cardinality overlap path:
+    * shingles present in MORE sources than this are dropped before the
+    * pair join (the Dedup.MaxShingleDf precedent at source
+    * granularity), bounding the per-shingle fan-out at C(cap, 2)
+    * instead of C(|sources|, 2). Above the [[SourcePairLocalMax]] gate
+    * the operator therefore reports overlap over the DISCRIMINATIVE
+    * shingle universe (source-df ≤ cap) — sizes and intersections both
+    * restricted, so jaccard/containment stay a coherent exact measure
+    * of that universe; ubiquitous boilerplate shingles carry no
+    * pair-specific signal and are exactly what a 10⁶-domain crawl
+    * must not fan out on.
+    */
+  val SourceOverlapMaxDf = 256L
+
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val post = postings(s, dir)
+    val postAll = postings(s, dir)
+    val nSources = postAll.select("source").distinct().count()
+    val post =
+      if (nSources <= SourcePairLocalMax) postAll
+      else {
+        // df-capped postings, exchange pinned on h: the pair join fans
+        // out per-shingle and AQE's byte-sized coalesce must not
+        // serialize it (the coocPairs lesson)
+        val hot = postAll.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > SourceOverlapMaxDf).select("h")
+        postAll.join(hot, Seq("h"), "left_anti")
+          .repartition(s.sessionState.conf.numShufflePartitions, col("h"))
+      }
     val sz = post.groupBy("source").agg(count(lit(1)).as("n"))
     val inter = post.select(col("source").as("source_a"), col("h"))
       .join(post.select(col("source").as("source_b"), col("h")), "h")
@@ -857,6 +965,7 @@ object CorpusCuration {
   /** Drop the session-scoped curation caches for `dir`. */
   def releaseCurationCache(s: SparkSession, dir: String): Unit = {
     postingsPlan(s, dir).unpersist()
+    sourceSigPlan(s, dir).unpersist()
     sourceTokenCountsPlan(s, dir).unpersist()
   }
 

@@ -161,8 +161,13 @@ object Export {
   val ShardHashA = 2654435761L
   def writeSharded(df: DataFrame, path: String, keyCol: String, n: Int): Unit = {
     require(n > 0, "shard count must be positive")
+    // Reduce the key mod p BEFORE multiplying: (k mod p)*A fits in a Long
+    // ((p-1)*A ~ 2.7e18 < 2^63), whereas k*A overflows (= ANSI
+    // ARITHMETIC_OVERFLOW) for keys >= ~3.5e9. Congruent mod p, so shard
+    // assignment is unchanged for every key the old form could handle.
     val sharded = df.withColumn("shard",
-      pmod(pmod(col(keyCol) * lit(ShardHashA), lit(1000000007L)), lit(n.toLong)))
+      pmod(pmod(pmod(col(keyCol), lit(1000000007L)) * lit(ShardHashA),
+        lit(1000000007L)), lit(n.toLong)))
     sharded
       .repartition(n, col("shard"))
       .sortWithinPartitions(col("shard"), col(keyCol))

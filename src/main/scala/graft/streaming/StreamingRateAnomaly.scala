@@ -22,16 +22,28 @@ import graft.operators.CorpusCuration
   * State is O(retained hours). A forever-running monitor calls
   * [[pruneBefore]] to drop hours older than the trailing window needs
   * (24 h + the live edge); pruning only forgets hours that can no
-  * longer affect any future z.
+  * longer affect any future z. After a prune, [[current]] emits ONLY
+  * hours whose full 24 h trailing window is still in state (hour ≥
+  * pruned boundary + trail) — hours inside the fringe would otherwise
+  * recompute z from a shortened trail and silently diverge from the
+  * batch operator, breaking the stream==batch equality this class
+  * promises.
   */
 class StreamingRateAnomaly extends Serializable {
 
   private val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+  // Exclusive lower bound of hours guaranteed complete in `counts`
+  // (Long.MinValue until the first prune).
+  private var prunedTo: Long = Long.MinValue
 
   /** Merge one micro-batch of events (needs a `ts` timestamp column). */
   def mergeBatch(events: DataFrame): Unit = {
     val batch = events
-      .groupBy(expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("hr_no"))
+      // floor division (matches the batch operator and DuckDB `//`),
+      // not `div` truncation — pre-1970 hours bucket identically.
+      .groupBy(expr(
+        "CAST(floor(unix_timestamp(date_trunc('hour', ts)) / 3600.0) AS BIGINT)")
+        .as("hr_no"))
       .agg(count(lit(1)).as("n"))
       .collect()
     this.synchronized {
@@ -46,14 +58,23 @@ class StreamingRateAnomaly extends Serializable {
     * every future trailing window once the stream has moved on).
     */
   def pruneBefore(hourNo: Long): Unit =
-    this.synchronized { counts.filterInPlace((h, _) => h >= hourNo) }
+    this.synchronized {
+      prunedTo = math.max(prunedTo, hourNo)
+      counts.filterInPlace((h, _) => h >= hourNo)
+    }
 
   /** Current anomaly table — same columns and arithmetic as the batch
-    * operator (`hour, n, z, anomaly`).
+    * operator (`hour, n, z, anomaly`). Hours inside the post-prune
+    * fringe (trailing window partially forgotten) are withheld rather
+    * than emitted with a divergent z.
     */
   def current(s: SparkSession): DataFrame = {
-    val hours = this.synchronized { counts.toSeq.sortBy(_._1) }
-    val rows = hours.map { case (h, n) =>
+    val (hours, boundary) =
+      this.synchronized { (counts.toSeq.sortBy(_._1), prunedTo) }
+    val minEmit =
+      if (boundary == Long.MinValue) Long.MinValue
+      else boundary + CorpusCuration.AnomalyTrailHours
+    val rows = hours.filter(_._1 >= minEmit).map { case (h, n) =>
       val trail = hours.filter { case (t, _) =>
         t >= h - CorpusCuration.AnomalyTrailHours && t < h }
       val tCnt = trail.size.toLong

@@ -463,4 +463,136 @@ class CorpusCurationSpec extends AnyFunSuite {
     }
     assert(got === want, "merged per-batch mins == full-history signature")
   }
+
+  // -------------------------------------------------------------------
+  // high-source-cardinality regime: banded sim, df-capped overlap
+  // -------------------------------------------------------------------
+
+  /** Test-side signature computation (the streaming-twin pattern):
+    * source → 16 MinHash components, collected.
+    */
+  private def collectedSigs(docs: org.apache.spark.sql.DataFrame)
+      : Map[String, Seq[Long]] = {
+    import graft.operators.Dedup
+    val ex = docs.select(col("source"),
+      explode(graft.functions.TextFunctions.shingleHashes(
+        col("text"), Dedup.ShingleN)).as("h"))
+    val mins = Dedup.MinhashA.zip(Dedup.MinhashB).zipWithIndex.map {
+      case ((a, b), i) =>
+        min(pmod(lit(a) * col("h") + lit(b),
+          lit(graft.functions.TextFunctions.HashP))).as(s"m$i")
+    }
+    ex.groupBy("source").agg(mins.head, mins.tail: _*).collect()
+      .map(r => r.getString(0) ->
+        Seq.tabulate(Dedup.MinhashA.size)(i => r.getLong(i + 1))).toMap
+  }
+
+  test("source sim at 10k sources: banded path == band-match pairs with exact values, no local pairwise") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    assert(10000 > CorpusCuration.SourcePairLocalMax)
+    // 2000 families × 5 sources; members 0-2 share the family text
+    // verbatim (signature-identical → every band matches), members 3-4
+    // append extra tokens (supersets — partial component agreement)
+    val rows = (0 until 10000).map { i =>
+      val fam = i / 5
+      val base = (0 until 12).map(j => s"f${fam}w$j").mkString(" ")
+      val text = (i % 5) match {
+        case 3 => base + s" x${i}a x${i}b x${i}c"
+        case 4 => base + s" y${i}a y${i}b y${i}c y${i}d"
+        case _ => base
+      }
+      (i.toLong, text, "en", f"s$i%05d", text.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_bigsrc").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = CorpusCuration.sourceSim(spark, dir)
+    // the banded plan must be fully distributed: a collected signature
+    // frame would surface as a LocalTableScan / LocalRelation leaf
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"),
+      "banded path must not collect the signature frame")
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+
+    // expected: exactly the pairs sharing ≥1 of the 4 bands, with the
+    // values the exact all-pairs path would emit — derived from the
+    // collected signatures via bucket grouping (never naive 10k²)
+    val sigs = collectedSigs(spark.read.parquet(s"$dir/documents.parquet"))
+    val buckets = scala.collection.mutable.HashMap
+      .empty[(Int, Seq[Long]), List[String]]
+    for ((src, sig) <- sigs; bi <- 0 until Dedup.Bands) {
+      val key = (bi, sig.slice(bi * Dedup.R, bi * Dedup.R + Dedup.R))
+      buckets.update(key, src :: buckets.getOrElse(key, Nil))
+    }
+    val expectPairs = buckets.valuesIterator.flatMap { ss =>
+      val sorted = ss.sorted
+      for (a <- sorted.iterator; b <- sorted.iterator if a < b) yield (a, b)
+    }.toSet
+    val expect = expectPairs.iterator.map { case (a, b) =>
+      val nMatch = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toLong
+      (a, b) -> (nMatch,
+        BigDecimal(nMatch.toDouble / Dedup.MinhashA.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    assert(got.keySet === expect.keySet,
+      "candidates are exactly the band-sharing pairs")
+    assert(got === expect, "banded values equal the exact path's")
+    // the signature-identical family triples are all found at 1.0
+    val fullMatches = got.filter(_._2._1 == Dedup.MinhashA.size.toLong)
+    assert(fullMatches.size >= 2000 * 3,
+      s"family triples surface as exact matches, got ${fullMatches.size}")
+    CorpusCuration.releaseCurationCache(spark, dir)
+  }
+
+  test("source overlap above the gate: df-capped, exact over the discriminative universe") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val nSrc = 300 // > SourcePairLocalMax = 256, < hot df cap trigger at 300 > 256
+    assert(nSrc > CorpusCuration.SourcePairLocalMax &&
+      nSrc > CorpusCuration.SourceOverlapMaxDf)
+    // every source shares a hot boilerplate phrase (df = 300 > cap →
+    // dropped); sources 2i and 2i+1 share a pair-unique phrase (df = 2
+    // → kept); plus per-source unique tokens
+    val rows = (0 until nSrc).map { i =>
+      val p = i / 2
+      val text = "hota hotb hotc hotd hote " +
+        s"p${p}a p${p}b p${p}c p${p}d " + s"u${i}a u${i}b u${i}c"
+      (i.toLong, text, "en", f"s$i%05d", text.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_capovl").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = CorpusCuration.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+
+    // local reference: postings → df → capped universe → pairwise
+    val post = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.shingleHashes(
+          col("text"), Dedup.ShingleN)).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val df = post.groupBy(_._2).map { case (h, ps) => h -> ps.length }
+    val kept = post.filter(p => df(p._2) <= CorpusCuration.SourceOverlapMaxDf)
+    val bySrc = kept.groupBy(_._1).map { case (s0, ps) => s0 -> ps.map(_._2).toSet }
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val expect = (for {
+      a <- bySrc.keys; b <- bySrc.keys if a < b
+      inter = (bySrc(a) & bySrc(b)).size.toLong if inter > 0
+    } yield {
+      val (na, nb) = (bySrc(a).size.toLong, bySrc(b).size.toLong)
+      (a, b) -> (inter, r4(inter.toDouble / (na + nb - inter)),
+        r4(inter.toDouble / na), r4(inter.toDouble / nb))
+    }).toMap
+    assert(expect.nonEmpty && expect.size == nSrc / 2,
+      s"planted pair phrases survive the cap: ${expect.size}")
+    assert(got === expect,
+      "capped operator == exact overlap restricted to df≤cap shingles")
+    CorpusCuration.releaseCurationCache(spark, dir)
+  }
 }
