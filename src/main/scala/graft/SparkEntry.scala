@@ -79,7 +79,7 @@ object SparkEntry {
     "q_doc_fingerprint" -> TextAnalysis.fingerprint _,
     "q_pii_scrub"       -> TextAnalysis.piiScrub _,
     "q_contamination"   -> TextAnalysis.contamination _,
-    "q_contamination_score" -> TextAnalysis.contaminationScore _,
+    "q_contamination_score" -> ((s, d) => TextAnalysis.contaminationScore(s, d)),
     "q_tfidf_top_terms" -> TextAnalysis.tfidfTopTerms _,
     "q_lm_score"        -> TextAnalysis.lmScore _,
     "q_gopher_filter"   -> ((s, d) => TextAnalysis.gopherFilter(s, d)),

@@ -527,6 +527,11 @@ object CorpusCuration {
     * z) happens per output row in pinned association order with the
     * shared floor-shift rounding.
     */
+  /** Bucket span (hours) for the two-phase trailing window; the 24 h
+    * trail needs only a 24-hour overlap copied across boundaries.
+    */
+  val AnomalyBucketHours = 1024L
+
   def rateAnomaly(s: SparkSession, dir: String): DataFrame = {
     val hourly = Tables.events(s, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hr"))
@@ -537,12 +542,24 @@ object CorpusCuration {
       // 3600 and the double division is exact.
       .withColumn("hr_no",
         floor(unix_timestamp(col("hr")).cast("double") / 3600.0).cast("long"))
-    val w = Window.orderBy("hr_no")
+      // two-phase trailing window (the movingAvg helper-copy shape):
+      // hours bucket into 1024 h ranges, the last 24 h of each bucket
+      // are copied into the next so every hour's [h-24, h-1] trail is
+      // complete inside its bucket, and the window partitions by
+      // bucket — a decades-long event history no longer single-tasks
+      .withColumn("bkt",
+        floor(col("hr_no") / lit(AnomalyBucketHours.toDouble)).cast("long"))
+    val helpers = hourly
+      .filter(col("hr_no") >=
+        (col("bkt") + 1) * AnomalyBucketHours - AnomalyTrailHours)
+      .withColumn("bkt", col("bkt") + 1).withColumn("_helper", lit(true))
+    val w = Window.partitionBy("bkt").orderBy("hr_no")
       .rangeBetween(-AnomalyTrailHours.toLong, -1L)
-    val stats = hourly
+    val stats = hourly.withColumn("_helper", lit(false)).unionByName(helpers)
       .withColumn("t_cnt", count(lit(1)).over(w))
       .withColumn("t_sum", sum("n").over(w))
       .withColumn("t_sq", sum(col("n") * col("n")).over(w))
+      .filter(!col("_helper"))
     val mean = col("t_sum").cast("double") / col("t_cnt")
     val varPop = col("t_sq").cast("double") / col("t_cnt") - mean * mean
     val z = (col("n").cast("double") - mean) /

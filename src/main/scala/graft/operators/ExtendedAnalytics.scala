@@ -473,16 +473,40 @@ object ExtendedAnalytics {
 
   /** Week-over-week completion change (velocity + lag — the reference's
     * weekly chart as a delta series).
+    *
+    * Two-phase lag, no unpartitioned window: phase 1 lags WITHIN each
+    * year (partitioned window over the weekly aggregate); phase 2
+    * supplies each year's first week with the LAST week of the nearest
+    * earlier non-empty year via a per-year-last collect (≤ one row per
+    * year — driver-bounded metadata) broadcast back. Lag semantics are
+    * "previous PRESENT row", which survives arbitrary gaps — a
+    * calendar self-join on week-1 would not. A decade-spanning order
+    * history therefore never funnels through one task.
     */
   def weekOverWeek(s: SparkSession, dir: String): DataFrame = {
     val weekly = Tables.orders(s, dir)
       .filter(col("o_orderstatus") === "F")
       .groupBy(date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd").as("week"))
       .agg(count(lit(1)).as("n"))
-    weekly
-      .withColumn("prev_n", lag("n", 1).over(Window.orderBy("week")))
+      .withColumn("yr", substring(col("week"), 1, 4))
+    val withLag = weekly.withColumn("prev_in_yr",
+      lag("n", 1).over(Window.partitionBy("yr").orderBy("week")))
+    // ISO-week truncation can place a year's first days in the prior
+    // year's last ISO week, but "yr" here only BUCKETS the series —
+    // any contiguous grouping of the sorted week strings works
+    val lasts = weekly.groupBy("yr")
+      .agg(max(struct(col("week"), col("n"))).as("last"))
+      .select(col("yr"), col("last.n").as("last_n"))
+      .collect().sortBy(_.getString(0))
+    val prevPairs = lasts.sliding(2).collect {
+      case Array(p, c) => (c.getString(0), p.getLong(1))
+    }.toSeq
+    import s.implicits._
+    val prevDf = broadcast(prevPairs.toDF("yr", "prev_yr_last_n"))
+    withLag.join(prevDf, Seq("yr"), "left")
       .select(col("week"), col("n"),
-        coalesce(col("n") - col("prev_n"), lit(0L)).as("wow_change"))
+        coalesce(col("n") - coalesce(col("prev_in_yr"), col("prev_yr_last_n")),
+          lit(0L)).as("wow_change"))
       .orderBy("week")
   }
 
@@ -689,8 +713,21 @@ object ExtendedAnalytics {
       .orderBy("o_orderkey")
   }
 
+  /** Bucket span (days) for the two-phase moving-average window; the
+    * 7-day frame needs only a 6-day overlap copied across boundaries.
+    */
+  val MaBucketDays = 512
+
   /** 7-day moving average of daily completions (RANGE window frame over
     * day numbers — time-based frames, not row counts).
+    *
+    * Two-phase, no unpartitioned window: days bucket into
+    * [[MaBucketDays]]-day ranges; rows in the last 6 days of a bucket
+    * are COPIED into the next bucket (flagged helpers), the range
+    * window then runs partitioned by bucket — every day's [d-6, d]
+    * frame is complete inside its bucket — and helper rows are dropped
+    * after contributing. ~1% row duplication buys a window that scales
+    * with history length instead of single-tasking it.
     */
   def movingAvg(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.orders(s, dir)
@@ -698,9 +735,18 @@ object ExtendedAnalytics {
       .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("day_no"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n"))
-    val w = Window.orderBy("day_no").rangeBetween(-6, 0)
-    daily.select(col("day"), col("n"),
-        round(avg("n").over(w), 4).as("ma7"))
+      // floor division (day_no is negative before the epoch date);
+      // |day_no| ≪ 2^52 so the double division is exact
+      .withColumn("bkt",
+        floor(col("day_no") / lit(MaBucketDays.toDouble)).cast("long"))
+    val helpers = daily
+      .filter(col("day_no") >= (col("bkt") + 1) * MaBucketDays - 6)
+      .withColumn("bkt", col("bkt") + 1).withColumn("_helper", lit(true))
+    val w = Window.partitionBy("bkt").orderBy("day_no").rangeBetween(-6, 0)
+    daily.withColumn("_helper", lit(false)).unionByName(helpers)
+      .withColumn("ma7", round(avg("n").over(w), 4))
+      .filter(!col("_helper"))
+      .select(col("day"), col("n"), col("ma7"))
       .orderBy("day")
   }
 

@@ -168,6 +168,11 @@ object TextAnalysis {
 
   val ContaminationEvalDocs = 5
   val ContaminationShingleN = 5
+  /** Size gate for [[contaminationScore]]'s map-only literal path:
+    * above this many distinct eval shingles the eval set stops being a
+    * plan literal and becomes a broadcast join side.
+    */
+  val ContaminationLiteralMax = 100000L
 
   /** Benchmark-contamination detection: corpus documents sharing any
     * word 5-gram with the held-out eval set (doc_id < 5 stands in for
@@ -192,26 +197,42 @@ object TextAnalysis {
     * the overlap fraction (the threshold real decontamination sweeps
     * tune on: drop at ≥X% overlap, keep incidental single-gram hits).
     *
-    * Scale shape: the eval shingle set is bounded by declaration
-    * (fixed benchmark suite), so it collects to the driver — the
-    * ANN-probe-set class — and the corpus pass is MAP-ONLY: per-doc
-    * `array_intersect` against the literal, no explode, no shuffle
-    * (vs [[contamination]]'s explode + semi join, which is the right
-    * shape when only membership is needed and the hit set is sparse).
-    * The fraction is floor(x·1e4+0.5)/1e4 with identical association
+    * Scale shape, SIZE-GATED: a small eval set (≤ [[ContaminationLiteralMax]]
+    * distinct shingles — the shipped fixture) collects to the driver
+    * and the corpus pass is MAP-ONLY: per-doc `array_intersect`
+    * against the plan literal, no explode, no shuffle. A real
+    * decontamination suite (~10⁶ 5-grams) as a Catalyst literal would
+    * bloat the plan tree and every task closure, so ABOVE the gate the
+    * operator switches to the broadcast-join form the sibling
+    * [[contamination]] uses — explode + broadcast left join + per-doc
+    * count — which computes the identical columns (shingleHashes
+    * dedupes per doc, so the exploded count IS n_shingles). The
+    * fraction is floor(x·1e4+0.5)/1e4 with identical association
     * order in both engines (the .5-boundary rule).
     */
-  def contaminationScore(s: SparkSession, dir: String): DataFrame = {
-    val evalHashes = Tables.documents(s, dir)
+  def contaminationScore(s: SparkSession, dir: String,
+                         literalMax: Long = ContaminationLiteralMax): DataFrame = {
+    val evalSet = Tables.documents(s, dir)
       .filter(col("doc_id") < ContaminationEvalDocs)
       .select(explode(shingleHashes(col("text"), ContaminationShingleN)).as("h"))
-      .distinct().collect().map(_.getLong(0)).sorted
+      .distinct()
     val sh = shingleHashes(col("text"), ContaminationShingleN)
-    Tables.documents(s, dir)
+    val corpus = Tables.documents(s, dir)
       .filter(col("doc_id") >= ContaminationEvalDocs)
-      .select(col("doc_id"),
-        size(sh).cast("long").as("n_shingles"),
-        size(array_intersect(sh, typedLit(evalHashes))).cast("long").as("n_hit"))
+    val scored =
+      if (evalSet.count() <= literalMax) {
+        val evalHashes = evalSet.collect().map(_.getLong(0)).sorted
+        corpus.select(col("doc_id"),
+          size(sh).cast("long").as("n_shingles"),
+          size(array_intersect(sh, typedLit(evalHashes))).cast("long").as("n_hit"))
+      } else {
+        corpus.select(col("doc_id"), explode(sh).as("h"))
+          .join(broadcast(evalSet.withColumn("_hit", lit(1L))), Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            coalesce(sum("_hit"), lit(0L)).as("n_hit"))
+      }
+    scored
       .filter(col("n_hit") > 0)
       .withColumn("overlap",
         floor(col("n_hit") * lit(10000.0) / col("n_shingles") + lit(0.5)) / 10000.0)
@@ -271,43 +292,21 @@ object TextAnalysis {
   }
 
   /** Near-duplicate cluster assignment: connected components over the
-    * verified Jaccard pair graph by iterative min-label propagation —
-    * each iteration is one join+agg (the standard distributed CC shape);
-    * converges in O(component diameter) rounds, checked to fixpoint so
-    * the result is exact. cluster_id = min doc_id in the component.
+    * verified Jaccard pair graph via alternating large-star/small-star
+    * contraction ([[Components]]) — O(log² n) rounds independent of
+    * component DIAMETER, where the previous min-label propagation paid
+    * one full join+agg job per hop of the longest chain (transitive
+    * near-dup runs are exactly the chain-shaped case at crawl scale).
+    * Result is exact: cluster_id = min doc_id in the component,
+    * identical to propagation's fixpoint.
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    // checkpoint the verified pairs BEFORE the symmetrize union — the
-    // union's two branches would otherwise each recompute the whole
-    // shingle/co-occurrence pipeline (the most expensive stage here)
+    // checkpoint the verified pairs first — the contraction reads the
+    // edge frame repeatedly and must not re-run the shingle/
+    // co-occurrence pipeline (the most expensive stage here) per round
     val pairs = graft.operators.Dedup.ngramJaccard(s, dir).select("doc_a", "doc_b")
       .localCheckpoint()
-    // localCheckpoint also truncates lineage: without it each iteration's
-    // plan embeds every previous join, so planning time / stack depth
-    // grows with the component diameter — checkpointing keeps the
-    // per-iteration plan O(1) regardless of how many rounds convergence
-    // takes
-    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst2"), col("dst") === col("dst2"))
-        .groupBy(col("src").as("doc_id"))
-        .agg(min("cluster_id").as("nbr_min"))
-      // carry the change flag through the checkpoint: the convergence
-      // count then reads the materialized result instead of re-joining
-      // old vs new labels (one job per iteration, not two)
-      val next = labels.join(neighborMin, "doc_id")
-        .select(col("doc_id"), least(col("cluster_id"), col("nbr_min")).as("cluster_id"),
-          (col("nbr_min") < col("cluster_id")).as("_changed"))
-        .localCheckpoint()
-      changed = next.filter(col("_changed")).count()
-      labels = next.drop("_changed")
-    }
-    labels.orderBy("doc_id")
+    Components.connectedComponents(pairs, "doc_a", "doc_b").orderBy("doc_id")
   }
 
   /** Laplace pseudo-count for the bigram LM. */

@@ -654,19 +654,20 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
       "catch-all rank must partition by the okey range bucket")
   }
 
-  test("no query in the catalog runs an unpartitioned window over a non-aggregated frame") {
-    // the catalog-wide form of the report-doc rule: an empty window
-    // partition spec single-tasks its input, so it is only admissible
-    // over a post-aggregate (bounded, metadata-scale) frame — e.g. the
-    // weekly/daily count series under q_wow_change / q_moving_avg.
-    // Anything fact-derived must partition.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+  test("no query in the catalog runs an unpartitioned window at all") {
+    // every empty window partition spec single-tasks its input and
+    // prints `WindowExec: No Partition Defined`. Round 8 two-phased the
+    // last three calendar windows (q_wow_change year-lag, q_moving_avg
+    // and q_rate_anomaly helper-copy buckets), so the catalog-wide rule
+    // is now absolute: no Window may have an empty partition spec —
+    // post-aggregate frames included (a decades-long history makes
+    // even the calendar series unbounded).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((q, fn) <- SparkEntry.queries) {
       val wins = fn(spark, sf).queryExecution.optimizedPlan
         .collect { case w: LWindow => w }
-      for (w <- wins if w.partitionSpec.isEmpty)
-        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
-          s"$q: unpartitioned window over a non-aggregated frame:\n$w")
+      for (w <- wins)
+        assert(w.partitionSpec.nonEmpty, s"$q: unpartitioned window:\n$w")
     }
   }
 
@@ -909,6 +910,43 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out(0L) === ((39L, 0.5128, 0.9444)))
     // distinct: every gram unique -> top2 = 1/34, dup5 = 0
     assert(out(1L) === ((34L, 0.0294, 0.0)))
+  }
+
+  test("star contraction: long chain collapses in O(log) rounds with exact labels") {
+    import spark.implicits._
+    // a 256-hop chain: min-label propagation would need ~256 rounds
+    // (one hop per round); large-star/small-star must finish in a
+    // handful — the round count IS the 100×-diameter scale claim
+    val chain = (0L until 256L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = operators.Components.run(chain, "a", "b")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 257 && got.values.forall(_ == 0L),
+      "every chain node labels to the component minimum")
+    assert(rounds <= 10, s"diameter-256 chain took $rounds rounds (propagation: ~256)")
+  }
+
+  test("star contraction equals local union-find on a mixed random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // several planted shapes: chains, a star, cliques, isolated pairs,
+    // plus random noise edges — union-find is the ground truth
+    val edges = ((0L until 40L).map(i => (i, i + 1)) ++            // chain 0..40
+      (100L until 120L).map(i => (150L, i)) ++                     // star@150
+      (for (i <- 200L until 210L; j <- i + 1 until 210L) yield (i, j)) ++ // clique
+      (0 until 60).map(_ => { val a = rnd.nextInt(400).toLong
+        val b = rnd.nextInt(400).toLong; (a, b) })).filter(p => p._1 != p._2)
+    val (labels, _) = operators.Components.run(edges.toDF("a", "b"), "a", "b")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local union-find reference
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    for ((a, b) <- edges) { val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct
+    val comp = nodes.groupBy(find).flatMap { case (_, ns) =>
+      val m = ns.min; ns.map(_ -> m) }.toMap
+    assert(got === comp, "contraction labels == union-find component minima")
   }
 
   test("CC loop lineage stays bounded (localCheckpoint truncation)") {
@@ -1826,5 +1864,27 @@ class ContaminationScoreSpec extends org.scalatest.funsuite.AnyFunSuite {
     val member = operators.TextAnalysis.contamination(spark, sf).collect()
       .map(_.getLong(0)).toSet
     assert(got.map(_._1).toSet === member)
+  }
+
+  test("above the literal gate the broadcast-join path gives identical scores, no plan literal") {
+    // force the gate: literalMax = 0 makes ANY eval set "too large"
+    val gated = operators.TextAnalysis.contaminationScore(spark, sf, literalMax = 0L)
+    val lit_ = operators.TextAnalysis.contaminationScore(spark, sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(gated.collect().map(key).toSeq === lit_.collect().map(key).toSeq,
+      "both paths score identically")
+    // the gated plan must carry the eval set as a join side, not as an
+    // embedded array literal in every task closure
+    val litSizes = gated.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+          l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements()
+      })
+    }.flatten
+    assert(litSizes.forall(_ <= 16), s"gated plan embeds array literals: $litSizes")
+    assert(gated.queryExecution.optimizedPlan.toString.contains("Join"),
+      "gated path scores via the broadcast join")
   }
 }
