@@ -678,7 +678,14 @@ object CorpusCuration {
     * (`greatest(n,1)`) mirrored in the oracle.
     */
   def langMismatch(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    langMismatchRates(langMismatchCounts(Tables.documents(s, dir)))
+
+  /** Per-source additive counters from a (source, lang, text) frame —
+    * the per-batch aggregate of [[graft.streaming.StreamingLangMismatch]]
+    * (counters sum across batches).
+    */
+  private[graft] def langMismatchCounts(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), col("lang").as("declared"),
         langId(col("text")).as("pred"))
       .groupBy("source")
@@ -686,6 +693,12 @@ object CorpusCuration {
         sum(when(col("pred") =!= lit("unknown"), 1L).otherwise(0L)).as("n_confident"),
         sum(when(col("pred") =!= lit("unknown") && col("pred") =!= col("declared"), 1L)
           .otherwise(0L)).as("n_mismatch"))
+
+  /** Rate stage over the counters — shared verbatim with the streaming
+    * twin so stream == batch exactly.
+    */
+  private[graft] def langMismatchRates(counts: DataFrame): DataFrame =
+    counts
       .select(col("source"), col("n_docs"), col("n_confident"), col("n_mismatch"),
         r4c(col("n_mismatch").cast("double") / greatest(col("n_confident"), lit(1L)))
           .as("mismatch_rate"))
@@ -721,8 +734,16 @@ object CorpusCuration {
     * aggregation stays a plain partial-combined agg at any scale
     * (unlike a float sum, whose value depends on partitioning).
     */
-  def klDrift(s: SparkSession, dir: String): DataFrame = {
-    val st = sourceTokenCounts(s, dir)
+  def klDrift(s: SparkSession, dir: String): DataFrame =
+    klFromCounts(sourceTokenCounts(s, dir))
+
+  /** Value stage from a (source, t, c_st) count frame — shared verbatim
+    * with [[graft.streaming.StreamingKlDrift]], whose merged state is
+    * the same frame: counts are additive, the decimal contribution sum
+    * is exact hence associative, so stream == batch EXACTLY after any
+    * prefix of batches.
+    */
+  private[graft] def klFromCounts(st: DataFrame): DataFrame = {
     val tt = st.groupBy("t").agg(sum("c_st").as("c_t"))
     val ns = st.groupBy("source")
       .agg(sum("c_st").as("n_tokens"), count(lit(1)).as("n_distinct"))

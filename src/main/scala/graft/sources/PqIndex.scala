@@ -41,18 +41,21 @@ object PqIndex {
     * map-side in the scan projection, write cell-partitioned codes and
     * the metadata sidecar. Marker-skipped on re-invocation.
     */
-  def materialize(s: SparkSession, dir: String): String = {
-    val root = indexRoot(s, dir)
+  def materialize(s: SparkSession, dir: String): String =
+    materializeWhere(s, dir, lit(true), indexRoot(s, dir))
+
+  /** [[materialize]] with an explicit corpus predicate and root — the
+    * spec's handle for building a base index that a later [[append]]
+    * grows (production never has "the whole corpus" on day one).
+    */
+  private[graft] def materializeWhere(s: SparkSession, dir: String,
+                                      pred: org.apache.spark.sql.Column,
+                                      root: String): String = {
     FixtureCleanup.onExit(root)
     if (ScopedFixture.isComplete(root)) return root
     val cb = Similarity.pqCodebook(s, dir)
     val cents = Similarity.seededCentroids(s, dir)
-    Similarity.normed(s, dir)
-      .select(col("vec_id").as("neighbor_id"),
-        CentroidOps.cell(col("e"), col("nrm"), cents).as("cell"),
-        PqOps.encode(col("e"), cb, Similarity.PqM, Similarity.PqK, Similarity.PqDsub).as("codes"))
-      .withColumn("rnorm",
-        PqOps.reconNorm(col("codes"), cb, Similarity.PqM, Similarity.PqK, Similarity.PqDsub))
+    encodeWith(Similarity.normed(s, dir).filter(pred), cb, cents)
       // cluster by cell before the partitioned write: without it every
       // writer task emits a file into every cell directory (tasks ×
       // cells small files); with it each cell's codes land in one file
@@ -65,6 +68,55 @@ object PqIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
     ScopedFixture.markComplete(root)
     root
+  }
+
+  /** The encode projection shared by [[materializeWhere]] and
+    * [[append]]: given frozen codebook + centroids, identical inputs
+    * produce identical (cell, codes, rnorm) rows — which is exactly why
+    * append + search equals full re-encode search.
+    */
+  private def encodeWith(normed: DataFrame, cb: Array[Float],
+                         cents: Seq[(Int, Array[Float], Double)]): DataFrame =
+    normed
+      .select(col("vec_id").as("neighbor_id"),
+        CentroidOps.cell(col("e"), col("nrm"), cents).as("cell"),
+        PqOps.encode(col("e"), cb, Similarity.PqM, Similarity.PqK, Similarity.PqDsub).as("codes"))
+      .withColumn("rnorm",
+        PqOps.reconNorm(col("codes"), cb, Similarity.PqM, Similarity.PqK, Similarity.PqDsub))
+
+  /** Incremental append — the production index lifecycle (a daily batch
+    * must not re-encode the corpus): encode the arriving vectors with
+    * the FROZEN codebook and centroid set read back from the sidecar —
+    * never retrained, so existing codes stay byte-identical and the
+    * appended ones equal what a full re-encode would produce — and
+    * append them into the same cell partitions (O(batch) work; the
+    * standing corpus is not touched). Pairs with `q_dedup_incremental`
+    * as the incremental half of the ANN story. Each append lands one
+    * file per touched cell; run [[compact]] when accumulated batch
+    * files start to dominate open/footer cost.
+    */
+  def append(s: SparkSession, root: String, batch: DataFrame): Unit = {
+    val (cb, cents) = loadMeta(s, root)
+    encodeWith(batch, cb, cents)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$root/codes")
+  }
+
+  /** Re-cluster the codes tree after a run of appends (the Export
+    * .compact idea, kept partition-aware: a flat rewrite would lose the
+    * cell directories and with them the probe-time PartitionFilters
+    * pruning). One exchange on cell, atomic-ish directory swap.
+    */
+  def compact(s: SparkSession, root: String): Unit = {
+    val codes = s.read.parquet(s"$root/codes")
+    val tmp = s"$root/codes_compacting"
+    codes.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(s"$root/codes")
+    fs.delete(cur, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), cur)
   }
 
   /** Read the metadata sidecar back: (codebook, centroid set). */
@@ -86,8 +138,13 @@ object PqIndex {
     * equality is spec-asserted), so its quality is covered by the same
     * recall measurements.
     */
-  def annPqIndexed(s: SparkSession, dir: String): DataFrame = {
-    val root = materialize(s, dir)
+  def annPqIndexed(s: SparkSession, dir: String): DataFrame =
+    searchRoot(s, dir, materialize(s, dir))
+
+  /** Search an arbitrary index root (the spec's handle for querying a
+    * base-plus-appends index against a full one).
+    */
+  private[graft] def searchRoot(s: SparkSession, dir: String, root: String): DataFrame = {
     val (cb, cents) = loadMeta(s, root)
     val probes = math.max(Similarity.IvfNProbe,
       math.ceil(cents.size * Similarity.IvfProbeFraction).toInt)

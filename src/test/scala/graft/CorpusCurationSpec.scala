@@ -464,6 +464,32 @@ class CorpusCurationSpec extends AnyFunSuite {
     assert(got === want, "merged per-batch mins == full-history signature")
   }
 
+  test("streaming KL drift equals the batch operator over any split") {
+    val docs = Tables.documents(spark, sf)
+    val twin = new graft.streaming.StreamingKlDrift
+    for (r <- 0 until 3) // arbitrary micro-batches by doc_id residue
+      twin.mergeBatch(docs.filter(pmod(col("doc_id"), lit(3)) === r)
+        .select("source", "text"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val got = twin.current(spark).collect().map(key).toSeq
+    val want = CorpusCuration.klDrift(spark, sf).collect().map(key).toSeq
+    assert(got === want, "merged (source, token) counts reproduce batch KL exactly")
+  }
+
+  test("streaming lang mismatch equals the batch operator over any split") {
+    val docs = Tables.documents(spark, sf)
+    val twin = new graft.streaming.StreamingLangMismatch
+    for (r <- 0 until 3)
+      twin.mergeBatch(docs.filter(pmod(col("doc_id"), lit(3)) === r)
+        .select("source", "lang", "text"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val got = twin.current(spark).collect().map(key).toSeq
+    val want = CorpusCuration.langMismatch(spark, sf).collect().map(key).toSeq
+    assert(got === want, "summed per-source counters reproduce the batch audit exactly")
+  }
+
   // -------------------------------------------------------------------
   // high-source-cardinality regime: banded sim, df-capped overlap
   // -------------------------------------------------------------------

@@ -876,6 +876,34 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"probe set should prune index partitions:\n${scans.mkString("\n")}")
   }
 
+  test("PQ index append with a frozen codebook equals a full re-encode; compact keeps it") {
+    import graft.sources.PqIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_pqbase").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_pqfull").toString
+    // base index over ~6/7 of the corpus, then append the held-out
+    // seventh encoded with the SIDECAR codebook (never retrained)
+    PqIndex.materializeWhere(spark, sf, pmod(col("vec_id"), lit(7)) =!= 0, base)
+    PqIndex.materializeWhere(spark, sf, lit(true), full)
+    PqIndex.append(spark, base,
+      Similarity.normed(spark, sf).filter(pmod(col("vec_id"), lit(7)) === 0))
+    def run(root: String) = PqIndex.searchRoot(spark, sf, root).collect().toSeq
+    val wantFull = run(full)
+    assert(run(base) === wantFull,
+      "append + search == full re-encode search (frozen codebook)")
+    // compaction merges the append's per-cell files without changing
+    // results or losing the cell directories that probe pruning needs
+    def cellFiles(root: String) = {
+      val d = new java.io.File(s"$root/codes")
+      d.listFiles().filter(_.getName.startsWith("cell=")).map(c =>
+        c.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    }
+    val before = cellFiles(base)
+    PqIndex.compact(spark, base)
+    assert(cellFiles(base) < before,
+      s"compaction should shrink the file count (was $before)")
+    assert(run(base) === wantFull, "search identical after compaction")
+  }
+
   test("gopher filter: each rule gates independently, keep is the conjunction") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_gopher").toString
