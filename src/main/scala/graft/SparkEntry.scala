@@ -260,6 +260,18 @@ object SparkEntry {
              'https?://[^\s]+', '<URL>', 'g'),
            '[0-9]{6,}', '<NUM>', 'g')""".replace("COLREF", c)
 
+  /** Sort-free twin of every catalog query (`plans.Unordered` strips
+    * the outermost presentation ORDER BY): the form a pipeline composes
+    * when the next stage is a write/join/agg and the global range
+    * exchange would be pure waste. Result SET identical to the ordered
+    * form by construction; UnorderedFormSpec asserts the corpus-scale
+    * entries carry no global Sort at all.
+    */
+  def unordered: Map[String, (SparkSession, String) => DataFrame] =
+    queries.map { case (k, f) =>
+      k -> ((s: SparkSession, d: String) => graft.plans.Unordered.form(f(s, d)))
+    }
+
   def oracleSql: Map[String, String] = Map(
     "q_normalize_status" ->
       """SELECT o_orderkey,

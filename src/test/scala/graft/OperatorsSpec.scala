@@ -1166,6 +1166,59 @@ class UnorderedFormSpec extends org.scalatest.funsuite.AnyFunSuite {
     check(operators.TextAnalysis.corpusPipeline(spark, sf),
       operators.TextAnalysis.corpusPipeline(spark, sf, ordered = false))
   }
+
+  /** Every query whose output grows linearly with the corpus (measured
+    * row ratios sf0.001→sf0.01, plus the documents-table family that is
+    * flat only because the shipped doc count is): the generic
+    * `SparkEntry.unordered` form must carry NO global Sort anywhere —
+    * the presentation sort was the only one, and stripping it must not
+    * leave a range exchange behind.
+    */
+  val CorpusScaleQueries: Seq[String] = Seq(
+    "q_active_projects", "q_argmax", "q_asof_join", "q_date_funcs",
+    "q_dedup_keep_last", "q_event_window_agg", "q_interval_join",
+    "q_normalize_status", "q_overdue", "q_paged_ingest", "q_parent_join",
+    "q_project_flags", "q_report_doc", "q_report_goals", "q_running_total",
+    "q_scd2", "q_semi_join", "q_session_window", "q_sessionize",
+    "q_topk_per_key", "q_uncategorized", "q_token_count", "q_quality_score",
+    "q_lang_id", "q_doc_fingerprint", "q_pii_scrub", "q_clean_text",
+    "q_clean_pipeline", "q_corpus_pipeline", "q_dedup_exact",
+    "q_dedup_semantic", "q_tfidf_top_terms", "q_lm_score",
+    "q_multimodal_meta", "q_markdown_runs", "q_json_normalize",
+    "q_block_tree", "q_epoch_shuffle", "q_term_search", "q_filter_tags",
+    "q_string_funcs", "q_gopher_filter", "q_repetition", "q_novelty",
+    "q_ppl_buckets", "q_chunk_docs", "q_data_split", "q_pack_sequences",
+    "q_quality_sample", "q_bpe_encode", "q_span_scrub", "q_dedup_span",
+    "q_stratified_sample", "q_moving_avg", "q_wow_change")
+
+  test("every corpus-scale query's unordered form has no global sort at all") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Sort => LSort}
+    val missing = CorpusScaleQueries.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"stale catalog keys in CorpusScaleQueries: $missing")
+    for (q <- CorpusScaleQueries) {
+      val df = SparkEntry.unordered(q)(spark, sf)
+      val sorts = df.queryExecution.optimizedPlan.collect {
+        case s: LSort if s.global => s
+      }
+      assert(sorts.isEmpty, s"$q: unordered form still globally sorts:\n${sorts.headOption}")
+    }
+  }
+
+  test("the unordered form never strips a semantic (top-k) sort") {
+    // q3's ORDER BY feeds a LIMIT — top-k semantics, not presentation;
+    // the strip must leave it (and therefore the result) untouched
+    val ordered = SparkEntry.queries("q3_top_revenue")(spark, sf)
+    val un = SparkEntry.unordered("q3_top_revenue")(spark, sf)
+    assert(un.collect().toSeq === ordered.collect().toSeq)
+  }
+
+  test("unordered forms return the identical result set (spot check)") {
+    for (q <- Seq("q_sessionize", "q_report_goals", "q_epoch_shuffle")) {
+      val a = SparkEntry.queries(q)(spark, sf).collect().map(_.toString).sorted
+      val b = SparkEntry.unordered(q)(spark, sf).collect().map(_.toString).sorted
+      assert(a.toSeq === b.toSeq, s"$q: unordered form changed the result set")
+    }
+  }
 }
 
 /** ADC split correctness: the per-query table + per-candidate lookup
