@@ -65,6 +65,7 @@ object SparkEntry {
     "q_ann_ivf_topk"   -> Similarity.annIvfTopK _,
     "q_ann_ivf2_topk"  -> Similarity.annIvfLearnedTopK _,
     "q_ann_pq_topk"    -> Similarity.annPqTopK _,
+    "q_ann_opq_topk"   -> Similarity.annOpqTopK _,
     "q_ann_ivfpq_topk" -> Similarity.annIvfPqTopK _,
     // persisted-index twin: same ranking from the materialized
     // cell-partitioned artifact (sources.PqIndex; rows-only like the

@@ -214,6 +214,52 @@ case class PqAdcLookup(left: Expression, right: Expression, m: Int, k: Int)
     copy(left = l, right = r)
 }
 
+/** vec(float[d]) → R·vec (float[d]) for a plan-time orthogonal rotation
+  * R (flat row-major d×d) — the OPQ pre-rotation (Ge et al. 2013).
+  * Map-side, codegen'd, one matvec per corpus row; R ships once as a
+  * codegen reference object (32 KB at d=64). Double accumulation per
+  * output coordinate, identical to Opq.rotate so training and encoding
+  * see the same floats.
+  */
+case class PqRotate(child: Expression, r: Array[Double], d: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_pq_rotate"
+
+  override def nullSafeEval(in: Any): Any = {
+    val v = in.asInstanceOf[ArrayData]
+    val out = new Array[Float](d)
+    var i = 0
+    while (i < d) {
+      var s = 0.0
+      var j = 0
+      val base = i * d
+      while (j < d) { s += r(base + j) * v.getFloat(j).toDouble; j += 1 }
+      out(i) = s.toFloat
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rRef = ctx.addReferenceObj("graftPqRot", r, "double[]")
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |float[] graftRv = new float[$d];
+         |for (int graftI = 0; graftI < $d; graftI++) {
+         |  double graftS = 0.0;
+         |  for (int graftJ = 0; graftJ < $d; graftJ++) {
+         |    graftS += $rRef[graftI * $d + graftJ] * (double) $in.getFloat(graftJ);
+         |  }
+         |  graftRv[graftI] = (float) graftS;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graftRv);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** codes(int[m]) → L2 norm of the reconstructed vector, via per-centroid
   * squared-norm lookup tables precomputed at plan time (m×k doubles).
   */
@@ -271,4 +317,6 @@ object PqOps {
   def adcLookup(table: Column, codes: Column, m: Int, k: Int): Column =
     GraftColumnBridge.column(PqAdcLookup(
       GraftColumnBridge.expression(table), GraftColumnBridge.expression(codes), m, k))
+  def rotate(vec: Column, r: Array[Double], d: Int): Column =
+    GraftColumnBridge.column(PqRotate(GraftColumnBridge.expression(vec), r, d))
 }

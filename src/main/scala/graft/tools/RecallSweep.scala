@@ -30,8 +30,24 @@ object RecallSweep {
       brute.intersect(df.select("q_id", "neighbor_id")).count() / denom
 
     // `pq` as the 2nd arg restricts to the PQ family (the LSH/IVF grid
-    // is corpus-sized work per point — skip it when tuning codebooks)
-    val pqOnly = args.lift(1).contains("pq")
+    // is corpus-sized work per point — skip it when tuning codebooks);
+    // `opq` sweeps PQ vs OPQ across rerank pools — the codebook-quality
+    // signal lives at SMALL pools (a large pool saturates recall on a
+    // small corpus regardless of quantizer), so this mode shrinks the
+    // pool axis instead of fixing it at PqRerank.
+    val mode = args.lift(1)
+    val pqOnly = mode.contains("pq")
+    if (mode.contains("opq")) {
+      println(f"${"variant"}%-28s recall@${Similarity.TopK}")
+      for (rerank <- Seq(10, 20, 40, 80, 160, 320)) {
+        val rPq = recall(Similarity.annPqTopKParams(spark, sfDir, rerank))
+        val rOpq = recall(Similarity.annOpqTopKParams(spark, sfDir, rerank))
+        println(f"pq  rerank=$rerank%-3d              $rPq%.2f")
+        println(f"opq rerank=$rerank%-3d              $rOpq%.2f")
+      }
+      spark.stop()
+      return
+    }
 
     println(f"${"variant"}%-28s recall@${Similarity.TopK}")
     if (!pqOnly) {

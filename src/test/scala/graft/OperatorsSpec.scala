@@ -380,6 +380,60 @@ class SkewRecallSpec extends org.scalatest.funsuite.AnyFunSuite {
       .agg(min("lo"), max("hi")).head()
     assert(mm.getInt(0) >= 0 && mm.getInt(1) < Similarity.PqK)
   }
+
+  test("OPQ: rotation is orthogonal and cuts quantization error on an anisotropic sample") {
+    import graft.operators.Opq
+    val d = Similarity.Dim
+    val m = Similarity.PqM; val k = Similarity.PqK; val dsub = Similarity.PqDsub
+    // deterministic anisotropic sample: decaying axis-aligned spectrum
+    // (the real-text-embedding shape plain PQ handles worst — subspace 0
+    // hoards the variance, so its k centroids saturate while the other
+    // seven quantize noise)
+    val rnd = new java.util.Random(42)
+    val scale = Array.tabulate(d)(i => math.exp(-i / 8.0))
+    val sample = Array.fill(2048) {
+      val v = new Array[Double](d)
+      var ss = 0.0
+      for (i <- 0 until d) { val x = rnd.nextGaussian() * scale(i); v(i) = x; ss += x * x }
+      val nm = math.sqrt(ss)
+      Array.tabulate(d)(i => (v(i) / nm).toFloat)
+    }
+    val (rot, cbR) = Opq.train(sample, m, k, dsub, Similarity.trainPqLocal, Similarity.OpqNpIters)
+    // R orthogonal: RᵀR = I (the rerank-needs-no-rotation argument and
+    // the error-metric equivalence both rest on exactly this)
+    for (i <- 0 until d; j <- 0 until d) {
+      var s = 0.0
+      for (r <- 0 until d) s += rot(r * d + i) * rot(r * d + j)
+      assert(math.abs(s - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"RtR[$i][$j] = $s not orthogonal")
+    }
+    val cbPlain = Similarity.trainPqLocal(sample)
+    val msePlain = Opq.mse(sample, cbPlain, m, k, dsub)
+    // orthogonality ⇒ rotated-space MSE is the original-space MSE of
+    // the OPQ quantizer
+    val mseOpq = Opq.mse(sample.map(Opq.rotate(rot, _)), cbR, m, k, dsub)
+    info(f"quantization MSE plain=$msePlain%.6f opq=$mseOpq%.6f")
+    assert(mseOpq < msePlain * 0.7,
+      s"OPQ should cut anisotropic quantization error: $mseOpq vs $msePlain")
+  }
+
+  test("OPQ ANN: shipped-corpus recall matches PQ, output deterministic") {
+    val brute = Similarity.annBruteTopK(spark, sf).select("q_id", "neighbor_id")
+    val nQ = brute.select("q_id").distinct().count()
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      brute.intersect(df.select("q_id", "neighbor_id")).count().toDouble /
+        (nQ * Similarity.TopK)
+    val opq = Similarity.annOpqTopK(spark, sf)
+    val rOpq = recall(opq)
+    val rPq = recall(Similarity.annPqTopK(spark, sf))
+    info(f"recall@5 opq=$rOpq%.2f pq=$rPq%.2f (shipped near-isotropic corpus)")
+    // the shipped corpus is near-isotropic — nothing for the rotation to
+    // balance, so OPQ must neither regress nor (materially) improve
+    assert(rOpq >= rPq - 0.02, s"OPQ regressed on isotropic data: $rOpq vs $rPq")
+    assert(opq.columns.toSeq === Seq("q_id", "rank", "neighbor_id", "cos_sim"))
+    assert(opq.count() === nQ * Similarity.TopK)
+    assert(opq.collect().toSeq === Similarity.annOpqTopK(spark, sf).collect().toSeq)
+  }
 }
 
 class TopKPerKeySpec extends org.scalatest.funsuite.AnyFunSuite {
@@ -568,7 +622,7 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     // others broadcast a SINGLE scalar/boundary row (count gate,
     // corpus-size N, decile bounds) — O(1) build sides, not cartesians
     val allowedBnlj = Set("q_ann_brute_topk", "q_ann_ivf_topk", "q_ann_ivf2_topk",
-      "q_ann_pq_topk", "q_ann_ivfpq_topk", "q_report_goals", "q_report_doc",
+      "q_ann_pq_topk", "q_ann_opq_topk", "q_ann_ivfpq_topk", "q_report_goals", "q_report_doc",
       "q_tfidf_top_terms", "q_value_deciles", "q_lm_score",
       // inherit q_lm_score's scalar vocab-size cross join
       "q_ppl_buckets", "q_quality_calibration",

@@ -13,6 +13,10 @@ does not need to reproduce the driver's exact rows.
 
 Usage: python3 tools/gen_sf.py /tmp/testdata/sf1 10
        (second arg = multiplier over the sf0.1 row counts)
+       python3 tools/gen_sf.py /tmp/testdata/aniso 10 --aniso
+       (embeddings get a decaying axis-aligned spectrum exp(-d/8) —
+       the real-text-embedding anisotropy the shipped isotropic corpus
+       lacks; the OPQ recall proof runs RecallSweep `opq` against this)
 """
 import os
 import sys
@@ -39,7 +43,7 @@ def write(out, name, table):
     print(f"  {name}: {table.num_rows} rows")
 
 
-def main(out: str, mult: int) -> None:
+def main(out: str, mult: int, aniso: bool = False) -> None:
     rng = np.random.default_rng(1)
     os.makedirs(out, exist_ok=True)
     n_cust, n_supp, n_part = 15000 * mult, 1000 * mult, 20000 * mult
@@ -125,10 +129,14 @@ def main(out: str, mult: int) -> None:
         "source": [f"src{i}" for i in rng.integers(0, 20, n_doc)],
         "n_chars": np.array([len(t) for t in texts], dtype=np.int64)}))
 
-    centers = rng.standard_normal((10, 64))
+    # per-dim scale: isotropic by default; --aniso applies the decaying
+    # spectrum to BOTH centers and noise so the whole corpus lives in a
+    # low-effective-rank cone (what a trained text encoder emits)
+    dim_scale = np.exp(-np.arange(64) / 8.0) if aniso else np.ones(64)
+    centers = rng.standard_normal((10, 64)) * dim_scale
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     labels = rng.integers(0, 10, n_emb)
-    vecs = centers[labels] + 0.25 * rng.standard_normal((n_emb, 64))
+    vecs = centers[labels] + 0.25 * rng.standard_normal((n_emb, 64)) * dim_scale
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     write(out, "embeddings", pa.table({
         "vec_id": np.arange(n_emb, dtype=np.int64),
@@ -138,4 +146,6 @@ def main(out: str, mult: int) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+    main(sys.argv[1],
+         int(sys.argv[2]) if len(sys.argv) > 2 and not sys.argv[2].startswith("--") else 10,
+         "--aniso" in sys.argv)
