@@ -47,6 +47,8 @@ object Bench {
     "q_lang_mismatch" -> "lm", "q_length_stats" -> "ls",
     "q_lm_score" -> "lms", "q_markdown_runs" -> "md",
     "q_moving_avg" -> "ma", "q_multimodal_meta" -> "mm",
+    "q_nb_train" -> "nbt", "q_nb_score" -> "nbs",
+    "q_nb_eval" -> "nbe", "q_dsir_weights" -> "dw",
     "q_ngram_freq" -> "ng", "q_normalize_status" -> "ns",
     "q_novelty" -> "no", "q_oldest_pending" -> "ol",
     "q_overdue" -> "ov", "q_pack_efficiency" -> "pke", "q_pack_sequences" -> "pc",
@@ -143,8 +145,11 @@ object Bench {
     // the projections being measured).
     // failed queries record NEGATIVE elapsed time — the JSON stays
     // machine-readable and a failure can't masquerade as a fast run
-    // (clamped to -0.1 so a sub-50-ms analysis failure survives the
-    // 1-dp trim as "-0.1", never "-0")
+    // (clamped to [-9.9, -0.1]: the sign IS the failure signal, so the
+    // magnitude caps at one digit to keep the worst-case line width
+    // inside the driver's tail window as the catalog grows; a
+    // sub-50-ms analysis failure survives the 1-dp trim as "-0.1",
+    // never "-0", and the true elapsed time is in bench_detail.json)
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       drain()
       val c0 = cpuNs.get
@@ -159,7 +164,7 @@ object Bench {
       // catastrophe either way, and the cap bounds the JSON line width
       // (the driver tail-captures ~2000 chars — BenchLineSpec)
       val clamped = math.min(dt, 99.9)
-      (name, if (ok) clamped else -math.min(math.max(dt, 0.1), 99.9), cpu)
+      (name, if (ok) clamped else -math.min(math.max(dt, 0.1), 9.9), cpu)
     }
     // The one-line JSON must fit the driver's 2000-char tail-capture
     // window even as the catalog grows: short keys (ShortKey above),
@@ -180,6 +185,7 @@ object Bench {
     graft.operators.TextAnalysis.releasePipelineCache(spark, sfDir)
     graft.operators.Bpe.releaseLearnedCache(spark, sfDir)
     graft.operators.CorpusCuration.releaseCurationCache(spark, sfDir)
+    graft.operators.Classifier.releaseModelCache(spark, sfDir)
     val load1 = osBean.getSystemLoadAverage
     // sf as the basename only ("sf0.1"), not the full path: every char
     // counts against the tail window.

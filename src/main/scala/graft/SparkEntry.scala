@@ -106,6 +106,13 @@ object SparkEntry {
     "q_embed_drift"   -> CorpusCuration.embedDrift _,
     "q_pack_efficiency" -> CorpusCuration.packEfficiency _,
     "q_vocab_coverage"  -> CorpusCuration.vocabCoverage _,
+    // §2.6c learned data-selection filters (round 8): NB curated-text
+    // classifier (train/score/holdout-eval) + DSIR importance weights —
+    // full DuckDB oracles down to the training computation itself
+    "q_nb_train"      -> ((s, d) => operators.Classifier.nbTrain(s, d)),
+    "q_nb_score"      -> ((s, d) => operators.Classifier.nbScore(s, d)),
+    "q_nb_eval"       -> operators.Classifier.nbEval _,
+    "q_dsir_weights"  -> ((s, d) => operators.Classifier.dsirWeights(s, d)),
     // §2.7 multimodal metadata
     "q_multimodal_meta" -> TextAnalysis.multimodalMeta _,
     // §2.1b extended composed analytics
@@ -653,6 +660,10 @@ object SparkEntry {
     "q_embed_drift"    -> CorpusCuration.embedDriftOracleSql,
     "q_pack_efficiency" -> CorpusCuration.packEfficiencyOracleSql,
     "q_vocab_coverage"  -> CorpusCuration.vocabCoverageOracleSql,
+    "q_nb_train"        -> operators.Classifier.nbTrainOracleSql,
+    "q_nb_score"        -> operators.Classifier.nbScoreOracleSql,
+    "q_nb_eval"         -> operators.Classifier.nbEvalOracleSql,
+    "q_dsir_weights"    -> operators.Classifier.dsirWeightsOracleSql,
     // per-source declared-vs-predicted language audit (shared lang CTEs)
     "q_lang_mismatch" ->
       s"""WITH $sqlLangCtes

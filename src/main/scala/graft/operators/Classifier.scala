@@ -1,0 +1,394 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Learned data-selection filters (round 8): the model-based half of a
+  * corpus quality pipeline. The heuristic gates (quality score, Gopher,
+  * repetition) are map-side formulas; production pipelines put a LEARNED
+  * filter behind them — a classifier trained to recognize curated text
+  * (the CCNet / LLaMA "Wikipedia-referenced vs random crawl" recipe) and
+  * importance weights that resample the crawl toward a target
+  * distribution (DSIR, Xie et al. 2023). Both are pure
+  * aggregation+join shapes, so unlike gradient-trained models they get
+  * FULL DuckDB oracles — the training computation itself is
+  * cell-exactly verified, not just the scoring pass.
+  *
+  *   - [[nbTrain]]   multinomial Naive-Bayes token log-likelihood-ratio
+  *                   table (train fold, Laplace smoothing),
+  *   - [[nbScore]]   per-document classifier score over the WHOLE
+  *                   corpus (the filtering pass),
+  *   - [[nbEval]]    held-out confusion summary (the calibration
+  *                   check before trusting the filter),
+  *   - [[dsirWeights]] hashed-ngram importance log-weights
+  *                   (unigram+bigram features in a fixed bucket space).
+  *
+  * Labels come from a curated-source allowlist ([[CuratedSources]]) —
+  * the operator's analog of the contamination eval-set parameter: real
+  * pipelines get this from metadata (is the page linked from a curated
+  * corpus?), the engine only needs SOME deterministic label column.
+  *
+  * Reference provenance: alsyefs/notion backend/generate_reports.py
+  * classifies tasks into report sections by rule; this family is the
+  * corpus-scale learned counterpart of that labeling step.
+  *
+  * Scale shapes (100 TB honesty):
+  *   - NB training is ONE corpus pass into a vocabulary-sized
+  *     (token, c_cur, c_web) aggregate, map-side combined; the frame is
+  *     session-persisted (four queries derive from it — the kl_drift
+  *     ReuseExchange lesson) and released by [[releaseModelCache]].
+  *     Totals are a 3-number aggregate collect (metadata class).
+  *   - NB scoring joins the token stream to the vocab table (AQE picks
+  *     broadcast when it fits — the tf⋈df precedent) and reduces per
+  *     doc with partial aggregation: the shuffle is O(docs), not
+  *     O(tokens).
+  *   - DSIR's feature table is bounded by [[DsirBuckets]] BY
+  *     CONSTRUCTION, so it collects to the driver (the centroid-matrix
+  *     class) and scoring is a map-side broadcast join — the corpus is
+  *     never shuffled except the O(docs) per-doc reduce.
+  *
+  * Cross-engine determinism: per-token/per-bucket log-ratios are
+  * computed from exact integer counts in identical double arithmetic
+  * (`ln` reproducibility — the q_lm_score precedent) and then snapped
+  * to INTEGER MICRO-NATS (`floor(x·1e6 + 0.5)` as BIGINT). Every
+  * downstream sum and the >0 class decision run on those integers —
+  * exact, associative, partitioning-independent, and immune to the
+  * DECIMAL-width cap that bars adding two DECIMAL(38,18) in DuckDB.
+  * Magnitudes are safe by construction: |llr_u| ≤ ~5e7 micro-nats, so
+  * even a 10⁹-token document sums within 2^63.
+  */
+object Classifier {
+
+  /** Curated-source allowlist: the positive class. A fixed parameter of
+    * the operator (metadata-supplied in a real pipeline), NOT learned.
+    */
+  val CuratedSources: Seq[String] = Seq("src0", "src4", "src8", "src12", "src16")
+
+  /** Train fold = split-hash bucket < this (same portable doc_id hash
+    * as q_data_split, so folds are consistent across the catalog);
+    * the rest is the held-out calibration fold.
+    */
+  val TrainPermille = 900
+
+  /** DSIR hashed-feature space size (unigrams and bigrams share it). */
+  val DsirBuckets = 8192L
+
+  /** Log-ratio grid: micro-nats (1e-6). */
+  private val Dp6 = 1e6
+  private val Dp4 = 1e4
+
+  /** Snap a double log-ratio to BIGINT micro-nats. */
+  private def u6(c: Column): Column = floor(c * lit(Dp6) + lit(0.5)).cast("long")
+  private def u6d(x: Double): Long = math.floor(x * Dp6 + 0.5).toLong
+
+  /** Micro-nat BIGINT sum → 4-dp double (identical association in the
+    * oracles: `floor(CAST(su AS DOUBLE)/1e6*1e4 + 0.5)/1e4`).
+    */
+  private def score4(su: Column): Column =
+    floor(su.cast("double") / lit(Dp6) * lit(Dp4) + lit(0.5)) / Dp4
+
+  private def splitBucket: Column =
+    pmod(col("doc_id") * lit(ExtendedAnalytics.SplitHashA), lit(2147483648L)) % 1000
+
+  private def isCurated: Column =
+    when(col("source").isin(CuratedSources: _*), 1).otherwise(0)
+
+  /** Vocabulary-sized (t, c_cur, c_web) training counts, session-
+    * persisted: nbTrain/nbScore/nbEval (and the totals collect) all
+    * derive from this one corpus aggregate. Plan-equality memoized via
+    * the CacheManager (the sourceTokenCounts pattern); released by
+    * [[releaseModelCache]].
+    */
+  private def nbCountsPlan(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(splitBucket < TrainPermille)
+      .select(isCurated.as("cur"), explode(tokens(col("text"))).as("t"))
+      .groupBy("t")
+      .agg(sum(col("cur").cast("long")).as("c_cur"),
+        sum(lit(1L) - col("cur")).as("c_web"))
+
+  private def nbCounts(s: SparkSession, dir: String): DataFrame =
+    nbCountsPlan(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Drop the session-scoped classifier cache for `dir`. */
+  def releaseModelCache(s: SparkSession, dir: String): Unit =
+    nbCountsPlan(s, dir).unpersist()
+
+  /** (totCur, totWeb, vocab) from the persisted counts — a 3-number
+    * driver collect (metadata-bounded by definition).
+    */
+  private def nbTotals(s: SparkSession, dir: String): (Long, Long, Long) = {
+    val r = nbCounts(s, dir)
+      .agg(sum("c_cur"), sum("c_web"), count(lit(1))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** Per-token Laplace-smoothed log-likelihood ratio in micro-nats. */
+  private def llrU(totCur: Long, totWeb: Long, v: Long): Column =
+    u6(log((col("c_cur") + lit(1L)).cast("double") / lit((totCur + v).toDouble)) -
+       log((col("c_web") + lit(1L)).cast("double") / lit((totWeb + v).toDouble)))
+
+  // ---------------------------------------------------------------------
+  // q_nb_train — the model table
+  // ---------------------------------------------------------------------
+
+  /** NB model table (`q_nb_train`): per train-fold token, the class
+    * counts and the smoothed log-likelihood ratio
+    * `ln p(t|curated) − ln p(t|web)` (nats, 6 dp). Vocabulary-sized
+    * output (corpus-scale: take the unordered form).
+    */
+  def nbTrain(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
+    val (tc, tw, v) = nbTotals(s, dir)
+    val out = nbCounts(s, dir)
+      .select(col("t"), col("c_cur"), col("c_web"),
+        (llrU(tc, tw, v).cast("double") / lit(Dp6)).as("llr"))
+    if (ordered) out.orderBy("t") else out
+  }
+
+  // ---------------------------------------------------------------------
+  // q_nb_score — score every document
+  // ---------------------------------------------------------------------
+
+  /** Class-prior log-odds over train docs in micro-nats (driver-side:
+    * two counts → one double → one long).
+    */
+  private def nbPriorU(s: SparkSession, dir: String): Long = {
+    val r = Tables.documents(s, dir)
+      .filter(splitBucket < TrainPermille)
+      .agg(sum(isCurated.cast("long")), count(lit(1))).head()
+    val nc = r.getLong(0); val nw = r.getLong(1) - nc
+    u6d(math.log((nc + 1).toDouble / (nw + 1).toDouble))
+  }
+
+  /** Per-document NB score (`q_nb_score`): prior log-odds plus the sum
+    * of token log-ratios with multiplicity, over the WHOLE corpus (the
+    * filtering pass scores everything; `fold` marks which rows were
+    * trained on). `pred_cur` compares the exact micro-nat integer sum
+    * against 0 — the decision can never flip on a rounding boundary.
+    */
+  def nbScore(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
+    val (tc, tw, v) = nbTotals(s, dir)
+    val priorU = nbPriorU(s, dir)
+    val model = nbCounts(s, dir).select(col("t"), llrU(tc, tw, v).as("llr_u"))
+    val hits = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .join(model, "t")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum(col("llr_u")).as("sx"))
+    val totalU = coalesce(col("sx"), lit(0L)) + lit(priorU)
+    val out = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(splitBucket < TrainPermille, "train").otherwise("holdout").as("fold"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        isCurated.as("is_cur"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fold"), col("n_tok"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("is_cur"),
+        when(totalU > 0L, 1).otherwise(0).as("pred_cur"),
+        score4(totalU).as("nb_score"))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
+  // ---------------------------------------------------------------------
+  // q_nb_eval — held-out confusion summary
+  // ---------------------------------------------------------------------
+
+  /** Held-out calibration (`q_nb_eval`): per true class, how often the
+    * classifier says "curated" on the fold it never saw — the check a
+    * pipeline runs before trusting the filter. Derives from the same
+    * persisted counts; output is class-cardinality (≤2 rows).
+    */
+  def nbEval(s: SparkSession, dir: String): DataFrame =
+    nbScore(s, dir, ordered = false)
+      .filter(col("fold") === "holdout")
+      .groupBy("is_cur")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pred_cur").cast("long")).as("n_pred_cur"))
+      .select(col("is_cur"), col("n_docs"), col("n_pred_cur"),
+        (floor(col("n_pred_cur").cast("double") / col("n_docs") * lit(Dp4)
+          + lit(0.5)) / Dp4).as("pred_rate"))
+      .orderBy("is_cur")
+
+  // ---------------------------------------------------------------------
+  // q_dsir_weights — hashed-ngram importance weights
+  // ---------------------------------------------------------------------
+
+  /** Per-document hashed unigram+bigram feature ids in the
+    * [[DsirBuckets]] space, with multiplicity. Bigram hash combines the
+    * portable token hashes as `(h1·131 + h2) mod p` (the fingerprint
+    * fold) before bucketing, so the oracle reproduces it bit-exactly.
+    */
+  private def dsirFeatures: Column = {
+    val hs = tokenHashes(col("text"))
+    val uni = transform(hs, h => h % lit(DsirBuckets))
+    // guard: Spark sequence(1, size-1) DESCENDS when size < 2 (it is
+    // not empty like DuckDB generate_series) and would index hs[0]
+    val big = when(size(hs) >= 2,
+      transform(sequence(lit(1), size(hs) - 1),
+        i => ((element_at(hs, i) * lit(131L) + element_at(hs, i + 1)) % lit(HashP))
+          % lit(DsirBuckets)))
+      .otherwise(array().cast("array<long>"))
+    concat(uni, big)
+  }
+
+  /** DSIR importance log-weights (`q_dsir_weights`, Xie et al. 2023):
+    * per document, `Σ_f c_f · [ln p_target(f) − ln p_raw(f)]` over
+    * hashed n-gram features — target = curated train docs, raw = the
+    * whole train pool (so weights are conservative: the target is part
+    * of the pool). A real selection step resamples by these weights;
+    * `logw_per_feat` is the length-normalized variant for rankers that
+    * must not favor long documents.
+    *
+    * The (f, c_t, c_r) table is ≤[[DsirBuckets]] rows BY CONSTRUCTION —
+    * it collects to the driver (bounded like a centroid matrix), the
+    * smoothed micro-nat ratios become a broadcast-joined local frame,
+    * and unseen buckets fall back to the pure-smoothing ratio `lw0`.
+    */
+  def dsirWeights(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val occ = docs.select(col("doc_id"), splitBucket.as("b"), col("source"),
+      explode(dsirFeatures).as("f"))
+    // bucket-bounded training counts: ≤ DsirBuckets rows, driver-safe
+    val cnt = occ.filter(col("b") < TrainPermille)
+      .groupBy("f")
+      .agg(sum(isCurated.cast("long")).as("c_t"), count(lit(1)).as("c_r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tt = cnt.map(_._2).sum
+    val tr = cnt.map(_._3).sum
+    val denT = (tt + DsirBuckets).toDouble
+    val denR = (tr + DsirBuckets).toDouble
+    val lw0U = u6d(math.log(1.0 / denT) - math.log(1.0 / denR))
+    import s.implicits._
+    val lwDf = cnt.toSeq.map { case (f, ct, cr) =>
+      (f, u6d(math.log((ct + 1).toDouble / denT) - math.log((cr + 1).toDouble / denR)))
+    }.toDF("f", "w_u")
+    val agg = occ.join(broadcast(lwDf), Seq("f"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feat"),
+        sum(coalesce(col("w_u"), lit(lw0U))).as("sx"))
+    val su = coalesce(col("sx"), lit(0L))
+    val out = docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        score4(su).as("dsir_logw"),
+        (floor(su.cast("double") / lit(Dp6)
+          / greatest(coalesce(col("n_feat"), lit(0L)), lit(1L))
+          * lit(Dp4) + lit(0.5)) / Dp4).as("logw_per_feat"))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles (constants interpolated from the definitions above —
+  // one source of truth, the MinHash-constants pattern)
+  // ---------------------------------------------------------------------
+
+  private def curatedSqlList: String =
+    CuratedSources.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** Shared CTEs: labeled+bucketed docs, train token counts, totals,
+    * the micro-nat model table, doc priors, and the per-doc hit sums.
+    */
+  private def nbSqlCtes: String =
+    s"""base AS (
+       |  SELECT doc_id, source,
+       |    ((doc_id * ${ExtendedAnalytics.SplitHashA}) % 2147483648) % 1000 AS b,
+       |    CASE WHEN source IN $curatedSqlList THEN 1 ELSE 0 END AS is_cur,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |tr AS (SELECT is_cur, unnest(toks) AS t FROM base WHERE b < $TrainPermille),
+       |cnt AS (SELECT t, CAST(sum(is_cur) AS BIGINT) AS c_cur,
+       |               CAST(sum(1 - is_cur) AS BIGINT) AS c_web
+       |        FROM tr GROUP BY t),
+       |tot AS (SELECT CAST(sum(c_cur) AS BIGINT) AS tc,
+       |               CAST(sum(c_web) AS BIGINT) AS tw,
+       |               CAST(count(*) AS BIGINT) AS v
+       |        FROM cnt),
+       |mdl AS (SELECT t, c_cur, c_web,
+       |          CAST(floor((ln(CAST(c_cur + 1 AS DOUBLE) / (tc + v)) -
+       |                      ln(CAST(c_web + 1 AS DOUBLE) / (tw + v))) * 1e6 + 0.5)
+       |               AS BIGINT) AS llr_u
+       |        FROM cnt, tot),
+       |nd AS (SELECT CAST(sum(is_cur) AS BIGINT) AS nc,
+       |              CAST(count(*) - sum(is_cur) AS BIGINT) AS nw
+       |       FROM base WHERE b < $TrainPermille),
+       |pri AS (SELECT CAST(floor(ln(CAST(nc + 1 AS DOUBLE) / (nw + 1)) * 1e6 + 0.5)
+       |                AS BIGINT) AS p6 FROM nd),
+       |occ AS (SELECT doc_id, unnest(toks) AS t FROM base),
+       |hit AS (SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+       |               CAST(sum(m.llr_u) AS BIGINT) AS sx
+       |        FROM occ o JOIN mdl m USING (t) GROUP BY o.doc_id)""".stripMargin
+
+  def nbTrainOracleSql: String =
+    s"""WITH $nbSqlCtes
+       |SELECT t, c_cur, c_web, CAST(llr_u AS DOUBLE) / 1e6 AS llr
+       |FROM mdl ORDER BY t""".stripMargin
+
+  def nbScoreOracleSql: String =
+    s"""WITH $nbSqlCtes
+       |SELECT b.doc_id,
+       |  CASE WHEN b.b < $TrainPermille THEN 'train' ELSE 'holdout' END AS fold,
+       |  CAST(len(b.toks) AS BIGINT) AS n_tok,
+       |  coalesce(h.n_hit, 0) AS n_hit,
+       |  b.is_cur,
+       |  CASE WHEN coalesce(h.sx, 0) + p.p6 > 0 THEN 1 ELSE 0 END AS pred_cur,
+       |  floor(CAST(coalesce(h.sx, 0) + p.p6 AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4
+       |    AS nb_score
+       |FROM base b LEFT JOIN hit h USING (doc_id), pri p
+       |ORDER BY doc_id""".stripMargin
+
+  def nbEvalOracleSql: String =
+    s"""WITH $nbSqlCtes
+       |SELECT b.is_cur,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN coalesce(h.sx, 0) + p.p6 > 0 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_pred_cur,
+       |  floor(CAST(sum(CASE WHEN coalesce(h.sx, 0) + p.p6 > 0 THEN 1 ELSE 0 END)
+       |       AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS pred_rate
+       |FROM base b LEFT JOIN hit h USING (doc_id), pri p
+       |WHERE b.b >= $TrainPermille
+       |GROUP BY b.is_cur ORDER BY is_cur""".stripMargin
+
+  def dsirWeightsOracleSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |    ((doc_id * ${ExtendedAnalytics.SplitHashA}) % 2147483648) % 1000 AS b,
+       |    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |      s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |           (a, c) -> (a * 31 + c) % $HashP)) AS hs
+       |  FROM documents),
+       |feat AS (
+       |  SELECT doc_id, b, source,
+       |    list_concat(
+       |      list_transform(hs, h -> h % $DsirBuckets),
+       |      list_transform(generate_series(1, len(hs) - 1),
+       |        i -> ((hs[i] * 131 + hs[i+1]) % $HashP) % $DsirBuckets)) AS fs
+       |  FROM base),
+       |occ AS (SELECT doc_id, b, source, unnest(fs) AS f FROM feat),
+       |cnt AS (SELECT f,
+       |          CAST(sum(CASE WHEN source IN $curatedSqlList THEN 1 ELSE 0 END)
+       |               AS BIGINT) AS c_t,
+       |          CAST(count(*) AS BIGINT) AS c_r
+       |        FROM occ WHERE b < $TrainPermille GROUP BY f),
+       |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS tt,
+       |               CAST(sum(c_r) AS BIGINT) AS tr FROM cnt),
+       |lw AS (SELECT f, CAST(floor((ln(CAST(c_t + 1 AS DOUBLE) / (tt + $DsirBuckets)) -
+       |                             ln(CAST(c_r + 1 AS DOUBLE) / (tr + $DsirBuckets)))
+       |                      * 1e6 + 0.5) AS BIGINT) AS w_u
+       |       FROM cnt, tot),
+       |lw0 AS (SELECT CAST(floor((ln(CAST(1 AS DOUBLE) / (tt + $DsirBuckets)) -
+       |                           ln(CAST(1 AS DOUBLE) / (tr + $DsirBuckets)))
+       |                    * 1e6 + 0.5) AS BIGINT) AS w0 FROM tot),
+       |agg AS (SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+       |               CAST(sum(coalesce(l.w_u, z.w0)) AS BIGINT) AS sx
+       |        FROM occ o LEFT JOIN lw l USING (f), lw0 z GROUP BY o.doc_id)
+       |SELECT f2.doc_id, coalesce(a.n_feat, 0) AS n_feat,
+       |  floor(CAST(coalesce(a.sx, 0) AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS dsir_logw,
+       |  floor(CAST(coalesce(a.sx, 0) AS DOUBLE) / 1e6
+       |        / greatest(coalesce(a.n_feat, 0), 1) * 1e4 + 0.5) / 1e4 AS logw_per_feat
+       |FROM feat f2 LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+}

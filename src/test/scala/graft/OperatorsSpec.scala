@@ -1060,10 +1060,10 @@ class BenchLineSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
   test("worst-case bench line stays under 1500 chars (driver window is ~2000)") {
-    // every query slow AND failed: "-99.9" is the widest value the
-    // ±99.9 clamp in Bench's timing loop can emit
+    // every query at the widest emittable value: successes clamp to
+    // 99.9 and failures to -9.9 — both 4 chars after the 1-dp trim
     val qs = SparkEntry.queries.keySet.toSeq.sorted
-      .map(k => "\"" + Bench.shortKey(k) + "\":-99.9").mkString("{", ",", "}")
+      .map(k => "\"" + Bench.shortKey(k) + "\":99.9").mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":99999.99,"unit":"sec","queries":$qs,""" +
       s""""cpu":99999.9,"ld":[99.99,99.99],"sf":"sf0.1"}"""
     assert(line.length < 1500,
@@ -1243,7 +1243,8 @@ class UnorderedFormSpec extends org.scalatest.funsuite.AnyFunSuite {
     "q_string_funcs", "q_gopher_filter", "q_repetition", "q_novelty",
     "q_ppl_buckets", "q_chunk_docs", "q_data_split", "q_pack_sequences",
     "q_quality_sample", "q_bpe_encode", "q_span_scrub", "q_dedup_span",
-    "q_stratified_sample", "q_moving_avg", "q_wow_change")
+    "q_stratified_sample", "q_moving_avg", "q_wow_change",
+    "q_nb_train", "q_nb_score", "q_dsir_weights")
 
   test("every corpus-scale query's unordered form has no global sort at all") {
     import org.apache.spark.sql.catalyst.plans.logical.{Sort => LSort}
