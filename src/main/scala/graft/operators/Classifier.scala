@@ -102,12 +102,61 @@ object Classifier {
     * [[releaseModelCache]].
     */
   private def nbCountsPlan(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    trainCountsFromDocs(Tables.documents(s, dir))
+
+  /** Counting stage from any (doc_id, source, text) frame — shared
+    * verbatim with [[graft.streaming.StreamingNbModel]], whose merged
+    * state is the component-wise sum of per-batch frames (counts are
+    * additive), so the incrementally trained model == the batch model
+    * EXACTLY after any prefix of batches.
+    */
+  private[graft] def trainCountsFromDocs(docs: DataFrame): DataFrame =
+    docs
       .filter(splitBucket < TrainPermille)
       .select(isCurated.as("cur"), explode(tokens(col("text"))).as("t"))
       .groupBy("t")
       .agg(sum(col("cur").cast("long")).as("c_cur"),
         sum(lit(1L) - col("cur")).as("c_web"))
+
+  /** Per-batch train-fold doc tally (curated, total) — the prior's
+    * additive sufficient statistic, shared with the streaming twin.
+    */
+  private[graft] def trainDocTally(docs: DataFrame): (Long, Long) = {
+    val r = docs.filter(splitBucket < TrainPermille)
+      .agg(coalesce(sum(isCurated.cast("long")), lit(0L)), count(lit(1))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Value stage: (t, c_cur, c_web) counts + totals → the model table
+    * with micro-nat log-ratios. Shared with the streaming twin.
+    */
+  private[graft] def modelFromCounts(counts: DataFrame,
+      tc: Long, tw: Long, v: Long): DataFrame =
+    counts.select(col("t"), col("c_cur"), col("c_web"), llrU(tc, tw, v).as("llr_u"))
+
+  /** Scoring stage: docs × model table (+ prior) → the q_nb_score
+    * frame. Shared with the streaming twin so live scoring under the
+    * incrementally trained model == the batch operator exactly.
+    */
+  private[graft] def scoreStage(docs: DataFrame, model: DataFrame,
+      priorU: Long): DataFrame = {
+    val hits = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .join(model.select("t", "llr_u"), "t")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum(col("llr_u")).as("sx"))
+    val totalU = coalesce(col("sx"), lit(0L)) + lit(priorU)
+    docs
+      .select(col("doc_id"),
+        when(splitBucket < TrainPermille, "train").otherwise("holdout").as("fold"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        isCurated.as("is_cur"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fold"), col("n_tok"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("is_cur"),
+        when(totalU > 0L, 1).otherwise(0).as("pred_cur"),
+        score4(totalU).as("nb_score"))
+  }
 
   private def nbCounts(s: SparkSession, dir: String): DataFrame =
     nbCountsPlan(s, dir)
@@ -142,9 +191,9 @@ object Classifier {
     */
   def nbTrain(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
     val (tc, tw, v) = nbTotals(s, dir)
-    val out = nbCounts(s, dir)
+    val out = modelFromCounts(nbCounts(s, dir), tc, tw, v)
       .select(col("t"), col("c_cur"), col("c_web"),
-        (llrU(tc, tw, v).cast("double") / lit(Dp6)).as("llr"))
+        (col("llr_u").cast("double") / lit(Dp6)).as("llr"))
     if (ordered) out.orderBy("t") else out
   }
 
@@ -156,12 +205,15 @@ object Classifier {
     * two counts → one double → one long).
     */
   private def nbPriorU(s: SparkSession, dir: String): Long = {
-    val r = Tables.documents(s, dir)
-      .filter(splitBucket < TrainPermille)
-      .agg(sum(isCurated.cast("long")), count(lit(1))).head()
-    val nc = r.getLong(0); val nw = r.getLong(1) - nc
-    u6d(math.log((nc + 1).toDouble / (nw + 1).toDouble))
+    val (nc, n) = trainDocTally(Tables.documents(s, dir))
+    priorUOf(nc, n)
   }
+
+  /** Prior from the (curated, total) doc tally — shared arithmetic with
+    * the streaming twin's merged counters.
+    */
+  private[graft] def priorUOf(nCur: Long, nDocs: Long): Long =
+    u6d(math.log((nCur + 1).toDouble / (nDocs - nCur + 1).toDouble))
 
   /** Per-document NB score (`q_nb_score`): prior log-odds plus the sum
     * of token log-ratios with multiplicity, over the WHOLE corpus (the
@@ -171,24 +223,8 @@ object Classifier {
     */
   def nbScore(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
     val (tc, tw, v) = nbTotals(s, dir)
-    val priorU = nbPriorU(s, dir)
-    val model = nbCounts(s, dir).select(col("t"), llrU(tc, tw, v).as("llr_u"))
-    val hits = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .join(model, "t")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hit"), sum(col("llr_u")).as("sx"))
-    val totalU = coalesce(col("sx"), lit(0L)) + lit(priorU)
-    val out = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        when(splitBucket < TrainPermille, "train").otherwise("holdout").as("fold"),
-        size(tokens(col("text"))).cast("long").as("n_tok"),
-        isCurated.as("is_cur"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("fold"), col("n_tok"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("is_cur"),
-        when(totalU > 0L, 1).otherwise(0).as("pred_cur"),
-        score4(totalU).as("nb_score"))
+    val model = modelFromCounts(nbCounts(s, dir), tc, tw, v)
+    val out = scoreStage(Tables.documents(s, dir), model, nbPriorU(s, dir))
     if (ordered) out.orderBy("doc_id") else out
   }
 

@@ -170,6 +170,29 @@ class ClassifierSpec extends AnyFunSuite {
       "curated docs must carry higher per-feature importance")
   }
 
+  test("streaming NB model: incremental training + live scoring equal batch over any split") {
+    import org.apache.spark.sql.functions._
+    val (dir, _) = fixture
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val twin = new graft.streaming.StreamingNbModel
+    for (r <- 0 until 3) // arbitrary micro-batches by doc_id residue
+      twin.mergeBatch(docs.filter(pmod(col("doc_id"), lit(3)) === r))
+    def mkey(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val gotModel = twin.currentModel(spark).collect().map(mkey).sortBy(_._1).toSeq
+    val wantModel = Classifier.nbTrain(spark, dir).collect().map(mkey).toSeq
+    assert(gotModel === wantModel,
+      "merged token counts reproduce the batch model exactly")
+    def skey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getDouble(6))
+    val gotScores = twin.scoreBatch(spark, docs).collect().map(skey).sortBy(_._1).toSeq
+    val wantScores = Classifier.nbScore(spark, dir).collect().map(skey).toSeq
+    assert(gotScores === wantScores,
+      "live scoring under the merged model == the batch scoring pass")
+    Classifier.releaseModelCache(spark, dir)
+  }
+
   test("dsir scoring joins a broadcast-bounded feature table") {
     val (dir, _) = fixture
     val plan = Classifier.dsirWeights(spark, dir, ordered = false)
