@@ -257,8 +257,14 @@ object Classifier {
     * portable token hashes as `(h1·131 + h2) mod p` (the fingerprint
     * fold) before bucketing, so the oracle reproduces it bit-exactly.
     */
-  private def dsirFeatures: Column = {
-    val hs = tokenHashes(col("text"))
+  /** `hs` MUST be a bound attribute (a projected `tokenHashes` column),
+    * never the expression tree itself: `element_at` inside the bigram
+    * lambda evaluates its array argument per index, so an embedded
+    * tokenHashes expression re-derives the whole hash array for every
+    * bigram — quadratic per document (measured 13.7 s at sf0.1 vs
+    * 1 s with the projection).
+    */
+  private def featuresOf(hs: Column): Column = {
     val uni = transform(hs, h => h % lit(DsirBuckets))
     // guard: Spark sequence(1, size-1) DESCENDS when size < 2 (it is
     // not empty like DuckDB generate_series) and would index hs[0]
@@ -283,36 +289,52 @@ object Classifier {
     * smoothed micro-nat ratios become a broadcast-joined local frame,
     * and unseen buckets fall back to the pure-smoothing ratio `lw0`.
     */
-  def dsirWeights(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val occ = docs.select(col("doc_id"), splitBucket.as("b"), col("source"),
-      explode(dsirFeatures).as("f"))
-    // bucket-bounded training counts: ≤ DsirBuckets rows, driver-safe
-    val cnt = occ.filter(col("b") < TrainPermille)
+  /** Per-batch bucket-bounded training counts (≤ [[DsirBuckets]] rows,
+    * driver-safe): (f, c_t, c_r). ADDITIVE across batches — shared with
+    * [[graft.streaming.StreamingDsir]], whose state is the
+    * component-wise sum (O(DsirBuckets) regardless of stream length).
+    */
+  private[graft] def dsirTrainCounts(docs: DataFrame): Array[(Long, Long, Long)] =
+    docs.filter(splitBucket < TrainPermille)
+      .select(col("source"), tokenHashes(col("text")).as("hs"))
+      .select(col("source"), explode(featuresOf(col("hs"))).as("f"))
       .groupBy("f")
       .agg(sum(isCurated.cast("long")).as("c_t"), count(lit(1)).as("c_r"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val tt = cnt.map(_._2).sum
-    val tr = cnt.map(_._3).sum
+
+  /** Value + scoring stage from a counts table — shared verbatim with
+    * the streaming twin so scoring under merged counts == batch.
+    */
+  private[graft] def dsirScoreFrame(s: SparkSession, docs: DataFrame,
+      cnt: Seq[(Long, Long, Long)]): DataFrame = {
+    val tt = cnt.iterator.map(_._2).sum
+    val tr = cnt.iterator.map(_._3).sum
     val denT = (tt + DsirBuckets).toDouble
     val denR = (tr + DsirBuckets).toDouble
     val lw0U = u6d(math.log(1.0 / denT) - math.log(1.0 / denR))
     import s.implicits._
-    val lwDf = cnt.toSeq.map { case (f, ct, cr) =>
+    val lwDf = cnt.map { case (f, ct, cr) =>
       (f, u6d(math.log((ct + 1).toDouble / denT) - math.log((cr + 1).toDouble / denR)))
     }.toDF("f", "w_u")
+    val occ = docs.select(col("doc_id"), tokenHashes(col("text")).as("hs"))
+      .select(col("doc_id"), explode(featuresOf(col("hs"))).as("f"))
     val agg = occ.join(broadcast(lwDf), Seq("f"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feat"),
         sum(coalesce(col("w_u"), lit(lw0U))).as("sx"))
     val su = coalesce(col("sx"), lit(0L))
-    val out = docs.select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_feat"), lit(0L)).as("n_feat"),
         score4(su).as("dsir_logw"),
         (floor(su.cast("double") / lit(Dp6)
           / greatest(coalesce(col("n_feat"), lit(0L)), lit(1L))
           * lit(Dp4) + lit(0.5)) / Dp4).as("logw_per_feat"))
+  }
+
+  def dsirWeights(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val out = dsirScoreFrame(s, docs, dsirTrainCounts(docs).toSeq)
     if (ordered) out.orderBy("doc_id") else out
   }
 

@@ -193,6 +193,20 @@ class ClassifierSpec extends AnyFunSuite {
     Classifier.releaseModelCache(spark, dir)
   }
 
+  test("streaming DSIR: merged bucket counts weight batches exactly like the batch operator") {
+    import org.apache.spark.sql.functions._
+    val (dir, _) = fixture
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val twin = new graft.streaming.StreamingDsir
+    for (r <- 0 until 3)
+      twin.mergeBatch(docs.filter(pmod(col("doc_id"), lit(3)) === r))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val got = twin.weightBatch(spark, docs).collect().map(key).sortBy(_._1).toSeq
+    val want = Classifier.dsirWeights(spark, dir).collect().map(key).toSeq
+    assert(got === want, "merged feature table reproduces batch weights exactly")
+  }
+
   test("dsir scoring joins a broadcast-bounded feature table") {
     val (dir, _) = fixture
     val plan = Classifier.dsirWeights(spark, dir, ordered = false)
