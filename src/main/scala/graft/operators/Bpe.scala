@@ -112,11 +112,17 @@ object Bpe {
     var exhausted = false
     while (k < BpeRounds && !exhausted) {
       val syms = split(trim(col("rep")), SymSep)
+      // project syms to a bound column before indexing: element_at in
+      // the pair lambda re-evaluates an embedded split per index (the
+      // q_dsir_weights quadratic-lambda lesson; symbols per word are
+      // short, so here it is a constant-factor waste, not asymptotic)
       val top = cur
         .filter(size(syms) >= 2)
+        .select(syms.as("syms"), col("n"))
         .select(
-          explode(transform(sequence(lit(1), size(syms) - 1), i =>
-            struct(element_at(syms, i).as("a"), element_at(syms, i + 1).as("b"))))
+          explode(transform(sequence(lit(1), size(col("syms")) - 1), i =>
+            struct(element_at(col("syms"), i).as("a"),
+              element_at(col("syms"), i + 1).as("b"))))
             .as("p"),
           col("n"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
