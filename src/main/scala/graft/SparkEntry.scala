@@ -113,6 +113,7 @@ object SparkEntry {
     "q_nb_score"      -> ((s, d) => operators.Classifier.nbScore(s, d)),
     "q_nb_eval"       -> operators.Classifier.nbEval _,
     "q_dsir_weights"  -> ((s, d) => operators.Classifier.dsirWeights(s, d)),
+    "q_dsir_select"   -> ((s, d) => operators.Classifier.dsirSelect(s, d)),
     // §2.7 multimodal metadata
     "q_multimodal_meta" -> TextAnalysis.multimodalMeta _,
     // §2.1b extended composed analytics
@@ -664,6 +665,7 @@ object SparkEntry {
     "q_nb_score"        -> operators.Classifier.nbScoreOracleSql,
     "q_nb_eval"         -> operators.Classifier.nbEvalOracleSql,
     "q_dsir_weights"    -> operators.Classifier.dsirWeightsOracleSql,
+    "q_dsir_select"     -> operators.Classifier.dsirSelectOracleSql,
     // per-source declared-vs-predicted language audit (shared lang CTEs)
     "q_lang_mismatch" ->
       s"""WITH $sqlLangCtes

@@ -162,9 +162,16 @@ object Classifier {
     nbCountsPlan(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** Drop the session-scoped classifier cache for `dir`. */
-  def releaseModelCache(s: SparkSession, dir: String): Unit =
+  /** Drop the session-scoped classifier caches for `dir` (the guard
+    * keeps release from triggering the very computation it frees).
+    */
+  def releaseModelCache(s: SparkSession, dir: String): Unit = {
     nbCountsPlan(s, dir).unpersist()
+    if (dsirCntCache.contains(dir)) {
+      dsirFramePlan(s, dir).unpersist()
+      dsirCntCache.remove(dir)
+    }
+  }
 
   /** (totCur, totWeb, vocab) from the persisted counts — a 3-number
     * driver collect (metadata-bounded by definition).
@@ -301,6 +308,20 @@ object Classifier {
       .groupBy("f")
       .agg(sum(isCurated.cast("long")).as("c_t"), count(lit(1)).as("c_r"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // sorted: the downstream local frame must canonicalize to the
+      // SAME plan on every call or the CacheManager persist-by-plan
+      // memoization below would never hit (collect order is free)
+      .sortBy(_._1)
+
+  /** Memoized training counts per data dir: the bucket table is tiny
+    * (≤ DsirBuckets rows) but its aggregate scans the corpus — weights
+    * and select must not re-run it. Cleared by [[releaseModelCache]].
+    */
+  private val dsirCntCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Long, Long)]]
+
+  private def dsirCounts(s: SparkSession, dir: String): Array[(Long, Long, Long)] =
+    dsirCntCache.getOrElseUpdate(dir, dsirTrainCounts(Tables.documents(s, dir)))
 
   /** Value + scoring stage from a counts table — shared verbatim with
     * the streaming twin so scoring under merged counts == batch.
@@ -332,9 +353,54 @@ object Classifier {
           * lit(Dp4) + lit(0.5)) / Dp4).as("logw_per_feat"))
   }
 
+  /** Session-persisted per-doc weights frame (narrow, O(docs) — the
+    * lmScoreFrame class): q_dsir_weights reads it once, q_dsir_select
+    * reads it twice (threshold aggregate + filter). Plan-equality
+    * memoized via the CacheManager; released by [[releaseModelCache]].
+    */
+  private def dsirFramePlan(s: SparkSession, dir: String): DataFrame =
+    dsirScoreFrame(s, Tables.documents(s, dir), dsirCounts(s, dir).toSeq)
+
+  private def dsirFrame(s: SparkSession, dir: String): DataFrame =
+    dsirFramePlan(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   def dsirWeights(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val out = dsirScoreFrame(s, docs, dsirTrainCounts(docs).toSeq)
+    val out = dsirFrame(s, dir)
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
+  // ---------------------------------------------------------------------
+  // q_dsir_select — the resampling step
+  // ---------------------------------------------------------------------
+
+  /** Keep fraction: docs at or above the median length-normalized
+    * importance weight survive.
+    */
+  val DsirSelectQuantile = 0.5
+
+  /** DSIR selection (`q_dsir_select`): resample the corpus toward the
+    * target distribution by keeping every document whose
+    * length-normalized importance weight clears the corpus median —
+    * the selection step the weights exist for (Xie et al. 2023 sample
+    * by importance; the deterministic threshold form is the
+    * engine-portable equivalent, the q_ppl_buckets shape).
+    *
+    * Scale shape: the threshold is ONE bounded `percentile` aggregate
+    * over the persisted weights frame, broadcast back as a literal; the
+    * keep pass is a map-side compare on the same persisted frame — no
+    * rank window, no global sort (an `ntile` over the corpus would
+    * serialize through one task). Threshold snapped to the weights'
+    * 4-dp grid so both engines' interpolation agrees (the ppl_buckets
+    * boundary lesson).
+    */
+  def dsirSelect(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
+    val w = dsirFrame(s, dir)
+    val thr = w.agg(
+      expr(s"percentile(logw_per_feat, cast(1 as double)/2)")).head().getDouble(0)
+    val tSnap = math.floor(thr * Dp4 + 0.5) / Dp4
+    val out = w.filter(col("logw_per_feat") >= lit(tSnap))
+      .select(col("doc_id"), col("n_feat"), col("dsir_logw"), col("logw_per_feat"))
     if (ordered) out.orderBy("doc_id") else out
   }
 
@@ -410,7 +476,21 @@ object Classifier {
        |GROUP BY b.is_cur ORDER BY is_cur""".stripMargin
 
   def dsirWeightsOracleSql: String =
-    s"""WITH base AS (
+    s"""WITH $dsirSqlCtes
+       |SELECT doc_id, n_feat, dsir_logw, logw_per_feat
+       |FROM w ORDER BY doc_id""".stripMargin
+
+  def dsirSelectOracleSql: String =
+    s"""WITH $dsirSqlCtes,
+       |thr AS (SELECT floor(quantile_cont(logw_per_feat, CAST(1 AS DOUBLE)/2)
+       |              * 1e4 + 0.5) / 1e4 AS t FROM w)
+       |SELECT doc_id, n_feat, dsir_logw, logw_per_feat
+       |FROM w, thr WHERE logw_per_feat >= t
+       |ORDER BY doc_id""".stripMargin
+
+  /** Shared DSIR CTE chain ending in the per-doc weights frame `w`. */
+  private def dsirSqlCtes: String =
+    s"""base AS (
        |  SELECT doc_id, source,
        |    ((doc_id * ${ExtendedAnalytics.SplitHashA}) % 2147483648) % 1000 AS b,
        |    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
@@ -442,11 +522,10 @@ object Classifier {
        |                    * 1e6 + 0.5) AS BIGINT) AS w0 FROM tot),
        |agg AS (SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
        |               CAST(sum(coalesce(l.w_u, z.w0)) AS BIGINT) AS sx
-       |        FROM occ o LEFT JOIN lw l USING (f), lw0 z GROUP BY o.doc_id)
-       |SELECT f2.doc_id, coalesce(a.n_feat, 0) AS n_feat,
+       |        FROM occ o LEFT JOIN lw l USING (f), lw0 z GROUP BY o.doc_id),
+       |w AS (SELECT f2.doc_id, coalesce(a.n_feat, 0) AS n_feat,
        |  floor(CAST(coalesce(a.sx, 0) AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS dsir_logw,
        |  floor(CAST(coalesce(a.sx, 0) AS DOUBLE) / 1e6
        |        / greatest(coalesce(a.n_feat, 0), 1) * 1e4 + 0.5) / 1e4 AS logw_per_feat
-       |FROM feat f2 LEFT JOIN agg a USING (doc_id)
-       |ORDER BY doc_id""".stripMargin
+       |  FROM feat f2 LEFT JOIN agg a USING (doc_id))""".stripMargin
 }

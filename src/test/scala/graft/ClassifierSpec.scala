@@ -193,6 +193,25 @@ class ClassifierSpec extends AnyFunSuite {
     Classifier.releaseModelCache(spark, dir)
   }
 
+  test("dsir select keeps exactly the docs at or above the snapped median weight") {
+    val (dir, docs) = fixture
+    val perFeat = Classifier.dsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // R-7 median over the 4-dp weights, snapped to the grid like the op
+    val s = perFeat.values.toSeq.sorted
+    val r = (s.size - 1) * 0.5
+    val lo = s(r.toInt); val hi = s(math.ceil(r).toInt)
+    val tSnap = math.floor((lo + (r - r.toInt) * (hi - lo)) * 1e4 + 0.5) / 1e4
+    val expect = perFeat.filter(_._2 >= tSnap).keySet
+    val got = Classifier.dsirSelect(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+    // the separable fixture: every curated doc clears the median
+    val cur = Classifier.CuratedSources.toSet
+    assert(docs.filter(d => cur(d._3)).map(_._1).forall(got),
+      "curated docs must survive the resampling step")
+    Classifier.releaseModelCache(spark, dir)
+  }
+
   test("streaming DSIR: merged bucket counts weight batches exactly like the batch operator") {
     import org.apache.spark.sql.functions._
     val (dir, _) = fixture
