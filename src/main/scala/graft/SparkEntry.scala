@@ -114,6 +114,9 @@ object SparkEntry {
     "q_nb_eval"       -> operators.Classifier.nbEval _,
     "q_dsir_weights"  -> ((s, d) => operators.Classifier.dsirWeights(s, d)),
     "q_dsir_select"   -> ((s, d) => operators.Classifier.dsirSelect(s, d)),
+    // the cascade idiom: map-side heuristic gate prunes the stream
+    // BEFORE the learned model's token join sees it
+    "q_filter_cascade" -> ((s, d) => operators.Classifier.filterCascade(s, d)),
     // §2.7 multimodal metadata
     "q_multimodal_meta" -> TextAnalysis.multimodalMeta _,
     // §2.1b extended composed analytics
@@ -666,6 +669,19 @@ object SparkEntry {
     "q_nb_eval"         -> operators.Classifier.nbEvalOracleSql,
     "q_dsir_weights"    -> operators.Classifier.dsirWeightsOracleSql,
     "q_dsir_select"     -> operators.Classifier.dsirSelectOracleSql,
+    // cascade oracle: the quality CTEs compose with the NB CTEs (CTE
+    // names disjoint); the model is trained on the UNGATED fold — the
+    // cascade gates scoring, not training
+    "q_filter_cascade" ->
+      s"""WITH $sqlQualityCtes,
+         |${operators.Classifier.nbSqlCtes}
+         |SELECT b.doc_id, qq.quality,
+         |  floor(CAST(coalesce(h.sx, 0) + p.p6 AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4
+         |    AS nb_score,
+         |  CASE WHEN coalesce(h.sx, 0) + p.p6 > 0 THEN 1 ELSE 0 END AS pred_cur
+         |FROM base b JOIN qq USING (doc_id) LEFT JOIN hit h USING (doc_id), pri p
+         |WHERE qq.quality >= ${operators.Classifier.CascadeQualityMin}
+         |ORDER BY doc_id""".stripMargin,
     // per-source declared-vs-predicted language audit (shared lang CTEs)
     "q_lang_mismatch" ->
       s"""WITH $sqlLangCtes

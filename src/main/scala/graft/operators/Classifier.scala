@@ -256,6 +256,44 @@ object Classifier {
       .orderBy("is_cur")
 
   // ---------------------------------------------------------------------
+  // q_filter_cascade — cheap gate before the expensive model
+  // ---------------------------------------------------------------------
+
+  /** Heuristic-gate threshold for the cascade: quality is 4-dp
+    * quantized by construction, so the compare is boundary-safe.
+    */
+  val CascadeQualityMin = 0.5
+
+  /** Filter cascade (`q_filter_cascade`): the production idiom of
+    * running the MAP-SIDE heuristic gate first so the learned model
+    * only ever sees survivors — at 100 TB the classifier's token-join
+    * probe stream shrinks by the gate's rejection rate before any
+    * shuffle happens (the gate rides the scan; `.explain` shows the
+    * filter under the explode). Output: surviving docs with both
+    * signals, so downstream selection can weigh them jointly.
+    */
+  def filterCascade(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
+    val (tc, tw, v) = nbTotals(s, dir)
+    val model = modelFromCounts(nbCounts(s, dir), tc, tw, v)
+    val priorU = nbPriorU(s, dir)
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"), col("text"))
+      .filter(col("quality") >= lit(CascadeQualityMin))
+    val hits = base
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .join(model.select("t", "llr_u"), "t")
+      .groupBy("doc_id")
+      .agg(sum(col("llr_u")).as("sx"))
+    val totalU = coalesce(col("sx"), lit(0L)) + lit(priorU)
+    val out = base.select(col("doc_id"), col("quality"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality"),
+        score4(totalU).as("nb_score"),
+        when(totalU > 0L, 1).otherwise(0).as("pred_cur"))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
+  // ---------------------------------------------------------------------
   // q_dsir_weights — hashed-ngram importance weights
   // ---------------------------------------------------------------------
 
@@ -414,8 +452,10 @@ object Classifier {
 
   /** Shared CTEs: labeled+bucketed docs, train token counts, totals,
     * the micro-nat model table, doc priors, and the per-doc hit sums.
+    * `private[graft]`: SparkEntry composes them with its quality CTEs
+    * for the cascade oracle (CTE names are disjoint by construction).
     */
-  private def nbSqlCtes: String =
+  private[graft] def nbSqlCtes: String =
     s"""base AS (
        |  SELECT doc_id, source,
        |    ((doc_id * ${ExtendedAnalytics.SplitHashA}) % 2147483648) % 1000 AS b,

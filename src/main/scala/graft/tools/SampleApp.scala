@@ -130,6 +130,12 @@ object SampleApp {
     println(s"[sample] zorder+compact rows=${spark.read.parquet("/tmp/sample_compacted").count()}")
 
     // round-5 surface: report-document assembly, paged-API ingest (DSv2)
+    // learned data-selection: classifier gate + importance resampling
+    val nbKept = graft.operators.Classifier.nbScore(spark, sf, ordered = false)
+      .filter(org.apache.spark.sql.functions.col("pred_cur") === 1).count()
+    val dsirKept = graft.operators.Classifier.dsirSelect(spark, sf, ordered = false).count()
+    println(s"[sample] nb-gate kept=$nbKept dsir-resample kept=$dsirKept")
+    graft.operators.Classifier.releaseModelCache(spark, sf)
     println(s"[sample] report lines=${graft.operators.ReportDoc.reportDoc(spark, sf).count()}")
     println(s"[sample] paged ingest tasks=${graft.sources.PagedTasks.pagedIngest(spark, sf).count()}")
     spark.stop()

@@ -226,6 +226,31 @@ class ClassifierSpec extends AnyFunSuite {
     assert(got === want, "merged feature table reproduces batch weights exactly")
   }
 
+  test("filter cascade == quality-gated rows of nb score, and the gate precedes the token join") {
+    import org.apache.spark.sql.functions._
+    val (dir, _) = fixture
+    val quality = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val scores = Classifier.nbScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(5), r.getDouble(6))).toMap
+    val expect = quality.filter(_._2 >= Classifier.CascadeQualityMin)
+      .map { case (id, q) => id -> (q, scores(id)._2, scores(id)._1) }
+    val got = Classifier.filterCascade(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getInt(3))).toMap
+    assert(got === expect, "cascade output == gate ∘ score")
+    // plan shape: the quality filter sits below the token explode, so
+    // the model join's probe stream is already pruned
+    val plan = Classifier.filterCascade(spark, dir, ordered = false)
+      .queryExecution.optimizedPlan.toString
+    val genIdx = plan.indexOf("Generate explode")
+    val filtIdx = plan.indexOf("Filter", genIdx)
+    assert(genIdx >= 0 && filtIdx > genIdx,
+      s"quality gate must evaluate under the explode:\n$plan")
+    Classifier.releaseModelCache(spark, dir)
+  }
+
   test("dsir scoring joins a broadcast-bounded feature table") {
     val (dir, _) = fixture
     val plan = Classifier.dsirWeights(spark, dir, ordered = false)

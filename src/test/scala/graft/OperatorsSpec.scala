@@ -1244,7 +1244,8 @@ class UnorderedFormSpec extends org.scalatest.funsuite.AnyFunSuite {
     "q_ppl_buckets", "q_chunk_docs", "q_data_split", "q_pack_sequences",
     "q_quality_sample", "q_bpe_encode", "q_span_scrub", "q_dedup_span",
     "q_stratified_sample", "q_moving_avg", "q_wow_change",
-    "q_nb_train", "q_nb_score", "q_dsir_weights", "q_dsir_select")
+    "q_nb_train", "q_nb_score", "q_dsir_weights", "q_dsir_select",
+    "q_filter_cascade")
 
   test("every corpus-scale query's unordered form has no global sort at all") {
     import org.apache.spark.sql.catalyst.plans.logical.{Sort => LSort}
