@@ -36,13 +36,20 @@ class ClassifierSpec extends AnyFunSuite {
     val curWords = Vector("codex", "scroll", "archive", "treatise")
     val webWords = Vector("clickbait", "spam", "banner", "popup")
     val shared = Vector("the", "of", "data")
-    val docs = (1L to 40L).toVector.map { id =>
+    val bulk = (1L to 40L).toVector.map { id =>
       val cur = id % 4 == 0 // src0 is on the curated allowlist
       val pool = (if (cur) curWords else webWords) ++ shared
       // deterministic, repetitive text with per-doc variation
       val words = (0 until 12).map(i => pool(((id + i) % pool.size).toInt))
       (id, words.mkString(" "), if (cur) "src0" else "srcZ")
     }
+    // edge docs exercise the guard paths: empty token stream (left-join
+    // fallbacks, prior-only score, zero features), a single token (the
+    // bigram size<2 guard on BOTH engines), and punctuation-only text
+    val docs = bulk ++ Vector(
+      (41L, "", "srcZ"),
+      (42L, "codex", "src0"),
+      (43L, "?!... --- !!!", "srcZ"))
     docs.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -163,8 +170,10 @@ class ClassifierSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
     assert(got.keySet === exp.keySet)
     for ((id, e) <- exp) assert(got(id) === e, s"doc $id")
-    // ranking: every curated doc outweighs every web doc per-feature
-    val byCur = docs.groupBy(d => cur(d._3)).view
+    // ranking: every curated doc outweighs every web doc per-feature —
+    // among docs that HAVE features (a feature-less doc sums to exactly
+    // 0, which is "uninformative", not "web-like")
+    val byCur = docs.filter(d => exp(d._1)._1 > 0).groupBy(d => cur(d._3)).view
       .mapValues(_.map(d => exp(d._1)._3)).toMap
     assert(byCur(true).min > byCur(false).max,
       "curated docs must carry higher per-feature importance")
