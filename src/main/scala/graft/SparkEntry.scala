@@ -84,6 +84,8 @@ object SparkEntry {
     "q_tfidf_top_terms" -> TextAnalysis.tfidfTopTerms _,
     "q_lm_score"        -> TextAnalysis.lmScore _,
     "q_gopher_filter"   -> ((s, d) => TextAnalysis.gopherFilter(s, d)),
+    // compressibility gate: per-doc character Shannon entropy
+    "q_char_entropy"    -> ((s, d) => TextAnalysis.charEntropy(s, d)),
     "q_repetition"      -> ((s, d) => TextAnalysis.repetition(s, d)),
     "q_chunk_docs"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q_cooccur"         -> TextAnalysis.cooccur _,
@@ -669,6 +671,7 @@ object SparkEntry {
     "q_nb_eval"         -> operators.Classifier.nbEvalOracleSql,
     "q_dsir_weights"    -> operators.Classifier.dsirWeightsOracleSql,
     "q_dsir_select"     -> operators.Classifier.dsirSelectOracleSql,
+    "q_char_entropy"    -> TextAnalysis.charEntropyOracleSql,
     // cascade oracle: the quality CTEs compose with the NB CTEs (CTE
     // names disjoint); the model is trained on the UNGATED fold — the
     // cascade gates scoring, not training

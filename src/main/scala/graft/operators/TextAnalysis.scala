@@ -704,6 +704,80 @@ object TextAnalysis {
        |CROSS JOIN nt
        |ORDER BY pair_n DESC, ta, tb LIMIT $CoocTopK""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_char_entropy — compressibility gate
+  // ---------------------------------------------------------------------
+
+  /** Low-entropy flag threshold in nats: natural English text sits near
+    * 2.8 nats of character entropy; repeated-template floods and
+    * single-character padding collapse toward 0.
+    */
+  val EntropyLowNats = 2.0
+
+  /** Character-entropy gate (`q_char_entropy`): per-document Shannon
+    * entropy over the raw character distribution — the classic
+    * compressibility signal a corpus pipeline runs beside the n-gram
+    * repetition gate (low entropy = template floods, padding, binary
+    * spill; the MassiveText/C4 gate family). Output: char count,
+    * distinct chars, entropy (nats, 4 dp), and the low-entropy flag.
+    *
+    * Distributed shape: one explode into a (doc, char)-keyed count
+    * (map-side combined — the token_count shape), per-doc totals DERIVE
+    * from that frame, and the entropy sum runs over DECIMAL(38,18)
+    * casts of identical-double contributions (exact ⇒ associative ⇒
+    * partitioning-independent; the kl_drift arithmetic). Empty texts
+    * are guarded explicitly: Spark `split('', '')` yields `[""]` where
+    * DuckDB `string_split` yields `[]`, so both sides filter len>0 and
+    * empty docs re-enter via the left join with entropy 0.
+    * The flag compares the ROUNDED entropy against the threshold, so
+    * both engines decide on the same grid value.
+    */
+  def charEntropy(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
+    val cc = Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
+    val nn = cc.groupBy("doc_id")
+      .agg(sum("n").as("n_chars"), count(lit(1)).as("n_distinct"))
+    val p = col("n").cast("double") / col("nt")
+    val ent = cc.join(nn.select(col("doc_id"), col("n_chars").as("nt")), "doc_id")
+      .groupBy("doc_id")
+      .agg(sum((-(p * log(p))).cast("decimal(38,18)")).as("hx"))
+      .select(col("doc_id"),
+        (floor(col("hx").cast("double") * 1e4 + lit(0.5)) / 1e4).as("entropy"))
+    val out = Tables.documents(s, dir).select(col("doc_id"))
+      .join(nn.join(ent, "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("entropy"), lit(0.0)).as("entropy"),
+        when(coalesce(col("entropy"), lit(0.0)) < lit(EntropyLowNats), 1).otherwise(0)
+          .as("low_entropy"))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
+  def charEntropyOracleSql: String =
+    s"""WITH ch AS (
+       |  SELECT doc_id, unnest(string_split(text, '')) AS c
+       |  FROM documents WHERE len(text) > 0),
+       |cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY 1, 2),
+       |nn AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+       |              CAST(count(*) AS BIGINT) AS n_distinct
+       |       FROM cc GROUP BY 1),
+       |ent AS (SELECT cc.doc_id,
+       |          floor(CAST(sum(CAST(
+       |              -((CAST(n AS DOUBLE) / n_chars) * ln(CAST(n AS DOUBLE) / n_chars))
+       |            AS DECIMAL(38,18))) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS entropy
+       |        FROM cc JOIN nn USING (doc_id) GROUP BY cc.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(nn.n_chars, 0) AS n_chars,
+       |  coalesce(nn.n_distinct, 0) AS n_distinct,
+       |  coalesce(ent.entropy, 0.0) AS entropy,
+       |  CASE WHEN coalesce(ent.entropy, 0.0) < $EntropyLowNats THEN 1 ELSE 0 END
+       |    AS low_entropy
+       |FROM documents d LEFT JOIN nn USING (doc_id) LEFT JOIN ent USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** §2.7 #36 — multimodal metadata plumbing: documents as opaque bytes
     * with typed metadata (byte length, content hash, prefix). The decode
     * step for true image/audio payloads lives in graft.multimodal (stubbed
