@@ -86,6 +86,8 @@ object SparkEntry {
     "q_gopher_filter"   -> ((s, d) => TextAnalysis.gopherFilter(s, d)),
     // compressibility gate: per-doc character Shannon entropy
     "q_char_entropy"    -> ((s, d) => TextAnalysis.charEntropy(s, d)),
+    // per-stage corpus yield report over the cleaning gates
+    "q_pipeline_yield"  -> TextAnalysis.pipelineYield _,
     "q_repetition"      -> ((s, d) => TextAnalysis.repetition(s, d)),
     "q_chunk_docs"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q_cooccur"         -> TextAnalysis.cooccur _,
@@ -672,6 +674,33 @@ object SparkEntry {
     "q_dsir_weights"    -> operators.Classifier.dsirWeightsOracleSql,
     "q_dsir_select"     -> operators.Classifier.dsirSelectOracleSql,
     "q_char_entropy"    -> TextAnalysis.charEntropyOracleSql,
+    // yield-report oracle: same gate fragments as q_clean_pipeline,
+    // reduced to cumulative stage counts
+    "q_pipeline_yield" ->
+      s"""WITH $sqlQualityCtes,
+         $sqlLangCtes,
+         g AS (
+           SELECT d.doc_id, d.text,
+             qq.quality >= ${operators.TextAnalysis.PipelineQualityMin} AS okq,
+             lp.pred_lang <> 'unknown' AS okl
+           FROM documents d
+           JOIN qq ON qq.doc_id = d.doc_id
+           JOIN lp ON lp.doc_id = d.doc_id),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN okq THEN 1 ELSE 0 END) AS BIGINT) AS nq,
+             CAST(sum(CASE WHEN okq AND okl THEN 1 ELSE 0 END) AS BIGINT) AS nql
+           FROM g),
+         dd AS (SELECT CAST(count(*) AS BIGINT) AS nqld FROM (
+             SELECT row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM g WHERE okq AND okl) WHERE rn = 1),
+         st AS (
+           SELECT 1 AS stage_no, 'quality' AS stage, total AS n_in, nq AS n_out FROM c, dd
+           UNION ALL SELECT 2, 'language', nq, nql FROM c, dd
+           UNION ALL SELECT 3, 'exact_dedup', nql, nqld FROM c, dd)
+         SELECT stage_no, stage, n_in, n_out, n_in - n_out AS rejected,
+           floor(CAST(n_in - n_out AS DOUBLE) / greatest(n_in, 1) * 1e4 + 0.5) / 1e4
+             AS reject_rate
+         FROM st ORDER BY stage_no""",
     // cascade oracle: the quality CTEs compose with the NB CTEs (CTE
     // names disjoint); the model is trained on the UNGATED fold — the
     // cascade gates scoring, not training

@@ -705,6 +705,47 @@ object TextAnalysis {
        |ORDER BY pair_n DESC, ta, tb LIMIT $CoocTopK""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_pipeline_yield — per-stage corpus yield report
+  // ---------------------------------------------------------------------
+
+  /** Pipeline yield report (`q_pipeline_yield`): documents surviving
+    * each cleaning gate CUMULATIVELY — the ops table a pipeline owner
+    * reads before every run ("which stage is eating the corpus?").
+    * Stage semantics mirror [[cleanPipeline]] exactly (quality gate,
+    * language gate, exact content dedup among gated survivors), so the
+    * final `n_out` equals the q_clean_pipeline row count by
+    * construction — spec-pinned as a cross-operator invariant.
+    *
+    * Distributed shape: ONE map-only scan computes every gate flag and
+    * feeds one counting aggregate (3 numbers); the dedup stage reuses
+    * the pipeline's md5 window over the gated subset (the only
+    * exchange). The report rows assemble driver-side from FOUR
+    * numbers — bounded by the stage count, not the corpus.
+    */
+  def pipelineYield(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        (qualityScore(col("text")) >= PipelineQualityMin).as("okq"),
+        (langId(col("text")) =!= "unknown").as("okl"))
+    val r = g.agg(count(lit(1)),
+      sum(when(col("okq"), 1L).otherwise(0L)),
+      sum(when(col("okq") && col("okl"), 1L).otherwise(0L))).head()
+    val (total, nq, nql) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")
+    val nqld = g.filter(col("okq") && col("okl"))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).count()
+    val stages = Seq(
+      ("quality", total, nq), ("language", nq, nql), ("exact_dedup", nql, nqld))
+    import s.implicits._
+    stages.zipWithIndex.map { case ((name, nIn, nOut), i) =>
+      (i + 1, name, nIn, nOut, nIn - nOut,
+        math.floor((nIn - nOut).toDouble / math.max(nIn, 1L) * 1e4 + 0.5) / 1e4)
+    }.toDF("stage_no", "stage", "n_in", "n_out", "rejected", "reject_rate")
+      .orderBy("stage_no")
+  }
+
+  // ---------------------------------------------------------------------
   // q_char_entropy — compressibility gate
   // ---------------------------------------------------------------------
 

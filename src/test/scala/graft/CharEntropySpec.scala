@@ -32,6 +32,23 @@ class CharEntropySpec extends AnyFunSuite {
     assert(got(4L) === ((0L, 0L, 0.0, 1)), "empty text takes the guard path")
   }
 
+  test("pipeline yield: stages chain, and the final n_out equals the clean-pipeline survivors") {
+    val rows = TextAnalysis.pipelineYield(spark, SparkTestSession.Sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.map(_._2).toSeq === Seq("quality", "language", "exact_dedup"))
+    for ((no, _, nIn, nOut, rej, rate) <- rows) {
+      assert(nOut <= nIn && rej === nIn - nOut)
+      assert(rate === math.floor(rej.toDouble / math.max(nIn, 1L) * 1e4 + 0.5) / 1e4)
+    }
+    // cumulative chaining: each stage's input is the previous output
+    assert(rows.sliding(2).forall { case Array(a, b) => b._3 === a._4 })
+    // stage 1 input is the corpus; stage 3 output is the composed pipeline
+    assert(rows.head._3 === Tables.documents(spark, SparkTestSession.Sf).count())
+    assert(rows.last._4 === TextAnalysis.cleanPipeline(spark, SparkTestSession.Sf).count(),
+      "yield report must agree with the pipeline it describes")
+  }
+
   test("shipped corpus: every doc computed, text entropy in the natural-text band") {
     val rows = TextAnalysis.charEntropy(spark, SparkTestSession.Sf).collect()
     val nDocs = Tables.documents(spark, SparkTestSession.Sf).count()
