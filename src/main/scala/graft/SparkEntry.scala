@@ -88,6 +88,8 @@ object SparkEntry {
     "q_char_entropy"    -> ((s, d) => TextAnalysis.charEntropy(s, d)),
     // per-stage corpus yield report over the cleaning gates
     "q_pipeline_yield"  -> TextAnalysis.pipelineYield _,
+    // bad-word density gate (C4 blocklist family)
+    "q_blocklist_filter" -> ((s, d) => TextAnalysis.blocklistFilter(s, d)),
     "q_repetition"      -> ((s, d) => TextAnalysis.repetition(s, d)),
     "q_chunk_docs"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q_cooccur"         -> TextAnalysis.cooccur _,
@@ -179,6 +181,8 @@ object SparkEntry {
     "q_approx_stats"      -> ExtendedAnalytics.approxStats _,
     "q_heavy_hitters"     -> operators.Sketches.heavyHitters _,
     "q_schema_health"     -> ExtendedAnalytics.schemaHealth _,
+    // join-key skew diagnostic over the events fact
+    "q_skew_report"       -> ExtendedAnalytics.skewReport _,
     "q_report_goals"      -> ExtendedAnalytics.reportGoals _,
     "q_moving_avg"        -> ExtendedAnalytics.movingAvg _,
     "q_value_deciles"     -> ExtendedAnalytics.valueDeciles _,
@@ -674,6 +678,7 @@ object SparkEntry {
     "q_dsir_weights"    -> operators.Classifier.dsirWeightsOracleSql,
     "q_dsir_select"     -> operators.Classifier.dsirSelectOracleSql,
     "q_char_entropy"    -> TextAnalysis.charEntropyOracleSql,
+    "q_blocklist_filter" -> TextAnalysis.blocklistFilterOracleSql,
     // yield-report oracle: same gate fragments as q_clean_pipeline,
     // reduced to cumulative stage counts
     "q_pipeline_yield" ->
@@ -909,6 +914,7 @@ object SparkEntry {
            FROM open_orders)
          SELECT section, rank, o_orderkey, prio_score, order_date
          FROM ranked WHERE rank <= 15 ORDER BY section, rank""",
+    "q_skew_report" -> ExtendedAnalytics.skewReportOracleSql,
     "q_schema_health" ->
       """SELECT 'o_orderkey' AS col_name, TRUE AS present,
              count(*) FILTER (WHERE o_orderkey IS NULL) AS n_nulls,

@@ -954,4 +954,53 @@ object ExtendedAnalytics {
         round(avg("n_chars"), 4).as("avg_chars"),
         round(expr("percentile(n_chars, 0.5)"), 4).as("median_chars"))
       .orderBy("lang")
+
+  /** Heavy keys reported by [[skewReport]]. */
+  val SkewTopK = 20
+
+  /** Join-key skew diagnostic (`q_skew_report`): the per-key frequency
+    * profile of the events join key — the table a pipeline owner reads
+    * BEFORE a 100 TB join to decide whether salting / AQE skew handling
+    * is needed. Per heavy key: rank, count, share of all rows,
+    * cumulative share, and the multiple of the mean per-key count.
+    *
+    * Distributed shape: one map-side-combined count per key, a TopK
+    * (orderBy+limit = per-partition heap + merge, NOT a global sort)
+    * over the O(keys) frame, one 2-number total/keys aggregate. Rank
+    * and cumulative share assemble driver-side over the K collected
+    * rows — bounded by construction, no unpartitioned window.
+    */
+  def skewReport(s: SparkSession, dir: String): DataFrame = {
+    val kc = Tables.events(s, dir).groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val t = kc.agg(sum("cnt"), count(lit(1))).head()
+    val (total, keys) = (t.getLong(0), t.getLong(1))
+    val top = kc.orderBy(col("cnt").desc, col("user_id")).limit(SkewTopK)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def grid(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    var cum = 0L
+    val rows = top.zipWithIndex.map { case ((uid, cnt), i) =>
+      cum += cnt
+      (i + 1, uid, cnt, grid(cnt.toDouble / total),
+        grid(cum.toDouble / total), grid(cnt.toDouble * keys / total))
+    }
+    import s.implicits._
+    rows.toSeq.toDF("rank", "user_id", "cnt", "share", "cum_share", "x_mean")
+      .orderBy("rank")
+  }
+
+  def skewReportOracleSql: String =
+    s"""WITH kc AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+       |             CAST(count(*) AS BIGINT) AS keys FROM kc),
+       |top AS (
+       |  SELECT user_id, cnt,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS INTEGER) AS rank
+       |  FROM kc ORDER BY cnt DESC, user_id LIMIT $SkewTopK)
+       |SELECT rank, user_id, cnt,
+       |  floor(CAST(cnt AS DOUBLE) / total * 1e4 + 0.5) / 1e4 AS share,
+       |  floor(CAST(sum(cnt) OVER (ORDER BY rank) AS DOUBLE) / total * 1e4 + 0.5)
+       |    / 1e4 AS cum_share,
+       |  floor(CAST(cnt AS DOUBLE) * keys / total * 1e4 + 0.5) / 1e4 AS x_mean
+       |FROM top, t ORDER BY rank""".stripMargin
 }

@@ -819,6 +819,73 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN nn USING (doc_id) LEFT JOIN ent USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_blocklist_filter — bad-word density gate
+  // ---------------------------------------------------------------------
+
+  /** Blocklist terms for the density gate. A config knob in a real
+    * pipeline (the C4 "bad words" list); pinned here so the oracle and
+    * the engine share one source of truth. Terms chosen so the shipped
+    * corpus exercises both hit and zero-hit paths.
+    */
+  val BlocklistTerms: Seq[String] = Seq("slow", "legacy", "spam", "broken")
+
+  /** A document is blocked when its blocklist-token density (rounded to
+    * the 4-dp grid) reaches this rate.
+    */
+  val BlocklistMaxRate = 0.05
+
+  /** Blocklist density gate (`q_blocklist_filter`): per-document count
+    * of blocklist-token occurrences and distinct blocklist terms, the
+    * hit density, and the block flag — the C4 bad-words gate, made a
+    * DENSITY gate so one incidental token doesn't kill a long document
+    * (the hard any-hit C4 rule is the `BlocklistMaxRate = 0` special
+    * case).
+    *
+    * Map-only plan: the token array binds once per row and the three
+    * measures fold over it inside whole-stage codegen — at 100 TB this
+    * rides the scan like the other quality gates. The flag compares the
+    * ROUNDED density against the threshold so both engines decide on
+    * the same grid value.
+    */
+  def blocklistFilter(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
+    val terms = lit(BlocklistTerms.toArray)
+    val out = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(org.apache.spark.sql.functions.filter(col("toks"),
+          t => array_contains(terms, t))).cast("long").as("n_hits"),
+        size(array_intersect(col("toks"), terms)).cast("long").as("n_terms"))
+      .withColumn("hit_rate",
+        floor(col("n_hits").cast("double") / greatest(col("n_tokens"), lit(1L))
+          * 1e4 + lit(0.5)) / 1e4)
+      .withColumn("blocked",
+        when(col("hit_rate") >= lit(BlocklistMaxRate), 1).otherwise(0))
+    if (ordered) out.orderBy("doc_id") else out
+  }
+
+  def blocklistFilterOracleSql: String = {
+    val list = BlocklistTerms.map(t => s"'$t'").mkString("[", ",", "]")
+    s"""WITH bt AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |bs AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(toks, t -> list_contains($list, t))) AS BIGINT)
+       |      AS n_hits,
+       |    CAST(len(list_intersect(toks, $list)) AS BIGINT) AS n_terms
+       |  FROM bt),
+       |br AS (
+       |  SELECT doc_id, n_tokens, n_hits, n_terms,
+       |    floor(CAST(n_hits AS DOUBLE) / greatest(n_tokens, 1) * 1e4 + 0.5) / 1e4
+       |      AS hit_rate
+       |  FROM bs)
+       |SELECT doc_id, n_tokens, n_hits, n_terms, hit_rate,
+       |  CASE WHEN hit_rate >= $BlocklistMaxRate THEN 1 ELSE 0 END AS blocked
+       |FROM br ORDER BY doc_id""".stripMargin
+  }
+
   /** §2.7 #36 — multimodal metadata plumbing: documents as opaque bytes
     * with typed metadata (byte length, content hash, prefix). The decode
     * step for true image/audio payloads lives in graft.multimodal (stubbed

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{ExtendedAnalytics, TextAnalysis}
+
+/** Blocklist density gate + join-key skew diagnostic: closed-form
+  * fixtures for the gate arithmetic, structural invariants and
+  * whole-frame consistency for the skew report.
+  */
+class GateDiagnosticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+
+  test("blocklist gate: closed-form densities, zero-hit and empty-text paths") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_blk").toString
+    Seq(
+      (1L, "slow slow spam fast table", "en", "srcA", 25L), // 3/5 hits, 2 terms
+      (2L, "fast table scan merge", "en", "srcA", 21L),     // zero hits
+      (3L, "slow", "en", "srcA", 4L),                       // 1/1 — blocked
+      (4L, "", "en", "srcA", 0L))                           // empty guard
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.blocklistFilter(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5))))
+      .toMap
+    assert(got(1L) === ((5L, 3L, 2L, r4(3.0 / 5), 1)))
+    assert(got(2L) === ((4L, 0L, 0L, 0.0, 0)))
+    assert(got(3L) === ((1L, 1L, 1L, 1.0, 1)))
+    assert(got(4L) === ((0L, 0L, 0L, 0.0, 0)), "empty text divides by greatest(n,1)")
+  }
+
+  test("blocklist gate on the shipped corpus: both decisions occur, flag matches rate") {
+    val rows = TextAnalysis.blocklistFilter(spark, SparkTestSession.Sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(4), r.getInt(5)))
+    assert(rows.exists(_._4 == 1) && rows.exists(_._4 == 0),
+      "threshold must split the shipped corpus")
+    for ((n, h, rate, blocked) <- rows) {
+      assert(h <= n)
+      assert(rate === r4(h.toDouble / math.max(n, 1L)))
+      assert(blocked === (if (rate >= TextAnalysis.BlocklistMaxRate) 1 else 0))
+    }
+  }
+
+  test("skew report: ranks dense, counts descending, shares consistent with the fact") {
+    val rows = ExtendedAnalytics.skewReport(spark, SparkTestSession.Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val kc = Tables.events(spark, SparkTestSession.Sf)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = kc.values.sum
+    val keys = kc.size.toLong
+    assert(rows.map(_._1).toSeq === (1 to math.min(ExtendedAnalytics.SkewTopK, kc.size)))
+    assert(rows.map(_._3).toSeq === rows.map(_._3).sortBy(-_).toSeq, "counts descend")
+    // the reported heavy keys ARE the corpus's true top keys (count, then id)
+    val expectTop = kc.toSeq.sortBy { case (k, c) => (-c, k) }
+      .take(rows.length).map(_._1)
+    assert(rows.map(_._2).toSeq === expectTop)
+    var cum = 0L
+    for ((_, uid, cnt, share, cumShare, xMean) <- rows) {
+      cum += cnt
+      assert(cnt === kc(uid))
+      assert(share === r4(cnt.toDouble / total))
+      assert(cumShare === r4(cum.toDouble / total))
+      assert(xMean === r4(cnt.toDouble * keys / total))
+    }
+  }
+}
