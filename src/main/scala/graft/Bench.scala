@@ -51,7 +51,7 @@ object Bench {
     "q_nb_eval" -> "nbe", "q_dsir_weights" -> "dw", "q_dsir_select" -> "dws",
     "q_filter_cascade" -> "fc", "q_char_entropy" -> "ce",
     "q_pipeline_yield" -> "py", "q_blocklist_filter" -> "bf",
-    "q_skew_report" -> "sk",
+    "q_skew_report" -> "sk", "q_corpus_card" -> "cc",
     "q_ngram_freq" -> "ng", "q_normalize_status" -> "ns",
     "q_novelty" -> "no", "q_oldest_pending" -> "ol",
     "q_overdue" -> "ov", "q_pack_efficiency" -> "pke", "q_pack_sequences" -> "pc",

@@ -107,6 +107,8 @@ object SparkEntry {
     "q_quality_calibration" -> CorpusCuration.qualityCalibration _,
     "q_novelty"       -> ((s, d) => CorpusCuration.novelty(s, d)),
     "q_lang_mismatch" -> CorpusCuration.langMismatch _,
+    // per-source dataset datasheet (docs/dups/tokens/quality/lang mix)
+    "q_corpus_card"   -> CorpusCuration.corpusCard _,
     "q_term_search"   -> ((s, d) => CorpusCuration.termSearch(s, d)),
     "q_rate_anomaly"  -> CorpusCuration.rateAnomaly _,
     "q_embed_drift"   -> CorpusCuration.embedDrift _,
@@ -666,6 +668,7 @@ object SparkEntry {
     "q_source_sim"     -> CorpusCuration.sourceSimOracleSql,
     "q_source_overlap" -> CorpusCuration.sourceOverlapOracleSql,
     "q_kl_drift"       -> CorpusCuration.klDriftOracleSql,
+    "q_corpus_card"    -> CorpusCuration.corpusCardOracleSql,
     "q_novelty"        -> CorpusCuration.noveltyOracleSql,
     "q_term_search"    -> CorpusCuration.termSearchOracleSql,
     "q_rate_anomaly"   -> CorpusCuration.rateAnomalyOracleSql,

@@ -1026,4 +1026,102 @@ object CorpusCuration {
        |FROM st JOIN ns USING (source) JOIN tt USING (t), tot
        |GROUP BY st.source, n_tokens, n_distinct
        |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_corpus_card — per-source dataset datasheet
+  // ---------------------------------------------------------------------
+
+  /** Per-source dataset card (`q_corpus_card`): the datasheet row every
+    * published corpus ships — per source: document count, exact-dup
+    * count (by content hash), token volume, mean quality, the share
+    * clearing the pipeline's quality gate, the dominant predicted
+    * language, and the share the language-ID cannot call. One place to
+    * read before mixing a source into a training run.
+    *
+    * Distributed shape: ONE map-only scan computes every per-doc
+    * measure (hash, token count, quality, lang-ID riding the scan);
+    * everything downstream is dim-sized — a per-source aggregate (the
+    * dup count as count−countDistinct(md5) inside the same agg) plus a
+    * (source, lang) count frame for the dominant-language argmax.
+    * The argmax uses the zero-padded string composite (DuckDB `max_by`
+    * takes no struct key), tie-break = lexicographically largest
+    * language at equal counts — identical in both engines.
+    */
+  def corpusCard(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .select(col("source"), md5(col("text").cast("binary")).as("h"),
+        size(tokens(col("text"))).cast("long").as("ntok"),
+        qualityScore(col("text")).as("q"),
+        langId(col("text")).as("pred"))
+    val base = per.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dups"),
+      sum(col("ntok")).as("n_tokens"),
+      // decimal-sum the grid doubles (exact ⇒ associative ⇒ engine- and
+      // partitioning-independent — the kl_drift arithmetic), then grid
+      r4c(sum(col("q").cast("decimal(38,18)")).cast("double") /
+        greatest(count(lit(1)), lit(1L))).as("avg_quality"),
+      r4c(sum(when(col("q") >= TextAnalysis.PipelineQualityMin, 1L).otherwise(0L))
+        .cast("double") / greatest(count(lit(1)), lit(1L))).as("quality_ok_rate"),
+      r4c(sum(when(col("pred") === "unknown", 1L).otherwise(0L))
+        .cast("double") / greatest(count(lit(1)), lit(1L))).as("lang_unknown_rate"))
+    val topLang = per.groupBy("source", "pred").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(substring(max(concat(lpad(col("c").cast("string"), 10, "0"), col("pred"))),
+        11, 64).as("top_lang"))
+    base.join(topLang, "source")
+      .select(col("source"), col("n_docs"), col("n_exact_dups"), col("n_tokens"),
+        col("avg_quality"), col("quality_ok_rate"), col("top_lang"),
+        col("lang_unknown_rate"))
+      .orderBy("source")
+  }
+
+  def corpusCardOracleSql: String =
+    ("""WITH cc0 AS (
+       |  SELECT source, text, md5(text) AS h,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+       |    CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) AS punct
+       |  FROM documents),
+       |cc1 AS (
+       |  SELECT source, h, CAST(len(toks) AS BIGINT) AS ntok,
+       |    CAST(length(text) AS DOUBLE) AS nchars, punct,
+       |    CAST(len(toks) AS DOUBLE) AS nwords,
+       |    CAST(len(list_intersect(toks,
+       |      ['the','a','of','and','to','in','is','it'])) AS DOUBLE) AS stops,
+       |    len(list_intersect(toks, ['the','a','of','and','to','in','is','it'])) AS s_en,
+       |    len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein'])) AS s_de,
+       |    len(list_intersect(toks, ['el','la','los','de','que','es','un'])) AS s_es
+       |  FROM cc0),
+       |per AS (
+       |  SELECT source, h, ntok,
+       |    floor((
+       |        0.4 * least(nwords / 100.0, 1.0)
+       |      + 0.3 * (1.0 - CASE WHEN nchars > 0 THEN punct / nchars ELSE 0.0 END)
+       |      + 0.2 * (CASE WHEN nwords > 0 THEN stops / nwords ELSE 0.0 END)
+       |      + 0.1 * least((CASE WHEN nwords > 0 THEN nchars / nwords ELSE 0.0 END) / 10.0, 1.0)
+       |      ) * 10000.0 + 0.5) / 10000.0 AS q,
+       |    CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 THEN 'unknown'
+       |         WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+       |         WHEN s_de >= s_es THEN 'de'
+       |         ELSE 'es' END AS pred
+       |  FROM cc1),
+       |base AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dups,
+       |    CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       |    floor(CAST(sum(CAST(q AS DECIMAL(38,18))) AS DOUBLE)
+       |      / greatest(count(*), 1) * 1e4 + 0.5) / 1e4 AS avg_quality,
+       |    floor(CAST(sum(CASE WHEN q >= """ + TextAnalysis.PipelineQualityMin +
+      """ THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / greatest(count(*), 1) * 1e4 + 0.5) / 1e4 AS quality_ok_rate,
+       |    floor(CAST(sum(CASE WHEN pred = 'unknown' THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / greatest(count(*), 1) * 1e4 + 0.5) / 1e4 AS lang_unknown_rate
+       |  FROM per GROUP BY 1),
+       |lc AS (SELECT source, pred, CAST(count(*) AS BIGINT) AS c FROM per GROUP BY 1, 2),
+       |tl AS (SELECT source,
+       |         substr(max(lpad(CAST(c AS VARCHAR), 10, '0') || pred), 11) AS top_lang
+       |       FROM lc GROUP BY 1)
+       |SELECT base.source, n_docs, n_exact_dups, n_tokens, avg_quality,
+       |  quality_ok_rate, top_lang, lang_unknown_rate
+       |FROM base JOIN tl USING (source) ORDER BY source""").stripMargin
 }

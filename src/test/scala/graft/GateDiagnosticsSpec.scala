@@ -44,6 +44,31 @@ class GateDiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus card: one row per source, counts reconcile, top_lang is the true argmax") {
+    val rows = operators.CorpusCuration.corpusCard(spark, SparkTestSession.Sf).collect()
+    val docs = Tables.documents(spark, SparkTestSession.Sf)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text"),
+        graft.functions.TextFunctions.langId(
+          org.apache.spark.sql.functions.col("text")).as("pred"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val bySrc = docs.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet === bySrc.keySet)
+    assert(rows.map(_.getLong(1)).sum === docs.length.toLong)
+    for (r <- rows) {
+      val src = r.getString(0)
+      val grp = bySrc(src)
+      assert(r.getLong(1) === grp.length.toLong)
+      assert(r.getLong(2) === (grp.length - grp.map(_._2).distinct.length).toLong)
+      // dominant predicted language: max count, tie → lexicographically largest
+      val want = grp.groupBy(_._3).map { case (l, g) => (g.length, l) }.max._2
+      assert(r.getString(6) === want, s"top_lang for $src")
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1.0001)
+      assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1)
+      assert(r.getDouble(7) >= 0 && r.getDouble(7) <= 1)
+    }
+  }
+
   test("skew report: ranks dense, counts descending, shares consistent with the fact") {
     val rows = ExtendedAnalytics.skewReport(spark, SparkTestSession.Sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
