@@ -52,6 +52,7 @@ object Bench {
     "q_filter_cascade" -> "fc", "q_char_entropy" -> "ce",
     "q_pipeline_yield" -> "py", "q_blocklist_filter" -> "bf",
     "q_skew_report" -> "sk", "q_corpus_card" -> "cc",
+    "q_length_histogram" -> "lh",
     "q_ngram_freq" -> "ng", "q_normalize_status" -> "ns",
     "q_novelty" -> "no", "q_oldest_pending" -> "ol",
     "q_overdue" -> "ov", "q_pack_efficiency" -> "pke", "q_pack_sequences" -> "pc",

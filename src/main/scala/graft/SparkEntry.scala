@@ -185,6 +185,8 @@ object SparkEntry {
     "q_schema_health"     -> ExtendedAnalytics.schemaHealth _,
     // join-key skew diagnostic over the events fact
     "q_skew_report"       -> ExtendedAnalytics.skewReport _,
+    // log2-bucketed doc-length profile
+    "q_length_histogram"  -> ExtendedAnalytics.lengthHistogram _,
     "q_report_goals"      -> ExtendedAnalytics.reportGoals _,
     "q_moving_avg"        -> ExtendedAnalytics.movingAvg _,
     "q_value_deciles"     -> ExtendedAnalytics.valueDeciles _,
@@ -918,6 +920,7 @@ object SparkEntry {
          SELECT section, rank, o_orderkey, prio_score, order_date
          FROM ranked WHERE rank <= 15 ORDER BY section, rank""",
     "q_skew_report" -> ExtendedAnalytics.skewReportOracleSql,
+    "q_length_histogram" -> ExtendedAnalytics.lengthHistogramOracleSql,
     "q_schema_health" ->
       """SELECT 'o_orderkey' AS col_name, TRUE AS present,
              count(*) FILTER (WHERE o_orderkey IS NULL) AS n_nulls,

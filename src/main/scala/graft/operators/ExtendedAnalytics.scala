@@ -955,6 +955,43 @@ object ExtendedAnalytics {
         round(expr("percentile(n_chars, 0.5)"), 4).as("median_chars"))
       .orderBy("lang")
 
+  /** Log₂-bucketed document-length histogram (`q_length_histogram`):
+    * the corpus length profile as power-of-two buckets [2^b, 2^(b+1)) —
+    * the chart read when fixing chunk/sequence lengths or hunting
+    * truncation cliffs. Bucket index is computed INTEGER-exactly as
+    * `length(bin(n)) - 1` (floor(log₂) without float log, which
+    * disagrees between engines on exact powers of two); zero-length
+    * docs clamp into bucket 0 via `greatest(n, 1)`.
+    *
+    * Map-only bucket assignment rides the scan into a ≤64-row
+    * aggregate; the share denominator is a broadcast scalar.
+    */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.documents(s, dir)
+      .select((length(bin(greatest(col("n_chars"), lit(1L)))) - 1).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+    val total = broadcast(b.agg(sum("n_docs").as("total")))
+    b.crossJoin(total)
+      .select(col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), bucket)").as("lo_chars"),
+        (expr("shiftleft(CAST(1 AS BIGINT), bucket + 1)") - 1).as("hi_chars"),
+        col("n_docs"),
+        (floor(col("n_docs").cast("double") / col("total") * 1e4 + lit(0.5)) / 1e4)
+          .as("share"))
+      .orderBy("bucket")
+  }
+
+  def lengthHistogramOracleSql: String =
+    """WITH b AS (
+       |  SELECT CAST(length(bin(greatest(n_chars, 1))) - 1 AS INTEGER) AS bucket,
+       |         CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM b)
+       |SELECT bucket, CAST(1 AS BIGINT) << bucket AS lo_chars,
+       |  (CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS hi_chars, n_docs,
+       |  floor(CAST(n_docs AS DOUBLE) / total * 1e4 + 0.5) / 1e4 AS share
+       |FROM b, t ORDER BY bucket""".stripMargin
+
   /** Heavy keys reported by [[skewReport]]. */
   val SkewTopK = 20
 

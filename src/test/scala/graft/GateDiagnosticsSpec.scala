@@ -69,6 +69,20 @@ class GateDiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("length histogram: buckets are exact powers of two and partition the corpus") {
+    val rows = ExtendedAnalytics.lengthHistogram(spark, SparkTestSession.Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val lens = Tables.documents(spark, SparkTestSession.Sf)
+      .select("n_chars").collect().map(_.getLong(0))
+    assert(rows.map(_._4).sum === lens.length.toLong, "every doc lands in one bucket")
+    for ((b, lo, hi, n, share) <- rows) {
+      assert(lo === (1L << b) && hi === (1L << (b + 1)) - 1)
+      val want = lens.count(l => math.max(l, 1L) >= lo && math.max(l, 1L) <= hi)
+      assert(n === want.toLong, s"bucket $b count")
+      assert(share === r4(n.toDouble / lens.length))
+    }
+  }
+
   test("skew report: ranks dense, counts descending, shares consistent with the fact") {
     val rows = ExtendedAnalytics.skewReport(spark, SparkTestSession.Sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
