@@ -632,6 +632,8 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
       "q_domain_mix", "q_domain_mix_up", "q_domain_mix_alpha",
       // vocab counts × the single corpus-total scalar row
       "q_kl_drift",
+      // ≤64 bucket rows × the single doc-total scalar row
+      "q_length_histogram",
       // source-catalog (dim-sized) signature self-join on an inequality
       "q_source_sim")
     for ((q, _) <- SparkEntry.queries) {
