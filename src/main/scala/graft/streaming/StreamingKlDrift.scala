@@ -62,4 +62,29 @@ class StreamingKlDrift extends Serializable {
     import s.implicits._
     CorpusCuration.klFromCounts(rows.toDF("source", "t", "c_st"))
   }
+
+  /** Persist the sufficient statistic (the (source, token) count frame)
+    * as parquet — the monitor's restart story: because the state IS the
+    * exact sufficient statistic, [[StreamingKlDrift.restore]] +
+    * remaining batches equals an uninterrupted run EXACTLY (no
+    * approximate recovery, no re-reading committed sources).
+    */
+  def snapshot(s: SparkSession, path: String): Unit = {
+    val rows = this.synchronized {
+      counts.toSeq.map { case ((src, t), c) => (src, t, c) }
+    }
+    import s.implicits._
+    rows.toDF("source", "t", "c_st").write.mode("overwrite").parquet(path)
+  }
+}
+
+object StreamingKlDrift {
+  /** Rebuild a monitor from a [[StreamingKlDrift.snapshot]]. */
+  def restore(s: SparkSession, path: String): StreamingKlDrift = {
+    val m = new StreamingKlDrift
+    s.read.parquet(path).collect().foreach { r =>
+      m.counts.update((r.getString(0), r.getString(1)), r.getLong(2))
+    }
+    m
+  }
 }

@@ -105,4 +105,29 @@ class StreamingRateAnomaly extends Serializable {
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(rows).asJava), schema)
   }
+
+  /** Persist the monitor state (hourly counts + the prune boundary) as
+    * parquet. The state is the exact sufficient statistic, so
+    * [[StreamingRateAnomaly.restore]] + remaining batches equals an
+    * uninterrupted run exactly — including the post-prune fringe
+    * withholding, which depends on the persisted boundary.
+    */
+  def snapshot(s: SparkSession, path: String): Unit = {
+    val (hours, boundary) =
+      this.synchronized { (counts.toSeq, prunedTo) }
+    import s.implicits._
+    hours.toDF("hr_no", "n").write.mode("overwrite").parquet(s"$path/counts")
+    Seq(boundary).toDF("pruned_to").write.mode("overwrite").parquet(s"$path/meta")
+  }
+}
+
+object StreamingRateAnomaly {
+  /** Rebuild a monitor from a [[StreamingRateAnomaly.snapshot]]. */
+  def restore(s: SparkSession, path: String): StreamingRateAnomaly = {
+    val m = new StreamingRateAnomaly
+    s.read.parquet(s"$path/counts").collect()
+      .foreach(r => m.counts.update(r.getLong(0), r.getLong(1)))
+    m.prunedTo = s.read.parquet(s"$path/meta").head().getLong(0)
+    m
+  }
 }

@@ -477,6 +477,51 @@ class CorpusCurationSpec extends AnyFunSuite {
     assert(got === want, "merged (source, token) counts reproduce batch KL exactly")
   }
 
+  test("KL monitor snapshot/restore: resumed run equals uninterrupted run exactly") {
+    val docs = Tables.documents(spark, sf)
+    def slice(r: Int) =
+      docs.filter(pmod(col("doc_id"), lit(3)) === r).select("source", "text")
+    val live = new graft.streaming.StreamingKlDrift
+    live.mergeBatch(slice(0)); live.mergeBatch(slice(1))
+    val snap = java.nio.file.Files.createTempDirectory("graft_klsnap").toString
+    live.snapshot(spark, snap)
+    // the restored monitor sees only the remaining batch
+    val resumed = graft.streaming.StreamingKlDrift.restore(spark, snap)
+    resumed.mergeBatch(slice(2))
+    live.mergeBatch(slice(2))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(resumed.current(spark).collect().map(key).toSeq ===
+      live.current(spark).collect().map(key).toSeq,
+      "restore + remaining batches == uninterrupted monitor")
+    assert(resumed.current(spark).collect().map(key).toSeq ===
+      CorpusCuration.klDrift(spark, sf).collect().map(key).toSeq,
+      "and both equal the batch operator")
+  }
+
+  test("rate monitor snapshot/restore keeps counts AND the prune boundary") {
+    val ev = Tables.events(spark, sf)
+    val live = new graft.streaming.StreamingRateAnomaly
+    live.mergeBatch(ev.filter(pmod(col("event_id"), lit(2)) === 0))
+    // prune to an early boundary so the fringe-withholding logic is
+    // live state that must survive the snapshot
+    val firstHour = live.current(spark)
+      .agg(org.apache.spark.sql.functions.min("hour")).head().getString(0)
+    val firstNo = java.time.LocalDateTime.parse(firstHour.replace(' ', 'T'))
+      .toEpochSecond(java.time.ZoneOffset.UTC) / 3600L
+    live.pruneBefore(firstNo + 2)
+    val snap = java.nio.file.Files.createTempDirectory("graft_ratesnap").toString
+    live.snapshot(spark, snap)
+    val resumed = graft.streaming.StreamingRateAnomaly.restore(spark, snap)
+    resumed.mergeBatch(ev.filter(pmod(col("event_id"), lit(2)) === 1))
+    live.mergeBatch(ev.filter(pmod(col("event_id"), lit(2)) === 1))
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
+      Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))
+    assert(resumed.current(spark).collect().map(key).toSeq ===
+      live.current(spark).collect().map(key).toSeq,
+      "restored boundary must withhold the same post-prune fringe")
+  }
+
   test("streaming lang mismatch equals the batch operator over any split") {
     val docs = Tables.documents(spark, sf)
     val twin = new graft.streaming.StreamingLangMismatch
