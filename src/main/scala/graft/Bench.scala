@@ -52,7 +52,8 @@ object Bench {
     "q_filter_cascade" -> "fc", "q_char_entropy" -> "ce",
     "q_pipeline_yield" -> "py", "q_blocklist_filter" -> "bf",
     "q_skew_report" -> "sk", "q_corpus_card" -> "cc",
-    "q_length_histogram" -> "lh",
+    "q_length_histogram" -> "lh", "q_unigram_vocab" -> "uv",
+    "q_unigram_encode" -> "ue", "q_unigram_refit" -> "ur",
     "q_ngram_freq" -> "ng", "q_normalize_status" -> "ns",
     "q_novelty" -> "no", "q_oldest_pending" -> "ol",
     "q_overdue" -> "ov", "q_pack_efficiency" -> "pke", "q_pack_sequences" -> "pc",
@@ -190,6 +191,7 @@ object Bench {
     graft.operators.Bpe.releaseLearnedCache(spark, sfDir)
     graft.operators.CorpusCuration.releaseCurationCache(spark, sfDir)
     graft.operators.Classifier.releaseModelCache(spark, sfDir)
+    graft.operators.Unigram.releaseModelCache(spark, sfDir)
     val load1 = osBean.getSystemLoadAverage
     // sf as the basename only ("sf0.1"), not the full path: every char
     // counts against the tail window.

@@ -145,6 +145,11 @@ object SparkEntry {
     // distributed BPE vocabulary learning (operators.Bpe)
     "q_bpe_merges"        -> operators.Bpe.bpeMerges _,
     "q_bpe_vocab"         -> operators.Bpe.bpeVocab _,
+    // unigram-LM tokenizer (SentencePiece family): vocab, Viterbi
+    // encode, E-step piece counts
+    "q_unigram_vocab"     -> operators.Unigram.unigramVocab _,
+    "q_unigram_encode"    -> ((s, d) => operators.Unigram.unigramEncode(s, d)),
+    "q_unigram_refit"     -> operators.Unigram.unigramRefit _,
     "q_bpe_encode"        -> ((s, d) => operators.Bpe.bpeEncode(s, d)),
     "q_bpe_fertility"     -> operators.Bpe.bpeFertility _,
     // bloom runtime-filter pruning (plans.BloomMightContain)
@@ -617,6 +622,9 @@ object SparkEntry {
     "q_chunk_docs" -> TextAnalysis.chunkDocsOracleSql,
     "q_bpe_merges" -> operators.Bpe.bpeOracleSql,
     "q_bpe_vocab" -> operators.Bpe.bpeVocabOracleSql,
+    "q_unigram_vocab" -> operators.Unigram.unigramVocabOracleSql,
+    "q_unigram_encode" -> operators.Unigram.unigramEncodeOracleSql,
+    "q_unigram_refit" -> operators.Unigram.unigramRefitOracleSql,
     "q_bpe_encode" -> operators.Bpe.bpeEncodeOracleSql,
     "q_bpe_fertility" -> operators.Bpe.bpeFertilityOracleSql,
     "q_cooccur" -> TextAnalysis.cooccurOracleSql,

@@ -58,6 +58,7 @@ object Verify {
     graft.operators.Bpe.releaseLearnedCache(spark, sfDir)
     graft.operators.CorpusCuration.releaseCurationCache(spark, sfDir)
     graft.operators.Classifier.releaseModelCache(spark, sfDir)
+    graft.operators.Unigram.releaseModelCache(spark, sfDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
