@@ -52,6 +52,8 @@ object Bench {
     "q_filter_cascade" -> "fc", "q_char_entropy" -> "ce",
     "q_pipeline_yield" -> "py", "q_blocklist_filter" -> "bf",
     "q_skew_report" -> "sk", "q_corpus_card" -> "cc",
+    "q_event_transitions" -> "etr", "q_zipf_fit" -> "zf",
+    "q_bigram_entropy" -> "bge",
     "q_length_histogram" -> "lh", "q_unigram_vocab" -> "uv",
     "q_unigram_encode" -> "ue", "q_unigram_refit" -> "ur",
     "q_ngram_freq" -> "ng", "q_normalize_status" -> "ns",

@@ -114,6 +114,10 @@ object SparkEntry {
     "q_embed_drift"   -> CorpusCuration.embedDrift _,
     "q_pack_efficiency" -> CorpusCuration.packEfficiency _,
     "q_vocab_coverage"  -> CorpusCuration.vocabCoverage _,
+    // distributional-health monitors beside q_kl_drift: rank-frequency
+    // slope (marginals) and conditional next-token entropy (transitions)
+    "q_zipf_fit"        -> CorpusCuration.zipfFit _,
+    "q_bigram_entropy"  -> CorpusCuration.bigramEntropy _,
     // §2.6c learned data-selection filters (round 8): NB curated-text
     // classifier (train/score/holdout-eval) + DSIR importance weights —
     // full DuckDB oracles down to the training computation itself
@@ -190,6 +194,8 @@ object SparkEntry {
     "q_schema_health"     -> ExtendedAnalytics.schemaHealth _,
     // join-key skew diagnostic over the events fact
     "q_skew_report"       -> ExtendedAnalytics.skewReport _,
+    // first-order Markov transition matrix over event types
+    "q_event_transitions" -> ExtendedAnalytics.eventTransitions _,
     // log2-bucketed doc-length profile
     "q_length_histogram"  -> ExtendedAnalytics.lengthHistogram _,
     "q_report_goals"      -> ExtendedAnalytics.reportGoals _,
@@ -685,6 +691,8 @@ object SparkEntry {
     "q_embed_drift"    -> CorpusCuration.embedDriftOracleSql,
     "q_pack_efficiency" -> CorpusCuration.packEfficiencyOracleSql,
     "q_vocab_coverage"  -> CorpusCuration.vocabCoverageOracleSql,
+    "q_zipf_fit"        -> CorpusCuration.zipfFitOracleSql,
+    "q_bigram_entropy"  -> CorpusCuration.bigramEntropyOracleSql,
     "q_nb_train"        -> operators.Classifier.nbTrainOracleSql,
     "q_nb_score"        -> operators.Classifier.nbScoreOracleSql,
     "q_nb_eval"         -> operators.Classifier.nbEvalOracleSql,
@@ -928,6 +936,7 @@ object SparkEntry {
          SELECT section, rank, o_orderkey, prio_score, order_date
          FROM ranked WHERE rank <= 15 ORDER BY section, rank""",
     "q_skew_report" -> ExtendedAnalytics.skewReportOracleSql,
+    "q_event_transitions" -> ExtendedAnalytics.eventTransitionsOracleSql,
     "q_length_histogram" -> ExtendedAnalytics.lengthHistogramOracleSql,
     "q_schema_health" ->
       """SELECT 'o_orderkey' AS col_name, TRUE AS present,

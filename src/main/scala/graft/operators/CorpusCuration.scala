@@ -1124,4 +1124,151 @@ object CorpusCuration {
        |SELECT base.source, n_docs, n_exact_dups, n_tokens, avg_quality,
        |  quality_ok_rate, top_lang, lang_unknown_rate
        |FROM base JOIN tl USING (source) ORDER BY source""").stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_zipf_fit — per-source Zipf slope over the token rank-frequency curve
+  // ---------------------------------------------------------------------
+
+  /** Ranks entering the per-source log-log regression. */
+  val ZipfTopR = 100
+
+  /** Per-source Zipf fit (`q_zipf_fit`): OLS slope of ln(freq) against
+    * ln(rank) over each source's top-[[ZipfTopR]] tokens — natural text
+    * sits near −1 (Zipf's law); a source drifting toward 0 (flat — ID
+    * floods, tables) or strongly steeper (template floods repeating a
+    * tiny vocabulary) has stopped being prose. The standing
+    * distributional-health monitor next to [[klDrift]].
+    *
+    * Distributed shape: rides the session-persisted (source, token)
+    * count frame — NO new corpus pass; the per-source rank is a
+    * row_number window partitioned by source over that
+    * vocabulary-bounded frame (never corpus-sized; the q_topk_per_key
+    * idiom), and the regression sums are one dim-sized aggregate.
+    *
+    * Cross-engine determinism: rank is integer (ties broken by token
+    * string), `ln` of identical doubles is 1-ulp reproducible (the
+    * q_lm_score precedent), and the regression sums are
+    * DECIMAL(38,18)-cast — exact hence associative, so the aggregate
+    * stays partial-combined at any partitioning (the q_kl_drift
+    * pattern). The closed-form slope then runs on per-source scalars.
+    */
+  def zipfFit(s: SparkSession, dir: String): DataFrame = {
+    val byRank = Window.partitionBy("source")
+      .orderBy(col("c_st").desc, col("t"))
+    val top = sourceTokenCounts(s, dir)
+      .withColumn("r", row_number().over(byRank))
+      .filter(col("r") <= ZipfTopR)
+      .select(col("source"),
+        log(col("r").cast("double")).as("x"),
+        log(col("c_st").cast("double")).as("y"))
+    top.groupBy("source")
+      .agg(count(lit(1)).as("n_ranks"),
+        sum(col("x").cast("decimal(38,18)")).as("sx"),
+        sum(col("y").cast("decimal(38,18)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,18)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,18)")).as("sxx"))
+      .select(col("source"), col("n_ranks"),
+        (floor((col("n_ranks").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n_ranks").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+          KlDp + lit(0.5)) / KlDp).as("zipf_slope"))
+      .orderBy("source")
+  }
+
+  def zipfFitOracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+       |  FROM documents),
+       |st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c_st
+       |       FROM tok GROUP BY 1, 2),
+       |rk AS (SELECT source, c_st,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |           ORDER BY c_st DESC, t) AS INTEGER) AS r
+       |       FROM st),
+       |xy AS (SELECT source, ln(CAST(r AS DOUBLE)) AS x,
+       |              ln(CAST(c_st AS DOUBLE)) AS y
+       |       FROM rk WHERE r <= $ZipfTopR),
+       |agg AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+       |    CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+       |    CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+       |  FROM xy GROUP BY 1)
+       |SELECT source, n_ranks,
+       |  floor((CAST(n_ranks AS DOUBLE) * sxy - sx * sy)
+       |    / (CAST(n_ranks AS DOUBLE) * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+       |    AS zipf_slope
+       |FROM agg ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_bigram_entropy — per-source conditional next-token entropy
+  // ---------------------------------------------------------------------
+
+  /** Per-source bigram conditional entropy (`q_bigram_entropy`):
+    * H(next | cur) = −Σ p(w1,w2)·ln p(w2|w1) over each source's token
+    * bigrams, in nats — the formulaic-text monitor: template floods
+    * repeat the same continuations and collapse the conditional
+    * entropy while leaving unigram stats (and so [[klDrift]]) nearly
+    * untouched. Complements [[zipfFit]]: one watches the marginal
+    * distribution, this watches the transitions.
+    *
+    * Distributed shape: ONE corpus pass builds the (source, w1, w2)
+    * count frame (map-side combined into a source×bigram-vocabulary
+    * frame); the history totals c(w1·) and the per-source bigram
+    * totals both DERIVE from it — never a second pass. The
+    * contribution join is vocabulary-sized (AQE picks broadcast when
+    * it fits), and the per-source sum is DECIMAL(38,18)-exact hence
+    * associative (the q_kl_drift determinism argument verbatim:
+    * identical doubles → identical decimals → partitioning-independent
+    * aggregate).
+    */
+  def bigramEntropy(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val pairs = docs.select(col("source"), explode(
+        transform(sequence(lit(0), size(col("ts")) - 2),
+          i => struct(element_at(col("ts"), i + 1).as("w1"),
+            element_at(col("ts"), i + 2).as("w2")))).as("pr"))
+      .select(col("source"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val c12 = pairs.groupBy("source", "w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("source", "w1").agg(sum("c12").as("c1"))
+    val ns = c12.groupBy("source").agg(sum("c12").as("n_bigrams"),
+      count(lit(1)).as("n_pairs"))
+    val contrib = (col("c12").cast("double") / col("n_bigrams")) *
+      log(col("c12").cast("double") / col("c1"))
+    c12.join(c1, Seq("source", "w1"))
+      .join(ns, Seq("source"))
+      .groupBy("source", "n_bigrams", "n_pairs")
+      .agg(sum(contrib.cast("decimal(38,18)")).as("hx"))
+      .select(col("source"), col("n_bigrams"), col("n_pairs"),
+        (floor(-col("hx").cast("double") * KlDp + lit(0.5)) / KlDp)
+          .as("cond_entropy"))
+      .orderBy("source")
+  }
+
+  def bigramEntropyOracleSql: String =
+    """WITH toks AS (
+      |  SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 2),
+      |pairs AS (
+      |  SELECT source, t[i] AS w1, t[i + 1] AS w2
+      |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+      |c12 AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |        FROM pairs GROUP BY 1, 2, 3),
+      |c1 AS (SELECT source, w1, CAST(sum(c12) AS BIGINT) AS c1
+      |       FROM c12 GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(sum(c12) AS BIGINT) AS n_bigrams,
+      |              CAST(count(*) AS BIGINT) AS n_pairs
+      |       FROM c12 GROUP BY 1)
+      |SELECT c12.source, n_bigrams, n_pairs,
+      |  floor(-CAST(sum(CAST(
+      |      (CAST(c12 AS DOUBLE) / n_bigrams) *
+      |      ln(CAST(c12 AS DOUBLE) / c1)
+      |    AS DECIMAL(38,18))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cond_entropy
+      |FROM c12 JOIN c1 USING (source, w1) JOIN ns USING (source)
+      |GROUP BY c12.source, n_bigrams, n_pairs
+      |ORDER BY source""".stripMargin
 }

@@ -1040,4 +1040,56 @@ object ExtendedAnalytics {
        |    / 1e4 AS cum_share,
        |  floor(CAST(cnt AS DOUBLE) * keys / total * 1e4 + 0.5) / 1e4 AS x_mean
        |FROM top, t ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_event_transitions — first-order Markov transition matrix
+  // ---------------------------------------------------------------------
+
+  /** Event-type transition matrix (`q_event_transitions`): for every
+    * ordered pair of event types, how often a user's event of type A is
+    * immediately followed by one of type B, and the row-normalized
+    * transition probability P(next=B | cur=A) — the first-order Markov
+    * model behind funnel discovery, bot detection (degenerate
+    * self-loops), and UX path analysis.
+    *
+    * Distributed shape: the successor pairing is one `lag` window
+    * partitioned by user_id (user-keyed — parallel, never global), the
+    * pair counts are a map-side-combined aggregate into a |types|²
+    * frame, and the row totals DERIVE from that frame (dim-sized, no
+    * second corpus pass; broadcast back). Deterministic ordering inside
+    * a user: (ts, event_id) — the sessionize tiebreak. The denominator
+    * is > 0 by construction (every pair row contributes to its own
+    * row total), so no ANSI /0 guard is needed.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("prev_type").agg(sum("n").as("n_from"))
+    pairs.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"), col("n_from"),
+        (floor(col("n").cast("double") / col("n_from") * lit(1e4) + lit(0.5)) / 1e4)
+          .as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  def eventTransitionsOracleSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS next_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events),
+      |pc AS (
+      |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from
+      |        FROM pc GROUP BY 1)
+      |SELECT pc.prev_type, next_type, n, n_from,
+      |  floor(CAST(n AS DOUBLE) / n_from * 1e4 + 0.5) / 1e4 AS p
+      |FROM pc JOIN tot USING (prev_type)
+      |ORDER BY prev_type, next_type""".stripMargin
 }

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{CorpusCuration, ExtendedAnalytics}
+
+/** Round-8 distributional-health monitors: per-source Zipf slope,
+  * per-source bigram conditional entropy, and the event-type Markov
+  * transition matrix.
+  */
+class DistributionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  // -------------------------------------------------------------------
+  // q_zipf_fit
+  // -------------------------------------------------------------------
+
+  test("zipf fit: exact power-law counts give slope -1, uniform counts 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zipf").toString
+    // counts 12, 6, 4, 3 at ranks 1..4 = 12/r exactly, so
+    // y = ln 12 - ln r is affine in x = ln r -> OLS slope exactly -1
+    val zipfText = (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")).mkString(" ")
+    // four tokens, three occurrences each -> y constant -> slope 0
+    val flatText = Seq("pp", "qq", "rr", "ss").flatMap(Seq.fill(3)(_)).mkString(" ")
+    Seq(
+      (1L, zipfText, "en", "srcZ", zipfText.length.toLong),
+      (2L, flatText, "en", "srcF", flatText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusCuration.zipfFit(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(("srcZ")) === ((4L, -1.0)), "exact 1/r counts fit slope -1")
+    assert(got(("srcF")) === ((4L, 0.0)), "uniform counts fit slope 0")
+  }
+
+  test("zipf fit on the corpus: 20 sources, negative slopes, capped ranks") {
+    val rows = CorpusCuration.zipfFit(spark, sf).collect()
+    assert(rows.length === 20)
+    assert(rows.forall { r =>
+      val s = r.getDouble(2); !s.isNaN && !s.isInfinite && s < 0.0
+    }, "rank-frequency curves slope downward on every source")
+    assert(rows.forall(_.getLong(1) <= CorpusCuration.ZipfTopR))
+  }
+
+  test("zipf fit rides the shared (source, token) frame — no second corpus scan") {
+    val p = CorpusCuration.zipfFit(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the persisted sourceTokenCounts frame serves the scan; the only
+    // window runs over that vocabulary-bounded frame, keyed by source
+    assert(p.contains("InMemoryTableScan"),
+      s"session-persisted count frame serves the plan:\n$p")
+    val wlines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(wlines.forall(_.contains("source")), "rank window keyed by source")
+  }
+
+  // -------------------------------------------------------------------
+  // q_bigram_entropy
+  // -------------------------------------------------------------------
+
+  test("bigram entropy: deterministic continuations 0, fair branch ln 2") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bent").toString
+    // srcD: every history has exactly one continuation -> H = 0
+    val det = "a b a b a b"
+    // srcB: 'a' continues to b or c with equal mass -> H = ln 2
+    Seq(
+      (1L, det, "en", "srcD", det.length.toLong),
+      (2L, "a b", "en", "srcB", 3L),
+      (3L, "a c", "en", "srcB", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusCuration.bigramEntropy(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(got(("srcD"))._2 === 0.0, "deterministic transitions carry no entropy")
+    assert(got(("srcB"))._1 === 2L)
+    assert(math.abs(got(("srcB"))._2 - math.log(2.0)) < 1e-6,
+      s"fair binary branch is ln 2: ${got(("srcB"))._2}")
+  }
+
+  test("bigram entropy on the corpus: 20 sources, finite, non-negative") {
+    val rows = CorpusCuration.bigramEntropy(spark, sf).collect()
+    assert(rows.length === 20)
+    assert(rows.forall { r =>
+      val h = r.getDouble(3); !h.isNaN && !h.isInfinite && h >= 0.0
+    })
+    // conditional entropy is bounded by the marginal: H(next|cur) <= ln V
+    val v = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .agg(countDistinct("t")).head().getLong(0)
+    assert(rows.forall(_.getDouble(3) <= math.log(v.toDouble) + 1e-9))
+  }
+
+  // -------------------------------------------------------------------
+  // q_event_transitions
+  // -------------------------------------------------------------------
+
+  test("event transitions: successor counts and row-normalized probabilities") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-05-01 00:00:00").getTime
+    def t(m: Int) = new java.sql.Timestamp(base + m * 60000L)
+    // user 1: A B A   user 2: B A  ->  (A,B)=1 of A-total 1; (B,A)=2 of 2
+    val rows = Seq(
+      (1L, t(0), 1L, "A", 1.0, "{}"),
+      (2L, t(1), 1L, "B", 1.0, "{}"),
+      (3L, t(2), 1L, "A", 1.0, "{}"),
+      (4L, t(0), 2L, "B", 1.0, "{}"),
+      (5L, t(1), 2L, "A", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_trans").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = ExtendedAnalytics.eventTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(("A", "B")) === ((1L, 1L, 1.0)))
+    assert(got(("B", "A")) === ((2L, 2L, 1.0)))
+    assert(got.size === 2, "no cross-user phantom transitions")
+  }
+
+  test("event transitions on the corpus: probabilities normalize per row") {
+    val rows = ExtendedAnalytics.eventTransitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byPrev = rows.groupBy(_.getString(0))
+    for ((prev, rs) <- byPrev) {
+      assert(rs.map(_.getLong(2)).sum === rs.head.getLong(3),
+        s"$prev: pair counts sum to the row total")
+      val pSum = rs.map(_.getDouble(4)).sum
+      // each p is rounded half-up at 4 dp, so the row sum sits within
+      // half an ulp-of-grid per cell of exactly 1
+      assert(math.abs(pSum - 1.0) <= rs.length * 5e-5 + 1e-9,
+        s"$prev: row-normalized ($pSum)")
+    }
+    // transition count conservation: one pair per non-first event
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === nEvents - nUsers)
+  }
+}
