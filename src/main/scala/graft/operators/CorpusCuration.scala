@@ -1152,10 +1152,18 @@ object CorpusCuration {
     * stays partial-combined at any partitioning (the q_kl_drift
     * pattern). The closed-form slope then runs on per-source scalars.
     */
-  def zipfFit(s: SparkSession, dir: String): DataFrame = {
+  def zipfFit(s: SparkSession, dir: String): DataFrame =
+    zipfFromCounts(sourceTokenCounts(s, dir))
+
+  /** Value stage from a (source, t, c_st) count frame — shared verbatim
+    * with [[graft.streaming.StreamingKlDrift]], whose merged state IS
+    * this frame (one monitor state, two views: KL watches the
+    * marginals' divergence, this watches their shape).
+    */
+  private[graft] def zipfFromCounts(st: DataFrame): DataFrame = {
     val byRank = Window.partitionBy("source")
       .orderBy(col("c_st").desc, col("t"))
-    val top = sourceTokenCounts(s, dir)
+    val top = st
       .withColumn("r", row_number().over(byRank))
       .filter(col("r") <= ZipfTopR)
       .select(col("source"),
@@ -1224,16 +1232,32 @@ object CorpusCuration {
     * identical doubles → identical decimals → partitioning-independent
     * aggregate).
     */
-  def bigramEntropy(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def bigramEntropy(s: SparkSession, dir: String): DataFrame =
+    bigramEntropyFromCounts(bigramPairCounts(Tables.documents(s, dir)))
+
+  /** Per-batch (source, w1, w2) bigram counts from a (source, text)
+    * frame — the additive sufficient statistic (documents arrive whole,
+    * so pair extraction is map-only per row and the counts sum across
+    * any doc-level split); shared with
+    * [[graft.streaming.StreamingBigramEntropy]].
+    */
+  private[graft] def bigramPairCounts(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("source"), tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= 2)
-    val pairs = docs.select(col("source"), explode(
+    toks.select(col("source"), explode(
         transform(sequence(lit(0), size(col("ts")) - 2),
           i => struct(element_at(col("ts"), i + 1).as("w1"),
             element_at(col("ts"), i + 2).as("w2")))).as("pr"))
       .select(col("source"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
-    val c12 = pairs.groupBy("source", "w1", "w2").agg(count(lit(1)).as("c12"))
+      .groupBy("source", "w1", "w2").agg(count(lit(1)).as("c12"))
+  }
+
+  /** Value stage from a (source, w1, w2, c12) count frame — the exact
+    * DECIMAL(38,18) contribution sum makes stream == batch EXACT over
+    * any doc-level split (the klFromCounts argument verbatim).
+    */
+  private[graft] def bigramEntropyFromCounts(c12: DataFrame): DataFrame = {
     val c1 = c12.groupBy("source", "w1").agg(sum("c12").as("c1"))
     val ns = c12.groupBy("source").agg(sum("c12").as("n_bigrams"),
       count(lit(1)).as("n_pairs"))

@@ -63,6 +63,21 @@ class StreamingKlDrift extends Serializable {
     CorpusCuration.klFromCounts(rows.toDF("source", "t", "c_st"))
   }
 
+  /** Second view over the SAME state: the per-source Zipf slope
+    * (`operators.CorpusCuration.zipfFit`'s value stage). The (source,
+    * token) count frame is the sufficient statistic for both monitors —
+    * KL watches the marginals' divergence from the corpus, the Zipf
+    * slope watches their shape — so one merged state serves both
+    * dashboards and stream == batch exactly for each.
+    */
+  def currentZipf(s: SparkSession): DataFrame = {
+    val rows = this.synchronized {
+      counts.toSeq.map { case ((src, t), c) => (src, t, c) }
+    }
+    import s.implicits._
+    CorpusCuration.zipfFromCounts(rows.toDF("source", "t", "c_st"))
+  }
+
   /** Persist the sufficient statistic (the (source, token) count frame)
     * as parquet — the monitor's restart story: because the state IS the
     * exact sufficient statistic, [[StreamingKlDrift.restore]] +

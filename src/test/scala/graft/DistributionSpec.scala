@@ -137,4 +137,41 @@ class DistributionSpec extends AnyFunSuite {
     val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
     assert(rows.map(_.getLong(2)).sum === nEvents - nUsers)
   }
+
+  // -------------------------------------------------------------------
+  // streaming twins: zipf view on the KL state, bigram-entropy monitor
+  // -------------------------------------------------------------------
+
+  test("streaming zipf view equals the batch operator over any split") {
+    val docs = Tables.documents(spark, sf)
+    val twin = new graft.streaming.StreamingKlDrift
+    for (r <- 0 until 3)
+      twin.mergeBatch(docs.filter(pmod(col("doc_id"), lit(3)) === r)
+        .select("source", "text"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getDouble(2))
+    assert(twin.currentZipf(spark).collect().map(key).toSeq ===
+      CorpusCuration.zipfFit(spark, sf).collect().map(key).toSeq,
+      "one merged (source, token) state serves both the KL and Zipf views")
+  }
+
+  test("streaming bigram entropy equals batch over any split; snapshot/restore exact") {
+    val docs = Tables.documents(spark, sf)
+    def slice(r: Int) =
+      docs.filter(pmod(col("doc_id"), lit(3)) === r).select("source", "text")
+    val live = new graft.streaming.StreamingBigramEntropy
+    live.mergeBatch(slice(0)); live.mergeBatch(slice(1))
+    val snap = java.nio.file.Files.createTempDirectory("graft_besnap").toString
+    live.snapshot(spark, snap)
+    val resumed = graft.streaming.StreamingBigramEntropy.restore(spark, snap)
+    resumed.mergeBatch(slice(2))
+    live.mergeBatch(slice(2))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val want = CorpusCuration.bigramEntropy(spark, sf).collect().map(key).toSeq
+    assert(live.current(spark).collect().map(key).toSeq === want,
+      "merged (source, w1, w2) counts reproduce batch entropy exactly")
+    assert(resumed.current(spark).collect().map(key).toSeq === want,
+      "restore + remaining batches == uninterrupted monitor == batch")
+  }
 }
