@@ -7,10 +7,13 @@ object Bench {
     * `q_*` names measured 1903 chars — five more queries would
     * overflow the window and kill bench visibility (memory: rounds
     * 1–4 recorded `parsed:null`). Keys are 2 chars where the prefix is
-    * unambiguous, 3 on collision (the uniform 3-char set overflowed
-    * the worst-case bound at 117 queries); full names + per-query cpu
-    * go to `bench_detail.json` instead. BenchLineSpec pins uniqueness
-    * and a worst-case line length < 1500.
+    * unambiguous, 3 on collision. At 139 queries even the 2-char map
+    * overflowed (1538 chars worst-case), so the line now carries only
+    * the [[LineTopK]] slowest queries plus every failure (negative
+    * value = the alarm) and an "nq" count; the COMPLETE per-query
+    * wall+cpu map with full names goes to `bench_detail.json`. The
+    * budget is now catalog-size-INDEPENDENT — BenchLineSpec pins
+    * uniqueness and the worst-case length.
     */
   private[graft] val ShortKey = Map(
     "q1_pricing_summary" -> "q1", "q3_top_revenue" -> "q3",
@@ -53,7 +56,7 @@ object Bench {
     "q_pipeline_yield" -> "py", "q_blocklist_filter" -> "bf",
     "q_skew_report" -> "sk", "q_corpus_card" -> "cc",
     "q_event_transitions" -> "etr", "q_zipf_fit" -> "zf",
-    "q_bigram_entropy" -> "bge",
+    "q_bigram_entropy" -> "bge", "q_bpe_persisted" -> "bpp",
     "q_length_histogram" -> "lh", "q_unigram_vocab" -> "uv",
     "q_unigram_encode" -> "ue", "q_unigram_refit" -> "ur",
     "q_ngram_freq" -> "ng", "q_normalize_status" -> "ns",
@@ -84,6 +87,11 @@ object Bench {
 
   private[graft] def shortKey(name: String): String =
     ShortKey.getOrElse(name, name.stripPrefix("q_"))
+
+  /** Slowest-queries count carried on the stdout line (the heads anyone
+    * reads first; the full map is in bench_detail.json).
+    */
+  private[graft] val LineTopK = 12
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -183,7 +191,14 @@ object Bench {
       val s = if (dp == 1) f"$v%.1f" else f"$v%.2f"
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
     }
-    val qs = results.map { case (k, v, _) => s"\"" + shortKey(k) + "\":" + fmt(1)(v) }
+    // At 139 queries even 2-char keys overflow the window (measured
+    // 1538 chars worst-case at 139) — the line carries only the
+    // slowest LineTopK (every failure always rides: its negative value
+    // is the alarm the line exists for); the complete per-query map
+    // lives in bench_detail.json, and "nq" says how many ran.
+    val lineEntries = results.filter(_._2 < 0) ++
+      results.filter(_._2 >= 0).sortBy(-_._2).take(LineTopK)
+    val qs = lineEntries.map { case (k, v, _) => s"\"" + shortKey(k) + "\":" + fmt(1)(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(r => math.abs(r._2)).sum else 0.0
     val cpuTotal = results.map(_._3).sum
@@ -199,7 +214,8 @@ object Bench {
     // counts against the tail window.
     val sfName = new java.io.File(sfDir).getName
     val line = s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec","queries":$qs,""" +
-      s""""cpu":${fmt(1)(cpuTotal)},"ld":[${fmt(2)(load0)},${fmt(2)(load1)}],"sf":"$sfName"}"""
+      s""""nq":${results.size},"cpu":${fmt(1)(cpuTotal)},""" +
+      s""""ld":[${fmt(2)(load0)},${fmt(2)(load1)}],"sf":"$sfName"}"""
     // Full-name per-query wall+cpu record for contention forensics —
     // not budget-bound, so keep full precision here.
     val detail = results.map { case (k, v, c) =>

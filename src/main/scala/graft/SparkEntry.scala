@@ -155,6 +155,10 @@ object SparkEntry {
     "q_unigram_encode"    -> ((s, d) => operators.Unigram.unigramEncode(s, d)),
     "q_unigram_refit"     -> operators.Unigram.unigramRefit _,
     "q_bpe_encode"        -> ((s, d) => operators.Bpe.bpeEncode(s, d)),
+    // persisted-tokenizer round trip: save, reload, encode — the
+    // artifact contract is output identity with q_bpe_encode, so the
+    // two queries share one oracle
+    "q_bpe_persisted"     -> sources.TokenizerArtifact.encodePersisted _,
     "q_bpe_fertility"     -> operators.Bpe.bpeFertility _,
     // bloom runtime-filter pruning (plans.BloomMightContain)
     "q_bloom_prefilter"   -> operators.BloomPrune.prefilterRevenue _,
@@ -632,6 +636,7 @@ object SparkEntry {
     "q_unigram_encode" -> operators.Unigram.unigramEncodeOracleSql,
     "q_unigram_refit" -> operators.Unigram.unigramRefitOracleSql,
     "q_bpe_encode" -> operators.Bpe.bpeEncodeOracleSql,
+    "q_bpe_persisted" -> operators.Bpe.bpeEncodeOracleSql,
     "q_bpe_fertility" -> operators.Bpe.bpeFertilityOracleSql,
     "q_cooccur" -> TextAnalysis.cooccurOracleSql,
     "q_block_tree" -> operators.BlockTree.oracleSql,

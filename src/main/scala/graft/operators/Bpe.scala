@@ -187,8 +187,18 @@ object Bpe {
   /** Per-doc encode columns with the declared language carried (free —
     * rides the same scan); shared by [[bpeEncode]] and [[bpeFertility]].
     */
-  private def encodeFrame(s: SparkSession, dir: String): DataFrame = {
-    val merges = learned(s, dir)._1 // encode needs only the driver-side merge list
+  private def encodeFrame(s: SparkSession, dir: String): DataFrame =
+    encodeFrameWith(Tables.documents(s, dir), learned(s, dir)._1)
+
+  /** The encode pass against an EXPLICIT merge list and documents frame
+    * — the seam the persisted-tokenizer artifact
+    * (`sources.TokenizerArtifact`) re-enters through: merges loaded
+    * back from parquet encode any corpus without touching the learner
+    * (train once, apply to every future batch). Map-only: the merge
+    * list is driver state, the chain rides the scan.
+    */
+  private[graft] def encodeFrameWith(docs: DataFrame,
+      merges: Seq[(Int, String, String, String, Long)]): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
     val docRep = concat(
       lit(" "),
@@ -198,7 +208,7 @@ object Bpe {
     val rep = merges.foldLeft(docRep) { case (r, (_, a, b, _, _)) =>
       replace(r, lit(s" $a$SymSep$b "), lit(s" $a$b "))
     }
-    Tables.documents(s, dir)
+    docs
       .select(
         col("doc_id"), col("lang"),
         size(toks).cast("long").as("n_words"),
