@@ -1005,6 +1005,7 @@ object CorpusCuration {
     postingsPlan(s, dir).unpersist()
     sourceSigPlan(s, dir).unpersist()
     sourceTokenCountsPlan(s, dir).unpersist()
+    bigramCountsPlan(s, dir).unpersist()
   }
 
   def klDriftOracleSql: String =
@@ -1233,7 +1234,22 @@ object CorpusCuration {
     * aggregate).
     */
   def bigramEntropy(s: SparkSession, dir: String): DataFrame =
-    bigramEntropyFromCounts(bigramPairCounts(Tables.documents(s, dir)))
+    bigramEntropyFromCounts(bigramCounts(s, dir))
+
+  /** Session-persisted (source, w1, w2) counts for `dir` — the value
+    * stage references the frame THREE times (history totals, source
+    * totals, contribution join) and ReuseExchange does not dedupe
+    * re-referenced aggregate subtrees (the kl_drift lesson: measured
+    * 3 corpus explode+count scans without the persist, 1 with). The
+    * frame is post-shuffle and source×bigram-vocabulary-sized;
+    * released by [[releaseCurationCache]].
+    */
+  private def bigramCounts(s: SparkSession, dir: String): DataFrame =
+    bigramCountsPlan(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def bigramCountsPlan(s: SparkSession, dir: String): DataFrame =
+    bigramPairCounts(Tables.documents(s, dir))
 
   /** Per-batch (source, w1, w2) bigram counts from a (source, text)
     * frame — the additive sufficient statistic (documents arrive whole,

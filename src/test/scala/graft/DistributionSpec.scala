@@ -80,6 +80,17 @@ class DistributionSpec extends AnyFunSuite {
       s"fair binary branch is ln 2: ${got(("srcB"))._2}")
   }
 
+  test("bigram entropy references the persisted count frame, never re-explodes") {
+    val p = CorpusCuration.bigramEntropy(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the value stage references (source, w1, w2) counts three times
+    // (history totals, source totals, contribution join); without the
+    // session persist each reference re-ran the corpus explode+count
+    // (measured: 3 scans). All three must hit the cache.
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) === 3,
+      s"three cached references, one materialization:\n$p")
+  }
+
   test("bigram entropy on the corpus: 20 sources, finite, non-negative") {
     val rows = CorpusCuration.bigramEntropy(spark, sf).collect()
     assert(rows.length === 20)
