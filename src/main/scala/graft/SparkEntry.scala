@@ -61,6 +61,8 @@ object SparkEntry {
     "q_dedup_semantic"      -> Similarity.semanticDedup _,
     // §2.5 similarity search
     "q_ann_brute_topk" -> Similarity.annBruteTopK _,
+    // embedding-quality audit: 1-NN leave-one-out label accuracy
+    "q_knn_label_acc"  -> Similarity.knnLabelAcc _,
     "q_ann_lsh_topk"   -> Similarity.annLshTopK _,
     "q_ann_ivf_topk"   -> Similarity.annIvfTopK _,
     "q_ann_ivf2_topk"  -> Similarity.annIvfLearnedTopK _,
@@ -553,6 +555,7 @@ object SparkEntry {
     "q_span_scrub"          -> Dedup.sqlSpanScrub,
     "q_dedup_semantic"      -> Similarity.sqlSemanticDedup,
     "q_ann_brute_topk"      -> Similarity.sqlAnnBruteTopK,
+    "q_knn_label_acc"       -> Similarity.sqlKnnLabelAcc,
     "q_keyed_sample" ->
       s"""WITH h AS (
            SELECT lang, doc_id,

@@ -117,6 +117,73 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** 1-NN leave-one-out label accuracy (`q_knn_label_acc`): for every
+    * vector, the label of its nearest neighbor (cosine, self excluded)
+    * compared to its own, aggregated per label — the standard
+    * embedding-quality audit run BEFORE trusting the space for
+    * semantic dedup or clustering-based selection (a label family
+    * whose members' neighbors are mostly other families means the
+    * space does not separate it; SemDeDup-style pruning there removes
+    * the wrong documents).
+    *
+    * Distributed shape: the SAME tiled block equi-join as
+    * [[embeddingDup]] (each unordered pair computed once, dense tiles,
+    * no nested loop) — exact LOO 1-NN is inherently Θ(n²), this
+    * distributes it; each pair row then feeds BOTH endpoints' argmax
+    * (a union of the two orientations, map-side), the per-vector
+    * argmax is one max(struct) aggregate (rounded cosine desc, lowest
+    * neighbor id tie-break — deterministic cross-engine), and the
+    * verdict aggregates into a label-cardinality frame. At production
+    * scale the audit runs on a bounded evaluation sample by contract
+    * (the quality estimate needs the distribution, not the corpus —
+    * the TrainSampleCap argument); the shipped SFs sit under any such
+    * cap, so the operator computes the full exact audit here.
+    */
+  def knnLabelAcc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = DupBlocks
+    val tiles = (for { i <- 0 until B; j <- i until B } yield (i * B + j, i, j))
+      .toDF("tile", "t_blk_a", "t_blk_b")
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("e"), col("label"))
+      .withColumn("nrm", sqrt(ArrayOps.dotF(col("e"), col("e"))))
+    val a = base
+      .select(col("vec_id").as("vec_a"), col("e").as("e_a"), col("nrm").as("n_a"),
+        col("label").as("lab_a"),
+        pmod(col("vec_id"), lit(B)).cast("int").as("t_blk_a"))
+      .join(broadcast(tiles), "t_blk_a")
+      .select("tile", "vec_a", "e_a", "n_a", "lab_a")
+    val b = base
+      .select(col("vec_id").as("vec_b"), col("e").as("e_b"), col("nrm").as("n_b"),
+        col("label").as("lab_b"),
+        pmod(col("vec_id"), lit(B)).cast("int").as("t_blk_b"))
+      .join(broadcast(tiles), "t_blk_b")
+      .select("tile", "vec_b", "e_b", "n_b", "lab_b")
+    val pairs = a.join(b, Seq("tile"))
+      .filter(pmod(col("vec_a"), lit(B)) < pmod(col("vec_b"), lit(B)) ||
+        col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim",
+        round(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6))
+      .select("vec_a", "lab_a", "vec_b", "lab_b", "cos_sim")
+    val oriented = pairs
+      .select(col("vec_a").as("vid"), col("lab_a").as("lab"),
+        col("vec_b").as("nb"), col("lab_b").as("nb_lab"), col("cos_sim"))
+      .unionAll(pairs
+        .select(col("vec_b").as("vid"), col("lab_b").as("lab"),
+          col("vec_a").as("nb"), col("lab_a").as("nb_lab"), col("cos_sim")))
+    val nn = oriented.groupBy("vid", "lab")
+      .agg(max(struct(col("cos_sim"), (-col("nb")).as("neg_nb"),
+        col("nb_lab").as("nb_lab"))).as("best"))
+      .select(col("vid"), col("lab"), col("best.nb_lab").as("nn_lab"))
+    nn.groupBy(col("lab").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("nn_lab") === col("lab"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("label"), col("n_vecs"), col("n_correct"),
+        (floor(col("n_correct").cast("double") / col("n_vecs") * lit(1e4) +
+          lit(0.5)) / 1e4).as("acc"))
+      .orderBy("label")
+  }
+
   /** §2.4 semantic dedup (the SemDeDup shape, Abbas et al. 2023):
     * cluster the embedding space, then prune near-duplicates WITHIN
     * each cluster only — the clustering restricts the quadratic pair
@@ -664,6 +731,32 @@ object Similarity {
        |FROM n a JOIN n b ON a.vec_id < b.vec_id
        |WHERE round(${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $CosineDupT
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** DuckDB twin of [[knnLabelAcc]]: the row_number argmax (cos desc,
+    * neighbor id asc) reproduces the max(struct(cos, -nb)) fold; both
+    * engines compare the 6-dp ROUNDED cosine, so equal-score ties
+    * resolve identically.
+    */
+  val sqlKnnLabelAcc: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, label,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |sc AS (
+       |  SELECT a.vec_id AS vid, a.label AS lab, b.vec_id AS nb, b.label AS nb_lab,
+       |    round(${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_sim
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+       |nn AS (
+       |  SELECT vid, lab, nb_lab FROM (
+       |    SELECT vid, lab, nb_lab,
+       |      row_number() OVER (PARTITION BY vid
+       |        ORDER BY cos_sim DESC, nb) AS rn
+       |    FROM sc) WHERE rn = 1)
+       |SELECT lab AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(CASE WHEN nb_lab = lab THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  floor(CAST(sum(CASE WHEN nb_lab = lab THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) * 1e4 + 0.5) / 1e4 AS acc
+       |FROM nn GROUP BY 1 ORDER BY label""".stripMargin
 
   val sqlAnnBruteTopK: String =
     s"""$sqlNormed,

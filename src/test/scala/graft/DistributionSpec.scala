@@ -150,6 +150,43 @@ class DistributionSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // q_knn_label_acc
+  // -------------------------------------------------------------------
+
+  test("knn label acc: separated clusters score 1.0, a planted traitor drops its label") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn").toString
+    def v(xs: Double*) = xs.map(_.toFloat)
+    Seq(
+      (0L, v(1, 0, 0.01, 0), 0),
+      (1L, v(1, 0, 0, 0.01), 0),
+      (2L, v(1, 0, 0.005, 0.005), 0),
+      // the traitor: labeled 0, but sits in cluster 1's cone — its NN
+      // is a label-1 vector, while the tight label-1 trio stays mutual
+      (3L, v(0, 0.95, 0.3, 0), 0),
+      (4L, v(0, 1, 0.01, 0), 1),
+      (5L, v(0, 1, 0, 0.01), 1),
+      (6L, v(0, 1, 0.005, 0.005), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = operators.Similarity.knnLabelAcc(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(0) === ((4L, 3L, 0.75)), "traitor misclassified, trio correct")
+    assert(got(1) === ((3L, 3L, 1.0)), "tight cluster unaffected by the traitor")
+  }
+
+  test("knn label acc on the corpus: totals reconcile, tiled plan has no nested loop") {
+    val df = operators.Similarity.knnLabelAcc(spark, sf)
+    val rows = df.collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === n, "every vector audited exactly once")
+    assert(rows.forall { r => val a = r.getDouble(3); a >= 0.0 && a <= 1.0 })
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the pair generation is the tiled equi-join, not a nested loop:\n$p")
+  }
+
+  // -------------------------------------------------------------------
   // streaming twins: zipf view on the KL state, bigram-entropy monitor
   // -------------------------------------------------------------------
 
