@@ -49,6 +49,8 @@ object SparkEntry {
     "q_dedup_exact"         -> Dedup.exact _,
     "q_dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "q_dedup_minhash"       -> Dedup.minhashLsh _,
+    // near-dup pairs rolled up to the (source, source) matrix
+    "q_dup_matrix"          -> Dedup.dupMatrix _,
     "q_dedup_simhash"       -> Dedup.simhash _,
     "q_dedup_embedding"     -> Similarity.embeddingDup _,
     "q_dedup_containment"   -> Dedup.containment _,
@@ -547,6 +549,7 @@ object SparkEntry {
          FROM documents GROUP BY 1 ORDER BY content_md5""",
     "q_dedup_ngram_jaccard" -> Dedup.sqlNgramJaccard,
     "q_dedup_minhash"       -> Dedup.sqlMinhashLsh,
+    "q_dup_matrix"          -> Dedup.sqlDupMatrix,
     "q_dedup_simhash"       -> Dedup.sqlSimhash,
     "q_dedup_embedding"     -> Similarity.sqlEmbeddingDup,
     "q_dedup_containment"   -> Dedup.sqlContainment,

@@ -210,6 +210,33 @@ object Dedup {
     verifyByCooccurrence(docs, candidatesFromCooc = false, MinhashJaccardT, cand)
   }
 
+  /** Cross-source duplication matrix (`q_dup_matrix`): the verified
+    * MinHash near-dup pairs rolled up to (source, source) counts —
+    * mirror-site and syndication detection (a hot off-diagonal cell
+    * means two "different" sources are republishing each other; a hot
+    * diagonal cell is a template-heavy source), and the table a
+    * curation pass reads to decide which source pair deserves a
+    * cross-source dedup sweep.
+    *
+    * Shape: the pair list rides the session-persisted shingle cache
+    * (the q_dedup_minhash machinery end-to-end — band join, capped
+    * co-occurrence verify); attributing sources is two doc_id
+    * equi-joins of the SPARSE pair frame against the column-pruned
+    * documents scan, left to AQE (pair volume grows with the corpus
+    * dup rate — force-broadcast is unbounded; the tf⋈df precedent),
+    * then a dim²-bounded rollup.
+    */
+  def dupMatrix(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    minhashLsh(s, dir).select("doc_a", "doc_b")
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), Seq("doc_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   val ContainT = 0.8
 
   /** §2.1b — near-superset detection via shingle CONTAINMENT
@@ -478,7 +505,11 @@ object Dedup {
     s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))"
   }.mkString("[", ", ", "]")
 
-  val sqlMinhashLsh: String = {
+  /** Shared CTE chain producing the VERIFIED minhash-band pairs —
+    * reused verbatim by [[sqlMinhashLsh]] and [[sqlDupMatrix]] so the
+    * two oracles cannot drift.
+    */
+  private def sqlMinhashVerifiedCtes: String = {
     val mh = sqlMhList
     s"""$sqlShingled,
        |$sqlCappedEx,
@@ -495,13 +526,28 @@ object Dedup {
        |  SELECT doc_a, doc_b,
        |    len(list_intersect(ca.shc, cb.shc)) AS inter, len(a.sh) AS la, len(b.sh) AS lb
        |  FROM cand JOIN docsc ca ON ca.doc_id = doc_a JOIN docsc cb ON cb.doc_id = doc_b
-       |       JOIN docs a ON a.doc_id = doc_a JOIN docs b ON b.doc_id = doc_b)
+       |       JOIN docs a ON a.doc_id = doc_a JOIN docs b ON b.doc_id = doc_b)""".stripMargin
+  }
+
+  val sqlMinhashLsh: String =
+    s"""$sqlMinhashVerifiedCtes
        |SELECT doc_a, doc_b,
        |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
        |FROM verified
        |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= $MinhashJaccardT
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
+
+  /** DuckDB twin of [[dupMatrix]]. */
+  val sqlDupMatrix: String =
+    s"""$sqlMinhashVerifiedCtes,
+       |p AS (SELECT doc_a, doc_b FROM verified
+       |      WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= $MinhashJaccardT),
+       |m AS (SELECT least(sa.source, sb.source) AS source_a,
+       |             greatest(sa.source, sb.source) AS source_b
+       |      FROM p JOIN documents sa ON sa.doc_id = p.doc_a
+       |             JOIN documents sb ON sb.doc_id = p.doc_b)
+       |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM m GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
   val sqlContainment: String =
     s"""$sqlShingled,

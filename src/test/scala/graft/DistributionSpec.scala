@@ -187,6 +187,28 @@ class DistributionSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // q_dup_matrix
+  // -------------------------------------------------------------------
+
+  test("dup matrix: rollup conserves the pair count and orients source pairs") {
+    val pairs = operators.Dedup.minhashLsh(spark, sf).collect()
+    val m = operators.Dedup.dupMatrix(spark, sf).collect()
+    assert(m.map(_.getLong(2)).sum === pairs.length,
+      "every verified near-dup pair lands in exactly one matrix cell")
+    assert(m.forall(r => r.getString(0) <= r.getString(1)),
+      "cells are canonically oriented (source_a <= source_b)")
+    // cross-check one cell against a local recount
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = pairs.map { r =>
+      val (a, b) = (srcOf(r.getLong(0)), srcOf(r.getLong(1)))
+      (if (a <= b) (a, b) else (b, a))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = m.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === want, "matrix equals the local rollup of the pair list")
+  }
+
+  // -------------------------------------------------------------------
   // streaming twins: zipf view on the KL state, bigram-entropy monitor
   // -------------------------------------------------------------------
 
