@@ -204,6 +204,9 @@ object SparkEntry {
     "q_skew_report"       -> ExtendedAnalytics.skewReport _,
     // first-order Markov transition matrix over event types
     "q_event_transitions" -> ExtendedAnalytics.eventTransitions _,
+    // top 3-step event-type paths (the multi-step habits a first-order
+    // transition matrix flattens)
+    "q_event_paths"       -> ExtendedAnalytics.eventPaths _,
     // log2-bucketed doc-length profile
     "q_length_histogram"  -> ExtendedAnalytics.lengthHistogram _,
     "q_report_goals"      -> ExtendedAnalytics.reportGoals _,
@@ -948,6 +951,7 @@ object SparkEntry {
          FROM ranked WHERE rank <= 15 ORDER BY section, rank""",
     "q_skew_report" -> ExtendedAnalytics.skewReportOracleSql,
     "q_event_transitions" -> ExtendedAnalytics.eventTransitionsOracleSql,
+    "q_event_paths" -> ExtendedAnalytics.eventPathsOracleSql,
     "q_length_histogram" -> ExtendedAnalytics.lengthHistogramOracleSql,
     "q_schema_health" ->
       """SELECT 'o_orderkey' AS col_name, TRUE AS present,

@@ -1077,6 +1077,55 @@ object ExtendedAnalytics {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Paths returned by the path-mining rollup. */
+  val PathTopK = 20
+
+  /** Top event paths (`q_event_paths`): the most frequent 3-step
+    * event-type sequences across users — the path-mining companion to
+    * [[eventTransitions]] (the transition matrix is memoryless; the
+    * trigram table surfaces multi-step habits a first-order model
+    * flattens, e.g. view→add→buy vs view→add→abandon).
+    *
+    * Distributed shape: two `lag`s over the SAME user-keyed window
+    * (one window spec → one shuffle, both lags evaluate in one
+    * WindowExec pass), map-side-combined path counts (bounded by
+    * |types|³), top-k via orderBy+limit — TakeOrdered's per-partition
+    * heap + driver merge, never a global sort (the skew_report idiom).
+    */
+  def eventPaths(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val top = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("p1", lag("event_type", 1).over(byUser))
+      .withColumn("p2", lag("event_type", 2).over(byUser))
+      .filter(col("p2").isNotNull)
+      .select(concat_ws(">", col("p2"), col("p1"), col("event_type")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(PathTopK)
+      .collect() // ≤ PathTopK rows by construction — bounded metadata
+    import s.implicits._
+    top.zipWithIndex
+      .map { case (r, i) => (i + 1, r.getString(0), r.getLong(1)) }
+      .toSeq.toDF("rank", "path", "n")
+      .orderBy("rank")
+  }
+
+  def eventPathsOracleSql: String =
+    s"""WITH seq AS (
+       |  SELECT event_type,
+       |    lag(event_type, 1) OVER w AS p1,
+       |    lag(event_type, 2) OVER w AS p2
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |pc AS (
+       |  SELECT p2 || '>' || p1 || '>' || event_type AS path,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM seq WHERE p2 IS NOT NULL GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS INTEGER) AS rank,
+       |  path, n
+       |FROM pc ORDER BY n DESC, path LIMIT $PathTopK""".stripMargin
+
   def eventTransitionsOracleSql: String =
     """WITH seq AS (
       |  SELECT event_type AS next_type,

@@ -187,6 +187,41 @@ class DistributionSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // q_event_paths
+  // -------------------------------------------------------------------
+
+  test("event paths: trigram mining respects user boundaries and ranks deterministically") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime
+    def t(m: Int) = new java.sql.Timestamp(base + m * 60000L)
+    // user 1: A B C B C   -> paths A>B>C, B>C>B, C>B>C
+    // user 2: A B C       -> A>B>C   (no cross-user D>A>B phantom)
+    // user 3: D           -> too short, contributes nothing
+    val rows = Seq(
+      (1L, t(0), 1L, "A", 1.0, "{}"), (2L, t(1), 1L, "B", 1.0, "{}"),
+      (3L, t(2), 1L, "C", 1.0, "{}"), (4L, t(3), 1L, "B", 1.0, "{}"),
+      (5L, t(4), 1L, "C", 1.0, "{}"),
+      (6L, t(0), 2L, "A", 1.0, "{}"), (7L, t(1), 2L, "B", 1.0, "{}"),
+      (8L, t(2), 2L, "C", 1.0, "{}"),
+      (9L, t(0), 3L, "D", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_paths").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.ExtendedAnalytics.eventPaths(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1, "A>B>C", 2L), (2, "B>C>B", 1L), (3, "C>B>C", 1L)))
+  }
+
+  test("event paths on the corpus: bounded output, counts conserve") {
+    val rows = operators.ExtendedAnalytics.eventPaths(spark, sf).collect()
+    assert(rows.length <= operators.ExtendedAnalytics.PathTopK && rows.nonEmpty)
+    assert(rows.map(_.getInt(0)).toSeq === (1 to rows.length))
+    // ranks follow (n desc, path asc)
+    val sorted = rows.sortBy(r => (-r.getLong(2), r.getString(1)))
+    assert(sorted.map(_.getInt(0)).toSeq === rows.map(_.getInt(0)).toSeq)
+  }
+
+  // -------------------------------------------------------------------
   // q_dup_matrix
   // -------------------------------------------------------------------
 
