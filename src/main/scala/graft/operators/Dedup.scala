@@ -94,8 +94,10 @@ object Dedup {
     * lookup is by analyzed plan, so an identically-built frame releases
     * the entry registered by any prior dedup call).
     */
-  def releaseShingleCache(s: SparkSession, dir: String): Unit =
+  def releaseShingleCache(s: SparkSession, dir: String): Unit = {
     shingledPlan(s, dir).unpersist()
+    minhashPairsPlan(s, dir).unpersist()
+  }
 
   private def jaccard(interCol: Column, na: Column, nb: Column): Column =
     interCol.cast("double") / (na + nb - interCol)
@@ -166,17 +168,18 @@ object Dedup {
   private[graft] def verifyByCooccurrence(docs: DataFrame, candidatesFromCooc: Boolean,
                                    threshold: Double,
                                    cand: DataFrame = null,
-                                   maxDf: Long = MaxShingleDf): DataFrame = {
+                                   maxDf: Long = MaxShingleDf,
+                                   ordered: Boolean = true): DataFrame = {
     val cooc = coocPairs(docs, maxDf)
     val verified = if (candidatesFromCooc) cooc else cooc.join(cand, Seq("doc_a", "doc_b"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
-    verified
+    val out = verified
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
       .withColumn("jaccard", round(jaccard(col("inter"), col("sz_a"), col("sz_b")), 4))
       .filter(jaccard(col("inter"), col("sz_a"), col("sz_b")) >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    if (ordered) out.orderBy("doc_a", "doc_b") else out
   }
 
   /** §2.4 #26 — MinHash+LSH near-dup: k minhashes → b bands → band-bucket
@@ -195,7 +198,22 @@ object Dedup {
     sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band_id", "key")))
   }
 
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** Session-persisted verified minhash pair frame (unordered): the
+    * band join + co-occurrence verify is shuffled work that must not
+    * re-run across the queries that consume the pair list
+    * (`q_dedup_minhash`, `q_dup_matrix` — measured 18 CPU-s of
+    * re-verification without the persist). The frame is SPARSE (near-
+    * dup pairs only) — post-shuffle small, the kl_drift persist class;
+    * released by [[releaseShingleCache]].
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsPlan(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def minhashPairsPlan(s: SparkSession, dir: String): DataFrame = {
     val docs = shingled(s, dir)
     // pinned exchange (see coocPairs): the banded rows are tiny in
     // bytes but the bucket self-join fans out Θ(bucket²) — AQE's
@@ -207,7 +225,8 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyByCooccurrence(docs, candidatesFromCooc = false, MinhashJaccardT, cand)
+    verifyByCooccurrence(docs, candidatesFromCooc = false, MinhashJaccardT, cand,
+      ordered = false)
   }
 
   /** Cross-source duplication matrix (`q_dup_matrix`): the verified
@@ -228,7 +247,7 @@ object Dedup {
     */
   def dupMatrix(s: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-    minhashLsh(s, dir).select("doc_a", "doc_b")
+    minhashPairs(s, dir).select("doc_a", "doc_b")
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), Seq("doc_b"))
       .select(least(col("src_a"), col("src_b")).as("source_a"),

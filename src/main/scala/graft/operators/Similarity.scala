@@ -165,12 +165,18 @@ object Similarity {
       .withColumn("cos_sim",
         round(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6))
       .select("vec_a", "lab_a", "vec_b", "lab_b", "cos_sim")
+    // both orientations from ONE pass over the pair rows (a union of
+    // two selects re-runs the tile join and every dot product twice —
+    // the explode is map-side on the already-scored rows)
     val oriented = pairs
-      .select(col("vec_a").as("vid"), col("lab_a").as("lab"),
-        col("vec_b").as("nb"), col("lab_b").as("nb_lab"), col("cos_sim"))
-      .unionAll(pairs
-        .select(col("vec_b").as("vid"), col("lab_b").as("lab"),
-          col("vec_a").as("nb"), col("lab_a").as("nb_lab"), col("cos_sim")))
+      .select(explode(array(
+        struct(col("vec_a").as("vid"), col("lab_a").as("lab"),
+          col("vec_b").as("nb"), col("lab_b").as("nb_lab"), col("cos_sim")),
+        struct(col("vec_b").as("vid"), col("lab_b").as("lab"),
+          col("vec_a").as("nb"), col("lab_a").as("nb_lab"), col("cos_sim"))))
+        .as("o"))
+      .select(col("o.vid"), col("o.lab"), col("o.nb"), col("o.nb_lab"),
+        col("o.cos_sim"))
     val nn = oriented.groupBy("vid", "lab")
       .agg(max(struct(col("cos_sim"), (-col("nb")).as("neg_nb"),
         col("nb_lab").as("nb_lab"))).as("best"))
