@@ -163,6 +163,9 @@ object SparkEntry {
     // artifact contract is output identity with q_bpe_encode, so the
     // two queries share one oracle
     "q_bpe_persisted"     -> sources.TokenizerArtifact.encodePersisted _,
+    // sharded-export audit: the query reads the written artifact, the
+    // oracle recomputes the portable-hash assignment from the corpus
+    "q_shard_balance"     -> sources.Export.shardBalance _,
     "q_bpe_fertility"     -> operators.Bpe.bpeFertility _,
     // bloom runtime-filter pruning (plans.BloomMightContain)
     "q_bloom_prefilter"   -> operators.BloomPrune.prefilterRevenue _,
@@ -646,6 +649,7 @@ object SparkEntry {
     "q_unigram_refit" -> operators.Unigram.unigramRefitOracleSql,
     "q_bpe_encode" -> operators.Bpe.bpeEncodeOracleSql,
     "q_bpe_persisted" -> operators.Bpe.bpeEncodeOracleSql,
+    "q_shard_balance" -> sources.Export.shardBalanceOracleSql,
     "q_bpe_fertility" -> operators.Bpe.bpeFertilityOracleSql,
     "q_cooccur" -> TextAnalysis.cooccurOracleSql,
     "q_block_tree" -> operators.BlockTree.oracleSql,

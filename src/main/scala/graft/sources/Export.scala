@@ -208,4 +208,71 @@ object Export {
       else df.repartition(files)
     laid.write.mode("overwrite").parquet(outPath)
   }
+
+  /** Shards in the audited training export. */
+  val ShardCount = 16
+
+  /** One-time sharded export of the documents corpus (doc_id +
+    * token count per row) under an app-scoped root — the artifact
+    * [[shardBalance]] audits. Marker-skipped on re-invocation.
+    */
+  def materializeShards(s: SparkSession, dir: String): String = {
+    val root = ScopedFixture.root(s, "graft_shards", dir)
+    FixtureCleanup.onExit(root)
+    if (ScopedFixture.isComplete(root)) return root
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+    writeSharded(docs, s"$root/shards", "doc_id", ShardCount)
+    ScopedFixture.markComplete(root)
+    root
+  }
+
+  /** Shard-balance audit (`q_shard_balance`): per shard of the
+    * materialized training export, document and token counts plus the
+    * load factor (n_docs · shards / total) — the table a loader ops
+    * review reads before an epoch (a hot shard = a straggling data-
+    * loader worker every epoch). The query reads the WRITTEN artifact
+    * while the DuckDB oracle recomputes the portable-hash assignment
+    * from the raw corpus — their cell-equality proves the export's
+    * partitioning and round trip end-to-end, the same artifact
+    * contract as q_bpe_persisted/q_ann_pq_indexed.
+    *
+    * Shape: one scan of the shard tree (the `shard=k/` partition
+    * column prunes nothing here — every shard aggregates — but the
+    * scan is column-pruned to 2 ints), dim-sized per-shard aggregate,
+    * broadcast scalar total for the load factor.
+    */
+  def shardBalance(s: SparkSession, dir: String): DataFrame = {
+    val root = materializeShards(s, dir)
+    val per = s.read.parquet(s"$root/shards")
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val tot = per.agg(sum("n_docs").as("_td"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        (floor(col("n_docs").cast("double") * lit(ShardCount) / col("_td") *
+          lit(1e4) + lit(0.5)) / 1e4).as("load_factor"))
+      .orderBy("shard")
+  }
+
+  /** DuckDB twin of [[shardBalance]] — recomputes the shard assignment
+    * from `documents` with the same reduced multiplicative hash.
+    */
+  def shardBalanceOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT CAST(doc_id % 1000000007 * $ShardHashA % 1000000007
+       |           % $ShardCount AS BIGINT) AS shard,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |a AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |      FROM t GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td FROM a)
+       |SELECT shard, n_docs, n_tokens,
+       |  floor(CAST(n_docs AS DOUBLE) * $ShardCount / td * 1e4 + 0.5) / 1e4
+       |    AS load_factor
+       |FROM a, tot ORDER BY shard""".stripMargin
 }

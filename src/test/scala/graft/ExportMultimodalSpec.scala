@@ -262,6 +262,24 @@ class ExportMultimodalSpec extends AnyFunSuite {
     assert(manifest === byShard)
   }
 
+  test("shard balance audit reconciles with the corpus and the artifact") {
+    import graft.sources.Export
+    val rows = Export.shardBalance(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L until Export.ShardCount).toSeq)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === nDocs, "every doc in exactly one shard")
+    val totTok = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.size(
+        graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    assert(rows.map(_.getLong(2)).sum === totTok, "token mass conserved")
+    // load factors average exactly 1/shard-count of the corpus each
+    val lf = rows.map(_.getDouble(3))
+    assert(lf.forall(f => f > 0.0 && f < Export.ShardCount),
+      "no empty and no all-absorbing shard")
+    assert(math.abs(lf.sum - Export.ShardCount) < 1e-2 * Export.ShardCount)
+  }
+
   test("z-ordered layout confines a point filter to a fraction of the files") {
     import graft.sources.Layout
     val ev = Tables.events(spark, sf)
