@@ -122,6 +122,8 @@ object SparkEntry {
     // slope (marginals) and conditional next-token entropy (transitions)
     "q_zipf_fit"        -> CorpusCuration.zipfFit _,
     "q_bigram_entropy"  -> CorpusCuration.bigramEntropy _,
+    // Efraimidis-Spirakis exact-size quality-weighted sample
+    "q_weighted_sample" -> CorpusCuration.weightedSample _,
     // §2.6c learned data-selection filters (round 8): NB curated-text
     // classifier (train/score/holdout-eval) + DSIR importance weights —
     // full DuckDB oracles down to the training computation itself
@@ -711,6 +713,20 @@ object SparkEntry {
     "q_vocab_coverage"  -> CorpusCuration.vocabCoverageOracleSql,
     "q_zipf_fit"        -> CorpusCuration.zipfFitOracleSql,
     "q_bigram_entropy"  -> CorpusCuration.bigramEntropyOracleSql,
+    "q_weighted_sample" ->
+      s"""WITH $sqlQualityCtes,
+         |k AS (
+         |  SELECT doc_id, quality,
+         |    CAST(floor(ln(CAST(doc_id % ${CorpusCuration.WSampleP}
+         |        * ${CorpusCuration.WSampleA} % ${CorpusCuration.WSampleP}
+         |        + 1 AS DOUBLE) / ${CorpusCuration.WSampleP})
+         |      / greatest(quality, ${CorpusCuration.WSampleMinW}) * 1e6)
+         |      AS BIGINT) AS key_micro
+         |  FROM qq)
+         |SELECT CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id)
+         |    AS INTEGER) AS rank, doc_id, quality, key_micro
+         |FROM k ORDER BY key_micro DESC, doc_id
+         |LIMIT ${CorpusCuration.WSampleK}""".stripMargin,
     "q_nb_train"        -> operators.Classifier.nbTrainOracleSql,
     "q_nb_score"        -> operators.Classifier.nbScoreOracleSql,
     "q_nb_eval"         -> operators.Classifier.nbEvalOracleSql,

@@ -1127,6 +1127,59 @@ object CorpusCuration {
        |FROM base JOIN tl USING (source) ORDER BY source""").stripMargin
 
   // ---------------------------------------------------------------------
+  // q_weighted_sample — Efraimidis-Spirakis quality-weighted selection
+  // ---------------------------------------------------------------------
+
+  /** Sample size, hash constants, and the weight floor (quality is
+    * 4-dp quantized; the floor keeps the exponent finite on an
+    * all-zero-quality doc).
+    */
+  val WSampleK = 100
+  val WSampleP = 1000000007L
+  val WSampleA = 2654435761L
+  val WSampleMinW = 0.0001
+
+  /** Quality-weighted sample without replacement (`q_weighted_sample`):
+    * the Efraimidis-Spirakis A-Res scheme (2006) — per doc a
+    * deterministic uniform u from the portable hash, key = ln(u)/w
+    * with w = quality, keep the K largest keys. P(doc in sample)
+    * rises with quality, no doc repeats, and — unlike the Bernoulli
+    * gate `q_quality_sample` — the output size is EXACTLY K: the form
+    * a fixed annotation or eval budget needs ("pick the best-biased
+    * 100 docs, spend exactly 100 labels").
+    *
+    * Distributed shape: key computation is map-only riding the scan
+    * (overflow-safe reduced multiplicative hash — the writeSharded
+    * lesson); top-K is orderBy+limit (per-partition heap + driver
+    * merge, never a global sort); rank assembles driver-side over the
+    * K collected rows (bounded by construction — the skew_report
+    * idiom).
+    *
+    * Cross-engine determinism: u = (h+1)/p is one exact-rounded
+    * division of exact integers, `ln` is reproducible (the unigram
+    * micro-nat precedent — Viterbi DECISIONS ride the same trust),
+    * and the key is floor-quantized to INTEGER micro-nats, so the
+    * top-K cut compares integers — no ulp-boundary selection flips
+    * (the ppl_buckets threshold lesson applied at the source).
+    */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = pmod(pmod(col("doc_id"), lit(WSampleP)) * lit(WSampleA), lit(WSampleP))
+    val u = (h + lit(1L)).cast("double") / lit(WSampleP.toDouble)
+    val w = greatest(qualityScore(col("text")), lit(WSampleMinW))
+    val top = Tables.documents(s, dir)
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"),
+        floor(log(u) / w * lit(1e6)).cast("long").as("key_micro"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+      .limit(WSampleK)
+      .collect() // ≤ K rows by construction
+    import s.implicits._
+    top.zipWithIndex
+      .map { case (r, i) => (i + 1, r.getLong(0), r.getDouble(1), r.getLong(2)) }
+      .toSeq.toDF("rank", "doc_id", "quality", "key_micro")
+      .orderBy("rank")
+  }
+
+  // ---------------------------------------------------------------------
   // q_zipf_fit — per-source Zipf slope over the token rank-frequency curve
   // ---------------------------------------------------------------------
 

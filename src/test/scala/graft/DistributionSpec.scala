@@ -187,6 +187,26 @@ class DistributionSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // q_weighted_sample
+  // -------------------------------------------------------------------
+
+  test("weighted sample: exactly K rows, keys ordered, quality-biased") {
+    val rows = CorpusCuration.weightedSample(spark, sf).collect()
+    assert(rows.length === CorpusCuration.WSampleK, "fixed-size sample")
+    assert(rows.map(_.getLong(1)).distinct.length === rows.length, "no replacement")
+    val keys = rows.map(_.getLong(3))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b },
+      "ranked by descending E-S key")
+    // selection bias: the sample's mean quality beats the corpus mean
+    // (keys = ln(u)/w are stochastically larger for larger w)
+    val corpusMean = operators.TextAnalysis.quality(spark, sf)
+      .agg(avg("quality")).head().getDouble(0)
+    val sampleMean = rows.map(_.getDouble(2)).sum / rows.length
+    assert(sampleMean > corpusMean,
+      s"quality-weighted: sample $sampleMean vs corpus $corpusMean")
+  }
+
+  // -------------------------------------------------------------------
   // q_event_paths
   // -------------------------------------------------------------------
 
