@@ -634,6 +634,8 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
       "q_kl_drift",
       // ≤64 bucket rows × the single doc-total scalar row
       "q_length_histogram",
+      // shard-count rows × the single doc-total scalar row
+      "q_shard_balance",
       // source-catalog (dim-sized) signature self-join on an inequality
       "q_source_sim")
     for ((q, _) <- SparkEntry.queries) {
