@@ -1067,10 +1067,23 @@ object ExtendedAnalytics {
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("prev_type", lag("event_type", 1).over(byUser))
       .filter(col("prev_type").isNotNull)
-      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .select(col("prev_type"), col("event_type").as("next_type"))
+    transitionRates(pairs)
+  }
+
+  /** Value stage from a (prev_type, next_type) pair stream — shared
+    * verbatim with [[graft.streaming.StreamingTransitions]], whose
+    * emitted pair rows are the same stream, so stream == batch exactly.
+    */
+  private[graft] def transitionRates(pairs: DataFrame): DataFrame = {
+    val counted = pairs.groupBy("prev_type", "next_type")
       .agg(count(lit(1)).as("n"))
-    val totals = pairs.groupBy("prev_type").agg(sum("n").as("n_from"))
-    pairs.join(broadcast(totals), Seq("prev_type"))
+    // rename the derived side's key: both frames descend from the same
+    // plan, and a same-name equi-join on a memory-table lineage trips
+    // Catalyst's conflicting-reference resolution
+    val totals = counted.select(col("prev_type").as("pt"), col("n"))
+      .groupBy("pt").agg(sum("n").as("n_from"))
+    counted.join(broadcast(totals), col("prev_type") === col("pt"))
       .select(col("prev_type"), col("next_type"), col("n"), col("n_from"),
         (floor(col("n").cast("double") / col("n_from") * lit(1e4) + lit(0.5)) / 1e4)
           .as("p"))

@@ -264,6 +264,44 @@ class DistributionSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // streaming transitions twin
+  // -------------------------------------------------------------------
+
+  test("streaming transitions equal the batch matrix over a batched ordered stream") {
+    import spark.implicits._
+    import graft.streaming.{Ev, StreamingTransitions}
+    implicit val sqlCtx = spark.sqlContext
+    def evts(minute: Long, id: Long, uid: Long, tpe: String) =
+      Ev(id, new java.sql.Timestamp(1700000000000L + minute * 60000L), uid, tpe, 1.0)
+    // three micro-batches, event-time ordered per user; user 2's chain
+    // STRADDLES the batch boundary — the pair (B,A) must come from
+    // carried state, not within-batch pairing
+    val b1 = Seq(evts(0, 1, 1, "A"), evts(1, 2, 1, "B"), evts(0, 4, 2, "B"))
+    val b2 = Seq(evts(2, 3, 1, "A"), evts(5, 5, 2, "A"))
+    val b3 = Seq(evts(9, 6, 2, "A"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = StreamingTransitions.transitionPairs(mem.toDS())
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+      val streamed = StreamingTransitions.ratesOf(spark.table("trans_out"))
+        .collect().map(_.toString).toSeq
+      // the same events as a batch table through the batch operator
+      val dir = java.nio.file.Files.createTempDirectory("graft_strans").toString
+      (b1 ++ b2 ++ b3).map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = operators.ExtendedAnalytics.eventTransitions(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(streamed === batch,
+        "carried last-event state reproduces the batch lag pairing exactly")
+    } finally q.stop()
+  }
+
+  // -------------------------------------------------------------------
   // streaming twins: zipf view on the KL state, bigram-entropy monitor
   // -------------------------------------------------------------------
 
