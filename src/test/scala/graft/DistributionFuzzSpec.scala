@@ -1,0 +1,146 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seeded random fixtures for the round-8 distribution/event family,
+  * checked against INDEPENDENT local Scala references (a third
+  * implementation besides the Spark plan and the DuckDB oracle — the
+  * ShinglePosFuzzSpec pattern). Seeds are fixed so failures reproduce.
+  */
+class DistributionFuzzSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_dfuzz_$tag").toString
+
+  // ---- random events vs local references ------------------------------
+
+  private def randomEvents(seed: Long, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val types = Array("A", "B", "C", "D")
+    (1 to n).map { i =>
+      // coarse minute grid FORCES timestamp collisions inside a user,
+      // so the (ts, event_id) tiebreak actually decides pairings
+      val minute = rnd.nextInt(20)
+      (i.toLong, new java.sql.Timestamp(1700000000000L + minute * 60000L),
+        (rnd.nextInt(5) + 1).toLong, types(rnd.nextInt(types.length)),
+        1.0, "{}")
+    }
+  }
+
+  private def writeEvents(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)],
+                          dir: String): Unit = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  test("event transitions match a local reference on random streams") {
+    for (seed <- Seq(11L, 42L, 99L)) {
+      val rows = randomEvents(seed, 120)
+      val dir = tmp(s"tr$seed")
+      writeEvents(rows, dir)
+      // local reference: per user sort by (ts, event_id), pair, count
+      val pairs = rows.groupBy(_._3).toSeq.flatMap { case (_, es) =>
+        val sorted = es.sortBy(e => (e._2.getTime, e._1)).map(_._4)
+        sorted.zip(sorted.drop(1))
+      }
+      val totals = pairs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val want = pairs.groupBy(identity).map { case ((a, b), v) =>
+        (a, b, v.size.toLong, totals(a),
+          math.floor(v.size.toDouble / totals(a) * 1e4 + 0.5) / 1e4)
+      }.toSet
+      val got = operators.ExtendedAnalytics.eventTransitions(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("event paths match a local reference on random streams") {
+    for (seed <- Seq(7L, 123L)) {
+      val rows = randomEvents(seed, 120)
+      val dir = tmp(s"pa$seed")
+      writeEvents(rows, dir)
+      val trigrams = rows.groupBy(_._3).toSeq.flatMap { case (_, es) =>
+        val sorted = es.sortBy(e => (e._2.getTime, e._1)).map(_._4)
+        sorted.sliding(3).filter(_.size == 3).map(_.mkString(">"))
+      }
+      val want = trigrams.groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+        .toSeq.sortBy { case (p, n) => (-n, p) }
+        .take(operators.ExtendedAnalytics.PathTopK)
+        .zipWithIndex.map { case ((p, n), i) => (i + 1, p, n) }
+      val got = operators.ExtendedAnalytics.eventPaths(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  // ---- random corpus vs local OLS -------------------------------------
+
+  test("zipf slope matches a local OLS on random frequency profiles") {
+    import spark.implicits._
+    for (seed <- Seq(5L, 77L)) {
+      val rnd = new scala.util.Random(seed)
+      // ~30 distinct tokens with random counts 1..40 in one source
+      val counts = (0 until 30).map(i => f"tok$i%02d" -> (rnd.nextInt(40) + 1))
+      val text = rnd.shuffle(counts.flatMap { case (t, c) => Seq.fill(c)(t) })
+        .mkString(" ")
+      val dir = tmp(s"zf$seed")
+      Seq((1L, text, "en", "srcR", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // local reference: rank by (count desc, token), OLS on (ln r, ln c)
+      val ranked = counts.sortBy { case (t, c) => (-c, t) }.map(_._2)
+        .zipWithIndex.map { case (c, i) => (math.log(i + 1.0), math.log(c.toDouble)) }
+      val n = ranked.length.toDouble
+      val (sx, sy) = (ranked.map(_._1).sum, ranked.map(_._2).sum)
+      val sxy = ranked.map(p => p._1 * p._2).sum
+      val sxx = ranked.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val want = math.floor(slope * 1e6 + 0.5) / 1e6
+      val got = operators.CorpusCuration.zipfFit(spark, dir).collect()
+      assert(got.length === 1 && got.head.getLong(1) === 30L)
+      assert(math.abs(got.head.getDouble(2) - want) < 2e-6,
+        s"seed $seed: got ${got.head.getDouble(2)}, local $want")
+    }
+  }
+
+  // ---- random embeddings vs local brute force -------------------------
+
+  test("1-NN label accuracy matches a local brute force on random embeddings") {
+    import spark.implicits._
+    for (seed <- Seq(3L, 31L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val vecs = (0 until n).map { i =>
+        (i.toLong, Array.fill(8)((rnd.nextInt(2000) - 1000) / 1000.0f), rnd.nextInt(3))
+      }
+      val dir = tmp(s"knn$seed")
+      vecs.map { case (id, e, l) => (id, e.toSeq, l) }
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      def dot(a: Array[Float], b: Array[Float]): Double =
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      // Spark `round(x, 6)` is BigDecimal HALF_UP — away from zero for
+      // negatives, so a floor-shift local twin would diverge on the
+      // negative cosines random vectors produce
+      def cos(a: Array[Float], b: Array[Float]): Double =
+        BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val nnLab = vecs.map { case (id, e, _) =>
+        val best = vecs.filter(_._1 != id)
+          .map { case (jid, f, jl) => (cos(e, f), -jid, jl) }.max
+        (id, best._3)
+      }.toMap
+      val want = vecs.groupBy(_._3).map { case (l, vs) =>
+        val correct = vs.count { case (id, _, lab) => nnLab(id) == lab }
+        (l, vs.size.toLong, correct.toLong,
+          math.floor(correct.toDouble / vs.size * 1e4 + 0.5) / 1e4)
+      }.toSet
+      val got = operators.Similarity.knnLabelAcc(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+}
