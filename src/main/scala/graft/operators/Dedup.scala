@@ -97,6 +97,7 @@ object Dedup {
   def releaseShingleCache(s: SparkSession, dir: String): Unit = {
     shingledPlan(s, dir).unpersist()
     minhashPairsPlan(s, dir).unpersist()
+    ngramPairsPlan(s, dir).unpersist()
   }
 
   private def jaccard(interCol: Column, na: Column, nb: Column): Column =
@@ -106,10 +107,24 @@ object Dedup {
     * shingle (exact-complete for J ≥ τ > 0), verified on the distinct
     * shingle sets. Shuffle key = shingle hash.
     */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = shingled(s, dir)
-    verifyByCooccurrence(docs, candidatesFromCooc = true, JaccardT)
-  }
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramPairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** Session-persisted verified n-gram Jaccard pair frame (unordered) —
+    * consumed by `q_dedup_ngram_jaccard` AND the cluster contraction
+    * (`q_dedup_clusters` reads the edge list repeatedly across rounds);
+    * the co-occurrence verify is the most expensive dedup stage and
+    * must not re-run per consumer (the minhashPairs rationale). Sparse
+    * output, the post-shuffle-small persist class; released by
+    * [[releaseShingleCache]].
+    */
+  private[graft] def ngramPairs(s: SparkSession, dir: String): DataFrame =
+    ngramPairsPlan(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def ngramPairsPlan(s: SparkSession, dir: String): DataFrame =
+    verifyByCooccurrence(shingled(s, dir), candidatesFromCooc = true, JaccardT,
+      ordered = false)
 
   /** Stop-shingle cap: a shingle present in more than this many
     * documents ("of the data", boilerplate headers) contributes

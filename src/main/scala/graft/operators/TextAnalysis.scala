@@ -303,8 +303,10 @@ object TextAnalysis {
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     // checkpoint the verified pairs first — the contraction reads the
     // edge frame repeatedly and must not re-run the shingle/
-    // co-occurrence pipeline (the most expensive stage here) per round
-    val pairs = graft.operators.Dedup.ngramJaccard(s, dir).select("doc_a", "doc_b")
+    // co-occurrence pipeline (the most expensive stage here) per round;
+    // the session-persisted pair frame also means this query and
+    // q_dedup_ngram_jaccard share ONE verify run
+    val pairs = graft.operators.Dedup.ngramPairs(s, dir).select("doc_a", "doc_b")
       .localCheckpoint()
     Components.connectedComponents(pairs, "doc_a", "doc_b").orderBy("doc_id")
   }
