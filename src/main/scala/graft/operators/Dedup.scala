@@ -98,6 +98,7 @@ object Dedup {
     shingledPlan(s, dir).unpersist()
     minhashPairsPlan(s, dir).unpersist()
     ngramPairsPlan(s, dir).unpersist()
+    coocCachedPlan(s, dir).unpersist()
   }
 
   private def jaccard(interCol: Column, na: Column, nb: Column): Column =
@@ -124,7 +125,7 @@ object Dedup {
 
   private def ngramPairsPlan(s: SparkSession, dir: String): DataFrame =
     verifyByCooccurrence(shingled(s, dir), candidatesFromCooc = true, JaccardT,
-      ordered = false)
+      ordered = false, coocPre = coocCached(s, dir))
 
   /** Stop-shingle cap: a shingle present in more than this many
     * documents ("of the data", boilerplate headers) contributes
@@ -180,12 +181,28 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
   }
 
+  /** Session-persisted co-occurrence frame at the standard cap — the
+    * Θ(candidates) postings self-join is computed by THREE pair
+    * consumers (ngram verify, minhash verify, containment); one
+    * materialization serves them all. Candidate-pair-sized (bounded by
+    * Σ df² over capped shingles — the stop-shingle cap is what makes
+    * this a persistable size at all); released by
+    * [[releaseShingleCache]].
+    */
+  private def coocCached(s: SparkSession, dir: String): DataFrame =
+    coocCachedPlan(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def coocCachedPlan(s: SparkSession, dir: String): DataFrame =
+    coocPairs(shingled(s, dir), MaxShingleDf)
+
   private[graft] def verifyByCooccurrence(docs: DataFrame, candidatesFromCooc: Boolean,
                                    threshold: Double,
                                    cand: DataFrame = null,
                                    maxDf: Long = MaxShingleDf,
-                                   ordered: Boolean = true): DataFrame = {
-    val cooc = coocPairs(docs, maxDf)
+                                   ordered: Boolean = true,
+                                   coocPre: DataFrame = null): DataFrame = {
+    val cooc = if (coocPre != null) coocPre else coocPairs(docs, maxDf)
     val verified = if (candidatesFromCooc) cooc else cooc.join(cand, Seq("doc_a", "doc_b"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
     val out = verified
@@ -241,7 +258,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verifyByCooccurrence(docs, candidatesFromCooc = false, MinhashJaccardT, cand,
-      ordered = false)
+      ordered = false, coocPre = coocCached(s, dir))
   }
 
   /** Cross-source duplication matrix (`q_dup_matrix`): the verified
@@ -285,7 +302,7 @@ object Dedup {
   def containment(s: SparkSession, dir: String): DataFrame = {
     val docs = shingled(s, dir)
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
-    val withSizes = coocPairs(docs, MaxShingleDf)
+    val withSizes = coocCached(s, dir)
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
     withSizes
