@@ -51,7 +51,8 @@ object Bench {
     "q_lm_score" -> "lms", "q_markdown_runs" -> "md",
     "q_moving_avg" -> "ma", "q_multimodal_meta" -> "mm",
     "q_nb_train" -> "nbt", "q_nb_score" -> "nbs",
-    "q_nb_eval" -> "nbe", "q_dsir_weights" -> "dw", "q_dsir_select" -> "dws",
+    "q_nb_eval" -> "nbe", "q_nb_auc" -> "nba",
+    "q_dsir_weights" -> "dw", "q_dsir_select" -> "dws",
     "q_filter_cascade" -> "fc", "q_char_entropy" -> "ce",
     "q_pipeline_yield" -> "py", "q_blocklist_filter" -> "bf",
     "q_skew_report" -> "sk", "q_corpus_card" -> "cc",

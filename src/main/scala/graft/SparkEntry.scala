@@ -130,6 +130,8 @@ object SparkEntry {
     "q_nb_train"      -> ((s, d) => operators.Classifier.nbTrain(s, d)),
     "q_nb_score"      -> ((s, d) => operators.Classifier.nbScore(s, d)),
     "q_nb_eval"       -> operators.Classifier.nbEval _,
+    // threshold-free ranking quality: binned ROC-AUC on the holdout
+    "q_nb_auc"        -> operators.Classifier.nbAuc _,
     "q_dsir_weights"  -> ((s, d) => operators.Classifier.dsirWeights(s, d)),
     "q_dsir_select"   -> ((s, d) => operators.Classifier.dsirSelect(s, d)),
     // the cascade idiom: map-side heuristic gate prunes the stream
@@ -730,6 +732,7 @@ object SparkEntry {
     "q_nb_train"        -> operators.Classifier.nbTrainOracleSql,
     "q_nb_score"        -> operators.Classifier.nbScoreOracleSql,
     "q_nb_eval"         -> operators.Classifier.nbEvalOracleSql,
+    "q_nb_auc"          -> operators.Classifier.nbAucOracleSql,
     "q_dsir_weights"    -> operators.Classifier.dsirWeightsOracleSql,
     "q_dsir_select"     -> operators.Classifier.dsirSelectOracleSql,
     "q_char_entropy"    -> TextAnalysis.charEntropyOracleSql,

@@ -256,6 +256,92 @@ object Classifier {
       .orderBy("is_cur")
 
   // ---------------------------------------------------------------------
+  // q_nb_auc — held-out ranking quality (binned ROC-AUC)
+  // ---------------------------------------------------------------------
+
+  /** Threshold bins for the AUC statistic (1001 = the MLlib
+    * BinaryClassificationMetrics numBins shape — a FIXED grid keeps
+    * the per-bin frame bounded by construction at any corpus size,
+    * where exact AUC's rank pass is a global sort over the holdout).
+    */
+  val AucBins = 1000
+
+  /** Held-out ranking quality (`q_nb_auc`): binned ROC-AUC of the NB
+    * score against the curated label on the fold the model never saw —
+    * the threshold-free companion to `q_nb_eval`'s confusion summary
+    * (a filter is USED at a tuned threshold; AUC says whether any
+    * good threshold exists).
+    *
+    * Distributed shape: score min/max are one 2-number aggregate
+    * (broadcast scalars); bin assignment is map-side; the per-bin
+    * (neg, pos) frame is ≤ [[AucBins]]+1 rows BY CONSTRUCTION, so the
+    * cumulative-negative pass runs driver-side over the collected bins
+    * (the skew_report idiom — no unpartitioned window, no global
+    * sort). Tie handling is Mann-Whitney: within-bin pairs count ½,
+    * carried as INTEGER doubled-numerator arithmetic (2·C_neg + g per
+    * bin), so the statistic is exact for the binned scores and the
+    * final division is one correct-rounded double op — identical in
+    * the oracle.
+    */
+  def nbAuc(s: SparkSession, dir: String): DataFrame = {
+    val hold = nbScore(s, dir, ordered = false)
+      .filter(col("fold") === "holdout")
+      .select(col("is_cur"), col("nb_score"))
+    val mm = hold.agg(min("nb_score").as("lo"), max("nb_score").as("hi")).head()
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val bin =
+      if (hi == lo) lit(0L)
+      else least(floor((col("nb_score") - lit(lo)) / lit(hi - lo) * lit(AucBins))
+        .cast("long"), lit(AucBins.toLong))
+    val bins = hold.groupBy(bin.as("bin"))
+      .agg(sum(when(col("is_cur") === 1, 1L).otherwise(0L)).as("p"),
+        sum(when(col("is_cur") === 1, 0L).otherwise(1L)).as("g"))
+      .collect() // ≤ AucBins+1 rows by construction
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var cneg = 0L
+    var numer2 = 0L
+    bins.foreach { case (_, p, g) => numer2 += p * (2L * cneg + g); cneg += g }
+    val nPos = bins.map(_._2).sum
+    val nNeg = bins.map(_._3).sum
+    val auc = numer2.toDouble / (2.0 * math.max(nPos, 1L) * math.max(nNeg, 1L))
+    import s.implicits._
+    Seq((nPos, nNeg, math.floor(auc * Dp4 + 0.5) / Dp4))
+      .toDF("n_pos", "n_neg", "auc")
+  }
+
+  def nbAucOracleSql: String =
+    s"""WITH $nbSqlCtes,
+       |hold AS (
+       |  SELECT b.is_cur,
+       |    floor(CAST(coalesce(h.sx, 0) + p.p6 AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4
+       |      AS nb_score
+       |  FROM base b LEFT JOIN hit h USING (doc_id), pri p
+       |  WHERE b.b >= $TrainPermille),
+       |mm AS (SELECT min(nb_score) AS lo, max(nb_score) AS hi FROM hold),
+       |bins AS (
+       |  SELECT CASE WHEN hi = lo THEN 0
+       |    ELSE least(CAST(floor((nb_score - lo) / (hi - lo) * $AucBins)
+       |      AS BIGINT), $AucBins) END AS bin,
+       |    CAST(sum(is_cur) AS BIGINT) AS p,
+       |    CAST(sum(1 - is_cur) AS BIGINT) AS g
+       |  FROM hold, mm GROUP BY 1),
+       |cum AS (
+       |  SELECT p, g, CAST(coalesce(sum(g) OVER (ORDER BY bin
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS cneg
+       |  FROM bins),
+       |agg AS (
+       |  SELECT CAST(sum(p * (2 * cneg + g)) AS BIGINT) AS numer2,
+       |    CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(g) AS BIGINT) AS n_neg
+       |  FROM cum)
+       |SELECT n_pos, n_neg,
+       |  floor(CAST(numer2 AS DOUBLE)
+       |    / (2.0 * greatest(n_pos, 1) * greatest(n_neg, 1)) * 1e4 + 0.5) / 1e4
+       |    AS auc
+       |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_filter_cascade — cheap gate before the expensive model
   // ---------------------------------------------------------------------
 

@@ -187,6 +187,46 @@ class DistributionSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // q_nb_auc
+  // -------------------------------------------------------------------
+
+  test("nb auc: separable vocabulary scores 1.0; corpus value equals a local recount") {
+    import spark.implicits._
+    // perfectly separable: curated sources speak one vocabulary, web
+    // sources another — the holdout ranking must be perfect
+    val dir = java.nio.file.Files.createTempDirectory("graft_auc").toString
+    val docs = (1L to 300L).map { i =>
+      val cur = i % 2 == 0
+      val src = if (cur) "src0" else "src1" // src0 ∈ CuratedSources
+      val text = if (cur) "alpha beta gamma alpha beta" else "delta eps zeta delta eps"
+      (i, text, "en", src, text.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sep = operators.Classifier.nbAuc(spark, dir).head()
+    assert(sep.getLong(0) > 0 && sep.getLong(1) > 0, "holdout holds both classes")
+    assert(sep.getDouble(2) === 1.0, s"separable vocab ranks perfectly: $sep")
+
+    // corpus: recompute the binned statistic locally from the score frame
+    val hold = operators.Classifier.nbScore(spark, sf, ordered = false)
+      .filter(col("fold") === "holdout").select("is_cur", "nb_score").collect()
+      .map(r => (r.getInt(0) == 1, r.getDouble(1)))
+    val (lo, hi) = (hold.map(_._2).min, hold.map(_._2).max)
+    def bin(s: Double): Long =
+      if (hi == lo) 0L
+      else math.min(math.floor((s - lo) / (hi - lo) * operators.Classifier.AucBins).toLong,
+        operators.Classifier.AucBins.toLong)
+    val byBin = hold.groupBy(h => bin(h._2)).toSeq.sortBy(_._1)
+      .map { case (b, hs) => (b, hs.count(_._1).toLong, hs.count(!_._1).toLong) }
+    var cneg = 0L; var numer2 = 0L
+    byBin.foreach { case (_, p, g) => numer2 += p * (2L * cneg + g); cneg += g }
+    val np = byBin.map(_._2).sum; val ng = byBin.map(_._3).sum
+    val want = math.floor(numer2.toDouble / (2.0 * np * ng) * 1e4 + 0.5) / 1e4
+    val got = operators.Classifier.nbAuc(spark, sf).head()
+    assert((got.getLong(0), got.getLong(1), got.getDouble(2)) === ((np, ng, want)))
+  }
+
+  // -------------------------------------------------------------------
   // q_weighted_sample
   // -------------------------------------------------------------------
 
