@@ -60,7 +60,7 @@ object Bench {
     "q_bigram_entropy" -> "bge", "q_bpe_persisted" -> "bpp",
     "q_knn_label_acc" -> "kla", "q_dup_matrix" -> "dxm",
     "q_event_paths" -> "epa", "q_shard_balance" -> "shb",
-    "q_weighted_sample" -> "ws",
+    "q_weighted_sample" -> "ws", "q_cluster_reps" -> "crp",
     "q_length_histogram" -> "lh", "q_unigram_vocab" -> "uv",
     "q_unigram_encode" -> "ue", "q_unigram_refit" -> "ur",
     "q_ngram_freq" -> "ng", "q_normalize_status" -> "ns",

@@ -98,6 +98,8 @@ object SparkEntry {
     "q_chunk_docs"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q_cooccur"         -> TextAnalysis.cooccur _,
     "q_dedup_clusters"  -> TextAnalysis.dedupClusters _,
+    // the clustering ACTION: keep the best member per near-dup cluster
+    "q_cluster_reps"    -> TextAnalysis.clusterReps _,
     "q_clean_pipeline"  -> TextAnalysis.cleanPipeline _,
     // the full corpus→training-sequences path as one composed query
     "q_corpus_pipeline" -> ((s, d) => TextAnalysis.corpusPipeline(s, d)),
@@ -235,6 +237,40 @@ object SparkEntry {
     * (kept as plain literals: the s-interpolator would reject the regex
     * backslashes as escape sequences).
     */
+  /** Shingle → Jaccard-pair → transitive-reach CTE chain ending in
+    * `reach` — shared by the q_dedup_clusters and q_cluster_reps
+    * oracles so the clustering definitions cannot drift. Callers
+    * prefix `WITH RECURSIVE`.
+    */
+  private val sqlClusterCtes =
+    """toks AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         sgl AS (
+           SELECT doc_id, CASE WHEN len(t) >= 3
+             THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                    i -> array_to_string(t[i:i + 2], ' ')))
+             ELSE [] END AS shs FROM toks),
+         docs AS (
+           SELECT doc_id, list_distinct(list_transform(shs,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+                  (a, c) -> (a * 31 + c) % 1000000007))) AS sh
+           FROM sgl WHERE len(shs) > 0),
+         ex AS (SELECT doc_id, unnest(sh) AS h FROM docs),
+         cooc AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+           FROM ex x JOIN ex y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         pairs AS (
+           SELECT a, b FROM cooc
+           JOIN docs da ON da.doc_id = a JOIN docs db ON db.doc_id = b
+           WHERE CAST(inter AS DOUBLE) / (len(da.sh) + len(db.sh) - inter) >= 0.6),
+         edges AS (SELECT a AS s, d FROM (SELECT a, b AS d FROM pairs) UNION
+                   SELECT b AS s, a AS d FROM pairs),
+         reach AS (
+           SELECT s, d FROM edges
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)"""
+
   private val sqlQualityCtes =
     """qt AS (
            SELECT doc_id, CAST(length(text) AS DOUBLE) AS nchars,
@@ -1120,35 +1156,28 @@ object SparkEntry {
          SELECT doc_id, rank, token, score FROM ranked
          WHERE rank <= 3 ORDER BY doc_id, rank""",
     "q_dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
-         sgl AS (
-           SELECT doc_id, CASE WHEN len(t) >= 3
-             THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
-                    i -> array_to_string(t[i:i + 2], ' ')))
-             ELSE [] END AS shs FROM toks),
-         docs AS (
-           SELECT doc_id, list_distinct(list_transform(shs,
-             s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-                    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-                  (a, c) -> (a * 31 + c) % 1000000007))) AS sh
-           FROM sgl WHERE len(shs) > 0),
-         ex AS (SELECT doc_id, unnest(sh) AS h FROM docs),
-         cooc AS (
-           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-           FROM ex x JOIN ex y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2),
-         pairs AS (
-           SELECT a, b FROM cooc
-           JOIN docs da ON da.doc_id = a JOIN docs db ON db.doc_id = b
-           WHERE CAST(inter AS DOUBLE) / (len(da.sh) + len(db.sh) - inter) >= 0.6),
-         edges AS (SELECT a AS s, d FROM (SELECT a, b AS d FROM pairs) UNION
-                   SELECT b AS s, a AS d FROM pairs),
-         reach AS (
-           SELECT s, d FROM edges
-           UNION
-           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+      s"""WITH RECURSIVE $sqlClusterCtes
          SELECT s AS doc_id, least(s, min(d)) AS cluster_id
          FROM reach GROUP BY s ORDER BY doc_id""",
+    "q_cluster_reps" ->
+      s"""WITH RECURSIVE $sqlClusterCtes,
+         cl AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+                FROM reach GROUP BY s),
+         $sqlQualityCtes,
+         j AS (
+           SELECT cl.cluster_id, cl.doc_id,
+             CAST(floor(qq.quality * 1e4 + 0.5) AS BIGINT) AS qint
+           FROM cl JOIN qq USING (doc_id)),
+         r AS (
+           SELECT cluster_id, doc_id, qint,
+             row_number() OVER (PARTITION BY cluster_id
+               ORDER BY qint DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS nm
+           FROM j)
+         SELECT cluster_id, CAST(nm AS BIGINT) AS n_members,
+           doc_id AS rep_doc_id, CAST(qint AS DOUBLE) / 1e4 AS rep_quality,
+           CAST(nm - 1 AS BIGINT) AS n_dropped
+         FROM r WHERE rn = 1 ORDER BY cluster_id""",
     "q_weighted_mean" ->
       """SELECT l_returnflag,
          round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wmean

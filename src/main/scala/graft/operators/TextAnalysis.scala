@@ -311,6 +311,37 @@ object TextAnalysis {
     Components.connectedComponents(pairs, "doc_a", "doc_b").orderBy("doc_id")
   }
 
+  /** Cluster-representative selection (`q_cluster_reps`): the ACTION
+    * step after near-dup clustering — per cluster, KEEP the
+    * highest-quality member (doc_id tiebreak) and drop the rest; the
+    * table a dedup pass materializes to decide which copy trains.
+    * Output per cluster: member count, representative id + quality,
+    * dropped count.
+    *
+    * Shape: rides [[dedupClusters]] (itself riding the session-
+    * persisted verified-pair frame) joined to map-side quality; the
+    * per-cluster argmax is one max(struct) aggregate over the integer
+    * 4-dp quality grid with the −doc_id tiebreak (total order by
+    * construction — the q_knn_label_acc pattern, no window); the
+    * output frame is cluster-cardinality.
+    */
+  def clusterReps(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        floor(qualityScore(col("text")) * lit(1e4) + lit(0.5)).cast("long")
+          .as("qint"))
+    dedupClusters(s, dir)
+      .join(q, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("qint"), (-col("doc_id")).as("negid"))).as("best"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("best.negid")).as("rep_doc_id"),
+        (col("best.qint").cast("double") / 1e4).as("rep_quality"),
+        (col("n_members") - lit(1L)).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
   /** Laplace pseudo-count for the bigram LM. */
   val LmAlpha = 1
   /** Score rounding — log arithmetic never lands on exact .5

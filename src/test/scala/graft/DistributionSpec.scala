@@ -187,6 +187,32 @@ class DistributionSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // q_cluster_reps
+  // -------------------------------------------------------------------
+
+  test("cluster reps: one rep per cluster, the best member, counts reconcile") {
+    val clusters = operators.TextAnalysis.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val qual = operators.TextAnalysis.quality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val reps = operators.TextAnalysis.clusterReps(spark, sf).collect()
+    assert(reps.map(_.getLong(0)).toSet === clusters.map(_._2).toSet,
+      "exactly the clusters the contraction found")
+    val byCluster = clusters.groupBy(_._2)
+    reps.foreach { r =>
+      val (cid, n, rep, rq, dropped) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))
+      val members = byCluster(cid).map(_._1)
+      assert(members.length.toLong === n && dropped === n - 1)
+      assert(members.contains(rep))
+      // the rep is the (quality desc, doc_id asc) argmax over members
+      val want = members.map(d => (-qual(d), d)).min._2
+      assert(rep === want, s"cluster $cid rep")
+      assert(rq === qual(rep))
+    }
+  }
+
+  // -------------------------------------------------------------------
   // q_nb_auc
   // -------------------------------------------------------------------
 
