@@ -166,6 +166,9 @@ object Classifier {
     * keeps release from triggering the very computation it frees).
     */
   def releaseModelCache(s: SparkSession, dir: String): Unit = {
+    // scored first: rebuilding its plan needs the totals collect, which
+    // rides the still-cached counts (the guard comment below)
+    if (scoredCache.remove(dir)) scoredFramePlan(s, dir).unpersist()
     nbCountsPlan(s, dir).unpersist()
     if (dsirCntCache.contains(dir)) {
       dsirFramePlan(s, dir).unpersist()
@@ -229,10 +232,30 @@ object Classifier {
     * against 0 — the decision can never flip on a rounding boundary.
     */
   def nbScore(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
-    val (tc, tw, v) = nbTotals(s, dir)
-    val model = modelFromCounts(nbCounts(s, dir), tc, tw, v)
-    val out = scoreStage(Tables.documents(s, dir), model, nbPriorU(s, dir))
+    val out = scoredFrame(s, dir)
     if (ordered) out.orderBy("doc_id") else out
+  }
+
+  /** Session-persisted per-doc score frame — q_nb_score, q_nb_eval and
+    * q_nb_auc all reduce over it (the AUC alone takes two actions:
+    * min/max then bins), and the scoring pass carries the corpus-wide
+    * token⋈model join + doc reduce that must not re-run per consumer
+    * (the lmScoreFrame precedent: narrow O(docs) frame, post-shuffle);
+    * released by [[releaseModelCache]].
+    */
+  private val scoredCache =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def scoredFrame(s: SparkSession, dir: String): DataFrame = {
+    scoredCache.add(dir)
+    scoredFramePlan(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def scoredFramePlan(s: SparkSession, dir: String): DataFrame = {
+    val (tc, tw, v) = nbTotals(s, dir)
+    scoreStage(Tables.documents(s, dir),
+      modelFromCounts(nbCounts(s, dir), tc, tw, v), nbPriorU(s, dir))
   }
 
   // ---------------------------------------------------------------------
@@ -284,10 +307,16 @@ object Classifier {
     * the oracle.
     */
   def nbAuc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val hold = nbScore(s, dir, ordered = false)
       .filter(col("fold") === "holdout")
       .select(col("is_cur"), col("nb_score"))
     val mm = hold.agg(min("nb_score").as("lo"), max("nb_score").as("hi")).head()
+    // empty holdout (possible only on a degenerate corpus whose ids all
+    // hash into the train permille): no ranking information — 0.5 on
+    // both sides, matching the oracle's coalesce
+    if (mm.isNullAt(0))
+      return Seq((0L, 0L, 0.5)).toDF("n_pos", "n_neg", "auc")
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val bin =
       if (hi == lo) lit(0L)
@@ -304,8 +333,11 @@ object Classifier {
     bins.foreach { case (_, p, g) => numer2 += p * (2L * cneg + g); cneg += g }
     val nPos = bins.map(_._2).sum
     val nNeg = bins.map(_._3).sum
-    val auc = numer2.toDouble / (2.0 * math.max(nPos, 1L) * math.max(nNeg, 1L))
-    import s.implicits._
+    // a one-class holdout carries no ranking information: 0.5, the
+    // same convention as the empty case (oracle CASE mirrors it)
+    val auc =
+      if (nPos == 0 || nNeg == 0) 0.5
+      else numer2.toDouble / (2.0 * nPos * nNeg)
     Seq((nPos, nNeg, math.floor(auc * Dp4 + 0.5) / Dp4))
       .toDF("n_pos", "n_neg", "auc")
   }
@@ -332,13 +364,14 @@ object Classifier {
        |    AS cneg
        |  FROM bins),
        |agg AS (
-       |  SELECT CAST(sum(p * (2 * cneg + g)) AS BIGINT) AS numer2,
-       |    CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(g) AS BIGINT) AS n_neg
+       |  SELECT CAST(coalesce(sum(p * (2 * cneg + g)), 0) AS BIGINT) AS numer2,
+       |    CAST(coalesce(sum(p), 0) AS BIGINT) AS n_pos,
+       |    CAST(coalesce(sum(g), 0) AS BIGINT) AS n_neg
        |  FROM cum)
        |SELECT n_pos, n_neg,
-       |  floor(CAST(numer2 AS DOUBLE)
-       |    / (2.0 * greatest(n_pos, 1) * greatest(n_neg, 1)) * 1e4 + 0.5) / 1e4
-       |    AS auc
+       |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.5 ELSE
+       |    floor(CAST(numer2 AS DOUBLE) / (2.0 * n_pos * n_neg) * 1e4 + 0.5) / 1e4
+       |  END AS auc
        |FROM agg""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -522,7 +555,15 @@ object Classifier {
     val w = dsirFrame(s, dir)
     val thr = w.agg(
       expr(s"percentile(logw_per_feat, cast(1 as double)/2)")).head().getDouble(0)
-    val tSnap = math.floor(thr * Dp4 + 0.5) / Dp4
+    // snap at the HALF grid (2e4): logw_per_feat is 4-dp quantized, so
+    // an even-count median interpolates to k or k+0.5 grid units —
+    // thr*2e4 is an exact INTEGER either way and the +0.5 floor sits a
+    // full half-unit from any boundary, where a 1e4 snap puts the
+    // k+0.5 case exactly ON the boundary and a 1-ulp percentile/
+    // quantile_cont difference flips the selected set (the ppl_buckets
+    // lesson, applied at the source). Selected set unchanged: values
+    // on the 1e-4 grid compare identically against k/1e4 and (2k)/2e4.
+    val tSnap = math.floor(thr * (Dp4 * 2) + 0.5) / (Dp4 * 2)
     val out = w.filter(col("logw_per_feat") >= lit(tSnap))
       .select(col("doc_id"), col("n_feat"), col("dsir_logw"), col("logw_per_feat"))
     if (ordered) out.orderBy("doc_id") else out
@@ -609,7 +650,7 @@ object Classifier {
   def dsirSelectOracleSql: String =
     s"""WITH $dsirSqlCtes,
        |thr AS (SELECT floor(quantile_cont(logw_per_feat, CAST(1 AS DOUBLE)/2)
-       |              * 1e4 + 0.5) / 1e4 AS t FROM w)
+       |              * 2e4 + 0.5) / 2e4 AS t FROM w)
        |SELECT doc_id, n_feat, dsir_logw, logw_per_feat
        |FROM w, thr WHERE logw_per_feat >= t
        |ORDER BY doc_id""".stripMargin

@@ -1229,12 +1229,19 @@ object CorpusCuration {
         sum(col("y").cast("decimal(38,18)")).as("sy"),
         sum((col("x") * col("y")).cast("decimal(38,18)")).as("sxy"),
         sum((col("x") * col("x")).cast("decimal(38,18)")).as("sxx"))
-      .select(col("source"), col("n_ranks"),
-        (floor((col("n_ranks").cast("double") * col("sxy").cast("double") -
-            col("sx").cast("double") * col("sy").cast("double")) /
-          (col("n_ranks").cast("double") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double")) *
-          KlDp + lit(0.5)) / KlDp).as("zipf_slope"))
+      .select(col("source"), col("n_ranks"), {
+        // a single-rank source (one distinct token) has x ≡ 0, so the
+        // variance denominator is EXACTLY 0 — no slope exists; emit
+        // NULL on both sides rather than a 0/0 NaN (the r5 guard rule;
+        // with ≥2 ranks the x values are distinct and the denominator
+        // is genuinely positive)
+        val den = col("n_ranks").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")
+        val num = col("n_ranks").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")
+        when(den =!= 0.0, floor(num / den * KlDp + lit(0.5)) / KlDp)
+          .as("zipf_slope")
+      })
       .orderBy("source")
   }
 
@@ -1259,9 +1266,10 @@ object CorpusCuration {
        |    CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
        |  FROM xy GROUP BY 1)
        |SELECT source, n_ranks,
-       |  floor((CAST(n_ranks AS DOUBLE) * sxy - sx * sy)
-       |    / (CAST(n_ranks AS DOUBLE) * sxx - sx * sx) * 1e6 + 0.5) / 1e6
-       |    AS zipf_slope
+       |  CASE WHEN CAST(n_ranks AS DOUBLE) * sxx - sx * sx <> 0 THEN
+       |    floor((CAST(n_ranks AS DOUBLE) * sxy - sx * sy)
+       |      / (CAST(n_ranks AS DOUBLE) * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+       |  ELSE NULL END AS zipf_slope
        |FROM agg ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -964,20 +964,23 @@ object ExtendedAnalytics {
     * docs clamp into bucket 0 via `greatest(n, 1)`.
     *
     * Map-only bucket assignment rides the scan into a ≤64-row
-    * aggregate; the share denominator is a broadcast scalar.
+    * aggregate, collected ONCE; shares assemble driver-side (the
+    * skew_report idiom — a broadcast-total cross join would re-run
+    * the corpus scan for the build side).
     */
   def lengthHistogram(s: SparkSession, dir: String): DataFrame = {
     val b = Tables.documents(s, dir)
       .select((length(bin(greatest(col("n_chars"), lit(1L)))) - 1).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
-    val total = broadcast(b.agg(sum("n_docs").as("total")))
-    b.crossJoin(total)
-      .select(col("bucket"),
-        expr("shiftleft(CAST(1 AS BIGINT), bucket)").as("lo_chars"),
-        (expr("shiftleft(CAST(1 AS BIGINT), bucket + 1)") - 1).as("hi_chars"),
-        col("n_docs"),
-        (floor(col("n_docs").cast("double") / col("total") * 1e4 + lit(0.5)) / 1e4)
-          .as("share"))
+      .collect() // ≤ 64 rows by construction
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val total = b.map(_._2).sum
+    import s.implicits._
+    b.map { case (bk, n) =>
+      (bk, 1L << bk, (1L << (bk + 1)) - 1, n,
+        math.floor(n.toDouble / total * 1e4 + 0.5) / 1e4)
+    }.toSeq.toDF("bucket", "lo_chars", "hi_chars", "n_docs", "share")
       .orderBy("bucket")
   }
 
@@ -1074,19 +1077,24 @@ object ExtendedAnalytics {
   /** Value stage from a (prev_type, next_type) pair stream — shared
     * verbatim with [[graft.streaming.StreamingTransitions]], whose
     * emitted pair rows are the same stream, so stream == batch exactly.
+    * ONE corpus pass (the map-side-combined pair count); the
+    * \|types\|²-bounded count frame collects and the row totals +
+    * probabilities assemble driver-side — a derived-totals join would
+    * re-run the window+aggregate per reference (the ReuseExchange
+    * landmine, measured on kl_drift).
     */
   private[graft] def transitionRates(pairs: DataFrame): DataFrame = {
     val counted = pairs.groupBy("prev_type", "next_type")
       .agg(count(lit(1)).as("n"))
-    // rename the derived side's key: both frames descend from the same
-    // plan, and a same-name equi-join on a memory-table lineage trips
-    // Catalyst's conflicting-reference resolution
-    val totals = counted.select(col("prev_type").as("pt"), col("n"))
-      .groupBy("pt").agg(sum("n").as("n_from"))
-    counted.join(broadcast(totals), col("prev_type") === col("pt"))
-      .select(col("prev_type"), col("next_type"), col("n"), col("n_from"),
-        (floor(col("n").cast("double") / col("n_from") * lit(1e4) + lit(0.5)) / 1e4)
-          .as("p"))
+      .collect() // ≤ |event types|² rows by construction
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val totals = counted.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val rows = counted.map { case (a, b, n) =>
+      val nf = totals(a)
+      (a, b, n, nf, math.floor(n.toDouble / nf * 1e4 + 0.5) / 1e4)
+    }.sortBy(r => (r._1, r._2))
+    import pairs.sparkSession.implicits._
+    rows.toSeq.toDF("prev_type", "next_type", "n", "n_from", "p")
       .orderBy("prev_type", "next_type")
   }
 

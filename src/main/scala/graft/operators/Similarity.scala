@@ -88,34 +88,39 @@ object Similarity {
     * path in Dedup covers that regime). This operator distributes the
     * unavoidable quadratic work instead of pretending to prune it.
     */
-  def embeddingDup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Tiled all-pairs frame over a (vec_id, e, nrm[, carry…]) base:
+    * every unordered pair of rows appears EXACTLY once (off-diagonal
+    * tiles see it once, possibly as (hi, lo); diagonal tiles see both
+    * orientations and keep the ascending one — the filter encodes
+    * both facts), as a plain shuffle equi-join on the tile id. Shared
+    * by [[embeddingDup]] and [[knnLabelAcc]] so the exactly-once
+    * pairing invariant lives in ONE place. `carry` columns ride along
+    * as `<name>_a`/`<name>_b`.
+    */
+  private def tiledPairs(base: DataFrame, carry: Seq[String]): DataFrame = {
+    import base.sparkSession.implicits._
     val B = DupBlocks
     val tiles = (for { i <- 0 until B; j <- i until B } yield (i * B + j, i, j))
       .toDF("tile", "t_blk_a", "t_blk_b")
-    val base = normed(s, dir)
-    val a = base
-      .select(col("vec_id").as("vec_a"), col("e").as("e_a"), col("nrm").as("n_a"),
-        pmod(col("vec_id"), lit(B)).cast("int").as("t_blk_a"))
-      .join(broadcast(tiles), "t_blk_a")
-      .select("tile", "vec_a", "e_a", "n_a")
-    val b = base
-      .select(col("vec_id").as("vec_b"), col("e").as("e_b"), col("nrm").as("n_b"),
-        pmod(col("vec_id"), lit(B)).cast("int").as("t_blk_b"))
-      .join(broadcast(tiles), "t_blk_b")
-      .select("tile", "vec_b", "e_b", "n_b")
-    // off-diagonal tiles (blk_a < blk_b) see each unordered pair exactly
-    // once (possibly as (hi, lo) — canonicalized below); diagonal tiles
-    // see both orientations, so keep the ascending one only
-    a.join(b, Seq("tile"))
+    def side(sfx: String, blkCol: String) =
+      base.select(Seq(col("vec_id").as(s"vec_$sfx"), col("e").as(s"e_$sfx"),
+          col("nrm").as(s"n_$sfx")) ++
+        carry.map(c => col(c).as(s"${c}_$sfx")) :+
+        pmod(col("vec_id"), lit(B)).cast("int").as(blkCol): _*)
+        .join(broadcast(tiles), blkCol)
+        .drop("t_blk_a", "t_blk_b")
+    side("a", "t_blk_a").join(side("b", "t_blk_b"), Seq("tile"))
       .filter(pmod(col("vec_a"), lit(B)) < pmod(col("vec_b"), lit(B)) ||
         col("vec_a") < col("vec_b"))
+  }
+
+  def embeddingDup(s: SparkSession, dir: String): DataFrame =
+    tiledPairs(normed(s, dir), Nil)
       .withColumn("cos_sim", round(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6))
       .filter(col("cos_sim") >= CosineDupT)
       .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
         greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cos_sim"))
       .orderBy("vec_a", "vec_b")
-  }
 
   /** 1-NN leave-one-out label accuracy (`q_knn_label_acc`): for every
     * vector, the label of its nearest neighbor (cosine, self excluded)
@@ -140,31 +145,14 @@ object Similarity {
     * cap, so the operator computes the full exact audit here.
     */
   def knnLabelAcc(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val B = DupBlocks
-    val tiles = (for { i <- 0 until B; j <- i until B } yield (i * B + j, i, j))
-      .toDF("tile", "t_blk_a", "t_blk_b")
     val base = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("e"), col("label"))
       .withColumn("nrm", sqrt(ArrayOps.dotF(col("e"), col("e"))))
-    val a = base
-      .select(col("vec_id").as("vec_a"), col("e").as("e_a"), col("nrm").as("n_a"),
-        col("label").as("lab_a"),
-        pmod(col("vec_id"), lit(B)).cast("int").as("t_blk_a"))
-      .join(broadcast(tiles), "t_blk_a")
-      .select("tile", "vec_a", "e_a", "n_a", "lab_a")
-    val b = base
-      .select(col("vec_id").as("vec_b"), col("e").as("e_b"), col("nrm").as("n_b"),
-        col("label").as("lab_b"),
-        pmod(col("vec_id"), lit(B)).cast("int").as("t_blk_b"))
-      .join(broadcast(tiles), "t_blk_b")
-      .select("tile", "vec_b", "e_b", "n_b", "lab_b")
-    val pairs = a.join(b, Seq("tile"))
-      .filter(pmod(col("vec_a"), lit(B)) < pmod(col("vec_b"), lit(B)) ||
-        col("vec_a") < col("vec_b"))
+    val pairs = tiledPairs(base, Seq("label"))
       .withColumn("cos_sim",
         round(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6))
-      .select("vec_a", "lab_a", "vec_b", "lab_b", "cos_sim")
+      .select(col("vec_a"), col("label_a").as("lab_a"),
+        col("vec_b"), col("label_b").as("lab_b"), col("cos_sim"))
     // both orientations from ONE pass over the pair rows (a union of
     // two selects re-runs the tile join and every dot product twice —
     // the explode is map-side on the already-scored rows)

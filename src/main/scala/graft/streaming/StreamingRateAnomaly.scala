@@ -22,19 +22,23 @@ import graft.operators.CorpusCuration
   * State is O(retained hours). A forever-running monitor calls
   * [[pruneBefore]] to drop hours older than the trailing window needs
   * (24 h + the live edge); pruning only forgets hours that can no
-  * longer affect any future z. After a prune, [[current]] emits ONLY
-  * hours whose full 24 h trailing window is still in state (hour ≥
-  * pruned boundary + trail) — hours inside the fringe would otherwise
-  * recompute z from a shortened trail and silently diverge from the
-  * batch operator, breaking the stream==batch equality this class
-  * promises.
+  * longer affect any future z. After a prune that DROPS hours,
+  * [[current]] emits only hours whose full 24 h trailing window is
+  * still in state (hour > largest dropped hour + trail) — fringe
+  * hours would otherwise recompute z from a shortened trail and
+  * silently diverge from the batch operator, breaking the
+  * stream==batch equality this class promises. A no-op prune
+  * withholds nothing.
   */
 class StreamingRateAnomaly extends Serializable {
 
   private val counts = scala.collection.mutable.HashMap.empty[Long, Long]
-  // Exclusive lower bound of hours guaranteed complete in `counts`
-  // (Long.MinValue until the first prune).
-  private var prunedTo: Long = Long.MinValue
+  // Largest hour a prune ACTUALLY removed (Long.MinValue until one
+  // does). Gating on what was dropped — not on the requested boundary —
+  // keeps a no-op prune (boundary at or below the oldest retained
+  // hour) from withholding rows whose trailing windows are fully
+  // intact, which would silently narrow the stream==batch equality.
+  private var droppedMax: Long = Long.MinValue
 
   /** Merge one micro-batch of events (needs a `ts` timestamp column). */
   def mergeBatch(events: DataFrame): Unit = {
@@ -59,7 +63,9 @@ class StreamingRateAnomaly extends Serializable {
     */
   def pruneBefore(hourNo: Long): Unit =
     this.synchronized {
-      prunedTo = math.max(prunedTo, hourNo)
+      val dropped = counts.keysIterator.filter(_ < hourNo).toSeq
+      if (dropped.nonEmpty)
+        droppedMax = math.max(droppedMax, dropped.max)
       counts.filterInPlace((h, _) => h >= hourNo)
     }
 
@@ -69,11 +75,13 @@ class StreamingRateAnomaly extends Serializable {
     * than emitted with a divergent z.
     */
   def current(s: SparkSession): DataFrame = {
-    val (hours, boundary) =
-      this.synchronized { (counts.toSeq.sortBy(_._1), prunedTo) }
+    val (hours, dm) =
+      this.synchronized { (counts.toSeq.sortBy(_._1), droppedMax) }
+    // an hour h recomputes a shortened trail iff its window [h−T, h)
+    // reaches a dropped hour, i.e. h ≤ droppedMax + T
     val minEmit =
-      if (boundary == Long.MinValue) Long.MinValue
-      else boundary + CorpusCuration.AnomalyTrailHours
+      if (dm == Long.MinValue) Long.MinValue
+      else dm + CorpusCuration.AnomalyTrailHours + 1
     val rows = hours.filter(_._1 >= minEmit).map { case (h, n) =>
       val trail = hours.filter { case (t, _) =>
         t >= h - CorpusCuration.AnomalyTrailHours && t < h }
@@ -113,11 +121,11 @@ class StreamingRateAnomaly extends Serializable {
     * withholding, which depends on the persisted boundary.
     */
   def snapshot(s: SparkSession, path: String): Unit = {
-    val (hours, boundary) =
-      this.synchronized { (counts.toSeq, prunedTo) }
+    val (hours, dm) =
+      this.synchronized { (counts.toSeq, droppedMax) }
     import s.implicits._
     hours.toDF("hr_no", "n").write.mode("overwrite").parquet(s"$path/counts")
-    Seq(boundary).toDF("pruned_to").write.mode("overwrite").parquet(s"$path/meta")
+    Seq(dm).toDF("dropped_max").write.mode("overwrite").parquet(s"$path/meta")
   }
 }
 
@@ -127,7 +135,7 @@ object StreamingRateAnomaly {
     val m = new StreamingRateAnomaly
     s.read.parquet(s"$path/counts").collect()
       .foreach(r => m.counts.update(r.getLong(0), r.getLong(1)))
-    m.prunedTo = s.read.parquet(s"$path/meta").head().getLong(0)
+    m.droppedMax = s.read.parquet(s"$path/meta").head().getLong(0)
     m
   }
 }
