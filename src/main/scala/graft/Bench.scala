@@ -87,7 +87,29 @@ object Bench {
     "q_uncategorized" -> "un", "q_value_deciles" -> "dec",
     "q_vocab_coverage" -> "vcv", "q_vocab_topk" -> "vc", "q_weekly_focus" -> "wk",
     "q_weekly_velocity" -> "wkv", "q_weighted_mean" -> "wm",
-    "q_wow_change" -> "wo")
+    "q_wow_change" -> "wo",
+    "shared_bpe_learner" -> "Sbp", "shared_curation_frames" -> "Scf",
+    "shared_dedup_pairs" -> "Sdp", "shared_nb_model" -> "Snb",
+    "shared_report_frames" -> "Srf", "shared_text_pipeline" -> "Stp",
+    "shared_unigram_model" -> "Sug")
+
+  /** Session-persisted shared frames, materialized BEFORE the query
+    * loop as `shared_*` pseudo-entries. Without this, the build cost
+    * lands on whichever consumer runs first — r8 measured
+    * `q_cluster_reps` absorbing ~47 of its 49 cpu-s building the
+    * dedup pair pipeline that three other queries then rode, and the
+    * HashMap iteration order silently reassigned that cost between
+    * rounds. With the builds attributed here and the catalog iterated
+    * SORTED, per-query numbers compare round-over-round.
+    */
+  private[graft] val SharedBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "shared_bpe_learner" -> ((s, d) => graft.operators.Bpe.warmLearnedCache(s, d)),
+    "shared_curation_frames" -> ((s, d) => graft.operators.CorpusCuration.warmCurationCache(s, d)),
+    "shared_dedup_pairs" -> ((s, d) => graft.operators.Dedup.warmSharedCaches(s, d)),
+    "shared_nb_model" -> ((s, d) => graft.operators.Classifier.warmModelCache(s, d)),
+    "shared_report_frames" -> ((s, d) => graft.operators.ReportDoc.warmReportCache(s, d)),
+    "shared_text_pipeline" -> ((s, d) => graft.operators.TextAnalysis.warmPipelineCache(s, d)),
+    "shared_unigram_model" -> ((s, d) => graft.operators.Unigram.warmModelCache(s, d)))
 
   private[graft] def shortKey(name: String): String =
     ShortKey.getOrElse(name, name.stripPrefix("q_"))
@@ -96,6 +118,15 @@ object Bench {
     * reads first; the full map is in bench_detail.json).
     */
   private[graft] val LineTopK = 12
+
+  /** Failure entries carried on the stdout line. Failures always led
+    * the line uncapped until r9 — but a mass failure (bad testdata dir
+    * failing most of the catalog) then produced a >1500-char line and
+    * killed driver-tail visibility exactly when the alarm mattered.
+    * The first [[LineFailCap]] ride with their negative values; "nfail"
+    * carries the true count.
+    */
+  private[graft] val LineFailCap = 12
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -169,12 +200,12 @@ object Bench {
     // inside the driver's tail window as the catalog grows; a
     // sub-50-ms analysis failure survives the 1-dp trim as "-0.1",
     // never "-0", and the true elapsed time is in bench_detail.json)
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    def measure(name: String)(run: => Unit): (String, Double, Double) = {
       drain()
       val c0 = cpuNs.get
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try { run; true }
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       drain()
@@ -185,6 +216,16 @@ object Bench {
       val clamped = math.min(dt, 99.9)
       (name, if (ok) clamped else -math.min(math.max(dt, 0.1), 9.9), cpu)
     }
+    // shared builds first (attributed pseudo-entries), then the catalog
+    // in SORTED name order — deterministic attribution round-over-round
+    // (HashMap order reassigned shared costs between rounds otherwise).
+    val sharedResults = SharedBuilds.map { case (name, warmFn) =>
+      measure(name)(warmFn(spark, sfDir))
+    }
+    val queryResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      measure(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+    }
+    val results = sharedResults ++ queryResults
     // The one-line JSON must fit the driver's 2000-char tail-capture
     // window even as the catalog grows: short keys (ShortKey above),
     // per-query times at 1 dp with trailing zeros trimmed, total at
@@ -197,10 +238,14 @@ object Bench {
     }
     // At 139 queries even 2-char keys overflow the window (measured
     // 1538 chars worst-case at 139) — the line carries only the
-    // slowest LineTopK (every failure always rides: its negative value
-    // is the alarm the line exists for); the complete per-query map
-    // lives in bench_detail.json, and "nq" says how many ran.
-    val lineEntries = results.filter(_._2 < 0) ++
+    // slowest LineTopK plus the first LineFailCap failures (negative
+    // value = the alarm; "nfail" carries the true count so a mass
+    // failure still reads as one even when most names are elided —
+    // an uncapped failure list at catalog scale was itself a window
+    // overflow); the complete per-query map lives in
+    // bench_detail.json, and "nq" says how many catalog queries ran.
+    val fails = results.filter(_._2 < 0)
+    val lineEntries = fails.take(LineFailCap) ++
       results.filter(_._2 >= 0).sortBy(-_._2).take(LineTopK)
     val qs = lineEntries.map { case (k, v, _) => s"\"" + shortKey(k) + "\":" + fmt(1)(v) }
       .mkString("{", ",", "}")
@@ -218,7 +263,7 @@ object Bench {
     // counts against the tail window.
     val sfName = new java.io.File(sfDir).getName
     val line = s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec","queries":$qs,""" +
-      s""""nq":${results.size},"cpu":${fmt(1)(cpuTotal)},""" +
+      s""""nq":${queryResults.size},"nfail":${fails.size},"cpu":${fmt(1)(cpuTotal)},""" +
       s""""ld":[${fmt(2)(load0)},${fmt(2)(load1)}],"sf":"$sfName"}"""
     // Full-name per-query wall+cpu record for contention forensics —
     // not budget-bound, so keep full precision here.

@@ -93,6 +93,12 @@ object Bpe {
   def releaseLearnedCache(s: SparkSession, dir: String): Unit =
     learnedCache.remove((s, dir))
 
+  /** Run the memoized learner now, for Bench's `shared_` attribution
+    * (the four BPE queries then ride the memo).
+    */
+  private[graft] def warmLearnedCache(s: SparkSession, dir: String): Unit =
+    learned(s, dir)
+
   /** Run the learner: the merge list plus the final (rep, n) vocab
     * frame (still backed by the persisted base — call `release` after
     * the last action on it).

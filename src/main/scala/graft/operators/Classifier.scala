@@ -160,7 +160,7 @@ object Classifier {
 
   private def nbCounts(s: SparkSession, dir: String): DataFrame =
     nbCountsPlan(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.Memo.cached)
 
   /** Drop the session-scoped classifier caches for `dir` (the guard
     * keeps release from triggering the very computation it frees).
@@ -174,6 +174,15 @@ object Classifier {
       dsirFramePlan(s, dir).unpersist()
       dsirCntCache.remove(dir)
     }
+  }
+
+  /** Materialize the session-persisted classifier frames (NB counts,
+    * scored corpus, DSIR score frame) for Bench's `shared_` attribution.
+    */
+  private[graft] def warmModelCache(s: SparkSession, dir: String): Unit = {
+    nbCounts(s, dir).count()
+    scoredFrame(s, dir).count()
+    dsirFrame(s, dir).count()
   }
 
   /** (totCur, totWeb, vocab) from the persisted counts — a 3-number
@@ -249,7 +258,7 @@ object Classifier {
   private def scoredFrame(s: SparkSession, dir: String): DataFrame = {
     scoredCache.add(dir)
     scoredFramePlan(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.Memo.cached)
   }
 
   private def scoredFramePlan(s: SparkSession, dir: String): DataFrame = {
@@ -520,7 +529,7 @@ object Classifier {
 
   private def dsirFrame(s: SparkSession, dir: String): DataFrame =
     dsirFramePlan(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.Memo.cached)
 
   def dsirWeights(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
     val out = dsirFrame(s, dir)

@@ -251,7 +251,7 @@ object CorpusCuration {
     */
   private def sourceSig(s: SparkSession, dir: String): DataFrame =
     sourceSigPlan(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.Memo.cached)
 
   private def sourceSigPlan(s: SparkSession, dir: String): DataFrame = {
     import Dedup.{MinhashA, MinhashB, ShingleN}
@@ -876,7 +876,7 @@ object CorpusCuration {
     */
   private def postings(s: SparkSession, dir: String): DataFrame =
     postingsPlan(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.Memo.cached)
 
   private def postingsPlan(s: SparkSession, dir: String): DataFrame = {
     import Dedup.ShingleN
@@ -993,7 +993,7 @@ object CorpusCuration {
     */
   private def sourceTokenCounts(s: SparkSession, dir: String): DataFrame =
     sourceTokenCountsPlan(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.Memo.cached)
 
   private def sourceTokenCountsPlan(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -1006,6 +1006,17 @@ object CorpusCuration {
     sourceSigPlan(s, dir).unpersist()
     sourceTokenCountsPlan(s, dir).unpersist()
     bigramCountsPlan(s, dir).unpersist()
+  }
+
+  /** Materialize the session-persisted curation frames (postings,
+    * source signatures, (source, token) counts, bigram counts) for
+    * Bench's `shared_` attribution.
+    */
+  private[graft] def warmCurationCache(s: SparkSession, dir: String): Unit = {
+    postings(s, dir).count()
+    sourceSig(s, dir).count()
+    sourceTokenCounts(s, dir).count()
+    bigramCounts(s, dir).count()
   }
 
   def klDriftOracleSql: String =
@@ -1307,7 +1318,7 @@ object CorpusCuration {
     */
   private def bigramCounts(s: SparkSession, dir: String): DataFrame =
     bigramCountsPlan(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.Memo.cached)
 
   private def bigramCountsPlan(s: SparkSession, dir: String): DataFrame =
     bigramPairCounts(Tables.documents(s, dir))

@@ -83,7 +83,7 @@ object Dedup {
     */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     shingledPlan(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.Memo.cached)
 
   private def shingledPlan(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -93,12 +93,27 @@ object Dedup {
   /** Drop the session-scoped shingle cache for `dir` (CacheManager
     * lookup is by analyzed plan, so an identically-built frame releases
     * the entry registered by any prior dedup call).
+    *
+    * Reverse dependency order: CONSTRUCTING the pair plans calls
+    * shingled()/coocCached(), whose persist would re-register a
+    * just-released upstream entry — consumers first, the shingle frame
+    * last, so nothing re-registers after its release.
     */
   def releaseShingleCache(s: SparkSession, dir: String): Unit = {
-    shingledPlan(s, dir).unpersist()
     minhashPairsPlan(s, dir).unpersist()
     ngramPairsPlan(s, dir).unpersist()
     coocCachedPlan(s, dir).unpersist()
+    shingledPlan(s, dir).unpersist()
+  }
+
+  /** Materialize the session-persisted dedup pair pipeline (shingle
+    * frame, co-occurrence verify, MinHash + n-gram verified pairs) so
+    * Bench can attribute the shared build to a `shared_` pseudo-entry
+    * instead of whichever consumer query happens to run first.
+    */
+  private[graft] def warmSharedCaches(s: SparkSession, dir: String): Unit = {
+    minhashPairs(s, dir).count()
+    ngramPairs(s, dir).count()
   }
 
   private def jaccard(interCol: Column, na: Column, nb: Column): Column =
@@ -121,7 +136,7 @@ object Dedup {
     */
   private[graft] def ngramPairs(s: SparkSession, dir: String): DataFrame =
     ngramPairsPlan(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.Memo.cached)
 
   private def ngramPairsPlan(s: SparkSession, dir: String): DataFrame =
     verifyByCooccurrence(shingled(s, dir), candidatesFromCooc = true, JaccardT,
@@ -191,7 +206,7 @@ object Dedup {
     */
   private def coocCached(s: SparkSession, dir: String): DataFrame =
     coocCachedPlan(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.Memo.cached)
 
   private def coocCachedPlan(s: SparkSession, dir: String): DataFrame =
     coocPairs(shingled(s, dir), MaxShingleDf)
@@ -243,7 +258,7 @@ object Dedup {
     */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairsPlan(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.Memo.cached)
 
   private def minhashPairsPlan(s: SparkSession, dir: String): DataFrame = {
     val docs = shingled(s, dir)

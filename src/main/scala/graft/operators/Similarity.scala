@@ -54,14 +54,15 @@ object Similarity {
     * id) order is a property of the values, so the same set survives
     * under any partitioning.
     */
-  private[graft] def trainingSample(df: DataFrame): DataFrame = {
+  private[graft] def trainingSample(df: DataFrame,
+      cap: Long = TrainSampleCap): DataFrame = {
     val n = df.count()
-    if (n <= TrainSampleCap) df
+    if (n <= cap) df
     else {
-      val stride = math.ceil(n.toDouble / TrainSampleCap).toLong
+      val stride = math.ceil(n.toDouble / cap).toLong
       df.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
         .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-        .limit(TrainSampleCap.toInt)
+        .limit(cap.toInt)
     }
   }
 
@@ -139,15 +140,35 @@ object Similarity {
     * argmax is one max(struct) aggregate (rounded cosine desc, lowest
     * neighbor id tie-break — deterministic cross-engine), and the
     * verdict aggregates into a label-cardinality frame. At production
-    * scale the audit runs on a bounded evaluation sample by contract
-    * (the quality estimate needs the distribution, not the corpus —
-    * the TrainSampleCap argument); the shipped SFs sit under any such
-    * cap, so the operator computes the full exact audit here.
+    * scale the audit runs on a bounded evaluation sample — ENFORCED,
+    * not just declared: above [[KnnEvalCap]] vectors the audit runs on
+    * the deterministic [[trainingSample]] stride sample (the quality
+    * estimate needs the distribution, not the corpus — the
+    * TrainSampleCap argument), so pair work is capped at
+    * KnnEvalCap²/2 regardless of corpus size. The shipped SFs sit
+    * under the cap, so their audits stay full-exact and the oracle is
+    * unchanged; KnnEvalSpec proves capped == exact-on-the-sample above
+    * the cap and identity below it.
     */
-  def knnLabelAcc(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").as("e"), col("label"))
-      .withColumn("nrm", sqrt(ArrayOps.dotF(col("e"), col("e"))))
+  def knnLabelAcc(s: SparkSession, dir: String): DataFrame =
+    knnLabelAccCapped(s, dir, KnnEvalCap)
+
+  /** Evaluation-sample bound for the LOO 1-NN audit: above this many
+    * vectors, [[knnLabelAcc]] audits the deterministic stride sample
+    * instead of the full corpus. Same bound class as
+    * [[TrainSampleCap]] — at 10⁹ vectors the audit costs the same as
+    * at 8192 — and above all shipped correctness SFs so their results
+    * are the full exact audit.
+    */
+  val KnnEvalCap: Long = TrainSampleCap
+
+  private[graft] def knnLabelAccCapped(s: SparkSession, dir: String,
+      cap: Long): DataFrame = {
+    val base = trainingSample(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").as("e"), col("label"))
+        .withColumn("nrm", sqrt(ArrayOps.dotF(col("e"), col("e")))),
+      cap)
     val pairs = tiledPairs(base, Seq("label"))
       .withColumn("cos_sim",
         round(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6))

@@ -142,7 +142,7 @@ object TextAnalysis {
     */
   private def survivorCounts(s: SparkSession, dir: String): DataFrame =
     survivorCountsPlan(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.Memo.cached)
 
   private def survivorCountsPlan(s: SparkSession, dir: String): DataFrame = {
     val gated = Tables.documents(s, dir)
@@ -164,6 +164,14 @@ object TextAnalysis {
   def releasePipelineCache(s: SparkSession, dir: String): Unit = {
     survivorCountsPlan(s, dir).unpersist()
     lmScoreFramePlan(s, dir).unpersist()
+  }
+
+  /** Materialize the session-persisted pipeline frames (survivor
+    * counts, bigram-LM scores) for Bench's `shared_` attribution.
+    */
+  private[graft] def warmPipelineCache(s: SparkSession, dir: String): Unit = {
+    survivorCounts(s, dir).count()
+    lmScoreFrame(s, dir).count()
   }
 
   val ContaminationEvalDocs = 5
@@ -388,7 +396,7 @@ object TextAnalysis {
     */
   private[operators] def lmScoreFrame(s: SparkSession, dir: String): DataFrame =
     lmScoreFramePlan(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.plans.Memo.cached)
 
   private def lmScoreFramePlan(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)

@@ -130,12 +130,25 @@ class StreamingRateAnomaly extends Serializable {
 }
 
 object StreamingRateAnomaly {
-  /** Rebuild a monitor from a [[StreamingRateAnomaly.snapshot]]. */
+  /** Rebuild a monitor from a [[StreamingRateAnomaly.snapshot]].
+    *
+    * The meta column is read BY NAME: a pre-r8 snapshot carries
+    * `pruned_to` (the EXCLUSIVE requested prune boundary) where the
+    * current format carries `dropped_max` (the largest actually-dropped
+    * hour). Reading either positionally would shift the post-prune
+    * emit gate by one hour, so the legacy value is translated
+    * explicitly — hours < pruned_to were dropped, hence
+    * droppedMax = pruned_to − 1.
+    */
   def restore(s: SparkSession, path: String): StreamingRateAnomaly = {
     val m = new StreamingRateAnomaly
     s.read.parquet(s"$path/counts").collect()
       .foreach(r => m.counts.update(r.getLong(0), r.getLong(1)))
-    m.droppedMax = s.read.parquet(s"$path/meta").head().getLong(0)
+    val meta = s.read.parquet(s"$path/meta")
+    val row = meta.head()
+    m.droppedMax =
+      if (meta.columns.contains("dropped_max")) row.getAs[Long]("dropped_max")
+      else row.getAs[Long]("pruned_to") - 1L
     m
   }
 }

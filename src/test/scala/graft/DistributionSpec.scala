@@ -186,6 +186,45 @@ class DistributionSpec extends AnyFunSuite {
       s"the pair generation is the tiled equi-join, not a nested loop:\n$p")
   }
 
+  test("knn label acc eval cap: identity below, exact-on-the-sample above") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_knncap").toString
+    // 300 vectors in three 4-d cluster cones, deterministic jitter
+    val rows = (0L until 300L).map { i =>
+      val c = (i % 3).toInt
+      val j = (i * 37 % 101).toFloat / 1000f
+      val e = Array.tabulate(4)(d =>
+        (if (d == c) 1f else 0f) + (if (d == 3) j else 0f))
+      (i, e, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    // below the cap: the capped audit IS the exact audit (the shipped
+    // SFs' oracle rows cannot change)
+    val exact = operators.Similarity.knnLabelAccCapped(spark, dir, 10000L)
+      .collect().map(key).toSeq
+    assert(operators.Similarity.knnLabelAcc(spark, dir).collect().map(key).toSeq
+      === exact, "default cap (8192) > 300 vectors -> the audit is exact")
+    // above the cap: the audit == the full exact audit run on EXACTLY
+    // the deterministic stride sample (same ids, same rows)
+    val capped = operators.Similarity.knnLabelAccCapped(spark, dir, 100L)
+      .collect().map(key).toSeq
+    assert(capped.map(_._2).sum <= 100L, "audit size bounded by the cap")
+    val sampleIds = operators.Similarity.trainingSample(
+        spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id"), 100L)
+      .as[Long].collect().toSet
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_knncap2").toString
+    rows.filter(r => sampleIds.contains(r._1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    val onSample = operators.Similarity.knnLabelAcc(spark, dir2)
+      .collect().map(key).toSeq
+    assert(capped === onSample,
+      "capped audit must equal the exact audit over the stride sample")
+  }
+
   // -------------------------------------------------------------------
   // q_cluster_reps
   // -------------------------------------------------------------------

@@ -1056,28 +1056,32 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
 class BenchLineSpec extends org.scalatest.funsuite.AnyFunSuite {
 
   test("short keys are unique, non-stale, and cover every query") {
-    val stale = Bench.ShortKey.keySet -- SparkEntry.queries.keySet
-    assert(stale.isEmpty, s"ShortKey maps queries that no longer exist: $stale")
-    val emitted = SparkEntry.queries.keySet.toSeq.map(Bench.shortKey)
+    val live = SparkEntry.queries.keySet ++ Bench.SharedBuilds.map(_._1)
+    val stale = Bench.ShortKey.keySet -- live
+    assert(stale.isEmpty, s"ShortKey maps entries that no longer exist: $stale")
+    val emitted = live.toSeq.map(Bench.shortKey)
     assert(emitted.size === emitted.distinct.size,
       s"short-key collision: ${emitted.diff(emitted.distinct).distinct}")
   }
 
   test("worst-case bench line stays under 1500 chars (driver window is ~2000)") {
-    // the line carries LineTopK slowest successes + every failure; the
-    // worst case is ALL queries failing (each "-9.9", 5 chars) — but a
-    // total-catalog failure would be caught long before bench, so the
-    // budget-relevant worst case is LineTopK successes at "99.9" plus
-    // a generous 20 concurrent failures
-    val widest = SparkEntry.queries.keySet.toSeq.sorted.take(Bench.LineTopK + 20)
+    // the line carries LineTopK slowest successes + the first
+    // LineFailCap failures; the TRUE worst case — the whole catalog
+    // failing (bad testdata dir) — is therefore LineFailCap failure
+    // entries ("-9.9", 5 chars each) + LineTopK successes at "99.9",
+    // catalog-size-independent by construction
+    val widest = (SparkEntry.queries.keySet.toSeq ++ Bench.SharedBuilds.map(_._1))
+      .sorted.take(Bench.LineTopK + Bench.LineFailCap)
     val qs = widest.map(k => "\"" + Bench.shortKey(k) + "\":-9.9")
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":99999.99,"unit":"sec","queries":$qs,""" +
-      s""""nq":${SparkEntry.queries.size},"cpu":99999.9,"ld":[99.99,99.99],"sf":"sf0.1"}"""
+      s""""nq":${SparkEntry.queries.size},"nfail":${SparkEntry.queries.size},""" +
+      s""""cpu":99999.9,"ld":[99.99,99.99],"sf":"sf0.1"}"""
     assert(line.length < 1500,
       s"bench line worst case ${line.length} chars — the driver tail window is ~2000")
     // and the budget no longer grows with the catalog: the headroom at
-    // +100 queries is identical by construction (LineTopK is fixed)
+    // +100 queries is identical by construction (LineTopK and
+    // LineFailCap are both fixed)
   }
 }
 
