@@ -8,9 +8,14 @@ import org.apache.spark.sql.functions._
   * Image/audio/video payloads are opaque `binary` columns with typed
   * metadata travelling beside them. The Spark-side plumbing — schema,
   * partition-parallel batch decode via `mapPartitions`, stable row shape
-  * for downstream joins — is real and tested; the codec itself is a
-  * clearly marked deterministic STUB (no image/audio libraries in this
-  * environment). Swapping `stubDecode`/`stubEmbed` for a real codec
+  * for downstream joins — is real and tested. The image pixel codec is
+  * now REAL for PNG/JPEG/GIF (JDK ImageIO via [[Pixels]]: true pixel
+  * statistics in [[decodePixels]], true bilinear resampling in
+  * [[resize]]); container headers parse for real across PNG/JPEG/GIF +
+  * WAV/FLAC/MP3 ([[ImageHeaders]]/[[AudioHeaders]]). Only payloads with
+  * NO recognized container fall back to the clearly marked
+  * deterministic stubs (`stubDecode`, the byte-subsample resize,
+  * `embed`'s pseudo-embedding) — swapping those for a real model
   * changes no plan shape.
   *
   * At 100 TB: payloads dominate row size, so decode runs once per
@@ -105,22 +110,80 @@ object Multimodal {
 
   case class ResizedMedia(id: Long, kind: String, width: Int, height: Int, payload: Array[Byte])
 
-  /** STUB resize: a real codec would decode, resample, and re-encode;
-    * the fake deterministically subsamples payload bytes to the target
-    * "pixel" count so output size, schema, and partition shape are the
-    * real pipeline's. Swapping in a true image library changes only the
-    * body of the map function.
+  /** Resize: payloads with a recognized PNG/JPEG/GIF container are
+    * REALLY decoded (JDK ImageIO, see [[Pixels]]), bilinear-resampled
+    * to (w, h), and re-encoded as PNG. Unrecognized payloads keep the
+    * original deterministic byte-subsample stub (output size, schema,
+    * and partition shape are unchanged either way — the r1 plumbing
+    * contract).
     */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val target = w * h
-        val n = m.payload.length
-        val outBytes =
-          if (n == 0) Array.emptyByteArray
-          else Array.tabulate(target)(i => m.payload((i.toLong * n / target).toInt))
-        ResizedMedia(m.id, m.kind, w, h, outBytes)
+        Pixels.decode(m.payload) match {
+          case Some((_, img)) =>
+            ResizedMedia(m.id, "image/png", w, h,
+              Pixels.encodePng(Pixels.resample(img, w, h)))
+          case None =>
+            val target = w * h
+            val n = m.payload.length
+            val outBytes =
+              if (n == 0) Array.emptyByteArray
+              else Array.tabulate(target)(i => m.payload((i.toLong * n / target).toInt))
+            ResizedMedia(m.id, m.kind, w, h, outBytes)
+        }
+      }
+    }
+  }
+
+  case class PixelStats(id: Long, format: String, width: Int, height: Int,
+                        header_match: Boolean, mean_r: Double, mean_g: Double,
+                        mean_b: Double, mean_luma: Double, hist_luma: Array[Long])
+
+  /** REAL pixel decode (JDK ImageIO): per-image channel means plus a
+    * [[Pixels.HistBins]]-bin integer-luma histogram — the per-image
+    * sufficient statistics a media-quality gate filters on (all-black /
+    * blown-out / low-contrast detection). Payloads without a
+    * recognized image container drop (same contract as [[audioMeta]]:
+    * there is no honest stub for pixel statistics). Decoded dimensions
+    * are cross-checked against the independent [[ImageHeaders]] byte
+    * parse in `header_match` — a mismatch marks a corrupt or lying
+    * container without failing the batch. Same mapPartitions batch
+    * shape as [[decodeMeta]]; at 100 TB the decode is the map-side
+    * cost and the output is a fixed ~200 B/image row.
+    */
+  def decodePixels(media: Dataset[MediaRow]): Dataset[PixelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        Pixels.decode(m.payload).map { case (fmt, img) =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val headerMatch = ImageHeaders.parse(m.payload)
+            .exists { case (_, hw, hh) => hw == w && hh == h }
+          var sr = 0L; var sg = 0L; var sb = 0L
+          val hist = new Array[Long](Pixels.HistBins)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              sr += r; sg += g; sb += b
+              // integer BT.601 luma in [0, 255] -> equal-width bins
+              hist(((299 * r + 587 * g + 114 * b) / 1000) * Pixels.HistBins / 256) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          PixelStats(m.id, fmt, w, h, headerMatch,
+            sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+            (299L * sr + 587L * sg + 114L * sb).toDouble / (1000.0 * n), hist)
+        }
       }
     }
   }

@@ -102,13 +102,51 @@ object PqIndex {
       .write.mode("append").partitionBy("cell").parquet(s"$root/codes")
   }
 
+  /** Tombstone delete — the index lifecycle's third verb (FAISS
+    * `remove_ids`; production indexes take doc takedowns and dedup
+    * drops daily). O(batch): the ids append to a `tombstones/` parquet
+    * sidecar and NO code file is rewritten — search anti-joins the
+    * (deduped) tombstone set after cell pruning, and the next
+    * [[compact]] physically reclaims the rows. Deleting an id not in
+    * the index is a no-op by construction (anti-join semantics), as is
+    * deleting twice.
+    */
+  def delete(s: SparkSession, root: String, ids: Seq[Long]): Unit = {
+    import s.implicits._
+    ids.toDF("neighbor_id").write.mode("append").parquet(s"$root/tombstones")
+  }
+
+  /** The tombstone sidecar, if any delete has run. */
+  private def tombstones(s: SparkSession, root: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")))
+      Some(s.read.parquet(s"$root/tombstones"))
+    else None
+  }
+
+  /** Drop tombstoned ids from an encoded-codes frame. Applied AFTER
+    * cell pruning so the anti-join touches only probed partitions; the
+    * tombstone side is aggregated to distinct ids first (takedown logs
+    * repeat), and AQE picks a broadcast anti-join while the set stays
+    * small — at larger delete fractions the shuffle is O(probed codes),
+    * and [[compact]] is the pressure valve that returns the index to
+    * tombstone-free scans.
+    */
+  private def dropTombstoned(s: SparkSession, root: String,
+                             codes: DataFrame): DataFrame =
+    tombstones(s, root).fold(codes)(t =>
+      codes.join(t.select("neighbor_id").distinct(), Seq("neighbor_id"), "left_anti"))
+
   /** Re-cluster the codes tree after a run of appends (the Export
     * .compact idea, kept partition-aware: a flat rewrite would lose the
     * cell directories and with them the probe-time PartitionFilters
     * pruning). One exchange on cell, atomic-ish directory swap.
+    * Tombstoned rows are physically dropped in the rewrite and the
+    * sidecar is cleared — after compact the scan carries no anti-join.
     */
   def compact(s: SparkSession, root: String): Unit = {
-    val codes = s.read.parquet(s"$root/codes")
+    val codes = dropTombstoned(s, root, s.read.parquet(s"$root/codes"))
     val tmp = s"$root/codes_compacting"
     codes.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
@@ -117,6 +155,7 @@ object PqIndex {
     val cur = new org.apache.hadoop.fs.Path(s"$root/codes")
     fs.delete(cur, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), cur)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
   }
 
   /** Read the metadata sidecar back: (codebook, centroid set). */
@@ -161,8 +200,9 @@ object PqIndex {
     val qProbes = s.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), qPlan.schema)
     val probedCells = probeRows.map(_.getAs[Int]("cell")).distinct
-    val encoded = s.read.parquet(s"$root/codes")
-      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+    val encoded = dropTombstoned(s, root,
+      s.read.parquet(s"$root/codes")
+        .filter(col("cell").isin(probedCells.toIndexedSeq: _*)))
     Similarity.ivfPqSearch(encoded, qProbes,
       n.select(col("vec_id").as("neighbor_id"), col("e").as("e_c"), col("nrm").as("n_c")), cb)
   }

@@ -143,6 +143,75 @@ class ExportMultimodalSpec extends AnyFunSuite {
     assert(resized.head().payload.length === 64)
   }
 
+  test("decodePixels: real ImageIO decode, stats match reference, dims cross-check headers") {
+    import spark.implicits._
+    import graft.multimodal.Pixels
+    import java.awt.image.BufferedImage
+    // PNG 8x4: left half pure red, right half pure white — lossless, so
+    // every decoded statistic is EXACT
+    val pimg = new BufferedImage(8, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      pimg.setRGB(x, y, if (x < 4) 0xff0000 else 0xffffff)
+    val png = Pixels.encodePng(pimg)
+    // GIF 5x5 solid blue — palettized, but a solid primary survives exactly
+    val gimg = new BufferedImage(5, 5, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 5) gimg.setRGB(x, y, 0x0000ff)
+    val gbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gimg, "gif", gbos)
+    val gif = gbos.toByteArray
+    // JPEG 16x16 solid mid-gray — lossy, tolerance-checked
+    val jimg = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) jimg.setRGB(x, y, 0x808080)
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(jimg, "jpg", jbos)
+    val jpg = jbos.toByteArray
+    val media = Seq(
+      Multimodal.MediaRow(1L, "media/raw", png),
+      Multimodal.MediaRow(2L, "media/raw", gif),
+      Multimodal.MediaRow(3L, "media/raw", jpg),
+      Multimodal.MediaRow(4L, "media/raw", "not an image".getBytes)).toDS()
+    val st = Multimodal.decodePixels(media).collect().map(s => s.id -> s).toMap
+    assert(st.keySet === Set(1L, 2L, 3L), "non-image payloads drop")
+    val p = st(1L)
+    assert(p.format === "png" && p.width === 8 && p.height === 4 && p.header_match)
+    assert(p.mean_r === 255.0 && p.mean_g === 127.5 && p.mean_b === 127.5)
+    // integer BT.601 luma: red -> 76 -> bin 4; white -> 254 -> bin 15
+    assert(p.hist_luma(4) === 16L && p.hist_luma(15) === 16L)
+    assert(p.hist_luma.sum === 32L)
+    // mean_luma from the same integer channel sums the operator uses
+    val (sr, sg, sb) = (32L * 255, 16L * 255, 16L * 255)
+    assert(p.mean_luma === (299L * sr + 587L * sg + 114L * sb).toDouble / (1000.0 * 32))
+    val gf = st(2L)
+    assert(gf.format === "gif" && gf.width === 5 && gf.height === 5 && gf.header_match)
+    assert(gf.mean_r === 0.0 && gf.mean_g === 0.0 && gf.mean_b === 255.0)
+    val jp = st(3L)
+    assert(jp.format === "jpeg" && jp.width === 16 && jp.height === 16 && jp.header_match)
+    assert(math.abs(jp.mean_r - 128.0) < 4 && math.abs(jp.mean_g - 128.0) < 4 &&
+      math.abs(jp.mean_b - 128.0) < 4, s"lossy gray drifted: ${jp.mean_r}")
+  }
+
+  test("resize really resamples images (bilinear + PNG re-encode), stubs the rest") {
+    import spark.implicits._
+    import graft.multimodal.Pixels
+    import java.awt.image.BufferedImage
+    val rimg = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) rimg.setRGB(x, y, 0xff0000)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "media/raw", Pixels.encodePng(rimg)),
+      Multimodal.MediaRow(2L, "media/raw", "plain text payload".getBytes)).toDS()
+    val rs = Multimodal.resize(media, 4, 4).collect().map(r => r.id -> r).toMap
+    // the image row: a real 4x4 PNG whose every pixel is still pure red
+    val out = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rs(1L).payload))
+    assert(rs(1L).kind === "image/png")
+    assert(out.getWidth === 4 && out.getHeight === 4)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((out.getRGB(x, y) & 0xffffff) === 0xff0000,
+        s"resampled solid red must stay red at ($x,$y)")
+    // the non-image row: the declared byte-subsample stub (16 bytes)
+    assert(rs(2L).kind === "media/raw" && rs(2L).payload.length === 16)
+  }
+
   test("decodeMeta parses real PNG/JPEG/GIF headers, stub-falls-back otherwise") {
     import spark.implicits._
     import graft.multimodal.ImageHeaders

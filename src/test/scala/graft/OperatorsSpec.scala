@@ -962,6 +962,37 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(run(base) === wantFull, "search identical after compaction")
   }
 
+  test("PQ index delete tombstones at search time; compact physically reclaims") {
+    import spark.implicits._
+    import graft.sources.PqIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_pqdel").toString
+    val rest = java.nio.file.Files.createTempDirectory("graft_pqrest").toString
+    // full index, then tombstone every 7th vector; the reference is an
+    // index materialized WITHOUT those ids from the start
+    PqIndex.materializeWhere(spark, sf, lit(true), base)
+    PqIndex.materializeWhere(spark, sf, pmod(col("vec_id"), lit(7)) =!= 0, rest)
+    val delIds = Similarity.normed(spark, sf)
+      .filter(pmod(col("vec_id"), lit(7)) === 0)
+      .select("vec_id").as[Long].collect().toSeq
+    PqIndex.delete(spark, base, delIds)
+    def run(root: String) = PqIndex.searchRoot(spark, sf, root).collect().toSeq
+    val want = run(rest)
+    assert(run(base) === want,
+      "delete + search == full re-encode search without the deleted ids")
+    // deleting again (and ids already gone) is a no-op — anti-join
+    PqIndex.delete(spark, base, delIds.take(3))
+    assert(run(base) === want, "re-delete is idempotent")
+    // compact physically drops tombstoned codes and clears the sidecar
+    PqIndex.compact(spark, base)
+    assert(!new java.io.File(s"$base/tombstones").exists,
+      "compaction clears the tombstone sidecar")
+    val live = spark.read.parquet(s"$base/codes")
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(delIds.forall(id => !live.contains(id)),
+      "compaction physically drops tombstoned codes")
+    assert(run(base) === want, "search identical after the reclaim")
+  }
+
   test("gopher filter: each rule gates independently, keep is the conjunction") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_gopher").toString
