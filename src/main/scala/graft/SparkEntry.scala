@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CorpusCuration, Dedup, ExtendedAnalytics, Similarity, TaskAnalytics, TextAnalysis}
+import graft.operators.{AnnAdvisor, CorpusCuration, Dedup, ExtendedAnalytics, Similarity, TaskAnalytics, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §7 (plan).
   *
@@ -75,6 +75,7 @@ object SparkEntry {
     // cell-partitioned artifact (sources.PqIndex; rows-only like the
     // other ANN entries — equality with q_ann_ivfpq_topk is spec'd)
     "q_ann_pq_indexed" -> sources.PqIndex.annPqIndexed _,
+    "q_ann_advisor"    -> AnnAdvisor.recommend _,
     // §2.6 text analysis
     "q_token_count"     -> TextAnalysis.tokenCount _,
     "q_quality_score"   -> TextAnalysis.quality _,

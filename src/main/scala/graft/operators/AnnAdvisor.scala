@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN path advisor: the catalog carries six ANN variants
+  * (brute/LSH/IVF/learned-IVF/PQ/OPQ/IVF-PQ) with measured recall
+  * curves (RecallSweep + the OPQ anisotropy spec) — this chooser reads
+  * the two corpus statistics those curves actually hinge on and
+  * returns the recommended variant with parameters and the
+  * measured-recall rationale, so a user doesn't need sweep expertise:
+  *
+  *   - corpus SIZE decides whether an index pays for itself at all
+  *     (below [[BruteMax]] a brute broadcast join wins) and whether
+  *     cell pruning starts mattering (above [[IvfMin]], IVF-PQ's
+  *     probe-pruned scan beats flat PQ's full-codes pass);
+  *   - spectrum ANISOTROPY decides PQ vs OPQ: variance hoarded by few
+  *     directions saturates plain PQ's dominant subspace (measured
+  *     recall@5 collapse 0.98 → 0.24 on the generated anisotropic
+  *     corpus, recovered to 0.92 by OPQ's learned rotation at
+  *     rerank-10).
+  *
+  * Anisotropy is measured driver-locally on the deterministic bounded
+  * training sample (`Similarity.trainingSample`, ≤ 8192 vectors — the
+  * same sample every trainer in the family uses, so the advisor sees
+  * exactly what training would see): covariance eigen-spectrum via
+  * the OPQ module's Jacobi solver, summarized as the participation
+  * ratio (Σλ)²/Σλ² normalized by the dimension — 1.0 for a perfectly
+  * isotropic cloud, → 1/d as one direction hoards everything. At
+  * 100 TB the advisor costs one metadata-cheap count plus the O(cap·d²)
+  * local eigen pass — corpus-size-independent by the same argument as
+  * the trainers.
+  */
+object AnnAdvisor {
+
+  /** Below this, no index amortizes: brute top-k is one broadcast join. */
+  val BruteMax = 256L
+
+  /** Above this, cell pruning pays: flat PQ still scans every code row
+    * per query batch, IVF-PQ reads only probed cells' files.
+    */
+  val IvfMin = 100000L
+
+  /** Participation-ratio threshold separating "near-isotropic — plain
+    * PQ's variance allocation is fine" from "anisotropic — rotate
+    * first". Set between the measured shipped-corpus ratio (0.88,
+    * where PQ and OPQ recall tie) and the generated anisotropic
+    * corpus's (0.14, where plain PQ collapses to 0.24 recall@5) —
+    * both printed by AnnAdvisorSpec.
+    */
+  val AnisoPrMax = 0.4
+
+  /** Participation ratio of the sample's covariance spectrum, in
+    * (0, 1]: (Σλ)² / (Σλ² · d). Mean-centered; eigenvalues from
+    * [[Opq.jacobiEigen]] (no external linear algebra).
+    */
+  private[graft] def participationRatio(sample: Array[Array[Float]]): Double = {
+    val d = sample.head.length
+    val n = sample.length
+    val mean = new Array[Double](d)
+    sample.foreach { v =>
+      var i = 0; while (i < d) { mean(i) += v(i); i += 1 }
+    }
+    var i = 0
+    while (i < d) { mean(i) /= n; i += 1 }
+    val cov = Array.ofDim[Double](d, d)
+    sample.foreach { v =>
+      var a = 0
+      while (a < d) {
+        val da = v(a) - mean(a)
+        var b = a
+        while (b < d) { cov(a)(b) += da * (v(b) - mean(b)); b += 1 }
+        a += 1
+      }
+    }
+    for (p <- 0 until d; q <- p until d) {
+      cov(p)(q) /= n; cov(q)(p) = cov(p)(q)
+    }
+    val lam = Opq.jacobiEigen(cov)._1.map(x => math.max(x, 0.0))
+    val s1 = lam.sum
+    val s2 = lam.map(x => x * x).sum
+    if (s2 <= 0.0) 1.0 else (s1 * s1) / (s2 * d)
+  }
+
+  /** The decision table, exposed for the spec: (variant, rationale). */
+  private[graft] def recommendFromStats(n: Long, prRatio: Double): (String, String) =
+    if (n <= BruteMax)
+      ("brute",
+        s"corpus has $n <= $BruteMax vectors: exact brute-force top-k is one " +
+          "broadcast join; no index build amortizes at this size")
+    else if (prRatio < AnisoPrMax)
+      ("opq",
+        f"anisotropic spectrum (participation ratio $prRatio%.4f < $AnisoPrMax): " +
+          "plain PQ saturates its dominant subspace — measured recall@5 " +
+          "0.24 (PQ) vs 0.92 (OPQ, rerank-10) on the equally anisotropic " +
+          "generated corpus; OPQ's learned rotation rebalances the variance")
+    else if (n >= IvfMin)
+      ("ivf-pq",
+        f"near-isotropic spectrum (participation ratio $prRatio%.4f) at $n " +
+          s"vectors >= $IvfMin: probe-pruned cell scans beat flat PQ's " +
+          "full-codes pass at this size — measured recall@5 0.96 at sf1")
+    else
+      ("pq",
+        f"near-isotropic spectrum (participation ratio $prRatio%.4f), $n " +
+          s"vectors < $IvfMin: flat PQ with exact rerank — measured " +
+          "recall@5 0.98 at sf1; cell pruning doesn't pay below IvfMin")
+
+  /** One-row recommendation frame (`q_ann_advisor`, rows-only: the
+    * verdict is a measured-policy output, not SQL-expressible).
+    */
+  def recommend(s: SparkSession, dir: String): DataFrame = {
+    val base = Similarity.normed(s, dir)
+    val n = base.count()
+    val sample = Similarity.trainingSample(base)
+      .select(col("e"), col("nrm")).collect()
+      .map { r =>
+        val e = r.getSeq[Float](0).toArray
+        val nm = r.getDouble(1)
+        if (nm > 0.0) e.map(x => (x / nm).toFloat) else e
+      }
+    val pr = participationRatio(sample)
+    val (variant, rationale) = recommendFromStats(n, pr)
+    val params = variant match {
+      case "brute" => s"topk=${Similarity.TopK}"
+      case "pq" | "opq" =>
+        s"m=${Similarity.PqM},k=${Similarity.PqK},rerank=${Similarity.PqRerank}"
+      case _ =>
+        s"m=${Similarity.PqM},k=${Similarity.PqK},rerank=${Similarity.PqRerank}," +
+          s"nprobe>=${Similarity.IvfNProbe}"
+    }
+    import s.implicits._
+    Seq((n, sample.headOption.map(_.length).getOrElse(0),
+        math.floor(pr * 1e4 + 0.5) / 1e4, variant, params, rationale))
+      .toDF("n_vectors", "dim", "aniso_pr", "variant", "params", "rationale")
+  }
+}

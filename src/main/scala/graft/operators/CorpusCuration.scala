@@ -1059,25 +1059,52 @@ object CorpusCuration {
     * takes no struct key), tie-break = lexicographically largest
     * language at equal counts — identical in both engines.
     */
-  def corpusCard(s: SparkSession, dir: String): DataFrame = {
-    val per = Tables.documents(s, dir)
+  def corpusCard(s: SparkSession, dir: String): DataFrame =
+    cardFromGrouped(cardGrouped(Tables.documents(s, dir)))
+
+  /** Per-(source, content-hash) reduced stats — the ADDITIVE sufficient
+    * statistic for [[corpusCard]], shared with the streaming twin
+    * (`streaming.StreamingCorpusCard`): every card column derives from
+    * these rows, and merging two corpora's grouped frames is
+    * component-wise addition per key (the KL-twin contract — decimal
+    * quality sums are exact, so associative). `pred`/`ntok` ride the
+    * group because identical text (same md5) has identical per-doc
+    * measures; the quality sum stays an aggregate so the merge is
+    * uniform addition.
+    */
+  private[graft] def cardGrouped(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), md5(col("text").cast("binary")).as("h"),
         size(tokens(col("text"))).cast("long").as("ntok"),
         qualityScore(col("text")).as("q"),
         langId(col("text")).as("pred"))
-    val base = per.groupBy("source").agg(
-      count(lit(1)).as("n_docs"),
-      (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dups"),
+      .groupBy("source", "h", "pred")
+      .agg(count(lit(1)).as("n"),
+        sum(col("ntok")).as("ntok"),
+        // decimal-sum the grid doubles (exact ⇒ associative ⇒ engine-
+        // and partitioning-independent — the kl_drift arithmetic)
+        sum(col("q").cast("decimal(38,18)")).as("qdec"),
+        sum(when(col("q") >= TextAnalysis.PipelineQualityMin, 1L).otherwise(0L)).as("ok"),
+        sum(when(col("pred") === "unknown", 1L).otherwise(0L)).as("unk"))
+
+  /** The card's value stage over a [[cardGrouped]] frame (batch-built
+    * or twin-merged): distinct-hash counting becomes a row count, every
+    * other column a sum — identical values to the pre-refactor direct
+    * aggregation because decimal addition is associative and `pred` is
+    * functionally dependent on the hash.
+    */
+  private[graft] def cardFromGrouped(g: DataFrame): DataFrame = {
+    val base = g.groupBy("source").agg(
+      sum(col("n")).as("n_docs"),
+      (sum(col("n")) - count(lit(1))).as("n_exact_dups"),
       sum(col("ntok")).as("n_tokens"),
-      // decimal-sum the grid doubles (exact ⇒ associative ⇒ engine- and
-      // partitioning-independent — the kl_drift arithmetic), then grid
-      r4c(sum(col("q").cast("decimal(38,18)")).cast("double") /
-        greatest(count(lit(1)), lit(1L))).as("avg_quality"),
-      r4c(sum(when(col("q") >= TextAnalysis.PipelineQualityMin, 1L).otherwise(0L))
-        .cast("double") / greatest(count(lit(1)), lit(1L))).as("quality_ok_rate"),
-      r4c(sum(when(col("pred") === "unknown", 1L).otherwise(0L))
-        .cast("double") / greatest(count(lit(1)), lit(1L))).as("lang_unknown_rate"))
-    val topLang = per.groupBy("source", "pred").agg(count(lit(1)).as("c"))
+      r4c(sum(col("qdec")).cast("double") /
+        greatest(sum(col("n")), lit(1L))).as("avg_quality"),
+      r4c(sum(col("ok")).cast("double") /
+        greatest(sum(col("n")), lit(1L))).as("quality_ok_rate"),
+      r4c(sum(col("unk")).cast("double") /
+        greatest(sum(col("n")), lit(1L))).as("lang_unknown_rate"))
+    val topLang = g.groupBy("source", "pred").agg(sum(col("n")).as("c"))
       .groupBy("source")
       .agg(substring(max(concat(lpad(col("c").cast("string"), 10, "0"), col("pred"))),
         11, 64).as("top_lang"))

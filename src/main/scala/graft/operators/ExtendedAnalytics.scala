@@ -1010,8 +1010,16 @@ object ExtendedAnalytics {
     * and cumulative share assemble driver-side over the K collected
     * rows — bounded by construction, no unpartitioned window.
     */
-  def skewReport(s: SparkSession, dir: String): DataFrame = {
-    val kc = Tables.events(s, dir).groupBy("user_id").agg(count(lit(1)).as("cnt"))
+  def skewReport(s: SparkSession, dir: String): DataFrame =
+    skewFromCounts(s,
+      Tables.events(s, dir).groupBy("user_id").agg(count(lit(1)).as("cnt")))
+
+  /** The skew report's value stage over a (user_id, cnt) frame — the
+    * ADDITIVE sufficient statistic, shared with the streaming twin
+    * (`streaming.StreamingSkewReport`): totals, top-K and every share
+    * column derive from the per-key counts.
+    */
+  private[graft] def skewFromCounts(s: SparkSession, kc: DataFrame): DataFrame = {
     val t = kc.agg(sum("cnt"), count(lit(1))).head()
     val (total, keys) = (t.getLong(0), t.getLong(1))
     val top = kc.orderBy(col("cnt").desc, col("user_id")).limit(SkewTopK)

@@ -477,6 +477,48 @@ class CorpusCurationSpec extends AnyFunSuite {
     assert(got === want, "merged (source, token) counts reproduce batch KL exactly")
   }
 
+  test("streaming corpus card equals the batch operator over any split, incl. restore") {
+    val docs = Tables.documents(spark, sf).select("source", "text", "doc_id")
+    def slice(r: Int) =
+      docs.filter(pmod(col("doc_id"), lit(3)) === r).select("source", "text")
+    val twin = new graft.streaming.StreamingCorpusCard
+    twin.mergeBatch(slice(0)); twin.mergeBatch(slice(1))
+    // snapshot mid-stream; the restored monitor sees only the rest
+    val snap = java.nio.file.Files.createTempDirectory("graft_cardsnap").toString
+    twin.snapshot(spark, snap)
+    val resumed = graft.streaming.StreamingCorpusCard.restore(spark, snap)
+    resumed.mergeBatch(slice(2))
+    twin.mergeBatch(slice(2))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getString(6), r.getDouble(7))
+    val want = operators.CorpusCuration.corpusCard(spark, sf).collect().map(key).toSeq
+    assert(twin.current(spark).collect().map(key).toSeq === want,
+      "merged grouped stats reproduce the batch card exactly")
+    assert(resumed.current(spark).collect().map(key).toSeq === want,
+      "restore + remaining batches == uninterrupted monitor == batch")
+  }
+
+  test("streaming skew report equals the batch operator over any split, incl. restore") {
+    val events = Tables.events(spark, sf)
+    def slice(r: Int) = events.filter(pmod(col("event_id"), lit(3)) === r)
+    val twin = new graft.streaming.StreamingSkewReport
+    twin.mergeBatch(slice(0)); twin.mergeBatch(slice(1))
+    val snap = java.nio.file.Files.createTempDirectory("graft_skewsnap").toString
+    twin.snapshot(spark, snap)
+    val resumed = graft.streaming.StreamingSkewReport.restore(spark, snap)
+    resumed.mergeBatch(slice(2))
+    twin.mergeBatch(slice(2))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+    val want = operators.ExtendedAnalytics.skewReport(spark, sf).collect().map(key).toSeq
+    assert(twin.current(spark).collect().map(key).toSeq === want,
+      "merged per-key counts reproduce the batch skew report exactly")
+    assert(resumed.current(spark).collect().map(key).toSeq === want,
+      "restore + remaining batches == uninterrupted monitor == batch")
+  }
+
   test("KL monitor snapshot/restore: resumed run equals uninterrupted run exactly") {
     val docs = Tables.documents(spark, sf)
     def slice(r: Int) =

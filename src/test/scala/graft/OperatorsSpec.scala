@@ -2095,3 +2095,57 @@ class ContaminationScoreSpec extends org.scalatest.funsuite.AnyFunSuite {
       "gated path scores via the broadcast join")
   }
 }
+
+/** ANN path advisor (SURVEY §2): the chooser must reproduce the
+  * measured recall-curve policy — OPQ on the anisotropic corpus where
+  * plain PQ collapses, PQ (or IVF-PQ at scale) on the shipped
+  * near-isotropic one — from corpus statistics alone.
+  */
+class AnnAdvisorSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+  import org.apache.spark.sql.functions._
+  import graft.operators.AnnAdvisor
+
+  test("advisor picks pq on the shipped corpus, opq on the anisotropic one") {
+    val shipped = AnnAdvisor.recommend(spark, sf).head()
+    info(s"shipped: variant=${shipped.getAs[String]("variant")} " +
+      s"pr=${shipped.getAs[Double]("aniso_pr")} n=${shipped.getAs[Long]("n_vectors")}")
+    assert(shipped.getAs[String]("variant") === "pq",
+      "shipped corpus: near-isotropic, below the IVF size bar -> flat PQ")
+    assert(shipped.getAs[Double]("aniso_pr") >= AnnAdvisor.AnisoPrMax)
+    assert(shipped.getAs[String]("rationale").contains("0.98"),
+      "the measured recall rides the rationale")
+    // the generated anisotropic corpus: the OPQ spec's decaying
+    // axis-aligned spectrum (exp(-i/8) scale per axis), unit-normalized
+    import spark.implicits._
+    val d = operators.Similarity.Dim
+    val rnd = new java.util.Random(42)
+    val scale = Array.tabulate(d)(i => math.exp(-i / 8.0))
+    val rows = (0L until 2048L).map { id =>
+      val v = new Array[Double](d)
+      var ss = 0.0
+      var i = 0
+      while (i < d) { val x = rnd.nextGaussian() * scale(i); v(i) = x; ss += x * x; i += 1 }
+      val nm = math.sqrt(ss)
+      (id, Array.tabulate(d)(i => (v(i) / nm).toFloat), (id % 3).toInt)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_annadv").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val aniso = AnnAdvisor.recommend(spark, dir).head()
+    info(s"aniso: variant=${aniso.getAs[String]("variant")} " +
+      s"pr=${aniso.getAs[Double]("aniso_pr")}")
+    assert(aniso.getAs[String]("variant") === "opq",
+      "anisotropic spectrum -> the rotation-first variant")
+    assert(aniso.getAs[Double]("aniso_pr") < AnnAdvisor.AnisoPrMax)
+  }
+
+  test("decision table: brute below the index bar, ivf-pq at scale") {
+    assert(AnnAdvisor.recommendFromStats(100L, 0.9)._1 === "brute")
+    assert(AnnAdvisor.recommendFromStats(1000000L, 0.9)._1 === "ivf-pq")
+    assert(AnnAdvisor.recommendFromStats(1000000L, 0.1)._1 === "opq",
+      "anisotropy outranks size: rotate before celling")
+    assert(AnnAdvisor.recommendFromStats(50000L, 0.8)._1 === "pq")
+  }
+}
