@@ -564,6 +564,41 @@ class CorpusCurationSpec extends AnyFunSuite {
       "restored boundary must withhold the same post-prune fringe")
   }
 
+  test("rate monitor restore reads meta by name and translates legacy pruned_to") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val live = new graft.streaming.StreamingRateAnomaly
+    live.mergeBatch(ev.filter(pmod(col("event_id"), lit(2)) === 0))
+    val snap = java.nio.file.Files.createTempDirectory("graft_ratev1").toString
+    live.snapshot(spark, snap)
+    val d = spark.read.parquet(s"$snap/meta").head().getAs[Long]("dropped_max")
+    // forge a pre-r9 snapshot: same counts, meta column `pruned_to`
+    // holding the EXCLUSIVE requested boundary (old semantics), and a
+    // new-format reference with the equivalent dropped_max = boundary-1
+    val boundary = d + 2L
+    def forge(metaCol: String, v: Long): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft_ratev").toString
+      spark.read.parquet(s"$snap/counts")
+        .write.mode("overwrite").parquet(s"$root/counts")
+      Seq(v).toDF(metaCol).write.mode("overwrite").parquet(s"$root/meta")
+      root
+    }
+    val legacy = graft.streaming.StreamingRateAnomaly
+      .restore(spark, forge("pruned_to", boundary))
+    val ref = graft.streaming.StreamingRateAnomaly
+      .restore(spark, forge("dropped_max", boundary - 1L))
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
+      Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))
+    assert(legacy.current(spark).collect().map(key).toSeq ===
+      ref.current(spark).collect().map(key).toSeq,
+      "legacy pruned_to must restore as droppedMax = boundary - 1")
+    // and the translated gate behaves identically as batches continue
+    legacy.mergeBatch(ev.filter(pmod(col("event_id"), lit(2)) === 1))
+    ref.mergeBatch(ev.filter(pmod(col("event_id"), lit(2)) === 1))
+    assert(legacy.current(spark).collect().map(key).toSeq ===
+      ref.current(spark).collect().map(key).toSeq)
+  }
+
   test("streaming lang mismatch equals the batch operator over any split") {
     val docs = Tables.documents(spark, sf)
     val twin = new graft.streaming.StreamingLangMismatch

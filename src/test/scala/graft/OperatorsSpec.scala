@@ -318,6 +318,24 @@ class SkewRecallSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("Memo.cached registers one cache entry and never re-persists it") {
+    import org.apache.spark.storage.StorageLevel
+    val build = () => spark.range(100).toDF("id").select(col("id") * 2 as "memo_x")
+    val c1 = graft.plans.Memo.cached(build())
+    c1.count()
+    assert(c1.storageLevel === StorageLevel.MEMORY_AND_DISK)
+    // an identically-built plan resolves to the SAME CacheManager entry
+    // (plan equality), and Memo must see it as already cached — the
+    // no-op that silences the "Asked to cache already cached data"
+    // flood the memoization helpers used to emit per call
+    val c2 = graft.plans.Memo.cached(build())
+    assert(c2.storageLevel === StorageLevel.MEMORY_AND_DISK)
+    // one entry, not two: releasing via the twin releases the original
+    c2.unpersist()
+    assert(c1.storageLevel === StorageLevel.NONE,
+      "a second Memo.cached call must not have registered a second entry")
+  }
+
   test("Lloyd training sample is deterministic, bounded, and identity below the cap") {
     import spark.implicits._
     // below the cap: the sample IS the input (shipped-SF recall untouched)
