@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnnAdvisor, CorpusCuration, Dedup, ExtendedAnalytics, Similarity, TaskAnalytics, TextAnalysis}
+import graft.operators.{AnnAdvisor, Clustering, CorpusCuration, Dedup, ExtendedAnalytics, Similarity, TaskAnalytics, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §7 (plan).
   *
@@ -61,6 +61,10 @@ object SparkEntry {
     "q_span_scrub"          -> ((s, d) => Dedup.spanScrub(s, d)),
     // SemDeDup: cluster-restricted embedding near-dup prune
     "q_dedup_semantic"      -> Similarity.semanticDedup _,
+    // cluster health card: size / cohesion / label purity per cell
+    "q_topic_clusters"      -> Clustering.topicClusters _,
+    // SSL-prototypes pruning: drop the most-prototypical quarter per cell
+    "q_prototype_prune"     -> Clustering.prototypePrune _,
     // §2.5 similarity search
     "q_ann_brute_topk" -> Similarity.annBruteTopK _,
     // embedding-quality audit: 1-NN leave-one-out label accuracy
@@ -604,6 +608,8 @@ object SparkEntry {
     "q_dedup_span"          -> Dedup.sqlSpanDedup,
     "q_span_scrub"          -> Dedup.sqlSpanScrub,
     "q_dedup_semantic"      -> Similarity.sqlSemanticDedup,
+    "q_topic_clusters"      -> Clustering.sqlTopicClusters,
+    "q_prototype_prune"     -> Clustering.sqlPrototypePrune,
     "q_ann_brute_topk"      -> Similarity.sqlAnnBruteTopK,
     "q_knn_label_acc"       -> Similarity.sqlKnnLabelAcc,
     "q_keyed_sample" ->

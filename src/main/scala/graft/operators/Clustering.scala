@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.plans.{ArrayOps, CentroidOps}
+
+/** Embedding-space cluster curation (SURVEY §2.5/§2.6 extension):
+  * the cluster-then-act half of the SemDeDup economics, applied to
+  * CURATION rather than dedup. The reference's pipeline has no
+  * embedding-space view at all (analyze_pages.py aggregates flat
+  * property columns); a training-data pipeline uses the cluster
+  * structure of the embedding space twice:
+  *
+  *  - [[topicClusters]] — the per-cluster health card: how big is
+  *    each region of the space, how tight is it (mean cosine to its
+  *    centroid), and is it label-coherent (dominant label + purity).
+  *    Run BEFORE trusting cluster-based selection: a low-purity,
+  *    low-cohesion cell is a region where nearest-centroid logic
+  *    will misfile documents.
+  *  - [[prototypePrune]] — cluster-aware data pruning (the
+  *    "SSL prototypes" selection of Sorscher et al. 2022, Beyond
+  *    Neural Scaling Laws): within each cluster, the examples MOST
+  *    similar to their centroid are the prototypical/easy ones; with
+  *    an abundant corpus, dropping the most-prototypical quarter
+  *    keeps the informative boundary examples and beats random
+  *    pruning. Emits every vector with its rank evidence and verdict
+  *    (the [[TextAnalysis.clusterReps]] convention: audit row, not
+  *    silent filter).
+  *
+  * Both ride the IVF family's deterministic machinery end-to-end:
+  * the stride-seeded driver-local centroid set (bounded metadata,
+  * ~√n cells), the ZERO-SHUFFLE codegen argmin assignment
+  * ([[CentroidOps.cell]]), and the sequential-fold dot
+  * ([[ArrayOps.dotF]]) whose doubles are bit-identical in DuckDB's
+  * `list_reduce` fold — so the oracle reproduces assignment, scores,
+  * and ranks exactly (the `sqlSemanticDedup` precedent).
+  *
+  * Scale shape (10⁹ vectors): assignment is map-side (no shuffled
+  * rows); the only exchanges are one hash agg keyed by ≤√n cells
+  * (topicClusters) and one per-cell window over ~√n-row partitions
+  * (prototypePrune) — both bounded by the √n cell geometry, never
+  * all-pairs. The centroid score join broadcasts the ≤√n-row
+  * centroid table.
+  */
+object Clustering {
+
+  /** Fraction of each cell pruned as "most prototypical", as an exact
+    * rational: ⌈n/4⌉ via integer-safe arithmetic — the cut compares
+    * integer ranks, so no threshold ulp trap (CLAUDE.md r8).
+    */
+  val PruneNum = 1
+  val PruneDen = 4
+
+  /** Corpus assigned to seeded cells with the cosine to the OWN
+    * centroid: map-side argmin for the cell, then a broadcast join
+    * against the driver-local centroid table for the score (same
+    * fold arithmetic the argmin used — bit-identical).
+    * Columns: vec_id, label, cell, score (unrounded double).
+    */
+  private[operators] def assignedScored(s: SparkSession, dir: String): DataFrame =
+    assignedScoredOf(s, graft.Tables.embeddings(s, dir),
+      Similarity.seededCentroids(s, dir))
+
+  /** Batch-parameterized form (the streaming twin assigns micro-batches
+    * against a FROZEN centroid set — same frozen-artifact contract as
+    * the PQ index's sidecar codebook).
+    */
+  private[graft] def assignedScoredOf(s: SparkSession, emb: DataFrame,
+      cents: Seq[(Int, Array[Float], Double)]): DataFrame = {
+    import s.implicits._
+    val centDf = broadcast(
+      cents.map(c => (c._1, c._2.toSeq, c._3)).toDF("cell", "ce", "cnrm"))
+    emb
+      .select(col("vec_id"), col("embedding").as("e"), col("label"))
+      .withColumn("nrm", sqrt(ArrayOps.dotF(col("e"), col("e"))))
+      .withColumn("cell", CentroidOps.cell(col("e"), col("nrm"), cents))
+      .join(centDf, Seq("cell"))
+      .select(col("vec_id"), col("label"), col("cell"),
+        (ArrayOps.dotF(col("e"), col("ce")) / (col("nrm") * col("cnrm")))
+          .as("score"))
+  }
+
+  /** Additive grouped stage — the sufficient statistic for the
+    * cluster profile (and the streaming twin's state): per
+    * (cell, label), member count + cosine sum in integer MICRO units
+    * (floor(score·1e6 + 0.5) as BIGINT — exact, associative,
+    * partitioning-independent; CLAUDE.md r8 micro-unit convention).
+    */
+  private[graft] def topicGrouped(assigned: DataFrame): DataFrame =
+    assigned
+      .withColumn("micro",
+        floor(col("score") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("cnt"), sum(col("micro")).as("micro_sum"))
+
+  /** Value stage over the grouped statistic: per cell — size, mean
+    * cosine to centroid (cohesion), dominant label (count desc,
+    * label asc — integer argmax, deterministic) and its purity.
+    */
+  private[graft] def topicFromGrouped(g: DataFrame): DataFrame = {
+    val per = g.groupBy(col("cell"))
+      .agg(sum(col("cnt")).as("n_vecs"),
+        sum(col("micro_sum")).as("micro_cell"),
+        max(struct(col("cnt"), (-col("label")).as("neg_label"))).as("top"))
+    per.select(
+        col("cell"), col("n_vecs"),
+        (floor(col("micro_cell").cast("double") / col("n_vecs") + lit(0.5)) / lit(1e6))
+          .as("mean_cos"),
+        (-col("top.neg_label")).as("top_label"),
+        (floor(col("top.cnt").cast("double") / col("n_vecs") * lit(1e4) + lit(0.5)) / lit(1e4))
+          .as("label_purity"))
+      .orderBy("cell")
+  }
+
+  /** §2.5 — per-cluster topic profile (size, cohesion, label purity). */
+  def topicClusters(s: SparkSession, dir: String): DataFrame =
+    topicFromGrouped(topicGrouped(assignedScored(s, dir)))
+
+  /** §2.6 — prototype pruning: within each cell, rank members by
+    * cosine-to-centroid (desc, vec_id tie-break — the ordering
+    * compares bit-identical doubles, the same contract the argmin
+    * assignment already relies on) and mark the top ⌈n·1/4⌉ most
+    * prototypical as pruned. Output: every vector with its cell,
+    * rounded score, rank and verdict.
+    */
+  def prototypePrune(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(col("score").desc, col("vec_id"))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+    assignedScored(s, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cell_n", count(lit(1)).over(cw))
+      // ⌈n/4⌉ = floor((n+3)/4) — small-int double division is exact
+      .withColumn("cut",
+        floor((col("cell_n") + lit(PruneDen - PruneNum)) / lit(PruneDen.toDouble))
+          .cast("long"))
+      .select(col("vec_id"), col("cell"),
+        round(col("score"), 6).as("cos_c"),
+        col("rnk"), (col("rnk") <= col("cut")).as("pruned"))
+      .orderBy("vec_id")
+  }
+
+  // ---- oracle SQL -------------------------------------------------------
+
+  private def dot(a: String, b: String): String = Similarity.sqlDot(a, b)
+
+  /** Shared CTE prefix: normed embeddings WITH label, the seeded
+    * centroid selection (mirrors [[Similarity.seededCentroids]]), and
+    * the argmin assignment carrying the winning score — both engines
+    * compute the identical sequential-fold doubles, so cell AND score
+    * agree bitwise (the `sqlSemanticDedup` contract, plus the score
+    * column).
+    */
+  private val sqlAssigned: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, label,
+       |    sqrt(${dot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |str AS (SELECT greatest(${Similarity.IvfCentroidMod},
+       |          CAST(round(sqrt(CAST(count(*) AS DOUBLE)), 0) AS BIGINT)) AS stride FROM n),
+       |c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm FROM n, str
+       |      WHERE vec_id % stride = 3 % stride),
+       |asg AS (
+       |  SELECT vec_id, label, cell, score FROM (
+       |    SELECT n.vec_id, n.label, CAST(c.cid AS INTEGER) AS cell,
+       |      ${dot("n.embedding", "c.ce")} / (n.nrm * c.cnrm) AS score,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${dot("n.embedding", "c.ce")} / (n.nrm * c.cnrm) DESC, c.cid) AS rn
+       |    FROM n CROSS JOIN c) WHERE rn = 1)""".stripMargin
+
+  val sqlTopicClusters: String =
+    s"""$sqlAssigned,
+       |g AS (
+       |  SELECT cell, label, count(*) AS cnt,
+       |    sum(CAST(floor(score * 1e6 + 0.5) AS BIGINT)) AS micro_sum
+       |  FROM asg GROUP BY cell, label),
+       |per AS (
+       |  SELECT cell, CAST(sum(cnt) AS BIGINT) AS n_vecs,
+       |    CAST(sum(micro_sum) AS BIGINT) AS micro_cell
+       |  FROM g GROUP BY cell),
+       |top AS (
+       |  SELECT cell, label AS top_label, cnt AS top_cnt FROM (
+       |    SELECT cell, label, cnt,
+       |      row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, label) AS rn
+       |    FROM g) WHERE rn = 1)
+       |SELECT p.cell, p.n_vecs,
+       |  floor(CAST(p.micro_cell AS DOUBLE) / p.n_vecs + 0.5) / 1e6 AS mean_cos,
+       |  t.top_label,
+       |  floor(CAST(t.top_cnt AS DOUBLE) / p.n_vecs * 1e4 + 0.5) / 1e4 AS label_purity
+       |FROM per p JOIN top t ON p.cell = t.cell
+       |ORDER BY p.cell""".stripMargin
+
+  val sqlPrototypePrune: String =
+    s"""$sqlAssigned
+       |SELECT vec_id, cell, round(score, 6) AS cos_c,
+       |  CAST(row_number() OVER (PARTITION BY cell
+       |    ORDER BY score DESC, vec_id) AS BIGINT) AS rnk,
+       |  row_number() OVER (PARTITION BY cell ORDER BY score DESC, vec_id)
+       |    <= CAST(floor((count(*) OVER (PARTITION BY cell)
+       |         + ${PruneDen - PruneNum}) / ${PruneDen.toDouble}) AS BIGINT) AS pruned
+       |FROM asg ORDER BY vec_id""".stripMargin
+}

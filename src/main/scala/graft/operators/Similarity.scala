@@ -728,7 +728,7 @@ object Similarity {
   /** Sequential-fold dot product / norm in DuckDB (list_reduce ≡ Spark's
     * aggregate fold — same order, bit-identical doubles).
     */
-  private def sqlDot(a: String, b: String): String =
+  private[operators] def sqlDot(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(generate_series(1, $Dim), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"

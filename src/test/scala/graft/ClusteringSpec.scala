@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Clustering, Similarity}
+
+/** Round-9 cluster-curation family: per-cell topic profile,
+  * SSL-prototypes pruning, and the streaming topic-mix twin — each
+  * checked against an independent plain-Scala reference over the
+  * collected corpus (sequential-fold dot, the engines' shared
+  * arithmetic contract).
+  */
+class ClusteringSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Local reference: (vec_id, label, cell, score) by brute argmax
+    * over the seeded centroid set (score desc, centroid id asc).
+    */
+  private def localAssigned(): Seq[(Long, Int, Int, Double)] = {
+    val cents = Similarity.seededCentroids(spark, sf).sortBy(_._1)
+    val vecs = Tables.embeddings(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2))
+    }
+    vecs.toSeq.map { case (id, e, lab) =>
+      val nrm = math.sqrt(dot(e, e))
+      var bestId = cents.head._1
+      var bestScore = Double.NegativeInfinity
+      for ((cid, ce, cnrm) <- cents) {
+        val sc = dot(e, ce) / (nrm * cnrm)
+        if (sc > bestScore) { bestScore = sc; bestId = cid }
+      }
+      (id, lab, bestId, bestScore)
+    }
+  }
+
+  test("topic clusters match an independent local reference exactly") {
+    val asg = localAssigned()
+    val byCell = asg.groupBy(_._3).toSeq.sortBy(_._1)
+    val want = byCell.map { case (cell, ms) =>
+      val n = ms.size.toLong
+      val micro = ms.map(m => math.floor(m._4 * 1e6 + 0.5).toLong).sum
+      val labCnt = ms.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+      val (topLab, topCnt) = labCnt.minBy { case (l, c) => (-c, l) }
+      (cell, n,
+        math.floor(micro.toDouble / n + 0.5) / 1e6,
+        topLab,
+        math.floor(topCnt.toDouble / n * 1e4 + 0.5) / 1e4)
+    }
+    val got = Clustering.topicClusters(spark, sf).collect().map { r =>
+      (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3), r.getDouble(4))
+    }.toSeq
+    assert(got === want)
+    assert(got.map(_._2).sum === Tables.embeddings(spark, sf).count(),
+      "every vector lands in exactly one cell")
+  }
+
+  test("prototype prune: per-cell quota, rank order, and verdicts match the reference") {
+    val asg = localAssigned()
+    val want = asg.groupBy(_._3).toSeq.flatMap { case (cell, ms) =>
+      val cut = (ms.size + Clustering.PruneDen - Clustering.PruneNum).toLong /
+        Clustering.PruneDen
+      ms.sortBy { case (id, _, _, sc) => (-sc, id) }.zipWithIndex.map {
+        case ((id, _, _, sc), i) =>
+          val cosC = BigDecimal(sc)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, cell, cosC, (i + 1).toLong, (i + 1).toLong <= cut)
+      }
+    }.sortBy(_._1)
+    val got = Clustering.prototypePrune(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3), r.getBoolean(4))
+    }.toSeq
+    assert(got === want)
+    // quota sanity: each cell prunes exactly ⌈n/4⌉
+    val quotas = got.groupBy(_._2).map { case (_, ms) =>
+      (ms.count(_._5).toLong, (ms.size + 3).toLong / 4)
+    }
+    assert(quotas.forall { case (p, q) => p === q })
+  }
+
+  test("streaming topic mix equals the batch operator over any split, incl. restore") {
+    val emb = Tables.embeddings(spark, sf)
+    def slice(r: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === r)
+    val cents = Similarity.seededCentroids(spark, sf)
+    val twin = new graft.streaming.StreamingTopicMix(cents)
+    twin.mergeBatch(spark, slice(0)); twin.mergeBatch(spark, slice(1))
+    val snap = java.nio.file.Files.createTempDirectory("graft_topicsnap").toString
+    twin.snapshot(spark, snap)
+    val resumed = graft.streaming.StreamingTopicMix.restore(spark, snap)
+    resumed.mergeBatch(spark, slice(2))
+    twin.mergeBatch(spark, slice(2))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3), r.getDouble(4))
+    val want = Clustering.topicClusters(spark, sf).collect().map(key).toSeq
+    assert(twin.current(spark).collect().map(key).toSeq === want,
+      "merged grouped stats reproduce the batch profile exactly")
+    assert(resumed.current(spark).collect().map(key).toSeq === want,
+      "restore + remaining batches == uninterrupted monitor == batch")
+  }
+
+  test("assignment agrees with SemDeDup's cells and the plan broadcasts the centroid join") {
+    // same centroid set, same argmin — the family is internally consistent
+    val mine = Clustering.topicClusters(spark, sf)
+      .agg(sum(col("n_vecs"))).collect()(0).getLong(0)
+    val sem = operators.Similarity.semanticDedup(spark, sf)
+      .select("cell").distinct().count()
+    val cells = Clustering.topicClusters(spark, sf).count()
+    assert(cells === sem, "both operators see the identical cell partition")
+    assert(mine === Tables.embeddings(spark, sf).count())
+    val plan = Clustering.prototypePrune(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "centroid score join must broadcast the bounded centroid table")
+    assert(!plan.contains("BroadcastNestedLoop"),
+      "no cartesian/nested-loop fallback in the scoring join")
+    assert(plan.contains("graft_nearest_cents"),
+      "cell assignment rides the codegen argmin, not a join+window")
+  }
+}
