@@ -65,6 +65,8 @@ object SparkEntry {
     "q_topic_clusters"      -> Clustering.topicClusters _,
     // SSL-prototypes pruning: drop the most-prototypical quarter per cell
     "q_prototype_prune"     -> Clustering.prototypePrune _,
+    // diversity rebalancing: cap every cell at the uniform share
+    "q_cluster_mix"         -> Clustering.clusterMix _,
     // §2.5 similarity search
     "q_ann_brute_topk" -> Similarity.annBruteTopK _,
     // embedding-quality audit: 1-NN leave-one-out label accuracy
@@ -610,6 +612,7 @@ object SparkEntry {
     "q_dedup_semantic"      -> Similarity.sqlSemanticDedup,
     "q_topic_clusters"      -> Clustering.sqlTopicClusters,
     "q_prototype_prune"     -> Clustering.sqlPrototypePrune,
+    "q_cluster_mix"         -> Clustering.sqlClusterMix,
     "q_ann_brute_topk"      -> Similarity.sqlAnnBruteTopK,
     "q_knn_label_acc"       -> Similarity.sqlKnnLabelAcc,
     "q_keyed_sample" ->

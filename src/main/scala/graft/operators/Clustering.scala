@@ -70,15 +70,23 @@ object Clustering {
     import s.implicits._
     val centDf = broadcast(
       cents.map(c => (c._1, c._2.toSeq, c._3)).toDF("cell", "ce", "cnrm"))
-    emb
-      .select(col("vec_id"), col("embedding").as("e"), col("label"))
-      .withColumn("nrm", sqrt(ArrayOps.dotF(col("e"), col("e"))))
-      .withColumn("cell", CentroidOps.cell(col("e"), col("nrm"), cents))
+    assignedCellsOf(emb, cents)
       .join(centDf, Seq("cell"))
       .select(col("vec_id"), col("label"), col("cell"),
         (ArrayOps.dotF(col("e"), col("ce")) / (col("nrm") * col("cnrm")))
           .as("score"))
   }
+
+  /** Assignment only (no score join) — [[clusterMix]] needs just the
+    * cell id, so its plan stays scan + codegen argmin with no join at
+    * all.
+    */
+  private def assignedCellsOf(emb: DataFrame,
+      cents: Seq[(Int, Array[Float], Double)]): DataFrame =
+    emb
+      .select(col("vec_id"), col("embedding").as("e"), col("label"))
+      .withColumn("nrm", sqrt(ArrayOps.dotF(col("e"), col("e"))))
+      .withColumn("cell", CentroidOps.cell(col("e"), col("nrm"), cents))
 
   /** Additive grouped stage — the sufficient statistic for the
     * cluster profile (and the streaming twin's state): per
@@ -140,6 +148,46 @@ object Clustering {
       .orderBy("vec_id")
   }
 
+  /** Multiplier for the portable per-vector sampling hash (the
+    * keyed-sample convention: `(vec_id·A) mod P` with P = 1e9+7 —
+    * engine-portable integer arithmetic, no RNG state).
+    */
+  val MixHashA = 611953843L
+
+  /** §2.6 — cluster-mix rebalancing: the ACTION after the health card.
+    * Cap every cell at the UNIFORM share ⌈total/cells⌉ — an
+    * over-represented region of the embedding space (one crawl slice,
+    * one template family) is downsampled to parity while
+    * under-represented cells keep everything. Selection within a cell
+    * is the deterministic portable-hash rank (hash asc, vec_id
+    * tie-break), so the kept set is a property of the DATA — stable
+    * across runs, partitionings and engines, and the cut compares
+    * integer ranks against an integer cap (no threshold ulp trap).
+    * Emits every vector with its cell and verdict (audit row, not
+    * silent filter).
+    *
+    * Scale: rides the same map-side assignment; one per-cell window
+    * over ~√n-row partitions plus broadcast scalar totals — no
+    * corpus-sized shuffle beyond the cell exchange.
+    */
+  def clusterMix(s: SparkSession, dir: String): DataFrame = {
+    val asg = assignedCellsOf(graft.Tables.embeddings(s, dir),
+      Similarity.seededCentroids(s, dir)).select(col("vec_id"), col("cell"))
+    val tot = asg.agg(count(lit(1)).as("total"),
+      countDistinct(col("cell")).as("cells"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(col("hkey"), col("vec_id"))
+    asg
+      .withColumn("hkey",
+        pmod(col("vec_id") * lit(MixHashA), lit(graft.functions.TextFunctions.HashP)))
+      .crossJoin(broadcast(tot))
+      .withColumn("cap",
+        floor((col("total") + col("cells") - lit(1)) / col("cells")).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("cell"), (col("rnk") <= col("cap")).as("keep"))
+      .orderBy("vec_id")
+  }
+
   // ---- oracle SQL -------------------------------------------------------
 
   private def dot(a: String, b: String): String = Similarity.sqlDot(a, b)
@@ -189,6 +237,15 @@ object Clustering {
        |  floor(CAST(t.top_cnt AS DOUBLE) / p.n_vecs * 1e4 + 0.5) / 1e4 AS label_purity
        |FROM per p JOIN top t ON p.cell = t.cell
        |ORDER BY p.cell""".stripMargin
+
+  val sqlClusterMix: String =
+    s"""$sqlAssigned,
+       |tot AS (SELECT count(*) AS total, count(DISTINCT cell) AS cells FROM asg)
+       |SELECT vec_id, cell,
+       |  row_number() OVER (PARTITION BY cell
+       |      ORDER BY (vec_id * $MixHashA) % ${graft.functions.TextFunctions.HashP}, vec_id)
+       |    <= CAST(floor(CAST(total + cells - 1 AS DOUBLE) / cells) AS BIGINT) AS keep
+       |FROM asg, tot ORDER BY vec_id""".stripMargin
 
   val sqlPrototypePrune: String =
     s"""$sqlAssigned

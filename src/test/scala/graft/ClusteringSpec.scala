@@ -84,6 +84,31 @@ class ClusteringSpec extends AnyFunSuite {
     assert(quotas.forall { case (p, q) => p === q })
   }
 
+  test("cluster mix caps every cell at the uniform share, deterministically") {
+    val asg = localAssigned()
+    val total = asg.size.toLong
+    val cells = asg.map(_._3).distinct.size.toLong
+    val cap = (total + cells - 1) / cells
+    val want = asg.groupBy(_._3).toSeq.flatMap { case (_, ms) =>
+      ms.sortBy { case (id, _, _, _) =>
+        ((id * Clustering.MixHashA) % graft.functions.TextFunctions.HashP, id)
+      }.zipWithIndex.map { case ((id, _, _, _), i) => (id, (i + 1).toLong <= cap) }
+    }.toMap
+    val got = Clustering.clusterMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(got === want)
+    // per-cell kept counts: min(cap, cell size); rerun is identical
+    val byCell = Clustering.clusterMix(spark, sf).collect()
+      .groupBy(_.getInt(1))
+    byCell.foreach { case (_, ms) =>
+      assert(ms.count(_.getBoolean(2)).toLong ===
+        math.min(cap, ms.length.toLong))
+    }
+    val again = Clustering.clusterMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(again === got, "selection is a property of the data — rerun-stable")
+  }
+
   test("streaming topic mix equals the batch operator over any split, incl. restore") {
     val emb = Tables.embeddings(spark, sf)
     def slice(r: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === r)

@@ -143,4 +143,73 @@ class DistributionFuzzSpec extends AnyFunSuite {
       assert(got === want, s"seed $seed")
     }
   }
+
+  // ---- planted-cluster corpus vs local cluster-curation reference -----
+
+  test("topic clusters and prototype pruning match a local reference on planted clusters") {
+    import spark.implicits._
+    for (seed <- Seq(7L, 23L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 400; val dim = 8; val groups = 4
+      // four near-orthogonal planted directions + bounded noise; ids
+      // arranged so the stride-100 centroid seeds (3, 103, 203, 303)
+      // land one per planted group; labels match the group except a
+      // deterministic 10% flip — planted purity exactly 0.9
+      val vecs = (0 until n).map { i =>
+        val g = i / 100
+        val e = Array.tabulate(dim) { j =>
+          val base = if (j == g * 2) 1.0f else 0.0f
+          base + (rnd.nextInt(200) - 100) / 1000.0f
+        }
+        val lab = if (i % 100 < 90) g else (g + 1) % groups
+        (i.toLong, e, lab)
+      }
+      val dir = tmp(s"topic$seed")
+      vecs.map { case (id, e, l) => (id, e.toSeq, l) }
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        acc
+      }
+      // local reference: stride = max(100, round(√400)) = 100 → seeds
+      // 3/103/203/303; brute argmax assignment (score desc, cid asc)
+      val cents = vecs.filter(v => v._1 % 100 == 3)
+        .map(v => (v._1.toInt, v._2, math.sqrt(dot(v._2, v._2))))
+      val asg = vecs.map { case (id, e, lab) =>
+        val nrm = math.sqrt(dot(e, e))
+        val (bestId, bestScore) = cents.foldLeft((cents.head._1, Double.NegativeInfinity)) {
+          case ((bi, bs), (cid, ce, cnrm)) =>
+            val sc = dot(e, ce) / (nrm * cnrm)
+            if (sc > bs) (cid, sc) else (bi, bs)
+        }
+        (id, lab, bestId, bestScore)
+      }
+      val wantProfile = asg.groupBy(_._3).toSeq.map { case (cell, ms) =>
+        val sz = ms.size.toLong
+        val micro = ms.map(m => math.floor(m._4 * 1e6 + 0.5).toLong).sum
+        val (topLab, topCnt) = ms.groupBy(_._2).view.mapValues(_.size.toLong)
+          .toSeq.minBy { case (l, c) => (-c, l) }
+        (cell, sz, math.floor(micro.toDouble / sz + 0.5) / 1e6,
+          topLab, math.floor(topCnt.toDouble / sz * 1e4 + 0.5) / 1e4)
+      }.sortBy(_._1)
+      val gotProfile = operators.Clustering.topicClusters(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3),
+          r.getDouble(4))).toSeq
+      assert(gotProfile === wantProfile, s"seed $seed profile")
+      // planted structure recovered: 4 cells × 100, purity exactly 0.9
+      assert(gotProfile.map(_._2) === Seq(100L, 100L, 100L, 100L), s"seed $seed sizes")
+      assert(gotProfile.forall(_._5 === 0.9), s"seed $seed purity")
+      val wantPrune = asg.groupBy(_._3).toSeq.flatMap { case (_, ms) =>
+        val cut = (ms.size + 3).toLong / 4
+        ms.sortBy { case (id, _, _, sc) => (-sc, id) }.zipWithIndex.map {
+          case ((id, _, _, _), i) => (id, (i + 1).toLong <= cut)
+        }
+      }.toMap
+      val gotPrune = operators.Clustering.prototypePrune(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getBoolean(4))).toMap
+      assert(gotPrune === wantPrune, s"seed $seed prune verdicts")
+    }
+  }
 }

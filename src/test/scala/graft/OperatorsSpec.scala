@@ -654,6 +654,8 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
       "q_length_histogram",
       // shard-count rows × the single doc-total scalar row
       "q_shard_balance",
+      // assigned corpus × the single (total, cells) scalar row
+      "q_cluster_mix",
       // source-catalog (dim-sized) signature self-join on an inequality
       "q_source_sim")
     for ((q, _) <- SparkEntry.queries) {
