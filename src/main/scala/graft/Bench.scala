@@ -88,6 +88,9 @@ object Bench {
     "q_vocab_coverage" -> "vcv", "q_vocab_topk" -> "vc", "q_weekly_focus" -> "wk",
     "q_weekly_velocity" -> "wkv", "q_weighted_mean" -> "wm",
     "q_wow_change" -> "wo",
+    "q_topic_clusters" -> "tcl", "q_prototype_prune" -> "ppr",
+    "q_cluster_mix" -> "cmx", "q_ann_filtered_topk" -> "af",
+    "q_ann_ivf_filtered_topk" -> "aif",
     "shared_bpe_learner" -> "Sbp", "shared_curation_frames" -> "Scf",
     "shared_dedup_pairs" -> "Sdp", "shared_nb_model" -> "Snb",
     "shared_report_frames" -> "Srf", "shared_text_pipeline" -> "Stp",

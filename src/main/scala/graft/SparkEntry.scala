@@ -71,6 +71,9 @@ object SparkEntry {
     "q_ann_brute_topk" -> Similarity.annBruteTopK _,
     // embedding-quality audit: 1-NN leave-one-out label accuracy
     "q_knn_label_acc"  -> Similarity.knnLabelAcc _,
+    // attribute-filtered search (WHERE label = …): brute + IVF paths
+    "q_ann_filtered_topk"     -> Similarity.annFilteredTopK _,
+    "q_ann_ivf_filtered_topk" -> Similarity.annIvfFilteredTopK _,
     "q_ann_lsh_topk"   -> Similarity.annLshTopK _,
     "q_ann_ivf_topk"   -> Similarity.annIvfTopK _,
     "q_ann_ivf2_topk"  -> Similarity.annIvfLearnedTopK _,
@@ -614,6 +617,7 @@ object SparkEntry {
     "q_prototype_prune"     -> Clustering.sqlPrototypePrune,
     "q_cluster_mix"         -> Clustering.sqlClusterMix,
     "q_ann_brute_topk"      -> Similarity.sqlAnnBruteTopK,
+    "q_ann_filtered_topk"   -> Similarity.sqlAnnFilteredTopK,
     "q_knn_label_acc"       -> Similarity.sqlKnnLabelAcc,
     "q_keyed_sample" ->
       s"""WITH h AS (

@@ -250,6 +250,35 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** §2.5 — attribute-filtered search, brute baseline: top-k among
+    * corpus vectors sharing the query's label — the WHERE clause of
+    * vector search (same-language retrieval, per-tenant search,
+    * FAISS `IDSelector` / pgvector `WHERE` class). The label equality
+    * makes this join a broadcast HASH join on the attribute (tighter
+    * than unfiltered brute's nested loop); exact over the filtered
+    * candidate set, and the full-oracle baseline the filtered-IVF
+    * scale path is measured against.
+    */
+  def annFilteredTopK(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("e"), col("label"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val q = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("e_q"),
+        col("nrm").as("n_q"), col("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    broadcast(q)
+      .join(base.select(col("vec_id").as("neighbor_id"), col("e").as("e_c"),
+          col("nrm").as("n_c"), col("label")), Seq("label"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("q_id", "label", "rank", "neighbor_id", "cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
   // ---- scale paths (deterministic, rows-only checked) -------------------
 
   val LshPlanes = 6
@@ -403,6 +432,42 @@ object Similarity {
   /** Parameterized form for the recall sweep harness. */
   private[graft] def annIvfTopKParams(s: SparkSession, dir: String, nProbe: Int): DataFrame =
     ivfSearch(s, dir, seededCentroids(s, dir), nProbe)
+
+  /** §2.5 — attribute-filtered IVF (the scale path of
+    * [[annFilteredTopK]]): probe cells as usual, keep only
+    * label-matching candidates (the candidate join becomes an
+    * equi-join on (cell, label)), exact rerank. This is POST-filtered
+    * IVF — the standard production compromise (FAISS searches then
+    * drops non-matching ids): a very selective filter thins the
+    * probed candidate pool, so recall vs the filtered brute degrades
+    * with selectivity rather than with corpus size; the spec measures
+    * it against [[annFilteredTopK]] on the shipped corpus. Same scale
+    * shape as IVF: zero-shuffle assignment, broadcast probe set,
+    * candidates bounded by probed-cell ∩ label membership.
+    */
+  def annIvfFilteredTopK(s: SparkSession, dir: String): DataFrame = {
+    val cents = seededCentroids(s, dir)
+    val base = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("e"), col("label"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val assigned = base.select(col("vec_id").as("neighbor_id"),
+      col("e").as("e_c"), col("nrm").as("n_c"), col("label"),
+      CentroidOps.cell(col("e"), col("nrm"), cents).as("cell"))
+    val probes = math.max(IvfNProbe, math.ceil(cents.size * IvfProbeFraction).toInt)
+    val qProbes = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("e_q"),
+        col("nrm").as("n_q"), col("label"),
+        explode(CentroidOps.nearest(col("e"), col("nrm"), cents, probes)).as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    broadcast(qProbes).join(assigned, Seq("cell", "label"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("q_id", "label", "rank", "neighbor_id", "cos_sim")
+      .orderBy("q_id", "rank")
+  }
 
   val KMeansIters = 2
 
@@ -746,6 +811,27 @@ object Similarity {
        |FROM n a JOIN n b ON a.vec_id < b.vec_id
        |WHERE round(${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $CosineDupT
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** DuckDB twin of [[annFilteredTopK]] — the brute oracle with the
+    * label-equality WHERE pushed into the candidate join.
+    */
+  val sqlAnnFilteredTopK: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, label,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, q.label, c.vec_id AS neighbor_id,
+       |    round(${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cos_sim
+       |  FROM n q JOIN n c ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id
+       |    AND q.label = c.label),
+       |ranked AS (
+       |  SELECT q_id, label, neighbor_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT q_id, label, rank, neighbor_id, cos_sim FROM ranked
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
   /** DuckDB twin of [[knnLabelAcc]]: the row_number argmax (cos desc,
     * neighbor id asc) reproduces the max(struct(cos, -nb)) fold; both
