@@ -1087,6 +1087,58 @@ object CorpusCuration {
         sum(when(col("q") >= TextAnalysis.PipelineQualityMin, 1L).otherwise(0L)).as("ok"),
         sum(when(col("pred") === "unknown", 1L).otherwise(0L)).as("unk"))
 
+  /** Approximate-dup grouped stage — the HLL swap the exact card's
+    * Scaladoc documents: state keyed by (source, pred) ONLY (O(sources
+    * × languages), not O(distinct docs)), with exact-duplicate
+    * counting carried by a per-group DataSketches HLL sketch of the
+    * content hash instead of the hash itself. Every other card column
+    * is the same additive counter as [[cardGrouped]]; sketches are
+    * mergeable (union), so the statistic stays additive across
+    * batches. Below ~2^lgK distinct values the sketch sits in
+    * sparse/set mode and the estimate is EXACT — the approximation
+    * only engages at the corpus sizes that motivate the swap.
+    */
+  private[graft] def cardGroupedApprox(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), md5(col("text").cast("binary")).as("h"),
+        size(tokens(col("text"))).cast("long").as("ntok"),
+        qualityScore(col("text")).as("q"),
+        langId(col("text")).as("pred"))
+      .groupBy("source", "pred")
+      .agg(count(lit(1)).as("n"),
+        sum(col("ntok")).as("ntok"),
+        sum(col("q").cast("decimal(38,18)")).as("qdec"),
+        sum(when(col("q") >= TextAnalysis.PipelineQualityMin, 1L).otherwise(0L)).as("ok"),
+        sum(when(col("pred") === "unknown", 1L).otherwise(0L)).as("unk"),
+        hll_sketch_agg(col("h")).as("hsk"))
+
+  /** Value stage for the approximate card: same formulas as
+    * [[cardFromGrouped]], with `n_exact_dups` = n_docs − the HLL
+    * distinct estimate handed in per source (already merged across
+    * batches and languages by the caller).
+    */
+  private[graft] def cardFromApproxGrouped(g: DataFrame, est: DataFrame): DataFrame = {
+    val base = g.groupBy("source").agg(
+      sum(col("n")).as("n_docs"),
+      sum(col("ntok")).as("n_tokens"),
+      r4c(sum(col("qdec")).cast("double") /
+        greatest(sum(col("n")), lit(1L))).as("avg_quality"),
+      r4c(sum(col("ok")).cast("double") /
+        greatest(sum(col("n")), lit(1L))).as("quality_ok_rate"),
+      r4c(sum(col("unk")).cast("double") /
+        greatest(sum(col("n")), lit(1L))).as("lang_unknown_rate"))
+    val topLang = g.groupBy("source", "pred").agg(sum(col("n")).as("c"))
+      .groupBy("source")
+      .agg(substring(max(concat(lpad(col("c").cast("string"), 10, "0"), col("pred"))),
+        11, 64).as("top_lang"))
+    base.join(topLang, "source").join(est, "source")
+      .select(col("source"), col("n_docs"),
+        (col("n_docs") - col("n_distinct")).as("n_exact_dups"), col("n_tokens"),
+        col("avg_quality"), col("quality_ok_rate"), col("top_lang"),
+        col("lang_unknown_rate"))
+      .orderBy("source")
+  }
+
   /** The card's value stage over a [[cardGrouped]] frame (batch-built
     * or twin-merged): distinct-hash counting becomes a row count, every
     * other column a sum — identical values to the pre-refactor direct

@@ -499,6 +499,59 @@ class CorpusCurationSpec extends AnyFunSuite {
       "restore + remaining batches == uninterrupted monitor == batch")
   }
 
+  test("approx corpus card: bounded state, exact card while HLL stays sparse, incl. restore") {
+    val docs = Tables.documents(spark, sf).select("source", "text", "doc_id")
+    def slice(r: Int) =
+      docs.filter(pmod(col("doc_id"), lit(3)) === r).select("source", "text")
+    val twin = new graft.streaming.StreamingCorpusCardApprox
+    twin.mergeBatch(slice(0)); twin.mergeBatch(slice(1))
+    val snap = java.nio.file.Files.createTempDirectory("graft_cardapx").toString
+    twin.snapshot(spark, snap)
+    val resumed = graft.streaming.StreamingCorpusCardApprox.restore(spark, snap)
+    resumed.mergeBatch(slice(2))
+    twin.mergeBatch(slice(2))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getString(6), r.getDouble(7))
+    // shipped-SF distinct docs per source sit far below the 2^12
+    // sketch's sparse/set capacity, so the HLL estimate — and hence
+    // the WHOLE card including n_exact_dups — is exact here; at the
+    // corpus sizes that motivate the swap only the dup column takes
+    // HLL's ~1.6% relative error
+    val want = operators.CorpusCuration.corpusCard(spark, sf).collect().map(key).toSeq
+    assert(twin.current(spark).collect().map(key).toSeq === want,
+      "bounded-state card equals the exact card under sparse-mode HLL")
+    assert(resumed.current(spark).collect().map(key).toSeq === want,
+      "restore + remaining batches == uninterrupted monitor == batch")
+    // the state bound that motivates the twin: rows scale with
+    // (sources × languages), never with documents
+    val nSources = docs.select("source").distinct().count()
+    val stateRows = spark.read.parquet(s"$snap/sketches").count()
+    assert(stateRows <= nSources * 4,
+      s"state must be O(sources × languages), got $stateRows rows")
+  }
+
+  test("approx card HLL path: dense-mode estimate error stays inside the lgK=12 bound") {
+    // 60k distinct docs in one source — far past sparse capacity, so
+    // this measures the actual approximation the twin ships at scale
+    import spark.implicits._
+    val docs = spark.range(60000)
+      .select(lit("big").as("source"),
+        concat(lit("doc body number "), col("id")).as("text"))
+    val twin = new graft.streaming.StreamingCorpusCardApprox
+    // two batches with an overlapping half: true distinct = 60k,
+    // true docs = 90k — merge must union, not double-count
+    twin.mergeBatch(docs.filter(col("text") rlike ".*"))
+    twin.mergeBatch(docs.limit(30000))
+    val row = twin.current(spark).collect().head
+    val nDocs = row.getLong(1); val dups = row.getLong(2)
+    assert(nDocs === 90000L)
+    val estDistinct = nDocs - dups
+    val relErr = math.abs(estDistinct - 60000.0) / 60000.0
+    info(f"hll distinct estimate $estDistinct (rel err $relErr%.4f)")
+    assert(relErr < 0.03, s"lgK=12 HLL error out of bound: $relErr")
+  }
+
   test("streaming skew report equals the batch operator over any split, incl. restore") {
     val events = Tables.events(spark, sf)
     def slice(r: Int) = events.filter(pmod(col("event_id"), lit(3)) === r)
