@@ -25,7 +25,8 @@ import graft.operators.CorpusCuration
   * ~48 GB per billion docs on the driver of a dedicated monitor). A
   * deployment that accepts approximate dup counts swaps the hash key
   * for an HLL sketch per source and the rest of the card stays exact —
-  * not done here to keep stream == batch cell-identical.
+  * that deployment is [[StreamingCorpusCardApprox]]; this twin keeps
+  * stream == batch cell-identical.
   */
 class StreamingCorpusCard extends Serializable {
 
