@@ -371,17 +371,27 @@ object Similarity {
     * 64 dims × 4 B ≈ 8 MB of centroid matrix — bounded METADATA (the
     * same class of collect as the PQ codebook), not data movement.
     */
-  private[graft] def seededCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Float], Double)] = {
-    val n = normed(s, dir)
-    val total = n.count()
-    val stride = math.max(IvfCentroidMod.toLong, math.round(math.sqrt(total.toDouble)))
-    n.filter(col("vec_id") % stride === (3L % stride))
-      .orderBy("vec_id")
-      .select(col("vec_id"), col("e"), col("nrm"))
-      .collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray, r.getDouble(2)))
-      .toSeq
-  }
+  /** Memoized per table dir (the cbMemo/sampleMemo contract: a pure
+    * function of the dir, so one count + one collect per session per
+    * corpus instead of two jobs per CONSUMER — the seeded set now has
+    * seven consumers across the IVF/SemDeDup/cluster-curation family,
+    * and at production scale each saved count() is a corpus scan).
+    */
+  private val centsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Array[Float], Double)]]()
+
+  private[graft] def seededCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Float], Double)] =
+    centsMemo.computeIfAbsent(dir, _ => {
+      val n = normed(s, dir)
+      val total = n.count()
+      val stride = math.max(IvfCentroidMod.toLong, math.round(math.sqrt(total.toDouble)))
+      n.filter(col("vec_id") % stride === (3L % stride))
+        .orderBy("vec_id")
+        .select(col("vec_id"), col("e"), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray, r.getDouble(2)))
+        .toSeq
+    })
 
   /** Corpus→cell assignment as a ZERO-SHUFFLE map: the codegen'd
     * argmin expression scores every centroid inside the scan projection
