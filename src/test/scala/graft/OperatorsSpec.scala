@@ -1335,7 +1335,9 @@ class UnorderedFormSpec extends org.scalatest.funsuite.AnyFunSuite {
     "q_quality_sample", "q_bpe_encode", "q_span_scrub", "q_dedup_span",
     "q_stratified_sample", "q_moving_avg", "q_wow_change",
     "q_nb_train", "q_nb_score", "q_dsir_weights", "q_dsir_select",
-    "q_filter_cascade", "q_char_entropy")
+    "q_filter_cascade", "q_char_entropy",
+    // r9 cluster curation: per-vector verdict outputs are corpus-sized
+    "q_prototype_prune", "q_cluster_mix")
 
   test("every corpus-scale query's unordered form has no global sort at all") {
     import org.apache.spark.sql.catalyst.plans.logical.{Sort => LSort}
