@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnnAdvisor, Clustering, CorpusCuration, Dedup, ExtendedAnalytics, Similarity, TaskAnalytics, TextAnalysis}
+import graft.operators.{AnnAdvisor, Clustering, CorpusCuration, Dedup, ExtendedAnalytics, Retrieval, Similarity, TaskAnalytics, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §7 (plan).
   *
@@ -126,6 +126,8 @@ object SparkEntry {
     // per-source dataset datasheet (docs/dups/tokens/quality/lang mix)
     "q_corpus_card"   -> CorpusCuration.corpusCard _,
     "q_term_search"   -> ((s, d) => CorpusCuration.termSearch(s, d)),
+    // BM25 ranked search beside the boolean term search
+    "q_bm25_rank"     -> ((s, d) => Retrieval.bm25Rank(s, d)),
     "q_rate_anomaly"  -> CorpusCuration.rateAnomaly _,
     "q_embed_drift"   -> CorpusCuration.embedDrift _,
     "q_pack_efficiency" -> CorpusCuration.packEfficiency _,
@@ -759,6 +761,7 @@ object SparkEntry {
     "q_corpus_card"    -> CorpusCuration.corpusCardOracleSql,
     "q_novelty"        -> CorpusCuration.noveltyOracleSql,
     "q_term_search"    -> CorpusCuration.termSearchOracleSql,
+    "q_bm25_rank"      -> Retrieval.bm25RankOracleSql,
     "q_rate_anomaly"   -> CorpusCuration.rateAnomalyOracleSql,
     "q_embed_drift"    -> CorpusCuration.embedDriftOracleSql,
     "q_pack_efficiency" -> CorpusCuration.packEfficiencyOracleSql,

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Retrieval scoring over the corpus — the ranked-search half of
+  * [[CorpusCuration.termSearch]]'s boolean staple.
+  *
+  * BM25 (Robertson/Spärck Jones; the Lucene `k1`/`b` form) is the
+  * standard lexical ranker a training-data pipeline runs for
+  * decontamination lookups, eval-set neighbor audits, and ad-hoc corpus
+  * search. Mirrors the reference's search intent (alsyefs/notion
+  * backend/analyze_pages.py keyword filters) re-expressed as a ranked
+  * scorer.
+  *
+  * Shape: for a literal query-term set the whole score is MAP-ONLY —
+  * per-term tf and doc length come from one `tokens()` pass
+  * (`array`-filter counts, no explode/shuffle), and the corpus
+  * statistics (N, avgdl, per-term df) collapse into a SINGLE scalar row
+  * cross-joined back in (the tfidf/lm_score precedent). The only
+  * exchange in the plan is the global top-k (TakeOrderedAndProject) —
+  * at 100 TB this is one scan + one O(k)-per-partition reduction.
+  *
+  * Determinism: each per-term score is floor-quantized to integer
+  * MICRO-UNITS before the cross-term sum (exact + associative =>
+  * partitioning-independent), and the top-k SELECTION cuts on the
+  * integer `(score_micro, doc_id)` key — the ulp-trap rules from the
+  * builder notes. Both engines derive `idf`/`avgdl` from identical
+  * integers, so the doubles under the floor are bit-identical.
+  */
+object Retrieval {
+
+  /** BM25 shape parameters (the Lucene defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B  = 0.75
+  val Bm25TopK = 20
+
+  /** Disjunctive query-term set (generator-vocabulary words — the same
+    * terms the conjunctive `q_term_search` uses).
+    */
+  val Bm25Terms: Seq[String] = CorpusCuration.SearchTerms
+
+  /** `q_bm25_rank`: top-[[Bm25TopK]] documents by BM25 over
+    * [[Bm25Terms]]. Output: doc_id, per-term tf columns, score_micro
+    * (the integer selection key), score (display double) — ordered by
+    * (score desc, doc_id), no rank column (a global row_number window
+    * is banned catalog-wide; the order itself IS the ranking, the
+    * q3_top_revenue precedent).
+    */
+  def bm25Rank(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(
+        col("doc_id") +: size(col("t")).cast("long").as("dl") +:
+          Bm25Terms.map(t =>
+            size(filter(col("t"), x => x === lit(t))).cast("long").as(s"tf_$t")): _*)
+    // one scalar row: N, avgdl, df per term — broadcast back map-side
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
+        Bm25Terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+    val k1 = lit(Bm25K1)
+    val b  = lit(Bm25B)
+    // per-term micro score: floor(idf * tfn * 1e6 + 0.5); expression
+    // tree mirrored verbatim in the oracle SQL below
+    def termMicro(t: String) = {
+      val tf  = col(s"tf_$t").cast("double")
+      val df  = col(s"df_$t").cast("double")
+      val n   = col("n_docs").cast("double")
+      val idf = log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5)))
+      val tfn = tf * (k1 + lit(1.0)) /
+        (tf + k1 * (lit(1.0) - b + b * col("dl").cast("double") / col("avgdl")))
+      when(col(s"tf_$t") > 0, floor(idf * tfn * lit(1e6) + lit(0.5)).cast("long"))
+        .otherwise(lit(0L))
+    }
+    val scored = perDoc
+      .crossJoin(broadcast(stats))
+      .withColumn("score_micro", Bm25Terms.map(termMicro).reduce(_ + _))
+      .filter(col("score_micro") > 0)
+    val top = scored
+      .select(col("doc_id") +:
+        Bm25Terms.map(t => col(s"tf_$t")) :+
+        col("score_micro") :+
+        (col("score_micro") / lit(1e6)).as("score"): _*)
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(Bm25TopK)
+    top
+  }
+
+  /** DuckDB twin of [[bm25Rank]] — generated from the SAME constants
+    * (one source of truth) with the identical expression tree; `CAST`s
+    * force the all-DOUBLE arithmetic Spark uses (a bare `1.2` is
+    * DECIMAL in DuckDB).
+    */
+  def bm25RankOracleSql: String = {
+    val tfCols = Bm25Terms.map(t =>
+      s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n       ")
+    val dfCols = Bm25Terms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n       ")
+    def termMicro(t: String) =
+      s"""CASE WHEN tf_$t > 0 THEN CAST(floor(
+         |  ln(CAST(1 AS DOUBLE) + (CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |        / (CAST(df_$t AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |  * (CAST(tf_$t AS DOUBLE) * (CAST($Bm25K1 AS DOUBLE) + CAST(1 AS DOUBLE))
+         |     / (CAST(tf_$t AS DOUBLE) + CAST($Bm25K1 AS DOUBLE)
+         |        * (CAST(1 AS DOUBLE) - CAST($Bm25B AS DOUBLE)
+                    + CAST($Bm25B AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl)))
+         |  * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) ELSE 0 END""".stripMargin
+    val sumMicro = Bm25Terms.map(termMicro).mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM documents),
+       |pd AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+       |       $tfCols
+       |  FROM toks),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+       |       $dfCols
+       |  FROM pd),
+       |scored AS (
+       |  SELECT doc_id, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
+       |    $sumMicro AS score_micro
+       |  FROM pd CROSS JOIN stats)
+       |SELECT doc_id, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")}, score_micro,
+       |  CAST(score_micro AS DOUBLE) / 1e6 AS score
+       |FROM scored WHERE score_micro > 0
+       |ORDER BY score_micro DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+}

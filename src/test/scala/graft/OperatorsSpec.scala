@@ -667,6 +667,8 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     val allowedBnlj = Set("q_ann_brute_topk", "q_ann_ivf_topk", "q_ann_ivf2_topk",
       "q_ann_pq_topk", "q_ann_opq_topk", "q_ann_ivfpq_topk", "q_report_goals", "q_report_doc",
       "q_tfidf_top_terms", "q_value_deciles", "q_lm_score",
+      // per-doc tf/dl × the single (N, avgdl, df) corpus-stats scalar row
+      "q_bm25_rank",
       // inherit q_lm_score's scalar vocab-size cross join
       "q_ppl_buckets", "q_quality_calibration",
       // pair/unigram counts × the single corpus-token-total scalar row

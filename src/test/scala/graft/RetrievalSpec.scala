@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Retrieval
+
+/** BM25 ranked search (`q_bm25_rank`): local-reference scoring on a
+  * planted corpus plus the plan-shape contract (map-only scoring, the
+  * only exchanges are the single-row stats agg and the global top-k).
+  */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Plain-Scala BM25 mirror of the operator's double arithmetic (same
+    * op order ⇒ identical doubles ⇒ identical micro-units).
+    */
+  private def refMicro(tf: Long, df: Long, n: Long, dl: Long, avgdl: Double): Long = {
+    if (tf == 0L) 0L
+    else {
+      val idf = math.log(1.0 + (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5))
+      val tfn = tf.toDouble * (Retrieval.Bm25K1 + 1.0) /
+        (tf.toDouble + Retrieval.Bm25K1 *
+          (1.0 - Retrieval.Bm25B + Retrieval.Bm25B * dl.toDouble / avgdl))
+      math.floor(idf * tfn * 1e6 + 0.5).toLong
+    }
+  }
+
+  test("bm25: scores match a local reference, ranks cut on the integer key") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    // term set is (spark, window, merge); doc 4 has none → excluded
+    val docs = Seq(
+      (1L, "spark spark window merge tail tail tail tail", "en", "s", 1L),
+      (2L, "spark window other words fill fill", "en", "s", 1L),
+      (3L, "merge merge merge merge short", "en", "s", 1L),
+      (4L, "nothing relevant at all here", "en", "s", 1L),
+      (5L, "spark", "en", "s", 1L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val toks = docs.map { case (id, t, _, _, _) => id -> t.split(" ").toSeq }.toMap
+    val n = docs.size.toLong
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val terms = Retrieval.Bm25Terms
+    def tf(id: Long, t: String) = toks(id).count(_ == t).toLong
+    val dfs = terms.map(t => t -> toks.count { case (_, ts) => ts.contains(t) }.toLong).toMap
+    val expected = toks.keys.map { id =>
+      id -> terms.map(t => refMicro(tf(id, t), dfs(t), n, toks(id).size.toLong, avgdl)).sum
+    }.filter(_._2 > 0).toSeq.sortBy { case (id, m) => (-m, id) }
+
+    val got = Retrieval.bm25Rank(spark, dir).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq === expected.map(_._1),
+      "ranking order matches the local reference")
+    assert(got.map(_.getAs[Long]("score_micro")).toSeq === expected.map(_._2),
+      "micro scores are bit-identical to the local double mirror")
+    // doc 4 (no query terms) must not appear
+    assert(!got.exists(_.getAs[Long]("doc_id") == 4L))
+  }
+
+  test("bm25: top-k truncates at Bm25TopK on the shipped corpus, plan is scan+topk") {
+    val df = Retrieval.bm25Rank(spark, SparkTestSession.Sf)
+    val rows = df.collect()
+    assert(rows.length <= Retrieval.Bm25TopK)
+    assert(rows.nonEmpty, "the generator vocabulary guarantees hits")
+    // monotone non-increasing scores with doc_id tiebreak
+    val keys = rows.map(r => (-r.getAs[Long]("score_micro"), r.getAs[Long]("doc_id")))
+    assert(keys.sameElements(keys.sorted), "rows arrive in (score desc, id) order")
+    // plan: per-doc scoring is map-only — no doc-keyed shuffle join; the
+    // corpus meets only the broadcast scalar row and the global top-k
+    val p = graft.plans.Unordered.form(Retrieval.bm25Rank(spark, SparkTestSession.Sf))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), s"bm25 must not shuffle-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered, not global sort:\n$p")
+  }
+}
