@@ -74,6 +74,8 @@ object SparkEntry {
     // attribute-filtered search (WHERE label = …): brute + IVF paths
     "q_ann_filtered_topk"     -> Similarity.annFilteredTopK _,
     "q_ann_ivf_filtered_topk" -> Similarity.annIvfFilteredTopK _,
+    // contrastive hard-negative mining: nearest cross-label neighbors
+    "q_hard_negatives"        -> Similarity.hardNegatives _,
     "q_ann_lsh_topk"   -> Similarity.annLshTopK _,
     "q_ann_ivf_topk"   -> Similarity.annIvfTopK _,
     "q_ann_ivf2_topk"  -> Similarity.annIvfLearnedTopK _,
@@ -620,6 +622,7 @@ object SparkEntry {
     "q_cluster_mix"         -> Clustering.sqlClusterMix,
     "q_ann_brute_topk"      -> Similarity.sqlAnnBruteTopK,
     "q_ann_filtered_topk"   -> Similarity.sqlAnnFilteredTopK,
+    "q_hard_negatives"      -> Similarity.sqlHardNegatives,
     "q_knn_label_acc"       -> Similarity.sqlKnnLabelAcc,
     "q_keyed_sample" ->
       s"""WITH h AS (

@@ -279,6 +279,38 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** §2.5 — hard-negative mining (`q_hard_negatives`): per query
+    * vector, the top-k most-similar corpus vectors with a DIFFERENT
+    * label — the contrastive-training data-prep staple (triplet /
+    * InfoNCE negatives that are close in embedding space but cross the
+    * label boundary). The exact complement of [[annFilteredTopK]]'s
+    * same-label WHERE: the label INEQUALITY keeps this a broadcast
+    * nested-loop over the bounded query set (the brute shape — a hash
+    * join can't carry `<>`), still one corpus scan with no fact-side
+    * shuffle; at 100 TB the same candidate-generation economics as
+    * brute top-k apply (and an IVF-probed variant would compose exactly
+    * like [[annIvfFilteredTopK]] with the predicate flipped).
+    */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("e"), col("label"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val q = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("e_q"),
+        col("nrm").as("n_q"), col("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    broadcast(q)
+      .join(base.select(col("vec_id").as("neighbor_id"), col("e").as("e_c"),
+          col("nrm").as("n_c"), col("label").as("nb_label")),
+        col("label") =!= col("nb_label"))
+      .withColumn("cos_sim", round(dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("q_id", "label", "rank", "neighbor_id", "nb_label", "cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
   // ---- scale paths (deterministic, rows-only checked) -------------------
 
   val LshPlanes = 6
@@ -841,6 +873,28 @@ object Similarity {
        |      ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
        |  FROM scored)
        |SELECT q_id, label, rank, neighbor_id, cos_sim FROM ranked
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
+  /** DuckDB twin of [[hardNegatives]] — the brute oracle with the
+    * label-INEQUALITY predicate (the `vec_id <> vec_id` guard is
+    * subsumed: a vector shares its own label).
+    */
+  val sqlHardNegatives: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, label,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, q.label, c.vec_id AS neighbor_id,
+       |    c.label AS nb_label,
+       |    round(${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm), 6) AS cos_sim
+       |  FROM n q JOIN n c ON q.vec_id < $NumQueries AND q.label <> c.label),
+       |ranked AS (
+       |  SELECT q_id, label, neighbor_id, nb_label, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT q_id, label, rank, neighbor_id, nb_label, cos_sim FROM ranked
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
   /** DuckDB twin of [[knnLabelAcc]]: the row_number argmax (cos desc,

@@ -396,6 +396,40 @@ class SkewRecallSpec extends org.scalatest.funsuite.AnyFunSuite {
       Similarity.annIvfFilteredTopK(spark, sf).collect().toSeq)
   }
 
+  test("hard negatives: nearest cross-label neighbors match a local reference") {
+    val rows = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos6(a: Array[Float], b: Array[Float]): BigDecimal = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      // Spark round() is BigDecimal HALF_UP (away from zero on
+      // negatives — NOT the floor-shift, builder-notes r8 trap)
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val expected = rows.filter(_._1 < Similarity.NumQueries).flatMap {
+      case (qid, qe, qlab) =>
+        rows.filter(_._3 != qlab)
+          .map { case (cid, ce, clab) => (cid, clab, cos6(qe, ce)) }
+          .sortBy { case (cid, _, c) => (-c, cid) }
+          .take(Similarity.TopK)
+          .zipWithIndex
+          .map { case ((cid, clab, c), i) => (qid, qlab, i + 1, cid, clab, c.toDouble) }
+    }.toSeq
+    val got = Similarity.hardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getDouble(5))).toSeq
+    assert(got === expected, "cross-label top-k differs from the local reference")
+    // every mined negative crosses the label boundary
+    assert(got.forall { case (_, ql, _, _, nl, _) => ql != nl })
+  }
+
   test("PQ ANN recall@5 vs brute force, and codes stay in range") {
     val brute = Similarity.annBruteTopK(spark, sf).select("q_id", "neighbor_id")
     val nQ = brute.select("q_id").distinct().count()
@@ -665,6 +699,8 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     // others broadcast a SINGLE scalar/boundary row (count gate,
     // corpus-size N, decile bounds) — O(1) build sides, not cartesians
     val allowedBnlj = Set("q_ann_brute_topk", "q_ann_ivf_topk", "q_ann_ivf2_topk",
+      // bounded query set × corpus on a label INEQUALITY (no hash key)
+      "q_hard_negatives",
       "q_ann_pq_topk", "q_ann_opq_topk", "q_ann_ivfpq_topk", "q_report_goals", "q_report_doc",
       "q_tfidf_top_terms", "q_value_deciles", "q_lm_score",
       // per-doc tf/dl × the single (N, avgdl, df) corpus-stats scalar row
