@@ -112,10 +112,13 @@ object Multimodal {
 
   /** Resize: payloads with a recognized PNG/JPEG/GIF container are
     * REALLY decoded (JDK ImageIO, see [[Pixels]]), bilinear-resampled
-    * to (w, h), and re-encoded as PNG. Unrecognized payloads keep the
-    * original deterministic byte-subsample stub (output size, schema,
-    * and partition shape are unchanged either way — the r1 plumbing
-    * contract).
+    * to (w, h), and re-encoded as PNG — a VARIABLE-length compressed
+    * payload with `kind` rewritten to "image/png". Unrecognized
+    * payloads keep the original deterministic byte-subsample stub
+    * (exactly w·h bytes, kind unchanged). Schema and partition shape
+    * are preserved on both branches — the r1 plumbing contract — but
+    * the stub-era fixed-size payload guarantee holds only on the
+    * unrecognized branch now that real images re-encode.
     */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._

@@ -118,7 +118,11 @@ object AnnAdvisor {
         val nm = r.getDouble(1)
         if (nm > 0.0) e.map(x => (x / nm).toFloat) else e
       }
-    val pr = participationRatio(sample)
+    // empty corpus: the n <= BruteMax branch wins regardless of the
+    // spectrum, so don't compute one (participationRatio needs at least
+    // one vector; an empty table used to throw NoSuchElementException
+    // out of sample.head instead of returning the trivial verdict)
+    val pr = if (sample.isEmpty) 1.0 else participationRatio(sample)
     val (variant, rationale) = recommendFromStats(n, pr)
     val params = variant match {
       case "brute" => s"topk=${Similarity.TopK}"

@@ -17,8 +17,17 @@ import org.apache.spark.storage.StorageLevel
   * (first caller registers, everyone else resolves).
   */
 object Memo {
-  def cached(df: DataFrame): DataFrame =
+  /** Check-then-persist under one lock: two threads warming the same
+    * shared frame concurrently could both observe StorageLevel.NONE and
+    * both persist — reintroducing the very warning this helper
+    * silences. Verify/Bench drive queries single-threaded today, but
+    * the idempotence contract shouldn't depend on that; the lock is a
+    * driver-side metadata operation (CacheManager lookup + register),
+    * never held across a job.
+    */
+  def cached(df: DataFrame): DataFrame = synchronized {
     if (df.storageLevel == StorageLevel.NONE)
       df.persist(StorageLevel.MEMORY_AND_DISK)
     else df
+  }
 }

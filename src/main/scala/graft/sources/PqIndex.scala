@@ -148,7 +148,16 @@ object PqIndex {
   def compact(s: SparkSession, root: String): Unit = {
     val codes = dropTombstoned(s, root, s.read.parquet(s"$root/codes"))
     val tmp = s"$root/codes_compacting"
-    codes.repartition(col("cell"))
+    // all-tombstoned edge: a partitionBy write of zero rows emits NO
+    // part files, and the next read.parquet(codes) dies on 'Unable to
+    // infer schema' instead of returning zero candidates. Write the
+    // empty frame unpartitioned — one schema-bearing empty part file;
+    // `cell` stays a data column, so search's isin filter (and every
+    // other consumer) reads it unchanged (partition pruning is moot on
+    // an empty index).
+    if (codes.isEmpty)
+      codes.coalesce(1).write.mode("overwrite").parquet(tmp)
+    else codes.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)

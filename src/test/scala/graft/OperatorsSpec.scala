@@ -1076,6 +1076,23 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(run(base) === want, "search identical after the reclaim")
   }
 
+  test("PQ index compact with EVERY row tombstoned stays readable (empty index)") {
+    import spark.implicits._
+    import graft.sources.PqIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_pqall").toString
+    PqIndex.materializeWhere(spark, sf, lit(true), base)
+    val allIds = Similarity.normed(spark, sf)
+      .select("vec_id").as[Long].collect().toSeq
+    PqIndex.delete(spark, base, allIds)
+    // compact of an all-tombstoned index used to write a part-less
+    // codes/ directory, and the next read died on 'Unable to infer
+    // schema'; now it writes one schema-bearing empty part file
+    PqIndex.compact(spark, base)
+    assert(PqIndex.searchRoot(spark, sf, base).collect().isEmpty,
+      "searching the fully reclaimed index returns zero candidates")
+    assert(spark.read.parquet(s"$base/codes").isEmpty)
+  }
+
   test("gopher filter: each rule gates independently, keep is the conjunction") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_gopher").toString
@@ -2232,5 +2249,16 @@ class AnnAdvisorSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(AnnAdvisor.recommendFromStats(1000000L, 0.1)._1 === "opq",
       "anisotropy outranks size: rotate before celling")
     assert(AnnAdvisor.recommendFromStats(50000L, 0.8)._1 === "pq")
+  }
+
+  test("advisor on an EMPTY embeddings table returns the brute row, no crash") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_annadv_empty").toString
+    Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val row = AnnAdvisor.recommend(spark, dir).head()
+    assert(row.getAs[Long]("n_vectors") === 0L)
+    assert(row.getAs[String]("variant") === "brute",
+      "n <= BruteMax holds trivially at n = 0; the spectrum is irrelevant")
   }
 }
