@@ -76,6 +76,9 @@ object SparkEntry {
     "q_ann_ivf_filtered_topk" -> Similarity.annIvfFilteredTopK _,
     // contrastive hard-negative mining: nearest cross-label neighbors
     "q_hard_negatives"        -> Similarity.hardNegatives _,
+    // the IVF-probed scale path of the same mining (rows-only; recall
+    // vs the brute oracle is driver-gated via q_recall_report)
+    "q_hard_negatives_ivf"    -> Similarity.hardNegativesIvf _,
     "q_ann_lsh_topk"   -> Similarity.annLshTopK _,
     "q_ann_ivf_topk"   -> Similarity.annIvfTopK _,
     "q_ann_ivf2_topk"  -> Similarity.annIvfLearnedTopK _,
@@ -87,6 +90,11 @@ object SparkEntry {
     // other ANN entries — equality with q_ann_ivfpq_topk is spec'd)
     "q_ann_pq_indexed" -> sources.PqIndex.annPqIndexed _,
     "q_ann_advisor"    -> AnnAdvisor.recommend _,
+    // driver-checked quality gate for every approximate entry above:
+    // recall@5 vs the exact in-catalog baselines + sketch error bounds,
+    // emitted as thresholded verdict rows against a generated VALUES
+    // oracle — a recall/bound regression now hash-fails the round
+    "q_recall_report"  -> operators.RecallReport.report _,
     // §2.6 text analysis
     "q_token_count"     -> TextAnalysis.tokenCount _,
     "q_quality_score"   -> TextAnalysis.quality _,
@@ -624,6 +632,7 @@ object SparkEntry {
     "q_ann_filtered_topk"   -> Similarity.sqlAnnFilteredTopK,
     "q_hard_negatives"      -> Similarity.sqlHardNegatives,
     "q_knn_label_acc"       -> Similarity.sqlKnnLabelAcc,
+    "q_recall_report"       -> operators.RecallReport.oracleSql,
     "q_keyed_sample" ->
       s"""WITH h AS (
            SELECT lang, doc_id,

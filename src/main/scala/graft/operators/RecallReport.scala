@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Driver-checked quality gate for every approximate catalog entry
+  * (`q_recall_report`). The ANN variants and the sketches are rows-only
+  * by nature — their outputs are engine-specific policies, not
+  * SQL-reproducible values — so until this operator their recall/error
+  * bounds lived ONLY in ScalaTest specs, invisible to the per-round
+  * `CORRECTNESS_r*.json` gate (the round-9 verdict's top ask). This
+  * query recomputes each bound against its exact in-catalog baseline
+  * and emits one integer-thresholded verdict row per gate; the DuckDB
+  * oracle is the static expected-verdict table generated from the SAME
+  * [[Gates]] constants, so ANY bound regression flips a `pass` to
+  * false and hash-fails the driver's correctness gate for the round.
+  *
+  * Output stays deterministic across testdata regenerations by
+  * construction: only (gate, threshold_pct, pass) is emitted — the
+  * measured values (which may legitimately move with a new corpus while
+  * staying above threshold) are printed by RecallGateSpec, not compared.
+  *
+  * Distributed shape: the heavy work is the ANN searches themselves
+  * (each already a probe-pruned scale path); every comparison then
+  * happens over the driver-bounded top-k outputs (≤ NumQueries·TopK =
+  * 50 rows per variant — the documented bounded-collect class). The
+  * sketch gates reuse the catalog operators' own outputs plus one
+  * corpus-stats aggregate scan.
+  *
+  * Thresholds are integer PERCENT, set from values measured at the
+  * three shipped SFs (sf0.001 / sf0.01 / sf0.1, printed by the spec)
+  * with a safety margin — tight enough that a real regression (a probe
+  * set that stops covering, a codebook that stops training, a sketch
+  * bound violation) trips the gate, loose enough that corpus-to-corpus
+  * recall jitter does not.
+  */
+object RecallReport {
+
+  /** ANN gates: (gate name, variant frame, exact baseline frame).
+    * Recall@k = |variant ∩ exact| / |exact| over (q_id, neighbor_id)
+    * pairs, floored to integer percent. The brute baseline is computed
+    * once per report (the pair sets below collect it per gate, but the
+    * 50-row collect is the cheap half; the corpus-sized work is each
+    * variant's own search).
+    */
+  private[graft] def annGates(s: SparkSession, dir: String)
+      : Seq[(String, DataFrame, DataFrame)] = Seq(
+    ("ann_lsh_recall5", Similarity.annLshTopK(s, dir),
+      Similarity.annBruteTopK(s, dir)),
+    ("ann_ivf_recall5", Similarity.annIvfTopK(s, dir),
+      Similarity.annBruteTopK(s, dir)),
+    ("ann_ivf2_recall5", Similarity.annIvfLearnedTopK(s, dir),
+      Similarity.annBruteTopK(s, dir)),
+    ("ann_pq_recall5", Similarity.annPqTopK(s, dir),
+      Similarity.annBruteTopK(s, dir)),
+    ("ann_opq_recall5", Similarity.annOpqTopK(s, dir),
+      Similarity.annBruteTopK(s, dir)),
+    ("ann_ivfpq_recall5", Similarity.annIvfPqTopK(s, dir),
+      Similarity.annBruteTopK(s, dir)),
+    ("ann_pq_indexed_recall5", graft.sources.PqIndex.annPqIndexed(s, dir),
+      Similarity.annBruteTopK(s, dir)),
+    ("ann_ivf_filtered_recall5", Similarity.annIvfFilteredTopK(s, dir),
+      Similarity.annFilteredTopK(s, dir)),
+    ("hard_negatives_ivf_recall5", Similarity.hardNegativesIvf(s, dir),
+      Similarity.hardNegatives(s, dir)))
+
+  /** Sketch gates: (gate name, threshold pct). Semantics per gate:
+    *  - approx_users_relerr: max per-group relative error of the HLL
+    *    distinct count vs exact, must be ≤ threshold pct;
+    *  - approx_median_relerr: max per-group relative error of the KLL
+    *    approximate median vs the exact interpolated percentile, ≤
+    *    threshold pct;
+    *  - cms_bounds: percent of probed heavy-hitter tokens satisfying
+    *    BOTH Count-Min bounds (exact ≤ estimate ≤ exact + ε·N) — must
+    *    be the full 100 (the bounds are structural: never undercount,
+    *    overcount ≤ ε·N w.h.p. at ε = [[Sketches.CmsEps]]).
+    */
+  val ApproxUsersMaxErrPct = 10
+  val ApproxMedianMaxErrPct = 5
+
+  /** Every gate with its threshold — the single source the oracle SQL
+    * is generated from.
+    */
+  val GateThresholds: Seq[(String, Int)] = Seq(
+    "ann_lsh_recall5" -> 60, "ann_ivf_recall5" -> 55,
+    "ann_ivf2_recall5" -> 55, "ann_pq_recall5" -> 90,
+    "ann_opq_recall5" -> 90, "ann_ivfpq_recall5" -> 55,
+    "ann_pq_indexed_recall5" -> 55, "ann_ivf_filtered_recall5" -> 40,
+    "hard_negatives_ivf_recall5" -> 40,
+    "approx_users_relerr" -> ApproxUsersMaxErrPct,
+    "approx_median_relerr" -> ApproxMedianMaxErrPct,
+    "cms_bounds" -> 100)
+
+  /** Measured values per gate (integer pct, floored), for the spec's
+    * printout and the threshold audit. For recall gates: recall@5 pct.
+    * For error gates: the measured max relative error pct. For
+    * cms_bounds: pct of probed tokens inside both bounds.
+    */
+  private[graft] def measured(s: SparkSession, dir: String): Seq[(String, Int)] = {
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("q_id").cast("long"), col("neighbor_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = annGates(s, dir).map { case (gate, variant, exact) =>
+      val want = pairSet(exact)
+      val got = pairSet(variant)
+      val pct =
+        if (want.isEmpty) 100 else ((want & got).size * 100) / want.size
+      (gate, pct)
+    }
+
+    // sketch gate 1+2: HLL distinct / KLL median vs exact, per event type
+    val approx = ExtendedAnalytics.approxStats(s, dir)
+      .select(col("event_type"), col("approx_users"), col("approx_median_value"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exactRows = Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("users"),
+        expr("percentile(value, 0.5)").as("median_value"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def maxErrPct(f: String => (Double, Double)): Int =
+      exactRows.keys.map { k =>
+        val (est, ex) = f(k)
+        if (ex == 0.0) (if (est == 0.0) 0 else 100)
+        else math.ceil(math.abs(est - ex) / math.abs(ex) * 100).toInt
+      }.foldLeft(0)(math.max)
+    val usersErr = maxErrPct(k => (approx(k)._1.toDouble, exactRows(k)._1.toDouble))
+    val medianErr = maxErrPct(k => (approx(k)._2, exactRows(k)._2))
+
+    // sketch gate 3: CMS bounds over the probed heavy hitters
+    val totalTokens = Tables.documents(s, dir)
+      .select(size(tokens(col("text"))).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    val epsN = math.ceil(Sketches.CmsEps * totalTokens).toLong
+    val hh = Sketches.heavyHitters(s, dir)
+      .select(col("cms_estimate"), col("exact_tf")).collect()
+    val inBounds = hh.count { r =>
+      val est = r.getLong(0); val ex = r.getLong(1)
+      ex <= est && est <= ex + epsN
+    }
+    val cmsPct = if (hh.isEmpty) 100 else (inBounds * 100) / hh.length
+
+    ann ++ Seq(("approx_users_relerr", usersErr),
+      ("approx_median_relerr", medianErr), ("cms_bounds", cmsPct))
+  }
+
+  /** (gate, measured pct, threshold pct, pass) — the full verdicts,
+    * exposed for the spec's margin printout so the test doesn't re-run
+    * the whole ANN family a second time.
+    */
+  private[graft] def verdicts(s: SparkSession, dir: String)
+      : Seq[(String, Int, Int, Boolean)] = {
+    val th = GateThresholds.toMap
+    measured(s, dir).map { case (gate, pct) =>
+      val t = th(gate)
+      val ok = gate match {
+        case "approx_users_relerr" | "approx_median_relerr" => pct <= t
+        case _ => pct >= t
+      }
+      (gate, pct, t, ok)
+    }
+  }
+
+  /** The catalog query: one (gate, threshold_pct, pass) row per gate,
+    * ordered by gate name — identical shape to the generated VALUES
+    * oracle, so a failed gate hash-fails the round.
+    */
+  def report(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    verdicts(s, dir).map { case (gate, _, t, ok) => (gate, t, ok) }
+      .toDF("gate", "threshold_pct", "pass").orderBy("gate")
+  }
+
+  /** DuckDB twin: the expected verdict table, generated from the same
+    * [[GateThresholds]] — every gate must pass.
+    */
+  def oracleSql: String =
+    "SELECT * FROM (VALUES " +
+      GateThresholds.map { case (g, t) => s"('$g', $t, true)" }.mkString(", ") +
+      ") AS t(gate, threshold_pct, pass) ORDER BY gate"
+}

@@ -311,6 +311,41 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** §2.5 — IVF-probed hard negatives: the scale path of
+    * [[hardNegatives]], composed exactly as its scaladoc promises —
+    * [[annIvfFilteredTopK]]'s probe shape with the label predicate
+    * FLIPPED after cell pruning. The candidate join is a plain
+    * broadcast equi-join on the probed cell id (the label INEQUALITY
+    * rides as a post-join filter — it cannot be a hash key, but it no
+    * longer forces a nested loop over the whole corpus either); the
+    * probed-fraction economics are identical to IVF search, and recall
+    * vs the full-oracle brute [[hardNegatives]] is measured by the
+    * spec AND gated per-round by [[RecallReport]].
+    */
+  def hardNegativesIvf(s: SparkSession, dir: String): DataFrame = {
+    val cents = seededCentroids(s, dir)
+    val base = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("e"), col("label"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val assigned = base.select(col("vec_id").as("neighbor_id"),
+      col("e").as("e_c"), col("nrm").as("n_c"), col("label").as("nb_label"),
+      CentroidOps.cell(col("e"), col("nrm"), cents).as("cell"))
+    val probes = math.max(IvfNProbe, math.ceil(cents.size * IvfProbeFraction).toInt)
+    val qProbes = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("e_q"),
+        col("nrm").as("n_q"), col("label"),
+        explode(CentroidOps.nearest(col("e"), col("nrm"), cents, probes)).as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    broadcast(qProbes).join(assigned, Seq("cell"))
+      .filter(col("label") =!= col("nb_label"))
+      .withColumn("cos_sim", round(dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("q_id", "label", "rank", "neighbor_id", "nb_label", "cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
   // ---- scale paths (deterministic, rows-only checked) -------------------
 
   val LshPlanes = 6
@@ -559,22 +594,33 @@ object Similarity {
     cents
   }
 
+  /** Learned centroid set WITH norms, memoized per table dir (same
+    * per-dir determinism contract as [[seededCentroids]]): the Lloyd
+    * training is driver-local ms, but the set now has several consumers
+    * (learned IVF, the cluster-curation family, the recall gate) and
+    * each retrain would re-collect the sample's count. Norms use the
+    * same sequential double accumulation as FloatArrayDot — scores
+    * match the former DataFrame-side sqrt(dotF(c,c)) bit-for-bit.
+    */
+  private val learnedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Array[Float], Double)]]()
+
+  private[graft] def learnedCentroidsWithNorms(s: SparkSession, dir: String)
+      : Seq[(Int, Array[Float], Double)] =
+    learnedMemo.computeIfAbsent(dir, _ =>
+      learnedCentroids(s, dir).map { case (id, v) =>
+        var ss = 0.0
+        var j = 0
+        while (j < v.length) { ss += v(j).toDouble * v(j).toDouble; j += 1 }
+        (id, v, math.sqrt(ss))
+      })
+
   /** §2.5 #31b — IVF with LEARNED centroids (k-means-lite): same probe
     * and rerank shape as the seeded variant, but cells reflect the data
     * distribution — better recall at the same probe budget.
     */
-  def annIvfLearnedTopK(s: SparkSession, dir: String): DataFrame = {
-    // centroid norms computed with the same sequential double
-    // accumulation as FloatArrayDot — scores match the former
-    // DataFrame-side sqrt(dotF(c,c)) bit-for-bit
-    val cents = learnedCentroids(s, dir).map { case (id, v) =>
-      var ss = 0.0
-      var j = 0
-      while (j < v.length) { ss += v(j).toDouble * v(j).toDouble; j += 1 }
-      (id, v, math.sqrt(ss))
-    }
-    ivfSearch(s, dir, cents, IvfNProbe)
-  }
+  def annIvfLearnedTopK(s: SparkSession, dir: String): DataFrame =
+    ivfSearch(s, dir, learnedCentroidsWithNorms(s, dir), IvfNProbe)
 
   val PqM = 8          // subspaces
   /** 256 centroids per subspace = an 8-BIT code that fills the byte

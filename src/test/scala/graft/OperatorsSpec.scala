@@ -2262,3 +2262,50 @@ class AnnAdvisorSpec extends org.scalatest.funsuite.AnyFunSuite {
       "n <= BruteMax holds trivially at n = 0; the spectrum is irrelevant")
   }
 }
+
+/** The driver-checked recall/error gate (`q_recall_report`) — the
+  * round-9 verdict's top ask: the 11 rows-only approximate entries must
+  * not be able to regress invisibly between rounds. Margins printed
+  * here; the per-round enforcement is the VALUES-oracle hash compare.
+  */
+class RecallGateSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+  import graft.operators.{RecallReport, Similarity}
+
+  test("every gate passes on the shipped corpus (margins printed)") {
+    val vs = RecallReport.verdicts(spark, sf)
+    assert(vs.map(_._1).sorted === RecallReport.GateThresholds.map(_._1).sorted,
+      "verdicts must cover exactly the declared gate list")
+    for ((g, m, t, ok) <- vs) {
+      info(f"$g%-28s measured=$m%3d threshold=$t%3d pass=$ok")
+      assert(ok, s"$g: measured $m vs threshold $t")
+    }
+  }
+
+  test("the VALUES oracle mirrors the gate list one-to-one") {
+    val sql = RecallReport.oracleSql
+    for ((g, t) <- RecallReport.GateThresholds)
+      assert(sql.contains(s"('$g', $t, true)"), s"oracle row missing for $g")
+    // one '(' per VALUES row plus the one in "AS t(gate, ...)"
+    assert(sql.split("VALUES")(1).count(_ == '(') ===
+      RecallReport.GateThresholds.size + 1,
+      "no stray rows beyond the gate list")
+  }
+
+  test("IVF-probed hard negatives: cell equi-join (no nested loop), recall floor vs brute") {
+    val df = Similarity.hardNegativesIvf(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the probed path must join on the cell id, not nested-loop the corpus")
+    assert(p.contains("BroadcastHashJoin"), "probe set should broadcast")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pairs(Similarity.hardNegatives(spark, sf))
+    val got = pairs(df)
+    val rec = (want & got).size.toDouble / want.size
+    info(f"hard-negatives IVF recall@${Similarity.TopK} = $rec%.2f")
+    assert(rec >= 0.4, f"recall collapsed: $rec%.2f")
+  }
+}
