@@ -51,7 +51,26 @@ object Clustering {
   val PruneNum = 1
   val PruneDen = 4
 
-  /** Corpus assigned to seeded cells with the cosine to the OWN
+  /** The centroid set the curation family clusters against: the
+    * LLOYD-TRAINED refinement of the seeded stride set (round 10 —
+    * the catalog already measured learned cells beating seeded ones,
+    * `q_ann_ivf2_topk` recall 0.86 vs 0.82; ClusteringSpec asserts the
+    * same win as mean cohesion here). Deterministic per table dir
+    * (seeded init, fixed iteration count, driver-local arithmetic) and
+    * memoized with norms, so the batch family, the streaming twin's
+    * frozen artifact, and the oracle generator all see the identical
+    * set. Up to [[Similarity.TrainSampleCap]] vectors the Lloyd rounds
+    * see the WHOLE corpus and the unrolled-SQL oracle below reproduces
+    * them bit-exactly; above the cap training switches to the stride
+    * sample (not SQL-expressible — xxhash64), so full-corpus oracle
+    * parity holds at every shipped correctness SF and the sf1 sweep
+    * uses a ≤ cap fold-slice (the q_knn_label_acc precedent).
+    */
+  private[graft] def curationCentroids(s: SparkSession, dir: String)
+      : Seq[(Int, Array[Float], Double)] =
+    Similarity.learnedCentroidsWithNorms(s, dir)
+
+  /** Corpus assigned to the learned cells with the cosine to the OWN
     * centroid: map-side argmin for the cell, then a broadcast join
     * against the driver-local centroid table for the score (same
     * fold arithmetic the argmin used — bit-identical).
@@ -59,7 +78,7 @@ object Clustering {
     */
   private[operators] def assignedScored(s: SparkSession, dir: String): DataFrame =
     assignedScoredOf(s, graft.Tables.embeddings(s, dir),
-      Similarity.seededCentroids(s, dir))
+      curationCentroids(s, dir))
 
   /** Batch-parameterized form (the streaming twin assigns micro-batches
     * against a FROZEN centroid set — same frozen-artifact contract as
@@ -172,7 +191,7 @@ object Clustering {
     */
   def clusterMix(s: SparkSession, dir: String): DataFrame = {
     val asg = assignedCellsOf(graft.Tables.embeddings(s, dir),
-      Similarity.seededCentroids(s, dir)).select(col("vec_id"), col("cell"))
+      curationCentroids(s, dir)).select(col("vec_id"), col("cell"))
     val tot = asg.agg(count(lit(1)).as("total"),
       countDistinct(col("cell")).as("cells"))
     val w = org.apache.spark.sql.expressions.Window
@@ -192,22 +211,63 @@ object Clustering {
 
   private def dot(a: String, b: String): String = Similarity.sqlDot(a, b)
 
-  /** Shared CTE prefix: normed embeddings WITH label, the seeded
-    * centroid selection (mirrors [[Similarity.seededCentroids]]), and
-    * the argmin assignment carrying the winning score — both engines
-    * compute the identical sequential-fold doubles, so cell AND score
-    * agree bitwise (the `sqlSemanticDedup` contract, plus the score
-    * column).
+  /** One unrolled Lloyd round in SQL: assign every vector to its
+    * best previous centroid by RAW sequential-fold dot (strict-greater
+    * insertion over ascending ids == `row_number ORDER BY dot DESC,
+    * cid`), then the new centroid is the per-dimension mean — double
+    * sums folded in vec_id order (exactly the Scala loop's sample
+    * iteration order), divided by the member count, cast to REAL
+    * (Java's `.toFloat`, both IEEE round-to-nearest-even). Cells that
+    * capture no vectors drop out of the GROUP BY, as the Scala
+    * `cnts > 0` filter does.
     */
-  private val sqlAssigned: String =
+  private def sqlLloydIter(prev: String, asg: String, md: String,
+                           next: String): String =
+    s"""$asg AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT n.vec_id, n.embedding, $prev.cid AS cell,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${dot("n.embedding", s"$prev.ce")} DESC, $prev.cid) AS rn
+       |    FROM n CROSS JOIN $prev) WHERE rn = 1),
+       |$md AS (
+       |  SELECT cell AS cid, j,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list(CAST(embedding[j] AS DOUBLE) ORDER BY vec_id)),
+       |         (a, x) -> a + x) / count(*) AS REAL) AS cj
+       |  FROM $asg CROSS JOIN unnest(generate_series(1, ${Similarity.Dim})) AS u(j)
+       |  GROUP BY cell, j),
+       |$next AS (SELECT cid, list(cj ORDER BY j) AS ce FROM $md GROUP BY cid)"""
+      .stripMargin
+
+  /** Shared CTE prefix: normed embeddings WITH label, the LEARNED
+    * centroid set (seeded stride init mirroring
+    * [[Similarity.seededCentroids]], then [[Similarity.KMeansIters]]
+    * unrolled Lloyd rounds reproducing
+    * [[Similarity.learnedCentroids]]'s driver-local arithmetic
+    * bit-for-bit — see [[sqlLloydIter]]), and the final cosine argmin
+    * assignment carrying the winning score. Both engines compute
+    * identical sequential-fold doubles at every step (dots, mean
+    * folds in vec_id order, REAL casts), so cell AND score agree
+    * bitwise (the `sqlSemanticDedup` contract extended through the
+    * training itself — the same "oracle the TRAINING computation"
+    * standard the NB classifier set). Valid while the corpus is
+    * within [[Similarity.TrainSampleCap]], i.e. at every shipped
+    * correctness SF; see [[curationCentroids]].
+    */
+  private val sqlAssigned: String = {
+    val iters = (1 to Similarity.KMeansIters).map(i =>
+      sqlLloydIter(s"c${i - 1}", s"a$i", s"m$i", s"c$i")).mkString(",\n")
+    val fin = s"c${Similarity.KMeansIters}"
     s"""WITH n AS (
        |  SELECT vec_id, embedding, label,
        |    sqrt(${dot("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
        |str AS (SELECT greatest(${Similarity.IvfCentroidMod},
        |          CAST(round(sqrt(CAST(count(*) AS DOUBLE)), 0) AS BIGINT)) AS stride FROM n),
-       |c AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm FROM n, str
+       |c0 AS (SELECT vec_id AS cid, embedding AS ce FROM n, str
        |      WHERE vec_id % stride = 3 % stride),
+       |$iters,
+       |c AS (SELECT cid, ce, sqrt(${dot("ce", "ce")}) AS cnrm FROM $fin),
        |asg AS (
        |  SELECT vec_id, label, cell, score FROM (
        |    SELECT n.vec_id, n.label, CAST(c.cid AS INTEGER) AS cell,
@@ -215,6 +275,7 @@ object Clustering {
        |      row_number() OVER (PARTITION BY n.vec_id
        |        ORDER BY ${dot("n.embedding", "c.ce")} / (n.nrm * c.cnrm) DESC, c.cid) AS rn
        |    FROM n CROSS JOIN c) WHERE rn = 1)""".stripMargin
+  }
 
   val sqlTopicClusters: String =
     s"""$sqlAssigned,

@@ -20,15 +20,53 @@ class ClusteringSpec extends AnyFunSuite {
     acc
   }
 
-  /** Local reference: (vec_id, label, cell, score) by brute argmax
-    * over the seeded centroid set (score desc, centroid id asc).
-    */
-  private def localAssigned(): Seq[(Long, Int, Int, Double)] = {
-    val cents = Similarity.seededCentroids(spark, sf).sortBy(_._1)
-    val vecs = Tables.embeddings(spark, sf).collect().map { r =>
+  private lazy val corpus: Seq[(Long, Array[Float], Int)] =
+    Tables.embeddings(spark, sf).orderBy("vec_id").collect().map { r =>
       (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2))
+    }.toSeq
+
+  /** Independent local replica of the LEARNED centroid training
+    * (r10): seeded stride init, KMeansIters Lloyd rounds — raw-dot
+    * argmax (strict >, ids ascending), per-dim double-mean in vec_id
+    * order, `.toFloat` — written from the collected corpus, not by
+    * calling the operator's trainer.
+    */
+  private def localLearnedCents(): Seq[(Int, Array[Float], Double)] = {
+    val d = Similarity.Dim
+    val total = corpus.size.toLong
+    val stride = math.max(Similarity.IvfCentroidMod.toLong,
+      math.round(math.sqrt(total.toDouble)))
+    var cents: Seq[(Int, Array[Float])] = corpus
+      .filter(v => v._1 % stride == 3L % stride).sortBy(_._1)
+      .map(v => (v._1.toInt, v._2))
+    for (_ <- 1 to Similarity.KMeansIters) {
+      val byId = cents.sortBy(_._1)
+      val sums = Array.fill(byId.size)(new Array[Double](d))
+      val cnts = new Array[Long](byId.size)
+      for ((_, e, _) <- corpus) {
+        var best = 0; var bestScore = Double.NegativeInfinity
+        for (ci <- byId.indices) {
+          val sc = dot(e, byId(ci)._2)
+          if (sc > bestScore) { bestScore = sc; best = ci }
+        }
+        var j = 0
+        while (j < d) { sums(best)(j) += e(j).toDouble; j += 1 }
+        cnts(best) += 1
+      }
+      cents = byId.indices.filter(cnts(_) > 0).map { ci =>
+        (byId(ci)._1, Array.tabulate(d)(j => (sums(ci)(j) / cnts(ci)).toFloat))
+      }
     }
-    vecs.toSeq.map { case (id, e, lab) =>
+    cents.map { case (id, v) => (id, v, math.sqrt(dot(v, v))) }
+  }
+
+  /** Local reference: (vec_id, label, cell, score) by brute cosine
+    * argmax over a centroid set (score desc, centroid id asc).
+    */
+  private def localAssignedTo(cents0: Seq[(Int, Array[Float], Double)])
+      : Seq[(Long, Int, Int, Double)] = {
+    val cents = cents0.sortBy(_._1)
+    corpus.map { case (id, e, lab) =>
       val nrm = math.sqrt(dot(e, e))
       var bestId = cents.head._1
       var bestScore = Double.NegativeInfinity
@@ -38,6 +76,32 @@ class ClusteringSpec extends AnyFunSuite {
       }
       (id, lab, bestId, bestScore)
     }
+  }
+
+  private def localAssigned(): Seq[(Long, Int, Int, Double)] =
+    localAssignedTo(localLearnedCents())
+
+  test("the operator's learned centroid set equals the independent local Lloyd replica") {
+    val want = localLearnedCents()
+    val got = Clustering.curationCentroids(spark, sf).sortBy(_._1)
+    assert(got.map(_._1) === want.map(_._1), "cell ids (and survivors) match")
+    for (((wid, wv, wn), (gid, gv, gn)) <- want.zip(got.sortBy(_._1))) {
+      assert(wid === gid)
+      assert(wv.toSeq === gv.toSeq, s"centroid $wid drifted")
+      assert(wn === gn)
+    }
+  }
+
+  test("learned cells improve mean cohesion over the seeded init") {
+    def meanCos(cents: Seq[(Int, Array[Float], Double)]): Double = {
+      val asg = localAssignedTo(cents)
+      asg.map(_._4).sum / asg.size
+    }
+    val seeded = meanCos(Similarity.seededCentroids(spark, sf))
+    val learned = meanCos(localLearnedCents())
+    info(f"mean cosine to own centroid: seeded=$seeded%.4f learned=$learned%.4f")
+    assert(learned > seeded,
+      "Lloyd rounds should tighten clusters (the ivf2-recall precedent)")
   }
 
   test("topic clusters match an independent local reference exactly") {
@@ -112,7 +176,10 @@ class ClusteringSpec extends AnyFunSuite {
   test("streaming topic mix equals the batch operator over any split, incl. restore") {
     val emb = Tables.embeddings(spark, sf)
     def slice(r: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === r)
-    val cents = Similarity.seededCentroids(spark, sf)
+    // the twin freezes the same LEARNED artifact the batch family
+    // clusters against (the frozen-artifact contract: retraining
+    // mid-stream would change cell identities)
+    val cents = Clustering.curationCentroids(spark, sf)
     val twin = new graft.streaming.StreamingTopicMix(cents)
     twin.mergeBatch(spark, slice(0)); twin.mergeBatch(spark, slice(1))
     val snap = java.nio.file.Files.createTempDirectory("graft_topicsnap").toString
@@ -129,14 +196,20 @@ class ClusteringSpec extends AnyFunSuite {
       "restore + remaining batches == uninterrupted monitor == batch")
   }
 
-  test("assignment agrees with SemDeDup's cells and the plan broadcasts the centroid join") {
-    // same centroid set, same argmin — the family is internally consistent
+  test("the curation family shares one cell partition and broadcasts the centroid join") {
+    // one LEARNED centroid set across the family (SemDeDup stays on the
+    // seeded set by design — its oracle freezes that choice); every
+    // member must see the identical partition of the corpus
     val mine = Clustering.topicClusters(spark, sf)
       .agg(sum(col("n_vecs"))).collect()(0).getLong(0)
-    val sem = operators.Similarity.semanticDedup(spark, sf)
-      .select("cell").distinct().count()
-    val cells = Clustering.topicClusters(spark, sf).count()
-    assert(cells === sem, "both operators see the identical cell partition")
+    val cells = Clustering.topicClusters(spark, sf)
+      .select("cell").collect().map(_.getInt(0)).toSet
+    val pruneCells = Clustering.prototypePrune(spark, sf)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val mixCells = Clustering.clusterMix(spark, sf)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells === pruneCells && cells === mixCells,
+      "the family members see the identical cell partition")
     assert(mine === Tables.embeddings(spark, sf).count())
     val plan = Clustering.prototypePrune(spark, sf)
       .queryExecution.executedPlan.toString
