@@ -138,6 +138,10 @@ object SparkEntry {
     "q_term_search"   -> ((s, d) => CorpusCuration.termSearch(s, d)),
     // BM25 ranked search beside the boolean term search
     "q_bm25_rank"     -> ((s, d) => Retrieval.bm25Rank(s, d)),
+    // standing-search twin: same ranking served from the persisted
+    // shard-partitioned postings index (sources.Bm25Index) — shares
+    // bm25Rank's oracle, the q_bpe_persisted artifact-identity pattern
+    "q_bm25_indexed"  -> sources.Bm25Index.bm25Indexed _,
     "q_rate_anomaly"  -> CorpusCuration.rateAnomaly _,
     "q_embed_drift"   -> CorpusCuration.embedDrift _,
     "q_pack_efficiency" -> CorpusCuration.packEfficiency _,
@@ -774,6 +778,7 @@ object SparkEntry {
     "q_novelty"        -> CorpusCuration.noveltyOracleSql,
     "q_term_search"    -> CorpusCuration.termSearchOracleSql,
     "q_bm25_rank"      -> Retrieval.bm25RankOracleSql,
+    "q_bm25_indexed"   -> Retrieval.bm25RankOracleSql,
     "q_rate_anomaly"   -> CorpusCuration.rateAnomalyOracleSql,
     "q_embed_drift"    -> CorpusCuration.embedDriftOracleSql,
     "q_pack_efficiency" -> CorpusCuration.packEfficiencyOracleSql,

@@ -49,6 +49,42 @@ object Retrieval {
     * is banned catalog-wide; the order itself IS the ranking, the
     * q3_top_revenue precedent).
     */
+  /** Per-term micro score over a frame carrying (dl, tf_t) and the
+    * broadcast stats row (n_docs, avgdl, df_t):
+    * floor(idf · tfn · 1e6 + 0.5). ONE expression tree shared by the
+    * map-only ranker and the persisted-index path (and mirrored
+    * verbatim in the oracle SQL below) — the two paths are cell-equal
+    * by construction.
+    */
+  private[graft] def termMicro(t: String): org.apache.spark.sql.Column = {
+    val k1 = lit(Bm25K1)
+    val b  = lit(Bm25B)
+    val tf  = col(s"tf_$t").cast("double")
+    val df  = col(s"df_$t").cast("double")
+    val n   = col("n_docs").cast("double")
+    val idf = log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5)))
+    val tfn = tf * (k1 + lit(1.0)) /
+      (tf + k1 * (lit(1.0) - b + b * col("dl").cast("double") / col("avgdl")))
+    when(col(s"tf_$t") > 0, floor(idf * tfn * lit(1e6) + lit(0.5)).cast("long"))
+      .otherwise(lit(0L))
+  }
+
+  /** Shared score-and-rank tail: per-doc (doc_id, dl, tf_*) frame ×
+    * the single broadcast stats row → top-[[Bm25TopK]] by the integer
+    * (score_micro, doc_id) key.
+    */
+  private[graft] def scoreAndTop(perDoc: DataFrame, stats: DataFrame): DataFrame =
+    perDoc
+      .crossJoin(broadcast(stats))
+      .withColumn("score_micro", Bm25Terms.map(termMicro).reduce(_ + _))
+      .filter(col("score_micro") > 0)
+      .select(col("doc_id") +:
+        Bm25Terms.map(t => col(s"tf_$t")) :+
+        col("score_micro") :+
+        (col("score_micro") / lit(1e6)).as("score"): _*)
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(Bm25TopK)
+
   def bm25Rank(s: SparkSession, dir: String): DataFrame = {
     val perDoc = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
@@ -62,32 +98,7 @@ object Retrieval {
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
         Bm25Terms.map(t =>
           sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
-    val k1 = lit(Bm25K1)
-    val b  = lit(Bm25B)
-    // per-term micro score: floor(idf * tfn * 1e6 + 0.5); expression
-    // tree mirrored verbatim in the oracle SQL below
-    def termMicro(t: String) = {
-      val tf  = col(s"tf_$t").cast("double")
-      val df  = col(s"df_$t").cast("double")
-      val n   = col("n_docs").cast("double")
-      val idf = log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5)))
-      val tfn = tf * (k1 + lit(1.0)) /
-        (tf + k1 * (lit(1.0) - b + b * col("dl").cast("double") / col("avgdl")))
-      when(col(s"tf_$t") > 0, floor(idf * tfn * lit(1e6) + lit(0.5)).cast("long"))
-        .otherwise(lit(0L))
-    }
-    val scored = perDoc
-      .crossJoin(broadcast(stats))
-      .withColumn("score_micro", Bm25Terms.map(termMicro).reduce(_ + _))
-      .filter(col("score_micro") > 0)
-    val top = scored
-      .select(col("doc_id") +:
-        Bm25Terms.map(t => col(s"tf_$t")) :+
-        col("score_micro") :+
-        (col("score_micro") / lit(1e6)).as("score"): _*)
-      .orderBy(col("score_micro").desc, col("doc_id"))
-      .limit(Bm25TopK)
-    top
+    scoreAndTop(perDoc, stats)
   }
 
   /** DuckDB twin of [[bm25Rank]] — generated from the SAME constants

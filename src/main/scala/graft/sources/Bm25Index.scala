@@ -1,0 +1,138 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokens
+import graft.operators.Retrieval
+
+/** Persisted BM25 postings index — the standing-search half of
+  * [[graft.operators.Retrieval.bm25Rank]] (whose map-only shape is
+  * right for one-off queries: it re-tokenizes the corpus per query).
+  * A pipeline that answers MANY ranked lookups (decontamination
+  * audits, eval-neighbor checks, ad-hoc search) materializes the
+  * inverted index once and serves every query from the artifact —
+  * the Lucene economics, following the [[PqIndex]] lifecycle
+  * (build once, append batches, query from the artifact; reference
+  * intent: alsyefs/notion backend/analyze_pages.py keyword filters as
+  * a standing service rather than a rescan).
+  *
+  * Layout under the index root:
+  *   postings/   parquet (term, doc_id, tf), written
+  *               `partitionBy("tshard")` with tshard =
+  *               hash(term) mod [[Shards]] — a literal query-term set
+  *               prunes to its shards' FILES at the scan
+  *               (PartitionFilters; at 100 TB the postings table is
+  *               corpus-token-sized and a query must not read it all)
+  *   doclens/    parquet (doc_id, dl) — the slim per-doc length table
+  *               (one BIGINT per doc; the avgdl/N statistics scan)
+  *
+  * Query path (`q_bm25_indexed`): shard-pruned postings restricted to
+  * the query terms → per-doc tf pivot (only docs containing ≥ 1 term
+  * — exactly the score_micro > 0 support) ⋈ doclens, scored by the
+  * SAME [[Retrieval.termMicro]] expression tree over stats derived
+  * from the artifact (N, avgdl from doclens; df per term from the
+  * pruned postings) — integer-for-integer the inputs bm25Rank derives
+  * from the raw corpus, so the two entries are cell-equal by
+  * construction and SHARE one oracle (the q_bpe_persisted precedent).
+  *
+  * Append (the production lifecycle): tokenize ONLY the arriving
+  * batch, append its postings/doclens rows — O(batch), the standing
+  * corpus untouched. Stats are derived at query time from the
+  * artifact, so append + query == full-rebuild query exactly (no
+  * frozen df snapshot to invalidate); spec-asserted.
+  */
+object Bm25Index {
+
+  /** Postings shard count: bounds the partition fan-out while letting
+    * a ≤ few-term query prune to ≤ that many shard directories.
+    */
+  val Shards = 32
+
+  private def tshard(term: Column): Column =
+    pmod(xxhash64(term), lit(Shards.toLong)).cast("int")
+
+  def indexRoot(s: SparkSession, dir: String): String =
+    ScopedFixture.root(s, "graft_bm25index", dir)
+
+  /** One-time build: corpus → (term, doc_id, tf) postings (shard-
+    * partitioned) + (doc_id, dl) lengths. Marker-skipped on
+    * re-invocation.
+    */
+  def materialize(s: SparkSession, dir: String): String =
+    materializeWhere(s, dir, lit(true), indexRoot(s, dir))
+
+  private[graft] def materializeWhere(s: SparkSession, dir: String,
+                                      pred: Column, root: String): String = {
+    FixtureCleanup.onExit(root)
+    if (ScopedFixture.isComplete(root)) return root
+    writeBatch(graft.Tables.documents(s, dir).filter(pred), root, "overwrite")
+    ScopedFixture.markComplete(root)
+    root
+  }
+
+  /** Incremental append: index the arriving documents frame only. */
+  def append(s: SparkSession, root: String, batch: DataFrame): Unit =
+    writeBatch(batch, root, "append")
+
+  private def writeBatch(docs: DataFrame, root: String, mode: String): Unit = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+      .write.mode(mode).parquet(s"$root/doclens")
+    toks.select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("tshard", tshard(col("term")))
+      // cluster by shard before the partitioned write (the PqIndex
+      // rationale: without it every task writes into every shard dir)
+      .repartition(col("tshard"))
+      .write.mode(mode).partitionBy("tshard").parquet(s"$root/postings")
+  }
+
+  /** §2 catalog entry (`q_bm25_indexed`): materialize, then rank the
+    * standing query FROM the artifact alone — the corpus text is never
+    * re-read on the query path.
+    */
+  def bm25Indexed(s: SparkSession, dir: String): DataFrame =
+    searchRoot(s, materialize(s, dir))
+
+  /** Rank [[Retrieval.Bm25Terms]] against an arbitrary index root
+    * (the spec's handle for base-plus-append vs full-rebuild).
+    */
+  private[graft] def searchRoot(s: SparkSession, root: String): DataFrame = {
+    val terms = Retrieval.Bm25Terms
+    // shard list computed driver-side from the literal terms → pushed
+    // as an isin partition filter (plan-time file pruning)
+    val shardOf: String => Int = {
+      import s.implicits._
+      val rows = terms.toDF("term").select(col("term"), tshard(col("term")))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      rows
+    }
+    val shards = terms.map(shardOf).distinct
+    val qp = s.read.parquet(s"$root/postings")
+      .filter(col("tshard").isin(shards: _*))
+      .filter(col("term").isin(terms: _*))
+    val doclens = s.read.parquet(s"$root/doclens")
+    // artifact-derived corpus stats: N and avgdl from the slim lengths
+    // table, df per term from the pruned postings — all integers (and
+    // one integer-ratio double) identical to what bm25Rank aggregates
+    // from the raw corpus, collected as bounded metadata
+    val (nDocs, avgdl) = {
+      val r = doclens.agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("a")).head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    val dfByTerm = qp.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    import s.implicits._
+    val stats = Seq(1).toDF("one").select(
+      lit(nDocs).as("n_docs") +: lit(avgdl).as("avgdl") +:
+        terms.map(t => lit(dfByTerm.getOrElse(t, 0L)).as(s"df_$t")): _*)
+    val tfAggs = terms.map(t =>
+      sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$t"))
+    val perDoc = qp
+      .groupBy("doc_id")
+      .agg(tfAggs.head, tfAggs.tail: _*)
+      .join(doclens, "doc_id")
+    Retrieval.scoreAndTop(perDoc, stats)
+  }
+}

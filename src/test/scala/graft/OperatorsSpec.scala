@@ -705,6 +705,8 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
       "q_tfidf_top_terms", "q_value_deciles", "q_lm_score",
       // per-doc tf/dl × the single (N, avgdl, df) corpus-stats scalar row
       "q_bm25_rank",
+      // same scalar stats row, served from the postings artifact
+      "q_bm25_indexed",
       // inherit q_lm_score's scalar vocab-size cross join
       "q_ppl_buckets", "q_quality_calibration",
       // pair/unigram counts × the single corpus-token-total scalar row

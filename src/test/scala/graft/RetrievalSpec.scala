@@ -71,4 +71,41 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"bm25 must not shuffle-join:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered, not global sort:\n$p")
   }
+
+  test("persisted postings index reproduces the map-only ranking and prunes shards") {
+    val sf = SparkTestSession.Sf
+    val fromIndex = graft.sources.Bm25Index.bm25Indexed(spark, sf)
+    val direct = Retrieval.bm25Rank(spark, sf)
+    assert(fromIndex.collect().toSeq === direct.collect().toSeq,
+      "indexed ranking must be cell-equal to the corpus rescan")
+    // the postings scan must carry the query-term shard set as
+    // PartitionFilters — a ranked lookup reads its shards' files, not
+    // the whole corpus-token-sized postings table (the AQE wrapper
+    // truncates location paths in toString, so path checks go through
+    // inputFiles)
+    val p = fromIndex.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("tshard"),
+      s"query terms should prune postings shards:\n$p")
+    // and the corpus text is never re-read on the query path
+    val files = fromIndex.inputFiles
+    assert(files.exists(_.contains("postings")) && files.exists(_.contains("doclens")),
+      "query path must read the postings + doclens artifact")
+    assert(!files.exists(_.contains("documents.parquet")),
+      "the indexed path must serve entirely from the artifact")
+  }
+
+  test("postings append == full rebuild (stats derive from the artifact at query time)") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Bm25Index
+    val sf = SparkTestSession.Sf
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25base").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_bm25full").toString
+    Bm25Index.materializeWhere(spark, sf, pmod(col("doc_id"), lit(7)) =!= 0, base)
+    Bm25Index.materializeWhere(spark, sf, lit(true), full)
+    Bm25Index.append(spark, base,
+      Tables.documents(spark, sf).filter(pmod(col("doc_id"), lit(7)) === 0))
+    assert(Bm25Index.searchRoot(spark, base).collect().toSeq ===
+      Bm25Index.searchRoot(spark, full).collect().toSeq,
+      "append + query == full-rebuild query (df/N/avgdl re-derive per query)")
+  }
 }
