@@ -167,6 +167,10 @@ object SparkEntry {
     "q_filter_cascade" -> ((s, d) => operators.Classifier.filterCascade(s, d)),
     // §2.7 multimodal metadata
     "q_multimodal_meta" -> TextAnalysis.multimodalMeta _,
+    // multimodal → embedding bridge: REAL ImageIO decode feeds a
+    // pixel-statistic embedding; near-dup IMAGE pairs, full oracle
+    // (closed-form generator recompute — the shard_balance contract)
+    "q_image_sim"       -> sources.ImageSim.imageSim _,
     // §2.1b extended composed analytics
     "q_anti_join"         -> ExtendedAnalytics.customersWithoutOrders _,
     "q_semi_join"         -> ExtendedAnalytics.activeCustomers _,
@@ -937,6 +941,7 @@ object SparkEntry {
                   (a, c) -> (a * 31 + c) % 1000000007))),
            (a, h) -> (a * 131 + h) % 1000000007) AS fp
          FROM documents ORDER BY doc_id""",
+    "q_image_sim" -> sources.ImageSim.oracleSql,
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
          md5(text) AS content_md5, left(text, 16) AS prefix16
