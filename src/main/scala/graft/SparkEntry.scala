@@ -90,6 +90,9 @@ object SparkEntry {
     // other ANN entries — equality with q_ann_ivfpq_topk is spec'd)
     "q_ann_pq_indexed" -> sources.PqIndex.annPqIndexed _,
     "q_ann_advisor"    -> AnnAdvisor.recommend _,
+    // third advisor axis: per-label filter selectivity → pre-filter
+    // brute vs post-filtered IVF with a scaled probe budget
+    "q_ann_advisor_filtered" -> AnnAdvisor.recommendFiltered _,
     // driver-checked quality gate for every approximate entry above:
     // recall@5 vs the exact in-catalog baselines + sketch error bounds,
     // emitted as thresholded verdict rows against a generated VALUES

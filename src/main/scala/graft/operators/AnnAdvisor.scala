@@ -105,6 +105,80 @@ object AnnAdvisor {
           s"vectors < $IvfMin: flat PQ with exact rerank — measured " +
           "recall@5 0.98 at sf1; cell pruning doesn't pay below IvfMin")
 
+  /** Below this label selectivity (percent of the corpus matching the
+    * filter), pre-filtered brute beats post-filtered IVF: the probed
+    * cells retain too few matching candidates for the probe budget to
+    * cover the true top-k (the documented FAISS `IDSelector`
+    * compromise — post-filter recall degrades with selectivity, not
+    * corpus size), while the exact brute join over the filtered subset
+    * costs only O(selectivity · corpus). Set between the failure
+    * regime (~1%) and the shipped labels (~10–35%, where the catalog
+    * measured post-filtered recall 0.48–0.76).
+    */
+  val FilteredBruteSelMaxPct = 10.0
+
+  /** Probe-budget multiplier for the post-filtered path: the matching
+    * candidates per probed cell thin with selectivity, so the probe
+    * count scales with its inverse (capped — beyond ×8 the scan
+    * approaches flat and brute wins anyway).
+    */
+  private[graft] def nprobeScale(selPct: Double): Int =
+    math.min(8, math.max(1, math.ceil(100.0 / (selPct * 10.0)).toInt))
+
+  /** The filtered-search decision table (third advisor axis —
+    * selectivity; sizes still gate first).
+    */
+  private[graft] def recommendFilteredFromStats(n: Long, selPct: Double)
+      : (String, String) =
+    if (n <= BruteMax)
+      ("filtered-brute",
+        s"corpus has $n <= $BruteMax vectors: the filtered brute join is " +
+          "one broadcast hash join on the label; nothing to index")
+    else if (selPct < FilteredBruteSelMaxPct)
+      ("filtered-brute",
+        f"label matches only $selPct%.1f%% of the corpus (< " +
+          f"$FilteredBruteSelMaxPct%.0f%%): probed cells retain too few " +
+          "matching candidates for post-filtered IVF to cover the top-k " +
+          "(recall degrades with selectivity — the FAISS IDSelector " +
+          "compromise); exact brute over the pre-filtered subset costs " +
+          "only the matching fraction of one scan")
+    else
+      ("ivf-postfilter",
+        f"label matches $selPct%.1f%% of the corpus: probed cells keep " +
+          f"enough matching candidates — post-filtered IVF with the probe " +
+          f"budget scaled ×${nprobeScale(selPct)} (measured recall " +
+          "0.48-0.76 vs filtered brute at the shipped ~10-35%% labels)")
+
+  /** Per-label filtered-search advice (`q_ann_advisor_filtered`,
+    * rows-only): label selectivities read from the SAME bounded
+    * training sample the trainers use (≤ TrainSampleCap rows — at
+    * 100 TB this is one thinned scan, label cardinality assumed
+    * bounded like every groupBy-key audit in the catalog).
+    */
+  def recommendFiltered(s: SparkSession, dir: String): DataFrame = {
+    val base = Similarity.normed(s, dir)
+    val n = base.count()
+    val sample = Similarity.trainingSample(
+      graft.Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").as("e"), col("label"))
+        .withColumn("nrm", sqrt(graft.plans.ArrayOps.dotF(col("e"), col("e")))))
+      .groupBy("label").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val total = math.max(1L, sample.map(_._2).sum)
+    import s.implicits._
+    sample.toSeq.sortBy(_._1).map { case (label, cnt) =>
+      val selPct = cnt.toDouble * 100.0 / total
+      val (variant, rationale) = recommendFilteredFromStats(n, selPct)
+      val params = variant match {
+        case "filtered-brute" => s"topk=${Similarity.TopK}"
+        case _ =>
+          s"nprobe_scale=${nprobeScale(selPct)}," +
+            s"base_nprobe>=${Similarity.IvfNProbe}"
+      }
+      (label, math.floor(selPct * 100.0 + 0.5) / 100.0, variant, params, rationale)
+    }.toDF("label", "sel_pct", "variant", "params", "rationale")
+  }
+
   /** One-row recommendation frame (`q_ann_advisor`, rows-only: the
     * verdict is a measured-policy output, not SQL-expressible).
     */

@@ -98,9 +98,10 @@ object Clustering {
 
   /** Assignment only (no score join) — [[clusterMix]] needs just the
     * cell id, so its plan stays scan + codegen argmin with no join at
-    * all.
+    * all. `private[graft]`: the streaming twin assigns micro-batches
+    * with the same frozen set.
     */
-  private def assignedCellsOf(emb: DataFrame,
+  private[graft] def assignedCellsOf(emb: DataFrame,
       cents: Seq[(Int, Array[Float], Double)]): DataFrame =
     emb
       .select(col("vec_id"), col("embedding").as("e"), col("label"))
@@ -189,9 +190,17 @@ object Clustering {
     * over ~√n-row partitions plus broadcast scalar totals — no
     * corpus-sized shuffle beyond the cell exchange.
     */
-  def clusterMix(s: SparkSession, dir: String): DataFrame = {
-    val asg = assignedCellsOf(graft.Tables.embeddings(s, dir),
-      curationCentroids(s, dir)).select(col("vec_id"), col("cell"))
+  def clusterMix(s: SparkSession, dir: String): DataFrame =
+    mixVerdict(assignedCellsOf(graft.Tables.embeddings(s, dir),
+      curationCentroids(s, dir)).select(col("vec_id"), col("cell")))
+
+  /** The verdict tail over an assigned (vec_id, cell) frame — shared
+    * with the streaming twin's read-time view, so stream == batch
+    * keep-set by construction: the kept set is a pure function of the
+    * assigned SET (deterministic hash rank vs the integer cap), never
+    * of arrival order or batching.
+    */
+  private[graft] def mixVerdict(asg: DataFrame): DataFrame = {
     val tot = asg.agg(count(lit(1)).as("total"),
       countDistinct(col("cell")).as("cells"))
     val w = org.apache.spark.sql.expressions.Window

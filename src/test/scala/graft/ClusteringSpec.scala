@@ -196,6 +196,33 @@ class ClusteringSpec extends AnyFunSuite {
       "restore + remaining batches == uninterrupted monitor == batch")
   }
 
+  test("streaming cluster mix equals the batch keep-set over any split, incl. restore") {
+    val emb = Tables.embeddings(spark, sf)
+    def slice(r: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === r)
+    val cents = Clustering.curationCentroids(spark, sf)
+    val sink = java.nio.file.Files.createTempDirectory("graft_mixsink").toString
+    val twin = new graft.streaming.StreamingClusterMix(cents, sink)
+    twin.mergeBatch(spark, slice(0)); twin.mergeBatch(spark, slice(1))
+    // mid-stream: counters are live O(cells) state, consistent with the
+    // accumulated sink without scanning it
+    val partial = slice(0).count() + slice(1).count()
+    assert(twin.cellCounts.values.sum === partial)
+    val snap = java.nio.file.Files.createTempDirectory("graft_mixsnap").toString
+    twin.snapshot(spark, snap)
+    val resumed = graft.streaming.StreamingClusterMix.restore(spark, snap, sink)
+    resumed.mergeBatch(spark, slice(2))
+    def keeps(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSeq
+    val want = keeps(Clustering.clusterMix(spark, sf))
+    assert(keeps(resumed.current(spark)) === want,
+      "restore + remaining batches == batch keep-set exactly")
+    // counter-derived cap matches the cap the verdict view cut on
+    val total = emb.count()
+    val cells = want.map(_._2).distinct.size.toLong
+    assert(resumed.capFromState === (total + cells - 1) / cells)
+    assert(resumed.cellCounts.values.sum === total)
+  }
+
   test("the curation family shares one cell partition and broadcasts the centroid join") {
     // one LEARNED centroid set across the family (SemDeDup stays on the
     // seeded set by design — its oracle freezes that choice); every

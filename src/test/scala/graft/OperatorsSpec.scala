@@ -2253,6 +2253,28 @@ class AnnAdvisorSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(AnnAdvisor.recommendFromStats(50000L, 0.8)._1 === "pq")
   }
 
+  test("filtered advisor: brute at 1% selectivity, post-filtered IVF at 50%") {
+    val n = AnnAdvisor.IvfMin // comfortably above BruteMax
+    assert(AnnAdvisor.recommendFilteredFromStats(n, 1.0)._1 === "filtered-brute",
+      "a rare label starves the probed cells — pre-filter and go exact")
+    assert(AnnAdvisor.recommendFilteredFromStats(n, 50.0)._1 === "ivf-postfilter",
+      "a common label keeps the probed candidate pool dense")
+    assert(AnnAdvisor.recommendFilteredFromStats(100L, 50.0)._1 === "filtered-brute",
+      "size still gates first")
+    // probe budget scales with inverse selectivity, capped
+    assert(AnnAdvisor.nprobeScale(50.0) === 1)
+    assert(AnnAdvisor.nprobeScale(12.0) === 1)
+    assert(AnnAdvisor.nprobeScale(100.0 / 8) >= 1)
+    assert(AnnAdvisor.nprobeScale(0.1) === 8, "cap at ×8")
+    // the frame: one row per sampled label, selectivities sum to ~100%
+    val rows = AnnAdvisor.recommendFiltered(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalPct = rows.map(_.getAs[Double]("sel_pct")).sum
+    assert(math.abs(totalPct - 100.0) < 1.0, s"shares sum to ~100, got $totalPct")
+    info(rows.map(r => s"${r.getAs[Int]("label")}: " +
+      s"${r.getAs[Double]("sel_pct")}% -> ${r.getAs[String]("variant")}").mkString("; "))
+  }
+
   test("advisor on an EMPTY embeddings table returns the brute row, no crash") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_annadv_empty").toString
