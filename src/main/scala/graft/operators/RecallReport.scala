@@ -38,33 +38,27 @@ import graft.functions.TextFunctions.tokens
   */
 object RecallReport {
 
-  /** ANN gates: (gate name, variant frame, exact baseline frame).
+  /** ANN gates: (gate name, variant frame, exact-baseline KEY).
     * Recall@k = |variant ∩ exact| / |exact| over (q_id, neighbor_id)
-    * pairs, floored to integer percent. The brute baseline is computed
-    * once per report (the pair sets below collect it per gate, but the
-    * 50-row collect is the cheap half; the corpus-sized work is each
-    * variant's own search).
+    * pairs, floored to integer percent. Baselines are keyed so each
+    * exact search runs ONCE per report (seven gates share the
+    * unfiltered brute — re-running its corpus-sized join per gate
+    * measured 7× waste in Bench).
     */
   private[graft] def annGates(s: SparkSession, dir: String)
-      : Seq[(String, DataFrame, DataFrame)] = Seq(
-    ("ann_lsh_recall5", Similarity.annLshTopK(s, dir),
-      Similarity.annBruteTopK(s, dir)),
-    ("ann_ivf_recall5", Similarity.annIvfTopK(s, dir),
-      Similarity.annBruteTopK(s, dir)),
-    ("ann_ivf2_recall5", Similarity.annIvfLearnedTopK(s, dir),
-      Similarity.annBruteTopK(s, dir)),
-    ("ann_pq_recall5", Similarity.annPqTopK(s, dir),
-      Similarity.annBruteTopK(s, dir)),
-    ("ann_opq_recall5", Similarity.annOpqTopK(s, dir),
-      Similarity.annBruteTopK(s, dir)),
-    ("ann_ivfpq_recall5", Similarity.annIvfPqTopK(s, dir),
-      Similarity.annBruteTopK(s, dir)),
+      : Seq[(String, DataFrame, String)] = Seq(
+    ("ann_lsh_recall5", Similarity.annLshTopK(s, dir), "brute"),
+    ("ann_ivf_recall5", Similarity.annIvfTopK(s, dir), "brute"),
+    ("ann_ivf2_recall5", Similarity.annIvfLearnedTopK(s, dir), "brute"),
+    ("ann_pq_recall5", Similarity.annPqTopK(s, dir), "brute"),
+    ("ann_opq_recall5", Similarity.annOpqTopK(s, dir), "brute"),
+    ("ann_ivfpq_recall5", Similarity.annIvfPqTopK(s, dir), "brute"),
     ("ann_pq_indexed_recall5", graft.sources.PqIndex.annPqIndexed(s, dir),
-      Similarity.annBruteTopK(s, dir)),
+      "brute"),
     ("ann_ivf_filtered_recall5", Similarity.annIvfFilteredTopK(s, dir),
-      Similarity.annFilteredTopK(s, dir)),
+      "filtered"),
     ("hard_negatives_ivf_recall5", Similarity.hardNegativesIvf(s, dir),
-      Similarity.hardNegatives(s, dir)))
+      "hardneg"))
 
   /** Sketch gates: (gate name, threshold pct). Semantics per gate:
     *  - approx_users_relerr: max per-group relative error of the HLL
@@ -102,8 +96,16 @@ object RecallReport {
     def pairSet(df: DataFrame): Set[(Long, Long)] =
       df.select(col("q_id").cast("long"), col("neighbor_id").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ann = annGates(s, dir).map { case (gate, variant, exact) =>
-      val want = pairSet(exact)
+    // each exact baseline runs once; the ≤50-row pair sets memoize
+    val baselines = scala.collection.mutable.HashMap.empty[String, Set[(Long, Long)]]
+    def baseline(key: String): Set[(Long, Long)] =
+      baselines.getOrElseUpdate(key, key match {
+        case "brute"    => pairSet(Similarity.annBruteTopK(s, dir))
+        case "filtered" => pairSet(Similarity.annFilteredTopK(s, dir))
+        case _          => pairSet(Similarity.hardNegatives(s, dir))
+      })
+    val ann = annGates(s, dir).map { case (gate, variant, exactKey) =>
+      val want = baseline(exactKey)
       val got = pairSet(variant)
       val pct =
         if (want.isEmpty) 100 else ((want & got).size * 100) / want.size

@@ -567,10 +567,13 @@ object Similarity {
     // capture no sample vectors drop out (as the former groupBy did).
     // The final corpus-wide assignment (in ivfSearch) stays map-side.
     val sample = trainSampleLocal(s, dir)
+    // dim from the data, not the shipped-corpus constant — the fuzz
+    // specs train on planted low-dim corpora
+    val dim = sample.headOption.map(_.length).getOrElse(Dim)
     var cents: Seq[(Int, Array[Float])] = seededCentroids(s, dir).map(c => (c._1, c._2))
     for (_ <- 1 to KMeansIters) {
       val byId = cents.sortBy(_._1)
-      val sums = Array.fill(byId.size)(new Array[Double](Dim))
+      val sums = Array.fill(byId.size)(new Array[Double](dim))
       val cnts = new Array[Long](byId.size)
       for (v <- sample) {
         var best = 0
@@ -579,15 +582,15 @@ object Similarity {
           val cv = byId(ci)._2
           var dp = 0.0
           var j = 0
-          while (j < Dim) { dp += v(j).toDouble * cv(j).toDouble; j += 1 }
+          while (j < dim) { dp += v(j).toDouble * cv(j).toDouble; j += 1 }
           if (dp > bestScore) { bestScore = dp; best = ci }
         }
         var j = 0
-        while (j < Dim) { sums(best)(j) += v(j).toDouble; j += 1 }
+        while (j < dim) { sums(best)(j) += v(j).toDouble; j += 1 }
         cnts(best) += 1
       }
       val means = byId.indices.filter(cnts(_) > 0).map { ci =>
-        (byId(ci)._1, Array.tabulate(Dim)(j => (sums(ci)(j) / cnts(ci)).toFloat))
+        (byId(ci)._1, Array.tabulate(dim)(j => (sums(ci)(j) / cnts(ci)).toFloat))
       }
       if (means.nonEmpty) cents = means
     }

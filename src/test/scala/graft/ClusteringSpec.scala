@@ -25,58 +25,16 @@ class ClusteringSpec extends AnyFunSuite {
       (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2))
     }.toSeq
 
-  /** Independent local replica of the LEARNED centroid training
-    * (r10): seeded stride init, KMeansIters Lloyd rounds — raw-dot
-    * argmax (strict >, ids ascending), per-dim double-mean in vec_id
-    * order, `.toFloat` — written from the collected corpus, not by
-    * calling the operator's trainer.
+  /** Independent local replica of the LEARNED centroid training (r10)
+    * — the test-shared [[LocalCentroids]] machinery, written from the
+    * collected corpus, not by calling the operator's trainer.
     */
-  private def localLearnedCents(): Seq[(Int, Array[Float], Double)] = {
-    val d = Similarity.Dim
-    val total = corpus.size.toLong
-    val stride = math.max(Similarity.IvfCentroidMod.toLong,
-      math.round(math.sqrt(total.toDouble)))
-    var cents: Seq[(Int, Array[Float])] = corpus
-      .filter(v => v._1 % stride == 3L % stride).sortBy(_._1)
-      .map(v => (v._1.toInt, v._2))
-    for (_ <- 1 to Similarity.KMeansIters) {
-      val byId = cents.sortBy(_._1)
-      val sums = Array.fill(byId.size)(new Array[Double](d))
-      val cnts = new Array[Long](byId.size)
-      for ((_, e, _) <- corpus) {
-        var best = 0; var bestScore = Double.NegativeInfinity
-        for (ci <- byId.indices) {
-          val sc = dot(e, byId(ci)._2)
-          if (sc > bestScore) { bestScore = sc; best = ci }
-        }
-        var j = 0
-        while (j < d) { sums(best)(j) += e(j).toDouble; j += 1 }
-        cnts(best) += 1
-      }
-      cents = byId.indices.filter(cnts(_) > 0).map { ci =>
-        (byId(ci)._1, Array.tabulate(d)(j => (sums(ci)(j) / cnts(ci)).toFloat))
-      }
-    }
-    cents.map { case (id, v) => (id, v, math.sqrt(dot(v, v))) }
-  }
+  private def localLearnedCents(): Seq[(Int, Array[Float], Double)] =
+    LocalCentroids.lloyd(corpus.map(v => (v._1, v._2)), Similarity.KMeansIters)
 
-  /** Local reference: (vec_id, label, cell, score) by brute cosine
-    * argmax over a centroid set (score desc, centroid id asc).
-    */
   private def localAssignedTo(cents0: Seq[(Int, Array[Float], Double)])
-      : Seq[(Long, Int, Int, Double)] = {
-    val cents = cents0.sortBy(_._1)
-    corpus.map { case (id, e, lab) =>
-      val nrm = math.sqrt(dot(e, e))
-      var bestId = cents.head._1
-      var bestScore = Double.NegativeInfinity
-      for ((cid, ce, cnrm) <- cents) {
-        val sc = dot(e, ce) / (nrm * cnrm)
-        if (sc > bestScore) { bestScore = sc; bestId = cid }
-      }
-      (id, lab, bestId, bestScore)
-    }
-  }
+      : Seq[(Long, Int, Int, Double)] =
+    LocalCentroids.assign(corpus, cents0)
 
   private def localAssigned(): Seq[(Long, Int, Int, Double)] =
     localAssignedTo(localLearnedCents())

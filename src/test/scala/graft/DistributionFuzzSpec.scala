@@ -168,24 +168,14 @@ class DistributionFuzzSpec extends AnyFunSuite {
       vecs.map { case (id, e, l) => (id, e.toSeq, l) }
         .toDF("vec_id", "embedding", "label")
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-      def dot(a: Array[Float], b: Array[Float]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-        acc
-      }
-      // local reference: stride = max(100, round(√400)) = 100 → seeds
-      // 3/103/203/303; brute argmax assignment (score desc, cid asc)
-      val cents = vecs.filter(v => v._1 % 100 == 3)
-        .map(v => (v._1.toInt, v._2, math.sqrt(dot(v._2, v._2))))
-      val asg = vecs.map { case (id, e, lab) =>
-        val nrm = math.sqrt(dot(e, e))
-        val (bestId, bestScore) = cents.foldLeft((cents.head._1, Double.NegativeInfinity)) {
-          case ((bi, bs), (cid, ce, cnrm)) =>
-            val sc = dot(e, ce) / (nrm * cnrm)
-            if (sc > bs) (cid, sc) else (bi, bs)
-        }
-        (id, lab, bestId, bestScore)
-      }
+      // local reference (r10 — the operator clusters against LEARNED
+      // centroids): stride = max(100, round(√400)) = 100 → seeds
+      // 3/103/203/303 land one per planted group, then the shared
+      // Lloyd replica refines them; brute cosine argmax assignment
+      // (score desc, cid asc)
+      val learned = LocalCentroids.lloyd(
+        vecs.map(v => (v._1, v._2)), operators.Similarity.KMeansIters)
+      val asg = LocalCentroids.assign(vecs, learned)
       val wantProfile = asg.groupBy(_._3).toSeq.map { case (cell, ms) =>
         val sz = ms.size.toLong
         val micro = ms.map(m => math.floor(m._4 * 1e6 + 0.5).toLong).sum
