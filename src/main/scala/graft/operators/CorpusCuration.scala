@@ -422,11 +422,21 @@ object CorpusCuration {
     * partial-combined aggregate. All frames after the first aggregate
     * are (labels × dims)-sized.
     */
-  def embedDrift(s: SparkSession, dir: String): DataFrame = {
-    val ex = Tables.embeddings(s, dir)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-    val sums = ex.groupBy("label", "dim")
+  /** Additive grouped stage — the sufficient statistic for the drift
+    * card (and the streaming twin's state): per (label, dim) the EXACT
+    * decimal coordinate sum + member count. Decimal adds are exact ⇒
+    * associative ⇒ batching/partitioning-independent (the r7 float-sum
+    * convention), which is what makes the stream == batch.
+    */
+  private[graft] def embedGrouped(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
       .agg(sum(col("v").cast("decimal(38,18)")).as("sx"), count(lit(1)).as("n"))
+
+  /** Value stage over the grouped statistic: per-label mean vector vs
+    * the corpus mean vector, as a rounded cosine.
+    */
+  private[graft] def embedDriftFromSums(sums: DataFrame): DataFrame = {
     val corpus = sums.groupBy("dim").agg(sum("sx").as("cx"), sum("n").as("cn"))
     val m = sums.join(corpus, "dim")
       .withColumn("ma", col("sx").cast("double") / col("n"))
@@ -442,6 +452,9 @@ object CorpusCuration {
           * KlDp + lit(0.5)) / KlDp).as("cos_to_corpus"))
       .orderBy("label")
   }
+
+  def embedDrift(s: SparkSession, dir: String): DataFrame =
+    embedDriftFromSums(embedGrouped(Tables.embeddings(s, dir)))
 
   def embedDriftOracleSql: String =
     s"""WITH ex AS (

@@ -477,6 +477,25 @@ class CorpusCurationSpec extends AnyFunSuite {
     assert(got === want, "merged (source, token) counts reproduce batch KL exactly")
   }
 
+  test("streaming embed drift equals the batch operator over any split, incl. restore") {
+    val emb = Tables.embeddings(spark, sf)
+    def slice(r: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === r)
+    val twin = new graft.streaming.StreamingEmbedDrift
+    twin.mergeBatch(spark, slice(0)); twin.mergeBatch(spark, slice(1))
+    val snap = java.nio.file.Files.createTempDirectory("graft_driftsnap").toString
+    twin.snapshot(spark, snap)
+    val resumed = graft.streaming.StreamingEmbedDrift.restore(spark, snap)
+    resumed.mergeBatch(spark, slice(2))
+    twin.mergeBatch(spark, slice(2))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getLong(1), r.getDouble(2))
+    val want = CorpusCuration.embedDrift(spark, sf).collect().map(key).toSeq
+    assert(twin.current(spark).collect().map(key).toSeq === want,
+      "merged decimal coordinate sums reproduce the batch drift card exactly")
+    assert(resumed.current(spark).collect().map(key).toSeq === want,
+      "restore + remaining batches == uninterrupted monitor == batch")
+  }
+
   test("streaming corpus card equals the batch operator over any split, incl. restore") {
     val docs = Tables.documents(spark, sf).select("source", "text", "doc_id")
     def slice(r: Int) =
