@@ -118,12 +118,15 @@ object AnnAdvisor {
   val FilteredBruteSelMaxPct = 10.0
 
   /** Probe-budget multiplier for the post-filtered path: the matching
-    * candidates per probed cell thin with selectivity, so the probe
-    * count scales with its inverse (capped — beyond ×8 the scan
-    * approaches flat and brute wins anyway).
+    * candidates per probed cell thin in proportion to selectivity, so
+    * the probe count scales with its inverse — ⌈100 / selPct⌉, i.e.
+    * ×1 at a label covering the whole corpus, ×2 at 50%, up to the ×8
+    * cap at the [[FilteredBruteSelMaxPct]] boundary (beyond which
+    * brute wins anyway, so the cap is the live range's edge, not dead
+    * code).
     */
   private[graft] def nprobeScale(selPct: Double): Int =
-    math.min(8, math.max(1, math.ceil(100.0 / (selPct * 10.0)).toInt))
+    math.min(8, math.max(1, math.ceil(100.0 / selPct).toInt))
 
   /** The filtered-search decision table (third advisor axis —
     * selectivity; sizes still gate first).
@@ -147,7 +150,7 @@ object AnnAdvisor {
         f"label matches $selPct%.1f%% of the corpus: probed cells keep " +
           f"enough matching candidates — post-filtered IVF with the probe " +
           f"budget scaled ×${nprobeScale(selPct)} (measured recall " +
-          "0.48-0.76 vs filtered brute at the shipped ~10-35%% labels)")
+          f"0.48-0.76 vs filtered brute at the shipped ~10-35%% labels)")
 
   /** Per-label filtered-search advice (`q_ann_advisor_filtered`,
     * rows-only): label selectivities read from the SAME bounded

@@ -147,22 +147,30 @@ object RecallReport {
       ("approx_median_relerr", medianErr), ("cms_bounds", cmsPct))
   }
 
-  /** (gate, measured pct, threshold pct, pass) — the full verdicts,
-    * exposed for the spec's margin printout so the test doesn't re-run
-    * the whole ANN family a second time.
+  /** Verdict memo: the verdicts are a pure function of the table dir
+    * (every gated operator is deterministic per dir — the
+    * cbMemo/centsMemo contract), so one full measurement pass per JVM
+    * serves every consumer (the catalog query, the spec's margin
+    * printout, repeat Verify/Bench invocations) instead of re-running
+    * the whole ANN family per call.
     */
+  private val verdictMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Int, Int, Boolean)]]()
+
+  /** (gate, measured pct, threshold pct, pass) — the full verdicts. */
   private[graft] def verdicts(s: SparkSession, dir: String)
-      : Seq[(String, Int, Int, Boolean)] = {
-    val th = GateThresholds.toMap
-    measured(s, dir).map { case (gate, pct) =>
-      val t = th(gate)
-      val ok = gate match {
-        case "approx_users_relerr" | "approx_median_relerr" => pct <= t
-        case _ => pct >= t
+      : Seq[(String, Int, Int, Boolean)] =
+    verdictMemo.computeIfAbsent(dir, _ => {
+      val th = GateThresholds.toMap
+      measured(s, dir).map { case (gate, pct) =>
+        val t = th(gate)
+        val ok = gate match {
+          case "approx_users_relerr" | "approx_median_relerr" => pct <= t
+          case _ => pct >= t
+        }
+        (gate, pct, t, ok)
       }
-      (gate, pct, t, ok)
-    }
-  }
+    })
 
   /** The catalog query: one (gate, threshold_pct, pass) row per gate,
     * ordered by gate name — identical shape to the generated VALUES

@@ -75,16 +75,38 @@ object Bm25Index {
     writeBatch(batch, root, "append")
 
   private def writeBatch(docs: DataFrame, root: String, mode: String): Unit = {
+    val s = docs.sparkSession
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
-    toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
-      .write.mode(mode).parquet(s"$root/doclens")
-    toks.select(col("doc_id"), explode(col("t")).as("term"))
+    val postings = toks
+      .select(col("doc_id"), explode(col("t")).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
       .withColumn("tshard", tshard(col("term")))
-      // cluster by shard before the partitioned write (the PqIndex
-      // rationale: without it every task writes into every shard dir)
-      .repartition(col("tshard"))
-      .write.mode(mode).partitionBy("tshard").parquet(s"$root/postings")
+    if (docs.isEmpty) {
+      // a partitionBy write of zero rows emits NO part files and the
+      // next postings read dies on schema inference (the PqIndex
+      // empty-compact bug class). An empty APPEND is a plain no-op; an
+      // empty BUILD writes schema-bearing empty files, unpartitioned
+      // (tshard stays a data column — search's isin filter reads it
+      // unchanged, and pruning is moot on an empty index).
+      if (mode == "overwrite") {
+        toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+          .coalesce(1).write.mode(mode).parquet(s"$root/doclens")
+        postings.coalesce(1).write.mode(mode).parquet(s"$root/postings")
+      }
+    } else {
+      // a prior empty build left root-level empty part files — drop
+      // them before the partitioned write (two-depth layouts brick
+      // partition discovery)
+      if (mode == "append")
+        PqIndex.clearUnpartitionedEmpty(s, s"$root/postings")
+      toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+        .write.mode(mode).parquet(s"$root/doclens")
+      postings
+        // cluster by shard before the partitioned write (the PqIndex
+        // rationale: without it every task writes into every shard dir)
+        .repartition(col("tshard"))
+        .write.mode(mode).partitionBy("tshard").parquet(s"$root/postings")
+    }
   }
 
   /** §2 catalog entry (`q_bm25_indexed`): materialize, then rank the
@@ -119,7 +141,9 @@ object Bm25Index {
     val (nDocs, avgdl) = {
       val r = doclens.agg(count(lit(1)).as("n"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("a")).head()
-      (r.getLong(0), r.getDouble(1))
+      // empty index: sum(dl) is NULL — the ranking below is empty
+      // anyway, 0.0 just keeps the literal construction total
+      (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
     }
     val dfByTerm = qp.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -97,9 +97,30 @@ object PqIndex {
     */
   def append(s: SparkSession, root: String, batch: DataFrame): Unit = {
     val (cb, cents) = loadMeta(s, root)
+    // an all-tombstoned compact leaves codes/ as ONE root-level empty
+    // part file (unpartitioned — see compact); a partitioned append on
+    // top would create leaf files at two depths and brick every later
+    // read with 'Conflicting directory structures'. The root files
+    // hold zero rows by construction, so drop them first.
+    clearUnpartitionedEmpty(s, s"$root/codes")
     encodeWith(batch, cb, cents)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$root/codes")
+  }
+
+  /** Remove root-level part files from a directory that is otherwise
+    * `key=value`-partitioned (the empty-index layout written by
+    * [[compact]] when every row is tombstoned — those files are empty
+    * by construction, so deleting them loses nothing).
+    */
+  private[sources] def clearUnpartitionedEmpty(s: SparkSession, dir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(p))
+      fs.listStatus(p)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .foreach(st => fs.delete(st.getPath, false))
   }
 
   /** Tombstone delete — the index lifecycle's third verb (FAISS

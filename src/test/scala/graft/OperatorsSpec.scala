@@ -1093,6 +1093,17 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(PqIndex.searchRoot(spark, sf, base).collect().isEmpty,
       "searching the fully reclaimed index returns zero candidates")
     assert(spark.read.parquet(s"$base/codes").isEmpty)
+    // the reclaimed-empty index must ACCEPT a new partitioned append —
+    // the unpartitioned empty marker file is cleared first, or
+    // partition discovery dies on conflicting directory depths
+    val refill = Similarity.normed(spark, sf)
+      .filter(pmod(col("vec_id"), lit(7)) === 0)
+    PqIndex.append(spark, base, refill)
+    val ref = java.nio.file.Files.createTempDirectory("graft_pqref").toString
+    PqIndex.materializeWhere(spark, sf, pmod(col("vec_id"), lit(7)) === 0, ref)
+    assert(PqIndex.searchRoot(spark, sf, base).collect().toSeq ===
+      PqIndex.searchRoot(spark, sf, ref).collect().toSeq,
+      "empty-compact then append == fresh build over the appended batch")
   }
 
   test("gopher filter: each rule gates independently, keep is the conjunction") {
@@ -2261,11 +2272,12 @@ class AnnAdvisorSpec extends org.scalatest.funsuite.AnyFunSuite {
       "a common label keeps the probed candidate pool dense")
     assert(AnnAdvisor.recommendFilteredFromStats(100L, 50.0)._1 === "filtered-brute",
       "size still gates first")
-    // probe budget scales with inverse selectivity, capped
-    assert(AnnAdvisor.nprobeScale(50.0) === 1)
-    assert(AnnAdvisor.nprobeScale(12.0) === 1)
-    assert(AnnAdvisor.nprobeScale(100.0 / 8) >= 1)
-    assert(AnnAdvisor.nprobeScale(0.1) === 8, "cap at ×8")
+    // probe budget scales with inverse selectivity ACROSS THE LIVE
+    // ivf-postfilter range [10%, 100%], hitting the cap at its edge
+    assert(AnnAdvisor.nprobeScale(100.0) === 1)
+    assert(AnnAdvisor.nprobeScale(50.0) === 2)
+    assert(AnnAdvisor.nprobeScale(25.0) === 4)
+    assert(AnnAdvisor.nprobeScale(10.0) === 8, "cap engages at the brute boundary")
     // the frame: one row per sampled label, selectivities sum to ~100%
     val rows = AnnAdvisor.recommendFiltered(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -108,4 +108,22 @@ class RetrievalSpec extends AnyFunSuite {
       Bm25Index.searchRoot(spark, full).collect().toSeq,
       "append + query == full-rebuild query (df/N/avgdl re-derive per query)")
   }
+
+  test("an EMPTY postings build stays readable and grows by append") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Bm25Index
+    val sf = SparkTestSession.Sf
+    val empty = java.nio.file.Files.createTempDirectory("graft_bm25empty").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_bm25full2").toString
+    // zero-document build: schema-bearing empty artifact, empty ranking
+    Bm25Index.materializeWhere(spark, sf, lit(false), empty)
+    assert(Bm25Index.searchRoot(spark, empty).collect().isEmpty,
+      "searching the empty index returns an empty ranking, not a schema error")
+    // appending the whole corpus onto the empty build == a full build
+    Bm25Index.append(spark, empty, Tables.documents(spark, sf))
+    Bm25Index.materializeWhere(spark, sf, lit(true), full)
+    assert(Bm25Index.searchRoot(spark, empty).collect().toSeq ===
+      Bm25Index.searchRoot(spark, full).collect().toSeq,
+      "empty build + append == fresh full build")
+  }
 }
