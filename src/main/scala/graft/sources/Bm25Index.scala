@@ -116,6 +116,55 @@ object Bm25Index {
   def bm25Indexed(s: SparkSession, dir: String): DataFrame =
     searchRoot(s, materialize(s, dir))
 
+  /** Tombstone delete — doc takedowns and dedup drops must hit the
+    * standing index too (the [[PqIndex.delete]] shape): O(batch) — ids
+    * append to a `tombstones/` sidecar, no postings file rewritten;
+    * queries anti-join the deduped set (which also keeps the
+    * N/avgdl/df statistics consistent with the live set, because they
+    * derive from the tombstone-filtered frames at query time), and
+    * [[compact]] physically reclaims. Idempotent by anti-join
+    * semantics.
+    */
+  def delete(s: SparkSession, root: String, docIds: Seq[Long]): Unit = {
+    import s.implicits._
+    docIds.toDF("doc_id").write.mode("append").parquet(s"$root/tombstones")
+  }
+
+  private def tombstones(s: SparkSession, root: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")))
+      Some(s.read.parquet(s"$root/tombstones"))
+    else None
+  }
+
+  private def dropTombstoned(s: SparkSession, root: String,
+                             df: DataFrame): DataFrame =
+    tombstones(s, root).fold(df)(t =>
+      df.join(t.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
+
+  /** Physically reclaim tombstoned rows from both trees and clear the
+    * sidecar (shard directories preserved — probe pruning needs them).
+    */
+  def compact(s: SparkSession, root: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    def rewrite(sub: String, partitioned: Boolean): Unit = {
+      val live = dropTombstoned(s, root, s.read.parquet(s"$root/$sub"))
+      val tmp = s"$root/${sub}_compacting"
+      if (partitioned && !live.isEmpty)
+        live.repartition(col("tshard"))
+          .write.mode("overwrite").partitionBy("tshard").parquet(tmp)
+      else live.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val cur = new org.apache.hadoop.fs.Path(s"$root/$sub")
+      fs.delete(cur, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), cur)
+    }
+    rewrite("postings", partitioned = true)
+    rewrite("doclens", partitioned = false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
+  }
+
   /** Rank [[Retrieval.Bm25Terms]] against an arbitrary index root
     * (the spec's handle for base-plus-append vs full-rebuild).
     */
@@ -130,10 +179,12 @@ object Bm25Index {
       rows
     }
     val shards = terms.map(shardOf).distinct
-    val qp = s.read.parquet(s"$root/postings")
+    // tombstones drop AFTER shard pruning (postings) and against the
+    // slim lengths table — stats then derive from the LIVE set only
+    val qp = dropTombstoned(s, root, s.read.parquet(s"$root/postings")
       .filter(col("tshard").isin(shards: _*))
-      .filter(col("term").isin(terms: _*))
-    val doclens = s.read.parquet(s"$root/doclens")
+      .filter(col("term").isin(terms: _*)))
+    val doclens = dropTombstoned(s, root, s.read.parquet(s"$root/doclens"))
     // artifact-derived corpus stats: N and avgdl from the slim lengths
     // table, df per term from the pruned postings — all integers (and
     // one integer-ratio double) identical to what bm25Rank aggregates

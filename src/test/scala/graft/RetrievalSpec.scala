@@ -109,6 +109,34 @@ class RetrievalSpec extends AnyFunSuite {
       "append + query == full-rebuild query (df/N/avgdl re-derive per query)")
   }
 
+  test("postings delete tombstones at query time; compact physically reclaims") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Bm25Index
+    import spark.implicits._
+    val sf = SparkTestSession.Sf
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25del").toString
+    val rest = java.nio.file.Files.createTempDirectory("graft_bm25rest").toString
+    Bm25Index.materializeWhere(spark, sf, lit(true), base)
+    Bm25Index.materializeWhere(spark, sf, pmod(col("doc_id"), lit(7)) =!= 0, rest)
+    val delIds = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select("doc_id").as[Long].collect().toSeq
+    Bm25Index.delete(spark, base, delIds)
+    def run(root: String) = Bm25Index.searchRoot(spark, root).collect().toSeq
+    val want = run(rest)
+    assert(run(base) === want,
+      "delete + query == rebuild without the deleted docs (stats follow the live set)")
+    Bm25Index.delete(spark, base, delIds.take(3)) // idempotent re-delete
+    assert(run(base) === want)
+    Bm25Index.compact(spark, base)
+    assert(!new java.io.File(s"$base/tombstones").exists,
+      "compaction clears the tombstone sidecar")
+    assert(spark.read.parquet(s"$base/doclens")
+      .filter(col("doc_id").isin(delIds.take(20): _*)).count() === 0L,
+      "compaction physically drops tombstoned doclens")
+    assert(run(base) === want, "query identical after the reclaim")
+  }
+
   test("an EMPTY postings build stays readable and grows by append") {
     import org.apache.spark.sql.functions._
     import graft.sources.Bm25Index
