@@ -146,6 +146,53 @@ class DistributionFuzzSpec extends AnyFunSuite {
 
   // ---- planted-cluster corpus vs local cluster-curation reference -----
 
+  test("bm25 (map-only AND indexed) matches a local reference on random corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vocab = graft.operators.Retrieval.Bm25Terms ++
+      Seq("alpha", "beta", "gamma", "delta", "noise", "filler")
+    for (seed <- Seq(11L, 41L)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 120).map { i =>
+        val len = 3 + rnd.nextInt(25)
+        val text = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        (i.toLong, text, "en", "s", text.length.toLong)
+      }
+      val dir = tmp(s"bm25$seed")
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // local reference (the RetrievalSpec double mirror)
+      val toks = docs.map { case (id, t, _, _, _) => id -> t.split(" ").toSeq }.toMap
+      val n = docs.size.toLong
+      val avgdl = toks.values.map(_.size).sum.toDouble / n
+      val terms = graft.operators.Retrieval.Bm25Terms
+      val dfs = terms.map(t =>
+        t -> toks.count { case (_, ts) => ts.contains(t) }.toLong).toMap
+      def micro(tf: Long, df: Long, dl: Long): Long =
+        if (tf == 0L) 0L
+        else {
+          val idf = math.log(1.0 + (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5))
+          val tfn = tf.toDouble * (graft.operators.Retrieval.Bm25K1 + 1.0) /
+            (tf.toDouble + graft.operators.Retrieval.Bm25K1 *
+              (1.0 - graft.operators.Retrieval.Bm25B +
+                graft.operators.Retrieval.Bm25B * dl.toDouble / avgdl))
+          math.floor(idf * tfn * 1e6 + 0.5).toLong
+        }
+      val want = toks.keys.map { id =>
+        id -> terms.map(t =>
+          micro(toks(id).count(_ == t).toLong, dfs(t), toks(id).size.toLong)).sum
+      }.filter(_._2 > 0).toSeq.sortBy { case (id, m) => (-m, id) }
+        .take(graft.operators.Retrieval.Bm25TopK)
+      def got(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSeq
+      assert(got(graft.operators.Retrieval.bm25Rank(spark, dir)) === want,
+        s"seed $seed map-only ranking")
+      assert(got(graft.sources.Bm25Index.bm25Indexed(spark, dir)) === want,
+        s"seed $seed indexed ranking")
+    }
+  }
+
   test("topic clusters and prototype pruning match a local reference on planted clusters") {
     import spark.implicits._
     for (seed <- Seq(7L, 23L)) {
