@@ -79,6 +79,10 @@ object SparkEntry {
     // the IVF-probed scale path of the same mining (rows-only; recall
     // vs the brute oracle is driver-gated via q_recall_report)
     "q_hard_negatives_ivf"    -> Similarity.hardNegativesIvf _,
+    // SQ8 scalar quantization: the first accelerated path with a FULL
+    // oracle — the integer fixed-point surrogate makes the candidate
+    // cut engine-reproducible, so this one is hash-gated cell-exact
+    "q_ann_sq_topk"    -> Similarity.annSqTopK _,
     "q_ann_lsh_topk"   -> Similarity.annLshTopK _,
     "q_ann_ivf_topk"   -> Similarity.annIvfTopK _,
     "q_ann_ivf2_topk"  -> Similarity.annIvfLearnedTopK _,
@@ -640,6 +644,7 @@ object SparkEntry {
     "q_prototype_prune"     -> Clustering.sqlPrototypePrune,
     "q_cluster_mix"         -> Clustering.sqlClusterMix,
     "q_ann_brute_topk"      -> Similarity.sqlAnnBruteTopK,
+    "q_ann_sq_topk"         -> Similarity.sqlAnnSqTopK,
     "q_ann_filtered_topk"   -> Similarity.sqlAnnFilteredTopK,
     "q_hard_negatives"      -> Similarity.sqlHardNegatives,
     "q_knn_label_acc"       -> Similarity.sqlKnnLabelAcc,

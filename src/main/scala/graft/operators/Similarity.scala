@@ -879,6 +879,74 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ---- scalar quantization (SQ8) ---------------------------------------
+
+  /** Exact-rerank pool for the SQ8 path. SQ8's surrogate is far closer
+    * to the true dot than PQ's 8-byte reconstruction (64 per-dim codes
+    * vs 8 subspace codes), so a much smaller pool reaches the same
+    * recall — and unlike every other variant the pool's CONTENT is
+    * oracle-reproducible, so its size only moves recall, not parity.
+    */
+  val SqRerank = 64
+
+  /** Per-dim (scales, fixed-point weights) memo — same per-dir
+    * determinism contract as [[pqCodebook]]. Training is one max-|x|
+    * pass over the bounded driver-local sample: scale[d] = max|x_d|/127
+    * (symmetric signed SQ8), w[d] = floor(scale[d]²·1e12 + 0.5) — the
+    * integer weight [[graft.plans.SqDotW]] scores with.
+    */
+  private val sqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Long])]()
+
+  private[graft] def sqTrained(s: SparkSession, dir: String): (Array[Double], Array[Long]) =
+    sqMemo.computeIfAbsent(dir, _ => {
+      val sample = trainSampleLocal(s, dir)
+      val scales = Array.tabulate(Dim) { d =>
+        var m = 0.0
+        for (v <- sample) { val a = math.abs(v(d).toDouble); if (a > m) m = a }
+        m / 127.0
+      }
+      val w = scales.map(sc => math.floor(sc * sc * 1e12 + 0.5).toLong)
+      (scales, w)
+    })
+
+  /** §2.5 — SQ8 ANN with exact rerank (`q_ann_sq_topk`), the catalog's
+    * first FULL-ORACLE accelerated search path: the corpus is scanned
+    * as 64 signed bytes per vector (4× less than raw floats — the scan
+    * IS the cost at 100 TB), candidates ranked by the all-integer
+    * fixed-point dot `Σ codeQ·codeC·w` (exact, associative,
+    * partitioning-independent — and DuckDB-reproducible, unlike the
+    * float surrogates of LSH/IVF/PQ), the top [[SqRerank]] per query
+    * reranked with exact cosine against raw vectors. Both stages cut on
+    * integer keys (iscore, then rank), so the DuckDB oracle matches
+    * cell-exactly while the sample cap keeps training O(1) in corpus
+    * size (oracle valid while corpus ≤ [[TrainSampleCap]] — every
+    * shipped correctness SF; sf1 via the fold slice, the
+    * learned-centroid precedent).
+    */
+  def annSqTopK(s: SparkSession, dir: String): DataFrame = {
+    val (scales, w) = sqTrained(s, dir)
+    val n = normed(s, dir)
+    val enc = n.select(col("vec_id").as("neighbor_id"),
+      graft.plans.SqOps.encode(col("e"), scales).as("codes"))
+    val q = n.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("e_q"), col("nrm").as("n_q"),
+        graft.plans.SqOps.encode(col("e"), scales).as("qcodes"))
+    val approx = broadcast(q).join(enc, col("q_id") =!= col("neighbor_id"))
+      .withColumn("iscore", graft.plans.SqOps.dotW(col("qcodes"), col("codes"), w))
+    val cand = graft.plans.TopK.perKey(approx, Seq("q_id"),
+      Seq(("iscore", false), ("neighbor_id", true)), SqRerank)
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.join(n.select(col("vec_id").as("neighbor_id"),
+        col("e").as("e_c"), col("nrm").as("n_c")), "neighbor_id")
+      .withColumn("cos_sim", round(dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")), 6))
+      .withColumn("rank", row_number().over(wnd))
+      .filter(col("rank") <= TopK)
+      .select("q_id", "rank", "neighbor_id", "cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
   // ---- oracle SQL -------------------------------------------------------
 
   /** Sequential-fold dot product / norm in DuckDB (list_reduce ≡ Spark's
@@ -971,6 +1039,59 @@ object Similarity {
        |  floor(CAST(sum(CASE WHEN nb_lab = lab THEN 1 ELSE 0 END) AS DOUBLE)
        |    / count(*) * 1e4 + 0.5) / 1e4 AS acc
        |FROM nn GROUP BY 1 ORDER BY label""".stripMargin
+
+  /** DuckDB twin of [[annSqTopK]] — reproduces the TRAINING (per-dim
+    * max-|x| over the corpus, == the sample at every shipped SF), the
+    * ENCODE (the same floor-shift clamp, spelled identically), the
+    * integer surrogate scoring (BIGINT exact — the `w[i]` fixed-point
+    * weights make the candidate cut engine-independent), and the exact
+    * cosine rerank. The only cross-engine doubles are max/abs/÷ (exact
+    * or single-op IEEE) and the rerank fold (the established
+    * bit-identical contract).
+    */
+  val sqlAnnSqTopK: String =
+    s"""WITH st AS (
+       |  SELECT i, max(abs(CAST(embedding[i] AS DOUBLE))) / 127.0 AS sc
+       |  FROM embeddings CROSS JOIN generate_series(1, $Dim) AS g(i)
+       |  GROUP BY i),
+       |sl AS (
+       |  SELECT list(sc ORDER BY i) AS s,
+       |         list(CAST(floor(sc * sc * 1e12 + 0.5) AS BIGINT) ORDER BY i) AS w
+       |  FROM st),
+       |enc AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm,
+       |    list_transform(generate_series(1, $Dim), i ->
+       |      CAST(CASE WHEN s[i] = 0 THEN 0 ELSE
+       |        greatest(-127, least(127,
+       |          floor(CAST(embedding[i] AS DOUBLE) / s[i] + 0.5)))
+       |      END AS BIGINT)) AS c
+       |  FROM embeddings, sl),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |    q.embedding AS qe, q.nrm AS qn, c.embedding AS ce, c.nrm AS cn,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, $Dim),
+       |        i -> q.c[i] * c.c[i] * w[i])), (acc, x) -> acc + x) AS iscore
+       |  FROM enc q JOIN enc c ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id
+       |  CROSS JOIN sl),
+       |cand AS (
+       |  SELECT q_id, neighbor_id, qe, qn, ce, cn FROM (
+       |    SELECT q_id, neighbor_id, qe, qn, ce, cn,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY iscore DESC, neighbor_id) AS crn
+       |    FROM scored) WHERE crn <= $SqRerank),
+       |rer AS (
+       |  SELECT q_id, neighbor_id,
+       |    round(${sqlDot("qe", "ce")} / (qn * cn), 6) AS cos_sim
+       |  FROM cand),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM rer)
+       |SELECT q_id, rank, neighbor_id, cos_sim FROM ranked
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
   val sqlAnnBruteTopK: String =
     s"""$sqlNormed,

@@ -371,6 +371,46 @@ class SkewRecallSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rLsh >= 0.5, s"LSH recall too low: $rLsh")
   }
 
+  test("SQ8 ANN: recall vs brute; encode matches a local reference incl. clamp and zero-scale") {
+    val brute = Similarity.annBruteTopK(spark, sf).select("q_id", "neighbor_id")
+    val nQ = brute.select("q_id").distinct().count()
+    val rSq = brute.intersect(Similarity.annSqTopK(spark, sf)
+      .select("q_id", "neighbor_id")).count().toDouble / (nQ * Similarity.TopK)
+    info(f"recall@5 sq8=$rSq%.2f (rerank pool ${Similarity.SqRerank})")
+    assert(rSq >= 0.9, s"SQ8 recall too low: $rSq")
+
+    // codegen'd encode vs a driver-side reference loop over the same
+    // scales (catches codegen/eval divergence, not just formula echo)
+    val (scales, w) = Similarity.sqTrained(spark, sf)
+    assert(scales.length === Similarity.Dim && w.length === Similarity.Dim)
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        graft.plans.SqOps.encode(col("embedding"), scales).as("codes"))
+      .orderBy("vec_id").limit(50).collect()
+    rows.foreach { r =>
+      val e = r.getSeq[Float](1)
+      val got = r.getSeq[Byte](2)
+      val want = e.indices.map { d =>
+        val s = scales(d)
+        if (s == 0.0) 0.toByte
+        else {
+          val v = math.floor(e(d).toDouble / s + 0.5)
+          (if (v > 127) 127 else if (v < -127) -127 else v.toInt).toByte
+        }
+      }
+      assert(got === want, s"encode mismatch for vec ${r.getLong(0)}")
+    }
+
+    // clamp + zero-scale edges on constructed inputs: out-of-range
+    // values saturate at ±127 (corpus rows beyond the sample max at
+    // >cap scale), a zero scale encodes to 0
+    import spark.implicits._
+    val edge = Seq(Seq(10f, -10f, 0.5f)).toDF("v")
+      .select(graft.plans.SqOps.encode(col("v"), Array(0.01, 0.01, 0.0)).as("c"))
+      .head().getSeq[Byte](0)
+    assert(edge === Seq(127.toByte, (-127).toByte, 0.toByte))
+  }
+
   test("filtered ANN: brute respects the label filter; filtered IVF recall vs filtered brute") {
     val brute = Similarity.annFilteredTopK(spark, sf)
     // every neighbor shares its query's label — the filter semantics
@@ -699,6 +739,8 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     // others broadcast a SINGLE scalar/boundary row (count gate,
     // corpus-size N, decile bounds) — O(1) build sides, not cartesians
     val allowedBnlj = Set("q_ann_brute_topk", "q_ann_ivf_topk", "q_ann_ivf2_topk",
+      // bounded query set × encoded corpus (q_id <> neighbor — no hash key)
+      "q_ann_sq_topk",
       // bounded query set × corpus on a label INEQUALITY (no hash key)
       "q_hard_negatives",
       "q_ann_pq_topk", "q_ann_opq_topk", "q_ann_ivfpq_topk", "q_report_goals", "q_report_doc",
