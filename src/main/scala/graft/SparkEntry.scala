@@ -149,6 +149,9 @@ object SparkEntry {
     // shard-partitioned postings index (sources.Bm25Index) — shares
     // bm25Rank's oracle, the q_bpe_persisted artifact-identity pattern
     "q_bm25_indexed"  -> sources.Bm25Index.bm25Indexed _,
+    // hybrid retrieval: integer-division reciprocal-rank fusion of the
+    // BM25 and dense-cosine lists (full oracle — both lists are)
+    "q_hybrid_rrf"    -> ((s, d) => Retrieval.hybridRrf(s, d)),
     "q_rate_anomaly"  -> CorpusCuration.rateAnomaly _,
     "q_embed_drift"   -> CorpusCuration.embedDrift _,
     "q_pack_efficiency" -> CorpusCuration.packEfficiency _,
@@ -791,6 +794,7 @@ object SparkEntry {
     "q_term_search"    -> CorpusCuration.termSearchOracleSql,
     "q_bm25_rank"      -> Retrieval.bm25RankOracleSql,
     "q_bm25_indexed"   -> Retrieval.bm25RankOracleSql,
+    "q_hybrid_rrf"     -> Retrieval.hybridRrfOracleSql,
     "q_rate_anomaly"   -> CorpusCuration.rateAnomalyOracleSql,
     "q_embed_drift"    -> CorpusCuration.embedDriftOracleSql,
     "q_pack_efficiency" -> CorpusCuration.packEfficiencyOracleSql,

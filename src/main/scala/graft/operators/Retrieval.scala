@@ -101,6 +101,116 @@ object Retrieval {
     scoreAndTop(perDoc, stats)
   }
 
+  // ---- hybrid retrieval: reciprocal-rank fusion -------------------------
+
+  /** RRF smoothing constant (Cormack/Clarke/Buettcher 2009's k=60 — the
+    * value every production hybrid search ships).
+    */
+  val RrfK = 60
+  /** Per-list candidate pool and fused output size. */
+  val RrfPool = Bm25TopK
+  val RrfTopK = 10
+  /** The designated dense-side query vector: the corpus aligns doc_id
+    * and vec_id (both dense 0-based ids over the same documents), so
+    * vector ranks land in the same key space BM25 ranks do.
+    */
+  val RrfQueryVec = 0L
+
+  /** Lexical ranking as (doc_id, rank_lex): the BM25 top-[[RrfPool]]
+    * positions. The list is the bounded output of [[bm25Rank]]
+    * (TakeOrdered — already globally ordered), so ranks attach in a
+    * driver-local pass over ≤ [[RrfPool]] rows (the documented
+    * bounded-collect class; a global row_number window is banned
+    * catalog-wide, and pointless over 20 rows).
+    */
+  private def lexRanks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = bm25Rank(s, dir).select("doc_id").collect().map(_.getLong(0))
+    ids.zipWithIndex.map { case (d, i) => (d, i + 1) }.toSeq
+      .toDF("doc_id", "rank_lex")
+  }
+
+  /** Dense ranking as (doc_id, rank_dense): top-[[RrfPool]] corpus
+    * neighbors of [[RrfQueryVec]] by rounded cosine with id tie-break —
+    * the [[Similarity.annBruteTopK]] shape for one query (broadcast
+    * query row, map-side scoring, q_id-partitioned rank).
+    */
+  private def denseRanks(s: SparkSession, dir: String): DataFrame = {
+    val n = Similarity.normed(s, dir)
+    val q = n.filter(col("vec_id") === RrfQueryVec)
+      .select(col("vec_id").as("q_id"), col("e").as("e_q"), col("nrm").as("n_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    broadcast(q)
+      .join(n.select(col("vec_id").as("neighbor_id"), col("e").as("e_c"),
+          col("nrm").as("n_c")), col("q_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(graft.plans.ArrayOps.dotF(col("e_q"), col("e_c"))
+        / (col("n_q") * col("n_c")), 6))
+      .withColumn("rank_dense", row_number().over(w))
+      .filter(col("rank_dense") <= RrfPool)
+      .select(col("neighbor_id").as("doc_id"), col("rank_dense"))
+  }
+
+  /** `q_hybrid_rrf`: reciprocal-rank fusion of the lexical (BM25) and
+    * dense (cosine) rankings — the standard hybrid-retrieval combiner
+    * (Elasticsearch/OpenSearch/Vespa all ship exactly this): score(d) =
+    * Σ_lists 1/(k + rank_d), summed over the lists containing d. Ranks
+    * are integers and the contribution is computed by INTEGER division
+    * into micro-units (`1e9 div (k+rank)`), so the fused score — and
+    * the cut — is exact, associative, and engine-identical (the
+    * selection-key doctrine); absence contributes 0 (the asymmetric-
+    * coverage case is RRF's whole point). Top-[[RrfTopK]] by
+    * (rrf_micro desc, doc_id). The heavy work is the two list builds —
+    * each an already-audited corpus-scan shape; the fusion itself joins
+    * two ≤[[RrfPool]]-row frames.
+    */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame =
+    lexRanks(s, dir)
+      .join(denseRanks(s, dir), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_lex"), lit(0)).as("rank_lex"),
+        coalesce(col("rank_dense"), lit(0)).as("rank_dense"))
+      .withColumn("rrf_micro",
+        when(col("rank_lex") > 0,
+          expr(s"1000000000 div ($RrfK + rank_lex)")).otherwise(lit(0L)) +
+        when(col("rank_dense") > 0,
+          expr(s"1000000000 div ($RrfK + rank_dense)")).otherwise(lit(0L)))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(RrfTopK)
+
+  /** DuckDB twin of [[hybridRrf]]: the full generated BM25 oracle as
+    * the lexical subquery (one source of truth), the brute-cosine shape
+    * for the dense one, integer-division RRF in the same micro-units.
+    */
+  def hybridRrfOracleSql: String =
+    s"""WITH lex AS (
+       |  SELECT doc_id, CAST(row_number() OVER (
+       |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank_lex
+       |  FROM (${bm25RankOracleSql}) b),
+       |nn AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |den AS (
+       |  SELECT doc_id, rank_dense FROM (
+       |    SELECT c.vec_id AS doc_id,
+       |      CAST(row_number() OVER (ORDER BY
+       |        round(${Similarity.sqlDot("q.embedding", "c.embedding")}
+       |          / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS INTEGER) AS rank_dense
+       |    FROM nn q JOIN nn c
+       |      ON q.vec_id = $RrfQueryVec AND c.vec_id <> q.vec_id)
+       |  WHERE rank_dense <= $RrfPool),
+       |f AS (
+       |  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       |    COALESCE(l.rank_lex, 0) AS rank_lex,
+       |    COALESCE(d.rank_dense, 0) AS rank_dense
+       |  FROM lex l FULL OUTER JOIN den d ON l.doc_id = d.doc_id)
+       |SELECT doc_id, rank_lex, rank_dense,
+       |  CAST(CASE WHEN rank_lex > 0 THEN 1000000000 // ($RrfK + rank_lex) ELSE 0 END
+       |     + CASE WHEN rank_dense > 0 THEN 1000000000 // ($RrfK + rank_dense) ELSE 0 END
+       |    AS BIGINT) AS rrf_micro
+       |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT $RrfTopK""".stripMargin
+
   /** DuckDB twin of [[bm25Rank]] — generated from the SAME constants
     * (one source of truth) with the identical expression tree; `CAST`s
     * force the all-DOUBLE arithmetic Spark uses (a bare `1.2` is

@@ -741,6 +741,8 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     val allowedBnlj = Set("q_ann_brute_topk", "q_ann_ivf_topk", "q_ann_ivf2_topk",
       // bounded query set × encoded corpus (q_id <> neighbor — no hash key)
       "q_ann_sq_topk",
+      // dense-list half broadcasts the single RRF query vector
+      "q_hybrid_rrf",
       // bounded query set × corpus on a label INEQUALITY (no hash key)
       "q_hard_negatives",
       "q_ann_pq_topk", "q_ann_opq_topk", "q_ann_ivfpq_topk", "q_report_goals", "q_report_doc",

@@ -72,6 +72,47 @@ class RetrievalSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered, not global sort:\n$p")
   }
 
+  test("hybrid RRF fuses the two lists exactly, including single-list docs") {
+    import org.apache.spark.sql.functions._
+    val sf = SparkTestSession.Sf
+    // local reference: rebuild both rank lists from the catalog
+    // operators' own outputs, fuse with integer division, compare
+    val lex = Retrieval.bm25Rank(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+    val dense = operators.Similarity.normed(spark, sf)
+    val q = dense.filter(col("vec_id") === Retrieval.RrfQueryVec).collect().head
+    val (qe, qn) = (q.getSeq[Float](1).toArray, q.getDouble(2))
+    val denseRanks = dense.filter(col("vec_id") =!= Retrieval.RrfQueryVec).collect()
+      .map { r =>
+        val e = r.getSeq[Float](1).toArray
+        var s = 0.0
+        for (i <- e.indices) s += qe(i).toDouble * e(i).toDouble
+        // rounded cosine ordering with id tie-break — HALF_UP like the
+        // operator's round() (cosines can be negative: builder-notes rule)
+        val cos = BigDecimal(s / (qn * r.getDouble(2)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (r.getLong(0), cos)
+      }
+      .sortBy { case (id, cos) => (-cos, id) }
+      .take(Retrieval.RrfPool).zipWithIndex
+      .map { case ((d, _), i) => d -> (i + 1) }.toMap
+    def contrib(r: Option[Int]): Long =
+      r.map(x => 1000000000L / (Retrieval.RrfK + x)).getOrElse(0L)
+    val want = (lex.keySet ++ denseRanks.keySet).toSeq
+      .map(d => (d, lex.getOrElse(d, 0), denseRanks.getOrElse(d, 0),
+        contrib(lex.get(d)) + contrib(denseRanks.get(d))))
+      .sortBy { case (d, _, _, m) => (-m, d) }
+      .take(Retrieval.RrfTopK)
+    val got = Retrieval.hybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got === want, "fusion must match the local reference")
+    // asymmetric coverage is exercised, not just tolerated: at least
+    // one fused row must come from a single list
+    assert(got.exists { case (_, l, d, _) => l == 0 || d == 0 },
+      "expected at least one single-list doc in the fused top-k")
+    assert(got.size === Retrieval.RrfTopK)
+  }
+
   test("persisted postings index reproduces the map-only ranking and prunes shards") {
     val sf = SparkTestSession.Sf
     val fromIndex = graft.sources.Bm25Index.bm25Indexed(spark, sf)
