@@ -81,7 +81,7 @@ object Bench {
     "q_scd2" -> "sc", "q_schema_health" -> "sch",
     "q_semi_join" -> "se", "q_session_window" -> "ss",
     "q_sessionize" -> "ssz", "q_set_ops" -> "so",
-    "q_source_overlap" -> "sov", "q_source_sim" -> "ssm",
+    "q_source_overlap" -> "sov", "q_source_rank" -> "srk", "q_source_sim" -> "ssm",
     "q_span_scrub" -> "ssc", "q_status_dist" -> "st",
     "q_status_summary" -> "sts", "q_stratified_sample" -> "str",
     "q_string_funcs" -> "stf", "q_term_search" -> "ts",

@@ -135,6 +135,9 @@ object SparkEntry {
     "q_ppl_buckets"    -> ((s, d) => CorpusCuration.pplBuckets(s, d)),
     "q_source_sim"     -> CorpusCuration.sourceSim _,
     "q_source_overlap" -> CorpusCuration.sourceOverlap _,
+    // weighted PageRank over the content-sharing source graph (edges =
+    // cross-source shared-shingle counts; 8 unrolled power iterations)
+    "q_source_rank"    -> CorpusCuration.sourceRank _,
     "q_kl_drift"       -> CorpusCuration.klDrift _,
     "q_epoch_shuffle"  -> ((s, d) => CorpusCuration.epochShuffle(s, d)),
     "q_quality_calibration" -> CorpusCuration.qualityCalibration _,
@@ -788,6 +791,7 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY qbucket""".stripMargin,
     "q_source_sim"     -> CorpusCuration.sourceSimOracleSql,
     "q_source_overlap" -> CorpusCuration.sourceOverlapOracleSql,
+    "q_source_rank"    -> CorpusCuration.sourceRankOracleSql,
     "q_kl_drift"       -> CorpusCuration.klDriftOracleSql,
     "q_corpus_card"    -> CorpusCuration.corpusCardOracleSql,
     "q_novelty"        -> CorpusCuration.noveltyOracleSql,

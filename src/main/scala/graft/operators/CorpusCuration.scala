@@ -929,6 +929,123 @@ object CorpusCuration {
   }
 
   // ---------------------------------------------------------------------
+  // q_source_rank — PageRank over the content-sharing source graph
+  // ---------------------------------------------------------------------
+
+  /** Damping / teleport constants (the Brin/Page values — written as
+    * separate LITERALS, never derived as `1 - 0.85`: the subtraction
+    * lands one ulp off the double nearest to 0.15, and the oracle
+    * parses `0.15` directly).
+    */
+  val PrDamping = 0.85
+  val PrJump = 0.15
+  val PrIters = 8
+
+  /** Cross-source overlap pairs as the PageRank edge set, session-
+    * persisted: the 8 power-iteration rounds all reference the edge
+    * frame, and without the persist each round would re-run the
+    * postings pair join (the kl_drift 8-scan lesson, one operator
+    * later). Post-shuffle pair-count frame — C(sources, 2)-bounded,
+    * the sanctioned persist class. Released by
+    * [[releaseCurationCache]] BEFORE its postings dependency.
+    */
+  private def prPairs(s: SparkSession, dir: String): DataFrame =
+    prPairsPlan(s, dir).transform(graft.plans.Memo.cached)
+
+  private[graft] def prPairsPlan(s: SparkSession, dir: String): DataFrame =
+    sourceOverlap(s, dir).select("source_a", "source_b", "inter")
+
+  /** `q_source_rank`: weighted PageRank over the content-sharing
+    * source graph — nodes are sources, symmetric edges weighted by the
+    * [[sourceOverlap]] shared-discriminative-shingle counts. The
+    * host-authority staple of crawl curation (who ORIGINATES content
+    * vs who mirrors it): a source central to the sharing graph is a
+    * syndication hub, and its rank is the standard prior for
+    * quality-weighting or demoting its documents.
+    *
+    * Distributed shape: [[PrIters]] fixed power-iteration rounds, each
+    * one equi-join of the persisted edge frame against the previous
+    * rank vector plus one grouped sum — at web scale (10⁶⁺ hosts) both
+    * sides stay distributed and each round is one shuffle keyed by
+    * source; here the graph is catalog-dimension-sized and the rounds
+    * are metadata work. Mass from sources with no out-edges is
+    * dropped (the sink-loss convention — deterministic, and isolated
+    * sources hold exactly the teleport mass), noted rather than
+    * redistributed so the oracle stays a pure unrolled expression.
+    *
+    * Determinism: each edge contribution `r·w/wout` is a bit-identical
+    * double in both engines (single-op IEEE chain over identical
+    * inputs); per-target sums cast every term to DECIMAL(38,18) and
+    * sum decimals — exact ⇒ associative ⇒ partitioning-independent
+    * (the r7 float-sum convention) — and the final SELECTION key is
+    * the integer `pr_micro = floor(pr·1e9 + 0.5)`. The oracle unrolls
+    * all [[PrIters]] rounds in SQL with the generated overlap oracle
+    * as its edge subquery (one source of truth).
+    */
+  def sourceRank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = prPairs(s, dir)
+    val edges = pairs.select(col("source_a").as("esrc"),
+        col("source_b").as("edst"), col("inter").as("w"))
+      .unionByName(pairs.select(col("source_b").as("esrc"),
+        col("source_a").as("edst"), col("inter").as("w")))
+    val outw = edges.groupBy("esrc").agg(sum("w").as("wout"))
+    val nodes = Tables.documents(s, dir).select(col("source")).distinct()
+    val n = nodes.count()
+    var r = nodes.select(col("source"), (lit(1.0) / n).as("pr"))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(outw, Seq("esrc"))
+        .join(r.select(col("source").as("esrc"), col("pr")), Seq("esrc"))
+        .select(col("edst").as("source"),
+          (col("pr") * col("w").cast("double") / col("wout").cast("double"))
+            .cast("decimal(38,18)").as("c"))
+        .groupBy("source").agg(sum("c").as("cs"))
+      r = nodes.join(contrib, Seq("source"), "left")
+        .select(col("source"),
+          (lit(PrJump) / n +
+            lit(PrDamping) * coalesce(col("cs").cast("double"), lit(0.0))).as("pr"))
+    }
+    r.select(col("source"),
+        floor(col("pr") * lit(1e9) + lit(0.5)).cast("long").as("pr_micro"))
+      .withColumn("pr", col("pr_micro").cast("double") / lit(1e9))
+      .orderBy(col("pr_micro").desc, col("source"))
+  }
+
+  /** DuckDB twin of [[sourceRank]]: the generated overlap oracle as
+    * the edge subquery, then all [[PrIters]] rounds unrolled as CTEs
+    * r0..r[[PrIters]] with the identical arithmetic (decimal-exact
+    * contribution sums, literal damping constants).
+    */
+  def sourceRankOracleSql: String = {
+    def round(i: Int): String =
+      s"""r$i AS (
+         |  SELECT nodes.source,
+         |    (CAST($PrJump AS DOUBLE) / n) + CAST($PrDamping AS DOUBLE)
+         |      * COALESCE(CAST(cs AS DOUBLE), CAST(0 AS DOUBLE)) AS pr
+         |  FROM nodes CROSS JOIN nn LEFT JOIN (
+         |    SELECT edst AS source,
+         |      sum(CAST(pr * CAST(w AS DOUBLE) / CAST(wout AS DOUBLE)
+         |        AS DECIMAL(38,18))) AS cs
+         |    FROM edges JOIN outw USING (esrc)
+         |    JOIN r${i - 1} ON r${i - 1}.source = edges.esrc
+         |    GROUP BY 1) c ON c.source = nodes.source)""".stripMargin
+    s"""WITH ov AS (SELECT source_a, source_b, inter FROM ($sourceOverlapOracleSql) o),
+       |edges AS (
+       |  SELECT source_a AS esrc, source_b AS edst, inter AS w FROM ov
+       |  UNION ALL
+       |  SELECT source_b AS esrc, source_a AS edst, inter AS w FROM ov),
+       |outw AS (SELECT esrc, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT source FROM documents),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT source, CAST(1 AS DOUBLE) / n AS pr FROM nodes CROSS JOIN nn),
+       |${(1 to PrIters).map(round).mkString(",\n")}
+       |SELECT source,
+       |  CAST(floor(pr * 1e9 + 0.5) AS BIGINT) AS pr_micro,
+       |  CAST(CAST(floor(pr * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9 AS pr
+       |FROM r$PrIters ORDER BY pr_micro DESC, source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q_epoch_shuffle — deterministic per-epoch training order
   // ---------------------------------------------------------------------
 
@@ -1015,6 +1132,8 @@ object CorpusCuration {
 
   /** Drop the session-scoped curation caches for `dir`. */
   def releaseCurationCache(s: SparkSession, dir: String): Unit = {
+    // pagerank edge pairs CONSUME postings — release before it
+    prPairsPlan(s, dir).unpersist()
     postingsPlan(s, dir).unpersist()
     sourceSigPlan(s, dir).unpersist()
     sourceTokenCountsPlan(s, dir).unpersist()
@@ -1027,6 +1146,7 @@ object CorpusCuration {
     */
   private[graft] def warmCurationCache(s: SparkSession, dir: String): Unit = {
     postings(s, dir).count()
+    prPairs(s, dir).count()
     sourceSig(s, dir).count()
     sourceTokenCounts(s, dir).count()
     bigramCounts(s, dir).count()

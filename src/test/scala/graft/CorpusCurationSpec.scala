@@ -219,6 +219,71 @@ class CorpusCurationSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------------
+  // q_source_rank — PageRank over the content-sharing source graph
+  // -------------------------------------------------------------------
+
+  test("source pagerank matches an exact local reference and conserves mass") {
+    import CorpusCuration.{PrDamping, PrIters, PrJump}
+    // local reference: same edges, same arithmetic (double contribution
+    // chain, BigDecimal(38,18)-exact sums — the operator's decimal agg)
+    val pairs = CorpusCuration.sourceOverlap(spark, sf)
+      .select("source_a", "source_b", "inter").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val edges = pairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val outw = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val nodes = Tables.documents(spark, sf).select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    val n = nodes.length
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to PrIters) {
+      val sums = scala.collection.mutable.HashMap.empty[String, BigDecimal]
+      for ((src, dst, w) <- edges) {
+        val c = r(src) * w.toDouble / outw(src).toDouble
+        val cd = BigDecimal(c).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+        sums(dst) = sums.getOrElse(dst, BigDecimal(0)) + cd
+      }
+      r = nodes.map(s =>
+        s -> (PrJump / n + PrDamping * sums.getOrElse(s, BigDecimal(0)).toDouble)).toMap
+    }
+    val want = nodes.map(s => s -> math.floor(r(s) * 1e9 + 0.5).toLong).toMap
+    val got = CorpusCuration.sourceRank(spark, sf).collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(got === want, "distributed ranks must equal the exact local fold")
+    // every source connected (the shipped graph is) → mass conserved:
+    // Σ pr = 1 up to the per-source half-ulp of the micro rounding
+    assert(math.abs(got.values.sum - 1e9) <= n, s"mass drifted: ${got.values.sum}")
+    // the display double is exactly the micro value
+    CorpusCuration.sourceRank(spark, sf).collect().foreach { row =>
+      assert(row.getDouble(2) === row.getLong(1).toDouble / 1e9)
+    }
+  }
+
+  test("source pagerank ranks a planted syndication hub first") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prank").toString
+    // hub shares a distinct 12-word run with each spoke; spokes share
+    // nothing with each other (distinct vocabularies)
+    def run(tag: String) = (0 until 12).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${run("pa")} ${run("pb")} ${run("pc")}", "hub"),
+      (2L, s"${run("pa")} ${run("qa")}", "spokeA"),
+      (3L, s"${run("pb")} ${run("qb")}", "spokeB"),
+      (4L, s"${run("pc")} ${run("qc")}", "spokeC"),
+      (5L, run("zz"), "loner"))
+    docs.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ranked = CorpusCuration.sourceRank(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(ranked.head._1 === "hub", s"hub should rank first: ${ranked.toSeq}")
+    // the isolated source holds exactly the teleport mass (sink-loss
+    // convention: it receives nothing and its own mass drains)
+    val loner = ranked.find(_._1 == "loner").get._2
+    assert(loner === math.floor(CorpusCuration.PrJump / 5 * 1e9 + 0.5).toLong)
+    CorpusCuration.releaseCurationCache(spark, dir)
+  }
+
+  // -------------------------------------------------------------------
   // q_epoch_shuffle
   // -------------------------------------------------------------------
 
