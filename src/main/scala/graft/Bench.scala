@@ -23,6 +23,7 @@ object Bench {
     "q_ann_lsh_topk" -> "al", "q_ann_pq_indexed" -> "api", "q_ann_advisor" -> "aad",
     "q_ann_advisor_filtered" -> "adf",
     "q_ann_pq_topk" -> "apq", "q_ann_opq_topk" -> "ao", "q_ann_sq_topk" -> "asq",
+    "q_ann_bq_topk" -> "abq",
     "q_anti_join" -> "an",
     "q_approx_stats" -> "apx", "q_argmax" -> "am",
     "q_asof_join" -> "as", "q_attachment_text" -> "at",
@@ -61,6 +62,7 @@ object Bench {
     "q_event_transitions" -> "etr", "q_zipf_fit" -> "zf",
     "q_bigram_entropy" -> "bge", "q_bpe_persisted" -> "bpp",
     "q_bm25_rank" -> "bm", "q_bm25_indexed" -> "bmx", "q_hybrid_rrf" -> "rrf",
+    "q_mmr_rerank" -> "mmr",
     "q_knn_label_acc" -> "kla", "q_dup_matrix" -> "dxm",
     "q_event_paths" -> "epa", "q_shard_balance" -> "shb",
     "q_weighted_sample" -> "ws", "q_cluster_reps" -> "crp",

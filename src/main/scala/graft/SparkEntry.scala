@@ -83,6 +83,11 @@ object SparkEntry {
     // oracle — the integer fixed-point surrogate makes the candidate
     // cut engine-reproducible, so this one is hash-gated cell-exact
     "q_ann_sq_topk"    -> Similarity.annSqTopK _,
+    // sign-bit binary quantization: the second full-oracle accelerated
+    // path — Hamming surrogate is xor+popcount integers in both
+    // engines, and with no trained parameters the oracle holds at any
+    // corpus size
+    "q_ann_bq_topk"    -> Similarity.annBqTopK _,
     "q_ann_lsh_topk"   -> Similarity.annLshTopK _,
     "q_ann_ivf_topk"   -> Similarity.annIvfTopK _,
     "q_ann_ivf2_topk"  -> Similarity.annIvfLearnedTopK _,
@@ -155,6 +160,9 @@ object SparkEntry {
     // hybrid retrieval: integer-division reciprocal-rank fusion of the
     // BM25 and dense-cosine lists (full oracle — both lists are)
     "q_hybrid_rrf"    -> ((s, d) => Retrieval.hybridRrf(s, d)),
+    // MMR diversified rerank of the dense retrieval list (full oracle:
+    // the greedy rounds unroll as generated CTEs)
+    "q_mmr_rerank"    -> ((s, d) => Retrieval.mmrRerank(s, d)),
     "q_rate_anomaly"  -> CorpusCuration.rateAnomaly _,
     "q_embed_drift"   -> CorpusCuration.embedDrift _,
     "q_pack_efficiency" -> CorpusCuration.packEfficiency _,
@@ -651,6 +659,7 @@ object SparkEntry {
     "q_cluster_mix"         -> Clustering.sqlClusterMix,
     "q_ann_brute_topk"      -> Similarity.sqlAnnBruteTopK,
     "q_ann_sq_topk"         -> Similarity.sqlAnnSqTopK,
+    "q_ann_bq_topk"         -> Similarity.sqlAnnBqTopK,
     "q_ann_filtered_topk"   -> Similarity.sqlAnnFilteredTopK,
     "q_hard_negatives"      -> Similarity.sqlHardNegatives,
     "q_knn_label_acc"       -> Similarity.sqlKnnLabelAcc,
@@ -799,6 +808,7 @@ object SparkEntry {
     "q_bm25_rank"      -> Retrieval.bm25RankOracleSql,
     "q_bm25_indexed"   -> Retrieval.bm25RankOracleSql,
     "q_hybrid_rrf"     -> Retrieval.hybridRrfOracleSql,
+    "q_mmr_rerank"     -> Retrieval.mmrRerankOracleSql,
     "q_rate_anomaly"   -> CorpusCuration.rateAnomalyOracleSql,
     "q_embed_drift"    -> CorpusCuration.embedDriftOracleSql,
     "q_pack_efficiency" -> CorpusCuration.packEfficiencyOracleSql,

@@ -52,6 +52,7 @@ object RecallReport {
     ("ann_ivf2_recall5", Similarity.annIvfLearnedTopK(s, dir), "brute"),
     ("ann_pq_recall5", Similarity.annPqTopK(s, dir), "brute"),
     ("ann_sq_recall5", Similarity.annSqTopK(s, dir), "brute"),
+    ("ann_bq_recall5", Similarity.annBqTopK(s, dir), "brute"),
     ("ann_opq_recall5", Similarity.annOpqTopK(s, dir), "brute"),
     ("ann_ivfpq_recall5", Similarity.annIvfPqTopK(s, dir), "brute"),
     ("ann_pq_indexed_recall5", graft.sources.PqIndex.annPqIndexed(s, dir),
@@ -81,7 +82,7 @@ object RecallReport {
   val GateThresholds: Seq[(String, Int)] = Seq(
     "ann_lsh_recall5" -> 60, "ann_ivf_recall5" -> 55,
     "ann_ivf2_recall5" -> 55, "ann_pq_recall5" -> 90,
-    "ann_sq_recall5" -> 90,
+    "ann_sq_recall5" -> 90, "ann_bq_recall5" -> 70,
     "ann_opq_recall5" -> 90, "ann_ivfpq_recall5" -> 55,
     "ann_pq_indexed_recall5" -> 55, "ann_ivf_filtered_recall5" -> 40,
     "hard_negatives_ivf_recall5" -> 40,

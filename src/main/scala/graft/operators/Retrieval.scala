@@ -211,6 +211,130 @@ object Retrieval {
        |    AS BIGINT) AS rrf_micro
        |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT $RrfTopK""".stripMargin
 
+  // ---- MMR diversified rerank -------------------------------------------
+
+  /** MMR trade-off λ = [[MmrLamNum]]/10; mmr_micro = MmrLamNum·rel −
+    * (10−MmrLamNum)·maxsim over micro-unit integers — the λ=0.7
+    * Carbonell/Goldstein default, kept as integer numerators so the
+    * greedy argmax compares exact integers (the selection-key
+    * doctrine).
+    */
+  val MmrLamNum = 7
+  val MmrTopK = 10
+  /** Candidate pool: the dense top-[[RrfPool]] for [[RrfQueryVec]]. */
+  val MmrPool = RrfPool
+
+  /** `q_mmr_rerank`: maximal-marginal-relevance diversification of the
+    * dense retrieval list (Carbonell & Goldstein 1998) — the dedup pass
+    * every RAG context builder runs so the k retrieved passages aren't
+    * k near-copies. Greedy: pick argmax of
+    * `λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s)`, k times.
+    *
+    * Distributed shape: the heavy work is the corpus scan that builds
+    * the top-[[MmrPool]] pool (the audited [[denseRanks]] shape) and
+    * the pool×pool pairwise sims (≤ pool² rows, map-side); the greedy
+    * loop itself runs driver-local over the ≤pool-row collected lists —
+    * the documented bounded-collect class ([[lexRanks]] precedent):
+    * O(k·pool) integer ops dwarfed by one scan at any corpus size.
+    *
+    * Determinism: rel/sim quantize with the floor-shift
+    * (`floor(x·1e6+0.5)` — over the bit-identical fold doubles, so both
+    * engines land the same integers), mmr scores are exact integer
+    * combinations, ties break on doc_id asc. The DuckDB oracle unrolls
+    * all [[MmrTopK]] greedy rounds as CTEs generated from the SAME
+    * constants (the Lloyd-unroll precedent).
+    */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = Similarity.normed(s, dir)
+    val q = n.filter(col("vec_id") === RrfQueryVec)
+      .select(col("vec_id").as("q_id"), col("e").as("e_q"), col("nrm").as("n_q"))
+    def microCos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+        na: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(graft.plans.ArrayOps.dotF(a, b) / (na * nb) * lit(1e6) + lit(0.5)).cast("long")
+    val scored = broadcast(q)
+      .join(n.select(col("vec_id").as("doc_id"), col("e").as("e_c"),
+          col("nrm").as("n_c")), col("q_id") =!= col("doc_id"))
+      .withColumn("rel_micro", microCos(col("e_q"), col("e_c"), col("n_q"), col("n_c")))
+    val pool = graft.plans.TopK.perKey(scored, Seq("q_id"),
+        Seq(("rel_micro", false), ("doc_id", true)), MmrPool)
+      .select("doc_id", "rel_micro", "e_c", "n_c")
+    val pooled = pool.transform(graft.plans.Memo.cached)
+    try {
+      val pl = pooled.select("doc_id", "rel_micro").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val a = pooled.select(col("doc_id").as("a"), col("e_c").as("ea"), col("n_c").as("na"))
+      val b = pooled.select(col("doc_id").as("b"), col("e_c").as("eb"), col("n_c").as("nb"))
+      val sims = a.join(b, col("a") < col("b"))
+        .withColumn("sim_micro", microCos(col("ea"), col("eb"), col("na"), col("nb")))
+        .select("a", "b", "sim_micro").collect()
+        .flatMap(r => Seq((r.getLong(0), r.getLong(1)) -> r.getLong(2),
+          (r.getLong(1), r.getLong(0)) -> r.getLong(2))).toMap
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+      val remaining = scala.collection.mutable.LinkedHashMap(pl: _*)
+      for (rank <- 1 to math.min(MmrTopK, pl.length)) {
+        val (pick, mmr) = remaining.iterator.map { case (d, rel) =>
+          val maxSim =
+            if (sel.isEmpty) 0L
+            else sel.iterator.map { case (_, sd, _, _) => sims((d, sd)) }.max
+          (d, MmrLamNum.toLong * rel - (10L - MmrLamNum) * maxSim)
+        }.minBy { case (d, m) => (-m, d) }
+        sel += ((rank, pick, remaining(pick), mmr))
+        remaining.remove(pick)
+      }
+      sel.toSeq.toDF("rank", "doc_id", "rel_micro", "mmr_micro")
+        .orderBy("rank")
+    } finally pooled.unpersist()
+  }
+
+  /** DuckDB twin of [[mmrRerank]]: pool + pairwise sims, then the
+    * greedy rounds unrolled as `sel1..sel{k}` CTEs — each round's pick
+    * is a LIMIT-1 argmax over the remaining pool with a correlated max
+    * over the selected-so-far set. Generated from the same constants.
+    */
+  def mmrRerankOracleSql: String = {
+    def microCos(a: String, b: String, na: String, nb: String): String =
+      s"CAST(floor(${Similarity.sqlDot(a, b)} / ($na * $nb) * 1e6 + 0.5) AS BIGINT)"
+    val lam = MmrLamNum
+    val rounds = (2 to MmrTopK).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT c.doc_id, c.rel_micro,
+         |    CAST($lam AS BIGINT) * c.rel_micro - CAST(${10 - lam} AS BIGINT) *
+         |      (SELECT max(s.sim_micro) FROM sims s
+         |        JOIN sel${r - 1} t ON s.a = c.doc_id AND s.b = t.doc_id) AS mmr_micro,
+         |    CAST($r AS INTEGER) AS rank
+         |  FROM pool c WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${r - 1})
+         |  ORDER BY mmr_micro DESC, c.doc_id LIMIT 1),
+         |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1} UNION ALL
+         |  SELECT rank, doc_id, rel_micro, mmr_micro FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |pool AS MATERIALIZED (
+       |  SELECT doc_id, rel_micro, ec, nc FROM (
+       |    SELECT c.vec_id AS doc_id,
+       |      ${microCos("q.embedding", "c.embedding", "q.nrm", "c.nrm")} AS rel_micro,
+       |      c.embedding AS ec, c.nrm AS nc,
+       |      row_number() OVER (ORDER BY
+       |        ${microCos("q.embedding", "c.embedding", "q.nrm", "c.nrm")} DESC,
+       |        c.vec_id) AS rk
+       |    FROM nn q JOIN nn c ON q.vec_id = $RrfQueryVec AND c.vec_id <> q.vec_id)
+       |  WHERE rk <= $MmrPool),
+       |sims AS MATERIALIZED (
+       |  SELECT a.doc_id AS a, b.doc_id AS b,
+       |    ${microCos("a.ec", "b.ec", "a.nc", "b.nc")} AS sim_micro
+       |  FROM pool a JOIN pool b ON a.doc_id <> b.doc_id),
+       |p1 AS MATERIALIZED (
+       |  SELECT doc_id, rel_micro,
+       |    CAST($lam AS BIGINT) * rel_micro AS mmr_micro, CAST(1 AS INTEGER) AS rank
+       |  FROM pool ORDER BY rel_micro DESC, doc_id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT rank, doc_id, rel_micro, mmr_micro FROM p1),
+       |$rounds
+       |SELECT rank, doc_id, rel_micro, mmr_micro FROM sel$MmrTopK ORDER BY rank""".stripMargin
+  }
+
   /** DuckDB twin of [[bm25Rank]] — generated from the SAME constants
     * (one source of truth) with the identical expression tree; `CAST`s
     * force the all-DOUBLE arithmetic Spark uses (a bare `1.2` is

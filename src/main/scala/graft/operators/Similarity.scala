@@ -947,6 +947,74 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ---- binary quantization (BQ) -----------------------------------------
+
+  /** Exact-rerank pool for the sign-bit path. One bit per dim is the
+    * coarsest quantizer in the family (64 bits vs SQ8's 512), so the
+    * surrogate needs a deeper pool than [[SqRerank]] to reach the same
+    * recall — still a bounded integer cut, so pool size only moves
+    * recall, never parity. 256 holds recall@5 ≥ 88 at sf0.1's 5k
+    * vectors (72 at 128 — one Hamming bucket spans many true ranks, so
+    * the pool must out-run the bucket width).
+    */
+  val BqRerank = 256
+
+  /** Sign-bit words: dims `lo..lo+31` (1-based) folded high-to-low as
+    * `acc*2 + (e[d] > 0)` into one BIGINT — pure integer construction
+    * (≤ 2³², no sign-bit hazards), identical in DuckDB's list_reduce.
+    */
+  private def bqWord(e: Column, lo: Int): Column =
+    aggregate(
+      transform(sequence(lit(lo), lit(lo + 31)),
+        i => when(element_at(e, i).cast("double") > lit(0.0), lit(1L))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc * lit(2L) + x)
+
+  /** Encoded signature table (neighbor_id, w1, w2) — exposed for the
+    * spec's local-reference word check.
+    */
+  private[graft] def annBqTopKEncoded(s: SparkSession, dir: String): DataFrame =
+    normed(s, dir).select(col("vec_id").as("neighbor_id"),
+      bqWord(col("e"), 1).as("w1"), bqWord(col("e"), 33).as("w2"))
+
+  /** §2.5 — binary-quantized ANN with exact rerank (`q_ann_bq_topk`),
+    * the FAISS `IndexBinaryFlat` / Qdrant binary-quantization shape:
+    * each vector compresses to its 64 SIGN bits (two 32-bit words —
+    * 16× less scan than raw floats, the most aggressive
+    * scan-acceleration in the catalog), candidates ranked by Hamming
+    * similarity `Dim − popcount(q ⊕ c)` — an all-integer surrogate
+    * (xor + bit_count in both engines), so like SQ8 the candidate cut
+    * is oracle-expressible — then the top [[BqRerank]] reranked with
+    * exact cosine. Unlike every trained variant there are NO learned
+    * parameters: the oracle is valid at ANY corpus size (no
+    * [[TrainSampleCap]] caveat), and the encode pass is map-side
+    * stateless — at 100 TB the signature table is the only full scan
+    * and it is 16 bytes/vector.
+    */
+  def annBqTopK(s: SparkSession, dir: String): DataFrame = {
+    val n = normed(s, dir)
+    val enc = n.select(col("vec_id").as("neighbor_id"),
+      bqWord(col("e"), 1).as("w1"), bqWord(col("e"), 33).as("w2"))
+    val q = n.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("e_q"), col("nrm").as("n_q"),
+        bqWord(col("e"), 1).as("q1"), bqWord(col("e"), 33).as("q2"))
+    val approx = broadcast(q).join(enc, col("q_id") =!= col("neighbor_id"))
+      .withColumn("matches", lit(Dim.toLong)
+        - bit_count(col("q1").bitwiseXOR(col("w1"))).cast("long")
+        - bit_count(col("q2").bitwiseXOR(col("w2"))).cast("long"))
+    val cand = graft.plans.TopK.perKey(approx, Seq("q_id"),
+      Seq(("matches", false), ("neighbor_id", true)), BqRerank)
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.join(n.select(col("vec_id").as("neighbor_id"),
+        col("e").as("e_c"), col("nrm").as("n_c")), "neighbor_id")
+      .withColumn("cos_sim", round(dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")), 6))
+      .withColumn("rank", row_number().over(wnd))
+      .filter(col("rank") <= TopK)
+      .select("q_id", "rank", "neighbor_id", "cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
   // ---- oracle SQL -------------------------------------------------------
 
   /** Sequential-fold dot product / norm in DuckDB (list_reduce ≡ Spark's
@@ -1092,6 +1160,49 @@ object Similarity {
        |  FROM rer)
        |SELECT q_id, rank, neighbor_id, cos_sim FROM ranked
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
+  /** DuckDB twin of [[annBqTopK]] — the sign-bit words rebuild with the
+    * same high-to-low `acc*2 + bit` integer fold, the Hamming surrogate
+    * is `xor` + `bit_count` (BIGINT-exact in both engines), and the
+    * candidate cut + rerank ride integer keys throughout. No trained
+    * parameters ⇒ the oracle is corpus-size-independent.
+    */
+  val sqlAnnBqTopK: String = {
+    def word(lo: Int): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series($lo, ${lo + 31}), " +
+        s"i -> CAST(CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 THEN 1 ELSE 0 END AS BIGINT))), " +
+        s"(acc, x) -> acc * 2 + x)"
+    s"""WITH enc AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm,
+       |    ${word(1)} AS w1,
+       |    ${word(33)} AS w2
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |    q.embedding AS qe, q.nrm AS qn, c.embedding AS ce, c.nrm AS cn,
+       |    CAST($Dim AS BIGINT) - bit_count(xor(q.w1, c.w1))
+       |      - bit_count(xor(q.w2, c.w2)) AS matches
+       |  FROM enc q JOIN enc c ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id),
+       |cand AS (
+       |  SELECT q_id, neighbor_id, qe, qn, ce, cn FROM (
+       |    SELECT q_id, neighbor_id, qe, qn, ce, cn,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY matches DESC, neighbor_id) AS crn
+       |    FROM scored) WHERE crn <= $BqRerank),
+       |rer AS (
+       |  SELECT q_id, neighbor_id,
+       |    round(${sqlDot("qe", "ce")} / (qn * cn), 6) AS cos_sim
+       |  FROM cand),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM rer)
+       |SELECT q_id, rank, neighbor_id, cos_sim FROM ranked
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+  }
 
   val sqlAnnBruteTopK: String =
     s"""$sqlNormed,

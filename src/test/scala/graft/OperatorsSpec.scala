@@ -411,6 +411,68 @@ class SkewRecallSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(edge === Seq(127.toByte, (-127).toByte, 0.toByte))
   }
 
+  test("BQ ANN: recall vs brute; sign-bit words match a local reference") {
+    val brute = Similarity.annBruteTopK(spark, sf).select("q_id", "neighbor_id")
+    val nQ = brute.select("q_id").distinct().count()
+    val rBq = brute.intersect(Similarity.annBqTopK(spark, sf)
+      .select("q_id", "neighbor_id")).count().toDouble / (nQ * Similarity.TopK)
+    // measured 100/98/82 at sf0.001/0.01/0.1 with the 256 pool
+    info(f"recall@5 bq=$rBq%.2f (rerank pool ${Similarity.BqRerank})")
+    assert(rBq >= 0.7, s"BQ recall too low: $rBq")
+
+    // the two 32-bit sign words vs a driver-side reference fold
+    // (catches codegen/fold-order divergence, not just formula echo)
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(50).collect()
+    val enc = Similarity.annBqTopKEncoded(spark, sf)
+      .orderBy("neighbor_id").limit(50).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val e = r.getSeq[Float](1)
+      def word(lo: Int): Long =
+        (lo until lo + 32).foldLeft(0L)((acc, d) =>
+          acc * 2 + (if (e(d).toDouble > 0) 1L else 0L))
+      assert(enc(r.getLong(0)) === ((word(0), word(32))),
+        s"sign words mismatch for vec ${r.getLong(0)}")
+    }
+  }
+
+  test("MMR rerank: matches a local greedy reference; first pick is the relevance argmax") {
+    val got = Retrieval.mmrRerank(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === Retrieval.MmrTopK)
+    assert(got.map(_._2).distinct.length === got.length, "picks must be distinct")
+
+    // local reference: exact pool + greedy over collected embeddings
+    val embs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    def micro(a: Array[Float], b: Array[Float]): Long =
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        * 1e6 + 0.5).toLong
+    val qe = embs(Retrieval.RrfQueryVec)
+    val pool = embs.toSeq.filter(_._1 != Retrieval.RrfQueryVec)
+      .map { case (d, e) => (d, micro(qe, e)) }
+      .sortBy { case (d, rel) => (-rel, d) }.take(Retrieval.MmrPool)
+    val lam = Retrieval.MmrLamNum.toLong
+    var remaining = pool
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    for (rank <- 1 to Retrieval.MmrTopK) {
+      val (pick, rel, mmr) = remaining.map { case (d, r) =>
+        val maxSim = if (sel.isEmpty) 0L
+          else sel.map(s => micro(embs(d), embs(s._2))).max
+        (d, r, lam * r - (10L - lam) * maxSim)
+      }.minBy { case (d, _, m) => (-m, d) }
+      sel += ((rank, pick, rel, mmr))
+      remaining = remaining.filterNot(_._1 == pick)
+    }
+    assert(got.toSeq === sel.toSeq, "greedy selection diverges from the local reference")
+    // rank 1 is pure relevance (empty selected set)
+    assert(got.head._2 === pool.head._1)
+  }
+
   test("filtered ANN: brute respects the label filter; filtered IVF recall vs filtered brute") {
     val brute = Similarity.annFilteredTopK(spark, sf)
     // every neighbor shares its query's label — the filter semantics
@@ -740,9 +802,12 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     // corpus-size N, decile bounds) — O(1) build sides, not cartesians
     val allowedBnlj = Set("q_ann_brute_topk", "q_ann_ivf_topk", "q_ann_ivf2_topk",
       // bounded query set × encoded corpus (q_id <> neighbor — no hash key)
-      "q_ann_sq_topk",
+      "q_ann_sq_topk", "q_ann_bq_topk",
       // dense-list half broadcasts the single RRF query vector
       "q_hybrid_rrf",
+      // single query row × corpus for the pool; pool×pool (≤20 rows
+      // cached) for the pairwise sims — both keyless by nature
+      "q_mmr_rerank",
       // bounded query set × corpus on a label INEQUALITY (no hash key)
       "q_hard_negatives",
       "q_ann_pq_topk", "q_ann_opq_topk", "q_ann_ivfpq_topk", "q_report_goals", "q_report_doc",
