@@ -195,4 +195,40 @@ class RetrievalSpec extends AnyFunSuite {
       Bm25Index.searchRoot(spark, full).collect().toSeq,
       "empty build + append == fresh full build")
   }
+
+  test("streaming indexer == batch index over any split, counters == artifact stats, incl. restore") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Bm25Index
+    val sf = SparkTestSession.Sf
+    val docs = Tables.documents(spark, sf)
+    def slice(r: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === r)
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25stream").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_bm25full3").toString
+    val twin = new graft.streaming.StreamingBm25Index(root)
+    twin.mergeBatch(spark, slice(0)); twin.mergeBatch(spark, slice(1))
+    val snap = java.nio.file.Files.createTempDirectory("graft_bm25snap").toString
+    twin.snapshot(spark, snap)
+    val resumed = graft.streaming.StreamingBm25Index.restore(spark, snap, root)
+    resumed.mergeBatch(spark, slice(2))
+    Bm25Index.materializeWhere(spark, sf, lit(true), full)
+    assert(resumed.current(spark).collect().toSeq ===
+      Bm25Index.searchRoot(spark, full).collect().toSeq,
+      "stream-built index answers the standing query == a batch full build")
+    // live counters == the stats the query path re-derives from the
+    // artifact (guards double-indexing a batch, which search can't see)
+    val (n, avgdl, df) = resumed.currentStats
+    val dl = spark.read.parquet(s"$root/doclens")
+      .agg(count(lit(1)), sum(col("dl"))).head()
+    assert(n === dl.getLong(0), "doc counter == artifact doc count")
+    assert(avgdl === dl.getLong(1).toDouble / dl.getLong(0),
+      "avgdl derives from the same integer sums")
+    val wantDf = spark.read.parquet(s"$root/postings")
+      .filter(col("term").isin(graft.operators.Retrieval.Bm25Terms: _*))
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.operators.Retrieval.Bm25Terms.foreach { t =>
+      assert(df.getOrElse(t, 0L) === wantDf.getOrElse(t, 0L),
+        s"df counter for '$t' == artifact-derived df")
+    }
+  }
 }
