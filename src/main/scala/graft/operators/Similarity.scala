@@ -953,11 +953,18 @@ object Similarity {
     * coarsest quantizer in the family (64 bits vs SQ8's 512), so the
     * surrogate needs a deeper pool than [[SqRerank]] to reach the same
     * recall — still a bounded integer cut, so pool size only moves
-    * recall, never parity. 256 holds recall@5 ≥ 88 at sf0.1's 5k
-    * vectors (72 at 128 — one Hamming bucket spans many true ranks, so
-    * the pool must out-run the bucket width).
+    * recall, never parity. The pool must scale with the corpus (the
+    * live-nprobe precedent): Hamming buckets hold Θ(n) vectors each —
+    * a FIXED pool is a shrinking fraction of one bucket, so recall
+    * decays with n (measured: 82 at 5k vectors, 64 at 20k with a flat
+    * 256). [[bqPool]] keeps it a ≥1/16 corpus fraction, floored at
+    * this constant; the oracle applies the same formula via a scalar
+    * count subquery.
     */
   val BqRerank = 256
+
+  /** Rerank-pool size for an n-vector corpus: max([[BqRerank]], n/16). */
+  private[graft] def bqPool(n: Long): Long = math.max(BqRerank.toLong, n / 16)
 
   /** Sign-bit words: dims `lo..lo+31` (1-based) folded high-to-low as
     * `acc*2 + (e[d] > 0)` into one BIGINT — pure integer construction
@@ -993,6 +1000,7 @@ object Similarity {
     */
   def annBqTopK(s: SparkSession, dir: String): DataFrame = {
     val n = normed(s, dir)
+    val pool = bqPool(n.count()).toInt
     val enc = n.select(col("vec_id").as("neighbor_id"),
       bqWord(col("e"), 1).as("w1"), bqWord(col("e"), 33).as("w2"))
     val q = n.filter(col("vec_id") < NumQueries)
@@ -1003,7 +1011,7 @@ object Similarity {
         - bit_count(col("q1").bitwiseXOR(col("w1"))).cast("long")
         - bit_count(col("q2").bitwiseXOR(col("w2"))).cast("long"))
     val cand = graft.plans.TopK.perKey(approx, Seq("q_id"),
-      Seq(("matches", false), ("neighbor_id", true)), BqRerank)
+      Seq(("matches", false), ("neighbor_id", true)), pool)
     val wnd = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     cand.join(n.select(col("vec_id").as("neighbor_id"),
@@ -1190,7 +1198,9 @@ object Similarity {
        |    SELECT q_id, neighbor_id, qe, qn, ce, cn,
        |      row_number() OVER (PARTITION BY q_id
        |        ORDER BY matches DESC, neighbor_id) AS crn
-       |    FROM scored) WHERE crn <= $BqRerank),
+       |    FROM scored)
+       |  WHERE crn <= (SELECT greatest(CAST($BqRerank AS BIGINT),
+       |    CAST(count(*) AS BIGINT) // 16) FROM embeddings)),
        |rer AS (
        |  SELECT q_id, neighbor_id,
        |    round(${sqlDot("qe", "ce")} / (qn * cn), 6) AS cos_sim
