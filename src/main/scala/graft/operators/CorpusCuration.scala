@@ -848,9 +848,30 @@ object CorpusCuration {
     */
   val SourceOverlapMaxDf = 256L
 
-  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+  /** Session-persisted full overlap output: BOTH the catalog query and
+    * the PageRank edge set consume the pair join's result, and the
+    * pair fan-out + grouped count is the expensive part (≈30 cpu-s at
+    * sf0.1) — one materialization serves both (the shingle-cache
+    * economics). C(sources, 2)-bounded rows, the sanctioned persist
+    * class. Released by [[releaseCurationCache]] BEFORE postings.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlapPlan(s, dir).transform(graft.plans.Memo.cached)
+
+  /** Source-cardinality memo: the overlap plan CONSTRUCTION needs
+    * nSources to pick the df-cap branch, and plan construction happens
+    * on every Memo.cached lookup — without the memo each lookup paid a
+    * distinct-count over the postings frame (measured 6 cpu-s per
+    * CALL at sf0.1). Pure function of the table dir — the sanctioned
+    * driver-local memo class.
+    */
+  private val nSourcesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def sourceOverlapPlan(s: SparkSession, dir: String): DataFrame = {
     val postAll = postings(s, dir)
-    val nSources = postAll.select("source").distinct().count()
+    val nSources: Long = nSourcesMemo.computeIfAbsent(dir,
+      _ => postAll.select("source").distinct().count())
     val post =
       if (nSources <= SourcePairLocalMax) postAll
       else {
@@ -941,18 +962,12 @@ object CorpusCuration {
   val PrJump = 0.15
   val PrIters = 8
 
-  /** Cross-source overlap pairs as the PageRank edge set, session-
-    * persisted: the 8 power-iteration rounds all reference the edge
-    * frame, and without the persist each round would re-run the
-    * postings pair join (the kl_drift 8-scan lesson, one operator
-    * later). Post-shuffle pair-count frame — C(sources, 2)-bounded,
-    * the sanctioned persist class. Released by
-    * [[releaseCurationCache]] BEFORE its postings dependency.
+  /** Cross-source overlap pairs as the PageRank edge set — a slim
+    * projection of the SESSION-PERSISTED [[sourceOverlap]] result (one
+    * pair join serves the catalog query and all 8 power-iteration
+    * rounds; the kl_drift 8-scan lesson).
     */
   private def prPairs(s: SparkSession, dir: String): DataFrame =
-    prPairsPlan(s, dir).transform(graft.plans.Memo.cached)
-
-  private[graft] def prPairsPlan(s: SparkSession, dir: String): DataFrame =
     sourceOverlap(s, dir).select("source_a", "source_b", "inter")
 
   /** `q_source_rank`: weighted PageRank over the content-sharing
@@ -984,12 +999,24 @@ object CorpusCuration {
     */
   def sourceRank(s: SparkSession, dir: String): DataFrame = {
     val pairs = prPairs(s, dir)
+    // the loop references edges/outw/nodes EVERY round and chains r
+    // round-over-round: without per-round localCheckpoints the final
+    // plan embeds 8 nested rounds (re-running outw's agg and the
+    // corpus-distinct nodes scan per round, and paying Catalyst +
+    // codegen on a growing tree — measured 70 cpu-s at sf0.1 for what
+    // is metadata-sized work). The Components convention: checkpoint
+    // the loop-invariant frames once and the rank vector per round —
+    // every round then executes one join+agg over O(edges) rows with
+    // an O(1) plan. Values are unchanged: the decimal sums are exact
+    // and materialization does not reorder anything else.
     val edges = pairs.select(col("source_a").as("esrc"),
         col("source_b").as("edst"), col("inter").as("w"))
       .unionByName(pairs.select(col("source_b").as("esrc"),
         col("source_a").as("edst"), col("inter").as("w")))
-    val outw = edges.groupBy("esrc").agg(sum("w").as("wout"))
+      .localCheckpoint()
+    val outw = edges.groupBy("esrc").agg(sum("w").as("wout")).localCheckpoint()
     val nodes = Tables.documents(s, dir).select(col("source")).distinct()
+      .localCheckpoint()
     val n = nodes.count()
     var r = nodes.select(col("source"), (lit(1.0) / n).as("pr"))
     for (_ <- 1 to PrIters) {
@@ -1004,6 +1031,7 @@ object CorpusCuration {
         .select(col("source"),
           (lit(PrJump) / n +
             lit(PrDamping) * coalesce(col("cs").cast("double"), lit(0.0))).as("pr"))
+        .localCheckpoint()
     }
     r.select(col("source"),
         floor(col("pr") * lit(1e9) + lit(0.5)).cast("long").as("pr_micro"))
@@ -1132,8 +1160,8 @@ object CorpusCuration {
 
   /** Drop the session-scoped curation caches for `dir`. */
   def releaseCurationCache(s: SparkSession, dir: String): Unit = {
-    // pagerank edge pairs CONSUME postings — release before it
-    prPairsPlan(s, dir).unpersist()
+    // the overlap result CONSUMES postings — release before it
+    sourceOverlapPlan(s, dir).unpersist()
     postingsPlan(s, dir).unpersist()
     sourceSigPlan(s, dir).unpersist()
     sourceTokenCountsPlan(s, dir).unpersist()
@@ -1146,7 +1174,7 @@ object CorpusCuration {
     */
   private[graft] def warmCurationCache(s: SparkSession, dir: String): Unit = {
     postings(s, dir).count()
-    prPairs(s, dir).count()
+    sourceOverlap(s, dir).count()
     sourceSig(s, dir).count()
     sourceTokenCounts(s, dir).count()
     bigramCounts(s, dir).count()
