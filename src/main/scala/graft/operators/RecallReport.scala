@@ -107,13 +107,31 @@ object RecallReport {
         case "filtered" => pairSet(Similarity.annFilteredTopK(s, dir))
         case _          => pairSet(Similarity.hardNegatives(s, dir))
       })
-    val ann = annGates(s, dir).map { case (gate, variant, exactKey) =>
-      val want = baseline(exactKey)
-      val got = pairSet(variant)
-      val pct =
-        if (want.isEmpty) 100 else ((want & got).size * 100) / want.size
-      (gate, pct)
-    }
+    // the three exact baselines materialize first (single-threaded —
+    // they memoize into the shared map), then the variant searches run
+    // CONCURRENTLY: each is an independent bounded job and the report
+    // otherwise serializes ~11 sub-second searches into the catalog's
+    // most expensive entry (measured 11 s at sf0.1). Spark actions are
+    // thread-safe; every per-dir memo the variants touch is a
+    // ConcurrentHashMap or the synchronized Memo.cached.
+    val gates = annGates(s, dir)
+    gates.map(_._3).distinct.foreach(baseline)
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val ann = try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      Await.result(
+        Future.sequence(gates.map { case (gate, variant, exactKey) =>
+          Future {
+            val want = baseline(exactKey)
+            val got = pairSet(variant)
+            val pct =
+              if (want.isEmpty) 100 else ((want & got).size * 100) / want.size
+            (gate, pct)
+          }
+        }), Duration.Inf)
+    } finally pool.shutdown()
 
     // sketch gate 1+2: HLL distinct / KLL median vs exact, per event type
     val approx = ExtendedAnalytics.approxStats(s, dir)
