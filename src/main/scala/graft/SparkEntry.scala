@@ -163,6 +163,10 @@ object SparkEntry {
     // MMR diversified rerank of the dense retrieval list (full oracle:
     // the greedy rounds unroll as generated CTEs)
     "q_mmr_rerank"    -> ((s, d) => Retrieval.mmrRerank(s, d)),
+    // exact-phrase ranked search (decontamination quote-lookup), and
+    // its positional-postings standing twin — cell-equal, one oracle
+    "q_phrase_search"  -> ((s, d) => Retrieval.phraseSearch(s, d)),
+    "q_phrase_indexed" -> sources.PhraseIndex.phraseIndexed _,
     "q_rate_anomaly"  -> CorpusCuration.rateAnomaly _,
     "q_embed_drift"   -> CorpusCuration.embedDrift _,
     "q_pack_efficiency" -> CorpusCuration.packEfficiency _,
@@ -809,6 +813,8 @@ object SparkEntry {
     "q_bm25_indexed"   -> Retrieval.bm25RankOracleSql,
     "q_hybrid_rrf"     -> Retrieval.hybridRrfOracleSql,
     "q_mmr_rerank"     -> Retrieval.mmrRerankOracleSql,
+    "q_phrase_search"  -> Retrieval.phraseSearchOracleSql,
+    "q_phrase_indexed" -> Retrieval.phraseSearchOracleSql,
     "q_rate_anomaly"   -> CorpusCuration.rateAnomalyOracleSql,
     "q_embed_drift"    -> CorpusCuration.embedDriftOracleSql,
     "q_pack_efficiency" -> CorpusCuration.packEfficiencyOracleSql,

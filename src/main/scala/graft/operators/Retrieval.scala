@@ -211,6 +211,105 @@ object Retrieval {
        |    AS BIGINT) AS rrf_micro
        |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT $RrfTopK""".stripMargin
 
+  // ---- phrase search ------------------------------------------------------
+
+  /** The standing phrase (adjacent-terms exact quote). Two common
+    * generator-vocabulary words — every shipped SF carries 30+
+    * occurrences.
+    */
+  val PhraseTerms: Seq[String] = Seq("spark", "window")
+  val PhraseTopK = Bm25TopK
+
+  /** Per-doc phrase frequency over a BOUND tokens-array column `t`:
+    * positions i (1-based) where t[i..i+len-1] == the phrase. The
+    * array must be a projected column, not an embedded expression (the
+    * r8 element_at-in-lambda quadratic trap), and the dl<len guard
+    * also dodges Spark's DESCENDING sequence(1, 0).
+    */
+  private def phraseTf(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val len = PhraseTerms.length
+    when(size(t) < len, lit(0L)).otherwise(
+      size(filter(sequence(lit(1), size(t) - lit(len - 1)),
+        i => PhraseTerms.zipWithIndex.map { case (w, o) =>
+          element_at(t, i + lit(o)) === lit(w)
+        }.reduce(_ && _))).cast("long"))
+  }
+
+  /** `q_phrase_search`: exact-phrase ranked search — the Lucene
+    * `PhraseQuery` shape, and THE decontamination staple (an eval-set
+    * quote leaking verbatim is a phrase hit, not a bag-of-words one;
+    * Brown et al.'s GPT-3 n-gram decontamination is exactly adjacent-
+    * token matching). Map-only like [[bm25Rank]]: per-doc phrase tf
+    * from one `tokens()` pass (positions enumerated over the PROJECTED
+    * array), the (N, avgdl, df) statistics collapse into one broadcast
+    * scalar row, the phrase is scored as a single BM25 term via the
+    * SAME [[termMicro]] tree, and the only exchange is the global
+    * top-k. Both engines enumerate identical integer positions, so
+    * tf/df — and the integer score — are engine-identical.
+    */
+  def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        phraseTf(col("t")).as("tf_phrase"))
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      sum(when(col("tf_phrase") > 0, 1L).otherwise(0L)).as("df_phrase"))
+    perDoc
+      .crossJoin(broadcast(stats))
+      .withColumn("score_micro", termMicro("phrase"))
+      .filter(col("score_micro") > 0)
+      .select(col("doc_id"), col("tf_phrase"), col("score_micro"),
+        (col("score_micro") / lit(1e6)).as("score"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(PhraseTopK)
+  }
+
+  /** DuckDB twin of [[phraseSearch]] — the same position enumeration
+    * (1-based in both engines), the same generated BM25 term tree.
+    */
+  def phraseSearchOracleSql: String = {
+    val len = PhraseTerms.length
+    val cond = PhraseTerms.zipWithIndex
+      .map { case (w, o) => s"t[i + $o] = '$w'" }.mkString(" AND ")
+    val tf = s"CASE WHEN len(t) < $len THEN CAST(0 AS BIGINT) ELSE " +
+      s"CAST(len(list_filter(generate_series(1, len(t) - ${len - 1}), " +
+      s"i -> $cond)) AS BIGINT) END"
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM documents),
+       |pd AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, $tf AS tf_phrase
+       |  FROM toks),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+       |       CAST(sum(CASE WHEN tf_phrase > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_phrase
+       |  FROM pd),
+       |scored AS (
+       |  SELECT doc_id, tf_phrase, ${termMicroSql("phrase")} AS score_micro
+       |  FROM pd CROSS JOIN stats)
+       |SELECT doc_id, tf_phrase, score_micro,
+       |  CAST(score_micro AS DOUBLE) / 1e6 AS score
+       |FROM scored WHERE score_micro > 0
+       |ORDER BY score_micro DESC, doc_id LIMIT $PhraseTopK""".stripMargin
+  }
+
+  /** The [[termMicro]] expression tree as generated DuckDB SQL — one
+    * source of truth for every oracle that scores a BM25 term (the
+    * bm25Rank oracle and the phrase oracle both derive from it).
+    */
+  private[graft] def termMicroSql(t: String): String =
+    s"""CASE WHEN tf_$t > 0 THEN CAST(floor(
+       |  ln(CAST(1 AS DOUBLE) + (CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |        / (CAST(df_$t AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |  * (CAST(tf_$t AS DOUBLE) * (CAST($Bm25K1 AS DOUBLE) + CAST(1 AS DOUBLE))
+       |     / (CAST(tf_$t AS DOUBLE) + CAST($Bm25K1 AS DOUBLE)
+       |        * (CAST(1 AS DOUBLE) - CAST($Bm25B AS DOUBLE)
+                  + CAST($Bm25B AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl)))
+       |  * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) ELSE 0 END""".stripMargin
+
   // ---- MMR diversified rerank -------------------------------------------
 
   /** MMR trade-off λ = [[MmrLamNum]]/10; mmr_micro = MmrLamNum·rel −
@@ -345,16 +444,7 @@ object Retrieval {
       s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n       ")
     val dfCols = Bm25Terms.map(t =>
       s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n       ")
-    def termMicro(t: String) =
-      s"""CASE WHEN tf_$t > 0 THEN CAST(floor(
-         |  ln(CAST(1 AS DOUBLE) + (CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + CAST(0.5 AS DOUBLE))
-         |        / (CAST(df_$t AS DOUBLE) + CAST(0.5 AS DOUBLE)))
-         |  * (CAST(tf_$t AS DOUBLE) * (CAST($Bm25K1 AS DOUBLE) + CAST(1 AS DOUBLE))
-         |     / (CAST(tf_$t AS DOUBLE) + CAST($Bm25K1 AS DOUBLE)
-         |        * (CAST(1 AS DOUBLE) - CAST($Bm25B AS DOUBLE)
-                    + CAST($Bm25B AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl)))
-         |  * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) ELSE 0 END""".stripMargin
-    val sumMicro = Bm25Terms.map(termMicro).mkString(" + ")
+    val sumMicro = Bm25Terms.map(termMicroSql).mkString(" + ")
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
        |  FROM documents),

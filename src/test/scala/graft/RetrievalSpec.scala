@@ -196,6 +196,46 @@ class RetrievalSpec extends AnyFunSuite {
       "empty build + append == fresh full build")
   }
 
+  test("phrase search: counts match a local overlapping-occurrence reference") {
+    import org.apache.spark.sql.functions._
+    val sf = SparkTestSession.Sf
+    val got = graft.operators.Retrieval.phraseSearch(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local reference: overlapping adjacent-token occurrences
+    val phrase = graft.operators.Retrieval.PhraseTerms
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+    val want = docs.flatMap { r =>
+      val toks = "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toArray
+      val c = (0 to toks.length - phrase.length).count(i =>
+        phrase.indices.forall(k => toks(i + k) == phrase(k)))
+      if (c > 0) Some(r.getLong(0) -> c.toLong) else None
+    }.toMap
+    assert(want.nonEmpty, "the standing phrase must occur in the shipped corpus")
+    got.foreach { case (d, tf) =>
+      assert(want(d) === tf, s"phrase tf mismatch for doc $d")
+    }
+    // the top-k is the highest-scoring subset of the true match set
+    assert(got.keySet.subsetOf(want.keySet))
+  }
+
+  test("positional index == map-only phrase scorer; append == full rebuild") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.PhraseIndex
+    val sf = SparkTestSession.Sf
+    assert(PhraseIndex.phraseIndexed(spark, sf).collect().toSeq ===
+      graft.operators.Retrieval.phraseSearch(spark, sf).collect().toSeq,
+      "the positional merge reproduces the map-only position enumeration")
+    val base = java.nio.file.Files.createTempDirectory("graft_phrbase").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_phrfull").toString
+    PhraseIndex.materializeWhere(spark, sf, pmod(col("doc_id"), lit(5)) =!= 0, base)
+    PhraseIndex.materializeWhere(spark, sf, lit(true), full)
+    PhraseIndex.append(spark, base,
+      Tables.documents(spark, sf).filter(pmod(col("doc_id"), lit(5)) === 0))
+    assert(PhraseIndex.searchRoot(spark, base).collect().toSeq ===
+      PhraseIndex.searchRoot(spark, full).collect().toSeq,
+      "append + query == full-rebuild query (stats re-derive per query)")
+  }
+
   test("streaming indexer == batch index over any split, counters == artifact stats, incl. restore") {
     import org.apache.spark.sql.functions._
     import graft.sources.Bm25Index
