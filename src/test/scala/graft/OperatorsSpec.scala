@@ -2299,6 +2299,33 @@ class ContaminationScoreSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got.map(_._1).toSet === member)
   }
 
+  test("streaming monitor == batch contamination over any split, incl. restore") {
+    val corpus = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= operators.TextAnalysis.ContaminationEvalDocs)
+    def slice(r: Int) = corpus.filter(pmod(col("doc_id"), lit(3)) === r)
+    val sink = java.nio.file.Files.createTempDirectory("graft_contamsink").toString
+    val twin = graft.streaming.StreamingContamination.forDir(spark, sf, sink)
+    twin.mergeBatch(spark, slice(0)); twin.mergeBatch(spark, slice(1))
+    // mid-stream: counters track the accumulated stream exactly
+    assert(twin.counts._1 === slice(0).count() + slice(1).count())
+    val snap = java.nio.file.Files.createTempDirectory("graft_contamsnap").toString
+    twin.snapshot(spark, snap)
+    val resumed = graft.streaming.StreamingContamination.restore(spark, snap, sink)
+    resumed.mergeBatch(spark, slice(2))
+    val wantFlags = operators.TextAnalysis.contamination(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(resumed.currentFlags(spark).collect().map(_.getLong(0)).toSeq
+      === wantFlags, "restore + remaining batches == batch flag set")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val wantScores = operators.TextAnalysis.contaminationScore(spark, sf)
+      .collect().map(key).toSeq
+    assert(resumed.currentScores(spark).collect().map(key).toSeq
+      === wantScores, "score view == batch scorer cell-for-cell")
+    assert(resumed.counts === ((corpus.count(), wantFlags.length.toLong)),
+      "leak-rate counters: every corpus doc seen, every flagged doc counted")
+  }
+
   test("above the literal gate the broadcast-join path gives identical scores, no plan literal") {
     // force the gate: literalMax = 0 makes ANY eval set "too large"
     val gated = operators.TextAnalysis.contaminationScore(spark, sf, literalMax = 0L)
