@@ -193,6 +193,52 @@ class DistributionFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase search (map-only AND positional index) matches a local reference on random corpora") {
+    import spark.implicits._
+    val vocab = graft.operators.Retrieval.PhraseTerms ++
+      Seq("alpha", "beta", "noise")   // small vocab => dense adjacencies
+    for (seed <- Seq(13L, 47L)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 100).map { i =>
+        val len = 1 + rnd.nextInt(20)   // includes docs SHORTER than the phrase
+        val text = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        (i.toLong, text, "en", "s", text.length.toLong)
+      }
+      val dir = tmp(s"phrase$seed")
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val phrase = graft.operators.Retrieval.PhraseTerms
+      val toks = docs.map { case (id, t, _, _, _) => id -> t.split(" ").toSeq }.toMap
+      val tfs = toks.map { case (id, ts) =>
+        id -> (0 to ts.length - phrase.length).count(i =>
+          phrase.indices.forall(k => ts(i + k) == phrase(k))).toLong
+      }
+      val n = docs.size.toLong
+      val avgdl = toks.values.map(_.size).sum.toDouble / n
+      val dfP = tfs.count(_._2 > 0).toLong
+      def micro(tf: Long, dl: Long): Long =
+        if (tf == 0L) 0L
+        else {
+          val idf = math.log(1.0 + (n.toDouble - dfP.toDouble + 0.5) / (dfP.toDouble + 0.5))
+          val tfn = tf.toDouble * (graft.operators.Retrieval.Bm25K1 + 1.0) /
+            (tf.toDouble + graft.operators.Retrieval.Bm25K1 *
+              (1.0 - graft.operators.Retrieval.Bm25B +
+                graft.operators.Retrieval.Bm25B * dl.toDouble / avgdl))
+          math.floor(idf * tfn * 1e6 + 0.5).toLong
+        }
+      val want = tfs.map { case (id, tf) => (id, tf, micro(tf, toks(id).size.toLong)) }
+        .filter(_._3 > 0).toSeq.sortBy { case (id, _, m) => (-m, id) }
+        .take(graft.operators.Retrieval.PhraseTopK)
+      def got(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("tf_phrase"), r.getAs[Long]("score_micro"))).toSeq
+      assert(got(graft.operators.Retrieval.phraseSearch(spark, dir)) === want,
+        s"seed $seed map-only phrase ranking")
+      assert(got(graft.sources.PhraseIndex.phraseIndexed(spark, dir)) === want,
+        s"seed $seed positional-index phrase ranking")
+    }
+  }
+
   test("topic clusters and prototype pruning match a local reference on planted clusters") {
     import spark.implicits._
     for (seed <- Seq(7L, 23L)) {
