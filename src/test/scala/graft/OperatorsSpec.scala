@@ -1130,6 +1130,43 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"probe set should prune index partitions:\n${scans.mkString("\n")}")
   }
 
+  test("streaming vector indexer == batch index over any split, counters == artifact cells, incl. restore") {
+    import graft.sources.PqIndex
+    val nrm = Similarity.normed(spark, sf)
+    def slice(r: Int) = nrm.filter(pmod(col("vec_id"), lit(3)) === r)
+    val root = java.nio.file.Files.createTempDirectory("graft_pqstream").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_pqfull2").toString
+    // base index over slice 0 (the sidecar freezes codebook+centroids),
+    // then the twin ingests the remaining slices as micro-batches
+    PqIndex.materializeWhere(spark, sf, pmod(col("vec_id"), lit(3)) === 0, root)
+    val twin = new graft.streaming.StreamingPqIndex(sf, root)
+    twin.mergeBatch(spark, slice(1))
+    // mid-stream counters cover the STREAMED vectors only (the base
+    // build is the batch half); snapshot + restore continues them
+    assert(twin.cellCounts.values.sum === slice(1).count())
+    val snap = java.nio.file.Files.createTempDirectory("graft_pqsnap").toString
+    twin.snapshot(spark, snap)
+    val resumed = graft.streaming.StreamingPqIndex.restore(spark, snap, sf, root)
+    resumed.mergeBatch(spark, slice(2))
+    PqIndex.materializeWhere(spark, sf, lit(true), full)
+    assert(resumed.current(spark).collect().toSeq ===
+      PqIndex.searchRoot(spark, sf, full).collect().toSeq,
+      "stream-built index answers the standing query == a batch full build")
+    // streamed counters + base-build cells == the artifact's per-cell counts
+    val artifact = spark.read.parquet(s"$root/codes")
+      .groupBy("cell").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val base = spark.read.parquet(s"$full/codes")
+      .join(slice(0).select(col("vec_id").as("neighbor_id")), "neighbor_id")
+      .groupBy("cell").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val streamed = resumed.cellCounts
+    artifact.foreach { case (c, n) =>
+      assert(streamed.getOrElse(c, 0L) + base.getOrElse(c, 0L) === n,
+        s"cell $c: streamed + base counters must equal the artifact")
+    }
+  }
+
   test("PQ index append with a frozen codebook equals a full re-encode; compact keeps it") {
     import graft.sources.PqIndex
     val base = java.nio.file.Files.createTempDirectory("graft_pqbase").toString
