@@ -167,6 +167,8 @@ object SparkEntry {
     // its positional-postings standing twin — cell-equal, one oracle
     "q_phrase_search"  -> ((s, d) => Retrieval.phraseSearch(s, d)),
     "q_phrase_indexed" -> sources.PhraseIndex.phraseIndexed _,
+    // exchange-free co-located fact join from the bucketed layout
+    "q_bucketed_join"  -> sources.Bucketed.bucketedJoin _,
     "q_rate_anomaly"  -> CorpusCuration.rateAnomaly _,
     "q_embed_drift"   -> CorpusCuration.embedDrift _,
     "q_pack_efficiency" -> CorpusCuration.packEfficiency _,
@@ -815,6 +817,7 @@ object SparkEntry {
     "q_mmr_rerank"     -> Retrieval.mmrRerankOracleSql,
     "q_phrase_search"  -> Retrieval.phraseSearchOracleSql,
     "q_phrase_indexed" -> Retrieval.phraseSearchOracleSql,
+    "q_bucketed_join"  -> sources.Bucketed.bucketedJoinOracleSql,
     "q_rate_anomaly"   -> CorpusCuration.rateAnomalyOracleSql,
     "q_embed_drift"    -> CorpusCuration.embedDriftOracleSql,
     "q_pack_efficiency" -> CorpusCuration.packEfficiencyOracleSql,

@@ -1,31 +1,115 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
 
-/** Bucketed-table layout (SURVEY §7 round-2 item 5): co-locate fact
-  * tables on their join key so repeated joins/aggregations on that key
-  * run with ZERO exchanges.
+/** Bucketed-table layout — co-located fact joins WITHOUT an exchange
+  * (SURVEY §7 candidate 5, the last §7 item standing): both fact
+  * tables are written `bucketBy(N, joinKey).sortBy(joinKey)`, so a
+  * later orders⋈lineitem is bucket-to-bucket — Catalyst sees matching
+  * `HashPartitioning(key, N)` output partitioning on BOTH scan sides
+  * and plans a sort-merge join with ZERO ShuffleExchange (spec-
+  * asserted). At 100 TB this is THE repeated-join economics: every
+  * daily pipeline re-joining the same fact pair pays the multi-TB
+  * key shuffle once at layout time instead of per run; pre-sorted
+  * single-file buckets also drop the per-run sort.
   *
-  * At 100 TB the one-time bucketed write amortizes across every
-  * downstream join: both sides of `orders ⋈ lineitem` on orderkey read
-  * pre-partitioned, pre-sorted buckets, and Catalyst drops the shuffle
-  * entirely (verified by the spec: no `Exchange` in the physical plan).
+  * Mechanics worth pinning (all spec-visible):
+  *  - `repartition(N, key)` BEFORE the bucketed write: without it
+  *    every writer task emits a file into every bucket (tasks × N
+  *    small files) AND multi-file buckets force Spark to re-SORT each
+  *    bucket at read time — one file per bucket keeps the sortBy
+  *    order usable.
+  *  - tables are EXTERNAL (`option("path", ...)` under the
+  *    app-scoped fixture root) — the in-memory catalog holds only
+  *    bucket metadata, nothing orphans in a warehouse dir (the
+  *    CLAUDE.md managed-table trap).
+  *  - the bucket count is the co-location contract: BOTH sides use
+  *    [[Buckets]], keyed on the join key.
+  *
+  * The catalog entry (`q_bucketed_join`) answers a revenue rollup
+  * FROM the bucketed layout; its DuckDB oracle is the plain join —
+  * bucketing is pure physical layout, results are identical cell for
+  * cell (which is the point: layout must never change answers).
   */
 object Bucketed {
 
-  /** Write a DataFrame as a bucketed+sorted managed table. */
+  /** Generic helper (round-2 surface — SampleApp and
+    * BucketedStreamSpec drive it): write a DataFrame as a
+    * bucketed+sorted MANAGED table (lives in spark.sql.warehouse.dir —
+    * callers set a temp warehouse).
+    */
   def writeBucketed(df: DataFrame, table: String, buckets: Int, keyCol: String): Unit =
     df.write.mode("overwrite")
       .bucketBy(buckets, keyCol)
       .sortBy(keyCol)
       .format("parquet")
-      .saveAsTable(table)   // managed: lives in spark.sql.warehouse.dir
+      .saveAsTable(table)
 
-  /** Join two bucketed tables on their bucket key — exchange-free when
-    * bucket counts match.
+  /** Generic helper: join two bucketed tables on their bucket key —
+    * exchange-free when bucket counts match.
     */
   def bucketedJoin(s: SparkSession, leftTable: String, rightTable: String,
                    leftKey: String, rightKey: String): DataFrame =
     s.table(leftTable).join(s.table(rightTable),
       s.table(leftTable)(leftKey) === s.table(rightTable)(rightKey))
+
+  val Buckets = 8
+
+  def root(s: SparkSession, dir: String): String =
+    ScopedFixture.root(s, "graft_bucketed", dir)
+
+  /** Catalog-unique table names: one pair per table dir per app. */
+  private def tableName(base: String, dir: String): String =
+    base + "_" + math.abs(dir.hashCode).toString
+
+  /** One-time layout pass: write both fact tables bucketed by the
+    * join key. Marker-skipped on re-invocation within the app.
+    */
+  def materialize(s: SparkSession, dir: String): (String, String) = {
+    val r = root(s, dir)
+    FixtureCleanup.onExit(r)
+    val to = tableName("graft_orders_b", dir)
+    val tl = tableName("graft_lineitem_b", dir)
+    if (!ScopedFixture.isComplete(r)) {
+      Tables.orders(s, dir)
+        .repartition(Buckets, col("o_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$r/orders").saveAsTable(to)
+      Tables.lineitem(s, dir)
+        .repartition(Buckets, col("l_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$r/lineitem").saveAsTable(tl)
+      ScopedFixture.markComplete(r)
+    }
+    (to, tl)
+  }
+
+  /** `q_bucketed_join`: priority-level revenue rollup over the
+    * bucket-co-located orders⋈lineitem — the merge hint pins the
+    * sort-merge strategy so the spec's zero-exchange assertion tests
+    * BUCKETING, not a broadcast bailout. Money sums follow the q3
+    * convention (2-decimal inputs, `round(sum, 2)`).
+    */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (to, tl) = materialize(s, dir)
+    val o = s.table(to).select(col("o_orderkey"), col("o_orderpriority"))
+    val l = s.table(tl).select(col("l_orderkey"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("rev")), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val bucketedJoinOracleSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1130,6 +1130,40 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"probe set should prune index partitions:\n${scans.mkString("\n")}")
   }
 
+  test("bucketed fact join: zero exchanges, one file per bucket, results == plain join") {
+    import graft.sources.Bucketed
+    val df = Bucketed.bucketedJoin(spark, sf)
+    df.collect()   // finalize the adaptive plan before inspecting it
+    // AQE wraps the tree, so assert on the printed FINAL plan: the
+    // join's children print AFTER the SortMergeJoin line (top-down
+    // tree), and bucket co-location means nothing below it shuffles —
+    // the only exchanges are the post-join priority agg + orderBy
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin"), s"merge hint must hold:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"scans must read buckets:\n$plan")
+    val belowJoin = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!belowJoin.contains("Exchange"),
+      s"bucket co-location must remove the join shuffles:\n$plan")
+    // one file per bucket per table (multi-file buckets force a re-sort)
+    val (rootDir) = Bucketed.root(spark, sf)
+    for (t <- Seq("orders", "lineitem")) {
+      val files = new java.io.File(s"$rootDir/$t").listFiles()
+        .filter(f => f.getName.startsWith("part-"))
+      assert(files.length === Bucketed.Buckets,
+        s"$t: expected one file per bucket, got ${files.length}")
+    }
+    // layout must not change answers
+    val want = Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), round(sum(col("rev")), 2).as("revenue"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(df.collect().toSeq === want, "bucketed layout changed the answer")
+  }
+
   test("streaming vector indexer == batch index over any split, counters == artifact cells, incl. restore") {
     import graft.sources.PqIndex
     val nrm = Similarity.normed(spark, sf)
