@@ -169,6 +169,9 @@ object SparkEntry {
     "q_phrase_indexed" -> sources.PhraseIndex.phraseIndexed _,
     // exchange-free co-located fact join from the bucketed layout
     "q_bucketed_join"  -> sources.Bucketed.bucketedJoin _,
+    // time-travel read of a pinned snapshot version while a later
+    // append exists (manifest-versioned dataset)
+    "q_snapshot_read"  -> sources.Snapshots.snapshotRead _,
     "q_rate_anomaly"  -> CorpusCuration.rateAnomaly _,
     "q_embed_drift"   -> CorpusCuration.embedDrift _,
     "q_pack_efficiency" -> CorpusCuration.packEfficiency _,
@@ -818,6 +821,7 @@ object SparkEntry {
     "q_phrase_search"  -> Retrieval.phraseSearchOracleSql,
     "q_phrase_indexed" -> Retrieval.phraseSearchOracleSql,
     "q_bucketed_join"  -> sources.Bucketed.bucketedJoinOracleSql,
+    "q_snapshot_read"  -> sources.Snapshots.snapshotReadOracleSql,
     "q_rate_anomaly"   -> CorpusCuration.rateAnomalyOracleSql,
     "q_embed_drift"    -> CorpusCuration.embedDriftOracleSql,
     "q_pack_efficiency" -> CorpusCuration.packEfficiencyOracleSql,

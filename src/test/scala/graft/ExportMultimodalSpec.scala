@@ -647,6 +647,54 @@ class BucketedStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class SnapshotsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+  import org.apache.spark.sql.functions._
+  import graft.sources.Snapshots
+
+  test("a pinned version is unaffected by append; rewrite versions a drop; manifests are immutable") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val sliceA = docs.filter(pmod(col("doc_id"), lit(3)) =!= 2)
+    val sliceB = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+    assert(Snapshots.create(spark, root, sliceA) === 1)
+    // pin BEFORE the append — the epoch-pinning contract
+    val pinned = Snapshots.read(spark, root, 1)
+    val wantA = ids(sliceA)
+    assert(Snapshots.append(spark, root, sliceB) === 2)
+    assert(ids(pinned) === wantA,
+      "a reader pinned at v1 must see exactly v1's rows after the append")
+    assert(ids(Snapshots.read(spark, root, 1)) === wantA)
+    assert(ids(Snapshots.read(spark, root, 2)) === ids(docs),
+      "v2 == v1 union the appended batch")
+    // a curation drop lands as v3 from FRESH files; v1/v2 keep reading
+    val kept = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    assert(Snapshots.rewrite(spark, root, kept) === 3)
+    assert(ids(Snapshots.read(spark, root, 3)) === ids(kept))
+    assert(ids(Snapshots.read(spark, root, 2)) === ids(docs),
+      "old versions survive the rewrite")
+    assert(Snapshots.latestVersion(spark, root) === 3)
+    // versions are immutable: re-committing an existing manifest fails
+    intercept[Exception] { Snapshots.create(spark, root, sliceA) }
+  }
+
+  test("q_snapshot_read serves from v1's manifest files only") {
+    val df = Snapshots.snapshotRead(spark, sf)
+    df.collect()
+    val root = Snapshots.snapRoot(spark, sf)
+    val v1 = Snapshots.read(spark, root, 1).inputFiles.toSet
+    val used = df.inputFiles.toSet
+    assert(used.nonEmpty && used.subsetOf(v1),
+      "the catalog query must read v1's manifest files alone")
+    val v2 = Snapshots.read(spark, root, 2).inputFiles.toSet
+    assert(v1.subsetOf(v2) && v1 != v2,
+      "the append grew v2's file set without touching v1's")
+  }
+}
+
 class StreamingUpsertSpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
