@@ -236,6 +236,39 @@ class RetrievalSpec extends AnyFunSuite {
       "append + query == full-rebuild query (stats re-derive per query)")
   }
 
+  test("streaming positional indexer == batch phrase index over any split, incl. restore") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.PhraseIndex
+    val sf = SparkTestSession.Sf
+    val docs = Tables.documents(spark, sf)
+    def slice(r: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === r)
+    val root = java.nio.file.Files.createTempDirectory("graft_phrstream").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_phrfull2").toString
+    val twin = new graft.streaming.StreamingPhraseIndex(root)
+    twin.mergeBatch(spark, slice(0)); twin.mergeBatch(spark, slice(1))
+    val snap = java.nio.file.Files.createTempDirectory("graft_phrsnap").toString
+    twin.snapshot(spark, snap)
+    val resumed = graft.streaming.StreamingPhraseIndex.restore(spark, snap, root)
+    resumed.mergeBatch(spark, slice(2))
+    PhraseIndex.materializeWhere(spark, sf, lit(true), full)
+    assert(resumed.current(spark).collect().toSeq ===
+      PhraseIndex.searchRoot(spark, full).collect().toSeq,
+      "stream-built positional index answers the phrase == a batch full build")
+    // counters == artifact-derived stats (the double-indexed-batch guard)
+    val (n, avgdl, occ) = resumed.currentStats
+    val dl = spark.read.parquet(s"$root/doclens")
+      .agg(count(lit(1)), sum(col("dl"))).head()
+    assert(n === dl.getLong(0) && avgdl === dl.getLong(1).toDouble / dl.getLong(0))
+    val wantOcc = spark.read.parquet(s"$root/postings")
+      .filter(col("term").isin(graft.operators.Retrieval.PhraseTerms: _*))
+      .groupBy("term").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.operators.Retrieval.PhraseTerms.foreach { t =>
+      assert(occ.getOrElse(t, 0L) === wantOcc.getOrElse(t, 0L),
+        s"occurrence counter for '$t' == artifact postings rows")
+    }
+  }
+
   test("streaming indexer == batch index over any split, counters == artifact stats, incl. restore") {
     import org.apache.spark.sql.functions._
     import graft.sources.Bm25Index
