@@ -168,30 +168,39 @@ object RecallReport {
       ("approx_median_relerr", medianErr), ("cms_bounds", cmsPct))
   }
 
-  /** Verdict memo: the verdicts are a pure function of the table dir
-    * (every gated operator is deterministic per dir — the
-    * cbMemo/centsMemo contract), so one full measurement pass per JVM
-    * serves every consumer (the catalog query, the spec's margin
-    * printout, repeat Verify/Bench invocations) instead of re-running
-    * the whole ANN family per call.
+  /** Measurement memo: the measurements are a pure function of the
+    * table dir (every gated operator is deterministic per dir — the
+    * cbMemo/centsMemo contract), so one full pass per JVM serves every
+    * consumer (the catalog query, the spec's margin printout, repeat
+    * Verify/Bench invocations, the trip-mechanism test) instead of
+    * re-running the whole ANN family per call.
     */
-  private val verdictMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Int, Int, Boolean)]]()
+  private val measuredMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Int)]]()
+
+  private[graft] def measuredCached(s: SparkSession, dir: String): Seq[(String, Int)] =
+    measuredMemo.computeIfAbsent(dir, _ => measured(s, dir))
+
+  /** Verdicts against an explicit threshold set — the injection seam
+    * the spec uses to PROVE the gate trips (a threshold the corpus
+    * cannot meet must flip `pass` to false, which hash-fails the
+    * round); production callers go through [[verdicts]].
+    */
+  private[graft] def verdictsWith(s: SparkSession, dir: String,
+      th: Map[String, Int]): Seq[(String, Int, Int, Boolean)] =
+    measuredCached(s, dir).map { case (gate, pct) =>
+      val t = th(gate)
+      val ok = gate match {
+        case "approx_users_relerr" | "approx_median_relerr" => pct <= t
+        case _ => pct >= t
+      }
+      (gate, pct, t, ok)
+    }
 
   /** (gate, measured pct, threshold pct, pass) — the full verdicts. */
   private[graft] def verdicts(s: SparkSession, dir: String)
       : Seq[(String, Int, Int, Boolean)] =
-    verdictMemo.computeIfAbsent(dir, _ => {
-      val th = GateThresholds.toMap
-      measured(s, dir).map { case (gate, pct) =>
-        val t = th(gate)
-        val ok = gate match {
-          case "approx_users_relerr" | "approx_median_relerr" => pct <= t
-          case _ => pct >= t
-        }
-        (gate, pct, t, ok)
-      }
-    })
+    verdictsWith(s, dir, GateThresholds.toMap)
 
   /** The catalog query: one (gate, threshold_pct, pass) row per gate,
     * ordered by gate name — identical shape to the generated VALUES

@@ -2528,6 +2528,22 @@ class RecallGateSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("the gate actually trips: an unmeetable threshold flips pass to false") {
+    // recall gates fail when the bar exceeds 100; error gates when the
+    // bar goes below 0 — the doctored verdicts must flip while the
+    // VALUES oracle keeps expecting true, i.e. the round would
+    // hash-fail (the whole point of the driver-checked artifact)
+    val doctored = RecallReport.GateThresholds.toMap.map {
+      case (g @ ("approx_users_relerr" | "approx_median_relerr"), _) => g -> -1
+      case (g, _) => g -> 101
+    }
+    val vs = RecallReport.verdictsWith(spark, sf, doctored)
+    assert(vs.nonEmpty && vs.forall(!_._4),
+      "every gate must fail against an unmeetable threshold")
+    // and the production verdicts (same cached measurements) still pass
+    assert(RecallReport.verdicts(spark, sf).forall(_._4))
+  }
+
   test("the VALUES oracle mirrors the gate list one-to-one") {
     val sql = RecallReport.oracleSql
     for ((g, t) <- RecallReport.GateThresholds)
