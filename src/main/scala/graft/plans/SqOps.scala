@@ -34,8 +34,9 @@ import org.apache.spark.sql.types._
 /** vec(float[d]) → codes(byte[d]): per-dim symmetric quantization
   * `clamp(floor(x/scale + 0.5), -127, 127)` — the engine-portable
   * floor-shift round (half always toward +∞, identical in DuckDB's
-  * `floor`; the CLAUDE.md negative-halves trap rules out library
-  * `round` here). A zero scale (the dimension is constant 0 in the
+  * `floor`; library `round` is BigDecimal HALF_UP, which rounds
+  * negative halves AWAY from zero — engine-divergent — so it is
+  * ruled out here). A zero scale (the dimension is constant 0 in the
   * sample) encodes to 0.
   */
 case class SqEncode(child: Expression, scales: Array[Double])

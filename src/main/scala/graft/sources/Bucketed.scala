@@ -60,9 +60,17 @@ object Bucketed {
   def root(s: SparkSession, dir: String): String =
     ScopedFixture.root(s, "graft_bucketed", dir)
 
-  /** Catalog-unique table names: one pair per table dir per app. */
-  private def tableName(base: String, dir: String): String =
-    base + "_" + math.abs(dir.hashCode).toString
+  /** Catalog-unique table names: one pair per table dir per app.
+    * Suffix is a SHA-256 prefix of the dir — collision-resistant
+    * (Int.hashCode collisions would alias two dirs' tables while the
+    * per-dir completion markers diverge) and always a valid
+    * identifier (abs(Int.MinValue) is negative).
+    */
+  private def tableName(base: String, dir: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8"))
+    base + "_" + d.take(8).map(b => f"${b & 0xff}%02x").mkString
+  }
 
   /** One-time layout pass: write both fact tables bucketed by the
     * join key. Marker-skipped on re-invocation within the app.

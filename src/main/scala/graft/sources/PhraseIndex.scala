@@ -82,6 +82,11 @@ object PhraseIndex {
         .repartition(col("tshard"))
         .write.mode(mode).partitionBy("tshard").parquet(s"$root/postings")
     }
+    // An append invalidates any cached file listing a prior read of the
+    // same root left in the session (observed: FileNotFoundException on
+    // a stale listing, recovered only by Spark's retry re-list).
+    s.catalog.refreshByPath(s"$root/postings")
+    s.catalog.refreshByPath(s"$root/doclens")
   }
 
   /** §2 catalog entry (`q_phrase_indexed`): materialize, then answer

@@ -45,12 +45,33 @@ object Snapshots {
       .sorted
   }
 
+  /** A racing commit already claimed this version number: the caller
+    * lost the optimistic-concurrency race and should re-read the
+    * latest version and retry its commit on top of it.
+    */
+  final class ConcurrentCommitException(root: String, v: Int)
+    extends RuntimeException(
+      s"version $v at $root was committed concurrently; re-read latest and retry")
+
   private def writeManifest(s: SparkSession, root: String, v: Int,
                             files: Seq[String]): Unit = {
+    val f = fs(s)
     val p = manifestPath(root, v)
-    val out = fs(s).create(p, false)   // no overwrite: versions are immutable
+    // Two-phase commit: write the FULL content to a dot-temp (invisible
+    // to readers and latestVersion), then rename into place. A crash
+    // mid-write leaves only an ignorable temp — never a truncated
+    // v{N}.txt, and never a dangling no-overwrite create that blocks
+    // the retry. The pre-rename existence check is the optimistic-
+    // concurrency gate: exactly one racing committer claims v.
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$root/manifests/.v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(tmp, false)
     try out.write(files.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    if (f.exists(p) || !f.rename(tmp, p)) {
+      f.delete(tmp, false)
+      throw new ConcurrentCommitException(root, v)
+    }
   }
 
   private def readManifest(s: SparkSession, root: String, v: Int): Seq[String] = {

@@ -47,6 +47,8 @@ class StreamingBm25Index(root: String) extends Serializable {
           terms.map(t => sum(when(array_contains(col("t"), t), 1L)
             .otherwise(0L)).as(s"df_$t")): _*)
       .head()
+    // Empty trigger: count()=0 but every sum is NULL — getLong would NPE.
+    if (agg.getLong(0) == 0L) return
     this.synchronized {
       nDocs += agg.getLong(0)
       if (!agg.isNullAt(1)) dlSum += agg.getLong(1)

@@ -39,6 +39,8 @@ class StreamingPhraseIndex(root: String) extends Serializable {
           terms.map(t => sum(size(filter(col("t"), x => x === lit(t)))
             .cast("long")).as(s"occ_$t")): _*)
       .head()
+    // Empty trigger: count()=0 but every sum is NULL — getLong would NPE.
+    if (agg.getLong(0) == 0L) return
     this.synchronized {
       nDocs += agg.getLong(0)
       if (!agg.isNullAt(1)) dlSum += agg.getLong(1)

@@ -222,9 +222,17 @@ class RetrievalSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import graft.sources.PhraseIndex
     val sf = SparkTestSession.Sf
-    assert(PhraseIndex.phraseIndexed(spark, sf).collect().toSeq ===
+    val indexed = PhraseIndex.phraseIndexed(spark, sf)
+    assert(indexed.collect().toSeq ===
       graft.operators.Retrieval.phraseSearch(spark, sf).collect().toSeq,
       "the positional merge reproduces the map-only position enumeration")
+    // serves-from-the-artifact: the indexed path's scan reads only
+    // files under the graft_phraseindex root (the r10 convention —
+    // value-equality alone can't detect a path that re-reads the
+    // corpus text)
+    val files = indexed.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("graft_phraseindex")),
+      s"indexed phrase path must read only the postings/doclens artifact, got:\n${files.mkString("\n")}")
     val base = java.nio.file.Files.createTempDirectory("graft_phrbase").toString
     val full = java.nio.file.Files.createTempDirectory("graft_phrfull").toString
     PhraseIndex.materializeWhere(spark, sf, pmod(col("doc_id"), lit(5)) =!= 0, base)
@@ -245,7 +253,13 @@ class RetrievalSpec extends AnyFunSuite {
     val root = java.nio.file.Files.createTempDirectory("graft_phrstream").toString
     val full = java.nio.file.Files.createTempDirectory("graft_phrfull2").toString
     val twin = new graft.streaming.StreamingPhraseIndex(root)
-    twin.mergeBatch(spark, slice(0)); twin.mergeBatch(spark, slice(1))
+    twin.mergeBatch(spark, slice(0))
+    // empty triggers are routine in streaming: the counter agg over zero
+    // rows yields NULL sums — must no-op, not NPE
+    val statsBeforeEmpty = twin.currentStats
+    twin.mergeBatch(spark, docs.filter(lit(false)))
+    assert(twin.currentStats === statsBeforeEmpty, "empty batch is a no-op")
+    twin.mergeBatch(spark, slice(1))
     val snap = java.nio.file.Files.createTempDirectory("graft_phrsnap").toString
     twin.snapshot(spark, snap)
     val resumed = graft.streaming.StreamingPhraseIndex.restore(spark, snap, root)
@@ -278,7 +292,11 @@ class RetrievalSpec extends AnyFunSuite {
     val root = java.nio.file.Files.createTempDirectory("graft_bm25stream").toString
     val full = java.nio.file.Files.createTempDirectory("graft_bm25full3").toString
     val twin = new graft.streaming.StreamingBm25Index(root)
-    twin.mergeBatch(spark, slice(0)); twin.mergeBatch(spark, slice(1))
+    twin.mergeBatch(spark, slice(0))
+    val statsBeforeEmpty = twin.currentStats
+    twin.mergeBatch(spark, docs.filter(lit(false)))
+    assert(twin.currentStats === statsBeforeEmpty, "empty batch is a no-op")
+    twin.mergeBatch(spark, slice(1))
     val snap = java.nio.file.Files.createTempDirectory("graft_bm25snap").toString
     twin.snapshot(spark, snap)
     val resumed = graft.streaming.StreamingBm25Index.restore(spark, snap, root)
