@@ -193,10 +193,22 @@ object Bench {
     // of contention that read as a 3x regression). The bus is async —
     // drain it at each query boundary so attribution doesn't bleed.
     val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    // bytesRead + GC separate a RECOMPUTE from CONTENTION after the
+    // fact: a silently-evicted shared frame re-reads the corpus
+    // (bytesRead jumps to scan size) while ambient machine load only
+    // inflates cpu/wall at unchanged bytes (the r10 driver capture's
+    // d–f window read 3–7x cpu on UNCHANGED code and was unreproducible
+    // idle — these columns make that diagnosis one diff, not a round).
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val readB = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
-        if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+        if (m != null) {
+          cpuNs.addAndGet(m.executorCpuTime)
+          gcMs.addAndGet(m.jvmGCTime)
+          readB.addAndGet(m.inputMetrics.bytesRead)
+        }
       }
     })
     def drain(): Unit =
@@ -212,9 +224,11 @@ object Bench {
     // inside the driver's tail window as the catalog grows; a
     // sub-50-ms analysis failure survives the 1-dp trim as "-0.1",
     // never "-0", and the true elapsed time is in bench_detail.json)
-    def measure(name: String)(run: => Unit): (String, Double, Double) = {
+    def measure(name: String)(run: => Unit): (String, Double, Double, Double, Long) = {
       drain()
       val c0 = cpuNs.get
+      val g0 = gcMs.get
+      val r0 = readB.get
       val t0 = System.nanoTime()
       val ok =
         try { run; true }
@@ -222,11 +236,13 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       drain()
       val cpu = (cpuNs.get - c0) / 1e9
+      val gc = (gcMs.get - g0) / 1e3
+      val rb = readB.get - r0
       // per-query value clamped to ±99.9: a >100 s query at sf0.1 is a
       // catastrophe either way, and the cap bounds the JSON line width
       // (the driver tail-captures ~2000 chars — BenchLineSpec)
       val clamped = math.min(dt, 99.9)
-      (name, if (ok) clamped else -math.min(math.max(dt, 0.1), 9.9), cpu)
+      (name, if (ok) clamped else -math.min(math.max(dt, 0.1), 9.9), cpu, gc, rb)
     }
     // shared builds first (attributed pseudo-entries), then the catalog
     // in SORTED name order — deterministic attribution round-over-round
@@ -259,7 +275,7 @@ object Bench {
     val fails = results.filter(_._2 < 0)
     val lineEntries = fails.take(LineFailCap) ++
       results.filter(_._2 >= 0).sortBy(-_._2).take(LineTopK)
-    val qs = lineEntries.map { case (k, v, _) => s"\"" + shortKey(k) + "\":" + fmt(1)(v) }
+    val qs = lineEntries.map { case (k, v, _, _, _) => s"\"" + shortKey(k) + "\":" + fmt(1)(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(r => math.abs(r._2)).sum else 0.0
     val cpuTotal = results.map(_._3).sum
@@ -279,8 +295,8 @@ object Bench {
       s""""ld":[${fmt(2)(load0)},${fmt(2)(load1)}],"sf":"$sfName"}"""
     // Full-name per-query wall+cpu record for contention forensics —
     // not budget-bound, so keep full precision here.
-    val detail = results.map { case (k, v, c) =>
-      s"""  "$k": {"sec": ${f"$v%.3f"}, "cpu": ${f"$c%.3f"}}"""
+    val detail = results.map { case (k, v, c, g, rb) =>
+      s"""  "$k": {"sec": ${f"$v%.3f"}, "cpu": ${f"$c%.3f"}, "gc": ${f"$g%.2f"}, "readMB": ${f"${rb / 1048576.0}%.1f"}}"""
     }.mkString(
       s"""{\n "sf": "$sfName", "cpus": $cpus, "load": [$load0, $load1],\n "queries": {\n""",
       ",\n", "\n }\n}\n")
