@@ -98,10 +98,13 @@ object SparkEntry {
     // cell-partitioned artifact (sources.PqIndex; rows-only like the
     // other ANN entries — equality with q_ann_ivfpq_topk is spec'd)
     "q_ann_pq_indexed" -> sources.PqIndex.annPqIndexed _,
-    "q_ann_advisor"    -> AnnAdvisor.recommend _,
+    // full-oracle since r11: the participation ratio is computed via
+    // trace identities (tr(C)²/(tr(C²)·d) — no eigenvalues), so the
+    // whole decision pipeline is sequential-fold-reproducible in SQL
+    "q_ann_advisor"    -> AnnAdvisor.advisorVerdict _,
     // third advisor axis: per-label filter selectivity → pre-filter
     // brute vs post-filtered IVF with a scaled probe budget
-    "q_ann_advisor_filtered" -> AnnAdvisor.recommendFiltered _,
+    "q_ann_advisor_filtered" -> AnnAdvisor.advisorFilteredVerdict _,
     // driver-checked quality gate for every approximate entry above:
     // recall@5 vs the exact in-catalog baselines + sketch error bounds,
     // emitted as thresholded verdict rows against a generated VALUES
@@ -673,6 +676,8 @@ object SparkEntry {
     "q_hard_negatives"      -> Similarity.sqlHardNegatives,
     "q_knn_label_acc"       -> Similarity.sqlKnnLabelAcc,
     "q_recall_report"       -> operators.RecallReport.oracleSql,
+    "q_ann_advisor"          -> AnnAdvisor.sqlAdvisor,
+    "q_ann_advisor_filtered" -> AnnAdvisor.sqlAdvisorFiltered,
     "q_keyed_sample" ->
       s"""WITH h AS (
            SELECT lang, doc_id,

@@ -51,8 +51,15 @@ object AnnAdvisor {
   val AnisoPrMax = 0.4
 
   /** Participation ratio of the sample's covariance spectrum, in
-    * (0, 1]: (Σλ)² / (Σλ² · d). Mean-centered; eigenvalues from
-    * [[Opq.jacobiEigen]] (no external linear algebra).
+    * (0, 1]: (Σλ)² / (Σλ² · d). Mean-centered. Computed via the trace
+    * identities Σλ = tr(C) and Σλ² = tr(C²) = ‖C‖²_F (exact for the
+    * symmetric PSD covariance — no eigendecomposition), which makes
+    * the whole statistic a composition of sequential double folds the
+    * DuckDB oracle reproduces bit-for-bit (list_reduce in vec_id
+    * order — see [[sqlAdvisor]]); the former Jacobi-eigenvalue path
+    * computed the same quantity up to rotation round-off but was not
+    * oracle-expressible. Callers must pass the sample in vec_id order
+    * (the fold order IS the contract).
     */
   private[graft] def participationRatio(sample: Array[Array[Float]]): Double = {
     val d = sample.head.length
@@ -76,9 +83,16 @@ object AnnAdvisor {
     for (p <- 0 until d; q <- p until d) {
       cov(p)(q) /= n; cov(q)(p) = cov(p)(q)
     }
-    val lam = Opq.jacobiEigen(cov)._1.map(x => math.max(x, 0.0))
-    val s1 = lam.sum
-    val s2 = lam.map(x => x * x).sum
+    var s1 = 0.0
+    var a = 0
+    while (a < d) { s1 += cov(a)(a); a += 1 }
+    var s2 = 0.0
+    a = 0
+    while (a < d) {
+      var b = 0
+      while (b < d) { s2 += cov(a)(b) * cov(a)(b); b += 1 }
+      a += 1
+    }
     if (s2 <= 0.0) 1.0 else (s1 * s1) / (s2 * d)
   }
 
@@ -188,11 +202,15 @@ object AnnAdvisor {
   def recommend(s: SparkSession, dir: String): DataFrame = {
     val base = Similarity.normed(s, dir)
     val n = base.count()
+    // vec_id sort fixes the fold order: collect() order follows task
+    // completion, and the mean/covariance double accumulations are
+    // order-sensitive — the oracle folds in vec_id order, so must we
     val sample = Similarity.trainingSample(base)
-      .select(col("e"), col("nrm")).collect()
+      .select(col("vec_id"), col("e"), col("nrm")).collect()
+      .sortBy(_.getLong(0))
       .map { r =>
-        val e = r.getSeq[Float](0).toArray
-        val nm = r.getDouble(1)
+        val e = r.getSeq[Float](1).toArray
+        val nm = r.getDouble(2)
         if (nm > 0.0) e.map(x => (x / nm).toFloat) else e
       }
     // empty corpus: the n <= BruteMax branch wins regardless of the
@@ -214,4 +232,116 @@ object AnnAdvisor {
         math.floor(pr * 1e4 + 0.5) / 1e4, variant, params, rationale))
       .toDF("n_vectors", "dim", "aniso_pr", "variant", "params", "rationale")
   }
+
+  // ---- catalog projections + oracle SQL ----------------------------------
+
+  /** `q_ann_advisor`: the oracle-checked columns of [[recommend]] —
+    * the measured-rationale prose stays on the API, the decision
+    * inputs (n, spectrum statistic) and the decision itself ride the
+    * driver's hash gate.
+    */
+  def advisorVerdict(s: SparkSession, dir: String): DataFrame =
+    recommend(s, dir).select("n_vectors", "dim", "aniso_pr", "variant", "params")
+
+  /** `q_ann_advisor_filtered`: oracle-checked columns of
+    * [[recommendFiltered]].
+    */
+  def advisorFilteredVerdict(s: SparkSession, dir: String): DataFrame =
+    recommendFiltered(s, dir).select("label", "sel_pct", "variant", "params")
+
+  private def d = Similarity.Dim
+
+  /** Full DuckDB oracle for `q_ann_advisor`, generated from the SAME
+    * decision constants the Scala path uses (one source of truth).
+    * The participation ratio is reproduced bit-for-bit via the trace
+    * identities: every mean and covariance entry is a sequential
+    * double fold in vec_id order (`list_reduce` ≡ the driver-local
+    * loop after [[recommend]]'s vec_id sort), normalization is the
+    * same CAST(x/nrm AS REAL), and tr(C)²/(tr(C²)·d) needs no
+    * eigenvalues. Valid while the corpus is within
+    * [[Similarity.TrainSampleCap]] (every shipped correctness SF) —
+    * above it the Scala side sees the stride sample, the same caveat
+    * as the learned-centroid cluster family.
+    */
+  val sqlAdvisor: String = {
+    val dot = Similarity.sqlDot("embedding", "embedding")
+    val paramsPq = s"m=${Similarity.PqM},k=${Similarity.PqK},rerank=${Similarity.PqRerank}"
+    s"""WITH nn AS (
+       |  SELECT vec_id, embedding, sqrt($dot) AS nrm FROM embeddings),
+       |x AS (
+       |  SELECT vec_id,
+       |    list_transform(generate_series(1, $d),
+       |      i -> CASE WHEN nrm > 0 THEN CAST(CAST(embedding[i] AS DOUBLE) / nrm AS REAL)
+       |                ELSE embedding[i] END) AS v
+       |  FROM nn),
+       |c AS (SELECT count(*) AS n FROM x),
+       |mu AS (
+       |  SELECT u.j AS j,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list(CAST(v[u.j] AS DOUBLE) ORDER BY vec_id)), (a, t) -> a + t)
+       |      / (SELECT n FROM c) AS m
+       |  FROM x CROSS JOIN unnest(generate_series(1, $d)) AS u(j)
+       |  GROUP BY u.j),
+       |cent AS (
+       |  SELECT x.vec_id, u.j AS j, CAST(x.v[u.j] AS DOUBLE) - mu.m AS dx
+       |  FROM x CROSS JOIN unnest(generate_series(1, $d)) AS u(j)
+       |  JOIN mu ON mu.j = u.j),
+       |cov AS (
+       |  SELECT p.j AS a, q.j AS b,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list(p.dx * q.dx ORDER BY p.vec_id)), (acc, t) -> acc + t)
+       |      / (SELECT n FROM c) AS cv
+       |  FROM cent p JOIN cent q ON p.vec_id = q.vec_id
+       |  GROUP BY p.j, q.j),
+       |tr AS (
+       |  SELECT
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list(cv ORDER BY a) FILTER (WHERE a = b)), (acc, t) -> acc + t) AS s1,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list(cv * cv ORDER BY a, b)), (acc, t) -> acc + t) AS s2
+       |  FROM cov),
+       |pr AS (
+       |  SELECT CASE WHEN (SELECT n FROM c) = 0 THEN CAST(1 AS DOUBLE)
+       |              WHEN s2 <= 0 THEN CAST(1 AS DOUBLE)
+       |              ELSE (s1 * s1) / (s2 * $d) END AS pr
+       |  FROM tr)
+       |SELECT CAST(n AS BIGINT) AS n_vectors,
+       |  CAST(CASE WHEN n = 0 THEN 0 ELSE $d END AS INT) AS dim,
+       |  floor(pr * 1e4 + 0.5) / 1e4 AS aniso_pr,
+       |  CASE WHEN n <= $BruteMax THEN 'brute'
+       |       WHEN pr < CAST($AnisoPrMax AS DOUBLE) THEN 'opq'
+       |       WHEN n >= $IvfMin THEN 'ivf-pq'
+       |       ELSE 'pq' END AS variant,
+       |  CASE WHEN n <= $BruteMax THEN 'topk=${Similarity.TopK}'
+       |       WHEN pr < CAST($AnisoPrMax AS DOUBLE) THEN '$paramsPq'
+       |       WHEN n >= $IvfMin THEN '$paramsPq,nprobe>=${Similarity.IvfNProbe}'
+       |       ELSE '$paramsPq' END AS params
+       |FROM c, pr""".stripMargin
+  }
+
+  /** Full DuckDB oracle for `q_ann_advisor_filtered`: label counts are
+    * integers, selectivity is one IEEE division both engines compute
+    * identically, and the probe-scale is integer arithmetic — same
+    * TrainSampleCap validity window as [[sqlAdvisor]].
+    */
+  val sqlAdvisorFiltered: String =
+    s"""WITH c AS (SELECT count(*) AS n FROM embeddings),
+       |g AS (SELECT label, count(*) AS cnt FROM embeddings GROUP BY label),
+       |t AS (SELECT CAST(greatest(1, sum(cnt)) AS BIGINT) AS total FROM g),
+       |sel AS (
+       |  SELECT label, (CAST(cnt AS DOUBLE) * CAST(100 AS DOUBLE)) / total AS sp
+       |  FROM g, t)
+       |SELECT CAST(label AS INT) AS label,
+       |  floor(sp * CAST(100 AS DOUBLE) + 0.5) / 100 AS sel_pct,
+       |  CASE WHEN (SELECT n FROM c) <= $BruteMax THEN 'filtered-brute'
+       |       WHEN sp < CAST($FilteredBruteSelMaxPct AS DOUBLE) THEN 'filtered-brute'
+       |       ELSE 'ivf-postfilter' END AS variant,
+       |  CASE WHEN (SELECT n FROM c) <= $BruteMax
+       |            OR sp < CAST($FilteredBruteSelMaxPct AS DOUBLE)
+       |         THEN 'topk=${Similarity.TopK}'
+       |       ELSE 'nprobe_scale='
+       |         || CAST(least(8, greatest(1, CAST(ceil(CAST(100 AS DOUBLE) / sp) AS BIGINT))) AS VARCHAR)
+       |         || ',base_nprobe>=${Similarity.IvfNProbe}'
+       |  END AS params
+       |FROM sel ORDER BY label""".stripMargin
 }
