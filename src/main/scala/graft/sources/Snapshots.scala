@@ -12,20 +12,30 @@ import graft.Tables
   * in-flight consumers are never mutated underneath.
   *
   * Layout under the dataset root:
-  *   data/        append-only parquet part files (never rewritten,
-  *                never deleted by version operations)
+  *   data/b{txn}/ one subdirectory per COMMIT holding that commit's
+  *                parquet part files — a transaction's file set is
+  *                exactly its own write, so two concurrent appends
+  *                can never claim each other's files (a shared flat
+  *                dir + "list what's new" would race); files are
+  *                append-only, never rewritten, and deleted only by
+  *                [[expire]]'s vacuum
   *   manifests/v{N}.txt   one file path per line — version N IS its
-  *                file list; commits are one manifest write, readers
-  *                never list data/ (at 10⁶ files a directory listing
-  *                is the scale bottleneck; the manifest read is O(files
-  *                in version))
+  *                file list; commits are one atomic manifest rename,
+  *                readers never list data/ (at 10⁶ files a directory
+  *                listing is the scale bottleneck; the manifest read
+  *                is O(files in version))
   *
   * This deliberately reproduces the core of Delta/Iceberg snapshot
   * isolation with none of the machinery: versions are immutable,
-  * appends create v+1 = v ∪ newFiles, a REWRITE (compaction, dedup)
-  * creates v+1 from fresh files while v's files remain readable.
-  * Readers pin a version number; `read(s, root, v)` plans a scan over
-  * exactly that manifest's files.
+  * appends create v+1 = v ∪ ownFiles with OPTIMISTIC CONCURRENCY
+  * (exactly one racing committer claims each version number — the
+  * loser re-reads the latest manifest and retries on top of it, its
+  * already-written data files intact), a REWRITE (compaction, dedup
+  * drop) creates v+1 from fresh files while v's files remain
+  * readable, and [[expire]] retires old versions and physically
+  * reclaims every data file no live manifest references. Readers pin
+  * a version number; `read(s, root, v)` plans a scan over exactly
+  * that manifest's files.
   */
 object Snapshots {
 
@@ -35,13 +45,19 @@ object Snapshots {
   private def manifestPath(root: String, v: Int) =
     new org.apache.hadoop.fs.Path(s"$root/manifests/v$v.txt")
 
-  private def listNewFiles(s: SparkSession, dataDir: String,
-                           known: Set[String]): Seq[String] = {
-    val d = new org.apache.hadoop.fs.Path(dataDir)
-    fs(s).listStatus(d).toSeq
+  /** Write one commit's rows into its own transaction subdirectory and
+    * return exactly the files written — the commit's file set is a
+    * property of its OWN write, never of a shared-directory listing
+    * (which two racing appends would both scan, each claiming the
+    * other's files).
+    */
+  private def writeBatchFiles(s: SparkSession, root: String,
+                              df: DataFrame): Seq[String] = {
+    val sub = s"$root/data/b${java.util.UUID.randomUUID().toString.take(12)}"
+    df.write.mode("errorifexists").parquet(sub)
+    fs(s).listStatus(new org.apache.hadoop.fs.Path(sub)).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
-      .filterNot(known)
       .sorted
   }
 
@@ -93,36 +109,106 @@ object Snapshots {
       .foldLeft(0)(math.max)
   }
 
-  /** Commit `df` as version 1 of a new dataset. */
+  /** Bounded optimistic-concurrency retry loop: claim version
+    * latest+1 with a manifest whose file list is `files(latest's
+    * files)`; on a lost race, re-read the NEW latest and retry — the
+    * caller's data files are already durable and unshared, so the
+    * retry is metadata-only.
+    */
+  private def commitRetry(s: SparkSession, root: String)
+                         (files: Seq[String] => Seq[String]): Int = {
+    var attempts = 0
+    while (true) {
+      val v = latestVersion(s, root)
+      val known = if (v == 0) Seq.empty[String] else readManifest(s, root, v)
+      try {
+        writeManifest(s, root, v + 1, files(known).distinct.sorted)
+        return v + 1
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts >= 16) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Commit `df` as version 1 of a new dataset (fails if one exists). */
   def create(s: SparkSession, root: String, df: DataFrame): Int = {
-    df.write.mode("append").parquet(s"$root/data")
-    writeManifest(s, root, 1, listNewFiles(s, s"$root/data", Set.empty))
+    val mine = writeBatchFiles(s, root, df)
+    writeManifest(s, root, 1, mine)
     1
   }
 
-  /** Append: version v+1 = v's files ∪ the batch's new files. The
+  /** Append: version v+1 = v's files ∪ the batch's own files. The
     * standing data files are untouched — a reader pinned at v is
-    * unaffected (spec-asserted).
+    * unaffected, and a concurrent append commits the version after
+    * (exactly one claims each number; the loser retries cleanly —
+    * both spec-asserted).
     */
   def append(s: SparkSession, root: String, df: DataFrame): Int = {
-    val v = latestVersion(s, root)
-    val known = readManifest(s, root, v).toSet
-    df.write.mode("append").parquet(s"$root/data")
-    val nv = v + 1
-    writeManifest(s, root, nv, (known ++ listNewFiles(s, s"$root/data", known)).toSeq.sorted)
-    nv
+    val mine = writeBatchFiles(s, root, df)
+    commitRetry(s, root)(known => known ++ mine)
   }
 
-  /** Rewrite: commit `df` as v+1 from FRESH files only (compaction or
-    * a curation drop) — old versions keep reading their own files.
+  /** Rewrite: commit `df` as v+1 from FRESH files only (a curation
+    * drop, or [[compact]]) — old versions keep reading their own files.
     */
   def rewrite(s: SparkSession, root: String, df: DataFrame): Int = {
-    val v = latestVersion(s, root)
-    val known = readManifest(s, root, v).toSet
-    df.write.mode("append").parquet(s"$root/data")
-    val nv = v + 1
-    writeManifest(s, root, nv, listNewFiles(s, s"$root/data", known))
-    nv
+    val mine = writeBatchFiles(s, root, df)
+    commitRetry(s, root)(_ => mine)
+  }
+
+  /** Compaction: fold the latest version's accumulated small files
+    * into `partitions` fresh ones as a new version — pure layout, same
+    * rows (coalesce: no shuffle). Old versions still read their own
+    * files until [[expire]] reclaims them; at 10⁶ accumulated
+    * append files this is what keeps the manifest (and the scan's
+    * task count) proportional to DATA size, not commit count.
+    */
+  def compact(s: SparkSession, root: String, partitions: Int = 1): Int =
+    rewrite(s, root,
+      read(s, root, latestVersion(s, root)).coalesce(math.max(1, partitions)))
+
+  /** Expire every version below `retainMin`: delete their manifests,
+    * then vacuum data/ — physically delete every data file not
+    * reachable from a LIVE (retained) manifest and prune emptied
+    * transaction directories. A reader pinned at a retained version
+    * is untouched (its files are reachable, hence kept); a reader
+    * pinned at an expired version fails fast on the missing manifest
+    * rather than silently scanning reclaimed files.
+    */
+  def expire(s: SparkSession, root: String, retainMin: Int): Unit = {
+    val f = fs(s)
+    val latest = latestVersion(s, root)
+    require(retainMin >= 1 && retainMin <= latest,
+      s"retainMin $retainMin out of range [1, $latest]")
+    val live: Set[String] =
+      (retainMin to latest).iterator
+        .filter(v => f.exists(manifestPath(root, v)))
+        .flatMap(v => readManifest(s, root, v)).toSet
+    (1 until retainMin).foreach { v =>
+      val p = manifestPath(root, v)
+      if (f.exists(p)) f.delete(p, false)
+    }
+    val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
+    if (f.exists(dataDir)) {
+      f.listStatus(dataDir).foreach { st =>
+        if (st.isDirectory) {
+          val kids = f.listStatus(st.getPath)
+          kids.foreach { k =>
+            val keep = k.isFile && k.getPath.getName.startsWith("part-") &&
+              live.contains(k.getPath.toString)
+            if (!keep) f.delete(k.getPath, false)
+          }
+          if (f.listStatus(st.getPath).isEmpty) f.delete(st.getPath, false)
+        } else if (st.isFile && st.getPath.getName.startsWith("part-") &&
+                   !live.contains(st.getPath.toString)) {
+          // pre-r11 flat-layout files are vacuumed by the same rule
+          f.delete(st.getPath, false)
+        }
+      }
+    }
   }
 
   /** Time-travel read: a scan over exactly version v's files. */

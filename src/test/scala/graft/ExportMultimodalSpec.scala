@@ -681,6 +681,79 @@ class SnapshotsSpec extends org.scalatest.funsuite.AnyFunSuite {
     intercept[Exception] { Snapshots.create(spark, root, sliceA) }
   }
 
+  test("expire reclaims exactly the unreachable files; pinned retained readers survive") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snapexp").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    def allDataFiles(): Set[String] = {
+      val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val d = new org.apache.hadoop.fs.Path(s"$root/data")
+      f.listStatus(d).toSeq.flatMap { st =>
+        if (st.isDirectory) f.listStatus(st.getPath).toSeq else Seq(st)
+      }.filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString).toSet
+    }
+    val sliceA = docs.filter(pmod(col("doc_id"), lit(3)) =!= 2)
+    val sliceB = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+    val kept = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    Snapshots.create(spark, root, sliceA)
+    Snapshots.append(spark, root, sliceB)
+    Snapshots.rewrite(spark, root, kept)
+    val pinnedV2 = Snapshots.read(spark, root, 2) // planned BEFORE the expire
+    val wantAll = ids(docs)
+    Snapshots.expire(spark, root, retainMin = 2)
+    // live versions keep every reachable file: the pinned reader and a
+    // fresh read both still see exactly v2
+    assert(ids(pinnedV2) === wantAll, "pinned retained reader survives expire")
+    assert(ids(Snapshots.read(spark, root, 2)) === wantAll)
+    assert(ids(Snapshots.read(spark, root, 3)) === ids(kept))
+    // the expired version fails fast on its missing manifest
+    intercept[Exception] { Snapshots.read(spark, root, 1) }
+    // vacuum: on-disk files == union of live manifests, nothing else
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def manifest(v: Int): Set[String] = {
+      val in = f.open(new org.apache.hadoop.fs.Path(s"$root/manifests/v$v.txt"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+    val live = manifest(2) ++ manifest(3)
+    assert(allDataFiles() === live,
+      "expire keeps every file reachable from live versions and drops the rest")
+    // compaction: same rows, fresh single file, old files reclaimable
+    val v4 = Snapshots.compact(spark, root, partitions = 1)
+    assert(ids(Snapshots.read(spark, root, v4)) === ids(kept))
+    assert(Snapshots.read(spark, root, v4).inputFiles.length === 1)
+    Snapshots.expire(spark, root, retainMin = v4)
+    assert(allDataFiles() === manifest(v4),
+      "post-compaction expire leaves only the compacted files")
+  }
+
+  test("concurrent appends: every committer wins exactly one version, no rows lost") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snapconc").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    val nWriters = 4
+    Snapshots.create(spark, root, docs.filter(pmod(col("doc_id"), lit(nWriters + 1)) === nWriters))
+    val threads = (0 until nWriters).map { r =>
+      new Thread(() => {
+        Snapshots.append(spark, root, docs.filter(pmod(col("doc_id"), lit(nWriters + 1)) === r))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(Snapshots.latestVersion(spark, root) === 1 + nWriters,
+      "each racing append claims exactly one version (losers retried)")
+    val finalIds = Snapshots.read(spark, root, 1 + nWriters)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(finalIds === docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq,
+      "the final version holds every batch exactly once")
+    // versions grow monotonically: v_k has k batches' files
+    (1 to nWriters).foreach { k =>
+      val prev = Snapshots.read(spark, root, k).inputFiles.toSet
+      val cur = Snapshots.read(spark, root, k + 1).inputFiles.toSet
+      assert(prev.subsetOf(cur) && prev != cur, s"v${k + 1} strictly extends v$k")
+    }
+  }
+
   test("q_snapshot_read serves from v1's manifest files only") {
     val df = Snapshots.snapshotRead(spark, sf)
     df.collect()
