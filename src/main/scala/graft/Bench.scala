@@ -62,6 +62,7 @@ object Bench {
     "q_event_transitions" -> "etr", "q_zipf_fit" -> "zf",
     "q_bigram_entropy" -> "bge", "q_bpe_persisted" -> "bpp",
     "q_bm25_rank" -> "bm", "q_bm25_indexed" -> "bmx", "q_hybrid_rrf" -> "rrf",
+    "q_bm25_versioned" -> "bmv",
     "q_mmr_rerank" -> "mmr",
     "q_phrase_search" -> "ph", "q_phrase_indexed" -> "phx",
     "q_bucketed_join" -> "bj", "q_snapshot_read" -> "snp",

@@ -160,6 +160,9 @@ object SparkEntry {
     // shard-partitioned postings index (sources.Bm25Index) — shares
     // bm25Rank's oracle, the q_bpe_persisted artifact-identity pattern
     "q_bm25_indexed"  -> sources.Bm25Index.bm25Indexed _,
+    // time-travel index read: ranks AT pinned v1 (the %3≠2 slice)
+    // while the v2 append exists — oracle recomputes v1's slice
+    "q_bm25_versioned" -> sources.Bm25Index.bm25Versioned _,
     // hybrid retrieval: integer-division reciprocal-rank fusion of the
     // BM25 and dense-cosine lists (full oracle — both lists are)
     "q_hybrid_rrf"    -> ((s, d) => Retrieval.hybridRrf(s, d)),
@@ -821,6 +824,7 @@ object SparkEntry {
     "q_term_search"    -> CorpusCuration.termSearchOracleSql,
     "q_bm25_rank"      -> Retrieval.bm25RankOracleSql,
     "q_bm25_indexed"   -> Retrieval.bm25RankOracleSql,
+    "q_bm25_versioned" -> sources.Bm25Index.bm25VersionedOracleSql,
     "q_hybrid_rrf"     -> Retrieval.hybridRrfOracleSql,
     "q_mmr_rerank"     -> Retrieval.mmrRerankOracleSql,
     "q_phrase_search"  -> Retrieval.phraseSearchOracleSql,

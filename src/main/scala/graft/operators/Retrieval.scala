@@ -439,7 +439,13 @@ object Retrieval {
     * force the all-DOUBLE arithmetic Spark uses (a bare `1.2` is
     * DECIMAL in DuckDB).
     */
-  def bm25RankOracleSql: String = {
+  def bm25RankOracleSql: String = bm25RankOracleSqlWhere("TRUE")
+
+  /** The same ranking restricted to a corpus predicate — the oracle
+    * for a VERSIONED index read whose pinned version was built from
+    * that predicate's slice ([[graft.sources.Bm25Index.bm25Versioned]]).
+    */
+  def bm25RankOracleSqlWhere(pred: String): String = {
     val tfCols = Bm25Terms.map(t =>
       s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n       ")
     val dfCols = Bm25Terms.map(t =>
@@ -447,7 +453,7 @@ object Retrieval {
     val sumMicro = Bm25Terms.map(termMicroSql).mkString(" + ")
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-       |  FROM documents),
+       |  FROM documents WHERE $pred),
        |pd AS (
        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
        |       $tfCols

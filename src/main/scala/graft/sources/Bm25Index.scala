@@ -107,6 +107,10 @@ object Bm25Index {
         .repartition(col("tshard"))
         .write.mode(mode).partitionBy("tshard").parquet(s"$root/postings")
     }
+    // an append invalidates any cached file listing a prior read left
+    // in the session (the PhraseIndex stale-listing fix, same shape)
+    s.catalog.refreshByPath(s"$root/postings")
+    s.catalog.refreshByPath(s"$root/doclens")
   }
 
   /** §2 catalog entry (`q_bm25_indexed`): materialize, then rank the
@@ -165,10 +169,70 @@ object Bm25Index {
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
   }
 
+  // ---- versioned reads ----------------------------------------------------
+
+  /** The subtrees a version manifest covers. */
+  private val Roles = Seq("postings", "doclens", "tombstones")
+
+  /** Snapshot the index's current state (postings + doclens +
+    * tombstones) as the next version — a training run pins the version
+    * and [[searchAt]] reproduces its ranking through later appends
+    * and deletes (whose data files are additive). A [[compact]]
+    * physically rewrites the trees, so — like any vacuum — it bounds
+    * time travel to versions committed after it.
+    */
+  def commitVersion(s: SparkSession, root: String): Int =
+    IndexVersions.commit(s, root, Roles)
+
+  /** Rank the standing query against the index AS OF version v: scans
+    * plan over exactly v's manifest files (shard pruning intact via
+    * basePath partition discovery), stats re-derive from v's frames —
+    * so `searchAt(v)` == a fresh build over v's corpus, spec- and
+    * oracle-asserted.
+    */
+  def searchAt(s: SparkSession, root: String, v: Int): DataFrame = {
+    val post = IndexVersions.readAt(s, root, v, "postings").getOrElse(
+      throw new IllegalStateException(s"version $v of $root has no postings"))
+    val dl = IndexVersions.readAt(s, root, v, "doclens").getOrElse(
+      throw new IllegalStateException(s"version $v of $root has no doclens"))
+    searchFrames(s, post, dl, IndexVersions.readAt(s, root, v, "tombstones"))
+  }
+
+  /** `q_bm25_versioned` (§2): the time-travel ranking — the artifact
+    * holds v1 = the doc_id%3≠2 slice and v2 = the full corpus; the
+    * query ranks AT v1 while v2 exists, and the oracle recomputes the
+    * ranking from the v1 predicate alone — a versioned index read is
+    * hash-checked against the corpus state it pinned.
+    */
+  def bm25Versioned(s: SparkSession, dir: String): DataFrame = {
+    val root = ScopedFixture.root(s, "graft_bm25ver", dir)
+    FixtureCleanup.onExit(root)
+    if (!ScopedFixture.isComplete(root)) {
+      val docs = graft.Tables.documents(s, dir)
+      writeBatch(docs.filter(pmod(col("doc_id"), lit(3)) =!= 2), root, "overwrite")
+      commitVersion(s, root) // v1 = the slice
+      append(s, root, docs.filter(pmod(col("doc_id"), lit(3)) === 2))
+      commitVersion(s, root) // v2 = the full corpus
+      ScopedFixture.markComplete(root)
+    }
+    searchAt(s, root, 1)
+  }
+
+  val bm25VersionedOracleSql: String =
+    Retrieval.bm25RankOracleSqlWhere("doc_id % 3 <> 2")
+
   /** Rank [[Retrieval.Bm25Terms]] against an arbitrary index root
     * (the spec's handle for base-plus-append vs full-rebuild).
     */
-  private[graft] def searchRoot(s: SparkSession, root: String): DataFrame = {
+  private[graft] def searchRoot(s: SparkSession, root: String): DataFrame =
+    searchFrames(s,
+      s.read.parquet(s"$root/postings"),
+      s.read.parquet(s"$root/doclens"),
+      tombstones(s, root))
+
+  private def searchFrames(s: SparkSession, postingsAll: DataFrame,
+                           doclensAll: DataFrame,
+                           tomb: Option[DataFrame]): DataFrame = {
     val terms = Retrieval.Bm25Terms
     // shard list computed driver-side from the literal terms → pushed
     // as an isin partition filter (plan-time file pruning)
@@ -181,10 +245,12 @@ object Bm25Index {
     val shards = terms.map(shardOf).distinct
     // tombstones drop AFTER shard pruning (postings) and against the
     // slim lengths table — stats then derive from the LIVE set only
-    val qp = dropTombstoned(s, root, s.read.parquet(s"$root/postings")
+    def dropT(df: DataFrame): DataFrame = tomb.fold(df)(t =>
+      df.join(t.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
+    val qp = dropT(postingsAll
       .filter(col("tshard").isin(shards: _*))
       .filter(col("term").isin(terms: _*)))
-    val doclens = dropTombstoned(s, root, s.read.parquet(s"$root/doclens"))
+    val doclens = dropT(doclensAll)
     // artifact-derived corpus stats: N and avgdl from the slim lengths
     // table, df per term from the pruned postings — all integers (and
     // one integer-ratio double) identical to what bm25Rank aggregates

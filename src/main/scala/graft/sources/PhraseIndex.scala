@@ -95,14 +95,37 @@ object PhraseIndex {
   def phraseIndexed(s: SparkSession, dir: String): DataFrame =
     searchRoot(s, materialize(s, dir))
 
-  private[graft] def searchRoot(s: SparkSession, root: String): DataFrame = {
+  // ---- versioned reads ----------------------------------------------------
+
+  /** Snapshot the index's current state as the next version. */
+  def commitVersion(s: SparkSession, root: String): Int =
+    IndexVersions.commit(s, root, Seq("postings", "doclens"))
+
+  /** The standing phrase ranked against the index AS OF version v —
+    * scans plan over exactly v's manifest files (shard pruning via
+    * basePath partition discovery), stats re-derive from v's frames.
+    */
+  def searchAt(s: SparkSession, root: String, v: Int): DataFrame = {
+    val post = IndexVersions.readAt(s, root, v, "postings").getOrElse(
+      throw new IllegalStateException(s"version $v of $root has no postings"))
+    val dl = IndexVersions.readAt(s, root, v, "doclens").getOrElse(
+      throw new IllegalStateException(s"version $v of $root has no doclens"))
+    searchFrames(s, post, dl)
+  }
+
+  private[graft] def searchRoot(s: SparkSession, root: String): DataFrame =
+    searchFrames(s, s.read.parquet(s"$root/postings"),
+      s.read.parquet(s"$root/doclens"))
+
+  private def searchFrames(s: SparkSession, postingsAll: DataFrame,
+                           doclens: DataFrame): DataFrame = {
     val terms = Retrieval.PhraseTerms
     val shards = {
       import s.implicits._
       terms.toDF("term").select(tshard(col("term")))
         .collect().map(_.getInt(0)).distinct.toSeq
     }
-    val post = s.read.parquet(s"$root/postings")
+    val post = postingsAll
       .filter(col("tshard").isin(shards: _*))
       .filter(col("term").isin(terms: _*))
     // positional merge: term k's occurrences must sit at pos_0 + k —
@@ -118,7 +141,6 @@ object PhraseIndex {
     }
     val perMatch = matches.groupBy("doc_id")
       .agg(count(lit(1)).as("tf_phrase"))
-    val doclens = s.read.parquet(s"$root/doclens")
     val (nDocs, avgdl) = {
       val r = doclens.agg(count(lit(1)).as("n"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("a")).head()

@@ -190,8 +190,12 @@ object PqIndex {
 
   /** Read the metadata sidecar back: (codebook, centroid set). */
   private[graft] def loadMeta(s: SparkSession, root: String)
+      : (Array[Float], Seq[(Int, Array[Float], Double)]) =
+    metaFrom(s.read.parquet(s"$root/meta"))
+
+  private def metaFrom(meta: DataFrame)
       : (Array[Float], Seq[(Int, Array[Float], Double)]) = {
-    val r = s.read.parquet(s"$root/meta").head()
+    val r = meta.head()
     val cb = r.getSeq[Float](0).toArray
     val ids = r.getSeq[Int](1)
     val vecs = r.getSeq[Seq[Float]](2)
@@ -210,11 +214,45 @@ object PqIndex {
   def annPqIndexed(s: SparkSession, dir: String): DataFrame =
     searchRoot(s, dir, materialize(s, dir))
 
+  // ---- versioned reads ----------------------------------------------------
+
+  /** Snapshot the index's current state (codes + frozen-codebook
+    * sidecar + tombstones) as the next version; [[searchAt]]
+    * reproduces its ranking through later appends and deletes (both
+    * additive on disk). A [[compact]] physically rewrites the codes
+    * tree, so — like any vacuum — it bounds time travel to versions
+    * committed after it.
+    */
+  def commitVersion(s: SparkSession, root: String): Int =
+    IndexVersions.commit(s, root, Seq("codes", "meta", "tombstones"))
+
+  /** Search the index AS OF version v: the codebook/centroids come
+    * from v's sidecar manifest, the code scan plans over exactly v's
+    * files (cell pruning intact via basePath partition discovery), and
+    * v's tombstone set applies — so a pinned training run's neighbor
+    * sets never move under it.
+    */
+  def searchAt(s: SparkSession, dir: String, root: String, v: Int): DataFrame = {
+    val meta = IndexVersions.readAt(s, root, v, "meta").getOrElse(
+      throw new IllegalStateException(s"version $v of $root has no sidecar"))
+    val codes = IndexVersions.readAt(s, root, v, "codes").getOrElse(
+      throw new IllegalStateException(s"version $v of $root has no codes"))
+    searchFrames(s, dir, metaFrom(meta), codes,
+      IndexVersions.readAt(s, root, v, "tombstones"))
+  }
+
   /** Search an arbitrary index root (the spec's handle for querying a
     * base-plus-appends index against a full one).
     */
-  private[graft] def searchRoot(s: SparkSession, dir: String, root: String): DataFrame = {
-    val (cb, cents) = loadMeta(s, root)
+  private[graft] def searchRoot(s: SparkSession, dir: String, root: String): DataFrame =
+    searchFrames(s, dir, loadMeta(s, root),
+      s.read.parquet(s"$root/codes"), tombstones(s, root))
+
+  private def searchFrames(s: SparkSession, dir: String,
+                           meta: (Array[Float], Seq[(Int, Array[Float], Double)]),
+                           codesAll: DataFrame,
+                           tomb: Option[DataFrame]): DataFrame = {
+    val (cb, cents) = meta
     val probes = math.max(Similarity.IvfNProbe,
       math.ceil(cents.size * Similarity.IvfProbeFraction).toInt)
     val n = Similarity.normed(s, dir)
@@ -230,9 +268,9 @@ object PqIndex {
     val qProbes = s.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), qPlan.schema)
     val probedCells = probeRows.map(_.getAs[Int]("cell")).distinct
-    val encoded = dropTombstoned(s, root,
-      s.read.parquet(s"$root/codes")
-        .filter(col("cell").isin(probedCells.toIndexedSeq: _*)))
+    val pruned = codesAll.filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+    val encoded = tomb.fold(pruned)(t =>
+      pruned.join(t.select("neighbor_id").distinct(), Seq("neighbor_id"), "left_anti"))
     Similarity.ivfPqSearch(encoded, qProbes,
       n.select(col("vec_id").as("neighbor_id"), col("e").as("e_c"), col("nrm").as("n_c")), cb)
   }

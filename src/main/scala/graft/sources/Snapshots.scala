@@ -69,7 +69,7 @@ object Snapshots {
     extends RuntimeException(
       s"version $v at $root was committed concurrently; re-read latest and retry")
 
-  private def writeManifest(s: SparkSession, root: String, v: Int,
+  private[sources] def writeManifest(s: SparkSession, root: String, v: Int,
                             files: Seq[String]): Unit = {
     val f = fs(s)
     val p = manifestPath(root, v)
@@ -90,7 +90,7 @@ object Snapshots {
     }
   }
 
-  private def readManifest(s: SparkSession, root: String, v: Int): Seq[String] = {
+  private[sources] def readManifest(s: SparkSession, root: String, v: Int): Seq[String] = {
     val p = manifestPath(root, v)
     require(fs(s).exists(p), s"version $v does not exist under $root")
     val in = fs(s).open(p)

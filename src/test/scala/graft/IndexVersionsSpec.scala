@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Bm25Index, IndexVersions, PhraseIndex, PqIndex}
+import graft.operators.Similarity
+
+/** Versioned index reads (SURVEY §2 #198): an index is an artifact
+  * too — a training run that pins corpus version v must pin the index
+  * state that matches it. `searchAt(v)` must reproduce the ranking as
+  * of v through later appends and deletes: the append==rebuild
+  * property, time-indexed.
+  */
+class IndexVersionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def norm(p: String) =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  test("bm25: searchAt(v) == a fresh build of v's corpus state, through append and delete") {
+    val root = tmp("graft_bm25v")
+    val v1only = tmp("graft_bm25v1")
+    val docs = Tables.documents(spark, sf)
+    Bm25Index.materializeWhere(spark, sf, pmod(col("doc_id"), lit(3)) =!= 2, root)
+    val v1 = Bm25Index.commitVersion(spark, root)
+    Bm25Index.append(spark, root, docs.filter(pmod(col("doc_id"), lit(3)) === 2))
+    val v2 = Bm25Index.commitVersion(spark, root)
+    // the time-indexed append==rebuild property
+    Bm25Index.materializeWhere(spark, sf, pmod(col("doc_id"), lit(3)) =!= 2, v1only)
+    assert(Bm25Index.searchAt(spark, root, v1).collect().toSeq ===
+      Bm25Index.searchRoot(spark, v1only).collect().toSeq,
+      "query at v1 after the append == query on the v1-only build")
+    val wantV2 = Bm25Index.searchRoot(spark, root).collect().toSeq
+    assert(Bm25Index.searchAt(spark, root, v2).collect().toSeq === wantV2,
+      "query at v2 == the live view (no tombstones yet)")
+    // a later delete lands in v3; v2 stays pinned pre-delete
+    val victim = wantV2.head.getLong(0)
+    Bm25Index.delete(spark, root, Seq(victim))
+    val v3 = Bm25Index.commitVersion(spark, root)
+    assert(Bm25Index.searchAt(spark, root, v2).collect().toSeq === wantV2,
+      "v2's ranking must not move under the later delete")
+    assert(Bm25Index.searchAt(spark, root, v3).collect().toSeq ===
+      Bm25Index.searchRoot(spark, root).collect().toSeq,
+      "v3 == the live tombstoned view")
+    assert(!Bm25Index.searchAt(spark, root, v3).collect()
+      .exists(_.getLong(0) == victim), "the delete is visible at v3")
+    // artifact-served, version-scoped: the pinned scan reads only v1's
+    // manifest files
+    val used = Bm25Index.searchAt(spark, root, v1).inputFiles.map(norm).toSet
+    val manifest = (IndexVersions.filesAt(spark, root, v1, "postings") ++
+      IndexVersions.filesAt(spark, root, v1, "doclens")).map(norm).toSet
+    assert(used.nonEmpty && used.subsetOf(manifest),
+      "the pinned query must plan over v1's manifest files alone")
+    // shard pruning survives the explicit file list: basePath keeps
+    // tshard a partition column, so the term filter still plans as
+    // PartitionFilters (inputFiles reports the PRE-pruning index, so
+    // the proof lives in the executed plan, as in the live-index spec)
+    val plan = Bm25Index.searchAt(spark, root, v1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tshard"),
+      s"query terms should prune the pinned version's postings shards:\n$plan")
+  }
+
+  test("phrase: searchAt(v) == a fresh build of v's corpus state") {
+    val root = tmp("graft_phrv")
+    val v1only = tmp("graft_phrv1")
+    val docs = Tables.documents(spark, sf)
+    PhraseIndex.materializeWhere(spark, sf, pmod(col("doc_id"), lit(5)) =!= 0, root)
+    val v1 = PhraseIndex.commitVersion(spark, root)
+    PhraseIndex.append(spark, root, docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+    val v2 = PhraseIndex.commitVersion(spark, root)
+    PhraseIndex.materializeWhere(spark, sf, pmod(col("doc_id"), lit(5)) =!= 0, v1only)
+    assert(PhraseIndex.searchAt(spark, root, v1).collect().toSeq ===
+      PhraseIndex.searchRoot(spark, v1only).collect().toSeq,
+      "phrase query at v1 after the append == the v1-only build")
+    assert(PhraseIndex.searchAt(spark, root, v2).collect().toSeq ===
+      PhraseIndex.searchRoot(spark, root).collect().toSeq)
+  }
+
+  test("pq: searchAt(v) pins codes+sidecar+tombstones; deletes stay version-scoped") {
+    import spark.implicits._
+    val root = tmp("graft_pqv")
+    PqIndex.materializeWhere(spark, sf, pmod(col("vec_id"), lit(7)) =!= 0, root)
+    val v1 = PqIndex.commitVersion(spark, root)
+    PqIndex.append(spark, root,
+      Similarity.normed(spark, sf).filter(pmod(col("vec_id"), lit(7)) === 0))
+    val v2 = PqIndex.commitVersion(spark, root)
+    val v1onlyWant = {
+      val r = tmp("graft_pqv1")
+      PqIndex.materializeWhere(spark, sf, pmod(col("vec_id"), lit(7)) =!= 0, r)
+      PqIndex.searchRoot(spark, sf, r).collect().toSeq
+    }
+    assert(PqIndex.searchAt(spark, sf, root, v1).collect().toSeq === v1onlyWant,
+      "neighbors at v1 after the append == the v1-only build")
+    val wantV2 = PqIndex.searchRoot(spark, sf, root).collect().toSeq
+    assert(PqIndex.searchAt(spark, sf, root, v2).collect().toSeq === wantV2)
+    // tombstone a returned neighbor; v2 pinned pre-delete, v3 sees it
+    val victim = wantV2.map(_.getAs[Long]("neighbor_id")).head
+    PqIndex.delete(spark, root, Seq(victim))
+    val v3 = PqIndex.commitVersion(spark, root)
+    assert(PqIndex.searchAt(spark, sf, root, v2).collect().toSeq === wantV2,
+      "a pinned run's neighbor sets must not move under a later delete")
+    assert(!PqIndex.searchAt(spark, sf, root, v3).collect()
+      .exists(_.getAs[Long]("neighbor_id") == victim),
+      "the delete is visible at v3")
+  }
+}

@@ -816,6 +816,8 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
       "q_bm25_rank",
       // same scalar stats row, served from the postings artifact
       "q_bm25_indexed",
+      // same scalar stats row, served from the PINNED version's files
+      "q_bm25_versioned",
       // phrase scorer and its positional-index twin: same scalar row
       "q_phrase_search", "q_phrase_indexed",
       // inherit q_lm_score's scalar vocab-size cross join
