@@ -207,6 +207,9 @@ object SparkEntry {
     // pixel-statistic embedding; near-dup IMAGE pairs, full oracle
     // (closed-form generator recompute — the shard_balance contract)
     "q_image_sim"       -> sources.ImageSim.imageSim _,
+    // the audio mirror: REAL javax.sound sample decode feeds the
+    // envelope+crossings embedding; near-dup CLIP pairs, full oracle
+    "q_audio_sim"       -> sources.AudioSim.audioSim _,
     // §2.1b extended composed analytics
     "q_anti_join"         -> ExtendedAnalytics.customersWithoutOrders _,
     "q_semi_join"         -> ExtendedAnalytics.activeCustomers _,
@@ -990,6 +993,7 @@ object SparkEntry {
            (a, h) -> (a * 131 + h) % 1000000007) AS fp
          FROM documents ORDER BY doc_id""",
     "q_image_sim" -> sources.ImageSim.oracleSql,
+    "q_audio_sim" -> sources.AudioSim.oracleSql,
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
          md5(text) AS content_md5, left(text, 16) AS prefix16

@@ -191,6 +191,64 @@ object Multimodal {
     }
   }
 
+  case class AudioStats(id: Long, format: String, sample_rate: Int,
+                        channels: Int, header_match: Boolean, n_samples: Long,
+                        seg_sums: Array[Long], zc: Long)
+
+  /** REAL audio sample decode (JDK javax.sound — `WaveFileReader`):
+    * per-clip segment-sum envelope over `segs` equal time slices plus
+    * the zero-crossing count — the integer sufficient statistics a
+    * media-quality gate and the audio near-dup bridge
+    * ([[graft.sources.AudioSim]]) consume. Only PCM_SIGNED 16-bit LE
+    * mono is decoded (the fixture format; a production pipeline adds
+    * converters per codec) — other payloads drop, same contract as
+    * [[decodePixels]]. The independently-parsed [[AudioHeaders]]
+    * metadata cross-checks the decoder's format in `header_match`.
+    * Map-side, fixed ~200 B/clip output — decode cost IS the pipeline
+    * cost at 100 TB, exactly like the pixel path.
+    */
+  def decodeAudioStats(media: Dataset[MediaRow], segs: Int): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          try {
+            val f = ais.getFormat
+            val ok = f.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian
+            if (!ok) None
+            else {
+              val bytes = ais.readAllBytes()
+              val n = bytes.length / 2
+              val segSums = new Array[Long](segs)
+              var zc = 0L
+              var prev = 0
+              var t = 0
+              while (t < n) {
+                val v = ((bytes(2 * t + 1).toInt << 8) |
+                  (bytes(2 * t).toInt & 0xff)).toShort.toInt
+                segSums(((t.toLong * segs) / n).toInt) += v
+                if (t > 0 && ((prev < 0) != (v < 0))) zc += 1
+                prev = v
+                t += 1
+              }
+              val hdr = AudioHeaders.parse(m.payload)
+              val headerMatch = hdr.exists(h =>
+                h.sampleRate == f.getSampleRate.toInt && h.channels == 1 &&
+                  h.bits == 16)
+              Some(AudioStats(m.id, hdr.map(_.format).getOrElse("pcm"),
+                f.getSampleRate.toInt, f.getChannels, headerMatch, n.toLong,
+                segSums, zc))
+            }
+          } finally ais.close()
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
   val EmbedDim = 16
 
   /** STUB feature extraction: deterministic pseudo-embedding from payload
