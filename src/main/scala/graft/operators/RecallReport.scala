@@ -186,15 +186,22 @@ object RecallReport {
     * cannot meet must flip `pass` to false, which hash-fails the
     * round); production callers go through [[verdicts]].
     */
+  /** Gate direction in one place (the provenance spec audits the
+    * committed GATES_r11.json measurements through the same rule):
+    * error gates pass at-or-below their bound, recall/coverage gates
+    * at-or-above.
+    */
+  private[graft] def passes(gate: String, measuredPct: Int, t: Int): Boolean =
+    gate match {
+      case "approx_users_relerr" | "approx_median_relerr" => measuredPct <= t
+      case _ => measuredPct >= t
+    }
+
   private[graft] def verdictsWith(s: SparkSession, dir: String,
       th: Map[String, Int]): Seq[(String, Int, Int, Boolean)] =
     measuredCached(s, dir).map { case (gate, pct) =>
       val t = th(gate)
-      val ok = gate match {
-        case "approx_users_relerr" | "approx_median_relerr" => pct <= t
-        case _ => pct >= t
-      }
-      (gate, pct, t, ok)
+      (gate, pct, t, passes(gate, pct, t))
     }
 
   /** (gate, measured pct, threshold pct, pass) — the full verdicts. */
