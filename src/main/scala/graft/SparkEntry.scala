@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnnAdvisor, Clustering, CorpusCuration, Dedup, ExtendedAnalytics, Retrieval, Similarity, TaskAnalytics, TextAnalysis}
+import graft.operators.{AnnAdvisor, Clustering, CorpusCuration, Dedup, ExtendedAnalytics, GraphAnn, Retrieval, Similarity, TaskAnalytics, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §7 (plan).
   *
@@ -98,6 +98,10 @@ object SparkEntry {
     // cell-partitioned artifact (sources.PqIndex; rows-only like the
     // other ANN entries — equality with q_ann_ivfpq_topk is spec'd)
     "q_ann_pq_indexed" -> sources.PqIndex.annPqIndexed _,
+    // graph-based ANN (the SPANN/DiskANN split): driver-local NSW
+    // beam routing over the bounded node set + distributed
+    // bucket-pruned exact rerank; gated via ann_hnsw_recall5
+    "q_ann_hnsw_topk"  -> GraphAnn.annHnswTopK _,
     // full-oracle since r11: the participation ratio is computed via
     // trace identities (tr(C)²/(tr(C²)·d) — no eigenvalues), so the
     // whole decision pipeline is sequential-fold-reproducible in SQL
