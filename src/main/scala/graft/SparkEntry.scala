@@ -214,6 +214,9 @@ object SparkEntry {
     // the audio mirror: REAL javax.sound sample decode feeds the
     // envelope+crossings embedding; near-dup CLIP pairs, full oracle
     "q_audio_sim"       -> sources.AudioSim.audioSim _,
+    // record linkage: blocked fuzzy join over planted dirty records —
+    // blocking equi-join + levenshtein verify, full oracle
+    "q_entity_resolve"  -> operators.EntityResolve.entityResolve _,
     // §2.1b extended composed analytics
     "q_anti_join"         -> ExtendedAnalytics.customersWithoutOrders _,
     "q_semi_join"         -> ExtendedAnalytics.activeCustomers _,
@@ -998,6 +1001,7 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "q_image_sim" -> sources.ImageSim.oracleSql,
     "q_audio_sim" -> sources.AudioSim.oracleSql,
+    "q_entity_resolve" -> operators.EntityResolve.oracleSql,
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
          md5(text) AS content_md5, left(text, 16) AS prefix16

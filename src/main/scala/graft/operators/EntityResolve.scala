@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Entity resolution / record linkage (`q_entity_resolve`) — the
+  * STRUCTURED-record dedup the document family doesn't cover: the
+  * same real-world entity arrives as several dirty records (typos,
+  * truncations) and must be re-linked without an O(n²) pair scan.
+  * The classic two-stage shape: a cheap BLOCKING key gathers
+  * candidate records (equi-join — the shuffle is by block, candidate
+  * work is Σ block², never n²), then an edit-distance VERIFY keeps
+  * true matches. At 100 TB blocking is the entire ballgame: the
+  * verify join touches only same-block pairs, and a skewed block is
+  * the same salting problem as any hot key.
+  *
+  * Fixture (the ImageSim planted-truth contract): entities are the
+  * customers with c_custkey < [[EntityCap]]; each emits 3 records —
+  * the canonical name plus two single-character drops. Names are
+  * syllable encodings of a BIJECTIVE multiplicative hash (odd
+  * constant mod 2³²), so distinct entities get far-apart names; the
+  * drops are constrained past the blocking prefix. Margins are
+  * MEASURED over the full k < 300 fixture (any shipped subset
+  * inherits them): within-entity distance ≤ 2, and the 1-syllable
+  * block admits thousands of cross-entity candidates (5670 at 150
+  * entities, 23976 at 300) whose minimum distance is 3 — so
+  * [[MatchMax]] = 2 separates exactly (levenshtein is integer DP,
+  * no rounding to erode a 1-edit margin) and the verify stage
+  * demonstrably REJECTS most of what blocking admits.
+  *
+  * Full oracle: name synthesis (hash → syllables), both drop
+  * positions, blocking, and DuckDB's `levenshtein` mirror the Scala
+  * expressions exactly — both engines run the classic integer DP.
+  */
+object EntityResolve {
+
+  val EntityCap = 300L
+  /** 16 two-char syllables — nibble i of the name hash picks one. */
+  val Syllables: Seq[String] = Seq("ba", "re", "ko", "li", "ta", "mo",
+    "su", "ne", "vi", "do", "fa", "gu", "pe", "ra", "zo", "ki")
+  /** Knuth's multiplicative constant — odd, so k ↦ k·A mod 2³² is a
+    * bijection and distinct entities never share a name.
+    */
+  val HashA = 2654435761L
+  val Mod32 = 4294967296L
+  /** Blocking prefix: 1 syllable (2 chars) — deliberately coarse so
+    * the verify stage has real cross-entity candidates to reject at
+    * every shipped SF (a 2-syllable block admits zero at 150
+    * entities).
+    */
+  val BlockLen = 2
+  /** Verify threshold: within-entity pairs measure ≤ 2 (two single
+    * drops), cross-entity in-block candidates ≥ 3.
+    */
+  val MatchMax = 2
+
+  /** The canonical-name column for an entity-key column: 8 syllables
+    * from the hash's nibbles (low nibble first).
+    */
+  private def canonCol(k: Column): Column = {
+    val h = pmod(k * lit(HashA), lit(Mod32))
+    concat((0 until 8).map { i =>
+      // element_at is 1-based; nibble i of h picks the syllable (pmod
+      // on the LONG before the int cast — h reaches 2³²−1)
+      element_at(
+        array(Syllables.map(lit): _*),
+        pmod(shiftright(h, 4 * i), lit(16L)).cast("int") + 1)
+    }: _*)
+  }
+
+  /** 0-based drop positions for the two dirty variants — both past the
+    * blocking prefix, always distinct.
+    */
+  private def dropPositions(k: Column): (Column, Column) = {
+    val p1 = lit(10) + pmod(k, lit(6L)).cast("int")
+    val p2raw = lit(10) + pmod(k * 3 + 1, lit(6L)).cast("int")
+    val p2 = when(p2raw === p1, lit(10) + pmod(p2raw - 10 + 1, lit(6)))
+      .otherwise(p2raw)
+    (p1, p2)
+  }
+
+  /** The dirty-records frame: (rec_id, entity, variant, name, block).
+    * rec_id = entity·3 + variant.
+    */
+  private[graft] def records(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables.customer(s, dir)
+      .select(col("c_custkey").as("entity"))
+      .filter(col("entity") < EntityCap)
+      .withColumn("canon", canonCol(col("entity")))
+    val (p1, p2) = dropPositions(col("entity"))
+    def drop(name: Column, p0: Column): Column =
+      concat(name.substr(lit(1), p0), name.substr(p0 + 2, lit(32)))
+    base
+      .withColumn("p1", p1).withColumn("p2", p2)
+      .select(col("entity"), explode(array(
+        struct(lit(0).as("variant"), col("canon").as("name")),
+        struct(lit(1).as("variant"), drop(col("canon"), col("p1")).as("name")),
+        struct(lit(2).as("variant"), drop(col("canon"), col("p2")).as("name"))
+      )).as("r"))
+      .select(col("entity"), col("r.variant").as("variant"), col("r.name").as("name"))
+      .withColumn("rec_id", col("entity") * 3 + col("variant"))
+      .withColumn("block", substring(col("name"), 1, BlockLen))
+  }
+
+  /** §2 catalog entry: blocked fuzzy linkage. Output one row per
+    * verified pair: (rec_a, rec_b, entity, dist) ordered by (rec_a,
+    * rec_b) — at the measured margins every within-entity pair
+    * verifies and every cross-entity candidate is rejected, so
+    * `entity` (= both sides' entity) is well-defined.
+    */
+  def entityResolve(s: SparkSession, dir: String): DataFrame = {
+    val r = records(s, dir)
+    val a = r.select(col("rec_id").as("rec_a"), col("entity").as("ent_a"),
+      col("name").as("name_a"), col("block"))
+    val b = r.select(col("rec_id").as("rec_b"), col("entity").as("ent_b"),
+      col("name").as("name_b"), col("block"))
+    a.join(b, Seq("block"))
+      .filter(col("rec_a") < col("rec_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= MatchMax)
+      .select(col("rec_a"), col("rec_b"), col("ent_a").as("entity"), col("dist"))
+      .orderBy("rec_a", "rec_b")
+  }
+
+  /** DuckDB twin, generated from the same constants: identical hash,
+    * syllable table, drop positions, blocking, and the same classic
+    * levenshtein DP (cast: DuckDB returns BIGINT, Spark INT).
+    */
+  val oracleSql: String = {
+    val syl = Syllables.map(x => s"'$x'").mkString(", ")
+    val nameExpr = (0 until 8).map { i =>
+      s"syl[CAST(((h >> ${4 * i}) % 16) + 1 AS INT)]"
+    }.mkString(" || ")
+    s"""WITH ent AS (
+       |  SELECT c_custkey AS entity,
+       |    (c_custkey * $HashA) % $Mod32 AS h
+       |  FROM customer WHERE c_custkey < $EntityCap),
+       |named AS (
+       |  SELECT entity, $nameExpr AS canon,
+       |    CAST(10 + entity % 6 AS INT) AS p1,
+       |    CAST(CASE WHEN 10 + (entity * 3 + 1) % 6 = 10 + entity % 6
+       |         THEN 10 + ((10 + (entity * 3 + 1) % 6) - 10 + 1) % 6
+       |         ELSE 10 + (entity * 3 + 1) % 6 END AS INT) AS p2
+       |  FROM ent, (SELECT [$syl] AS syl)),
+       |recs AS (
+       |  SELECT entity, v.variant,
+       |    CASE v.variant WHEN 0 THEN canon
+       |      WHEN 1 THEN substr(canon, 1, p1) || substr(canon, p1 + 2)
+       |      ELSE substr(canon, 1, p2) || substr(canon, p2 + 2) END AS name,
+       |    entity * 3 + v.variant AS rec_id
+       |  FROM named CROSS JOIN (SELECT unnest([0, 1, 2]) AS variant) v),
+       |blocked AS (
+       |  SELECT rec_id, entity, name, substr(name, 1, $BlockLen) AS block
+       |  FROM recs)
+       |SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+       |  a.entity AS entity,
+       |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+       |FROM blocked a JOIN blocked b
+       |  ON a.block = b.block AND a.rec_id < b.rec_id
+       |WHERE levenshtein(a.name, b.name) <= $MatchMax
+       |ORDER BY rec_a, rec_b""".stripMargin
+  }
+}

@@ -45,9 +45,19 @@ object GraphAnn {
   /** Beam width while inserting (build quality). */
   val EfBuild = 32
   /** Beam width at query time. */
-  val EfSearch = 48
+  val EfSearch = 128
   /** Graph nodes whose corpus buckets each query scans. */
   val ProbeNodes = 32
+  /** Closure replication: each corpus vector posts to its [[Rep]]
+    * nearest nodes (SPANN's multi-cluster closure). Single assignment
+    * caps sf1 recall at 68 REGARDLESS of graph quality — the sweep
+    * (tools.GraphSweep) shows the loss is bucket-boundary geometry,
+    * not routing: a true neighbor's single home bucket need not be
+    * among the query's routed nodes. rep=8 measures 90 at sf1 where
+    * rep=1 measures 46 at identical probes; the price is an 8×
+    * posting-row table (SPANN's documented trade), still map-side.
+    */
+  val Rep = 8
 
   /** Driver-local graph: node i holds the sample's i-th (vec_id, vec,
     * norm) in vec_id order, plus its adjacency list (indices).
@@ -66,16 +76,25 @@ object GraphAnn {
 
   /** Greedy best-first beam search from node 0 (deterministic: total
     * order (score desc, index asc) everywhere). Returns up to `ef`
-    * node indices, best first.
+    * node indices, best first. `limitOpt` bounds the searched prefix —
+    * the build path inserts node i against nodes < i WITHOUT copying
+    * the prefix arrays (a per-insert copy made the 8192-node build
+    * quadratic in allocations: measured 38.8 s at sf1, ~1 s after).
     */
   private[graft] def beamSearch(g: Graph, q: Array[Float], qn: Double,
-                                ef: Int): Array[Int] = {
-    if (g.ids.isEmpty) return Array.empty
+                                ef: Int, limitOpt: Int = -1): Array[Int] =
+    beamSearchAdj(g, g.nbrs(_), q, qn, ef,
+      if (limitOpt < 0) g.ids.length else limitOpt)
+
+  private def beamSearchAdj(g: Graph, adj: Int => scala.collection.Seq[Int],
+                            q: Array[Float], qn: Double, ef: Int,
+                            limit: Int): Array[Int] = {
+    if (limit == 0) return Array.empty
     // (score, idx) max-first ordering with index tie-break
     val byBest = Ordering.by[(Double, Int), (Double, Int)](t => (t._1, -t._2))
     val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](byBest)
     val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](byBest.reverse)
-    val visited = new java.util.BitSet(g.ids.length)
+    val visited = new java.util.BitSet(limit)
     val s0 = cos(g, 0, q, qn)
     visited.set(0)
     cand.enqueue((s0, 0))
@@ -85,11 +104,11 @@ object GraphAnn {
       if (res.size >= ef && byBest.lt((cs, c), res.head)) {
         cand.clear() // every remaining candidate is worse — done
       } else {
-        val ns = g.nbrs(c)
+        val ns = adj(c)
         var k = 0
         while (k < ns.length) {
           val nb = ns(k)
-          if (!visited.get(nb)) {
+          if (nb < limit && !visited.get(nb)) {
             visited.set(nb)
             val sc = cos(g, nb, q, qn)
             if (res.size < ef || byBest.gt((sc, nb), res.head)) {
@@ -113,7 +132,13 @@ object GraphAnn {
     * at full recall, see GATES_r11.json).
     */
   private[graft] def buildGraph(ids: Array[Long], vecs: Array[Array[Float]],
-                                norms: Array[Double]): Graph = {
+                                norms: Array[Double]): Graph =
+    buildGraphParams(ids, vecs, norms, M, EfBuild)
+
+  /** Parameterized form for the sweep harness (tools.GraphSweep). */
+  private[graft] def buildGraphParams(ids: Array[Long], vecs: Array[Array[Float]],
+                                      norms: Array[Double], m: Int,
+                                      efBuild: Int): Graph = {
     val n = ids.length
     val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
     def pairCos(a: Int, b: Int): Double = {
@@ -133,15 +158,18 @@ object GraphAnn {
         adj(i) ++= kept.sorted
       }
     }
+    // the full Graph view is safe here: beamSearchAdj bounds itself to
+    // indices < i (the inserted prefix) and reads adjacency through the
+    // LIVE buffers — no per-insert prefix copies (the former take()
+    // copies made the 8192-node build quadratic in allocations)
+    val view = Graph(ids, vecs, norms, Array.empty)
     var i = 1
     while (i < n) {
-      val partial = Graph(ids.take(i), vecs.take(i), norms.take(i),
-        adj.take(i).map(_.toArray))
-      val found = beamSearch(partial, vecs(i), norms(i), EfBuild).take(M)
+      val found = beamSearchAdj(view, adj(_), vecs(i), norms(i), efBuild, i).take(m)
       found.foreach { j =>
         adj(i) += j
         adj(j) += i
-        pruneTo(j, MaxDegree)
+        pruneTo(j, 2 * m)
       }
       i += 1
     }
@@ -192,13 +220,18 @@ object GraphAnn {
       .toDF("q_id", "e_q", "n_q", "node")
       .select(col("q_id"), col("e_q").cast("array<float>").as("e_q"),
         col("n_q"), col("node"))
+    // closure assignment: each vector posts to its Rep nearest nodes
+    // (map-side top-k argmin, still zero shuffle; the posting table is
+    // Rep x corpus rows — the SPANN trade)
     val assigned = n.select(col("vec_id").as("neighbor_id"),
       col("e").as("e_c"), col("nrm").as("n_c"),
-      CentroidOps.cell(col("e"), col("nrm"), nodeCents).as("node"))
+      explode(CentroidOps.nearest(col("e"), col("nrm"), nodeCents, Rep)).as("node"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     broadcast(qProbes).join(assigned, Seq("node"))
       .filter(col("q_id") =!= col("neighbor_id"))
+      // a neighbor reached through several overlapping buckets ranks once
+      .dropDuplicates("q_id", "neighbor_id")
       .withColumn("cos_sim",
         round(dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")), 6))
       .withColumn("rank", row_number().over(w))
