@@ -159,6 +159,55 @@ object Snapshots {
     commitRetry(s, root)(_ => mine)
   }
 
+  /** Idempotent append keyed by an EXTERNAL transaction id (a
+    * Structured Streaming batchId — the `foreachBatch` exactly-once
+    * recipe): a replay of a committed txn is a no-op, so a restarted
+    * stream re-delivering its last batch cannot duplicate rows. The
+    * txn's data dir is deterministic (`data/txn{id}`), and "committed"
+    * means a LIVE manifest references it — a crash between the data
+    * write and the manifest commit leaves an orphan dir the retry
+    * deletes and rewrites (the manifest rename is the only commit
+    * point, same as every other Snapshots write).
+    */
+  def appendTxn(s: SparkSession, root: String, txnId: Long,
+                df: DataFrame): Int = {
+    val f = fs(s)
+    val latest = latestVersion(s, root)
+    val tag = s"/txn$txnId/"
+    val committed = (1 to latest).exists { v =>
+      f.exists(manifestPath(root, v)) &&
+        readManifest(s, root, v).exists(_.contains(tag))
+    }
+    if (committed) return latest
+    val sub = new org.apache.hadoop.fs.Path(s"$root/data/txn$txnId")
+    if (f.exists(sub)) f.delete(sub, true) // crashed half-write
+    df.write.mode("errorifexists").parquet(sub.toString)
+    val mine = f.listStatus(sub).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted
+    commitRetry(s, root)(known => known ++ mine)
+  }
+
+  /** Streaming ingest into a versioned dataset: each micro-batch
+    * commits as one snapshot version through [[appendTxn]] — restart
+    * from the checkpoint re-delivers at-least-once, the txn-id
+    * idempotence makes the dataset exactly-once (spec: restart
+    * mid-stream, final read == the batch union with no duplicates).
+    */
+  def streamingSnapshotSink(stream: DataFrame, root: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val s = batch.sparkSession
+      if (latestVersion(s, root) == 0) {
+        // v1 must exist before appends; an empty create is fine (the
+        // first batch then lands as v2)
+        try create(s, root, batch.limit(0))
+        catch { case _: ConcurrentCommitException => () }
+      }
+      appendTxn(s, root, id, batch)
+      ()
+    }
+
   /** Compaction: fold the latest version's accumulated small files
     * into `partitions` fresh ones as a new version — pure layout, same
     * rows (coalesce: no shuffle). Old versions still read their own

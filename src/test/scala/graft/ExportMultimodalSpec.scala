@@ -729,6 +729,48 @@ class SnapshotsSpec extends org.scalatest.funsuite.AnyFunSuite {
       "post-compaction expire leaves only the compacted files")
   }
 
+  test("txn-keyed appends are exactly-once; streaming ingest survives restart without duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_snapstream").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // unit semantics first: a replayed txn id is a no-op
+    Snapshots.create(spark, root, docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+    val v2 = Snapshots.appendTxn(spark, root, 7L, docs.filter(pmod(col("doc_id"), lit(3)) === 1))
+    val replay = Snapshots.appendTxn(spark, root, 7L, docs.filter(pmod(col("doc_id"), lit(3)) === 1))
+    assert(replay === v2 && Snapshots.latestVersion(spark, root) === v2,
+      "a committed txn id must be a no-op on replay")
+    // crashed half-write: data dir exists, no manifest references it
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    docs.filter(pmod(col("doc_id"), lit(3)) === 2).limit(1)
+      .write.mode("overwrite").parquet(s"$root/data/txn9")
+    val v3 = Snapshots.appendTxn(spark, root, 9L, docs.filter(pmod(col("doc_id"), lit(3)) === 2))
+    assert(ids(Snapshots.read(spark, root, v3)) === ids(docs),
+      "the retry replaces the orphaned half-write, no duplicate rows")
+    // streaming end-to-end with a restart on the same checkpoint
+    val sroot = java.nio.file.Files.createTempDirectory("graft_snapstream2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_snapckpt").toString
+    val rows = docs.select("doc_id", "source").as[(Long, String)].collect().toSeq
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val mem1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q1 = Snapshots.streamingSnapshotSink(
+      mem1.toDF().toDF("doc_id", "source"), sroot)
+      .option("checkpointLocation", ckpt).start()
+    try { mem1.addData(h1: _*); q1.processAllAvailable() } finally q1.stop()
+    // restart: a NEW source on the SAME checkpoint, second half arrives
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    mem2.addData(h1: _*) // the source replays everything it has
+    val q2 = Snapshots.streamingSnapshotSink(
+      mem2.toDF().toDF("doc_id", "source"), sroot)
+      .option("checkpointLocation", ckpt).start()
+    try { mem2.addData(h2: _*); q2.processAllAvailable() } finally q2.stop()
+    val got = ids(Snapshots.read(spark, sroot, Snapshots.latestVersion(spark, sroot)))
+    assert(got === ids(docs),
+      "restarted stream: the versioned dataset holds every row exactly once")
+  }
+
   test("concurrent appends: every committer wins exactly one version, no rows lost") {
     val root = java.nio.file.Files.createTempDirectory("graft_snapconc").toString
     val docs = Tables.documents(spark, sf).select("doc_id", "source")
