@@ -24,6 +24,7 @@ object Bench {
     "q_ann_advisor_filtered" -> "adf",
     "q_ann_pq_topk" -> "apq", "q_ann_opq_topk" -> "ao", "q_ann_sq_topk" -> "asq",
     "q_ann_bq_topk" -> "abq", "q_ann_hnsw_topk" -> "ahn",
+    "q_ann_hnsw_indexed" -> "ahx",
     "q_anti_join" -> "an",
     "q_approx_stats" -> "apx", "q_argmax" -> "am",
     "q_asof_join" -> "as", "q_attachment_text" -> "at",

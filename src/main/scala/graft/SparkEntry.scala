@@ -102,6 +102,9 @@ object SparkEntry {
     // beam routing over the bounded node set + distributed
     // bucket-pruned exact rerank; gated via ann_hnsw_recall5
     "q_ann_hnsw_topk"  -> GraphAnn.annHnswTopK _,
+    // persisted-artifact twin: same neighbors from the node-partitioned
+    // SPANN posting table + graph sidecar (sources.GraphIndex)
+    "q_ann_hnsw_indexed" -> sources.GraphIndex.annHnswIndexed _,
     // full-oracle since r11: the participation ratio is computed via
     // trace identities (tr(C)²/(tr(C²)·d) — no eigenvalues), so the
     // whole decision pipeline is sequential-fold-reproducible in SQL

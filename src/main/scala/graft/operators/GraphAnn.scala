@@ -200,14 +200,19 @@ object GraphAnn {
     * graph-routed probes.
     */
   def annHnswTopK(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val g = graph(s, dir)
-    val nodeCents: Seq[(Int, Array[Float], Double)] =
-      g.ids.indices.map(i => (g.ids(i).toInt, g.vecs(i), g.norms(i)))
-    val n = Similarity.normed(s, dir)
-    // routing is driver-local over the bounded query batch: beam
-    // search per query, top ProbeNodes node ids as that query's probes
-    val qRows = n.filter(col("vec_id") < Similarity.NumQueries)
+    rerank(probeFrame(s, dir, g), assignedFrame(Similarity.normed(s, dir), g))
+  }
+
+  /** Driver-local routing for the bounded query batch: beam search per
+    * query, top [[ProbeNodes]] node ids as that query's probe rows —
+    * (q_id, e_q, n_q, node), a local frame of queries × probes rows.
+    */
+  private[graft] def probeFrame(s: SparkSession, dir: String,
+                                g: Graph): DataFrame = {
+    import s.implicits._
+    val qRows = Similarity.normed(s, dir)
+      .filter(col("vec_id") < Similarity.NumQueries)
       .select(col("vec_id"), col("e"), col("nrm")).collect()
       .sortBy(_.getLong(0))
     val probeRows = qRows.flatMap { r =>
@@ -216,16 +221,31 @@ object GraphAnn {
       beamSearch(g, q, qn, EfSearch).take(ProbeNodes)
         .map(idx => (r.getLong(0), q.toSeq, qn, g.ids(idx).toInt))
     }.toSeq
-    val qProbes = probeRows
+    probeRows
       .toDF("q_id", "e_q", "n_q", "node")
       .select(col("q_id"), col("e_q").cast("array<float>").as("e_q"),
         col("n_q"), col("node"))
-    // closure assignment: each vector posts to its Rep nearest nodes
-    // (map-side top-k argmin, still zero shuffle; the posting table is
-    // Rep x corpus rows — the SPANN trade)
-    val assigned = n.select(col("vec_id").as("neighbor_id"),
+  }
+
+  /** Closure assignment over a normed frame: each vector posts to its
+    * [[Rep]] nearest nodes (map-side top-k argmin, still zero shuffle;
+    * the posting table is Rep × corpus rows — the SPANN trade). The
+    * posting row CARRIES the raw vector, so rerank never joins back to
+    * the corpus.
+    */
+  private[graft] def assignedFrame(normed: DataFrame, g: Graph): DataFrame = {
+    val nodeCents: Seq[(Int, Array[Float], Double)] =
+      g.ids.indices.map(i => (g.ids(i).toInt, g.vecs(i), g.norms(i)))
+    normed.select(col("vec_id").as("neighbor_id"),
       col("e").as("e_c"), col("nrm").as("n_c"),
       explode(CentroidOps.nearest(col("e"), col("nrm"), nodeCents, Rep)).as("node"))
+  }
+
+  /** The candidate join + exact rerank tail shared by the in-memory
+    * path and the persisted [[graft.sources.GraphIndex]].
+    */
+  private[graft] def rerank(qProbes: DataFrame,
+                            assigned: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     broadcast(qProbes).join(assigned, Seq("node"))

@@ -58,6 +58,8 @@ object RecallReport {
     ("ann_pq_indexed_recall5", graft.sources.PqIndex.annPqIndexed(s, dir),
       "brute"),
     ("ann_hnsw_recall5", GraphAnn.annHnswTopK(s, dir), "brute"),
+    ("ann_hnsw_indexed_recall5", graft.sources.GraphIndex.annHnswIndexed(s, dir),
+      "brute"),
     ("ann_ivf_filtered_recall5", Similarity.annIvfFilteredTopK(s, dir),
       "filtered"),
     ("hard_negatives_ivf_recall5", Similarity.hardNegativesIvf(s, dir),
@@ -86,6 +88,7 @@ object RecallReport {
     "ann_sq_recall5" -> 90, "ann_bq_recall5" -> 70,
     "ann_opq_recall5" -> 90, "ann_ivfpq_recall5" -> 55,
     "ann_pq_indexed_recall5" -> 55, "ann_hnsw_recall5" -> 90,
+    "ann_hnsw_indexed_recall5" -> 90,
     "ann_ivf_filtered_recall5" -> 40,
     "hard_negatives_ivf_recall5" -> 40,
     "approx_users_relerr" -> ApproxUsersMaxErrPct,

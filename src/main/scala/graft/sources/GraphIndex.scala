@@ -1,0 +1,188 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{GraphAnn, Similarity}
+
+/** Persisted graph-routed ANN index — the SPANN disk layout for the
+  * graph family, completing the same artifact lifecycle the
+  * quantization family has in [[PqIndex]] (build / append / delete /
+  * compact / versioned reads): the closure posting table materializes
+  * once, queries answer from the artifact alone, and the raw corpus
+  * is never rejoined (the posting rows carry their vectors — rerank
+  * is in-partition).
+  *
+  * Layout under the index root:
+  *   postings/   parquet (neighbor_id, e_c, n_c), written
+  *               `partitionBy("node")` — one directory per routing
+  *               node, so a query's beam-routed node set prunes to
+  *               its buckets' FILES at the scan (PartitionFilters —
+  *               at 100 TB a query reads probes·Rep/nodes ≈ 3% of the
+  *               posting table, never the table)
+  *   meta/       1-row parquet sidecar: the NSW routing graph (node
+  *               ids, vectors, norms, adjacency) — bounded metadata,
+  *               ≤ 2 MB at the 8192-node cap
+  *   tombstones/ optional delete sidecar (neighbor_id)
+  *
+  * Append encodes ONLY the arriving batch against the FROZEN sidecar
+  * graph (never re-inserted/re-linked — the PqIndex frozen-codebook
+  * contract), so append + search == full-rebuild search exactly
+  * (spec). Deletes tombstone all Rep posting copies via one anti-join
+  * after bucket pruning; compact physically reclaims. commitVersion /
+  * searchAt pin the artifact per [[IndexVersions]].
+  */
+object GraphIndex {
+
+  def indexRoot(s: SparkSession, dir: String): String =
+    ScopedFixture.root(s, "graft_graphindex", dir)
+
+  def materialize(s: SparkSession, dir: String): String =
+    materializeWhere(s, dir, lit(true), indexRoot(s, dir))
+
+  /** Build over a corpus predicate — the spec's base-plus-append
+    * handle. The routing graph is ALWAYS the dir-keyed full-corpus
+    * sample graph ([[GraphAnn.graph]] — the pqCodebook precedent), so
+    * a base build and a full build share frozen routing and
+    * append == rebuild holds structurally.
+    */
+  private[graft] def materializeWhere(s: SparkSession, dir: String,
+                                      pred: org.apache.spark.sql.Column,
+                                      root: String): String = {
+    FixtureCleanup.onExit(root)
+    if (ScopedFixture.isComplete(root)) return root
+    val g = GraphAnn.graph(s, dir)
+    writePostings(
+      GraphAnn.assignedFrame(Similarity.normed(s, dir).filter(pred), g),
+      root, "overwrite")
+    import s.implicits._
+    Seq((g.ids.toSeq, g.vecs.map(_.toSeq).toSeq, g.norms.toSeq,
+        g.nbrs.map(_.toSeq).toSeq))
+      .toDF("node_ids", "node_vecs", "node_norms", "node_nbrs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    ScopedFixture.markComplete(root)
+    root
+  }
+
+  private def writePostings(assigned: DataFrame, root: String,
+                            mode: String): Unit = {
+    val s = assigned.sparkSession
+    if (assigned.isEmpty) {
+      // the PqIndex empty-layout convention: zero-row partitionBy
+      // writes emit no files and brick the next read's schema
+      // inference — write one schema-bearing empty file, unpartitioned
+      if (mode == "overwrite")
+        assigned.coalesce(1).write.mode(mode).parquet(s"$root/postings")
+    } else {
+      if (mode == "append")
+        PqIndex.clearUnpartitionedEmpty(s, s"$root/postings")
+      assigned.repartition(col("node"))
+        .write.mode(mode).partitionBy("node").parquet(s"$root/postings")
+    }
+    s.catalog.refreshByPath(s"$root/postings")
+  }
+
+  /** Incremental append: closure-assign ONLY the arriving normed
+    * batch against the frozen sidecar graph — O(batch), the standing
+    * postings untouched.
+    */
+  def append(s: SparkSession, root: String, batchNormed: DataFrame): Unit =
+    writePostings(GraphAnn.assignedFrame(batchNormed, sidecarGraph(s, root)),
+      root, "append")
+
+  /** Tombstone delete (all Rep posting copies drop via the anti-join). */
+  def delete(s: SparkSession, root: String, ids: Seq[Long]): Unit = {
+    import s.implicits._
+    ids.toDF("neighbor_id").write.mode("append").parquet(s"$root/tombstones")
+  }
+
+  private def tombstones(s: SparkSession, root: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")))
+      Some(s.read.parquet(s"$root/tombstones"))
+    else None
+  }
+
+  /** Physically reclaim tombstoned postings, node directories kept. */
+  def compact(s: SparkSession, root: String): Unit = {
+    val live = tombstones(s, root).fold(s.read.parquet(s"$root/postings"))(t =>
+      s.read.parquet(s"$root/postings")
+        .join(t.select("neighbor_id").distinct(), Seq("neighbor_id"), "left_anti"))
+    val tmp = s"$root/postings_compacting"
+    if (live.isEmpty) live.coalesce(1).write.mode("overwrite").parquet(tmp)
+    else live.repartition(col("node"))
+      .write.mode("overwrite").partitionBy("node").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(s"$root/postings")
+    fs.delete(cur, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), cur)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
+    s.catalog.refreshByPath(s"$root/postings")
+  }
+
+  /** Sidecar graph, memoized per root (pure function of the artifact). */
+  private val sidecarMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, GraphAnn.Graph]()
+
+  private def sidecarGraph(s: SparkSession, root: String): GraphAnn.Graph =
+    sidecarMemo.computeIfAbsent(root, _ => graphFrom(s.read.parquet(s"$root/meta")))
+
+  private def graphFrom(meta: DataFrame): GraphAnn.Graph = {
+    val r = meta.head()
+    // nested array columns deserialize with MUTABLE inner ArraySeqs —
+    // an immutable-Seq element type would ClassCastException at map
+    GraphAnn.Graph(
+      r.getSeq[Long](0).toArray,
+      r.getSeq[scala.collection.Seq[Float]](1).map(_.toArray).toArray,
+      r.getSeq[Double](2).toArray,
+      r.getSeq[scala.collection.Seq[Int]](3).map(_.toArray).toArray)
+  }
+
+  /** §2 catalog entry (`q_ann_hnsw_indexed`): materialize, then answer
+    * the standard query batch FROM the artifact — routing from the
+    * sidecar graph, candidates from the node-pruned posting files,
+    * rerank in-partition. Cell-equal to `q_ann_hnsw_topk` by
+    * construction (spec-asserted); recall driver-gated via
+    * `ann_hnsw_indexed_recall5`.
+    */
+  def annHnswIndexed(s: SparkSession, dir: String): DataFrame =
+    searchRoot(s, dir, materialize(s, dir))
+
+  private[graft] def searchRoot(s: SparkSession, dir: String,
+                                root: String): DataFrame =
+    searchFrames(s, dir, sidecarGraph(s, root),
+      s.read.parquet(s"$root/postings"), tombstones(s, root))
+
+  // ---- versioned reads ----------------------------------------------------
+
+  /** Snapshot the index state (postings + graph sidecar + tombstones)
+    * as the next version; [[searchAt]] reproduces its neighbor sets
+    * through later appends and deletes. A [[compact]] bounds time
+    * travel like any vacuum.
+    */
+  def commitVersion(s: SparkSession, root: String): Int =
+    IndexVersions.commit(s, root, Seq("postings", "meta", "tombstones"))
+
+  def searchAt(s: SparkSession, dir: String, root: String, v: Int): DataFrame = {
+    val meta = IndexVersions.readAt(s, root, v, "meta").getOrElse(
+      throw new IllegalStateException(s"version $v of $root has no sidecar"))
+    val post = IndexVersions.readAt(s, root, v, "postings").getOrElse(
+      throw new IllegalStateException(s"version $v of $root has no postings"))
+    searchFrames(s, dir, graphFrom(meta), post,
+      IndexVersions.readAt(s, root, v, "tombstones"))
+  }
+
+  private def searchFrames(s: SparkSession, dir: String, g: GraphAnn.Graph,
+                           postingsAll: DataFrame,
+                           tomb: Option[DataFrame]): DataFrame = {
+    val qProbes = GraphAnn.probeFrame(s, dir, g)
+    // union of every query's routed nodes, pushed as an isin partition
+    // filter — plan-time file pruning over the node directories
+    val routed = qProbes.select("node").collect().map(_.getInt(0)).distinct
+    val pruned = postingsAll.filter(col("node").isin(routed.toIndexedSeq: _*))
+    val live = tomb.fold(pruned)(t =>
+      pruned.join(t.select("neighbor_id").distinct(), Seq("neighbor_id"), "left_anti"))
+    GraphAnn.rerank(qProbes, live)
+  }
+}
