@@ -20,8 +20,8 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(fromIndex.collect().toSeq === direct.collect().toSeq,
       "the posting artifact reproduces the in-memory rerank cell-for-cell")
     val p = fromIndex.queryExecution.executedPlan.toString
-    assert(p.contains("PartitionFilters") && p.contains("node"),
-      s"routed nodes should prune posting partitions:\n$p")
+    assert(p.contains("PartitionFilters") && p.contains("nshard"),
+      s"routed node shards should prune posting partitions:\n$p")
     val files = fromIndex.inputFiles
     assert(files.nonEmpty && files.forall(_.contains("graft_graphindex")),
       "the query path reads only the posting artifact (vectors ride the postings)")
