@@ -219,7 +219,7 @@ object GraphAnn {
       val q = r.getSeq[Float](1).toArray
       val qn = r.getDouble(2)
       beamSearch(g, q, qn, EfSearch).take(ProbeNodes)
-        .map(idx => (r.getLong(0), q.toSeq, qn, g.ids(idx).toInt))
+        .map(idx => (r.getLong(0), q.toSeq, qn, idx))
     }.toSeq
     probeRows
       .toDF("q_id", "e_q", "n_q", "node")
@@ -232,10 +232,17 @@ object GraphAnn {
     * the posting table is Rep × corpus rows — the SPANN trade). The
     * posting row CARRIES the raw vector, so rerank never joins back to
     * the corpus.
+    *
+    * The bucket key is the node's dense GRAPH INDEX (0..n-1), never a
+    * truncated vec_id: a `.toLong.toInt` key collides silently for
+    * vec_ids equal mod 2³² — exactly the ids a 100 TB corpus has —
+    * merging two unrelated buckets. Indices are collision-free by
+    * construction and bounded by the node cap; the Long vec_ids stay
+    * intact on the posting rows as `neighbor_id`.
     */
   private[graft] def assignedFrame(normed: DataFrame, g: Graph): DataFrame = {
     val nodeCents: Seq[(Int, Array[Float], Double)] =
-      g.ids.indices.map(i => (g.ids(i).toInt, g.vecs(i), g.norms(i)))
+      g.ids.indices.map(i => (i, g.vecs(i), g.norms(i)))
     normed.select(col("vec_id").as("neighbor_id"),
       col("e").as("e_c"), col("nrm").as("n_c"),
       explode(CentroidOps.nearest(col("e"), col("nrm"), nodeCents, Rep)).as("node"))

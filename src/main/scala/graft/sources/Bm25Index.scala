@@ -70,9 +70,19 @@ object Bm25Index {
     root
   }
 
-  /** Incremental append: index the arriving documents frame only. */
-  def append(s: SparkSession, root: String, batch: DataFrame): Unit =
+  /** Incremental append: index the arriving documents frame only.
+    * Re-appending a previously deleted doc_id resurrects it (FAISS
+    * `remove_ids` + `add` semantics): on overlap with the tombstone
+    * set the index compacts first — physical reclaim, so the old rows
+    * cannot double the new ones — then the batch lands fresh. The
+    * overlap probe is one existence check when no delete has run.
+    */
+  def append(s: SparkSession, root: String, batch: DataFrame): Unit = {
+    if (IndexMaintenance.tombstonesOverlap(s, root, "doc_id",
+        batch.select("doc_id")))
+      compact(s, root)
     writeBatch(batch, root, "append")
+  }
 
   private def writeBatch(docs: DataFrame, root: String, mode: String): Unit = {
     val s = docs.sparkSession
@@ -149,24 +159,27 @@ object Bm25Index {
 
   /** Physically reclaim tombstoned rows from both trees and clear the
     * sidecar (shard directories preserved — probe pruning needs them).
+    * Each tree replace is crash-atomic ([[IndexMaintenance.swap]]: a
+    * crash at any point leaves a complete copy recoverable by the read
+    * path — the old delete-then-rename had a window with NO live tree).
     */
   def compact(s: SparkSession, root: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
     def rewrite(sub: String, partitioned: Boolean): Unit = {
-      val live = dropTombstoned(s, root, s.read.parquet(s"$root/$sub"))
+      val cur = s"$root/$sub"
       val tmp = s"$root/${sub}_compacting"
+      IndexMaintenance.recover(s, cur, tmp)
+      val live = dropTombstoned(s, root, s.read.parquet(cur))
       if (partitioned && !live.isEmpty)
         live.repartition(col("tshard"))
           .write.mode("overwrite").partitionBy("tshard").parquet(tmp)
       else live.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val cur = new org.apache.hadoop.fs.Path(s"$root/$sub")
-      fs.delete(cur, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), cur)
+      IndexMaintenance.swap(s, cur, tmp)
+      s.catalog.refreshByPath(cur)
     }
     rewrite("postings", partitioned = true)
     rewrite("doclens", partitioned = false)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
+    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
   }
 
   // ---- versioned reads ----------------------------------------------------
@@ -224,11 +237,15 @@ object Bm25Index {
   /** Rank [[Retrieval.Bm25Terms]] against an arbitrary index root
     * (the spec's handle for base-plus-append vs full-rebuild).
     */
-  private[graft] def searchRoot(s: SparkSession, root: String): DataFrame =
+  private[graft] def searchRoot(s: SparkSession, root: String): DataFrame = {
+    // roll any crash-interrupted compaction swap forward before planning
+    IndexMaintenance.recover(s, s"$root/postings", s"$root/postings_compacting")
+    IndexMaintenance.recover(s, s"$root/doclens", s"$root/doclens_compacting")
     searchFrames(s,
       s.read.parquet(s"$root/postings"),
       s.read.parquet(s"$root/doclens"),
       tombstones(s, root))
+  }
 
   private def searchFrames(s: SparkSession, postingsAll: DataFrame,
                            doclensAll: DataFrame,

@@ -95,11 +95,18 @@ object GraphIndex {
 
   /** Incremental append: closure-assign ONLY the arriving normed
     * batch against the frozen sidecar graph — O(batch), the standing
-    * postings untouched.
+    * postings untouched. Re-appending a previously deleted id
+    * resurrects it (FAISS `remove_ids` + `add`): on tombstone overlap
+    * the index compacts first — physical reclaim — so the fresh
+    * postings never coexist with the suppressed old copies.
     */
-  def append(s: SparkSession, root: String, batchNormed: DataFrame): Unit =
+  def append(s: SparkSession, root: String, batchNormed: DataFrame): Unit = {
+    if (IndexMaintenance.tombstonesOverlap(s, root, "neighbor_id",
+        batchNormed.select(col("vec_id").as("neighbor_id"))))
+      compact(s, root)
     writePostings(GraphAnn.assignedFrame(batchNormed, sidecarGraph(s, root)),
       root, "append")
+  }
 
   /** Tombstone delete (all Rep posting copies drop via the anti-join). */
   def delete(s: SparkSession, root: String, ids: Seq[Long]): Unit = {
@@ -115,22 +122,23 @@ object GraphIndex {
     else None
   }
 
-  /** Physically reclaim tombstoned postings, node directories kept. */
+  /** Physically reclaim tombstoned postings, node directories kept.
+    * Crash-atomic replace via [[IndexMaintenance.swap]].
+    */
   def compact(s: SparkSession, root: String): Unit = {
-    val live = tombstones(s, root).fold(s.read.parquet(s"$root/postings"))(t =>
-      s.read.parquet(s"$root/postings")
-        .join(t.select("neighbor_id").distinct(), Seq("neighbor_id"), "left_anti"))
+    val cur = s"$root/postings"
     val tmp = s"$root/postings_compacting"
+    IndexMaintenance.recover(s, cur, tmp)
+    val live = tombstones(s, root).fold(s.read.parquet(cur))(t =>
+      s.read.parquet(cur)
+        .join(t.select("neighbor_id").distinct(), Seq("neighbor_id"), "left_anti"))
     if (live.isEmpty) live.coalesce(1).write.mode("overwrite").parquet(tmp)
     else live.repartition(col("nshard"))
       .write.mode("overwrite").partitionBy("nshard").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
-    val cur = new org.apache.hadoop.fs.Path(s"$root/postings")
-    fs.delete(cur, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), cur)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
-    s.catalog.refreshByPath(s"$root/postings")
+    IndexMaintenance.swap(s, cur, tmp)
+    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
+    s.catalog.refreshByPath(cur)
   }
 
   /** Sidecar graph, memoized per root (pure function of the artifact). */
@@ -162,9 +170,12 @@ object GraphIndex {
     searchRoot(s, dir, materialize(s, dir))
 
   private[graft] def searchRoot(s: SparkSession, dir: String,
-                                root: String): DataFrame =
+                                root: String): DataFrame = {
+    // roll any crash-interrupted compaction swap forward before planning
+    IndexMaintenance.recover(s, s"$root/postings", s"$root/postings_compacting")
     searchFrames(s, dir, sidecarGraph(s, root),
       s.read.parquet(s"$root/postings"), tombstones(s, root))
+  }
 
   // ---- versioned reads ----------------------------------------------------
 

@@ -53,9 +53,61 @@ object PhraseIndex {
     root
   }
 
-  /** Incremental append: index the arriving documents frame only. */
-  def append(s: SparkSession, root: String, batch: DataFrame): Unit =
+  /** Incremental append: index the arriving documents frame only.
+    * Re-appending a previously deleted doc_id resurrects it (the FAISS
+    * `remove_ids` + `add` semantics every graft index shares): on
+    * overlap with the tombstone set the index compacts first, so the
+    * batch's fresh rows never coexist with the suppressed old ones.
+    */
+  def append(s: SparkSession, root: String, batch: DataFrame): Unit = {
+    if (IndexMaintenance.tombstonesOverlap(s, root, "doc_id",
+        batch.select("doc_id")))
+      compact(s, root)
     writeBatch(batch, root, "append")
+  }
+
+  /** Tombstone delete (the [[Bm25Index.delete]] shape): O(batch), no
+    * postings rewritten; the query path anti-joins the live set — the
+    * N/avgdl/phrase-df statistics stay consistent because they derive
+    * from the tombstone-filtered frames at query time.
+    */
+  def delete(s: SparkSession, root: String, docIds: Seq[Long]): Unit = {
+    import s.implicits._
+    docIds.toDF("doc_id").write.mode("append").parquet(s"$root/tombstones")
+  }
+
+  private def tombstones(s: SparkSession, root: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")))
+      Some(s.read.parquet(s"$root/tombstones"))
+    else None
+  }
+
+  /** Physically reclaim tombstoned rows from both trees and clear the
+    * sidecar — crash-atomic via [[IndexMaintenance.swap]].
+    */
+  def compact(s: SparkSession, root: String): Unit = {
+    val tomb = tombstones(s, root)
+    def dropT(df: DataFrame): DataFrame = tomb.fold(df)(t =>
+      df.join(t.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
+    def rewrite(sub: String, partitioned: Boolean): Unit = {
+      val cur = s"$root/$sub"
+      val tmp = s"$root/${sub}_compacting"
+      IndexMaintenance.recover(s, cur, tmp)
+      val live = dropT(s.read.parquet(cur))
+      if (partitioned && !live.isEmpty)
+        live.repartition(col("tshard"))
+          .write.mode("overwrite").partitionBy("tshard").parquet(tmp)
+      else live.coalesce(1).write.mode("overwrite").parquet(tmp)
+      IndexMaintenance.swap(s, cur, tmp)
+      s.catalog.refreshByPath(cur)
+    }
+    rewrite("postings", partitioned = true)
+    rewrite("doclens", partitioned = false)
+    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
+  }
 
   private def writeBatch(docs: DataFrame, root: String, mode: String): Unit = {
     val s = docs.sparkSession
@@ -99,7 +151,7 @@ object PhraseIndex {
 
   /** Snapshot the index's current state as the next version. */
   def commitVersion(s: SparkSession, root: String): Int =
-    IndexVersions.commit(s, root, Seq("postings", "doclens"))
+    IndexVersions.commit(s, root, Seq("postings", "doclens", "tombstones"))
 
   /** The standing phrase ranked against the index AS OF version v —
     * scans plan over exactly v's manifest files (shard pruning via
@@ -110,24 +162,34 @@ object PhraseIndex {
       throw new IllegalStateException(s"version $v of $root has no postings"))
     val dl = IndexVersions.readAt(s, root, v, "doclens").getOrElse(
       throw new IllegalStateException(s"version $v of $root has no doclens"))
-    searchFrames(s, post, dl)
+    searchFrames(s, post, dl, IndexVersions.readAt(s, root, v, "tombstones"))
   }
 
-  private[graft] def searchRoot(s: SparkSession, root: String): DataFrame =
+  private[graft] def searchRoot(s: SparkSession, root: String): DataFrame = {
+    // roll any crash-interrupted compaction swap forward before planning
+    IndexMaintenance.recover(s, s"$root/postings", s"$root/postings_compacting")
+    IndexMaintenance.recover(s, s"$root/doclens", s"$root/doclens_compacting")
     searchFrames(s, s.read.parquet(s"$root/postings"),
-      s.read.parquet(s"$root/doclens"))
+      s.read.parquet(s"$root/doclens"), tombstones(s, root))
+  }
 
   private def searchFrames(s: SparkSession, postingsAll: DataFrame,
-                           doclens: DataFrame): DataFrame = {
+                           doclensAll: DataFrame,
+                           tomb: Option[DataFrame]): DataFrame = {
+    def dropT(df: DataFrame): DataFrame = tomb.fold(df)(t =>
+      df.join(t.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
+    val doclens = dropT(doclensAll)
     val terms = Retrieval.PhraseTerms
     val shards = {
       import s.implicits._
       terms.toDF("term").select(tshard(col("term")))
         .collect().map(_.getInt(0)).distinct.toSeq
     }
-    val post = postingsAll
+    // tombstones drop AFTER shard pruning — the anti-join touches only
+    // the phrase terms' partitions
+    val post = dropT(postingsAll
       .filter(col("tshard").isin(shards: _*))
-      .filter(col("term").isin(terms: _*))
+      .filter(col("term").isin(terms: _*)))
     // positional merge: term k's occurrences must sit at pos_0 + k —
     // chained equi-joins on (doc_id, shifted pos), each join consumes
     // one term's pruned occurrence list

@@ -97,6 +97,12 @@ object PqIndex {
     */
   def append(s: SparkSession, root: String, batch: DataFrame): Unit = {
     val (cb, cents) = loadMeta(s, root)
+    // re-appending a deleted id resurrects it (FAISS remove_ids + add):
+    // on tombstone overlap compact first — physical reclaim — so the
+    // fresh encode never coexists with the suppressed old rows
+    if (IndexMaintenance.tombstonesOverlap(s, root, "neighbor_id",
+        batch.select(col("vec_id").as("neighbor_id"))))
+      compact(s, root)
     // an all-tombstoned compact leaves codes/ as ONE root-level empty
     // part file (unpartitioned — see compact); a partitioned append on
     // top would create leaf files at two depths and brick every later
@@ -167,8 +173,10 @@ object PqIndex {
     * sidecar is cleared — after compact the scan carries no anti-join.
     */
   def compact(s: SparkSession, root: String): Unit = {
-    val codes = dropTombstoned(s, root, s.read.parquet(s"$root/codes"))
+    val cur = s"$root/codes"
     val tmp = s"$root/codes_compacting"
+    IndexMaintenance.recover(s, cur, tmp)
+    val codes = dropTombstoned(s, root, s.read.parquet(cur))
     // all-tombstoned edge: a partitionBy write of zero rows emits NO
     // part files, and the next read.parquet(codes) dies on 'Unable to
     // infer schema' instead of returning zero candidates. Write the
@@ -180,12 +188,12 @@ object PqIndex {
       codes.coalesce(1).write.mode("overwrite").parquet(tmp)
     else codes.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
-    val cur = new org.apache.hadoop.fs.Path(s"$root/codes")
-    fs.delete(cur, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), cur)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
+    // crash-atomic replace: a complete copy survives every crash point
+    // (the old delete-then-rename left the root with no codes tree)
+    IndexMaintenance.swap(s, cur, tmp)
+    s.catalog.refreshByPath(cur)
+    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
   }
 
   /** Read the metadata sidecar back: (codebook, centroid set). */
@@ -244,9 +252,12 @@ object PqIndex {
   /** Search an arbitrary index root (the spec's handle for querying a
     * base-plus-appends index against a full one).
     */
-  private[graft] def searchRoot(s: SparkSession, dir: String, root: String): DataFrame =
+  private[graft] def searchRoot(s: SparkSession, dir: String, root: String): DataFrame = {
+    // roll any crash-interrupted compaction swap forward before planning
+    IndexMaintenance.recover(s, s"$root/codes", s"$root/codes_compacting")
     searchFrames(s, dir, loadMeta(s, root),
       s.read.parquet(s"$root/codes"), tombstones(s, root))
+  }
 
   private def searchFrames(s: SparkSession, dir: String,
                            meta: (Array[Float], Seq[(Int, Array[Float], Double)]),

@@ -70,27 +70,58 @@ object Snapshots {
       s"version $v at $root was committed concurrently; re-read latest and retry")
 
   private[sources] def writeManifest(s: SparkSession, root: String, v: Int,
-                            files: Seq[String]): Unit = {
+                            files: Seq[String],
+                            txns: Set[Long] = Set.empty): Unit = {
     val f = fs(s)
     val p = manifestPath(root, v)
     // Two-phase commit: write the FULL content to a dot-temp (invisible
-    // to readers and latestVersion), then rename into place. A crash
-    // mid-write leaves only an ignorable temp — never a truncated
-    // v{N}.txt, and never a dangling no-overwrite create that blocks
-    // the retry. The pre-rename existence check is the optimistic-
-    // concurrency gate: exactly one racing committer claims v.
+    // to readers and latestVersion), then publish. A crash mid-write
+    // leaves only an ignorable temp — never a truncated v{N}.txt.
+    // Manifest lines starting with '#' are metadata, not file paths:
+    // `#txn:<id>` records every externally-keyed transaction ever
+    // committed into the lineage (carried forward on every commit), so
+    // the idempotence probe in [[appendTxn]] survives compaction and
+    // expiry of the manifests that referenced the txn's data dir.
     val tmp = new org.apache.hadoop.fs.Path(
       s"$root/manifests/.v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = f.create(tmp, false)
-    try out.write(files.mkString("\n").getBytes("UTF-8"))
+    try out.write(
+      (txns.toSeq.sorted.map(id => s"#txn:$id") ++ files)
+        .mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if (f.exists(p) || !f.rename(tmp, p)) {
+    if (!claimVersion(f, tmp, p)) {
       f.delete(tmp, false)
       throw new ConcurrentCommitException(root, v)
     }
   }
 
-  private[sources] def readManifest(s: SparkSession, root: String, v: Int): Seq[String] = {
+  /** Atomically publish the durable temp as v's manifest; false iff a
+    * racer already claimed v. `exists(p)` followed by rename is NOT a
+    * claim on the local filesystem — RawLocalFileSystem.rename is
+    * POSIX rename(2), which silently REPLACES an existing destination,
+    * so two racers could both "succeed" and the second would drop the
+    * first's batch from the lineage. link(2) fails with EEXIST
+    * atomically, so on file:// the claim is a hard link to the
+    * already-complete temp: exactly one racer's link lands. Non-local
+    * filesystems (HDFS, object stores) reject a rename onto an
+    * existing file, so the rename itself is the claim there.
+    */
+  private def claimVersion(f: org.apache.hadoop.fs.FileSystem,
+                           tmp: org.apache.hadoop.fs.Path,
+                           p: org.apache.hadoop.fs.Path): Boolean =
+    if ("file" == f.getScheme) {
+      val local = (q: org.apache.hadoop.fs.Path) =>
+        java.nio.file.Paths.get(q.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(local(p), local(tmp))
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else !f.exists(p) && f.rename(tmp, p)
+
+  private def manifestLines(s: SparkSession, root: String, v: Int): Seq[String] = {
     val p = manifestPath(root, v)
     require(fs(s).exists(p), s"version $v does not exist under $root")
     val in = fs(s).open(p)
@@ -98,6 +129,17 @@ object Snapshots {
       .filter(_.nonEmpty).toList
     finally in.close()
   }
+
+  private[sources] def readManifest(s: SparkSession, root: String, v: Int): Seq[String] =
+    manifestLines(s, root, v).filterNot(_.startsWith("#"))
+
+  /** Transaction ids recorded in version v's manifest (carried forward
+    * from every prior version at commit time).
+    */
+  private[sources] def readTxnTags(s: SparkSession, root: String, v: Int): Set[Long] =
+    manifestLines(s, root, v).collect {
+      case l if l.startsWith("#txn:") => l.stripPrefix("#txn:").toLong
+    }.toSet
 
   /** Highest committed version, 0 if none. */
   def latestVersion(s: SparkSession, root: String): Int = {
@@ -115,14 +157,16 @@ object Snapshots {
     * caller's data files are already durable and unshared, so the
     * retry is metadata-only.
     */
-  private def commitRetry(s: SparkSession, root: String)
+  private def commitRetry(s: SparkSession, root: String, addTxn: Option[Long] = None)
                          (files: Seq[String] => Seq[String]): Int = {
     var attempts = 0
     while (true) {
       val v = latestVersion(s, root)
       val known = if (v == 0) Seq.empty[String] else readManifest(s, root, v)
+      val knownTxns = if (v == 0) Set.empty[Long] else readTxnTags(s, root, v)
       try {
-        writeManifest(s, root, v + 1, files(known).distinct.sorted)
+        writeManifest(s, root, v + 1, files(known).distinct.sorted,
+          knownTxns ++ addTxn)
         return v + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -173,11 +217,19 @@ object Snapshots {
                 df: DataFrame): Int = {
     val f = fs(s)
     val latest = latestVersion(s, root)
+    // Committed = the txn id is tagged in the LATEST manifest (tags are
+    // carried forward on every commit and land atomically WITH the
+    // commit, so the probe survives compaction rewriting the data into
+    // fresh dirs and expire() dropping the manifests that referenced
+    // them — a path-substring probe did not). The path probe stays as
+    // a fallback for datasets written before the tag format.
     val tag = s"/txn$txnId/"
-    val committed = (1 to latest).exists { v =>
-      f.exists(manifestPath(root, v)) &&
-        readManifest(s, root, v).exists(_.contains(tag))
-    }
+    val committed = latest >= 1 && f.exists(manifestPath(root, latest)) && (
+      readTxnTags(s, root, latest).contains(txnId) ||
+      (1 to latest).exists { v =>
+        f.exists(manifestPath(root, v)) &&
+          readManifest(s, root, v).exists(_.contains(tag))
+      })
     if (committed) return latest
     val sub = new org.apache.hadoop.fs.Path(s"$root/data/txn$txnId")
     if (f.exists(sub)) f.delete(sub, true) // crashed half-write
@@ -185,7 +237,7 @@ object Snapshots {
     val mine = f.listStatus(sub).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString).sorted
-    commitRetry(s, root)(known => known ++ mine)
+    commitRetry(s, root, addTxn = Some(txnId))(known => known ++ mine)
   }
 
   /** Streaming ingest into a versioned dataset: each micro-batch
@@ -219,15 +271,29 @@ object Snapshots {
     rewrite(s, root,
       read(s, root, latestVersion(s, root)).coalesce(math.max(1, partitions)))
 
-  /** Expire every version below `retainMin`: delete their manifests,
-    * then vacuum data/ — physically delete every data file not
-    * reachable from a LIVE (retained) manifest and prune emptied
-    * transaction directories. A reader pinned at a retained version
-    * is untouched (its files are reachable, hence kept); a reader
-    * pinned at an expired version fails fast on the missing manifest
-    * rather than silently scanning reclaimed files.
+  /** Orphans younger than this survive [[expire]]'s vacuum (the Delta
+    * VACUUM retention idea): a concurrent append's durably-written but
+    * not-yet-committed files are never "unreachable garbage" — they are
+    * a commit in flight.
     */
-  def expire(s: SparkSession, root: String, retainMin: Int): Unit = {
+  val DefaultOrphanGraceMs: Long = 20L * 60 * 1000
+
+  /** Expire every version below `retainMin`: delete their manifests,
+    * then vacuum data/. A file is reclaimed iff it is unreachable from
+    * every LIVE (retained) manifest AND either (a) an EXPIRED manifest
+    * referenced it — it was committed, and every version that could
+    * read it is gone — or (b) it is an orphan older than
+    * `orphanGraceMs` (a crashed half-write). Rule (b)'s grace window is
+    * what makes expire safe against CONCURRENT appends: a racing
+    * append's data files are durable before its manifest commits, and
+    * without the grace a vacuum in that window would reclaim them —
+    * the append would then publish a manifest referencing deleted
+    * files. A reader pinned at a retained version is untouched; a
+    * reader pinned at an expired version fails fast on the missing
+    * manifest rather than silently scanning reclaimed files.
+    */
+  def expire(s: SparkSession, root: String, retainMin: Int,
+             orphanGraceMs: Long = DefaultOrphanGraceMs): Unit = {
     val f = fs(s)
     val latest = latestVersion(s, root)
     require(retainMin >= 1 && retainMin <= latest,
@@ -236,23 +302,44 @@ object Snapshots {
       (retainMin to latest).iterator
         .filter(v => f.exists(manifestPath(root, v)))
         .flatMap(v => readManifest(s, root, v)).toSet
+    val expiredRefs: Set[String] =
+      (1 until retainMin).iterator
+        .filter(v => f.exists(manifestPath(root, v)))
+        .flatMap(v => readManifest(s, root, v)).toSet
     (1 until retainMin).foreach { v =>
       val p = manifestPath(root, v)
       if (f.exists(p)) f.delete(p, false)
+    }
+    val cutoff = System.currentTimeMillis() - math.max(0L, orphanGraceMs)
+    def reclaim(k: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val path = k.getPath.toString
+      !live.contains(path) &&
+        (expiredRefs.contains(path) || k.getModificationTime < cutoff)
     }
     val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
     if (f.exists(dataDir)) {
       f.listStatus(dataDir).foreach { st =>
         if (st.isDirectory) {
-          val kids = f.listStatus(st.getPath)
-          kids.foreach { k =>
-            val keep = k.isFile && k.getPath.getName.startsWith("part-") &&
-              live.contains(k.getPath.toString)
-            if (!keep) f.delete(k.getPath, false)
+          val hadExpiredData = f.listStatus(st.getPath).exists(k =>
+            k.isFile && expiredRefs.contains(k.getPath.toString))
+          f.listStatus(st.getPath).foreach { k =>
+            if (k.isFile && k.getPath.getName.startsWith("part-") && reclaim(k))
+              f.delete(k.getPath, false)
           }
-          if (f.listStatus(st.getPath).isEmpty) f.delete(st.getPath, false)
+          val left = f.listStatus(st.getPath)
+          val hasData = left.exists(k =>
+            k.isFile && k.getPath.getName.startsWith("part-"))
+          // prune the dir (committer droppings like _SUCCESS included)
+          // only once no data file survives AND the dir is provably
+          // dead: its data was just reclaimed from expired manifests,
+          // or it is an aged orphan. A young dir with no data yet is an
+          // append mid-write — leave it alone.
+          val dead = hadExpiredData ||
+            (left.forall(k => k.isFile && k.getModificationTime < cutoff) &&
+              st.getModificationTime < cutoff)
+          if (!hasData && dead) f.delete(st.getPath, true)
         } else if (st.isFile && st.getPath.getName.startsWith("part-") &&
-                   !live.contains(st.getPath.toString)) {
+                   reclaim(st)) {
           // pre-r11 flat-layout files are vacuumed by the same rule
           f.delete(st.getPath, false)
         }

@@ -1,0 +1,223 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Bm25Index, GraphIndex, IndexMaintenance, PhraseIndex, PqIndex, Snapshots}
+import graft.operators.Similarity
+
+/** Round-12 lifecycle hardening:
+  *   - compaction's directory swap is crash-atomic on all four index
+  *     lifecycles (a crash at ANY injected point leaves an index the
+  *     read path can still serve — the old delete-then-rename had a
+  *     window with NO live tree);
+  *   - re-adding a deleted id resurrects it with no duplicate rows
+  *     (FAISS `remove_ids` + `add` semantics: tombstone overlap
+  *     triggers a physical compact before the fresh append).
+  */
+class IndexLifecycleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Arm the seam to throw once at `label`, then disarm itself. */
+  private def crashAt(label: String): Unit =
+    IndexMaintenance.crashHook = l =>
+      if (l == label) {
+        IndexMaintenance.crashHook = _ => ()
+        throw new RuntimeException(s"injected crash at $label")
+      }
+
+  private def docsMod(m: Int, r: Int) =
+    Tables.documents(spark, sf).filter(pmod(col("doc_id"), lit(m)) === r)
+
+  test("bm25 compaction survives a crash at every swap step") {
+    for (point <- Seq("pre-aside", "mid-swap", "pre-gc")) {
+      val root = tmp("graft_bm25crash")
+      Bm25Index.materializeWhere(spark, sf, lit(true), root)
+      val victims = Bm25Index.searchRoot(spark, root)
+        .collect().map(_.getLong(0)).take(2).toSeq
+      Bm25Index.delete(spark, root, victims)
+      val want = Bm25Index.searchRoot(spark, root).collect().toSeq
+      assert(!want.exists(r => victims.contains(r.getLong(0))))
+      crashAt(point)
+      intercept[RuntimeException] { Bm25Index.compact(spark, root) }
+      IndexMaintenance.crashHook = _ => ()
+      // the read path recovers the interrupted swap and serves the
+      // same live set the pre-crash index served
+      assert(Bm25Index.searchRoot(spark, root).collect().toSeq === want,
+        s"search must survive a crash at $point")
+      // a follow-up compact completes cleanly
+      Bm25Index.compact(spark, root)
+      assert(Bm25Index.searchRoot(spark, root).collect().toSeq === want,
+        s"post-recovery compact must converge after a crash at $point")
+      assert(!new java.io.File(s"$root/tombstones").exists)
+    }
+  }
+
+  test("pq and graph and phrase compaction survive the mid-swap crash window") {
+    // mid-swap is THE data-loss window of the old delete-then-rename:
+    // the current tree is gone, the replacement not yet in place
+    locally {
+      val root = tmp("graft_pqcrash")
+      PqIndex.materializeWhere(spark, sf, lit(true), root)
+      val victim = PqIndex.searchRoot(spark, sf, root)
+        .collect().map(_.getAs[Long]("neighbor_id")).head
+      PqIndex.delete(spark, root, Seq(victim))
+      val want = PqIndex.searchRoot(spark, sf, root).collect().toSeq
+      crashAt("mid-swap")
+      intercept[RuntimeException] { PqIndex.compact(spark, root) }
+      IndexMaintenance.crashHook = _ => ()
+      assert(PqIndex.searchRoot(spark, sf, root).collect().toSeq === want,
+        "pq search must survive the mid-swap crash")
+      PqIndex.compact(spark, root)
+      assert(PqIndex.searchRoot(spark, sf, root).collect().toSeq === want)
+    }
+    locally {
+      import spark.implicits._
+      val root = tmp("graft_gicrash")
+      GraphIndex.materializeWhere(spark, sf, lit(true), root)
+      val victim = GraphIndex.searchRoot(spark, sf, root)
+        .collect().map(_.getAs[Long]("neighbor_id")).head
+      GraphIndex.delete(spark, root, Seq(victim))
+      val want = GraphIndex.searchRoot(spark, sf, root).collect().toSeq
+      crashAt("mid-swap")
+      intercept[RuntimeException] { GraphIndex.compact(spark, root) }
+      IndexMaintenance.crashHook = _ => ()
+      assert(GraphIndex.searchRoot(spark, sf, root).collect().toSeq === want,
+        "graph search must survive the mid-swap crash")
+      GraphIndex.compact(spark, root)
+      assert(GraphIndex.searchRoot(spark, sf, root).collect().toSeq === want)
+    }
+    locally {
+      val root = tmp("graft_phrcrash")
+      PhraseIndex.materializeWhere(spark, sf, lit(true), root)
+      val victim = PhraseIndex.searchRoot(spark, root)
+        .collect().map(_.getLong(0)).head
+      PhraseIndex.delete(spark, root, Seq(victim))
+      val want = PhraseIndex.searchRoot(spark, root).collect().toSeq
+      assert(!want.exists(_.getLong(0) == victim),
+        "the phrase tombstone must drop the doc at query time")
+      crashAt("mid-swap")
+      intercept[RuntimeException] { PhraseIndex.compact(spark, root) }
+      IndexMaintenance.crashHook = _ => ()
+      assert(PhraseIndex.searchRoot(spark, root).collect().toSeq === want,
+        "phrase search must survive the mid-swap crash")
+      PhraseIndex.compact(spark, root)
+      assert(PhraseIndex.searchRoot(spark, root).collect().toSeq === want)
+    }
+  }
+
+  test("delete then re-append resurrects the id with no duplicates — all four indexes") {
+    import spark.implicits._
+    // bm25
+    locally {
+      val root = tmp("graft_bm25readd")
+      Bm25Index.materializeWhere(spark, sf, lit(true), root)
+      val original = Bm25Index.searchRoot(spark, root).collect().toSeq
+      val victim = original.head.getLong(0)
+      Bm25Index.delete(spark, root, Seq(victim))
+      assert(!Bm25Index.searchRoot(spark, root).collect()
+        .exists(_.getLong(0) == victim))
+      Bm25Index.append(spark, root,
+        Tables.documents(spark, sf).filter(col("doc_id") === victim))
+      assert(Bm25Index.searchRoot(spark, root).collect().toSeq === original,
+        "bm25: re-added doc must rank exactly as before the delete")
+    }
+    // phrase
+    locally {
+      val root = tmp("graft_phrreadd")
+      PhraseIndex.materializeWhere(spark, sf, lit(true), root)
+      val original = PhraseIndex.searchRoot(spark, root).collect().toSeq
+      val victim = original.head.getLong(0)
+      PhraseIndex.delete(spark, root, Seq(victim))
+      assert(!PhraseIndex.searchRoot(spark, root).collect()
+        .exists(_.getLong(0) == victim))
+      PhraseIndex.append(spark, root,
+        Tables.documents(spark, sf).filter(col("doc_id") === victim))
+      assert(PhraseIndex.searchRoot(spark, root).collect().toSeq === original,
+        "phrase: re-added doc must rank exactly as before the delete")
+    }
+    // pq
+    locally {
+      val root = tmp("graft_pqreadd")
+      PqIndex.materializeWhere(spark, sf, lit(true), root)
+      val original = PqIndex.searchRoot(spark, sf, root).collect().toSeq
+      val victim = original.map(_.getAs[Long]("neighbor_id")).head
+      PqIndex.delete(spark, root, Seq(victim))
+      assert(!PqIndex.searchRoot(spark, sf, root).collect()
+        .exists(_.getAs[Long]("neighbor_id") == victim))
+      PqIndex.append(spark, root,
+        Similarity.normed(spark, sf).filter(col("vec_id") === victim))
+      assert(PqIndex.searchRoot(spark, sf, root).collect().toSeq === original,
+        "pq: re-added vector must score exactly as before the delete")
+    }
+    // graph
+    locally {
+      val root = tmp("graft_gireadd")
+      GraphIndex.materializeWhere(spark, sf, lit(true), root)
+      val original = GraphIndex.searchRoot(spark, sf, root).collect().toSeq
+      val victim = original.map(_.getAs[Long]("neighbor_id")).head
+      GraphIndex.delete(spark, root, Seq(victim))
+      assert(!GraphIndex.searchRoot(spark, sf, root).collect()
+        .exists(_.getAs[Long]("neighbor_id") == victim))
+      GraphIndex.append(spark, root,
+        Similarity.normed(spark, sf).filter(col("vec_id") === victim))
+      assert(GraphIndex.searchRoot(spark, sf, root).collect().toSeq === original,
+        "graph: re-added vector must score exactly as before the delete")
+    }
+  }
+}
+
+/** Snapshots maintenance safety (round-12 ADVICE items): expire's
+  * vacuum must not eat a concurrent append's in-flight files, and
+  * appendTxn's exactly-once probe must survive compaction + expiry.
+  */
+class SnapshotsMaintenanceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  private def ids(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("expire's vacuum spares a young uncommitted append (grace window)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snapgrace").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    Snapshots.create(spark, root, docs.limit(10))
+    // simulate an append that has durably written its data but not yet
+    // committed its manifest — the racing-appender window
+    val orphan = s"$root/data/binflight"
+    docs.limit(5).coalesce(1).write.parquet(orphan)
+    Snapshots.expire(spark, root, retainMin = 1)
+    assert(new java.io.File(orphan).exists,
+      "default grace: an in-flight append's files must survive the vacuum")
+    Thread.sleep(20)
+    Snapshots.expire(spark, root, retainMin = 1, orphanGraceMs = 0L)
+    assert(!new java.io.File(orphan).exists,
+      "an aged orphan (crashed half-write) is reclaimed once past the grace")
+  }
+
+  test("appendTxn replay stays a no-op across compact + expire") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snaptxn2").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    val sliceA = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val sliceB = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    Snapshots.create(spark, root, sliceA)
+    Snapshots.appendTxn(spark, root, 7L, sliceB)
+    val want = ids(docs)
+    // maintenance: compact rewrites the rows into fresh dirs, expire
+    // drops the manifests that referenced data/txn7 and reclaims it —
+    // the exact sequence that defeated a path-substring probe
+    val v3 = Snapshots.compact(spark, root, partitions = 2)
+    Thread.sleep(20)
+    Snapshots.expire(spark, root, retainMin = v3, orphanGraceMs = 0L)
+    assert(!new java.io.File(s"$root/data/txn7").exists,
+      "precondition: the txn's data dir is physically gone after maintenance")
+    // a delayed stream-restart replay of batch 7 must still be a no-op
+    val latest = Snapshots.appendTxn(spark, root, 7L, sliceB)
+    assert(latest === v3, "the replayed txn must not claim a new version")
+    assert(ids(Snapshots.read(spark, root, latest)) === want,
+      "the replayed txn must not duplicate its rows")
+  }
+}
