@@ -283,8 +283,10 @@ object SparkEntry {
     "q_funnel"            -> ExtendedAnalytics.funnel _,
     "q_retention"         -> ExtendedAnalytics.retention _,
     "q_weekly_focus"      -> TaskAnalytics.weeklyFocus _,
-    // sketches (rows-only: HLL/KLL/CMS internals are engine-specific;
-    // specs bound error vs exact instead)
+    // sketches: q_approx_stats stays rows-only (Spark-internal HLL/KLL
+    // hashing has no SQL twin; specs + the recall gate bound its error),
+    // while q_heavy_hitters builds a PORTABLE Count-Min sketch both
+    // engines reproduce bit-identically — full oracle
     "q_approx_stats"      -> ExtendedAnalytics.approxStats _,
     "q_heavy_hitters"     -> operators.Sketches.heavyHitters _,
     "q_schema_health"     -> ExtendedAnalytics.schemaHealth _,
@@ -692,6 +694,7 @@ object SparkEntry {
     "q_hard_negatives"      -> Similarity.sqlHardNegatives,
     "q_knn_label_acc"       -> Similarity.sqlKnnLabelAcc,
     "q_recall_report"       -> operators.RecallReport.oracleSql,
+    "q_heavy_hitters"       -> operators.Sketches.heavyHittersOracleSql,
     "q_ann_advisor"          -> AnnAdvisor.sqlAdvisor,
     "q_ann_advisor_filtered" -> AnnAdvisor.sqlAdvisorFiltered,
     "q_keyed_sample" ->

@@ -10,11 +10,18 @@ import graft.functions.TextFunctions._
   * the 100 TB shape for "which tokens dominate the corpus" when the
   * vocabulary itself is too large to aggregate exactly.
   *
-  * The sketch is built as a distributed mergeable aggregate
-  * (`count_min_sketch` partials combine map-side, exactly like any
-  * sum), and only the FINISHED sketch — kilobytes, independent of
-  * corpus size — is collected. Driver-side estimate lookups over a
-  * bounded probe list are sketch *reads*, not data movement.
+  * The sketch is PORTABLE by construction (the SQ8 precedent: an
+  * "approximate" path made oracle-expressible by integer
+  * construction): d×w counter cells built as ONE distributed grouped
+  * count over (row, bucket) with bucket = ((charFold(token)·A_i +
+  * B_i) mod p) mod w — every constant engine-neutral integers, so the
+  * DuckDB oracle computes the BIT-IDENTICAL sketch relationally and
+  * `q_heavy_hitters` is hash-checked end to end (estimate = min over
+  * the d cells), not merely bounds-gated. The grouped count IS the
+  * CMS merge: map-side partials collapse to ≤ d·w cells per
+  * partition, and only the finished kilobyte sketch is collected.
+  * Driver-side estimate lookups over a bounded probe list are sketch
+  * *reads*, not data movement.
   *
   * The candidate probe set is the part that must NOT be an exact
   * full-vocabulary aggregate (that aggregate is precisely what the CMS
@@ -39,8 +46,21 @@ object Sketches {
 
   val CmsEps = 0.001
   val CmsConfidence = 0.99
-  val CmsSeed = 42
   val HeavyHittersK = 20
+  /** Sketch geometry: w = ⌈e/ε⌉, d = ⌈ln 1/(1−confidence)⌉ — the
+    * standard CMS sizing at [[CmsEps]]/[[CmsConfidence]].
+    */
+  val CmsDepth = 5
+  val CmsWidth = 2719
+  /** Per-row affine hash constants over the portable charFold (all
+    * < p = [[graft.functions.TextFunctions.HashP]]; products stay
+    * under 2⁶³). One source of truth: the Spark expression AND the
+    * generated oracle SQL both read these.
+    */
+  val CmsA: Seq[Long] = Seq(913809719L, 193877777L, 472882049L,
+    826341913L, 553105253L)
+  val CmsB: Seq[Long] = Seq(608735923L, 361743863L, 284623861L,
+    730471337L, 142982467L)
   /** Misra-Gries counters per partition; error ≤ n_p/m local counts. */
   val MgSummarySize = 4096
   /** Hard cap on the adaptive candidate list (bounds the probe `isin`
@@ -103,10 +123,30 @@ object Sketches {
       .select("token")
   }
 
+  /** The d bucket ids of a charFold value, as a Spark array column —
+    * row i's bucket is ((f·A_i + B_i) mod p) mod w. Exact 64-bit
+    * integer arithmetic (f, A_i < p ≈ 10⁹ keeps products < 2⁶³), so
+    * the oracle's SQL twin reproduces it bit-for-bit.
+    */
+  private[graft] def bucketArray(f: org.apache.spark.sql.Column) = {
+    import graft.functions.TextFunctions.HashP
+    array((0 until CmsDepth).map(i =>
+      pmod(pmod(f * lit(CmsA(i)) + lit(CmsB(i)), lit(HashP)), lit(CmsWidth.toLong))): _*)
+  }
+
+  /** Driver-side twin of tokens→charFold→bucket (tokens are ASCII
+    * [a-z0-9]+ by construction, so per-char codepoint == ascii()).
+    */
+  private[graft] def localBuckets(t: String): Seq[Long] = {
+    val p = graft.functions.TextFunctions.HashP
+    val f = t.foldLeft(0L)((a, c) => (a * 31L + c.toLong) % p)
+    (0 until CmsDepth).map(i => ((f * CmsA(i) + CmsB(i)) % p) % CmsWidth)
+  }
+
   /** Top-k tokens with their CMS-estimated and exact total frequencies
     * (with multiplicity — term frequency, not document frequency).
-    * Rows-only check: sketch internals are engine-specific; the spec
-    * bounds estimate error instead.
+    * Full-oracle entry: the DuckDB twin rebuilds the identical
+    * portable sketch, so the estimates hash-compare cell-exactly.
     */
   def heavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -119,17 +159,18 @@ object Sketches {
       .select(explode(tokens(col("text"))).as("token"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // ONE distributed pass builds the mergeable sketch AND the total
-      // token count (the adaptive candidate slack needs N; riding the
-      // same partial agg saves a separate count job)
-      val row = toks
-        .agg(expr(s"count_min_sketch(token, ${CmsEps}d, ${CmsConfidence}d, $CmsSeed)"),
-          count(lit(1)))
-        .head()
-      val cmsBytes = row.getAs[Array[Byte]](0)
-      val totalTokens = row.getLong(1)
-      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(cmsBytes))
+      // ONE distributed grouped count builds the whole sketch: ≤ d·w
+      // cells, map-side partials bounded by the same — the mergeable-
+      // aggregate property of CMS expressed as a plain groupBy
+      val cells: Map[(Int, Long), Long] = toks
+        .select(posexplode(
+          bucketArray(graft.functions.TextFunctions.charFoldHash(col("token"))))
+          .as(Seq("row", "bucket")))
+        .groupBy("row", "bucket").agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // row 0 partitions every token occurrence across its buckets
+      val totalTokens = cells.collect { case ((0, _), c) => c }.sum
       // candidate probes: bounded partition-local summaries; the only
       // shuffled/aggregated rows are the ≤ m survivors per partition
       val candidates = mgCandidates(s, toks, totalTokens).as[String].collect().toSeq
@@ -143,9 +184,49 @@ object Sketches {
         .collect()
         .map(r => (r.getString(0), r.getLong(1)))
       top.toSeq
-        .map { case (t, exact) => (t, cms.estimateCount(t), exact) }
+        .map { case (t, exact) =>
+          val est = localBuckets(t).zipWithIndex
+            .map { case (b, i) => cells((i, b)) }.min
+          (t, est, exact)
+        }
         .toDF("token", "cms_estimate", "exact_tf")
         .orderBy(col("exact_tf").desc, col("token"))
     } finally toks.unpersist(blocking = false)
+  }
+
+  /** DuckDB twin: the identical portable sketch, relationally — same
+    * fold, same affine rows, same min-over-cells estimate. Generated
+    * from the constants above (one source of truth).
+    */
+  def heavyHittersOracleSql: String = {
+    val p = graft.functions.TextFunctions.HashP
+    def fold(e: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+        s"(a, c) -> (a * 31 + c) % $p)"
+    def buckets = (0 until CmsDepth)
+      .map(i => s"WHEN ${i} THEN ((f * ${CmsA(i)} + ${CmsB(i)}) % $p) % $CmsWidth")
+      .mkString(" ")
+    val rows = (0 until CmsDepth).map(i => s"($i)").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |  FROM documents),
+       |hf AS (SELECT token, ${fold("token")} AS f FROM toks),
+       |ex AS (
+       |  SELECT token, r.i AS row, CASE r.i $buckets END AS bucket
+       |  FROM hf, (VALUES $rows) AS r(i)),
+       |sketch AS (SELECT row, bucket, count(*) AS c FROM ex GROUP BY 1, 2),
+       |topk AS (
+       |  SELECT token, count(*) AS tf FROM toks GROUP BY 1
+       |  ORDER BY tf DESC, token LIMIT $HeavyHittersK),
+       |pf AS (SELECT token, tf, ${fold("token")} AS f FROM topk),
+       |pb AS (
+       |  SELECT token, tf, r.i AS row, CASE r.i $buckets END AS bucket
+       |  FROM pf, (VALUES $rows) AS r(i))
+       |SELECT pb.token, CAST(min(s.c) AS BIGINT) AS cms_estimate,
+       |  CAST(pb.tf AS BIGINT) AS exact_tf
+       |FROM pb JOIN sketch s ON s.row = pb.row AND s.bucket = pb.bucket
+       |GROUP BY pb.token, pb.tf
+       |ORDER BY exact_tf DESC, token""".stripMargin
   }
 }

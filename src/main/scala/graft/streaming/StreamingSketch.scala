@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.CountMinSketch
 import graft.operators.Sketches
 
 /** Streaming heavy hitters over an unbounded token stream (SURVEY §2:
@@ -15,16 +14,21 @@ import graft.operators.Sketches
   * running state inside `foreachBatch`:
   *
   *  - CMS is a linear sketch: cell-wise addition of two sketches with
-  *    the same (depth, width, seed) equals the sketch of the
+  *    the same (depth, width, hash rows) equals the sketch of the
   *    concatenated input, so the running estimate keeps the one-sided
-  *    `true ≤ est ≤ true + ε·N_total` bound over the WHOLE stream.
+  *    `true ≤ est ≤ true + ε·N_total` bound over the WHOLE stream. The
+  *    sketch here is the operator's PORTABLE d×w grouped-count form
+  *    (same [[Sketches.CmsA]]/[[Sketches.CmsB]] rows as the batch
+  *    operator and its DuckDB oracle), so stream-merged cells are
+  *    bit-identical to a batch build over the concatenated input —
+  *    spec-asserted, not just bound-asserted.
   *  - MG summaries merge by weight addition followed by the standard
   *    size-bound trim (subtract the (m+1)-th weight, drop ≤ 0):
   *    merged weights undercount by at most N_total/m, preserving the
   *    pigeonhole superset property for any token with tf > 2·N_total/m
   *    across the stream.
   *
-  * State is O(m + sketch) regardless of stream length — nothing here
+  * State is O(m + d·w) regardless of stream length — nothing here
   * scales with the corpus, which is the entire point at 100 TB/day
   * ingest. Thread-safety: Structured Streaming serializes foreachBatch
   * calls per query, so the unsynchronized merge is safe for one query;
@@ -32,12 +36,9 @@ import graft.operators.Sketches
   */
 class StreamingHeavyHitters(
     k: Int = Sketches.HeavyHittersK,
-    m: Int = Sketches.MgSummarySize,
-    eps: Double = Sketches.CmsEps,
-    confidence: Double = Sketches.CmsConfidence,
-    seed: Int = Sketches.CmsSeed) extends Serializable {
+    m: Int = Sketches.MgSummarySize) extends Serializable {
 
-  private var cms: CountMinSketch = CountMinSketch.create(eps, confidence, seed)
+  private val cells = Array.ofDim[Long](Sketches.CmsDepth, Sketches.CmsWidth)
   private val weights = scala.collection.mutable.HashMap.empty[String, Long]
   private var total = 0L
 
@@ -48,14 +49,15 @@ class StreamingHeavyHitters(
     val s = tokens.sparkSession
     import s.implicits._
     val tok = tokens.toDF("token")
-    // one distributed pass: batch sketch + batch size ride one agg
-    val row = tok
-      .agg(expr(s"count_min_sketch(token, ${eps}d, ${confidence}d, $seed)"),
-        count(lit(1)))
-      .head()
-    val batchCms = CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
-    val batchN = row.getLong(1)
+    // one distributed grouped count builds the batch sketch (≤ d·w
+    // cells cross to the driver; map-side partials bounded by the same)
+    val batchCells = tok
+      .select(posexplode(Sketches.bucketArray(
+        graft.functions.TextFunctions.charFoldHash(col("token"))))
+        .as(Seq("row", "bucket")))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1).toInt, r.getLong(2)))
     // bounded per-partition summaries; ≤ m rows shuffle per partition
     val batchMg = tok.as[String]
       .mapPartitions(it => Sketches.misraGries(it, m))
@@ -63,8 +65,9 @@ class StreamingHeavyHitters(
       .groupBy("token").agg(sum("wt").as("wt"))
       .as[(String, Long)].collect()
     this.synchronized {
-      cms = cms.mergeInPlace(batchCms)
-      total += batchN
+      batchCells.foreach { case (r, b, c) => cells(r)(b) += c }
+      // row 0 partitions every batch token across its buckets
+      total += batchCells.collect { case (0, _, c) => c }.sum
       batchMg.foreach { case (t, w) => weights.update(t, weights.getOrElse(t, 0L) + w) }
       if (weights.size > m) {
         // standard MG merge trim: subtract the (m+1)-th largest weight,
@@ -81,6 +84,12 @@ class StreamingHeavyHitters(
   /** foreachBatch hook: `stream.writeStream.foreachBatch(hh.sink _)`. */
   def sink(batch: DataFrame, batchId: Long): Unit = mergeBatch(batch)
 
+  /** CMS point estimate over everything merged so far. */
+  def estimateCount(t: String): Long = this.synchronized {
+    Sketches.localBuckets(t).zipWithIndex
+      .map { case (b, i) => cells(i)(b.toInt) }.min
+  }
+
   /** Top-k (token, cms_estimate) over everything merged so far:
     * candidates from the running MG summary, ranked by sketch estimate
     * (never an exact full-vocabulary pass). Deterministic tie-break on
@@ -88,7 +97,8 @@ class StreamingHeavyHitters(
     */
   def current(): Seq[(String, Long)] = this.synchronized {
     weights.keysIterator
-      .map(t => (t, cms.estimateCount(t)))
+      .map(t => (t, Sketches.localBuckets(t).zipWithIndex
+        .map { case (b, i) => cells(i)(b.toInt) }.min))
       .toSeq
       .sortBy { case (t, est) => (-est, t) }
       .take(k)

@@ -259,6 +259,19 @@ class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
         assert(est >= exact(t), s"$t undercounted: $est < ${exact(t)}")
         assert(est <= exact(t) + slack, s"$t over eps bound: $est")
       }
+      // linearity, bit-exact: the stream-merged portable sketch equals
+      // a single build over the concatenated input (cell-wise identity
+      // checked through every distinct token's estimate)
+      val S = graft.operators.Sketches
+      val expCells = Array.ofDim[Long](S.CmsDepth, S.CmsWidth)
+      all.foreach(t => S.localBuckets(t).zipWithIndex.foreach {
+        case (b, i) => expCells(i)(b.toInt) += 1L })
+      exact.keys.foreach { t =>
+        val want = S.localBuckets(t).zipWithIndex
+          .map { case (b, i) => expCells(i)(b.toInt) }.min
+        assert(hh.estimateCount(t) === want,
+          s"stream-merged sketch must equal the concatenated build for $t")
+      }
     } finally q.stop()
   }
 }
