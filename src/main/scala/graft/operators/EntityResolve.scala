@@ -54,6 +54,26 @@ object EntityResolve {
     */
   val MatchMax = 2
 
+  /** Hot-block ceiling: a block larger than this refines to a longer
+    * prefix before candidate generation (candidate work is Σ block² —
+    * ONE flooded key degrades the whole join toward n², the same skew
+    * problem as any hot join key; the Dedup family's stop-shingle
+    * df-cap is the sibling precedent).
+    */
+  val HotBlockCap = 64
+  /** Longest refinement prefix. Records of one entity agree on their
+    * first [[BlockSafeMax]] chars by construction (drops are planted
+    * at 0-based positions ≥ 10), so every refinement level keeps an
+    * entity's variants in ONE block — refinement can only shed
+    * cross-entity candidates, never matches. Past this length
+    * agreement is no longer guaranteed, so a block still hot at
+    * [[BlockSafeMax]] is accepted as-is (documented residual: verify
+    * cost concentrates there instead of silently splitting matches).
+    */
+  val BlockSafeMax = 10
+  /** Refinement ladder (syllable-aligned prefix lengths). */
+  val BlockLevels: Seq[Int] = Seq(2, 4, 6, 8, BlockSafeMax)
+
   /** The canonical-name column for an entity-key column: 8 syllables
     * from the hash's nibbles (low nibble first).
     */
@@ -102,14 +122,42 @@ object EntityResolve {
       .withColumn("block", substring(col("name"), 1, BlockLen))
   }
 
-  /** §2 catalog entry: blocked fuzzy linkage. Output one row per
-    * verified pair: (rec_a, rec_b, entity, dist) ordered by (rec_a,
-    * rec_b) — at the measured margins every within-entity pair
-    * verifies and every cross-entity candidate is rejected, so
-    * `entity` (= both sides' entity) is well-defined.
+  /** Adaptive hierarchical blocking over any (rec_id, entity, name)
+    * frame: each record's `block` is its SHORTEST [[BlockLevels]]
+    * prefix whose block size is ≤ [[HotBlockCap]] (falling back to the
+    * [[BlockSafeMax]] prefix). Distributed shape: ONE corpus grouped
+    * count at the finest prefix; the coarser sizes derive from that
+    * block-dim-sized frame with partitioned windows (never a second
+    * corpus scan, never an unpartitioned window), and one equi-join
+    * attaches the stats. A flooded coarse key therefore refines to
+    * finer sub-blocks and the candidate join's Σ block² stays bounded
+    * instead of degrading toward n² — the planted hot-block spec pins
+    * both the bound and match-set preservation.
     */
-  def entityResolve(s: SparkSession, dir: String): DataFrame = {
-    val r = records(s, dir)
+  private[graft] def adaptiveBlocks(r: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withPfx = BlockLevels.foldLeft(r)((df, l) =>
+      df.withColumn(s"pfx$l", substring(col("name"), 1, l)))
+    val fine = s"pfx$BlockSafeMax"
+    val cFine = withPfx.groupBy(col(fine).as("bk"))
+      .agg(count(lit(1)).as(s"cnt$BlockSafeMax"))
+    val stats = BlockLevels.filter(_ < BlockSafeMax).foldLeft(cFine)((df, l) =>
+      df.withColumn(s"cnt$l",
+        sum(col(s"cnt$BlockSafeMax")).over(
+          Window.partitionBy(substring(col("bk"), 1, l)))))
+    val blockExpr = BlockLevels.filter(_ < BlockSafeMax)
+      .foldRight(col(fine): Column) { (l, alt) =>
+        when(col(s"cnt$l") <= HotBlockCap, col(s"pfx$l")).otherwise(alt)
+      }
+    withPfx.join(stats, col(fine) === col("bk"))
+      .withColumn("block", blockExpr)
+      .drop("bk" +: BlockLevels.flatMap(l => Seq(s"pfx$l", s"cnt$l")): _*)
+  }
+
+  /** The candidate-join + edit-distance verify tail over a blocked
+    * frame (shared by the catalog entry and the hot-block spec).
+    */
+  private[graft] def verifyPairs(r: DataFrame): DataFrame = {
     val a = r.select(col("rec_id").as("rec_a"), col("entity").as("ent_a"),
       col("name").as("name_a"), col("block"))
     val b = r.select(col("rec_id").as("rec_b"), col("entity").as("ent_b"),
@@ -121,6 +169,19 @@ object EntityResolve {
       .select(col("rec_a"), col("rec_b"), col("ent_a").as("entity"), col("dist"))
       .orderBy("rec_a", "rec_b")
   }
+
+  /** §2 catalog entry: blocked fuzzy linkage. Output one row per
+    * verified pair: (rec_a, rec_b, entity, dist) ordered by (rec_a,
+    * rec_b) — at the measured margins every within-entity pair
+    * verifies and every cross-entity candidate is rejected, so
+    * `entity` (= both sides' entity) is well-defined. Candidates come
+    * from the ADAPTIVE blocks ([[adaptiveBlocks]]): refinement stays
+    * inside the first-[[BlockSafeMax]]-chars agreement region, so the
+    * match set — and the oracle — are unchanged; only the rejected
+    * candidate volume shrinks.
+    */
+  def entityResolve(s: SparkSession, dir: String): DataFrame =
+    verifyPairs(adaptiveBlocks(records(s, dir)))
 
   /** DuckDB twin, generated from the same constants: identical hash,
     * syllable table, drop positions, blocking, and the same classic

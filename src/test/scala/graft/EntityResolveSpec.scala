@@ -37,6 +37,61 @@ class EntityResolveSpec extends AnyFunSuite {
       s"candidate generation must stay a block equi-join:\n$p")
   }
 
+  test("a flooded block refines: pair work bounded, match set preserved") {
+    import spark.implicits._
+    // planted hot block: every record shares its first 8 chars, so the
+    // 2/4/6/8-char blocks each hold ALL records (the flooded-key shape
+    // that degrades sigma block^2 toward n^2); entities separate at
+    // chars 9-10. Drops sit past position 10 (the fixture contract),
+    // so refinement can never split an entity's variants.
+    val syl = EntityResolve.Syllables
+    val nEnt = 120
+    val recs = (0 until nEnt).flatMap { e =>
+      val canon = "zzzzzzzz" +
+        syl(e % 16) + syl((e / 16) % 16) + syl((e / 256) % 16) + syl(7)
+      val p1 = 10 + e % 6
+      val p2raw = 10 + (e * 3 + 1) % 6
+      val p2 = if (p2raw == p1) 10 + (p2raw - 10 + 1) % 6 else p2raw
+      def drop(s: String, p: Int) = s.substring(0, p) + s.substring(p + 1)
+      Seq((e.toLong * 3, e.toLong, canon),
+        (e.toLong * 3 + 1, e.toLong, drop(canon, p1)),
+        (e.toLong * 3 + 2, e.toLong, drop(canon, p2)))
+    }.toDF("rec_id", "entity", "name")
+    val blocked = EntityResolve.adaptiveBlocks(recs)
+    val sizes = blocked.groupBy("block").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // bounded: every refined block is at or under the cap (nothing here
+    // stays hot at the safe-max prefix)
+    assert(sizes.forall(_._2 <= EntityResolve.HotBlockCap),
+      s"refined block sizes must be <= cap: ${sizes.filter(_._2 > EntityResolve.HotBlockCap).mkString(",")}")
+    // pair work: sigma block^2 collapses vs the flooded coarse key
+    val refinedWork = sizes.map(s => s._2 * s._2).sum
+    val floodedWork = recs.count() * recs.count()
+    assert(refinedWork * 10 < floodedWork,
+      s"refinement must bound candidate work: $refinedWork vs flooded $floodedWork")
+    // recall contract: refinement stays inside the first-BlockSafeMax
+    // agreement region, so NO within-entity pair is ever lost (the
+    // all-pairs reference runs through the same verify tail); refined
+    // output never invents pairs either (candidates only shrink)
+    val got = EntityResolve.verifyPairs(blocked).collect().toSeq
+    val want = EntityResolve.verifyPairs(
+      recs.withColumn("block", lit("all"))).collect().toSeq
+    assert(got.toSet.subsetOf(want.toSet),
+      "refined candidates are a subset of all pairs")
+    val withinGot = got.filter(r => r.getLong(0) / 3 == r.getLong(1) / 3)
+    val withinWant = want.filter(r => r.getLong(0) / 3 == r.getLong(1) / 3)
+    assert(withinGot.length === 3 * nEnt && withinGot === withinWant,
+      "every within-entity pair survives refinement (C(3,2) per entity)")
+  }
+
+  test("shipped fixture: adaptive blocks return the coarse-block match set") {
+    val recs = EntityResolve.records(spark, sf)
+    val adaptive = EntityResolve.entityResolve(spark, sf).collect().toSeq
+    val coarse = EntityResolve.verifyPairs(recs).collect().toSeq
+    assert(adaptive === coarse,
+      "refinement inside the agreement region must leave the oracle-checked output unchanged")
+  }
+
   test("names are injective and variants stay in their entity's block") {
     val recs = EntityResolve.records(spark, sf).collect()
     val names = recs.map(_.getAs[String]("name"))
