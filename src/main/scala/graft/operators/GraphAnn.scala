@@ -34,7 +34,7 @@ import graft.plans.{ArrayOps, CentroidOps}
   * Rows-only entry (a greedy graph walk has no sane SQL twin);
   * recall@5 vs the in-catalog exact baseline is driver-gated through
   * `q_recall_report` (gate `ann_hnsw_recall5`) with the threshold
-  * recorded in GATES_r11.json at all three shipped SFs.
+  * recorded in GATES_r12.json at all three shipped SFs.
   */
 object GraphAnn {
 
@@ -129,7 +129,7 @@ object GraphAnn {
     * bidirectionally, and any node past [[MaxDegree]] prunes to its
     * best edges — the plain-NSW construction (HNSW's layers add log
     * routing on top; at ≤ 8192 nodes one layer with entry 0 measures
-    * at full recall, see GATES_r11.json).
+    * at full recall, see GATES_r12.json).
     */
   private[graft] def buildGraph(ids: Array[Long], vecs: Array[Array[Float]],
                                 norms: Array[Double]): Graph =
@@ -181,13 +181,54 @@ object GraphAnn {
     new java.util.concurrent.ConcurrentHashMap[String, Graph]()
 
   private[graft] def graph(s: SparkSession, dir: String): Graph =
-    graphMemo.computeIfAbsent(dir, _ => {
-      val rows = Similarity.trainingSample(Similarity.normed(s, dir))
-        .select(col("vec_id"), col("e"), col("nrm")).collect()
-        .sortBy(_.getLong(0))
-      buildGraph(rows.map(_.getLong(0)),
-        rows.map(_.getSeq[Float](1).toArray), rows.map(_.getDouble(2)))
-    })
+    graphMemo.computeIfAbsent(dir, _ => buildFromSample(s, dir,
+      Similarity.TrainSampleCap))
+
+  private def buildFromSample(s: SparkSession, dir: String,
+                              cap: Long): Graph = {
+    val rows = Similarity.trainingSample(Similarity.normed(s, dir), cap)
+      .select(col("vec_id"), col("e"), col("nrm")).collect()
+      .sortBy(_.getLong(0))
+    buildGraph(rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Float](1).toArray), rows.map(_.getDouble(2)))
+  }
+
+  /** Bucketed-regime gate seam (the KnnEvalCap pattern): a routing
+    * graph over a DELIBERATELY small node sample, so every shipped SF
+    * corpus EXCEEDS the node count and runs the SPANN closure path —
+    * multi-vector buckets, [[Rep]]-way posting, dedupe-before-rank —
+    * that the production cap ([[Similarity.TrainSampleCap]]) only
+    * reaches from sf1 up. Below this cap the hash gate exercised pure
+    * graph NAVIGATION only (every vector its own node), leaving the
+    * regime that actually runs at 100 TB without a shipped-SF
+    * CORRECTNESS row; `ann_hnsw_bucketed_recall5` closes that hole.
+    */
+  val BucketedNodeCap = 64L
+  /** Probes for the bucketed gate: 8 of 64 buckets — the production
+    * probe FRACTION (⅛, vs [[ProbeNodes]]=32 which would scan half the
+    * buckets and saturate the gate), so the measured recall reflects
+    * routed-bucket geometry + closure, not near-exhaustive scanning.
+    */
+  val BucketedProbeNodes = 8
+
+  private val bucketedGraphMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Graph]()
+
+  private[graft] def bucketedGraph(s: SparkSession, dir: String): Graph =
+    bucketedGraphMemo.computeIfAbsent(dir, _ => buildFromSample(s, dir,
+      BucketedNodeCap))
+
+  /** The closure-regime search gated by `ann_hnsw_bucketed_recall5`:
+    * identical operator shape to [[annHnswTopK]], small routing graph
+    * — each bucket holds ≈ n/[[BucketedNodeCap]] corpus vectors before
+    * the Rep-way closure, so routed-bucket geometry (not navigation)
+    * dominates recall, exactly as at production scale.
+    */
+  private[graft] def annHnswBucketedTopK(s: SparkSession, dir: String): DataFrame = {
+    val g = bucketedGraph(s, dir)
+    rerank(probeFrame(s, dir, g, BucketedProbeNodes),
+      assignedFrame(Similarity.normed(s, dir), g))
+  }
 
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     ArrayOps.dotF(a, b)
@@ -208,8 +249,8 @@ object GraphAnn {
     * query, top [[ProbeNodes]] node ids as that query's probe rows —
     * (q_id, e_q, n_q, node), a local frame of queries × probes rows.
     */
-  private[graft] def probeFrame(s: SparkSession, dir: String,
-                                g: Graph): DataFrame = {
+  private[graft] def probeFrame(s: SparkSession, dir: String, g: Graph,
+                                probes: Int = ProbeNodes): DataFrame = {
     import s.implicits._
     val qRows = Similarity.normed(s, dir)
       .filter(col("vec_id") < Similarity.NumQueries)
@@ -218,7 +259,7 @@ object GraphAnn {
     val probeRows = qRows.flatMap { r =>
       val q = r.getSeq[Float](1).toArray
       val qn = r.getDouble(2)
-      beamSearch(g, q, qn, EfSearch).take(ProbeNodes)
+      beamSearch(g, q, qn, EfSearch).take(probes)
         .map(idx => (r.getLong(0), q.toSeq, qn, idx))
     }.toSeq
     probeRows

@@ -58,6 +58,8 @@ object RecallReport {
     ("ann_pq_indexed_recall5", graft.sources.PqIndex.annPqIndexed(s, dir),
       "brute"),
     ("ann_hnsw_recall5", GraphAnn.annHnswTopK(s, dir), "brute"),
+    ("ann_hnsw_bucketed_recall5", GraphAnn.annHnswBucketedTopK(s, dir),
+      "brute"),
     ("ann_hnsw_indexed_recall5", graft.sources.GraphIndex.annHnswIndexed(s, dir),
       "brute"),
     ("ann_ivf_filtered_recall5", Similarity.annIvfFilteredTopK(s, dir),
@@ -88,6 +90,7 @@ object RecallReport {
     "ann_sq_recall5" -> 90, "ann_bq_recall5" -> 70,
     "ann_opq_recall5" -> 90, "ann_ivfpq_recall5" -> 55,
     "ann_pq_indexed_recall5" -> 55, "ann_hnsw_recall5" -> 90,
+    "ann_hnsw_bucketed_recall5" -> 85,
     "ann_hnsw_indexed_recall5" -> 90,
     "ann_ivf_filtered_recall5" -> 40,
     "hard_negatives_ivf_recall5" -> 40,
@@ -192,7 +195,7 @@ object RecallReport {
     * round); production callers go through [[verdicts]].
     */
   /** Gate direction in one place (the provenance spec audits the
-    * committed GATES_r11.json measurements through the same rule):
+    * committed GATES_r12.json measurements through the same rule):
     * error gates pass at-or-below their bound, recall/coverage gates
     * at-or-above.
     */

@@ -64,4 +64,31 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"bucket candidate join must stay an equi-join:\n$p")
   }
+
+  test("bucketed regime: multi-vector buckets at shipped SF, gated recall") {
+    // regime precondition: the corpus must EXCEED the node count, or
+    // the gate silently degrades to pure navigation (the r11 coverage
+    // hole this seam closes)
+    val g = GraphAnn.bucketedGraph(spark, sf)
+    val n = Similarity.normed(spark, sf).count()
+    assert(g.ids.length.toLong === GraphAnn.BucketedNodeCap,
+      "the bucketed graph samples exactly the lowered node cap")
+    assert(n > GraphAnn.BucketedNodeCap * 4,
+      s"corpus ($n) must dwarf the node cap for real multi-vector buckets")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pairs(Similarity.annBruteTopK(spark, sf))
+    val got = pairs(GraphAnn.annHnswBucketedTopK(spark, sf))
+    val recall = (want & got).size * 100 / math.max(1, want.size)
+    info(s"bucketed recall@5 = $recall (gate 85; measured 96/92/94 at the 3 SFs)")
+    assert(recall >= 85, s"recall $recall below the ann_hnsw_bucketed_recall5 gate")
+    // closure-regime sanity: buckets hold many vectors (Rep x n / nodes
+    // on average), so the probed candidate set is a real rerank pool
+    val bucketSizes = GraphAnn.assignedFrame(Similarity.normed(spark, sf), g)
+      .groupBy("node").count().collect().map(_.getLong(1))
+    assert(bucketSizes.max > 1, "buckets must hold multiple vectors")
+    assert(bucketSizes.sum === n * GraphAnn.Rep,
+      "every vector posts to exactly Rep buckets (SPANN closure)")
+  }
 }
