@@ -145,7 +145,7 @@ object GraphIndex {
   private val sidecarMemo =
     new java.util.concurrent.ConcurrentHashMap[String, GraphAnn.Graph]()
 
-  private def sidecarGraph(s: SparkSession, root: String): GraphAnn.Graph =
+  private[graft] def sidecarGraph(s: SparkSession, root: String): GraphAnn.Graph =
     sidecarMemo.computeIfAbsent(root, _ => graphFrom(s.read.parquet(s"$root/meta")))
 
   private def graphFrom(meta: DataFrame): GraphAnn.Graph = {

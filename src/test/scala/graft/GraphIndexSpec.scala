@@ -55,6 +55,43 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(run(base) === want, "search identical after the physical reclaim")
   }
 
+  test("streaming graph indexer == batch index over any split, counters == artifact shards, incl. restore") {
+    val nrm = Similarity.normed(spark, sf)
+    def slice(r: Int) = nrm.filter(pmod(col("vec_id"), lit(3)) === r)
+    val root = java.nio.file.Files.createTempDirectory("graft_gistream").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_gifull2").toString
+    // base index over slice 0 (the sidecar freezes the routing graph),
+    // then the twin ingests the remaining slices as micro-batches
+    GraphIndex.materializeWhere(spark, sf, pmod(col("vec_id"), lit(3)) === 0, root)
+    val twin = new graft.streaming.StreamingGraphIndex(sf, root)
+    twin.mergeBatch(spark, slice(1))
+    // mid-stream counters cover the STREAMED postings only (Rep copies
+    // per vector); snapshot + restore continues them
+    assert(twin.shardCounts.values.sum ===
+      slice(1).count() * graft.operators.GraphAnn.Rep)
+    val snap = java.nio.file.Files.createTempDirectory("graft_gisnap").toString
+    twin.snapshot(spark, snap)
+    val resumed = graft.streaming.StreamingGraphIndex.restore(spark, snap, sf, root)
+    resumed.mergeBatch(spark, slice(2))
+    GraphIndex.materializeWhere(spark, sf, lit(true), full)
+    assert(resumed.current(spark).collect().toSeq ===
+      GraphIndex.searchRoot(spark, sf, full).collect().toSeq,
+      "stream-built index answers the standing query == a batch full build")
+    // streamed counters + base-build postings == the artifact's per-shard counts
+    val artifact = spark.read.parquet(s"$root/postings")
+      .groupBy("nshard").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val base = spark.read.parquet(s"$full/postings")
+      .join(slice(0).select(col("vec_id").as("neighbor_id")), "neighbor_id")
+      .groupBy("nshard").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val streamed = resumed.shardCounts
+    artifact.foreach { case (sh, n) =>
+      assert(streamed.getOrElse(sh, 0L) + base.getOrElse(sh, 0L) === n,
+        s"shard $sh: streamed + base counters must equal the artifact")
+    }
+  }
+
   test("versioned reads pin the posting/tombstone state") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_giv").toString
