@@ -161,11 +161,13 @@ object Sketches {
     try {
       // ONE distributed grouped count builds the whole sketch: ≤ d·w
       // cells, map-side partials bounded by the same — the mergeable-
-      // aggregate property of CMS expressed as a plain groupBy
+      // aggregate property of CMS expressed as a plain groupBy. The
+      // fold hash projects to a NAMED column first: embedded in
+      // bucketArray it would re-evaluate per array element (the r8
+      // element_at-in-transform landmine — d× the per-token fold cost)
       val cells: Map[(Int, Long), Long] = toks
-        .select(posexplode(
-          bucketArray(graft.functions.TextFunctions.charFoldHash(col("token"))))
-          .as(Seq("row", "bucket")))
+        .select(graft.functions.TextFunctions.charFoldHash(col("token")).as("f"))
+        .select(posexplode(bucketArray(col("f"))).as(Seq("row", "bucket")))
         .groupBy("row", "bucket").agg(count(lit(1)).as("c"))
         .collect()
         .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap

@@ -52,9 +52,10 @@ class StreamingHeavyHitters(
     // one distributed grouped count builds the batch sketch (≤ d·w
     // cells cross to the driver; map-side partials bounded by the same)
     val batchCells = tok
-      .select(posexplode(Sketches.bucketArray(
-        graft.functions.TextFunctions.charFoldHash(col("token"))))
-        .as(Seq("row", "bucket")))
+      // named fold column first — embedded in bucketArray the fold
+      // re-evaluates per array element (the r8 landmine)
+      .select(graft.functions.TextFunctions.charFoldHash(col("token")).as("f"))
+      .select(posexplode(Sketches.bucketArray(col("f"))).as(Seq("row", "bucket")))
       .groupBy("row", "bucket").agg(count(lit(1)).as("c"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1).toInt, r.getLong(2)))
