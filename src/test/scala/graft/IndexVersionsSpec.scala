@@ -77,8 +77,20 @@ class IndexVersionsSpec extends AnyFunSuite {
     assert(PhraseIndex.searchAt(spark, root, v1).collect().toSeq ===
       PhraseIndex.searchRoot(spark, v1only).collect().toSeq,
       "phrase query at v1 after the append == the v1-only build")
-    assert(PhraseIndex.searchAt(spark, root, v2).collect().toSeq ===
-      PhraseIndex.searchRoot(spark, root).collect().toSeq)
+    val wantV2 = PhraseIndex.searchRoot(spark, root).collect().toSeq
+    assert(PhraseIndex.searchAt(spark, root, v2).collect().toSeq === wantV2)
+    // r12: the phrase index gained the delete verb — a later tombstone
+    // lands in v3, v2 stays pinned pre-delete (the Bm25 contract)
+    val victim = wantV2.head.getLong(0)
+    PhraseIndex.delete(spark, root, Seq(victim))
+    val v3 = PhraseIndex.commitVersion(spark, root)
+    assert(PhraseIndex.searchAt(spark, root, v2).collect().toSeq === wantV2,
+      "v2's phrase ranking must not move under the later delete")
+    assert(!PhraseIndex.searchAt(spark, root, v3).collect()
+      .exists(_.getLong(0) == victim), "the delete is visible at v3")
+    assert(PhraseIndex.searchAt(spark, root, v3).collect().toSeq ===
+      PhraseIndex.searchRoot(spark, root).collect().toSeq,
+      "v3 == the live tombstoned view")
   }
 
   test("pq: searchAt(v) pins codes+sidecar+tombstones; deletes stay version-scoped") {
