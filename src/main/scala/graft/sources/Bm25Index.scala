@@ -78,6 +78,9 @@ object Bm25Index {
     * overlap probe is one existence check when no delete has run.
     */
   def append(s: SparkSession, root: String, batch: DataFrame): Unit = {
+    // roll forward a crash-interrupted compaction FIRST: an append onto
+    // a mid-swap-crashed tree would recreate it with batch-only rows
+    IndexMaintenance.recoverAll(s, root, Roles.take(2))
     if (IndexMaintenance.tombstonesOverlap(s, root, "doc_id",
         batch.select("doc_id")))
       compact(s, root)
@@ -139,23 +142,11 @@ object Bm25Index {
     * [[compact]] physically reclaims. Idempotent by anti-join
     * semantics.
     */
-  def delete(s: SparkSession, root: String, docIds: Seq[Long]): Unit = {
-    import s.implicits._
-    docIds.toDF("doc_id").write.mode("append").parquet(s"$root/tombstones")
-  }
+  def delete(s: SparkSession, root: String, docIds: Seq[Long]): Unit =
+    IndexMaintenance.deleteIds(s, root, "doc_id", docIds)
 
-  private def tombstones(s: SparkSession, root: String): Option[DataFrame] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")))
-      Some(s.read.parquet(s"$root/tombstones"))
-    else None
-  }
-
-  private def dropTombstoned(s: SparkSession, root: String,
-                             df: DataFrame): DataFrame =
-    tombstones(s, root).fold(df)(t =>
-      df.join(t.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
+  private def tombstones(s: SparkSession, root: String): Option[DataFrame] =
+    IndexMaintenance.tombstones(s, root)
 
   /** Physically reclaim tombstoned rows from both trees and clear the
     * sidecar (shard directories preserved — probe pruning needs them).
@@ -164,22 +155,9 @@ object Bm25Index {
     * path — the old delete-then-rename had a window with NO live tree).
     */
   def compact(s: SparkSession, root: String): Unit = {
-    def rewrite(sub: String, partitioned: Boolean): Unit = {
-      val cur = s"$root/$sub"
-      val tmp = s"$root/${sub}_compacting"
-      IndexMaintenance.recover(s, cur, tmp)
-      val live = dropTombstoned(s, root, s.read.parquet(cur))
-      if (partitioned && !live.isEmpty)
-        live.repartition(col("tshard"))
-          .write.mode("overwrite").partitionBy("tshard").parquet(tmp)
-      else live.coalesce(1).write.mode("overwrite").parquet(tmp)
-      IndexMaintenance.swap(s, cur, tmp)
-      s.catalog.refreshByPath(cur)
-    }
-    rewrite("postings", partitioned = true)
-    rewrite("doclens", partitioned = false)
-    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
+    IndexMaintenance.compactTree(s, root, "postings", "doc_id", Some("tshard"))
+    IndexMaintenance.compactTree(s, root, "doclens", "doc_id", None)
+    IndexMaintenance.clearTombstoneSidecar(s, root)
   }
 
   // ---- versioned reads ----------------------------------------------------

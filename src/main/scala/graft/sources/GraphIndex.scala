@@ -101,6 +101,9 @@ object GraphIndex {
     * postings never coexist with the suppressed old copies.
     */
   def append(s: SparkSession, root: String, batchNormed: DataFrame): Unit = {
+    // roll forward a crash-interrupted compaction FIRST (an append onto
+    // a mid-swap-crashed tree would recreate it with batch-only rows)
+    IndexMaintenance.recoverAll(s, root, Seq("postings"))
     if (IndexMaintenance.tombstonesOverlap(s, root, "neighbor_id",
         batchNormed.select(col("vec_id").as("neighbor_id"))))
       compact(s, root)
@@ -109,36 +112,18 @@ object GraphIndex {
   }
 
   /** Tombstone delete (all Rep posting copies drop via the anti-join). */
-  def delete(s: SparkSession, root: String, ids: Seq[Long]): Unit = {
-    import s.implicits._
-    ids.toDF("neighbor_id").write.mode("append").parquet(s"$root/tombstones")
-  }
+  def delete(s: SparkSession, root: String, ids: Seq[Long]): Unit =
+    IndexMaintenance.deleteIds(s, root, "neighbor_id", ids)
 
-  private def tombstones(s: SparkSession, root: String): Option[DataFrame] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")))
-      Some(s.read.parquet(s"$root/tombstones"))
-    else None
-  }
+  private def tombstones(s: SparkSession, root: String): Option[DataFrame] =
+    IndexMaintenance.tombstones(s, root)
 
   /** Physically reclaim tombstoned postings, node directories kept.
     * Crash-atomic replace via [[IndexMaintenance.swap]].
     */
   def compact(s: SparkSession, root: String): Unit = {
-    val cur = s"$root/postings"
-    val tmp = s"$root/postings_compacting"
-    IndexMaintenance.recover(s, cur, tmp)
-    val live = tombstones(s, root).fold(s.read.parquet(cur))(t =>
-      s.read.parquet(cur)
-        .join(t.select("neighbor_id").distinct(), Seq("neighbor_id"), "left_anti"))
-    if (live.isEmpty) live.coalesce(1).write.mode("overwrite").parquet(tmp)
-    else live.repartition(col("nshard"))
-      .write.mode("overwrite").partitionBy("nshard").parquet(tmp)
-    IndexMaintenance.swap(s, cur, tmp)
-    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
-    s.catalog.refreshByPath(cur)
+    IndexMaintenance.compactTree(s, root, "postings", "neighbor_id", Some("nshard"))
+    IndexMaintenance.clearTombstoneSidecar(s, root)
   }
 
   /** Sidecar graph, memoized per root (pure function of the artifact). */

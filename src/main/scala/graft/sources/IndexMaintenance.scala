@@ -68,6 +68,74 @@ private[graft] object IndexMaintenance {
     if (f.exists(path(cur)) && f.exists(path(old))) f.delete(path(old), true)
   }
 
+  /** Roll forward every interrupted subtree swap under `root`. APPEND
+    * paths must call this BEFORE writing: a `mode("append")` parquet
+    * write onto a mid-swap-crashed tree (cur missing) would silently
+    * recreate the directory with batch-only rows, and the next
+    * [[recover]] — seeing cur exist — would garbage-collect the aside
+    * copy, permanently losing the standing index.
+    */
+  def recoverAll(s: SparkSession, root: String, subs: Seq[String]): Unit =
+    subs.foreach(sub => recover(s, s"$root/$sub", s"$root/${sub}_compacting"))
+
+  /** Tombstone delete shared by all four index lifecycles: O(batch) —
+    * ids append to the `tombstones/` sidecar under the index's key
+    * column, no data file rewritten; search paths anti-join the live
+    * set and [[compactTree]] physically reclaims. Idempotent by
+    * anti-join semantics.
+    */
+  def deleteIds(s: SparkSession, root: String, keyCol: String,
+                ids: Seq[Long]): Unit = {
+    import s.implicits._
+    ids.toDF(keyCol).write.mode("append").parquet(s"$root/tombstones")
+  }
+
+  /** The tombstone sidecar, if any delete has run. */
+  def tombstones(s: SparkSession, root: String): Option[DataFrame] =
+    if (fs(s).exists(path(s"$root/tombstones")))
+      Some(s.read.parquet(s"$root/tombstones"))
+    else None
+
+  /** Drop tombstoned ids from a frame (applied AFTER shard/cell
+    * pruning by the callers, so the anti-join touches only probed
+    * partitions; the sidecar side is aggregated to distinct ids —
+    * takedown logs repeat).
+    */
+  def dropTombstoned(s: SparkSession, root: String, keyCol: String,
+                     df: DataFrame): DataFrame =
+    tombstones(s, root).fold(df)(t =>
+      df.join(t.select(keyCol).distinct(), Seq(keyCol), "left_anti"))
+
+  /** Physically reclaim tombstoned rows from one subtree through the
+    * crash-atomic [[swap]]. `partCol` preserves the directory
+    * partitioning (probe pruning needs it); an all-tombstoned result
+    * writes ONE schema-bearing empty part file unpartitioned — a
+    * partitionBy write of zero rows emits NO files and the next read
+    * dies on schema inference (the PqIndex empty-compact bug class;
+    * the partition column stays a data column so every consumer reads
+    * it unchanged).
+    */
+  def compactTree(s: SparkSession, root: String, sub: String,
+                  keyCol: String, partCol: Option[String]): Unit = {
+    val cur = s"$root/$sub"
+    val tmp = s"$root/${sub}_compacting"
+    recover(s, cur, tmp)
+    val live = dropTombstoned(s, root, keyCol, s.read.parquet(cur))
+    partCol match {
+      case Some(pc) if !live.isEmpty =>
+        live.repartition(org.apache.spark.sql.functions.col(pc))
+          .write.mode("overwrite").partitionBy(pc).parquet(tmp)
+      case _ =>
+        live.coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+    swap(s, cur, tmp)
+    s.catalog.refreshByPath(cur)
+  }
+
+  /** Clear the sidecar after every subtree reclaimed its rows. */
+  def clearTombstoneSidecar(s: SparkSession, root: String): Unit =
+    fs(s).delete(path(s"$root/tombstones"), true)
+
   /** Does the arriving batch re-add any currently tombstoned id?
     * FAISS `remove_ids` + `add` semantics require the re-added id to
     * resurrect — but merely clearing its tombstone would ALSO

@@ -60,6 +60,9 @@ object PhraseIndex {
     * batch's fresh rows never coexist with the suppressed old ones.
     */
   def append(s: SparkSession, root: String, batch: DataFrame): Unit = {
+    // roll forward a crash-interrupted compaction FIRST (an append onto
+    // a mid-swap-crashed tree would recreate it with batch-only rows)
+    IndexMaintenance.recoverAll(s, root, Seq("postings", "doclens"))
     if (IndexMaintenance.tombstonesOverlap(s, root, "doc_id",
         batch.select("doc_id")))
       compact(s, root)
@@ -71,42 +74,19 @@ object PhraseIndex {
     * N/avgdl/phrase-df statistics stay consistent because they derive
     * from the tombstone-filtered frames at query time.
     */
-  def delete(s: SparkSession, root: String, docIds: Seq[Long]): Unit = {
-    import s.implicits._
-    docIds.toDF("doc_id").write.mode("append").parquet(s"$root/tombstones")
-  }
+  def delete(s: SparkSession, root: String, docIds: Seq[Long]): Unit =
+    IndexMaintenance.deleteIds(s, root, "doc_id", docIds)
 
-  private def tombstones(s: SparkSession, root: String): Option[DataFrame] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")))
-      Some(s.read.parquet(s"$root/tombstones"))
-    else None
-  }
+  private def tombstones(s: SparkSession, root: String): Option[DataFrame] =
+    IndexMaintenance.tombstones(s, root)
 
   /** Physically reclaim tombstoned rows from both trees and clear the
     * sidecar — crash-atomic via [[IndexMaintenance.swap]].
     */
   def compact(s: SparkSession, root: String): Unit = {
-    val tomb = tombstones(s, root)
-    def dropT(df: DataFrame): DataFrame = tomb.fold(df)(t =>
-      df.join(t.select("doc_id").distinct(), Seq("doc_id"), "left_anti"))
-    def rewrite(sub: String, partitioned: Boolean): Unit = {
-      val cur = s"$root/$sub"
-      val tmp = s"$root/${sub}_compacting"
-      IndexMaintenance.recover(s, cur, tmp)
-      val live = dropT(s.read.parquet(cur))
-      if (partitioned && !live.isEmpty)
-        live.repartition(col("tshard"))
-          .write.mode("overwrite").partitionBy("tshard").parquet(tmp)
-      else live.coalesce(1).write.mode("overwrite").parquet(tmp)
-      IndexMaintenance.swap(s, cur, tmp)
-      s.catalog.refreshByPath(cur)
-    }
-    rewrite("postings", partitioned = true)
-    rewrite("doclens", partitioned = false)
-    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
+    IndexMaintenance.compactTree(s, root, "postings", "doc_id", Some("tshard"))
+    IndexMaintenance.compactTree(s, root, "doclens", "doc_id", None)
+    IndexMaintenance.clearTombstoneSidecar(s, root)
   }
 
   private def writeBatch(docs: DataFrame, root: String, mode: String): Unit = {

@@ -97,6 +97,9 @@ object PqIndex {
     */
   def append(s: SparkSession, root: String, batch: DataFrame): Unit = {
     val (cb, cents) = loadMeta(s, root)
+    // roll forward a crash-interrupted compaction FIRST (an append onto
+    // a mid-swap-crashed tree would recreate it with batch-only rows)
+    IndexMaintenance.recoverAll(s, root, Seq("codes"))
     // re-appending a deleted id resurrects it (FAISS remove_ids + add):
     // on tombstone overlap compact first — physical reclaim — so the
     // fresh encode never coexists with the suppressed old rows
@@ -138,19 +141,12 @@ object PqIndex {
     * the index is a no-op by construction (anti-join semantics), as is
     * deleting twice.
     */
-  def delete(s: SparkSession, root: String, ids: Seq[Long]): Unit = {
-    import s.implicits._
-    ids.toDF("neighbor_id").write.mode("append").parquet(s"$root/tombstones")
-  }
+  def delete(s: SparkSession, root: String, ids: Seq[Long]): Unit =
+    IndexMaintenance.deleteIds(s, root, "neighbor_id", ids)
 
   /** The tombstone sidecar, if any delete has run. */
-  private def tombstones(s: SparkSession, root: String): Option[DataFrame] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")))
-      Some(s.read.parquet(s"$root/tombstones"))
-    else None
-  }
+  private def tombstones(s: SparkSession, root: String): Option[DataFrame] =
+    IndexMaintenance.tombstones(s, root)
 
   /** Drop tombstoned ids from an encoded-codes frame. Applied AFTER
     * cell pruning so the anti-join touches only probed partitions; the
@@ -173,27 +169,8 @@ object PqIndex {
     * sidecar is cleared — after compact the scan carries no anti-join.
     */
   def compact(s: SparkSession, root: String): Unit = {
-    val cur = s"$root/codes"
-    val tmp = s"$root/codes_compacting"
-    IndexMaintenance.recover(s, cur, tmp)
-    val codes = dropTombstoned(s, root, s.read.parquet(cur))
-    // all-tombstoned edge: a partitionBy write of zero rows emits NO
-    // part files, and the next read.parquet(codes) dies on 'Unable to
-    // infer schema' instead of returning zero candidates. Write the
-    // empty frame unpartitioned — one schema-bearing empty part file;
-    // `cell` stays a data column, so search's isin filter (and every
-    // other consumer) reads it unchanged (partition pruning is moot on
-    // an empty index).
-    if (codes.isEmpty)
-      codes.coalesce(1).write.mode("overwrite").parquet(tmp)
-    else codes.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    // crash-atomic replace: a complete copy survives every crash point
-    // (the old delete-then-rename left the root with no codes tree)
-    IndexMaintenance.swap(s, cur, tmp)
-    s.catalog.refreshByPath(cur)
-    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(s"$root/tombstones"), true)
+    IndexMaintenance.compactTree(s, root, "codes", "neighbor_id", Some("cell"))
+    IndexMaintenance.clearTombstoneSidecar(s, root)
   }
 
   /** Read the metadata sidecar back: (codebook, centroid set). */

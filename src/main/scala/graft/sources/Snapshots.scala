@@ -71,22 +71,28 @@ object Snapshots {
 
   private[sources] def writeManifest(s: SparkSession, root: String, v: Int,
                             files: Seq[String],
-                            txns: Set[Long] = Set.empty): Unit = {
+                            txns: Seq[(Long, Long)] = Seq.empty): Unit = {
     val f = fs(s)
     val p = manifestPath(root, v)
     // Two-phase commit: write the FULL content to a dot-temp (invisible
     // to readers and latestVersion), then publish. A crash mid-write
     // leaves only an ignorable temp — never a truncated v{N}.txt.
     // Manifest lines starting with '#' are metadata, not file paths:
-    // `#txn:<id>` records every externally-keyed transaction ever
-    // committed into the lineage (carried forward on every commit), so
-    // the idempotence probe in [[appendTxn]] survives compaction and
-    // expiry of the manifests that referenced the txn's data dir.
+    // `#txn:<a>` / `#txn:<a>-<b>` record every externally-keyed
+    // transaction id ever committed into the lineage, RANGE-COMPRESSED
+    // (a streaming sink's batchIds are contiguous, so the whole
+    // history is typically ONE line — carrying raw ids forward made
+    // every manifest grow linearly with batch count, O(N²) cumulative
+    // manifest bytes over a stream's life) and carried forward on
+    // every commit, so the idempotence probe in [[appendTxn]] survives
+    // compaction and expiry of the manifests that referenced the txn's
+    // data dir.
     val tmp = new org.apache.hadoop.fs.Path(
       s"$root/manifests/.v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = f.create(tmp, false)
     try out.write(
-      (txns.toSeq.sorted.map(id => s"#txn:$id") ++ files)
+      (txns.map { case (a, b) =>
+        if (a == b) s"#txn:$a" else s"#txn:$a-$b" } ++ files)
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!claimVersion(f, tmp, p)) {
@@ -133,13 +139,39 @@ object Snapshots {
   private[sources] def readManifest(s: SparkSession, root: String, v: Int): Seq[String] =
     manifestLines(s, root, v).filterNot(_.startsWith("#"))
 
-  /** Transaction ids recorded in version v's manifest (carried forward
-    * from every prior version at commit time).
+  /** Committed-transaction id ranges recorded in version v's manifest
+    * (carried forward from every prior version at commit time),
+    * sorted and disjoint.
     */
-  private[sources] def readTxnTags(s: SparkSession, root: String, v: Int): Set[Long] =
+  private[sources] def readTxnRanges(s: SparkSession, root: String,
+                                     v: Int): Seq[(Long, Long)] =
     manifestLines(s, root, v).collect {
-      case l if l.startsWith("#txn:") => l.stripPrefix("#txn:").toLong
-    }.toSet
+      case l if l.startsWith("#txn:") =>
+        // the dash splits a RANGE, but ids may be negative — split on
+        // a dash that follows a digit
+        val body = l.stripPrefix("#txn:")
+        body.indexOf('-', 1) match {
+          case -1 => (body.toLong, body.toLong)
+          case i  => (body.substring(0, i).toLong, body.substring(i + 1).toLong)
+        }
+    }.sorted
+
+  /** Merge one id into a sorted disjoint range set — O(ranges), and
+    * ranges stay O(1) for the contiguous batchIds a streaming sink
+    * produces.
+    */
+  private[sources] def mergeTxn(ranges: Seq[(Long, Long)],
+                                id: Long): Seq[(Long, Long)] = {
+    val merged = (ranges :+ (id, id)).sorted
+    merged.foldLeft(List.empty[(Long, Long)]) {
+      case ((a, b) :: tail, (c, d)) if c <= b + 1 =>
+        (a, math.max(b, d)) :: tail
+      case (acc, r) => r :: acc
+    }.reverse
+  }
+
+  private def txnCommitted(ranges: Seq[(Long, Long)], id: Long): Boolean =
+    ranges.exists { case (a, b) => id >= a && id <= b }
 
   /** Highest committed version, 0 if none. */
   def latestVersion(s: SparkSession, root: String): Int = {
@@ -163,10 +195,11 @@ object Snapshots {
     while (true) {
       val v = latestVersion(s, root)
       val known = if (v == 0) Seq.empty[String] else readManifest(s, root, v)
-      val knownTxns = if (v == 0) Set.empty[Long] else readTxnTags(s, root, v)
+      val knownTxns =
+        if (v == 0) Seq.empty[(Long, Long)] else readTxnRanges(s, root, v)
       try {
         writeManifest(s, root, v + 1, files(known).distinct.sorted,
-          knownTxns ++ addTxn)
+          addTxn.fold(knownTxns)(mergeTxn(knownTxns, _)))
         return v + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -217,15 +250,16 @@ object Snapshots {
                 df: DataFrame): Int = {
     val f = fs(s)
     val latest = latestVersion(s, root)
-    // Committed = the txn id is tagged in the LATEST manifest (tags are
-    // carried forward on every commit and land atomically WITH the
-    // commit, so the probe survives compaction rewriting the data into
-    // fresh dirs and expire() dropping the manifests that referenced
-    // them — a path-substring probe did not). The path probe stays as
-    // a fallback for datasets written before the tag format.
+    // Committed = the txn id is tagged in the LATEST manifest (range-
+    // compressed tags are carried forward on every commit and land
+    // atomically WITH the commit, so the probe survives compaction
+    // rewriting the data into fresh dirs and expire() dropping the
+    // manifests that referenced them — a path-substring probe did
+    // not). The path probe stays as a fallback for datasets written
+    // before the tag format.
     val tag = s"/txn$txnId/"
     val committed = latest >= 1 && f.exists(manifestPath(root, latest)) && (
-      readTxnTags(s, root, latest).contains(txnId) ||
+      txnCommitted(readTxnRanges(s, root, latest), txnId) ||
       (1 to latest).exists { v =>
         f.exists(manifestPath(root, v)) &&
           readManifest(s, root, v).exists(_.contains(tag))

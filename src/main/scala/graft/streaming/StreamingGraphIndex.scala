@@ -26,6 +26,15 @@ import graft.sources.GraphIndex
   * spec-asserted (catches a double-indexed batch, which search alone
   * cannot see). Snapshot persists the counters — the artifact is its
   * own durable state (the StreamingPqIndex convention).
+  *
+  * Counter scope: the reconciliation invariant (streamed + base ==
+  * artifact) holds for an APPEND-ONLY stream — the twin's contract.
+  * An out-of-band `GraphIndex.delete` + re-adding batch triggers the
+  * index's compact-on-overlap (physically removing previously counted
+  * rows), after which the counters remain a correct INGEST-throughput
+  * view but no longer reconcile against the artifact; a serving layer
+  * mixing deletes into the stream should re-derive balance from the
+  * artifact's per-shard counts (one bounded grouped count).
   */
 class StreamingGraphIndex(dir: String, root: String) extends Serializable {
 

@@ -25,6 +25,14 @@ import graft.plans.CentroidOps
   * spec-asserted (catches a double-indexed batch, which search alone
   * cannot see). Snapshot persists the counters — the artifact is its
   * own durable state (the StreamingBm25Index convention).
+  *
+  * Counter scope: the reconciliation invariant (streamed + base ==
+  * artifact) holds for an APPEND-ONLY stream — the twin's contract.
+  * An out-of-band `PqIndex.delete` + re-adding batch triggers the
+  * index's compact-on-overlap (physically removing previously counted
+  * rows), after which the counters remain a correct INGEST-throughput
+  * view but no longer reconcile; re-derive balance from the artifact's
+  * per-cell counts (one bounded grouped count) in that regime.
   */
 class StreamingPqIndex(dir: String, root: String) extends Serializable {
 

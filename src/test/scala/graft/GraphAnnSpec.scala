@@ -71,8 +71,12 @@ class GraphAnnSpec extends AnyFunSuite {
     // hole this seam closes)
     val g = GraphAnn.bucketedGraph(spark, sf)
     val n = Similarity.normed(spark, sf).count()
-    assert(g.ids.length.toLong === GraphAnn.BucketedNodeCap,
-      "the bucketed graph samples exactly the lowered node cap")
+    // the stride sample keeps Binomial(n, 1/stride) ≈ cap EXPECTED rows
+    // before the strict limit — exact equality is a hash coin-flip of
+    // the corpus, so assert the bound plus a regeneration-safe floor
+    assert(g.ids.length.toLong <= GraphAnn.BucketedNodeCap &&
+      g.ids.length.toLong > GraphAnn.BucketedNodeCap / 2,
+      s"the bucketed graph samples ~the lowered node cap (got ${g.ids.length})")
     assert(n > GraphAnn.BucketedNodeCap * 4,
       s"corpus ($n) must dwarf the node cap for real multi-vector buckets")
     def pairs(df: org.apache.spark.sql.DataFrame) =

@@ -109,6 +109,33 @@ class IndexLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("append after a mid-swap crash first recovers the standing tree") {
+    import spark.implicits._
+    // the hole an append-only recover left open: a mode("append") write
+    // onto a crash-missing tree would silently recreate it with
+    // batch-only rows and the next recover would GC the aside copy
+    val root = tmp("graft_bm25crashapp")
+    val ref = tmp("graft_bm25crashref")
+    Bm25Index.materializeWhere(spark, sf, pmod(col("doc_id"), lit(5)) =!= 0, root)
+    val victims = Bm25Index.searchRoot(spark, root)
+      .collect().map(_.getLong(0)).take(2).toSeq
+    Bm25Index.delete(spark, root, victims)
+    crashAt("mid-swap")
+    intercept[RuntimeException] { Bm25Index.compact(spark, root) }
+    IndexMaintenance.crashHook = _ => ()
+    // the FIRST post-crash operation is an append, not a read
+    Bm25Index.append(spark, root,
+      Tables.documents(spark, sf).filter(pmod(col("doc_id"), lit(5)) === 0))
+    // reference: a fresh build over (full minus victims) — victims were
+    // physically reclaimed by the rolled-forward compact, and the
+    // appended slice joined the standing corpus
+    Bm25Index.materializeWhere(spark, sf,
+      !col("doc_id").isin(victims: _*), ref)
+    assert(Bm25Index.searchRoot(spark, root).collect().toSeq ===
+      Bm25Index.searchRoot(spark, ref).collect().toSeq,
+      "append must roll the interrupted swap forward before writing")
+  }
+
   test("delete then re-append resurrects the id with no duplicates — all four indexes") {
     import spark.implicits._
     // bm25
@@ -219,5 +246,30 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
     assert(latest === v3, "the replayed txn must not claim a new version")
     assert(ids(Snapshots.read(spark, root, latest)) === want,
       "the replayed txn must not duplicate its rows")
+  }
+
+  test("contiguous txn ids range-compress to one manifest tag line") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snaptxn3").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source").limit(3)
+    Snapshots.create(spark, root, docs)
+    // a streaming sink's batchIds are contiguous — the carried tag set
+    // must stay O(1) lines, not one line per batch (O(N²) cumulative
+    // manifest bytes over a stream's life otherwise)
+    (0L to 9L).foreach(i => Snapshots.appendTxn(spark, root, i, docs))
+    val latest = Snapshots.latestVersion(spark, root)
+    val manifest = scala.io.Source.fromFile(
+      s"$root/manifests/v$latest.txt", "UTF-8").getLines().toList
+    val tagLines = manifest.filter(_.startsWith("#txn:"))
+    assert(tagLines === List("#txn:0-9"),
+      s"contiguous ids must compress to one range tag, got $tagLines")
+    // replay of any id in the range is still a no-op
+    assert(Snapshots.appendTxn(spark, root, 4L, docs) === latest)
+    assert(Snapshots.latestVersion(spark, root) === latest)
+    // a non-contiguous id opens a second range
+    Snapshots.appendTxn(spark, root, 20L, docs)
+    val tags2 = scala.io.Source.fromFile(
+      s"$root/manifests/v${Snapshots.latestVersion(spark, root)}.txt", "UTF-8")
+      .getLines().filter(_.startsWith("#txn:")).toList
+    assert(tags2 === List("#txn:0-9", "#txn:20"), s"got $tags2")
   }
 }
