@@ -220,6 +220,9 @@ object SparkEntry {
     // record linkage: blocked fuzzy join over planted dirty records —
     // blocking equi-join + levenshtein verify, full oracle
     "q_entity_resolve"  -> operators.EntityResolve.entityResolve _,
+    // incremental twin: the arriving batch broadcasts into the blocked
+    // standing store — O(batch x avg-block) work, never O(store^2)
+    "q_entity_resolve_incr" -> operators.EntityResolve.entityResolveIncremental _,
     // §2.1b extended composed analytics
     "q_anti_join"         -> ExtendedAnalytics.customersWithoutOrders _,
     "q_semi_join"         -> ExtendedAnalytics.activeCustomers _,
@@ -1008,6 +1011,7 @@ object SparkEntry {
     "q_image_sim" -> sources.ImageSim.oracleSql,
     "q_audio_sim" -> sources.AudioSim.oracleSql,
     "q_entity_resolve" -> operators.EntityResolve.oracleSql,
+    "q_entity_resolve_incr" -> operators.EntityResolve.incrOracleSql,
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
          md5(text) AS content_md5, left(text, 16) AS prefix16

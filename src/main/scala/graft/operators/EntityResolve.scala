@@ -183,11 +183,44 @@ object EntityResolve {
   def entityResolve(s: SparkSession, dir: String): DataFrame =
     verifyPairs(adaptiveBlocks(records(s, dir)))
 
+  /** `q_entity_resolve_incr` — INCREMENTAL record linkage, the
+    * entity-resolution twin of `q_dedup_incremental`: an arriving
+    * batch of dirty records links against the STANDING entity store
+    * without re-verifying the store against itself — O(batch ×
+    * avg-block) pair work, never O(store²) (a daily feed into a 10⁹-
+    * record master-data store cannot re-run full linkage). The batch
+    * side is bounded per micro-ingest, so it BROADCASTS into the
+    * blocked standing store: one map-side equi-join on the block key,
+    * zero shuffle of the store. Fixture split: the standing store =
+    * each entity's canonical + first-drop records, the batch = the
+    * second-drop records; every batch record must link to exactly its
+    * entity's two standing records (dist 1 to the canonical, dist 2 to
+    * the sibling drop — both within [[MatchMax]]).
+    */
+  def entityResolveIncremental(s: SparkSession, dir: String): DataFrame = {
+    val r = records(s, dir)
+    val standing = r.filter(col("variant") =!= 2)
+      .select(col("rec_id").as("rec_std"), col("entity").as("ent_std"),
+        col("name").as("name_std"), col("block"))
+    val batch = r.filter(col("variant") === 2)
+      .select(col("rec_id").as("rec_new"), col("entity").as("ent_new"),
+        col("name").as("name_new"), col("block"))
+    standing.join(broadcast(batch), Seq("block"))
+      .withColumn("dist", levenshtein(col("name_new"), col("name_std")))
+      .filter(col("dist") <= MatchMax)
+      .select(col("rec_new"), col("rec_std"), col("ent_new").as("entity"),
+        col("dist"))
+      .orderBy("rec_new", "rec_std")
+  }
+
   /** DuckDB twin, generated from the same constants: identical hash,
     * syllable table, drop positions, blocking, and the same classic
     * levenshtein DP (cast: DuckDB returns BIGINT, Spark INT).
     */
-  val oracleSql: String = {
+  /** Shared oracle CTE prefix: the planted dirty-records table with
+    * its block key (variant = rec_id % 3).
+    */
+  private def oracleCtePrefix: String = {
     val syl = Syllables.map(x => s"'$x'").mkString(", ")
     val nameExpr = (0 until 8).map { i =>
       s"syl[CAST(((h >> ${4 * i}) % 16) + 1 AS INT)]"
@@ -212,7 +245,11 @@ object EntityResolve {
        |  FROM named CROSS JOIN (SELECT unnest([0, 1, 2]) AS variant) v),
        |blocked AS (
        |  SELECT rec_id, entity, name, substr(name, 1, $BlockLen) AS block
-       |  FROM recs)
+       |  FROM recs)""".stripMargin
+  }
+
+  val oracleSql: String =
+    s"""$oracleCtePrefix
        |SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
        |  a.entity AS entity,
        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
@@ -220,5 +257,17 @@ object EntityResolve {
        |  ON a.block = b.block AND a.rec_id < b.rec_id
        |WHERE levenshtein(a.name, b.name) <= $MatchMax
        |ORDER BY rec_a, rec_b""".stripMargin
-  }
+
+  /** DuckDB twin of [[entityResolveIncremental]]: the batch is the
+    * variant-2 slice (rec_id % 3 = 2), the standing store the rest.
+    */
+  val incrOracleSql: String =
+    s"""$oracleCtePrefix
+       |SELECT b.rec_id AS rec_new, a.rec_id AS rec_std,
+       |  b.entity AS entity,
+       |  CAST(levenshtein(b.name, a.name) AS INT) AS dist
+       |FROM blocked a JOIN blocked b
+       |  ON a.block = b.block AND a.rec_id % 3 <> 2 AND b.rec_id % 3 = 2
+       |WHERE levenshtein(b.name, a.name) <= $MatchMax
+       |ORDER BY rec_new, rec_std""".stripMargin
 }

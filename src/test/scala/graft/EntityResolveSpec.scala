@@ -92,6 +92,27 @@ class EntityResolveSpec extends AnyFunSuite {
       "refinement inside the agreement region must leave the oracle-checked output unchanged")
   }
 
+  test("incremental linkage: each batch record links to exactly its entity's standing records, batch side broadcasts") {
+    val recs = EntityResolve.records(spark, sf)
+    val nEnt = recs.select("entity").distinct().count()
+    val df = EntityResolve.entityResolveIncremental(spark, sf)
+    val rows = df.collect()
+    // 2 standing matches per batch record (canonical at dist 1, the
+    // sibling drop at dist 2) — and nothing else at the planted margins
+    assert(rows.length === 2 * nEnt, s"expected ${2 * nEnt} links")
+    assert(rows.forall(r => r.getLong(0) / 3 == r.getLong(1) / 3),
+      "every link stays within one entity")
+    assert(rows.forall(r => r.getLong(0) % 3 == 2),
+      "the left side is always a batch (variant-2) record")
+    assert(rows.forall(_.getAs[Int]("dist") <= EntityResolve.MatchMax))
+    // O(batch) shape: the bounded batch side broadcasts into the
+    // standing store — equi-join on block, no shuffle of the store
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the batch side must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("names are injective and variants stay in their entity's block") {
     val recs = EntityResolve.records(spark, sf).collect()
     val names = recs.map(_.getAs[String]("name"))
