@@ -113,6 +113,24 @@ class EntityResolveSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("streaming linkage == batch incremental over any split, incl. restore") {
+    val batchRecs = EntityResolve.records(spark, sf)
+      .filter(col("variant") === 2).select("rec_id", "name", "entity")
+    def slice(r: Int) = batchRecs.filter(pmod(col("entity"), lit(2)) === r)
+    val twin = new graft.streaming.StreamingEntityResolve(sf)
+    twin.mergeBatch(spark, slice(0))
+    val snap = java.nio.file.Files.createTempDirectory("graft_entsnap").toString
+    twin.snapshot(spark, snap)
+    val resumed = graft.streaming.StreamingEntityResolve.restore(spark, snap, sf)
+    resumed.mergeBatch(spark, slice(1))
+    val want = EntityResolve.entityResolveIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(resumed.current() === want,
+      "stream-linked across a 2-batch split + restore == the batch incremental output")
+    // the match-rate view reconciles: 2 links per entity
+    assert(resumed.entityLinkCounts.values.forall(_ == 2L))
+  }
+
   test("names are injective and variants stay in their entity's block") {
     val recs = EntityResolve.records(spark, sf).collect()
     val names = recs.map(_.getAs[String]("name"))
