@@ -71,7 +71,9 @@ object Snapshots {
 
   private[sources] def writeManifest(s: SparkSession, root: String, v: Int,
                             files: Seq[String],
-                            txns: Seq[(Long, Long)] = Seq.empty): Unit = {
+                            txns: Seq[(Long, Long)] = Seq.empty,
+                            schema: Option[org.apache.spark.sql.types.StructType]
+                              = None): Unit = {
     val f = fs(s)
     val p = manifestPath(root, v)
     // Two-phase commit: write the FULL content to a dot-temp (invisible
@@ -89,10 +91,16 @@ object Snapshots {
     // data dir.
     val tmp = new org.apache.hadoop.fs.Path(
       s"$root/manifests/.v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    // `#schema:<json>` pins the version's read schema in METADATA (the
+    // Delta pattern): readers apply it explicitly instead of merging
+    // parquet footers — at 10⁶ files a mergeSchema read is a footer
+    // scan per file; here schema evolution costs zero data I/O, and a
+    // version whose older files lack a later column reads them as null
     val out = f.create(tmp, false)
     try out.write(
-      (txns.map { case (a, b) =>
-        if (a == b) s"#txn:$a" else s"#txn:$a-$b" } ++ files)
+      (schema.map(sc => s"#schema:${sc.json}").toSeq ++
+        txns.map { case (a, b) =>
+          if (a == b) s"#txn:$a" else s"#txn:$a-$b" } ++ files)
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!claimVersion(f, tmp, p)) {
@@ -173,6 +181,40 @@ object Snapshots {
   private def txnCommitted(ranges: Seq[(Long, Long)], id: Long): Boolean =
     ranges.exists { case (a, b) => id >= a && id <= b }
 
+  /** The read schema pinned in version v's manifest (None for
+    * manifests written before the schema tag — readers fall back to
+    * footer inference).
+    */
+  private[sources] def readSchemaTag(s: SparkSession, root: String,
+      v: Int): Option[org.apache.spark.sql.types.StructType] =
+    manifestLines(s, root, v).collectFirst {
+      case l if l.startsWith("#schema:") =>
+        org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("#schema:"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+
+  /** Widen `known` with any NEW fields the batch carries (appended,
+    * nullable — old files read them as null). A same-name field must
+    * keep its type: silent coercion across a lineage is how a corpus
+    * quietly corrupts, so a type change is an error, not a merge.
+    */
+  private[sources] def mergeSchemas(
+      known: org.apache.spark.sql.types.StructType,
+      batch: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val byName = known.fields.map(f => f.name -> f).toMap
+    batch.fields.foreach { f =>
+      byName.get(f.name).foreach { k =>
+        require(k.dataType == f.dataType,
+          s"schema evolution cannot change column '${f.name}' from " +
+            s"${k.dataType.simpleString} to ${f.dataType.simpleString}")
+      }
+    }
+    val added = batch.fields.filterNot(f => byName.contains(f.name))
+      .map(_.copy(nullable = true))
+    org.apache.spark.sql.types.StructType(known.fields ++ added)
+  }
+
   /** Highest committed version, 0 if none. */
   def latestVersion(s: SparkSession, root: String): Int = {
     val d = new org.apache.hadoop.fs.Path(s"$root/manifests")
@@ -189,7 +231,10 @@ object Snapshots {
     * caller's data files are already durable and unshared, so the
     * retry is metadata-only.
     */
-  private def commitRetry(s: SparkSession, root: String, addTxn: Option[Long] = None)
+  private def commitRetry(s: SparkSession, root: String,
+      addTxn: Option[Long] = None,
+      schemaFor: Option[org.apache.spark.sql.types.StructType]
+        => Option[org.apache.spark.sql.types.StructType] = identity)
                          (files: Seq[String] => Seq[String]): Int = {
     var attempts = 0
     while (true) {
@@ -197,9 +242,11 @@ object Snapshots {
       val known = if (v == 0) Seq.empty[String] else readManifest(s, root, v)
       val knownTxns =
         if (v == 0) Seq.empty[(Long, Long)] else readTxnRanges(s, root, v)
+      val knownSchema = if (v == 0) None else readSchemaTag(s, root, v)
       try {
         writeManifest(s, root, v + 1, files(known).distinct.sorted,
-          addTxn.fold(knownTxns)(mergeTxn(knownTxns, _)))
+          addTxn.fold(knownTxns)(mergeTxn(knownTxns, _)),
+          schemaFor(knownSchema))
         return v + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -213,7 +260,7 @@ object Snapshots {
   /** Commit `df` as version 1 of a new dataset (fails if one exists). */
   def create(s: SparkSession, root: String, df: DataFrame): Int = {
     val mine = writeBatchFiles(s, root, df)
-    writeManifest(s, root, 1, mine)
+    writeManifest(s, root, 1, mine, schema = Some(df.schema))
     1
   }
 
@@ -221,19 +268,27 @@ object Snapshots {
     * standing data files are untouched — a reader pinned at v is
     * unaffected, and a concurrent append commits the version after
     * (exactly one claims each number; the loser retries cleanly —
-    * both spec-asserted).
+    * both spec-asserted). SCHEMA EVOLUTION: a batch carrying new
+    * columns widens v+1's pinned schema (older files read the new
+    * columns as null); a type change on an existing column is
+    * rejected (see [[mergeSchemas]]).
     */
   def append(s: SparkSession, root: String, df: DataFrame): Int = {
     val mine = writeBatchFiles(s, root, df)
-    commitRetry(s, root)(known => known ++ mine)
+    commitRetry(s, root,
+      schemaFor = known => Some(known.fold(df.schema)(mergeSchemas(_, df.schema))))(
+      known => known ++ mine)
   }
 
   /** Rewrite: commit `df` as v+1 from FRESH files only (a curation
-    * drop, or [[compact]]) — old versions keep reading their own files.
+    * drop, or [[compact]]) — old versions keep reading their own
+    * files. The rewrite REPLACES the rows, so v+1's schema is the new
+    * frame's (a rewrite may narrow — dropping a column is a curation
+    * action too).
     */
   def rewrite(s: SparkSession, root: String, df: DataFrame): Int = {
     val mine = writeBatchFiles(s, root, df)
-    commitRetry(s, root)(_ => mine)
+    commitRetry(s, root, schemaFor = _ => Some(df.schema))(_ => mine)
   }
 
   /** Idempotent append keyed by an EXTERNAL transaction id (a
@@ -271,7 +326,9 @@ object Snapshots {
     val mine = f.listStatus(sub).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString).sorted
-    commitRetry(s, root, addTxn = Some(txnId))(known => known ++ mine)
+    commitRetry(s, root, addTxn = Some(txnId),
+      schemaFor = known => Some(known.fold(df.schema)(mergeSchemas(_, df.schema))))(
+      known => known ++ mine)
   }
 
   /** Streaming ingest into a versioned dataset: each micro-batch
@@ -381,9 +438,18 @@ object Snapshots {
     }
   }
 
-  /** Time-travel read: a scan over exactly version v's files. */
-  def read(s: SparkSession, root: String, v: Int): DataFrame =
-    s.read.parquet(readManifest(s, root, v): _*)
+  /** Time-travel read: a scan over exactly version v's files, under
+    * v's PINNED schema (metadata-only schema evolution: files written
+    * before a column existed read it as null; no footer merging). A
+    * pre-schema-tag manifest falls back to footer inference.
+    */
+  def read(s: SparkSession, root: String, v: Int): DataFrame = {
+    val files = readManifest(s, root, v)
+    readSchemaTag(s, root, v) match {
+      case Some(sc) => s.read.schema(sc).parquet(files: _*)
+      case None     => s.read.parquet(files: _*)
+    }
+  }
 
   // ---- catalog entry ------------------------------------------------------
 

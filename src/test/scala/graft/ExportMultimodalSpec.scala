@@ -714,7 +714,9 @@ class SnapshotsSpec extends org.scalatest.funsuite.AnyFunSuite {
     val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     def manifest(v: Int): Set[String] = {
       val in = f.open(new org.apache.hadoop.fs.Path(s"$root/manifests/v$v.txt"))
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSet
+      // '#'-prefixed lines are metadata (schema / txn tags), not files
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(l => l.nonEmpty && !l.startsWith("#")).toSet
       finally in.close()
     }
     val live = manifest(2) ++ manifest(3)

@@ -248,6 +248,37 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
       "the replayed txn must not duplicate its rows")
   }
 
+  test("schema evolution: a widening append is metadata-only; pinned versions keep their schema") {
+    import org.apache.spark.sql.functions.lit
+    val root = java.nio.file.Files.createTempDirectory("graft_snapschema").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    val sliceA = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val sliceB = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .withColumn("quality", (col("doc_id") % 7).cast("double"))
+    Snapshots.create(spark, root, sliceA)
+    Snapshots.append(spark, root, sliceB) // widens: + quality
+    // v1 keeps its 2-column schema (a pinned training run's frame
+    // never grows columns under it)
+    assert(Snapshots.read(spark, root, 1).columns.toSeq ===
+      Seq("doc_id", "source"))
+    // v2 = the union schema; rows from the pre-quality files read null
+    val v2 = Snapshots.read(spark, root, 2)
+    assert(v2.columns.toSeq === Seq("doc_id", "source", "quality"))
+    assert(v2.filter(col("quality").isNull).count() === sliceA.count(),
+      "old files read the new column as null")
+    assert(v2.filter(col("quality").isNotNull).count() === sliceB.count())
+    // compaction carries the evolved schema through the rewrite
+    val v3 = Snapshots.compact(spark, root, partitions = 1)
+    assert(Snapshots.read(spark, root, v3).columns.toSeq ===
+      Seq("doc_id", "source", "quality"))
+    assert(Snapshots.read(spark, root, v3).count() === docs.count())
+    // a type change on an existing column is rejected, not coerced
+    intercept[IllegalArgumentException] {
+      Snapshots.append(spark, root,
+        sliceA.withColumn("quality", lit("high")))
+    }
+  }
+
   test("contiguous txn ids range-compress to one manifest tag line") {
     val root = java.nio.file.Files.createTempDirectory("graft_snaptxn3").toString
     val docs = Tables.documents(spark, sf).select("doc_id", "source").limit(3)
