@@ -451,6 +451,39 @@ object Snapshots {
     }
   }
 
+  /** Incremental consumption (append-only CDC): exactly the rows ADDED
+    * between two versions — a downstream consumer (embedding refresh,
+    * index ingest, continual pretraining) processes each epoch's NEW
+    * data without rescanning the corpus. Appends are additive file
+    * sets, so the delta is a scan over `files(to) ∖ files(from)` —
+    * O(new data), zero data I/O against the standing corpus, computed
+    * from two manifest reads. Across a REWRITE boundary (compact,
+    * curation drop) file identity no longer means row identity, so the
+    * call fails fast instead of returning garbage — consumers resync
+    * from a full read there (the Delta CDC-without-change-files
+    * economics).
+    */
+  def changesBetween(s: SparkSession, root: String, fromV: Int,
+                     toV: Int): DataFrame = {
+    require(fromV >= 0 && fromV <= toV, s"need 0 <= fromV <= toV, got $fromV..$toV")
+    val from = if (fromV == 0) Set.empty[String]
+               else readManifest(s, root, fromV).toSet
+    val to = readManifest(s, root, toV)
+    require(from.subsetOf(to.toSet),
+      s"versions $fromV..$toV of $root span a rewrite boundary " +
+        "(files were replaced, not added) — incremental reads are only " +
+        "defined over append-only ranges; resync with read(toV)")
+    val fresh = to.filterNot(from)
+    val schema = readSchemaTag(s, root, toV)
+    if (fresh.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.getOrElse(read(s, root, toV).schema))
+    else schema match {
+      case Some(sc) => s.read.schema(sc).parquet(fresh: _*)
+      case None     => s.read.parquet(fresh: _*)
+    }
+  }
+
   // ---- catalog entry ------------------------------------------------------
 
   def snapRoot(s: SparkSession, dir: String): String =

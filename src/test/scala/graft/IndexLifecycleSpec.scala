@@ -248,6 +248,37 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
       "the replayed txn must not duplicate its rows")
   }
 
+  test("changesBetween streams exactly the appended rows; rewrite boundaries fail fast") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snapcdc").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    def slice(r: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === r)
+    Snapshots.create(spark, root, slice(0))               // v1
+    Snapshots.append(spark, root, slice(1))               // v2
+    Snapshots.append(spark, root, slice(2))               // v3
+    assert(ids(Snapshots.changesBetween(spark, root, 1, 3)) ===
+      ids(slice(1).union(slice(2))),
+      "the 1→3 delta is exactly the two appended batches")
+    assert(ids(Snapshots.changesBetween(spark, root, 2, 3)) === ids(slice(2)))
+    assert(Snapshots.changesBetween(spark, root, 3, 3).count() === 0)
+    assert(ids(Snapshots.changesBetween(spark, root, 0, 1)) === ids(slice(0)),
+      "from version 0 the delta is the full first version")
+    // incremental reads never rescan the standing corpus: the delta
+    // scan's files are disjoint from the from-version's
+    val v2Files = Snapshots.read(spark, root, 2).inputFiles.toSet
+    val delta = Snapshots.changesBetween(spark, root, 2, 3).inputFiles.toSet
+    assert(delta.nonEmpty && delta.intersect(v2Files).isEmpty)
+    // a rewrite replaces files — file identity stops meaning row
+    // identity, so the range fails fast instead of returning garbage
+    val v4 = Snapshots.compact(spark, root, partitions = 1)
+    intercept[IllegalArgumentException] {
+      Snapshots.changesBetween(spark, root, 3, v4)
+    }
+    // ranges AFTER the rewrite work again
+    Snapshots.append(spark, root, slice(0))               // v5
+    assert(ids(Snapshots.changesBetween(spark, root, v4, v4 + 1)) ===
+      ids(slice(0)))
+  }
+
   test("schema evolution: a widening append is metadata-only; pinned versions keep their schema") {
     import org.apache.spark.sql.functions.lit
     val root = java.nio.file.Files.createTempDirectory("graft_snapschema").toString
