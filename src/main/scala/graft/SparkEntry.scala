@@ -185,6 +185,9 @@ object SparkEntry {
     // time-travel read of a pinned snapshot version while a later
     // append exists (manifest-versioned dataset)
     "q_snapshot_read"  -> sources.Snapshots.snapshotRead _,
+    // append-only CDC over the same fixture: the 1→2 delta reads only
+    // v2's new files (zero I/O against the standing corpus)
+    "q_snapshot_changes" -> sources.Snapshots.snapshotChanges _,
     "q_rate_anomaly"  -> CorpusCuration.rateAnomaly _,
     "q_embed_drift"   -> CorpusCuration.embedDrift _,
     "q_pack_efficiency" -> CorpusCuration.packEfficiency _,
@@ -1012,6 +1015,7 @@ object SparkEntry {
     "q_audio_sim" -> sources.AudioSim.oracleSql,
     "q_entity_resolve" -> operators.EntityResolve.oracleSql,
     "q_entity_resolve_incr" -> operators.EntityResolve.incrOracleSql,
+    "q_snapshot_changes" -> sources.Snapshots.snapshotChangesOracleSql,
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
          md5(text) AS content_md5, left(text, 16) AS prefix16

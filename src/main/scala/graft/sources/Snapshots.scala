@@ -518,4 +518,29 @@ object Snapshots {
       |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens
       |FROM documents WHERE doc_id % 3 <> 2
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** `q_snapshot_changes` (§2 #211): the 1→2 incremental delta over
+    * the same fixture [[snapshotRead]] builds — v2 appended exactly
+    * the doc_id%3==2 slice, so [[changesBetween]] must surface those
+    * rows and nothing else (the DuckDB oracle recomputes the slice
+    * from the predicate), proving append-only CDC through the
+    * driver's hash gate. The delta scan reads only v2's new files —
+    * zero I/O against v1's corpus (spec-asserted via inputFiles).
+    */
+  def snapshotChanges(s: SparkSession, dir: String): DataFrame = {
+    snapshotRead(s, dir) // the fixture builds eagerly inside (marker-skipped)
+    val root = snapRoot(s, dir)
+    changesBetween(s, root, 1, 2)
+      .select(col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .orderBy("source")
+  }
+
+  val snapshotChangesOracleSql: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens
+      |FROM documents WHERE doc_id % 3 = 2
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

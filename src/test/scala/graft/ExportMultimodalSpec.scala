@@ -809,6 +809,11 @@ class SnapshotsSpec extends org.scalatest.funsuite.AnyFunSuite {
     val v2 = Snapshots.read(spark, root, 2).inputFiles.toSet
     assert(v1.subsetOf(v2) && v1 != v2,
       "the append grew v2's file set without touching v1's")
+    // the CDC twin reads ONLY the delta files — zero I/O against the
+    // standing corpus
+    val delta = Snapshots.snapshotChanges(spark, sf).inputFiles.toSet
+    assert(delta.nonEmpty && delta.subsetOf(v2 -- v1),
+      "q_snapshot_changes must scan exactly the appended files")
   }
 }
 
