@@ -451,6 +451,31 @@ object Snapshots {
     }
   }
 
+  /** The latest version committed at or before `tsMillis` (the Delta
+    * `timestampAsOf` analogue): versions resolve by their manifest's
+    * publish time — the commit point itself, since the hard-link /
+    * rename claim creates the manifest file. 0 if nothing was
+    * committed yet. "Reproduce what the tuesday-night run saw" without
+    * the run having recorded its version number.
+    */
+  def versionAsOf(s: SparkSession, root: String, tsMillis: Long): Int = {
+    val f = fs(s)
+    val d = new org.apache.hadoop.fs.Path(s"$root/manifests")
+    if (!f.exists(d)) 0
+    else f.listStatus(d).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("v") &&
+        st.getModificationTime <= tsMillis)
+      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".txt").toInt)
+      .foldLeft(0)(math.max)
+  }
+
+  /** Time-travel read by timestamp. */
+  def readAsOf(s: SparkSession, root: String, tsMillis: Long): DataFrame = {
+    val v = versionAsOf(s, root, tsMillis)
+    require(v >= 1, s"no version of $root existed at $tsMillis")
+    read(s, root, v)
+  }
+
   /** Incremental consumption (append-only CDC): exactly the rows ADDED
     * between two versions — a downstream consumer (embedding refresh,
     * index ingest, continual pretraining) processes each epoch's NEW

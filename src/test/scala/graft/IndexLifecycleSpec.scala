@@ -248,6 +248,26 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
       "the replayed txn must not duplicate its rows")
   }
 
+  test("timestamp travel resolves the version committed at or before the instant") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snapts").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    assert(Snapshots.versionAsOf(spark, root, System.currentTimeMillis()) === 0)
+    Snapshots.create(spark, root, docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+    Thread.sleep(15) // manifest mtimes are ms-resolution
+    val betweenCommits = System.currentTimeMillis()
+    Thread.sleep(15)
+    Snapshots.append(spark, root, docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    assert(Snapshots.versionAsOf(spark, root, betweenCommits) === 1,
+      "an instant between the commits resolves to v1")
+    assert(ids(Snapshots.readAsOf(spark, root, betweenCommits)) ===
+      ids(docs.filter(pmod(col("doc_id"), lit(2)) === 0)),
+      "the tuesday-night run's view reproduces without a recorded version")
+    assert(Snapshots.versionAsOf(spark, root, System.currentTimeMillis()) === 2)
+    intercept[IllegalArgumentException] {
+      Snapshots.readAsOf(spark, root, 0L) // before the dataset existed
+    }
+  }
+
   test("changesBetween streams exactly the appended rows; rewrite boundaries fail fast") {
     val root = java.nio.file.Files.createTempDirectory("graft_snapcdc").toString
     val docs = Tables.documents(spark, sf).select("doc_id", "source")
