@@ -509,6 +509,87 @@ object Snapshots {
     }
   }
 
+  /** Exactly-once CDC consumer cursor over a snapshot dataset — the
+    * consumer half of the exactly-once story ([[appendTxn]] is the
+    * producer half): a downstream job tails the dataset, processing
+    * each version range once even across its own restarts.
+    *
+    * Two-phase by design: [[poll]] returns the pending delta WITHOUT
+    * advancing (the consumer may crash mid-process), [[commit]]
+    * advances after the consumer's own side effects are durable, and
+    * [[saveCursor]]/[[restore]] persist the position through the same
+    * dot-temp + atomic-claim discipline as every Snapshots commit. A
+    * REWRITE boundary propagates [[changesBetween]]'s fail-fast —
+    * the consumer chooses between [[resync]] (full re-read, advancing
+    * past the boundary) and stopping; silent resync would duplicate
+    * rows downstream, which is the consumer's call, never the tail's.
+    */
+  final class SnapshotTail(val root: String, startAfter: Int = 0) {
+    private var cursor: Int = startAfter
+
+    /** Current committed position (versions ≤ this are processed). */
+    def position: Int = this.synchronized(cursor)
+
+    /** The pending delta and its end version, if any versions landed
+      * past the cursor. Does NOT advance — call [[commit]] once the
+      * consumer's effects are durable.
+      */
+    def poll(s: SparkSession): Option[(DataFrame, Int)] = {
+      val from = position
+      val latest = latestVersion(s, root)
+      if (latest <= from) None
+      else Some((changesBetween(s, root, from, latest), latest))
+    }
+
+    /** Advance past a processed range (monotonic; stale acks no-op). */
+    def commit(toV: Int): Unit = this.synchronized {
+      cursor = math.max(cursor, toV)
+    }
+
+    /** Full re-read after a rewrite boundary, advancing the cursor to
+      * the rewritten version — the consumer re-derives its state from
+      * scratch (duplicates are explicit here, never silent).
+      */
+    def resync(s: SparkSession): (DataFrame, Int) = {
+      val latest = latestVersion(s, root)
+      this.synchronized { cursor = latest }
+      (read(s, root, latest), latest)
+    }
+
+    /** Persist the committed position (dot-temp + rename — a crash
+      * mid-save leaves the previous durable cursor, re-delivering the
+      * last range: at-least-once save composing with the two-phase
+      * poll/commit gives exactly-once end-to-end when the consumer's
+      * commit is idempotent, the appendTxn argument one level up).
+      */
+    def saveCursor(s: SparkSession, path: String): Unit = {
+      val f = fs(s)
+      val p = new org.apache.hadoop.fs.Path(s"$path/cursor")
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$path/.cursor.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = f.create(tmp, false)
+      try out.write(position.toString.getBytes("UTF-8")) finally out.close()
+      f.delete(p, false)
+      f.rename(tmp, p)
+    }
+  }
+
+  object SnapshotTail {
+    /** Resume a tail from its persisted cursor (0 if none saved). */
+    def restore(s: SparkSession, path: String, root: String): SnapshotTail = {
+      val f = fs(s)
+      val p = new org.apache.hadoop.fs.Path(s"$path/cursor")
+      val start =
+        if (!f.exists(p)) 0
+        else {
+          val in = f.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+          finally in.close()
+        }
+      new SnapshotTail(root, start)
+    }
+  }
+
   // ---- catalog entry ------------------------------------------------------
 
   def snapRoot(s: SparkSession, dir: String): String =

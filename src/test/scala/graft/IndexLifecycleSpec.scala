@@ -299,6 +299,37 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
       ids(slice(0)))
   }
 
+  test("SnapshotTail delivers each version range once across restarts; rewrite surfaces for resync") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snaptail").toString
+    val cur = java.nio.file.Files.createTempDirectory("graft_snapcur").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    def slice(r: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === r)
+    val tail = new Snapshots.SnapshotTail(root)
+    assert(tail.poll(spark).isEmpty, "nothing committed yet")
+    Snapshots.create(spark, root, slice(0))
+    Snapshots.append(spark, root, slice(1))
+    // first poll: both versions' rows, cursor unmoved until commit
+    val Some((d1, v1)) = tail.poll(spark)
+    assert(ids(d1) === ids(slice(0).union(slice(1))) && v1 === 2)
+    assert(tail.position === 0, "poll must not advance (two-phase)")
+    tail.commit(v1)
+    tail.saveCursor(spark, cur)
+    assert(tail.poll(spark).isEmpty, "committed range never re-delivers")
+    // consumer restart: the persisted cursor resumes mid-stream
+    Snapshots.append(spark, root, slice(2))
+    val resumed = Snapshots.SnapshotTail.restore(spark, cur, root)
+    val Some((d2, v2)) = resumed.poll(spark)
+    assert(ids(d2) === ids(slice(2)) && v2 === 3,
+      "the restored tail delivers only the unprocessed range")
+    resumed.commit(v2)
+    // a rewrite boundary surfaces (fail-fast) and resync recovers
+    Snapshots.compact(spark, root, partitions = 1)
+    intercept[IllegalArgumentException] { resumed.poll(spark).foreach(_._1.count()) }
+    val (full, v4) = resumed.resync(spark)
+    assert(ids(full) === ids(docs) && v4 === 4)
+    assert(resumed.poll(spark).isEmpty)
+  }
+
   test("schema evolution: a widening append is metadata-only; pinned versions keep their schema") {
     import org.apache.spark.sql.functions.lit
     val root = java.nio.file.Files.createTempDirectory("graft_snapschema").toString
