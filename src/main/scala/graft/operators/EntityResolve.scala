@@ -134,22 +134,42 @@ object EntityResolve {
     * instead of degrading toward n² — the planted hot-block spec pins
     * both the bound and match-set preservation.
     */
-  private[graft] def adaptiveBlocks(r: DataFrame): DataFrame = {
+  private[graft] def adaptiveBlocks(r: DataFrame): DataFrame =
+    applyBlocks(r, blockStats(r))
+
+  /** Block-size statistics at every refinement level, keyed by the
+    * finest prefix — ONE corpus grouped count; the coarser sizes
+    * derive from the block-dim-sized frame with partitioned windows.
+    */
+  private[graft] def blockStats(r: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withPfx = BlockLevels.foldLeft(r)((df, l) =>
-      df.withColumn(s"pfx$l", substring(col("name"), 1, l)))
-    val fine = s"pfx$BlockSafeMax"
-    val cFine = withPfx.groupBy(col(fine).as("bk"))
+    val cFine = r
+      .groupBy(substring(col("name"), 1, BlockSafeMax).as("bk"))
       .agg(count(lit(1)).as(s"cnt$BlockSafeMax"))
-    val stats = BlockLevels.filter(_ < BlockSafeMax).foldLeft(cFine)((df, l) =>
+    BlockLevels.filter(_ < BlockSafeMax).foldLeft(cFine)((df, l) =>
       df.withColumn(s"cnt$l",
         sum(col(s"cnt$BlockSafeMax")).over(
           Window.partitionBy(substring(col("bk"), 1, l)))))
+  }
+
+  /** Assign each record its refined block from a stats frame. Both
+    * sides of an incremental join must use the SAME stats (the
+    * standing store's), or a matched pair could land in different
+    * refined keys. A record whose fine prefix is absent from the stats
+    * (a genuinely new entity — no standing twin) left-joins null
+    * counts, every `when` falls through, and it keys at the finest
+    * prefix: it can only match records that share all 10 chars, which
+    * is exactly the no-standing-twin case.
+    */
+  private[graft] def applyBlocks(r: DataFrame, stats: DataFrame): DataFrame = {
+    val withPfx = BlockLevels.foldLeft(r)((df, l) =>
+      df.withColumn(s"pfx$l", substring(col("name"), 1, l)))
+    val fine = s"pfx$BlockSafeMax"
     val blockExpr = BlockLevels.filter(_ < BlockSafeMax)
       .foldRight(col(fine): Column) { (l, alt) =>
         when(col(s"cnt$l") <= HotBlockCap, col(s"pfx$l")).otherwise(alt)
       }
-    withPfx.join(stats, col(fine) === col("bk"))
+    withPfx.join(stats, col(fine) === col("bk"), "left")
       .withColumn("block", blockExpr)
       .drop("bk" +: BlockLevels.flatMap(l => Seq(s"pfx$l", s"cnt$l")): _*)
   }
@@ -199,10 +219,17 @@ object EntityResolve {
     */
   def entityResolveIncremental(s: SparkSession, dir: String): DataFrame = {
     val r = records(s, dir)
-    val standing = r.filter(col("variant") =!= 2)
+    // both sides block through the STANDING store's refinement stats —
+    // the hot-block bound applies to the incremental join too (a
+    // flooded coarse key would otherwise make it batch_in_block ×
+    // store_block with no cap), and a matched pair provably shares its
+    // refined key (same prefixes ≤ BlockSafeMax ⇒ same stats row)
+    val stats = blockStats(r.filter(col("variant") =!= 2))
+    val standing = applyBlocks(r.filter(col("variant") =!= 2), stats)
       .select(col("rec_id").as("rec_std"), col("entity").as("ent_std"),
         col("name").as("name_std"), col("block"))
-    val batch = r.filter(col("variant") === 2)
+    val batch = applyBlocks(
+        r.filter(col("variant") === 2).drop("block"), stats)
       .select(col("rec_id").as("rec_new"), col("entity").as("ent_new"),
         col("name").as("name_new"), col("block"))
     standing.join(broadcast(batch), Seq("block"))

@@ -144,8 +144,44 @@ object Snapshots {
     finally in.close()
   }
 
+  /** One parsed manifest: file list + carried metadata. */
+  private[sources] final case class Manifest(files: Seq[String],
+      txns: Seq[(Long, Long)],
+      schema: Option[org.apache.spark.sql.types.StructType])
+
+  /** ONE manifest open + parse per call — the hot metadata paths
+    * (read / changesBetween / every commitRetry attempt) consume all
+    * three sections, and at 10⁶ files per version the manifest read IS
+    * the module's bottleneck; parsing it once instead of once per
+    * section is a 2-3× metadata-I/O cut.
+    */
+  private[sources] def readManifestData(s: SparkSession, root: String,
+                                        v: Int): Manifest = {
+    val lines = manifestLines(s, root, v)
+    val files = Seq.newBuilder[String]
+    val txns = Seq.newBuilder[(Long, Long)]
+    var schema: Option[org.apache.spark.sql.types.StructType] = None
+    lines.foreach {
+      case l if l.startsWith("#txn:") =>
+        // the dash splits a RANGE, but ids may be negative — split on
+        // a dash past position 0
+        val body = l.stripPrefix("#txn:")
+        txns += (body.indexOf('-', 1) match {
+          case -1 => (body.toLong, body.toLong)
+          case i  => (body.substring(0, i).toLong, body.substring(i + 1).toLong)
+        })
+      case l if l.startsWith("#schema:") =>
+        schema = Some(org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix("#schema:"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case l if l.startsWith("#") => () // unknown metadata: forward-compat
+      case l => files += l
+    }
+    Manifest(files.result(), txns.result().sorted, schema)
+  }
+
   private[sources] def readManifest(s: SparkSession, root: String, v: Int): Seq[String] =
-    manifestLines(s, root, v).filterNot(_.startsWith("#"))
+    readManifestData(s, root, v).files
 
   /** Committed-transaction id ranges recorded in version v's manifest
     * (carried forward from every prior version at commit time),
@@ -153,16 +189,7 @@ object Snapshots {
     */
   private[sources] def readTxnRanges(s: SparkSession, root: String,
                                      v: Int): Seq[(Long, Long)] =
-    manifestLines(s, root, v).collect {
-      case l if l.startsWith("#txn:") =>
-        // the dash splits a RANGE, but ids may be negative — split on
-        // a dash that follows a digit
-        val body = l.stripPrefix("#txn:")
-        body.indexOf('-', 1) match {
-          case -1 => (body.toLong, body.toLong)
-          case i  => (body.substring(0, i).toLong, body.substring(i + 1).toLong)
-        }
-    }.sorted
+    readManifestData(s, root, v).txns
 
   /** Merge one id into a sorted disjoint range set — O(ranges), and
     * ranges stay O(1) for the contiguous batchIds a streaming sink
@@ -187,10 +214,21 @@ object Snapshots {
     */
   private[sources] def readSchemaTag(s: SparkSession, root: String,
       v: Int): Option[org.apache.spark.sql.types.StructType] =
-    manifestLines(s, root, v).collectFirst {
-      case l if l.startsWith("#schema:") =>
-        org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("#schema:"))
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    readManifestData(s, root, v).schema
+
+  /** The standing schema a widening commit merges INTO: the pinned tag
+    * when present; for a LEGACY (pre-tag) lineage, the footer-inferred
+    * schema of the latest version — adopting the batch's schema alone
+    * there would silently DROP every standing column from all later
+    * reads (and bypass the type-change guard).
+    */
+  private def standingSchema(s: SparkSession, root: String,
+      known: Option[org.apache.spark.sql.types.StructType])
+      : Option[org.apache.spark.sql.types.StructType] =
+    known.orElse {
+      val v = latestVersion(s, root)
+      if (v == 0) None
+      else Some(s.read.parquet(readManifestData(s, root, v).files: _*).schema)
     }
 
   /** Widen `known` with any NEW fields the batch carries (appended,
@@ -239,14 +277,12 @@ object Snapshots {
     var attempts = 0
     while (true) {
       val v = latestVersion(s, root)
-      val known = if (v == 0) Seq.empty[String] else readManifest(s, root, v)
-      val knownTxns =
-        if (v == 0) Seq.empty[(Long, Long)] else readTxnRanges(s, root, v)
-      val knownSchema = if (v == 0) None else readSchemaTag(s, root, v)
+      val m = if (v == 0) Manifest(Seq.empty, Seq.empty, None)
+              else readManifestData(s, root, v)
       try {
-        writeManifest(s, root, v + 1, files(known).distinct.sorted,
-          addTxn.fold(knownTxns)(mergeTxn(knownTxns, _)),
-          schemaFor(knownSchema))
+        writeManifest(s, root, v + 1, files(m.files).distinct.sorted,
+          addTxn.fold(m.txns)(mergeTxn(m.txns, _)),
+          schemaFor(m.schema))
         return v + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -276,7 +312,8 @@ object Snapshots {
   def append(s: SparkSession, root: String, df: DataFrame): Int = {
     val mine = writeBatchFiles(s, root, df)
     commitRetry(s, root,
-      schemaFor = known => Some(known.fold(df.schema)(mergeSchemas(_, df.schema))))(
+      schemaFor = known => Some(standingSchema(s, root, known)
+        .fold(df.schema)(mergeSchemas(_, df.schema))))(
       known => known ++ mine)
   }
 
@@ -327,7 +364,8 @@ object Snapshots {
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString).sorted
     commitRetry(s, root, addTxn = Some(txnId),
-      schemaFor = known => Some(known.fold(df.schema)(mergeSchemas(_, df.schema))))(
+      schemaFor = known => Some(standingSchema(s, root, known)
+        .fold(df.schema)(mergeSchemas(_, df.schema))))(
       known => known ++ mine)
   }
 
@@ -444,10 +482,10 @@ object Snapshots {
     * pre-schema-tag manifest falls back to footer inference.
     */
   def read(s: SparkSession, root: String, v: Int): DataFrame = {
-    val files = readManifest(s, root, v)
-    readSchemaTag(s, root, v) match {
-      case Some(sc) => s.read.schema(sc).parquet(files: _*)
-      case None     => s.read.parquet(files: _*)
+    val m = readManifestData(s, root, v)
+    m.schema match {
+      case Some(sc) => s.read.schema(sc).parquet(m.files: _*)
+      case None     => s.read.parquet(m.files: _*)
     }
   }
 
@@ -492,18 +530,18 @@ object Snapshots {
                      toV: Int): DataFrame = {
     require(fromV >= 0 && fromV <= toV, s"need 0 <= fromV <= toV, got $fromV..$toV")
     val from = if (fromV == 0) Set.empty[String]
-               else readManifest(s, root, fromV).toSet
-    val to = readManifest(s, root, toV)
-    require(from.subsetOf(to.toSet),
+               else readManifestData(s, root, fromV).files.toSet
+    val m = readManifestData(s, root, toV)
+    require(from.subsetOf(m.files.toSet),
       s"versions $fromV..$toV of $root span a rewrite boundary " +
         "(files were replaced, not added) — incremental reads are only " +
         "defined over append-only ranges; resync with read(toV)")
-    val fresh = to.filterNot(from)
-    val schema = readSchemaTag(s, root, toV)
+    val fresh = m.files.filterNot(from)
     if (fresh.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema.getOrElse(read(s, root, toV).schema))
-    else schema match {
+        m.schema.getOrElse(
+          s.read.parquet(m.files: _*).schema))
+    else m.schema match {
       case Some(sc) => s.read.schema(sc).parquet(fresh: _*)
       case None     => s.read.parquet(fresh: _*)
     }
@@ -546,46 +584,54 @@ object Snapshots {
       cursor = math.max(cursor, toV)
     }
 
-    /** Full re-read after a rewrite boundary, advancing the cursor to
-      * the rewritten version — the consumer re-derives its state from
-      * scratch (duplicates are explicit here, never silent).
+    /** Full re-read after a rewrite boundary — the consumer re-derives
+      * its state from scratch (duplicates are explicit here, never
+      * silent). Two-phase like [[poll]]: the cursor does NOT advance —
+      * [[commit]] the returned version after the re-derived state is
+      * durable, or a crash mid-resync silently skips the re-read on
+      * restart.
       */
     def resync(s: SparkSession): (DataFrame, Int) = {
       val latest = latestVersion(s, root)
-      this.synchronized { cursor = latest }
       (read(s, root, latest), latest)
     }
 
-    /** Persist the committed position (dot-temp + rename — a crash
-      * mid-save leaves the previous durable cursor, re-delivering the
-      * last range: at-least-once save composing with the two-phase
-      * poll/commit gives exactly-once end-to-end when the consumer's
-      * commit is idempotent, the appendTxn argument one level up).
+    /** Persist the committed position. The position IS the filename
+      * (`cursor.<v>`, content-free): publishing is one no-overwrite
+      * create — there is never a window with NO durable cursor (a
+      * delete-then-rename had one, and an empty restore would silently
+      * re-deliver the ENTIRE corpus as a "delta"). Older cursor files
+      * are garbage-collected best-effort after the new one is durable;
+      * a crash leaves extras, never zero, and restore takes the max.
       */
     def saveCursor(s: SparkSession, path: String): Unit = {
       val f = fs(s)
-      val p = new org.apache.hadoop.fs.Path(s"$path/cursor")
-      val tmp = new org.apache.hadoop.fs.Path(
-        s"$path/.cursor.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-      val out = f.create(tmp, false)
-      try out.write(position.toString.getBytes("UTF-8")) finally out.close()
-      f.delete(p, false)
-      f.rename(tmp, p)
+      val pos = position
+      val p = new org.apache.hadoop.fs.Path(s"$path/cursor.$pos")
+      if (!f.exists(p)) f.create(p, false).close()
+      f.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("cursor.") &&
+            n.stripPrefix("cursor.").toIntOption.exists(_ < pos))
+          f.delete(st.getPath, false)
+      }
     }
   }
 
   object SnapshotTail {
-    /** Resume a tail from its persisted cursor (0 if none saved). */
+    /** Resume a tail from its persisted cursor (0 if none saved);
+      * the max over surviving cursor files — saves only add.
+      */
     def restore(s: SparkSession, path: String, root: String): SnapshotTail = {
       val f = fs(s)
-      val p = new org.apache.hadoop.fs.Path(s"$path/cursor")
+      val d = new org.apache.hadoop.fs.Path(path)
       val start =
-        if (!f.exists(p)) 0
-        else {
-          val in = f.open(p)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-          finally in.close()
-        }
+        if (!f.exists(d)) 0
+        else f.listStatus(d).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("cursor.")) n.stripPrefix("cursor.").toIntOption
+          else None
+        }.foldLeft(0)(math.max)
       new SnapshotTail(root, start)
     }
   }
@@ -611,19 +657,27 @@ object Snapshots {
       append(s, root, docs.filter(pmod(col("doc_id"), lit(3)) === 2))
       ScopedFixture.markComplete(root)
     }
-    read(s, root, 1)
-      .select(col("source"),
+    perSourceTokenTotals(read(s, root, 1))
+  }
+
+  /** Shared per-source token aggregation tail for the snapshot catalog
+    * entries (one Scala place, one SQL template — a tokenization edit
+    * cannot drift between the read and CDC twins).
+    */
+  private def perSourceTokenTotals(df: DataFrame): DataFrame =
+    df.select(col("source"),
         size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
       .orderBy("source")
-  }
 
-  val snapshotReadOracleSql: String =
-    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  private def perSourceTotalsOracle(pred: String): String =
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens
-      |FROM documents WHERE doc_id % 3 <> 2
+      |FROM documents WHERE $pred
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val snapshotReadOracleSql: String = perSourceTotalsOracle("doc_id % 3 <> 2")
 
   /** `q_snapshot_changes` (§2 #211): the 1→2 incremental delta over
     * the same fixture [[snapshotRead]] builds — v2 appended exactly
@@ -636,17 +690,8 @@ object Snapshots {
   def snapshotChanges(s: SparkSession, dir: String): DataFrame = {
     snapshotRead(s, dir) // the fixture builds eagerly inside (marker-skipped)
     val root = snapRoot(s, dir)
-    changesBetween(s, root, 1, 2)
-      .select(col("source"),
-        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
-      .orderBy("source")
+    perSourceTokenTotals(changesBetween(s, root, 1, 2))
   }
 
-  val snapshotChangesOracleSql: String =
-    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-      |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens
-      |FROM documents WHERE doc_id % 3 = 2
-      |GROUP BY 1 ORDER BY 1""".stripMargin
+  val snapshotChangesOracleSql: String = perSourceTotalsOracle("doc_id % 3 = 2")
 }

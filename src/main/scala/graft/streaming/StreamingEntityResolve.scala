@@ -26,9 +26,13 @@ import graft.operators.EntityResolve
   */
 class StreamingEntityResolve(dir: String) extends Serializable {
 
-  // (rec_new, rec_std, entity, dist) accumulated across batches
+  // (rec_new, rec_std, entity, dist) accumulated across batches — a
+  // SET, so a replayed batch's links land once (foreachBatch restart
+  // re-delivers at-least-once; the batchId guard below short-circuits
+  // the recompute, the set makes even a guard miss idempotent)
   private val links =
-    scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int)]
+    scala.collection.mutable.LinkedHashSet.empty[(Long, Long, Long, Int)]
+  private val seenBatches = scala.collection.mutable.Set.empty[Long]
 
   /** Link one micro-batch of dirty records (rec_id, name). */
   def mergeBatch(s: SparkSession, batch: DataFrame): Unit = {
@@ -48,15 +52,19 @@ class StreamingEntityResolve(dir: String) extends Serializable {
     this.synchronized { links ++= found }
   }
 
-  /** foreachBatch hook. */
-  def sink(batch: DataFrame, batchId: Long): Unit =
-    mergeBatch(batch.sparkSession, batch)
+  /** foreachBatch hook — exactly-once by batchId (the repo's
+    * appendTxn recipe): a restart's replayed batch is a no-op.
+    */
+  def sink(batch: DataFrame, batchId: Long): Unit = {
+    val fresh = this.synchronized { seenBatches.add(batchId) }
+    if (fresh) mergeBatch(batch.sparkSession, batch)
+  }
 
   /** All links so far, the batch output's order: (rec_new, rec_std,
     * entity, dist) sorted by (rec_new, rec_std).
     */
   def current(): Seq[(Long, Long, Long, Int)] = this.synchronized {
-    links.sortBy(l => (l._1, l._2)).toSeq
+    links.toSeq.sortBy(l => (l._1, l._2))
   }
 
   /** Per-entity link counts (the match-rate view, bounded metadata). */

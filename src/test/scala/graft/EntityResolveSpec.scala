@@ -129,6 +129,13 @@ class EntityResolveSpec extends AnyFunSuite {
       "stream-linked across a 2-batch split + restore == the batch incremental output")
     // the match-rate view reconciles: 2 links per entity
     assert(resumed.entityLinkCounts.values.forall(_ == 2L))
+    // a foreachBatch replay (at-least-once restart) is a no-op: same
+    // batchId short-circuits, and even a direct recompute dedups
+    resumed.sink(slice(1), 1L)
+    resumed.sink(slice(1), 1L)
+    resumed.mergeBatch(spark, slice(1))
+    assert(resumed.current() === want,
+      "replayed batches must not duplicate links")
   }
 
   test("names are injective and variants stay in their entity's block") {

@@ -322,11 +322,15 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
     assert(ids(d2) === ids(slice(2)) && v2 === 3,
       "the restored tail delivers only the unprocessed range")
     resumed.commit(v2)
-    // a rewrite boundary surfaces (fail-fast) and resync recovers
+    // a rewrite boundary surfaces (fail-fast) and resync recovers —
+    // two-phase like poll: the cursor advances only on commit, so a
+    // crash mid-resync re-reads on restart instead of skipping
     Snapshots.compact(spark, root, partitions = 1)
     intercept[IllegalArgumentException] { resumed.poll(spark).foreach(_._1.count()) }
     val (full, v4) = resumed.resync(spark)
     assert(ids(full) === ids(docs) && v4 === 4)
+    assert(resumed.position === 3, "resync must not advance before commit")
+    resumed.commit(v4)
     assert(resumed.poll(spark).isEmpty)
   }
 
