@@ -61,7 +61,15 @@ object Sketches {
     826341913L, 553105253L)
   val CmsB: Seq[Long] = Seq(608735923L, 361743863L, 284623861L,
     730471337L, 142982467L)
-  /** Misra-Gries counters per partition; error ≤ n_p/m local counts. */
+  /** Misra-Gries counters per partition; error ≤ n_p/m local counts.
+    * CORPUS ASSUMPTION (spec-measured, not assumed): the hash-checked
+    * `q_heavy_hitters` oracle ranks the FULL vocabulary while the Spark
+    * side ranks only the MG candidates — they agree iff the true top-k
+    * survives the summaries, guaranteed when the k-th global frequency
+    * clears ⌈N/m⌉. ExportMultimodalSpec's coverage-margin test pins a
+    * 2× headroom on the shipped corpus so a testdata regeneration
+    * re-measures the margin instead of hash-failing parity.
+    */
   val MgSummarySize = 4096
   /** Hard cap on the adaptive candidate list (bounds the probe `isin`
     * and the driver collect). Only reachable on near-flat

@@ -168,9 +168,12 @@ object Bm25Index {
   /** Snapshot the index's current state (postings + doclens +
     * tombstones) as the next version — a training run pins the version
     * and [[searchAt]] reproduces its ranking through later appends
-    * and deletes (whose data files are additive). A [[compact]]
-    * physically rewrites the trees, so — like any vacuum — it bounds
-    * time travel to versions committed after it.
+    * and deletes (whose data files are additive) AND through
+    * [[compact]]: a rewrite RETAINS the replaced trees while versions
+    * pin them ([[IndexMaintenance.retire]] — the r12-ADVICE fix: a
+    * re-add-after-delete `append` compacts implicitly, and deleting
+    * the old tree silently broke every pinned `searchAt(v)`). Only an
+    * explicit [[IndexVersions.expire]] bounds time travel.
     */
   def commitVersion(s: SparkSession, root: String): Int =
     IndexVersions.commit(s, root, Roles)

@@ -166,8 +166,9 @@ object GraphIndex {
 
   /** Snapshot the index state (postings + graph sidecar + tombstones)
     * as the next version; [[searchAt]] reproduces its neighbor sets
-    * through later appends and deletes. A [[compact]] bounds time
-    * travel like any vacuum.
+    * through later appends, deletes, AND compacts (replaced trees are
+    * retained while versions pin them — [[IndexMaintenance.retire]]);
+    * only an explicit [[IndexVersions.expire]] bounds time travel.
     */
   def commitVersion(s: SparkSession, root: String): Int =
     IndexVersions.commit(s, root, Seq("postings", "meta", "tombstones"))

@@ -32,28 +32,63 @@ private[graft] object IndexMaintenance {
 
   private def asideName(cur: String) = cur + "_old"
 
+  /** Retire a replaced tree: RETAIN it when any version manifest pins
+    * the index, delete otherwise. The Delta rule the r12 ADVICE
+    * flagged: `compact` (and therefore a re-add-after-delete `append`,
+    * which compacts implicitly) physically deleted the old tree files
+    * that earlier [[IndexVersions]] manifests reference — a plain
+    * append could silently break `searchAt(v)` for every pinned
+    * version. Retention renames the whole replaced tree into
+    * `_retained/<role>.g<uuid>/` (its internal layout — `tshard=` /
+    * `cell=` partition dirs — preserved relative to the generation
+    * root, so versioned reads keep their partition columns AND their
+    * pruning); [[IndexVersions.readAt]] resolves manifest paths that
+    * are no longer live against these generations, and
+    * [[IndexVersions.expire]] is the ONLY thing that deletes them.
+    * Rename is O(1) metadata regardless of tree size.
+    */
+  private[sources] def retire(s: SparkSession, dir: String): Unit = {
+    val f = fs(s)
+    val p = path(dir)
+    if (!f.exists(p)) return
+    val root = p.getParent
+    if (Snapshots.latestVersion(s, root.toString) >= 1) {
+      val ret = new org.apache.hadoop.fs.Path(root, "_retained")
+      f.mkdirs(ret)
+      // generation names carry the SOURCE role ("postings_old" retires
+      // as a "postings" generation) so readAt can map a missing
+      // `root/<role>/<rel>` to `_retained/<role>.gXXXX/<rel>`
+      val role = p.getName.stripSuffix("_old")
+      f.rename(p, new org.apache.hadoop.fs.Path(ret,
+        s"$role.g${java.util.UUID.randomUUID().toString.take(8)}"))
+    } else f.delete(p, true)
+  }
+
   /** Replace directory `cur` with the fully-written `tmp`, crash-
     * atomically. Requires `tmp` complete (the caller's overwrite write
-    * finished — Spark's committer made it appear all-or-nothing).
+    * finished — Spark's committer made it appear all-or-nothing). The
+    * replaced tree is [[retire]]d, never unconditionally deleted — a
+    * pinned version may still reference its files.
     */
   def swap(s: SparkSession, cur: String, tmp: String): Unit = {
     val f = fs(s)
     val old = asideName(cur)
-    f.delete(path(old), true) // leftover aside from a crash already rolled forward
+    retire(s, old) // leftover aside from a crash already rolled forward
     crashHook("pre-aside")
     if (f.exists(path(cur))) f.rename(path(cur), path(old))
     crashHook("mid-swap") // the window the delete-then-rename form lost data in
     f.rename(path(tmp), path(cur))
     crashHook("pre-gc")
-    f.delete(path(old), true)
+    retire(s, old)
   }
 
   /** Roll an interrupted [[swap]] of `cur` forward. Called before any
     * read plans over `cur` (and by compact itself): if `cur` is
     * missing, the complete temp (preferred — it is newer) or the aside
     * copy is moved back into place; a surviving aside next to a live
-    * `cur` is garbage from a crash after the swap landed and is
-    * reclaimed. No-op (three existence probes) in the steady state.
+    * `cur` is a replaced tree from a crash after the swap landed and
+    * is [[retire]]d (retained when a version pins it, deleted
+    * otherwise). No-op (three existence probes) in the steady state.
     */
   def recover(s: SparkSession, cur: String, tmp: String): Unit = {
     val f = fs(s)
@@ -65,7 +100,7 @@ private[graft] object IndexMaintenance {
       // pre-crash read left in the session's FileStatusCache
       s.catalog.refreshByPath(cur)
     }
-    if (f.exists(path(cur)) && f.exists(path(old))) f.delete(path(old), true)
+    if (f.exists(path(cur)) && f.exists(path(old))) retire(s, old)
   }
 
   /** Roll forward every interrupted subtree swap under `root`. APPEND
@@ -132,9 +167,13 @@ private[graft] object IndexMaintenance {
     s.catalog.refreshByPath(cur)
   }
 
-  /** Clear the sidecar after every subtree reclaimed its rows. */
+  /** Clear the sidecar after every subtree reclaimed its rows. The
+    * sidecar is [[retire]]d, not deleted: a pinned version's manifest
+    * references its tombstone files too (a version committed between a
+    * delete and this compact must keep SEEING the delete).
+    */
   def clearTombstoneSidecar(s: SparkSession, root: String): Unit =
-    fs(s).delete(path(s"$root/tombstones"), true)
+    retire(s, s"$root/tombstones")
 
   /** Does the arriving batch re-add any currently tombstoned id?
     * FAISS `remove_ids` + `add` semantics require the re-added id to

@@ -204,9 +204,9 @@ object PqIndex {
   /** Snapshot the index's current state (codes + frozen-codebook
     * sidecar + tombstones) as the next version; [[searchAt]]
     * reproduces its ranking through later appends and deletes (both
-    * additive on disk). A [[compact]] physically rewrites the codes
-    * tree, so — like any vacuum — it bounds time travel to versions
-    * committed after it.
+    * additive on disk) AND through [[compact]] — a rewrite RETAINS the
+    * replaced tree while versions pin it ([[IndexMaintenance.retire]]),
+    * so only an explicit [[IndexVersions.expire]] bounds time travel.
     */
   def commitVersion(s: SparkSession, root: String): Int =
     IndexVersions.commit(s, root, Seq("codes", "meta", "tombstones"))

@@ -129,6 +129,16 @@ object Snapshots {
       try {
         java.nio.file.Files.createLink(local(p), local(tmp))
         f.delete(tmp, false)
+        // The hard link shares the TEMP file's inode, whose mtime is
+        // the content-write time — milliseconds (or, after a lost race
+        // and retry, arbitrarily long) BEFORE the claim. versionAsOf
+        // resolves by manifest mtime, so stamp the true commit instant
+        // on the published manifest (best-effort: a crash between link
+        // and stamp leaves the slightly-early write time, which only
+        // skews boundary-instant timestamp resolution, never version
+        // content).
+        try f.setTimes(p, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () }
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
@@ -182,6 +192,15 @@ object Snapshots {
 
   private[sources] def readManifest(s: SparkSession, root: String, v: Int): Seq[String] =
     readManifestData(s, root, v).files
+
+  /** Delete one version's manifest if present ([[IndexVersions.expire]]
+    * retires index versions through this; dataset roots go through
+    * [[expire]], which also vacuums data files).
+    */
+  private[sources] def dropManifest(s: SparkSession, root: String, v: Int): Unit = {
+    val p = manifestPath(root, v)
+    if (fs(s).exists(p)) fs(s).delete(p, false)
+  }
 
   /** Committed-transaction id ranges recorded in version v's manifest
     * (carried forward from every prior version at commit time),
@@ -403,9 +422,17 @@ object Snapshots {
   /** Orphans younger than this survive [[expire]]'s vacuum (the Delta
     * VACUUM retention idea): a concurrent append's durably-written but
     * not-yet-committed files are never "unreachable garbage" — they are
-    * a commit in flight.
+    * a commit in flight. The grace window therefore BOUNDS the longest
+    * write-to-commit duration a concurrent writer may take: an append
+    * whose data write outlives the grace can have its files vacuumed
+    * before its manifest commits, and the commit then publishes a
+    * manifest referencing deleted files — silent loss at read time.
+    * Default 4 h (the Delta retention scale): at 100 TB a large batch
+    * write plausibly runs for an hour; 20 minutes (the previous
+    * default) did not clear that bar. Callers that KNOW no writer is
+    * in flight pass a smaller window explicitly.
     */
-  val DefaultOrphanGraceMs: Long = 20L * 60 * 1000
+  val DefaultOrphanGraceMs: Long = 4L * 60 * 60 * 1000
 
   /** Expire every version below `retainMin`: delete their manifests,
     * then vacuum data/. A file is reclaimed iff it is unreachable from
@@ -491,8 +518,12 @@ object Snapshots {
 
   /** The latest version committed at or before `tsMillis` (the Delta
     * `timestampAsOf` analogue): versions resolve by their manifest's
-    * publish time — the commit point itself, since the hard-link /
-    * rename claim creates the manifest file. 0 if nothing was
+    * publish time. On file:// the claim is a hard link sharing the
+    * temp file's inode, so [[claimVersion]] re-stamps the manifest
+    * mtime at the claim itself — the resolved instant is the commit
+    * point, not the (earlier) content-write time; the stamp is
+    * best-effort, so a crash in that sliver can leave the write time
+    * instead (slightly early, never wrong content). 0 if nothing was
     * committed yet. "Reproduce what the tuesday-night run saw" without
     * the run having recorded its version number.
     */

@@ -34,15 +34,37 @@ class StreamingEntityResolve(dir: String) extends Serializable {
     scala.collection.mutable.LinkedHashSet.empty[(Long, Long, Long, Int)]
   private val seenBatches = scala.collection.mutable.Set.empty[Long]
 
+  // The frozen standing store's ADAPTIVE block stats + blocked frame,
+  // built once at first batch (the frozen-artifact contract already
+  // freezes the store, so its refinement stats are fixed for the
+  // stream's life). Both sides block through THESE stats — exactly the
+  // batch path's shape (EntityResolve.entityResolveIncremental): the
+  // fixed 2-char BlockLen kept the flooded-key O(batch × hot-block)
+  // join the adaptive blocking was added to bound, and a matched pair
+  // provably shares its refined key (same prefixes ≤ BlockSafeMax ⇒
+  // same stats row).
+  @transient private var frozen: (DataFrame, DataFrame) = _
+
+  private def standingBlocked(s: SparkSession): (DataFrame, DataFrame) =
+    this.synchronized {
+      if (frozen == null) {
+        val r = EntityResolve.records(s, dir).filter(col("variant") =!= 2)
+        val stats = EntityResolve.blockStats(r)
+        frozen = (EntityResolve.applyBlocks(r, stats)
+          .select(col("rec_id").as("rec_std"), col("entity").as("ent_std"),
+            col("name").as("name_std"), col("block")),
+          stats)
+      }
+      frozen
+    }
+
   /** Link one micro-batch of dirty records (rec_id, name). */
   def mergeBatch(s: SparkSession, batch: DataFrame): Unit = {
-    val standing = EntityResolve.records(s, dir)
-      .filter(col("variant") =!= 2)
-      .select(col("rec_id").as("rec_std"), col("entity").as("ent_std"),
-        col("name").as("name_std"), col("block"))
-    val b = batch
-      .select(col("rec_id").as("rec_new"), col("name").as("name_new"))
-      .withColumn("block", substring(col("name_new"), 1, EntityResolve.BlockLen))
+    val (standing, stats) = standingBlocked(s)
+    val b = EntityResolve.applyBlocks(
+        batch.select(col("rec_id"), col("name")), stats)
+      .select(col("rec_id").as("rec_new"), col("name").as("name_new"),
+        col("block"))
     val found = standing.join(broadcast(b), Seq("block"))
       .withColumn("dist", levenshtein(col("name_new"), col("name_std")))
       .filter(col("dist") <= EntityResolve.MatchMax)

@@ -506,6 +506,35 @@ class BucketedStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"candidates miss true heavy hitters: ${(exactTop -- candSet).mkString(", ")}")
   }
 
+  test("MG pigeonhole coverage margin: k-th heavy hitter clears N/m with headroom") {
+    // q_heavy_hitters is hash-checked against an oracle that ranks the
+    // FULL vocabulary, while the Spark side ranks only the Misra-Gries
+    // candidates — the two agree because the true top-k provably
+    // survives the summaries whenever the k-th frequency clears the
+    // N/m pigeonhole threshold. That is a CORPUS property: a
+    // regenerated testdata set whose k-th hitter sinks below N/m would
+    // flip the hash gate from "approximation degraded" to a hard
+    // parity failure. This spec measures the margin so a regeneration
+    // re-measures it instead of failing mysteriously in parity.
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.functions.{col, explode, count, lit}
+    val S = graft.operators.Sketches
+    val toks = Tables.documents(spark, sf).select(explode(tokens(col("text"))).as("token"))
+    val total = toks.count()
+    val pigeonhole = (total + S.MgSummarySize - 1) / S.MgSummarySize // ⌈N/m⌉
+    val kth = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(S.HeavyHittersK)
+      .collect().map(_.getAs[Long]("tf")).min
+    info(s"k-th exact tf = $kth, N/m pigeonhole = $pigeonhole " +
+      f"(margin ${kth.toDouble / math.max(1L, pigeonhole)}%.1f×)")
+    assert(kth > 2 * pigeonhole,
+      s"MG coverage margin eroded: k-th heavy hitter tf $kth must clear " +
+        s"2×⌈N/m⌉ = ${2 * pigeonhole} for the hash-checked top-k to be " +
+        "candidate-complete with headroom — raise MgSummarySize or " +
+        "re-measure before trusting q_heavy_hitters parity on this corpus")
+  }
+
   test("attachment extraction: glob-filtered scan, truncation marker, ordered sections") {
     import org.apache.spark.sql.functions.{col, length => slen}
     val A = graft.sources.Attachments

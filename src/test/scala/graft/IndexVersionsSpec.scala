@@ -93,6 +93,57 @@ class IndexVersionsSpec extends AnyFunSuite {
       "v3 == the live tombstoned view")
   }
 
+  test("bm25: pinned versions survive compact (and re-add-after-delete appends); expire bounds them") {
+    // The r12-ADVICE medium: append() implicitly compacts when the
+    // batch overlaps tombstones, and compact's swap used to DELETE the
+    // old tree files that earlier version manifests reference —
+    // silently breaking searchAt(v) for every pinned version. The fix
+    // retains replaced trees under _retained/ while versions pin them;
+    // this spec drives the exact breaking sequence and then proves
+    // expire() is the only thing that bounds the pins.
+    val root = tmp("graft_bm25ret")
+    val docs = Tables.documents(spark, sf)
+    Bm25Index.materializeWhere(spark, sf, pmod(col("doc_id"), lit(3)) =!= 2, root)
+    val v1 = Bm25Index.commitVersion(spark, root)
+    val wantV1 = Bm25Index.searchAt(spark, root, v1).collect().toSeq
+    val victim = wantV1.head.getLong(0)
+    Bm25Index.delete(spark, root, Seq(victim))
+    val v2 = Bm25Index.commitVersion(spark, root)
+    val wantV2 = Bm25Index.searchAt(spark, root, v2).collect().toSeq
+    assert(!wantV2.exists(_.getLong(0) == victim), "fixture: delete visible at v2")
+    // re-add the victim: overlaps the tombstone set -> append compacts
+    // implicitly, physically rewriting postings+doclens and clearing
+    // the tombstone sidecar
+    Bm25Index.append(spark, root, docs.filter(col("doc_id") === victim))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/_retained")),
+      "the implicit compact must RETAIN the replaced trees while versions pin them")
+    // the pins: v1's ranking (pre-delete) and v2's (post-delete) both
+    // reproduce exactly, served partly from retained generations
+    assert(Bm25Index.searchAt(spark, root, v1).collect().toSeq === wantV1,
+      "v1's pinned ranking must survive the implicit compact")
+    assert(Bm25Index.searchAt(spark, root, v2).collect().toSeq === wantV2,
+      "v2 must still see its tombstoned view (retained tombstone files)")
+    // the live view sees the victim resurrected (FAISS remove+add)
+    val v3 = Bm25Index.commitVersion(spark, root)
+    val live = Bm25Index.searchRoot(spark, root).collect().toSeq
+    assert(Bm25Index.searchAt(spark, root, v3).collect().toSeq === live)
+    // expire everything below v3: v1/v2 fail fast, their retained
+    // generations are reclaimed, v3 (pure live tree) is untouched
+    IndexVersions.expire(spark, root, retainMin = v3)
+    intercept[IllegalArgumentException] {
+      Bm25Index.searchAt(spark, root, v1)
+    }
+    val gensLeft =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_retained"))) 0
+      else fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_retained")).length
+    assert(gensLeft === 0,
+      s"expire must reclaim unreferenced retained generations, $gensLeft left")
+    assert(Bm25Index.searchAt(spark, root, v3).collect().toSeq === live,
+      "the surviving version is untouched by expire")
+  }
+
   test("pq: searchAt(v) pins codes+sidecar+tombstones; deletes stay version-scoped") {
     import spark.implicits._
     val root = tmp("graft_pqv")
