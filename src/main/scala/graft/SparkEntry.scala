@@ -188,6 +188,10 @@ object SparkEntry {
     // append-only CDC over the same fixture: the 1→2 delta reads only
     // v2's new files (zero I/O against the standing corpus)
     "q_snapshot_changes" -> sources.Snapshots.snapshotChanges _,
+    // versioned keyed MERGE (keep-last upsert committed as a rewrite):
+    // updates replace, inserts land, untouched rows carry forward —
+    // the oracle recomputes the merged state closed-form
+    "q_snapshot_merge" -> sources.Snapshots.snapshotMerge _,
     "q_rate_anomaly"  -> CorpusCuration.rateAnomaly _,
     "q_embed_drift"   -> CorpusCuration.embedDrift _,
     "q_pack_efficiency" -> CorpusCuration.packEfficiency _,
@@ -853,6 +857,7 @@ object SparkEntry {
     "q_phrase_indexed" -> Retrieval.phraseSearchOracleSql,
     "q_bucketed_join"  -> sources.Bucketed.bucketedJoinOracleSql,
     "q_snapshot_read"  -> sources.Snapshots.snapshotReadOracleSql,
+    "q_snapshot_merge" -> sources.Snapshots.snapshotMergeOracleSql,
     "q_rate_anomaly"   -> CorpusCuration.rateAnomalyOracleSql,
     "q_embed_drift"    -> CorpusCuration.embedDriftOracleSql,
     "q_pack_efficiency" -> CorpusCuration.packEfficiencyOracleSql,

@@ -73,7 +73,8 @@ object Snapshots {
                             files: Seq[String],
                             txns: Seq[(Long, Long)] = Seq.empty,
                             schema: Option[org.apache.spark.sql.types.StructType]
-                              = None): Unit = {
+                              = None,
+                            commitKind: Option[String] = None): Unit = {
     val f = fs(s)
     val p = manifestPath(root, v)
     // Two-phase commit: write the FULL content to a dot-temp (invisible
@@ -96,9 +97,16 @@ object Snapshots {
     // parquet footers — at 10⁶ files a mergeSchema read is a footer
     // scan per file; here schema evolution costs zero data I/O, and a
     // version whose older files lack a later column reads them as null
+    // `#commit:<kind>` records what THIS version did to the rows (the
+    // Delta dataChange flag): `append` added files, `rewrite` replaced
+    // rows (curation drop, merge), `layout` replaced files but
+    // preserved rows exactly (compaction) — incremental consumers skip
+    // layout commits instead of resyncing the corpus. Not carried
+    // forward: the tag describes one commit, not the lineage.
     val out = f.create(tmp, false)
     try out.write(
       (schema.map(sc => s"#schema:${sc.json}").toSeq ++
+        commitKind.map(k => s"#commit:$k").toSeq ++
         txns.map { case (a, b) =>
           if (a == b) s"#txn:$a" else s"#txn:$a-$b" } ++ files)
         .mkString("\n").getBytes("UTF-8"))
@@ -154,10 +162,14 @@ object Snapshots {
     finally in.close()
   }
 
-  /** One parsed manifest: file list + carried metadata. */
+  /** One parsed manifest: file list + carried metadata. `commit` is
+    * this version's commit kind (append/rewrite/layout), None for
+    * legacy manifests written before the tag.
+    */
   private[sources] final case class Manifest(files: Seq[String],
       txns: Seq[(Long, Long)],
-      schema: Option[org.apache.spark.sql.types.StructType])
+      schema: Option[org.apache.spark.sql.types.StructType],
+      commit: Option[String] = None)
 
   /** ONE manifest open + parse per call — the hot metadata paths
     * (read / changesBetween / every commitRetry attempt) consume all
@@ -171,7 +183,10 @@ object Snapshots {
     val files = Seq.newBuilder[String]
     val txns = Seq.newBuilder[(Long, Long)]
     var schema: Option[org.apache.spark.sql.types.StructType] = None
+    var commit: Option[String] = None
     lines.foreach {
+      case l if l.startsWith("#commit:") =>
+        commit = Some(l.stripPrefix("#commit:"))
       case l if l.startsWith("#txn:") =>
         // the dash splits a RANGE, but ids may be negative — split on
         // a dash past position 0
@@ -187,7 +202,7 @@ object Snapshots {
       case l if l.startsWith("#") => () // unknown metadata: forward-compat
       case l => files += l
     }
-    Manifest(files.result(), txns.result().sorted, schema)
+    Manifest(files.result(), txns.result().sorted, schema, commit)
   }
 
   private[sources] def readManifest(s: SparkSession, root: String, v: Int): Seq[String] =
@@ -291,7 +306,8 @@ object Snapshots {
   private def commitRetry(s: SparkSession, root: String,
       addTxn: Option[Long] = None,
       schemaFor: Option[org.apache.spark.sql.types.StructType]
-        => Option[org.apache.spark.sql.types.StructType] = identity)
+        => Option[org.apache.spark.sql.types.StructType] = identity,
+      commitKind: String = "append")
                          (files: Seq[String] => Seq[String]): Int = {
     var attempts = 0
     while (true) {
@@ -301,7 +317,7 @@ object Snapshots {
       try {
         writeManifest(s, root, v + 1, files(m.files).distinct.sorted,
           addTxn.fold(m.txns)(mergeTxn(m.txns, _)),
-          schemaFor(m.schema))
+          schemaFor(m.schema), Some(commitKind))
         return v + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -315,7 +331,8 @@ object Snapshots {
   /** Commit `df` as version 1 of a new dataset (fails if one exists). */
   def create(s: SparkSession, root: String, df: DataFrame): Int = {
     val mine = writeBatchFiles(s, root, df)
-    writeManifest(s, root, 1, mine, schema = Some(df.schema))
+    writeManifest(s, root, 1, mine, schema = Some(df.schema),
+      commitKind = Some("append"))
     1
   }
 
@@ -340,11 +357,22 @@ object Snapshots {
     * drop, or [[compact]]) — old versions keep reading their own
     * files. The rewrite REPLACES the rows, so v+1's schema is the new
     * frame's (a rewrite may narrow — dropping a column is a curation
-    * action too).
+    * action too). `dataChange = false` declares the rewrite PURE
+    * LAYOUT — same rows, fresh files (compaction, clustering): the
+    * manifest tags the commit `layout` and incremental consumers
+    * ([[changesBetween]], [[SnapshotTail]]) carry their cursor across
+    * it with an EMPTY delta instead of failing into a full resync —
+    * the Delta `dataChange=false` economics: at 100 TB a routine
+    * compact must not force every downstream consumer to re-read the
+    * corpus. The caller is asserting row preservation; a false claim
+    * makes consumers silently miss the change (exactly Delta's
+    * contract).
     */
-  def rewrite(s: SparkSession, root: String, df: DataFrame): Int = {
+  def rewrite(s: SparkSession, root: String, df: DataFrame,
+              dataChange: Boolean = true): Int = {
     val mine = writeBatchFiles(s, root, df)
-    commitRetry(s, root, schemaFor = _ => Some(df.schema))(_ => mine)
+    commitRetry(s, root, schemaFor = _ => Some(df.schema),
+      commitKind = if (dataChange) "rewrite" else "layout")(_ => mine)
   }
 
   /** Idempotent append keyed by an EXTERNAL transaction id (a
@@ -408,16 +436,80 @@ object Snapshots {
       ()
     }
 
+  /** Versioned keyed MERGE — the SCD1 staple on the layer where it
+    * matters: upsert `batch` into the latest version keeping the
+    * NEWEST row per key (`orderCol` descending; a tie between a
+    * standing row and a batch row goes to the BATCH — the
+    * `Export.upsertKeepLast` convention, now committed as a snapshot
+    * version). Updated keys replace their standing row, new keys
+    * insert, untouched rows carry forward; the result lands as a DATA
+    * rewrite (`#commit:rewrite` — a merge replaces rows, so
+    * incremental consumers resync, exactly like a curation drop).
+    *
+    * OPTIMISTIC CONCURRENCY AT THE MERGE LEVEL: unlike [[append]]
+    * (whose file set is valid on any base), a merge's OUTPUT depends
+    * on the base version it read — retrying a lost race on a moved
+    * base with the already-written files would silently drop the
+    * racer's rows. The loser therefore abandons its files (orphans;
+    * [[expire]]'s grace vacuum reclaims them) and RECOMPUTES from the
+    * new latest, so two concurrent merges over disjoint keys both land
+    * (spec-asserted). A batch carrying new columns widens the schema
+    * (old rows read them as null, the [[mergeSchemas]] rules).
+    *
+    * Distributed shape: one shuffle by key (the window), one write —
+    * O(corpus + batch), the unavoidable cost of keep-last-per-key
+    * without a standing key-partitioned layout. Ties WITHIN one side
+    * at equal `orderCol` break arbitrarily; callers supply a total
+    * order when they care.
+    */
+  def merge(s: SparkSession, root: String, batch: DataFrame,
+            keyCols: Seq[String], orderCol: String): Int = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    var attempts = 0
+    while (true) {
+      val base = latestVersion(s, root)
+      require(base >= 1, s"merge needs an existing dataset at $root")
+      val m = readManifestData(s, root, base)
+      val standing = read(s, root, base)
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col(orderCol).desc, col("__src").desc)
+      val merged = standing.withColumn("__src", lit(0))
+        .unionByName(batch.withColumn("__src", lit(1)),
+          allowMissingColumns = true)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__src", "__rn")
+      val mine = writeBatchFiles(s, root, merged)
+      try {
+        writeManifest(s, root, base + 1, mine.distinct.sorted, m.txns,
+          Some(mergeSchemas(m.schema.getOrElse(standing.schema), batch.schema)),
+          Some("rewrite"))
+        return base + 1
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts >= 16) throw e
+        // the loser's files stay as orphans under the grace window;
+        // the retry re-reads the winner's merged state and recomputes
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Compaction: fold the latest version's accumulated small files
     * into `partitions` fresh ones as a new version — pure layout, same
-    * rows (coalesce: no shuffle). Old versions still read their own
-    * files until [[expire]] reclaims them; at 10⁶ accumulated
-    * append files this is what keeps the manifest (and the scan's
-    * task count) proportional to DATA size, not commit count.
+    * rows (coalesce: no shuffle), committed `dataChange = false` so
+    * incremental consumers poll straight through it (a routine compact
+    * must never force a corpus resync downstream). Old versions still
+    * read their own files until [[expire]] reclaims them; at 10⁶
+    * accumulated append files this is what keeps the manifest (and the
+    * scan's task count) proportional to DATA size, not commit count.
     */
   def compact(s: SparkSession, root: String, partitions: Int = 1): Int =
     rewrite(s, root,
-      read(s, root, latestVersion(s, root)).coalesce(math.max(1, partitions)))
+      read(s, root, latestVersion(s, root)).coalesce(math.max(1, partitions)),
+      dataChange = false)
 
   /** Orphans younger than this survive [[expire]]'s vacuum (the Delta
     * VACUUM retention idea): a concurrent append's durably-written but
@@ -548,33 +640,54 @@ object Snapshots {
   /** Incremental consumption (append-only CDC): exactly the rows ADDED
     * between two versions — a downstream consumer (embedding refresh,
     * index ingest, continual pretraining) processes each epoch's NEW
-    * data without rescanning the corpus. Appends are additive file
-    * sets, so the delta is a scan over `files(to) ∖ files(from)` —
-    * O(new data), zero data I/O against the standing corpus, computed
-    * from two manifest reads. Across a REWRITE boundary (compact,
-    * curation drop) file identity no longer means row identity, so the
-    * call fails fast instead of returning garbage — consumers resync
-    * from a full read there (the Delta CDC-without-change-files
-    * economics).
+    * data without rescanning the corpus. The delta walks the range one
+    * commit at a time (O(versions in range) manifest reads — consumers
+    * poll frequently, so ranges are short): an `append` contributes
+    * `files(v) ∖ files(v−1)`, a `layout` commit (compaction — same
+    * rows, fresh files) contributes NOTHING and the walk continues
+    * straight through it (the Delta `dataChange=false` rule: routine
+    * compaction must not force every consumer into a corpus resync).
+    * Across a data REWRITE (curation drop, merge) file identity no
+    * longer means row identity, so the call fails fast instead of
+    * returning garbage — consumers resync from a full read there. A
+    * legacy commit with no `#commit:` tag is classified by its file
+    * set: additive ⇒ append, else rewrite (the pre-tag semantics).
+    *
+    * The scan applies `toV`'s pinned schema: files appended before a
+    * later widening read the new columns as null, matching what a full
+    * read at toV reports for those rows.
     */
   def changesBetween(s: SparkSession, root: String, fromV: Int,
                      toV: Int): DataFrame = {
     require(fromV >= 0 && fromV <= toV, s"need 0 <= fromV <= toV, got $fromV..$toV")
-    val from = if (fromV == 0) Set.empty[String]
-               else readManifestData(s, root, fromV).files.toSet
-    val m = readManifestData(s, root, toV)
-    require(from.subsetOf(m.files.toSet),
-      s"versions $fromV..$toV of $root span a rewrite boundary " +
-        "(files were replaced, not added) — incremental reads are only " +
-        "defined over append-only ranges; resync with read(toV)")
-    val fresh = m.files.filterNot(from)
-    if (fresh.isEmpty)
+    val toM = readManifestData(s, root, toV)
+    var prev: Set[String] =
+      if (fromV == 0) Set.empty
+      else readManifestData(s, root, fromV).files.toSet
+    val fresh = Seq.newBuilder[String]
+    ((fromV + 1) to toV).foreach { v =>
+      val m = if (v == toV) toM else readManifestData(s, root, v)
+      val cur = m.files.toSet
+      val additive = prev.subsetOf(cur)
+      m.commit.getOrElse(if (additive) "append" else "rewrite") match {
+        case "layout" => () // same rows, fresh files — empty delta
+        case "append" if additive => fresh ++= m.files.filterNot(prev)
+        case _ =>
+          throw new IllegalArgumentException(
+            s"versions $fromV..$toV of $root span a rewrite boundary at " +
+              s"v$v (rows were replaced, not added) — incremental reads " +
+              "are only defined over append-only ranges; resync with read(toV)")
+      }
+      prev = cur
+    }
+    val delta = fresh.result().distinct
+    if (delta.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        m.schema.getOrElse(
-          s.read.parquet(m.files: _*).schema))
-    else m.schema match {
-      case Some(sc) => s.read.schema(sc).parquet(fresh: _*)
-      case None     => s.read.parquet(fresh: _*)
+        toM.schema.getOrElse(
+          s.read.parquet(toM.files: _*).schema))
+    else toM.schema match {
+      case Some(sc) => s.read.schema(sc).parquet(delta: _*)
+      case None     => s.read.parquet(delta: _*)
     }
   }
 
@@ -725,4 +838,61 @@ object Snapshots {
   }
 
   val snapshotChangesOracleSql: String = perSourceTotalsOracle("doc_id % 3 = 2")
+
+  /** Insert-key offset for the [[snapshotMerge]] fixture — far above
+    * any shipped corpus's doc_id range, so remapped inserts never
+    * collide with standing keys.
+    */
+  val MergeInsertOffset = 10000000L
+
+  /** `q_snapshot_merge`: versioned keyed MERGE, hash-checked — the
+    * artifact holds v1 = the corpus at rev 1 and v2 = [[merge]]'s
+    * keep-last upsert of an overlay batch (doc_id%5==0 updated with a
+    * marker suffix at rev 2, doc_id%7==3 re-keyed past
+    * [[MergeInsertOffset]] as inserts). The query aggregates the
+    * merged state per source; the DuckDB oracle recomputes it CLOSED
+    * FORM from the base+overlay predicates (the PagedTasks precedent),
+    * so a merge that dropped an insert, duplicated a key, or kept a
+    * stale row hash-fails on n_docs / n_rev / n_tokens.
+    */
+  def snapshotMerge(s: SparkSession, dir: String): DataFrame = {
+    val root = ScopedFixture.root(s, "graft_snapmerge", dir)
+    FixtureCleanup.onExit(root)
+    if (!ScopedFixture.isComplete(root)) {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      create(s, root, docs.withColumn("rev", lit(1L)))
+      val updates = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("text", concat(col("text"), lit(" merged update")))
+        .withColumn("rev", lit(2L))
+      val inserts = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+        .withColumn("doc_id", col("doc_id") + lit(MergeInsertOffset))
+        .withColumn("rev", lit(2L))
+      merge(s, root, updates.unionByName(inserts), Seq("doc_id"), "rev")
+      ScopedFixture.markComplete(root)
+    }
+    read(s, root, latestVersion(s, root))
+      .select(col("source"), col("rev"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("rev")).as("n_rev"),
+        sum(col("n")).as("n_tokens"))
+      .orderBy("source")
+  }
+
+  val snapshotMergeOracleSql: String =
+    s"""WITH merged AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 5 = 0 THEN text || ' merged update'
+       |         ELSE text END AS text,
+       |    CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS rev
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $MergeInsertOffset, source, text, 2
+       |  FROM documents WHERE doc_id % 7 = 3)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(rev) AS BIGINT) AS n_rev,
+       |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+       |    AS n_tokens
+       |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -225,6 +225,60 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
       "an aged orphan (crashed half-write) is reclaimed once past the grace")
   }
 
+  test("versioned merge: keep-last upsert, batch beats standing on ties, concurrent merges both land") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val root = java.nio.file.Files.createTempDirectory("graft_snapmrg").toString
+    // deterministic slice (limit() may pick different rows per action);
+    // modulus coprime to the %3 update classes below
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+      .filter(col("doc_id") % 4 === 0).withColumn("rev", lit(1L))
+    Snapshots.create(spark, root, docs)
+    val baseIds = ids(Snapshots.read(spark, root, 1))
+    // tie case: same key, same rev — the BATCH row must win (its
+    // source marker replaces the standing one)
+    val tieKey = baseIds.head
+    val tie = docs.filter(col("doc_id") === tieKey)
+      .withColumn("source", lit("tie_winner"))
+    val v2 = Snapshots.merge(spark, root, tie, Seq("doc_id"), "rev")
+    val afterTie = Snapshots.read(spark, root, v2)
+    assert(afterTie.filter(col("doc_id") === tieKey)
+      .select("source").head().getString(0) === "tie_winner",
+      "at equal orderCol the batch row replaces the standing row")
+    assert(ids(afterTie) === baseIds, "a tie update neither inserts nor drops")
+    // the merge is a DATA rewrite: incremental readers fail fast at it
+    intercept[IllegalArgumentException] {
+      Snapshots.changesBetween(spark, root, 1, v2)
+    }
+    // concurrent merges on DISJOINT key sets: the loser recomputes on
+    // the winner's output, so both updates land
+    val updA = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .withColumn("rev", lit(2L)).withColumn("source", lit("merge_a"))
+    val updB = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .withColumn("rev", lit(2L)).withColumn("source", lit("merge_b"))
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fa = Future(Snapshots.merge(spark, root, updA, Seq("doc_id"), "rev"))
+    val fb = Future(Snapshots.merge(spark, root, updB, Seq("doc_id"), "rev"))
+    val (va, vb) = (Await.result(fa, 5.minutes), Await.result(fb, 5.minutes))
+    assert(Set(va, vb) === Set(v2 + 1, v2 + 2),
+      "each concurrent merge claims exactly one version")
+    val fin = Snapshots.read(spark, root, math.max(va, vb))
+    assert(ids(fin) === baseIds, "disjoint-key updates preserve the key set")
+    val bySrc = fin.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("merge_a") === baseIds.count(_ % 3 == 0),
+      "every merge_a update survives the race")
+    assert(bySrc("merge_b") === baseIds.count(_ % 3 == 1),
+      "every merge_b update survives the race")
+    // inserts: a re-keyed batch adds rows without touching the rest
+    val ins = docs.filter(col("doc_id").isin(baseIds.take(5): _*))
+      .withColumn("doc_id", col("doc_id") + lit(Snapshots.MergeInsertOffset))
+      .withColumn("rev", lit(3L))
+    val v5 = Snapshots.merge(spark, root, ins, Seq("doc_id"), "rev")
+    assert(Snapshots.read(spark, root, v5).count() === baseIds.size + 5)
+  }
+
   test("appendTxn replay stays a no-op across compact + expire") {
     val root = java.nio.file.Files.createTempDirectory("graft_snaptxn2").toString
     val docs = Tables.documents(spark, sf).select("doc_id", "source")
@@ -287,16 +341,31 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
     val v2Files = Snapshots.read(spark, root, 2).inputFiles.toSet
     val delta = Snapshots.changesBetween(spark, root, 2, 3).inputFiles.toSet
     assert(delta.nonEmpty && delta.intersect(v2Files).isEmpty)
-    // a rewrite replaces files — file identity stops meaning row
-    // identity, so the range fails fast instead of returning garbage
+    // a compact is a PURE-LAYOUT commit (dataChange=false): same rows,
+    // fresh files — the delta walks straight through it as EMPTY
+    // instead of failing into a corpus resync (the r12-verdict ask:
+    // at 100 TB routine compaction must not force every downstream
+    // consumer to re-read the corpus)
     val v4 = Snapshots.compact(spark, root, partitions = 1)
+    assert(Snapshots.changesBetween(spark, root, 3, v4).count() === 0,
+      "a layout rewrite contributes an empty delta, not a failure")
+    // ...and an append BEYOND the compact still surfaces exactly its
+    // own rows when the range spans the layout boundary
+    Snapshots.append(spark, root, slice(0))               // v5
+    assert(ids(Snapshots.changesBetween(spark, root, 3, v4 + 1)) ===
+      ids(slice(0)),
+      "a range spanning the compact delivers only the post-compact append")
+    // a DATA rewrite replaces rows — file identity stops meaning row
+    // identity, so the range fails fast instead of returning garbage
+    val kept = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val v6 = Snapshots.rewrite(spark, root, kept)
     intercept[IllegalArgumentException] {
-      Snapshots.changesBetween(spark, root, 3, v4)
+      Snapshots.changesBetween(spark, root, v4 + 1, v6)
     }
     // ranges AFTER the rewrite work again
-    Snapshots.append(spark, root, slice(0))               // v5
-    assert(ids(Snapshots.changesBetween(spark, root, v4, v4 + 1)) ===
-      ids(slice(0)))
+    Snapshots.append(spark, root, slice(1))               // v7
+    assert(ids(Snapshots.changesBetween(spark, root, v6, v6 + 1)) ===
+      ids(slice(1)))
   }
 
   test("SnapshotTail delivers each version range once across restarts; rewrite surfaces for resync") {
@@ -322,15 +391,25 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
     assert(ids(d2) === ids(slice(2)) && v2 === 3,
       "the restored tail delivers only the unprocessed range")
     resumed.commit(v2)
-    // a rewrite boundary surfaces (fail-fast) and resync recovers —
-    // two-phase like poll: the cursor advances only on commit, so a
+    // the tail polls STRAIGHT THROUGH a compact: the layout commit is
+    // an empty delta (append → compact → append must deliver exactly
+    // the two appends' rows, never a resync — the r12-verdict ask)
+    Snapshots.compact(spark, root, partitions = 1)        // v4
+    Snapshots.append(spark, root, slice(0))               // v5
+    val Some((d3, v5)) = resumed.poll(spark)
+    assert(ids(d3) === ids(slice(0)) && v5 === 5,
+      "polling across a compact delivers only the appended rows")
+    resumed.commit(v5)
+    // a DATA rewrite boundary surfaces (fail-fast) and resync recovers
+    // — two-phase like poll: the cursor advances only on commit, so a
     // crash mid-resync re-reads on restart instead of skipping
-    Snapshots.compact(spark, root, partitions = 1)
+    val kept = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    Snapshots.rewrite(spark, root, kept)                  // v6
     intercept[IllegalArgumentException] { resumed.poll(spark).foreach(_._1.count()) }
-    val (full, v4) = resumed.resync(spark)
-    assert(ids(full) === ids(docs) && v4 === 4)
-    assert(resumed.position === 3, "resync must not advance before commit")
-    resumed.commit(v4)
+    val (full, v6) = resumed.resync(spark)
+    assert(ids(full) === ids(kept) && v6 === 6)
+    assert(resumed.position === 5, "resync must not advance before commit")
+    resumed.commit(v6)
     assert(resumed.poll(spark).isEmpty)
   }
 
