@@ -192,6 +192,10 @@ object SparkEntry {
     // updates replace, inserts land, untouched rows carry forward —
     // the oracle recomputes the merged state closed-form
     "q_snapshot_merge" -> sources.Snapshots.snapshotMerge _,
+    // manifest-stats data skipping: the predicate prunes files at the
+    // MANIFEST (zero footer I/O) and the oracle recomputes from the
+    // predicate alone — skipping changes I/O, never results
+    "q_snapshot_read_pruned" -> sources.Snapshots.snapshotReadPruned _,
     "q_rate_anomaly"  -> CorpusCuration.rateAnomaly _,
     "q_embed_drift"   -> CorpusCuration.embedDrift _,
     "q_pack_efficiency" -> CorpusCuration.packEfficiency _,
@@ -858,6 +862,7 @@ object SparkEntry {
     "q_bucketed_join"  -> sources.Bucketed.bucketedJoinOracleSql,
     "q_snapshot_read"  -> sources.Snapshots.snapshotReadOracleSql,
     "q_snapshot_merge" -> sources.Snapshots.snapshotMergeOracleSql,
+    "q_snapshot_read_pruned" -> sources.Snapshots.snapshotReadPrunedOracleSql,
     "q_rate_anomaly"   -> CorpusCuration.rateAnomalyOracleSql,
     "q_embed_drift"    -> CorpusCuration.embedDriftOracleSql,
     "q_pack_efficiency" -> CorpusCuration.packEfficiencyOracleSql,

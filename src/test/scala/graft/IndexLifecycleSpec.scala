@@ -225,6 +225,59 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
       "an aged orphan (crashed half-write) is reclaimed once past the grace")
   }
 
+  test("data skipping: manifest stats prune exactly the provably-dead files, never results") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import Snapshots.StatsPred._
+    val root = java.nio.file.Files.createTempDirectory("graft_snapskip").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    val ranged = docs.repartitionByRange(8, col("doc_id"))
+    Snapshots.create(spark, root, ranged)
+    // a second commit so pruning spans append-carried stats too
+    Snapshots.append(spark, root,
+      docs.withColumn("doc_id", col("doc_id") + lit(Snapshots.MergeInsertOffset))
+        .repartitionByRange(4, col("doc_id")))
+    val v = Snapshots.latestVersion(spark, root)
+    val all = Snapshots.read(spark, root, v)
+    val cut = Snapshots.MergeInsertOffset // keeps exactly the appended half
+    val preds = Seq(GtEq("doc_id", cut))
+    val pruned = Snapshots.readWhere(spark, root, v, preds)
+    // results identical to the unpruned filtered read
+    assert(ids(pruned) === ids(all.filter(col("doc_id") >= cut)),
+      "skipping must never change results")
+    // the scan plans over a strict subset of the version's files...
+    val planned = pruned.inputFiles.toSet
+    val full = all.inputFiles.toSet
+    assert(planned.nonEmpty && planned.subsetOf(full) && planned.size < full.size,
+      s"stats must prune files: planned ${planned.size} of ${full.size}")
+    // ...and every file it dropped is PROVABLY dead for the predicate
+    val dropped = full -- planned
+    assert(dropped.nonEmpty)
+    val deadRows = spark.read.parquet(dropped.toSeq: _*)
+      .filter(col("doc_id") >= cut).count()
+    assert(deadRows === 0, "a pruned file must contain no qualifying rows")
+    // string stats prune too (source is ASCII): an impossible literal
+    // prunes everything, and the result is still exact (empty)
+    val none = Snapshots.readWhere(spark, root, v, Seq(Gt("source", "zzzz")))
+    assert(none.count() === 0 && none.inputFiles.isEmpty,
+      "an out-of-range string predicate prunes every file")
+    // a column with no usable stats never prunes — and the filter
+    // still applies, so results stay exact
+    import spark.implicits._
+    val boolRoot = java.nio.file.Files.createTempDirectory("graft_snapbool").toString
+    Snapshots.create(spark, boolRoot,
+      Seq((1L, true), (2L, false)).toDF("k", "flag"))
+    val flagged = Snapshots.readWhere(spark, boolRoot, 1, Seq(Eq("flag", true)))
+    assert(flagged.count() === 1, "no-stats columns filter exactly, prune nothing")
+    // conjunctions intersect: a narrow doc_id band prunes down to the
+    // band's files and returns exactly the band
+    val bandLo = Snapshots.MergeInsertOffset + 10
+    val band = Snapshots.readWhere(spark, root, v,
+      Seq(GtEq("doc_id", bandLo), LtEq("doc_id", bandLo + 100)))
+    assert(ids(band) === ids(all.filter(
+      col("doc_id") >= bandLo && col("doc_id") <= bandLo + 100)))
+    assert(band.inputFiles.length <= planned.size)
+  }
+
   test("versioned merge: keep-last upsert, batch beats standing on ties, concurrent merges both land") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val root = java.nio.file.Files.createTempDirectory("graft_snapmrg").toString
