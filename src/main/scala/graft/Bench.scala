@@ -104,7 +104,7 @@ object Bench {
     "q_ann_ivf_filtered_topk" -> "aif", "q_hard_negatives" -> "hng",
     "q_hard_negatives_ivf" -> "hni", "q_recall_report" -> "rcr",
     "q_image_sim" -> "ims", "q_audio_sim" -> "aus", "q_entity_resolve" -> "ent",
-    "q_entity_resolve_incr" -> "eni",
+    "q_entity_resolve_incr" -> "eni", "q_entity_clusters" -> "enc",
     "shared_bpe_learner" -> "Sbp", "shared_curation_frames" -> "Scf",
     "shared_dedup_pairs" -> "Sdp", "shared_nb_model" -> "Snb",
     "shared_report_frames" -> "Srf", "shared_text_pipeline" -> "Stp",

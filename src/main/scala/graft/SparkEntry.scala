@@ -234,6 +234,9 @@ object SparkEntry {
     // incremental twin: the arriving batch broadcasts into the blocked
     // standing store — O(batch x avg-block) work, never O(store^2)
     "q_entity_resolve_incr" -> operators.EntityResolve.entityResolveIncremental _,
+    // canonicalization: verified pairs -> connected components -> one
+    // golden record per entity cluster (longest name, min-id tiebreak)
+    "q_entity_clusters" -> operators.EntityResolve.entityClusters _,
     // §2.1b extended composed analytics
     "q_anti_join"         -> ExtendedAnalytics.customersWithoutOrders _,
     "q_semi_join"         -> ExtendedAnalytics.activeCustomers _,
@@ -1025,6 +1028,7 @@ object SparkEntry {
     "q_audio_sim" -> sources.AudioSim.oracleSql,
     "q_entity_resolve" -> operators.EntityResolve.oracleSql,
     "q_entity_resolve_incr" -> operators.EntityResolve.incrOracleSql,
+    "q_entity_clusters" -> operators.EntityResolve.clustersOracleSql,
     "q_snapshot_changes" -> sources.Snapshots.snapshotChangesOracleSql,
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,

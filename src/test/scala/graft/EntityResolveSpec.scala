@@ -138,6 +138,24 @@ class EntityResolveSpec extends AnyFunSuite {
       "replayed batches must not duplicate links")
   }
 
+  test("canonicalization: one cluster per entity, golden record = the undropped canonical") {
+    import org.apache.spark.sql.functions.col
+    val clusters = EntityResolve.entityClusters(spark, sf).collect()
+    val entities = EntityResolve.records(spark, sf)
+      .select("entity").distinct().count()
+    assert(clusters.length === entities,
+      "every entity's triangle collapses to exactly one cluster")
+    clusters.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      assert(cid % 3 === 0, "cluster_id = the component min = entity*3")
+      assert(r.getAs[Long]("n_records") === 3L, "all three variants cluster")
+      assert(r.getAs[Long]("golden_rec_id") === cid,
+        "survivorship picks the canonical (longest name = variant 0)")
+      assert(r.getAs[String]("golden_name").length === 16,
+        "the golden name is the undropped 8-syllable canonical")
+    }
+  }
+
   test("names are injective and variants stay in their entity's block") {
     val recs = EntityResolve.records(spark, sf).collect()
     val names = recs.map(_.getAs[String]("name"))
