@@ -300,10 +300,11 @@ object SparkEntry {
     "q_funnel"            -> ExtendedAnalytics.funnel _,
     "q_retention"         -> ExtendedAnalytics.retention _,
     "q_weekly_focus"      -> TaskAnalytics.weeklyFocus _,
-    // sketches: q_approx_stats stays rows-only (Spark-internal HLL/KLL
-    // hashing has no SQL twin; specs + the recall gate bound its error),
-    // while q_heavy_hitters builds a PORTABLE Count-Min sketch both
-    // engines reproduce bit-identically — full oracle
+    // sketches: both PORTABLE since r13 — q_approx_stats rides a KMV
+    // bottom-k distinct sketch + integer-grid histogram median and
+    // q_heavy_hitters a Count-Min sketch, each rebuilt bit-identically
+    // by its DuckDB oracle (full hash gates; the relerr recall gates
+    // additionally bound the estimates against exact answers)
     "q_approx_stats"      -> ExtendedAnalytics.approxStats _,
     "q_heavy_hitters"     -> operators.Sketches.heavyHitters _,
     "q_schema_health"     -> ExtendedAnalytics.schemaHealth _,
@@ -712,6 +713,7 @@ object SparkEntry {
     "q_knn_label_acc"       -> Similarity.sqlKnnLabelAcc,
     "q_recall_report"       -> operators.RecallReport.oracleSql,
     "q_heavy_hitters"       -> operators.Sketches.heavyHittersOracleSql,
+    "q_approx_stats"        -> ExtendedAnalytics.approxStatsOracleSql,
     "q_ann_advisor"          -> AnnAdvisor.sqlAdvisor,
     "q_ann_advisor_filtered" -> AnnAdvisor.sqlAdvisorFiltered,
     "q_keyed_sample" ->

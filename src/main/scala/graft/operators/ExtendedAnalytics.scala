@@ -926,19 +926,120 @@ object ExtendedAnalytics {
   }
 
   /** Sketch-based statistics (the 100 TB path for distinct counts and
-    * quantiles: HLL++ and KLL-style sketches are mergeable map-side
-    * partials — no exact global sort/distinct). Rows-only check: sketch
-    * internals are engine-specific by nature; specs bound the error vs
-    * exact answers instead.
+    * quantiles) — PORTABLE since r13, so the entry is hash-checked
+    * instead of bounds-gated (the q_heavy_hitters graduation recipe,
+    * closing the r12 verdict's item 5; Spark-internal HLL++/KLL
+    * hashing was the last engine-specific sketch in the catalog):
+    *
+    *  - distinct users per event type via a KMV bottom-k sketch over
+    *    an engine-neutral affine hash ([[Sketches.KmvK]]): a bounded
+    *    per-partition pass keeps the k smallest distinct hashes per
+    *    group (fixed memory, O(k·partitions) shuffle — the Misra-Gries
+    *    shape), the merge ranks the survivors, and the estimate is
+    *    pure integer arithmetic ((K−1)·P div h_(K), exact below K);
+    *  - approximate median via an integer-grid histogram over the
+    *    2-decimal money grid ([[Sketches.MedianCellCents]] cells,
+    *    merge = cell-wise adds): the cell containing the lower median,
+    *    answered at its midpoint (error ≤ half a cell).
+    *
+    * Both sketches are grouped integer counts/ranks the DuckDB oracle
+    * rebuilds bit-identically; the recall-report relerr gates keep
+    * bounding the ESTIMATES against exact answers on top of the hash
+    * parity (accuracy and portability gated independently).
     */
-  def approxStats(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+  def approxStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val S = Sketches
+    val p = graft.functions.TextFunctions.HashP
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      pmod(pmod(col("user_id"), lit(p)) * lit(S.KmvA) + lit(S.KmvB), lit(p))
+        .as("h"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    // KMV: bounded partition-local bottom-k of distinct hashes, then
+    // an exact global bottom-k over the O(k·partitions) survivors
+    // (capture only the Int — a captured module-val reference makes
+    // the closure drag the whole non-serializable object along)
+    val kmvK = S.KmvK
+    val survivors = ev.select(col("event_type"), col("h"))
+      .as[(String, Long)]
+      .mapPartitions(it => Sketches.bottomK(it, kmvK))
+      .toDF("event_type", "h").distinct()
+    val users = survivors
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") <= S.KmvK)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        round(percentile_approx(col("value"), lit(0.5), lit(10000)), 2)
-          .as("approx_median_value"),
-        count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("cnt"),
+        max(when(col("rn") === S.KmvK, col("h"))).as("hk"))
+      .select(col("event_type"),
+        when(col("cnt") < S.KmvK, col("cnt"))
+          .otherwise(expr(s"${S.KmvK - 1}L * ${p}L div greatest(hk, 1L)"))
+          .cast("long").as("approx_users"))
+    // median: grouped integer histogram + windowed cumulative count
+    val hist = ev
+      .groupBy(col("event_type"),
+        expr(s"cents div ${S.MedianCellCents}L").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("event_type").orderBy("bucket")))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("event_type")))
+    val med = cum.filter(col("cum") >= expr("(n + 1L) div 2L"))
+      .groupBy("event_type")
+      .agg(min(col("bucket")).as("mb"), max(col("n")).as("n"))
+      .select(col("event_type"),
+        ((col("mb") * S.MedianCellCents + S.MedianCellCents / 2).cast("double")
+          / 100.0).as("approx_median_value"),
+        col("n"))
+    users.join(med, Seq("event_type"))
+      .select(col("event_type"), col("approx_users"),
+        col("approx_median_value"), col("n"))
       .orderBy("event_type")
+  }
+
+  /** DuckDB twin: the identical KMV rank + histogram cells, generated
+    * from the same constants.
+    */
+  def approxStatsOracleSql: String = {
+    val S = Sketches
+    val p = graft.functions.TextFunctions.HashP
+    val k = S.KmvK
+    val cw = S.MedianCellCents
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |    ((user_id % $p) * ${S.KmvA} + ${S.KmvB}) % $p AS h,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM events),
+       |dh AS (SELECT DISTINCT event_type, h FROM ev),
+       |rk AS (SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM dh),
+       |users AS (
+       |  SELECT event_type,
+       |    CAST(CASE WHEN count(*) < $k THEN count(*)
+       |      ELSE ${k - 1} * $p //
+       |        greatest(max(CASE WHEN rn = $k THEN h END), 1) END
+       |      AS BIGINT) AS approx_users
+       |  FROM rk WHERE rn <= $k GROUP BY 1),
+       |hist AS (
+       |  SELECT event_type, cents // $cw AS bucket, count(*) AS c
+       |  FROM ev GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, bucket,
+       |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bucket)
+       |      AS BIGINT) AS cum,
+       |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM hist),
+       |med AS (
+       |  SELECT event_type, min(bucket) AS mb, max(n) AS n
+       |  FROM cum WHERE cum >= (n + 1) // 2 GROUP BY 1)
+       |SELECT u.event_type, u.approx_users,
+       |  CAST(m.mb * $cw + ${cw / 2} AS DOUBLE) / 100 AS approx_median_value,
+       |  m.n
+       |FROM users u JOIN med m USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
 
   /** Per-language document length statistics with exact median
     * (percentile with linear interpolation — matches DuckDB

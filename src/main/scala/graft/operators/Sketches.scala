@@ -77,6 +77,55 @@ object Sketches {
     * cut and the pigeonhole superset guarantee is void anyway. */
   val CandidateCap = HeavyHittersK * 512
 
+  /** KMV (bottom-k / Theta-sketch) distinct-count constants — the
+    * portable replacement for Spark-internal HLL hashing (the r12
+    * verdict's item 5): keep the K smallest DISTINCT values of an
+    * engine-neutral integer hash; estimate = (K−1)·P / h_(K), pure
+    * integer arithmetic both engines reproduce bit-identically (the
+    * CMS recipe — no ln, no float registers, so no cross-engine libm
+    * risk the HLL linear-counting correction would carry). Below K
+    * distinct values the sketch IS exact. Standard error ≈ 1/√(K−2) ≈
+    * 6% at K=256, within the 10% relerr gate.
+    */
+  val KmvK = 256
+  val KmvA = 736338301L
+  val KmvB = 192838411L
+
+  /** Median histogram cell width in integer cents: the portable KLL
+    * stand-in for the money-grid `value` column — grouped counts over
+    * `cents div 50` cells (bounded by range/0.50, merge = cell-wise
+    * adds), estimate = the cell containing the lower median, answered
+    * at its midpoint. Worst-case error = half a cell = 0.25 units
+    * (~1% of the corpus median; 5% relerr gate). Unbounded domains
+    * would take a log-grid; this column is bounded by construction.
+    */
+  val MedianCellCents = 50L
+
+  /** Bounded per-partition bottom-k pass: at most k smallest DISTINCT
+    * hash values PER GROUP per partition (fixed memory: k × groups,
+    * group cardinality is the event-type dimension). The union of
+    * per-partition bottom-k sets contains the global bottom-k of the
+    * distinct values — any globally-bottom-k hash is within bottom-k
+    * of every partition it appears in — so the merge (distinct + rank
+    * ≤ k over the O(k·partitions) survivors) is exact, the Misra-Gries
+    * shuffle-shape for order statistics.
+    */
+  private[graft] def bottomK(it: Iterator[(String, Long)],
+                             k: Int): Iterator[(String, Long)] = {
+    val m = new java.util.HashMap[String, java.util.TreeSet[java.lang.Long]]()
+    it.foreach { case (g, h) =>
+      val t = m.computeIfAbsent(g, _ => new java.util.TreeSet[java.lang.Long]())
+      if (!t.contains(h)) {
+        if (t.size < k) t.add(h)
+        else if (h < t.last) { t.add(h); t.pollLast() }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    m.asScala.iterator.flatMap { case (g, t) =>
+      t.asScala.iterator.map(h => (g, h.longValue))
+    }.toArray.iterator
+  }
+
   /** Bounded-memory Misra-Gries pass over one partition's tokens:
     * at most m counters; decrement-all on overflow. Survivor weights
     * undercount by at most n_p/m.
