@@ -126,54 +126,58 @@ object RecallReport {
     gates.map(_._3).distinct.foreach(baseline)
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val ann = try {
+    // sketch gates join the SAME concurrent block as the ANN searches
+    // (they were serialized after it — dead wall time), and the pool
+    // widened 4→8: rcr's wall is max-path over ~17 independent
+    // bounded jobs, not their sum
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      Await.result(
-        Future.sequence(gates.map { case (gate, variant, exactKey) =>
-          Future {
-            val want = baseline(exactKey)
-            val got = pairSet(variant)
-            val pct =
-              if (want.isEmpty) 100 else ((want & got).size * 100) / want.size
-            (gate, pct)
-          }
-        }), Duration.Inf)
+      val annF = Future.sequence(gates.map { case (gate, variant, exactKey) =>
+        Future {
+          val want = baseline(exactKey)
+          val got = pairSet(variant)
+          val pct =
+            if (want.isEmpty) 100 else ((want & got).size * 100) / want.size
+          (gate, pct)
+        }
+      })
+      // sketch gate 1+2: KMV distinct / grid median vs exact, per type
+      val relerrF = Future {
+        val approx = ExtendedAnalytics.approxStats(s, dir)
+          .select(col("event_type"), col("approx_users"), col("approx_median_value"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        val exactRows = Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("users"),
+            expr("percentile(value, 0.5)").as("median_value"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        def maxErrPct(f: String => (Double, Double)): Int =
+          exactRows.keys.map { k =>
+            val (est, ex) = f(k)
+            if (ex == 0.0) (if (est == 0.0) 0 else 100)
+            else math.ceil(math.abs(est - ex) / math.abs(ex) * 100).toInt
+          }.foldLeft(0)(math.max)
+        (maxErrPct(k => (approx(k)._1.toDouble, exactRows(k)._1.toDouble)),
+          maxErrPct(k => (approx(k)._2, exactRows(k)._2)))
+      }
+      // sketch gate 3: CMS bounds over the probed heavy hitters — the
+      // memoized per-dir computation the catalog query already paid
+      // for (token total included: no separate tokenize pass)
+      val cmsF = Future {
+        val (hh, totalTokens) = Sketches.heavyHittersWithTotal(s, dir)
+        val epsN = math.ceil(Sketches.CmsEps * totalTokens).toLong
+        val inBounds = hh.count { case (_, est, ex) =>
+          ex <= est && est <= ex + epsN
+        }
+        if (hh.isEmpty) 100 else (inBounds * 100) / hh.length
+      }
+      val ann = Await.result(annF, Duration.Inf)
+      val (usersErr, medianErr) = Await.result(relerrF, Duration.Inf)
+      val cmsPct = Await.result(cmsF, Duration.Inf)
+      ann ++ Seq(("approx_users_relerr", usersErr),
+        ("approx_median_relerr", medianErr), ("cms_bounds", cmsPct))
     } finally pool.shutdown()
-
-    // sketch gate 1+2: HLL distinct / KLL median vs exact, per event type
-    val approx = ExtendedAnalytics.approxStats(s, dir)
-      .select(col("event_type"), col("approx_users"), col("approx_median_value"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    val exactRows = Tables.events(s, dir)
-      .groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("users"),
-        expr("percentile(value, 0.5)").as("median_value"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    def maxErrPct(f: String => (Double, Double)): Int =
-      exactRows.keys.map { k =>
-        val (est, ex) = f(k)
-        if (ex == 0.0) (if (est == 0.0) 0 else 100)
-        else math.ceil(math.abs(est - ex) / math.abs(ex) * 100).toInt
-      }.foldLeft(0)(math.max)
-    val usersErr = maxErrPct(k => (approx(k)._1.toDouble, exactRows(k)._1.toDouble))
-    val medianErr = maxErrPct(k => (approx(k)._2, exactRows(k)._2))
-
-    // sketch gate 3: CMS bounds over the probed heavy hitters
-    val totalTokens = Tables.documents(s, dir)
-      .select(size(tokens(col("text"))).cast("long").as("n"))
-      .agg(sum("n")).head().getLong(0)
-    val epsN = math.ceil(Sketches.CmsEps * totalTokens).toLong
-    val hh = Sketches.heavyHitters(s, dir)
-      .select(col("cms_estimate"), col("exact_tf")).collect()
-    val inBounds = hh.count { r =>
-      val est = r.getLong(0); val ex = r.getLong(1)
-      ex <= est && est <= ex + epsN
-    }
-    val cmsPct = if (hh.isEmpty) 100 else (inBounds * 100) / hh.length
-
-    ann ++ Seq(("approx_users_relerr", usersErr),
-      ("approx_median_relerr", medianErr), ("cms_bounds", cmsPct))
   }
 
   /** Measurement memo: the measurements are a pure function of the

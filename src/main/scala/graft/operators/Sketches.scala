@@ -200,12 +200,38 @@ object Sketches {
     (0 until CmsDepth).map(i => ((f * CmsA(i) + CmsB(i)) % p) % CmsWidth)
   }
 
+  /** The heavy-hitter computation is a pure function of the table dir
+    * and its result is driver-local by construction (k collected rows
+    * + one total), so it memoizes per dir (the codebook/centroid
+    * convention): the catalog query pays the build once per JVM and
+    * the recall report's cms_bounds gate reuses it instead of
+    * re-running the whole sketch + tokenize (27.5 s at sf1 — the r12
+    * verdict's rcr-growth watch item).
+    */
+  private val hhMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(String, Long, Long)], Long)]()
+
+  /** (token, cms_estimate, exact_tf) rows + the corpus token total
+    * (Σ over row 0 of the sketch — no separate tokenize pass).
+    */
+  private[graft] def heavyHittersWithTotal(s: SparkSession,
+      dir: String): (Seq[(String, Long, Long)], Long) =
+    hhMemo.computeIfAbsent(dir, _ => computeHeavyHitters(s, dir))
+
   /** Top-k tokens with their CMS-estimated and exact total frequencies
     * (with multiplicity — term frequency, not document frequency).
     * Full-oracle entry: the DuckDB twin rebuilds the identical
     * portable sketch, so the estimates hash-compare cell-exactly.
     */
   def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    heavyHittersWithTotal(s, dir)._1
+      .toDF("token", "cms_estimate", "exact_tf")
+      .orderBy(col("exact_tf").desc, col("token"))
+  }
+
+  private def computeHeavyHitters(s: SparkSession,
+      dir: String): (Seq[(String, Long, Long)], Long) = {
     import s.implicits._
     // the tokenize+explode feeds three actions (sketch build, candidate
     // pass, exact probe counts) — persist the exploded frame for the
@@ -242,14 +268,12 @@ object Sketches {
         .limit(HeavyHittersK)
         .collect()
         .map(r => (r.getString(0), r.getLong(1)))
-      top.toSeq
-        .map { case (t, exact) =>
-          val est = localBuckets(t).zipWithIndex
-            .map { case (b, i) => cells((i, b)) }.min
-          (t, est, exact)
-        }
-        .toDF("token", "cms_estimate", "exact_tf")
-        .orderBy(col("exact_tf").desc, col("token"))
+      val rows = top.toSeq.map { case (t, exact) =>
+        val est = localBuckets(t).zipWithIndex
+          .map { case (b, i) => cells((i, b)) }.min
+        (t, est, exact)
+      }
+      (rows, totalTokens)
     } finally toks.unpersist(blocking = false)
   }
 
