@@ -192,6 +192,9 @@ object SparkEntry {
     // updates replace, inserts land, untouched rows carry forward —
     // the oracle recomputes the merged state closed-form
     "q_snapshot_merge" -> sources.Snapshots.snapshotMerge _,
+    // the merge CHANGE FEED (Delta CDF): the upsert delta across the
+    // merge reads only the bounded changes/ files, never the corpus
+    "q_snapshot_merge_changes" -> sources.Snapshots.snapshotMergeChanges _,
     // manifest-stats data skipping: the predicate prunes files at the
     // MANIFEST (zero footer I/O) and the oracle recomputes from the
     // predicate alone — skipping changes I/O, never results
@@ -867,6 +870,7 @@ object SparkEntry {
     "q_bucketed_join"  -> sources.Bucketed.bucketedJoinOracleSql,
     "q_snapshot_read"  -> sources.Snapshots.snapshotReadOracleSql,
     "q_snapshot_merge" -> sources.Snapshots.snapshotMergeOracleSql,
+    "q_snapshot_merge_changes" -> sources.Snapshots.snapshotMergeChangesOracleSql,
     "q_snapshot_read_pruned" -> sources.Snapshots.snapshotReadPrunedOracleSql,
     "q_rate_anomaly"   -> CorpusCuration.rateAnomalyOracleSql,
     "q_embed_drift"    -> CorpusCuration.embedDriftOracleSql,

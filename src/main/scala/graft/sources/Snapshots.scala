@@ -193,7 +193,8 @@ object Snapshots {
                             schema: Option[org.apache.spark.sql.types.StructType]
                               = None,
                             commitKind: Option[String] = None,
-                            stats: Map[String, String] = Map.empty): Unit = {
+                            stats: Map[String, String] = Map.empty,
+                            cdf: Seq[String] = Seq.empty): Unit = {
     val f = fs(s)
     val p = manifestPath(root, v)
     // Two-phase commit: write the FULL content to a dot-temp (invisible
@@ -227,11 +228,16 @@ object Snapshots {
     // stats, keyed by the globally-unique part name, kept only for
     // files still in the version (a rewrite drops the replaced files'
     // stats with the files)
+    // `#cdf:<file>` lines record THIS commit's change-data files (a
+    // merge's effective upsert rows — the Delta CDF idea): incremental
+    // consumers read the bounded change set instead of resyncing the
+    // corpus. Not carried forward: changes belong to one commit.
     val live = files.map(fileStatKey).toSet
     val out = f.create(tmp, false)
     try out.write(
       (schema.map(sc => s"#schema:${sc.json}").toSeq ++
         commitKind.map(k => s"#commit:$k").toSeq ++
+        cdf.map(p => s"#cdf:$p") ++
         txns.map { case (a, b) =>
           if (a == b) s"#txn:$a" else s"#txn:$a-$b" } ++
         stats.toSeq.filter(kv => live.contains(kv._1)).sortBy(_._1)
@@ -298,7 +304,8 @@ object Snapshots {
       txns: Seq[(Long, Long)],
       schema: Option[org.apache.spark.sql.types.StructType],
       commit: Option[String] = None,
-      stats: Map[String, String] = Map.empty)
+      stats: Map[String, String] = Map.empty,
+      cdf: Seq[String] = Seq.empty)
 
   /** ONE manifest open + parse per call — the hot metadata paths
     * (read / changesBetween / every commitRetry attempt) consume all
@@ -314,9 +321,12 @@ object Snapshots {
     var schema: Option[org.apache.spark.sql.types.StructType] = None
     var commit: Option[String] = None
     val stats = Map.newBuilder[String, String]
+    val cdf = Seq.newBuilder[String]
     lines.foreach {
       case l if l.startsWith("#commit:") =>
         commit = Some(l.stripPrefix("#commit:"))
+      case l if l.startsWith("#cdf:") =>
+        cdf += l.stripPrefix("#cdf:")
       case l if l.startsWith("#stats:") =>
         val body = l.stripPrefix("#stats:")
         val i = body.indexOf(':')
@@ -337,7 +347,7 @@ object Snapshots {
       case l => files += l
     }
     Manifest(files.result(), txns.result().sorted, schema, commit,
-      stats.result())
+      stats.result(), cdf.result())
   }
 
   private[sources] def readManifest(s: SparkSession, root: String, v: Int): Seq[String] =
@@ -581,9 +591,14 @@ object Snapshots {
     * standing row and a batch row goes to the BATCH — the
     * `Export.upsertKeepLast` convention, now committed as a snapshot
     * version). Updated keys replace their standing row, new keys
-    * insert, untouched rows carry forward; the result lands as a DATA
-    * rewrite (`#commit:rewrite` — a merge replaces rows, so
-    * incremental consumers resync, exactly like a curation drop).
+    * insert, untouched rows carry forward; the commit is tagged
+    * `#commit:merge` and carries CHANGE-DATA FILES (`#cdf:` — the
+    * post-image of every key the batch touched), so incremental
+    * consumers that opt into upsert semantics
+    * ([[changesBetween]]`(…, upserts = true)`) poll straight through
+    * the merge reading only the bounded change set; append-only
+    * consumers fail fast at it (feeding them new versions of old keys
+    * would duplicate rows downstream).
     *
     * OPTIMISTIC CONCURRENCY AT THE MERGE LEVEL: unlike [[append]]
     * (whose file set is valid on any base), a merge's OUTPUT depends
@@ -620,10 +635,19 @@ object Snapshots {
         .filter(col("__rn") === 1)
         .drop("__src", "__rn")
       val mine = writeBatchFiles(s, root, merged)
+      // CHANGE-DATA FILES (the Delta CDF idea): the post-image of every
+      // key the batch touched, derived from the freshly-written merged
+      // files (one bounded scan ⋈ batch keys — never a second corpus
+      // window), written beside the data under changes/. Incremental
+      // consumers that opted into upsert semantics read THIS bounded
+      // set across the merge instead of resyncing the corpus.
+      val sc = mergeSchemas(m.schema.getOrElse(standing.schema), batch.schema)
+      val touched = s.read.schema(sc).parquet(mine: _*)
+        .join(batch.select(keyCols.map(col): _*).distinct(), keyCols)
+      val cdfFiles = writeChangeFiles(s, root, touched)
       try {
         writeManifest(s, root, base + 1, mine.distinct.sorted, m.txns,
-          Some(mergeSchemas(m.schema.getOrElse(standing.schema), batch.schema)),
-          Some("rewrite"), statsForFiles(s, mine))
+          Some(sc), Some("merge"), statsForFiles(s, mine), cdfFiles)
         return base + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -634,6 +658,20 @@ object Snapshots {
       }
     }
     -1 // unreachable
+  }
+
+  /** One merge's change set, in its own subdirectory under changes/
+    * (the writeBatchFiles discipline: a commit's change files are a
+    * property of its own write).
+    */
+  private def writeChangeFiles(s: SparkSession, root: String,
+                               df: DataFrame): Seq[String] = {
+    val sub = s"$root/changes/c${java.util.UUID.randomUUID().toString.take(12)}"
+    df.write.mode("errorifexists").parquet(sub)
+    fs(s).listStatus(new org.apache.hadoop.fs.Path(sub)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+      .sorted
   }
 
   /** Compaction: fold the latest version's accumulated small files
@@ -685,14 +723,22 @@ object Snapshots {
     val latest = latestVersion(s, root)
     require(retainMin >= 1 && retainMin <= latest,
       s"retainMin $retainMin out of range [1, $latest]")
-    val live: Set[String] =
-      (retainMin to latest).iterator
-        .filter(v => f.exists(manifestPath(root, v)))
-        .flatMap(v => readManifest(s, root, v)).toSet
-    val expiredRefs: Set[String] =
-      (1 until retainMin).iterator
-        .filter(v => f.exists(manifestPath(root, v)))
-        .flatMap(v => readManifest(s, root, v)).toSet
+    val retainedM = (retainMin to latest).iterator
+      .filter(v => f.exists(manifestPath(root, v)))
+      .map(v => readManifestData(s, root, v)).toSeq
+    val expiredM = (1 until retainMin).iterator
+      .filter(v => f.exists(manifestPath(root, v)))
+      .map(v => readManifestData(s, root, v)).toSeq
+    val live: Set[String] = retainedM.flatMap(_.files).toSet
+    val expiredRefs: Set[String] = expiredM.flatMap(_.files).toSet
+    // change-data files follow the same rule as data files: reclaimed
+    // once no live manifest's #cdf: line references them and an
+    // expired one did (a merge's change set outlives exactly the
+    // versions that could consume it)
+    val liveCdf: Set[String] = retainedM.flatMap(_.cdf).toSet
+    expiredM.flatMap(_.cdf).toSet.diff(liveCdf).foreach { p =>
+      f.delete(new org.apache.hadoop.fs.Path(p), false)
+    }
     (1 until retainMin).foreach { v =>
       val p = manifestPath(root, v)
       if (f.exists(p)) f.delete(p, false)
@@ -730,6 +776,26 @@ object Snapshots {
           // pre-r11 flat-layout files are vacuumed by the same rule
           f.delete(st.getPath, false)
         }
+      }
+    }
+    // change-dir sweep: a lost merge race leaves its change subdir as
+    // an orphan (no manifest ever references it) — reclaimed past the
+    // grace window, same as data orphans; subdirs whose files were
+    // just reclaimed from expired manifests prune entirely
+    val changesDir = new org.apache.hadoop.fs.Path(s"$root/changes")
+    if (f.exists(changesDir)) {
+      f.listStatus(changesDir).filter(_.isDirectory).foreach { st =>
+        f.listStatus(st.getPath).foreach { k =>
+          if (k.isFile && k.getPath.getName.startsWith("part-") &&
+              !liveCdf.contains(k.getPath.toString) &&
+              k.getModificationTime < cutoff)
+            f.delete(k.getPath, false)
+        }
+        val left = f.listStatus(st.getPath)
+        val hasData = left.exists(k =>
+          k.isFile && k.getPath.getName.startsWith("part-"))
+        if (!hasData && st.getModificationTime < cutoff)
+          f.delete(st.getPath, true)
       }
     }
   }
@@ -901,18 +967,27 @@ object Snapshots {
     * rows, fresh files) contributes NOTHING and the walk continues
     * straight through it (the Delta `dataChange=false` rule: routine
     * compaction must not force every consumer into a corpus resync).
-    * Across a data REWRITE (curation drop, merge) file identity no
-    * longer means row identity, so the call fails fast instead of
-    * returning garbage — consumers resync from a full read there. A
-    * legacy commit with no `#commit:` tag is classified by its file
-    * set: additive ⇒ append, else rewrite (the pre-tag semantics).
+    * A MERGE commit carries its change-data files (`#cdf:` — the
+    * post-image of every key its batch touched, the Delta CDF idea):
+    * with `upserts = true` the walk delivers that bounded change set
+    * across the merge, making the stream an UPSERT FEED keyed by the
+    * merge keys (a delivered row may be a NEW VERSION of a previously
+    * delivered key — the consumer must key, not append). With the
+    * default `upserts = false` a merge fails fast like any rewrite:
+    * silently feeding upserts to an append-only consumer would
+    * duplicate keys downstream. Across a data REWRITE (curation drop)
+    * file identity no longer means row identity and there is no
+    * change set, so the call always fails fast — consumers resync
+    * from a full read there. A legacy commit with no `#commit:` tag
+    * is classified by its file set: additive ⇒ append, else rewrite
+    * (the pre-tag semantics).
     *
     * The scan applies `toV`'s pinned schema: files appended before a
     * later widening read the new columns as null, matching what a full
     * read at toV reports for those rows.
     */
   def changesBetween(s: SparkSession, root: String, fromV: Int,
-                     toV: Int): DataFrame = {
+                     toV: Int, upserts: Boolean = false): DataFrame = {
     require(fromV >= 0 && fromV <= toV, s"need 0 <= fromV <= toV, got $fromV..$toV")
     val toM = readManifestData(s, root, toV)
     var prev: Set[String] =
@@ -926,6 +1001,13 @@ object Snapshots {
       m.commit.getOrElse(if (additive) "append" else "rewrite") match {
         case "layout" => () // same rows, fresh files — empty delta
         case "append" if additive => fresh ++= m.files.filterNot(prev)
+        case "merge" if upserts => fresh ++= m.cdf
+        case "merge" =>
+          throw new IllegalArgumentException(
+            s"versions $fromV..$toV of $root cross a MERGE at v$v — " +
+              "its change set is an upsert feed (new versions of " +
+              "existing keys); pass upserts = true to consume it keyed, " +
+              "or resync with read(toV)")
         case _ =>
           throw new IllegalArgumentException(
             s"versions $fromV..$toV of $root span a rewrite boundary at " +
@@ -960,7 +1042,8 @@ object Snapshots {
     * past the boundary) and stopping; silent resync would duplicate
     * rows downstream, which is the consumer's call, never the tail's.
     */
-  final class SnapshotTail(val root: String, startAfter: Int = 0) {
+  final class SnapshotTail(val root: String, startAfter: Int = 0,
+                           upserts: Boolean = false) {
     private var cursor: Int = startAfter
 
     /** Current committed position (versions ≤ this are processed). */
@@ -974,7 +1057,7 @@ object Snapshots {
       val from = position
       val latest = latestVersion(s, root)
       if (latest <= from) None
-      else Some((changesBetween(s, root, from, latest), latest))
+      else Some((changesBetween(s, root, from, latest, upserts), latest))
     }
 
     /** Advance past a processed range (monotonic; stale acks no-op). */
@@ -1020,7 +1103,8 @@ object Snapshots {
     /** Resume a tail from its persisted cursor (0 if none saved);
       * the max over surviving cursor files — saves only add.
       */
-    def restore(s: SparkSession, path: String, root: String): SnapshotTail = {
+    def restore(s: SparkSession, path: String, root: String,
+                upserts: Boolean = false): SnapshotTail = {
       val f = fs(s)
       val d = new org.apache.hadoop.fs.Path(path)
       val start =
@@ -1030,7 +1114,7 @@ object Snapshots {
           if (n.startsWith("cursor.")) n.stripPrefix("cursor.").toIntOption
           else None
         }.foldLeft(0)(math.max)
-      new SnapshotTail(root, start)
+      new SnapshotTail(root, start, upserts)
     }
   }
 
@@ -1154,14 +1238,48 @@ object Snapshots {
       merge(s, root, updates.unionByName(inserts), Seq("doc_id"), "rev")
       ScopedFixture.markComplete(root)
     }
-    read(s, root, latestVersion(s, root))
-      .select(col("source"), col("rev"),
+    perSourceRevTokenTotals(read(s, root, latestVersion(s, root)))
+  }
+
+  /** Shared (source, n_docs, n_rev, n_tokens) tail for the merge-family
+    * catalog entries — one Scala place so the merged-state and
+    * change-feed twins cannot drift.
+    */
+  private def perSourceRevTokenTotals(df: DataFrame): DataFrame =
+    df.select(col("source"), col("rev"),
         size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("rev")).as("n_rev"),
         sum(col("n")).as("n_tokens"))
       .orderBy("source")
+
+  /** `q_snapshot_merge_changes`: the merge CHANGE FEED through the
+    * driver's hash gate — over the same [[snapshotMerge]] fixture, the
+    * 1→2 upsert delta must surface exactly the post-image of every key
+    * the merge's batch touched (updates at rev 2 with the marker
+    * suffix + the re-keyed inserts) and NOTHING from the untouched
+    * corpus; the oracle recomputes the overlay closed-form. The delta
+    * scan reads only the bounded `changes/` files — zero I/O against
+    * the merged corpus (spec-asserted via inputFiles).
+    */
+  def snapshotMergeChanges(s: SparkSession, dir: String): DataFrame = {
+    snapshotMerge(s, dir) // fixture builds eagerly inside (marker-skipped)
+    val root = ScopedFixture.root(s, "graft_snapmerge", dir)
+    perSourceRevTokenTotals(changesBetween(s, root, 1, 2, upserts = true))
   }
+
+  val snapshotMergeChangesOracleSql: String =
+    s"""WITH chg AS (
+       |  SELECT doc_id, source, text || ' merged update' AS text, 2 AS rev
+       |  FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + $MergeInsertOffset, source, text, 2
+       |  FROM documents WHERE doc_id % 7 = 3)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(rev) AS BIGINT) AS n_rev,
+       |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+       |    AS n_tokens
+       |FROM chg GROUP BY 1 ORDER BY 1""".stripMargin
 
   val snapshotMergeOracleSql: String =
     s"""WITH merged AS (

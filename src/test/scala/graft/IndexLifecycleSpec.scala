@@ -332,6 +332,59 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, root, v5).count() === baseIds.size + 5)
   }
 
+  test("merge change feed: upsert consumers poll through a merge on the bounded change set") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = java.nio.file.Files.createTempDirectory("graft_snapcdf").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+      .withColumn("rev", lit(1L))
+    val base = docs.filter(col("doc_id") % 4 === 0)
+    Snapshots.create(spark, root, base)                        // v1
+    Snapshots.append(spark, root, docs.filter(col("doc_id") % 4 === 1)) // v2
+    val upd = docs.filter(col("doc_id") % 8 === 0)
+      .withColumn("rev", lit(2L)).withColumn("source", lit("upd"))
+    val ins = docs.filter(col("doc_id") % 4 === 2)
+      .withColumn("doc_id", col("doc_id") + lit(Snapshots.MergeInsertOffset))
+      .withColumn("rev", lit(2L))
+    val v3 = Snapshots.merge(spark, root, upd.unionByName(ins),
+      Seq("doc_id"), "rev")                                    // v3 (merge)
+    Snapshots.append(spark, root, docs.filter(col("doc_id") % 4 === 3)) // v4
+    // the merge step's delta is exactly the touched keys' post-image,
+    // and its scan reads ONLY change files — zero corpus I/O
+    val mergeDelta = Snapshots.changesBetween(spark, root, 2, v3, upserts = true)
+    assert(ids(mergeDelta) === ids(upd.select("doc_id").union(ins.select("doc_id"))),
+      "the merge delta is the post-image of exactly the batch's keys")
+    assert(mergeDelta.inputFiles.nonEmpty &&
+      mergeDelta.inputFiles.forall(_.contains("/changes/")),
+      "the upsert delta plans over change files only, never the corpus")
+    // an upsert tail folds the whole feed (keyed keep-last on the
+    // merge's own order column) into exactly the latest state
+    val tail = new Snapshots.SnapshotTail(root, upserts = true)
+    val Some((feed, v4)) = tail.poll(spark)
+    import org.apache.spark.sql.expressions.Window
+    val folded = feed.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("rev").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val want = Snapshots.read(spark, root, v4)
+    assert(folded.exceptAll(want).isEmpty && want.exceptAll(folded).isEmpty,
+      "keyed keep-last over the upsert feed reproduces the latest state")
+    // an append-only consumer still fails fast at the merge
+    intercept[IllegalArgumentException] {
+      Snapshots.changesBetween(spark, root, 2, v3)
+    }
+    // expire reclaims the change files once no live manifest holds them
+    Thread.sleep(25) // ms-resolution modTime vs the zero grace window
+    Snapshots.expire(spark, root, retainMin = v3 + 1, orphanGraceMs = 0L)
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val changesLeft = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/changes")
+      if (!f.exists(p)) 0 else f.listStatus(p).length
+    }
+    assert(changesLeft === 0,
+      "expired merges' change files are vacuumed with their manifests")
+  }
+
   test("appendTxn replay stays a no-op across compact + expire") {
     val root = java.nio.file.Files.createTempDirectory("graft_snaptxn2").toString
     val docs = Tables.documents(spark, sf).select("doc_id", "source")
