@@ -688,6 +688,30 @@ object Snapshots {
       read(s, root, latestVersion(s, root)).coalesce(math.max(1, partitions)),
       dataChange = false)
 
+  /** Re-cluster the latest version's rows by `cols` into range-disjoint
+    * files — the OPTIMIZE ZORDER verb for the stats-skipping read path
+    * (Delta's other layout maintenance beside [[compact]]): after
+    * clustering, every file covers a narrow range of the leading
+    * columns, so the manifest `#stats:` lines become SELECTIVE and
+    * [[readWhere]] predicates prune to the few overlapping files
+    * (range-partitioning is the exact single/prefix-column case of a
+    * z-order; a true multi-column curve belongs in the write layout,
+    * Export.zOrdered, when predicates hit non-prefix columns). Pure
+    * layout (`dataChange = false`): same rows, fresh files — pinned
+    * readers keep their versions and incremental consumers poll
+    * straight through with an empty delta. One range shuffle over the
+    * corpus, the unavoidable clustering cost, amortized across every
+    * subsequent pruned read.
+    */
+  def cluster(s: SparkSession, root: String, cols: Seq[String],
+              partitions: Int = 8): Int = {
+    require(cols.nonEmpty, "cluster needs at least one column")
+    rewrite(s, root,
+      read(s, root, latestVersion(s, root))
+        .repartitionByRange(math.max(1, partitions), cols.map(col): _*),
+      dataChange = false)
+  }
+
   /** Orphans younger than this survive [[expire]]'s vacuum (the Delta
     * VACUUM retention idea): a concurrent append's durably-written but
     * not-yet-committed files are never "unreachable garbage" — they are

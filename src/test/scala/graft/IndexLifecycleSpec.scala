@@ -332,6 +332,35 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, root, v5).count() === baseIds.size + 5)
   }
 
+  test("cluster: a layout re-cluster makes stats pruning selective; CDC polls through it") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import Snapshots.StatsPred._
+    val root = java.nio.file.Files.createTempDirectory("graft_snapclu").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    // ingest arrives UNCLUSTERED (hash-partitioned): every file spans
+    // the whole doc_id range, so a range predicate prunes nothing
+    Snapshots.create(spark, root, docs.repartition(8, col("source")))
+    val cut = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .head().getLong(0) * 3 / 4
+    val preds = Seq(GtEq("doc_id", cut))
+    val v1 = Snapshots.latestVersion(spark, root)
+    val before = Snapshots.readWhere(spark, root, v1, preds)
+    val wantIds = ids(Snapshots.read(spark, root, v1).filter(col("doc_id") >= cut))
+    assert(ids(before) === wantIds)
+    assert(before.inputFiles.length === Snapshots.read(spark, root, v1).inputFiles.length,
+      "unclustered: every file overlaps the predicate range — nothing prunes")
+    // one cluster() commit makes the same predicate prune most files
+    val v2 = Snapshots.cluster(spark, root, Seq("doc_id"), partitions = 8)
+    val after = Snapshots.readWhere(spark, root, v2, preds)
+    assert(ids(after) === wantIds, "clustering must never change results")
+    val full = Snapshots.read(spark, root, v2).inputFiles.length
+    assert(after.inputFiles.length < full,
+      s"clustered: the range predicate must prune (${after.inputFiles.length} of $full)")
+    // pure layout: the incremental consumer polls through with nothing
+    assert(Snapshots.changesBetween(spark, root, v1, v2).count() === 0,
+      "cluster is dataChange=false — an empty delta, never a resync")
+  }
+
   test("merge change feed: upsert consumers poll through a merge on the bounded change set") {
     import org.apache.spark.sql.functions.{col, lit}
     val root = java.nio.file.Files.createTempDirectory("graft_snapcdf").toString
