@@ -199,6 +199,11 @@ object SparkEntry {
     // MANIFEST (zero footer I/O) and the oracle recomputes from the
     // predicate alone — skipping changes I/O, never results
     "q_snapshot_read_pruned" -> sources.Snapshots.snapshotReadPruned _,
+    // stats-pruned row-level DELETE (copy-on-write rewrites only the
+    // stat-overlapping files) read back post-delete
+    "q_snapshot_delete" -> sources.Snapshots.snapshotDelete _,
+    // typed change feed: insert/delete rows attributed to their commits
+    "q_snapshot_change_feed" -> sources.Snapshots.snapshotChangeFeed _,
     "q_rate_anomaly"  -> CorpusCuration.rateAnomaly _,
     "q_embed_drift"   -> CorpusCuration.embedDrift _,
     "q_pack_efficiency" -> CorpusCuration.packEfficiency _,
@@ -872,6 +877,8 @@ object SparkEntry {
     "q_snapshot_merge" -> sources.Snapshots.snapshotMergeOracleSql,
     "q_snapshot_merge_changes" -> sources.Snapshots.snapshotMergeChangesOracleSql,
     "q_snapshot_read_pruned" -> sources.Snapshots.snapshotReadPrunedOracleSql,
+    "q_snapshot_delete" -> sources.Snapshots.snapshotDeleteOracleSql,
+    "q_snapshot_change_feed" -> sources.Snapshots.snapshotChangeFeedOracleSql,
     "q_rate_anomaly"   -> CorpusCuration.rateAnomalyOracleSql,
     "q_embed_drift"    -> CorpusCuration.embedDriftOracleSql,
     "q_pack_efficiency" -> CorpusCuration.packEfficiencyOracleSql,

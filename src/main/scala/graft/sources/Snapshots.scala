@@ -615,9 +615,17 @@ object Snapshots {
     * without a standing key-partitioned layout. Ties WITHIN one side
     * at equal `orderCol` break arbitrarily; callers supply a total
     * order when they care.
+    *
+    * `txn` keys the merge to an EXTERNAL transaction id (the
+    * [[appendTxn]] contract on the upsert path — a Structured
+    * Streaming batchId): a replay of a committed id is a no-op, probed
+    * through the same range-compressed `#txn:` tags on every retry
+    * attempt (a lost race may have been our own concurrent replay), so
+    * [[streamingMergeSink]]'s restarts cannot double-apply a batch.
     */
   def merge(s: SparkSession, root: String, batch: DataFrame,
-            keyCols: Seq[String], orderCol: String): Int = {
+            keyCols: Seq[String], orderCol: String,
+            txn: Option[Long] = None): Int = {
     import org.apache.spark.sql.expressions.Window
     require(keyCols.nonEmpty, "merge needs at least one key column")
     var attempts = 0
@@ -625,6 +633,9 @@ object Snapshots {
       val base = latestVersion(s, root)
       require(base >= 1, s"merge needs an existing dataset at $root")
       val m = readManifestData(s, root, base)
+      // re-probe on every attempt: a lost race may have been our own
+      // concurrent replay committing the same txn id
+      if (txn.exists(txnCommitted(m.txns, _))) return base
       val standing = read(s, root, base)
       val w = Window.partitionBy(keyCols.map(col): _*)
         .orderBy(col(orderCol).desc, col("__src").desc)
@@ -646,7 +657,8 @@ object Snapshots {
         .join(batch.select(keyCols.map(col): _*).distinct(), keyCols)
       val cdfFiles = writeChangeFiles(s, root, touched)
       try {
-        writeManifest(s, root, base + 1, mine.distinct.sorted, m.txns,
+        writeManifest(s, root, base + 1, mine.distinct.sorted,
+          txn.fold(m.txns)(mergeTxn(m.txns, _)),
           Some(sc), Some("merge"), statsForFiles(s, mine), cdfFiles)
         return base + 1
       } catch {
@@ -672,6 +684,90 @@ object Snapshots {
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
       .sorted
+  }
+
+  /** Streaming UPSERT ingest into a versioned dataset — the exactly-
+    * once recipe of [[streamingSnapshotSink]] on the MERGE path: each
+    * micro-batch commits as one keep-last merge keyed by the batchId,
+    * so a restarted stream re-delivering its last batch cannot
+    * double-apply it (the idempotence probe in [[merge]]). The live
+    * dataset is the keyed keep-last state; incremental consumers read
+    * the merge change feed (`upserts = true`), never the corpus.
+    */
+  def streamingMergeSink(stream: DataFrame, root: String,
+                         keyCols: Seq[String], orderCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val s = batch.sparkSession
+      if (latestVersion(s, root) == 0) {
+        // merge needs a standing v1; an empty create is fine (the
+        // first batch then merges into the empty state)
+        try create(s, root, batch.limit(0))
+        catch { case _: ConcurrentCommitException => () }
+      }
+      merge(s, root, batch, keyCols, orderCol, txn = Some(id))
+      ()
+    }
+
+  /** Stats-pruned row-level DELETE (copy-on-write) — the compliance
+    * staple on a standing training corpus (a takedown, a GDPR purge, a
+    * contaminated-source removal): remove every row satisfying ALL of
+    * `preds` (a conjunction — the [[readWhere]] predicate surface),
+    * committed as a new version so pinned readers are never mutated.
+    *
+    * THE SCALE PATH IS THE PRUNE: only files whose manifest `#stats:`
+    * range MAY contain a matching row are rewritten (minus their
+    * matching rows); every other file carries forward by PATH — zero
+    * data I/O for the untouched corpus. On a range-clustered dataset
+    * ([[cluster]]) deleting a key range rewrites the few overlapping
+    * files out of 10⁶, which is the difference between a surgical purge
+    * and a corpus rewrite. A file without usable stats is conservatively
+    * rewritten (scanned + filtered), never skipped — pruning changes
+    * I/O, not results.
+    *
+    * Semantics match SQL DELETE WHERE: rows where the predicate is
+    * NULL (a null in a compared column) are KEPT. The commit is tagged
+    * `#commit:delete` and carries the deleted rows' PRE-IMAGES as
+    * change-data files, so [[changeFeed]] consumers retract exactly
+    * those keys without rescanning anything; [[changesBetween]] fails
+    * fast at the boundary in both modes (neither an append-only nor an
+    * upsert fold can represent a retraction). Concurrency is
+    * merge-level: the output depends on the base read, so a lost race
+    * abandons its files (grace-vacuumed orphans) and recomputes on the
+    * new latest.
+    */
+  def delete(s: SparkSession, root: String, preds: Seq[StatsPred]): Int = {
+    require(preds.nonEmpty, "delete needs at least one predicate")
+    var attempts = 0
+    while (true) {
+      val base = latestVersion(s, root)
+      require(base >= 1, s"delete needs an existing dataset at $root")
+      val m = readManifestData(s, root, base)
+      val candidates = filesWhere(s, root, base, preds)
+      val survivors = m.files.filterNot(candidates.toSet)
+      val sc = m.schema.getOrElse(s.read.parquet(m.files: _*).schema)
+      val hit = coalesce(preds.map(predColumn).reduce(_ && _), lit(false))
+      val (fresh, cdfFiles) =
+        if (candidates.isEmpty) (Seq.empty[String], Seq.empty[String])
+        else {
+          val cand = s.read.schema(sc).parquet(candidates: _*)
+          (writeBatchFiles(s, root, cand.filter(!hit)),
+            writeChangeFiles(s, root, cand.filter(hit)))
+        }
+      try {
+        writeManifest(s, root, base + 1, (survivors ++ fresh).distinct.sorted,
+          m.txns, Some(sc), Some("delete"),
+          m.stats ++ statsForFiles(s, fresh), cdfFiles)
+        return base + 1
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts >= 16) throw e
+        // the loser's kept/change files stay as orphans under the
+        // grace window; the retry re-prunes against the new latest
+      }
+    }
+    -1 // unreachable
   }
 
   /** Compaction: fold the latest version's accumulated small files
@@ -1032,6 +1128,12 @@ object Snapshots {
               "its change set is an upsert feed (new versions of " +
               "existing keys); pass upserts = true to consume it keyed, " +
               "or resync with read(toV)")
+        case "delete" =>
+          throw new IllegalArgumentException(
+            s"versions $fromV..$toV of $root cross a DELETE at v$v — " +
+              "retractions cannot ride a row feed (neither append-only " +
+              "nor upsert folds can drop a key); consume the typed " +
+              "changeFeed, or resync with read(toV)")
         case _ =>
           throw new IllegalArgumentException(
             s"versions $fromV..$toV of $root span a rewrite boundary at " +
@@ -1049,6 +1151,83 @@ object Snapshots {
       case Some(sc) => s.read.schema(sc).parquet(delta: _*)
       case None     => s.read.parquet(delta: _*)
     }
+  }
+
+  /** The TYPED change feed (the Delta CDF read surface, completing
+    * [[changesBetween]]): every row change between two versions with
+    * its kind and origin — `_change_type` ∈ {insert, upsert, delete}
+    * and `_commit_version` appended to the data columns. An `append`
+    * contributes its new files' rows as inserts, a `merge` its
+    * change-data post-images as upserts, a `delete` its pre-images as
+    * deletes (the retraction [[changesBetween]] cannot represent), and
+    * a `layout` commit contributes nothing; only a data REWRITE still
+    * fails fast — rows were replaced wholesale with no change record,
+    * so consumers resync there and nowhere else.
+    *
+    * FOLD CONTRACT (spec-asserted): replaying the feed from version 0
+    * in `_commit_version` order — inserts add, upserts replace their
+    * key, deletes drop it — reproduces `read(latest)` exactly. I/O is
+    * O(changed rows): new files + bounded change sets, never the
+    * standing corpus. Each version's files are read under ITS pinned
+    * schema; columns a later widening added surface as null (aligned
+    * to `toV`'s schema).
+    */
+  def changeFeed(s: SparkSession, root: String, fromV: Int,
+                 toV: Int): DataFrame = {
+    require(fromV >= 0 && fromV <= toV,
+      s"need 0 <= fromV <= toV, got $fromV..$toV")
+    val toM = readManifestData(s, root, toV)
+    val sc = toM.schema.getOrElse(s.read.parquet(toM.files: _*).schema)
+    var prev: Set[String] =
+      if (fromV == 0) Set.empty
+      else readManifestData(s, root, fromV).files.toSet
+    var out: Option[DataFrame] = None
+    def add(files: Seq[String], vsc: Option[org.apache.spark.sql.types.StructType],
+            kind: String, v: Int): Unit = if (files.nonEmpty) {
+      val base = vsc match {
+        case Some(x) => s.read.schema(x).parquet(files: _*)
+        case None    => s.read.parquet(files: _*)
+      }
+      val tagged = base.withColumn("_change_type", lit(kind))
+        .withColumn("_commit_version", lit(v))
+      out = Some(out.fold(tagged)(
+        _.unionByName(tagged, allowMissingColumns = true)))
+    }
+    ((fromV + 1) to toV).foreach { v =>
+      val m = if (v == toV) toM else readManifestData(s, root, v)
+      val cur = m.files.toSet
+      val additive = prev.subsetOf(cur)
+      m.commit.getOrElse(if (additive) "append" else "rewrite") match {
+        case "layout" => ()
+        case "append" if additive =>
+          add(m.files.filterNot(prev), m.schema, "insert", v)
+        case "merge"  => add(m.cdf, None, "upsert", v)
+        case "delete" => add(m.cdf, None, "delete", v)
+        case _ =>
+          throw new IllegalArgumentException(
+            s"versions $fromV..$toV of $root span a data rewrite at v$v " +
+              "(rows were replaced with no change record) — resync with " +
+              "read(toV)")
+      }
+      prev = cur
+    }
+    val cols = sc.fields.toSeq
+    val feed = out.getOrElse {
+      val empty = org.apache.spark.sql.types.StructType(
+        sc.fields :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType) :+
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.IntegerType))
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
+    }
+    // align to toV's schema: a column no delta happened to carry (all
+    // its changes predate the widening) still surfaces, as null
+    val withAll = cols.foldLeft(feed)((d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType)))
+    withAll.select((cols.map(f => col(f.name)) :+
+      col("_change_type") :+ col("_commit_version")): _*)
   }
 
   /** Exactly-once CDC consumer cursor over a snapshot dataset — the
@@ -1304,6 +1483,77 @@ object Snapshots {
        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
        |    AS n_tokens
        |FROM chg GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** `q_snapshot_delete`: stats-pruned row-level DELETE through the
+    * driver's hash gate. The artifact holds two range-clustered commits
+    * (the [[snapshotReadPruned]] layout — every part file covers a
+    * disjoint doc_id slice) and then a [[delete]] of the middle
+    * quartile range [max/4, max/2): the copy-on-write rewrites ONLY the
+    * few files whose stat range overlaps the cut (spec: every
+    * non-overlapping file carries forward by path), and the query reads
+    * the post-delete state — the DuckDB oracle recomputes the
+    * complement from the same predicate, so a delete that dropped a
+    * survivor, kept a matching row, or lost an untouched file
+    * hash-fails on the per-source totals.
+    */
+  def snapshotDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = ScopedFixture.root(s, "graft_snapdel", dir)
+    FixtureCleanup.onExit(root)
+    if (!ScopedFixture.isComplete(root)) {
+      val docs = Tables.documents(s, dir)
+      val ranged = (df: DataFrame) => df.repartitionByRange(8, col("doc_id"))
+      create(s, root, ranged(docs.filter(pmod(col("doc_id"), lit(2)) === 0)))
+      append(s, root, ranged(docs.filter(pmod(col("doc_id"), lit(2)) === 1)))
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      delete(s, root, Seq(StatsPred.GtEq("doc_id", mx / 4),
+        StatsPred.Lt("doc_id", mx / 2)))
+      ScopedFixture.markComplete(root)
+    }
+    perSourceTokenTotals(read(s, root, latestVersion(s, root)))
+  }
+
+  val snapshotDeleteOracleSql: String = perSourceTotalsOracle(
+    """NOT (doc_id >= (SELECT max(doc_id) // 4 FROM documents)
+      |     AND doc_id < (SELECT max(doc_id) // 2 FROM documents))""".stripMargin)
+
+  /** `q_snapshot_change_feed`: the TYPED change feed through the
+    * driver's hash gate — over the [[snapshotDelete]] fixture,
+    * `changeFeed(0, 3)` must surface the two appends' rows as
+    * `insert`@v1/v2 and the deleted middle-quartile pre-images as
+    * `delete`@v3, each attributed to its commit; the oracle recomputes
+    * all three change sets closed-form from the fixture predicates, so
+    * a misattributed, duplicated, or missing change row hash-fails.
+    * I/O is the feed's own files — new files + bounded change sets,
+    * never a corpus rescan.
+    */
+  def snapshotChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    snapshotDelete(s, dir) // fixture builds eagerly inside (marker-skipped)
+    val root = ScopedFixture.root(s, "graft_snapdel", dir)
+    changeFeed(s, root, 0, latestVersion(s, root))
+      .select(col("source"), col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n"))
+      .groupBy("source", "change_type", "commit_version")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .orderBy("source", "change_type", "commit_version")
+  }
+
+  val snapshotChangeFeedOracleSql: String =
+    """WITH feed AS (
+      |  SELECT source, 'insert' AS change_type, 1 AS commit_version, text
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT source, 'insert', 2, text FROM documents WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT source, 'delete', 3, text FROM documents
+      |  WHERE doc_id >= (SELECT max(doc_id) // 4 FROM documents)
+      |    AND doc_id < (SELECT max(doc_id) // 2 FROM documents))
+      |SELECT source, change_type, CAST(commit_version AS INTEGER) AS commit_version,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+      |    AS n_tokens
+      |FROM feed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   val snapshotMergeOracleSql: String =
     s"""WITH merged AS (

@@ -603,4 +603,133 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
       .getLines().filter(_.startsWith("#txn:")).toList
     assert(tags2 === List("#txn:0-9", "#txn:20"), s"got $tags2")
   }
+
+  test("delete: copy-on-write rewrites only stat-overlapping files; null-pred rows stay") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, max => smax}
+    import Snapshots.StatsPred._
+    val root = java.nio.file.Files.createTempDirectory("graft_snapdel1").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    Snapshots.create(spark, root, docs.repartitionByRange(8, col("doc_id")))
+    val v1Files = Snapshots.read(spark, root, 1).inputFiles.toSet
+    val mx = docs.agg(smax(col("doc_id"))).head().getLong(0)
+    val (lo, hi) = (mx / 4, mx / 2)
+    val v2 = Snapshots.delete(spark, root,
+      Seq(GtEq("doc_id", lo), Lt("doc_id", hi)))
+    val after = Snapshots.read(spark, root, v2)
+    assert(ids(after) ===
+      ids(docs.filter(col("doc_id") < lo || col("doc_id") >= hi)),
+      "exactly the matching rows are gone")
+    // the scale property: files whose stat range cannot overlap the
+    // cut carry forward BY PATH — a corpus-wide rewrite would break this
+    val v2Files = after.inputFiles.toSet
+    val carried = (v1Files & v2Files).size
+    assert(carried >= 5 && v2Files.size < v1Files.size + 3,
+      s"range-disjoint files must carry by path (carried $carried of " +
+        s"${v1Files.size}; v2 has ${v2Files.size})")
+    assert(ids(Snapshots.read(spark, root, 1)) === ids(docs),
+      "the pinned pre-delete version is untouched")
+    // retractions cannot ride a row feed: both consumer modes fail fast
+    intercept[IllegalArgumentException] {
+      Snapshots.changesBetween(spark, root, 1, v2)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.changesBetween(spark, root, 1, v2, upserts = true)
+    }
+    // SQL DELETE WHERE semantics: a NULL predicate keeps the row
+    val root2 = java.nio.file.Files.createTempDirectory("graft_snapdel2").toString
+    import spark.implicits._
+    val withNull = Seq((1L, java.lang.Long.valueOf(10L)),
+      (2L, null.asInstanceOf[java.lang.Long]),
+      (3L, java.lang.Long.valueOf(30L)))
+      .toDF("id", "v")
+    Snapshots.create(spark, root2, withNull)
+    val dv = Snapshots.delete(spark, root2, Seq(Lt("v", 20L)))
+    assert(Snapshots.read(spark, root2, dv).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L),
+      "rows where the predicate is NULL are kept, only TRUE rows deleted")
+  }
+
+  test("typed change feed folds back to read(latest) across append/merge/compact/delete") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = java.nio.file.Files.createTempDirectory("graft_snapfeed").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+      .withColumn("rev", lit(1L))
+    Snapshots.create(spark, root,
+      docs.filter(col("doc_id") % 4 === 0)
+        .repartitionByRange(4, col("doc_id")))                         // v1
+    Snapshots.append(spark, root, docs.filter(col("doc_id") % 4 === 1)) // v2
+    val upd = docs.filter(col("doc_id") % 8 === 0)
+      .withColumn("rev", lit(2L)).withColumn("source", lit("upd"))
+    val v3 = Snapshots.merge(spark, root, upd, Seq("doc_id"), "rev")    // v3
+    val v4 = Snapshots.compact(spark, root, partitions = 2)             // v4 layout
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val v5 = Snapshots.delete(spark, root,
+      Seq(Snapshots.StatsPred.GtEq("doc_id", mx / 2)))                  // v5
+    val feed = Snapshots.changeFeed(spark, root, 0, v5)
+    assert(feed.columns.takeRight(2).toSeq ===
+      Seq("_change_type", "_commit_version"))
+    val kinds = feed.groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => r.getInt(0) -> r.getString(1)).sorted.toSeq
+    assert(kinds === Seq(1 -> "insert", 2 -> "insert", 3 -> "upsert",
+      5 -> "delete"), s"got $kinds — layout commits contribute nothing")
+    // FOLD: latest change per key wins; a final delete drops the key
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy(col("_commit_version").desc)
+    val folded = feed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("_change_type") =!= "delete")
+      .drop("rn", "_change_type", "_commit_version")
+    val want = Snapshots.read(spark, root, v5)
+    assert(folded.exceptAll(want).isEmpty && want.exceptAll(folded).isEmpty,
+      "replaying the typed feed reproduces the latest state exactly")
+    // the feed plans over new files + change sets only — never the
+    // compacted corpus files (v4's layout rewrite is invisible to it)
+    val v4Files = Snapshots.read(spark, root, v4).inputFiles.toSet
+    assert(feed.inputFiles.forall(f => !v4Files.contains(f)),
+      "a layout commit's files never enter the feed")
+    // a data rewrite has no change record: the feed fails fast there
+    val v6 = Snapshots.rewrite(spark, root,
+      Snapshots.read(spark, root, v5).filter(col("doc_id") % 8 === 0))
+    intercept[IllegalArgumentException] {
+      Snapshots.changeFeed(spark, root, 0, v6)
+    }
+  }
+
+  test("merge txn ids make the upsert path exactly-once; streaming merge sink restarts clean") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = java.nio.file.Files.createTempDirectory("graft_snapmtxn").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+      .filter(col("doc_id") % 4 === 0).withColumn("rev", lit(1L))
+    Snapshots.create(spark, root, docs)
+    val upd = docs.withColumn("rev", lit(2L)).withColumn("source", lit("u1"))
+    val v2 = Snapshots.merge(spark, root, upd, Seq("doc_id"), "rev",
+      txn = Some(42L))
+    val replay = Snapshots.merge(spark, root, upd, Seq("doc_id"), "rev",
+      txn = Some(42L))
+    assert(replay === v2 && Snapshots.latestVersion(spark, root) === v2,
+      "a replayed merge txn is a no-op")
+    assert(Snapshots.read(spark, root, v2)
+      .filter(col("source") === "u1").count() === docs.count())
+    // streaming upsert ingest: two keyed micro-batches, the second
+    // updating the first's keys — the live state is keyed keep-last
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val sroot = java.nio.file.Files.createTempDirectory("graft_snapmsink").toString
+    val q = Snapshots.streamingMergeSink(
+      src.toDF().toDF("doc_id", "source", "rev"), sroot,
+      Seq("doc_id"), "rev")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_snapmckpt").toString)
+      .start()
+    src.addData((1L, "a", 1L), (2L, "a", 1L))
+    q.processAllAvailable()
+    src.addData((2L, "b", 2L), (3L, "b", 2L))
+    q.processAllAvailable()
+    q.stop()
+    val got = Snapshots.read(spark, sroot, Snapshots.latestVersion(spark, sroot))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got === Seq((1L, "a"), (2L, "b"), (3L, "b")),
+      "the streamed state is the keyed keep-last of all batches")
+  }
 }
