@@ -44,13 +44,14 @@ object Layout {
       least(floor((c.cast("double") - lo.cast("double")) / span * n), lit(n)).cast("long"))
   }
 
-  /** Write `df` z-ordered on (colA, colB) into `files` parquet files.
+  /** `df` with a `_z` Morton-key column on (colA, colB) — the shared
+    * front half of [[writeZOrdered]] and `Snapshots.clusterZ`.
     * Dimension ranges come from ONE min/max aggregate cross-joined in
     * as a broadcast scalar row — no driver action, no second scan
     * thanks to exchange reuse.
     */
-  def writeZOrdered(df: DataFrame, outDir: String,
-                    colA: String, colB: String, files: Int): Unit = {
+  private[sources] def withZ(df: DataFrame, colA: String,
+                             colB: String): DataFrame = {
     val bounds = df.agg(
       min(col(colA)).as("_loA"), max(col(colA)).as("_hiA"),
       min(col(colB)).as("_loB"), max(col(colB)).as("_hiB"))
@@ -59,9 +60,15 @@ object Layout {
       bucketize(col(colB), col("_loB"), col("_hiB"), ZBits))
     df.crossJoin(broadcast(bounds))
       .withColumn("_z", z)
+      .drop("_loA", "_hiA", "_loB", "_hiB")
+  }
+
+  /** Write `df` z-ordered on (colA, colB) into `files` parquet files. */
+  def writeZOrdered(df: DataFrame, outDir: String,
+                    colA: String, colB: String, files: Int): Unit =
+    withZ(df, colA, colB)
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions("_z")
-      .drop("_z", "_loA", "_hiA", "_loB", "_hiB")
+      .drop("_z")
       .write.mode("overwrite").parquet(outDir)
-  }
 }

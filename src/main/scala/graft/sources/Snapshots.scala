@@ -808,6 +808,28 @@ object Snapshots {
       dataChange = false)
   }
 
+  /** Re-cluster the latest version on the MORTON CURVE of two numeric
+    * columns (the OPTIMIZE ZORDER BY verb proper, completing
+    * [[cluster]]'s prefix-range case): each file then covers a compact
+    * z-range — a rectangle-ish region of the (colA, colB) plane — so
+    * its footer min/max is narrow on BOTH dimensions and a [[readWhere]]
+    * predicate on EITHER column prunes at the manifest (range
+    * clustering prunes only its leading column; sort by ts and a
+    * user_id filter still touches every file). Pure layout
+    * (`dataChange = false`): same rows, pinned readers untouched,
+    * incremental consumers poll through with an empty delta. Cost: one
+    * min/max aggregate (broadcast scalar) + one range shuffle,
+    * amortized across every subsequent two-dimensional pruned read.
+    */
+  def clusterZ(s: SparkSession, root: String, colA: String, colB: String,
+               partitions: Int = 16): Int =
+    rewrite(s, root,
+      Layout.withZ(read(s, root, latestVersion(s, root)), colA, colB)
+        .repartitionByRange(math.max(1, partitions), col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z"),
+      dataChange = false)
+
   /** Orphans younger than this survive [[expire]]'s vacuum (the Delta
     * VACUUM retention idea): a concurrent append's durably-written but
     * not-yet-committed files are never "unreachable garbage" — they are
@@ -1261,6 +1283,21 @@ object Snapshots {
       val latest = latestVersion(s, root)
       if (latest <= from) None
       else Some((changesBetween(s, root, from, latest, upserts), latest))
+    }
+
+    /** Typed two-phase poll (the [[changeFeed]] surface): the pending
+      * changes WITH their kind (`_change_type`/`_commit_version`) —
+      * the only tail mode that survives a DELETE commit ([[poll]]
+      * fails fast there: a plain row feed has no representation for a
+      * retraction). Same cursor, same [[commit]] discipline; a data
+      * rewrite still propagates the fail-fast for an explicit
+      * [[resync]].
+      */
+    def pollTyped(s: SparkSession): Option[(DataFrame, Int)] = {
+      val from = position
+      val latest = latestVersion(s, root)
+      if (latest <= from) None
+      else Some((changeFeed(s, root, from, latest), latest))
     }
 
     /** Advance past a processed range (monotonic; stale acks no-op). */

@@ -686,12 +686,64 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
     val v4Files = Snapshots.read(spark, root, v4).inputFiles.toSet
     assert(feed.inputFiles.forall(f => !v4Files.contains(f)),
       "a layout commit's files never enter the feed")
+    // the typed tail is the only consumer mode that survives the
+    // delete: poll fails fast, pollTyped delivers the feed
+    val tail = new Snapshots.SnapshotTail(root)
+    intercept[IllegalArgumentException] { tail.poll(spark) }
+    val Some((typed, tv)) = tail.pollTyped(spark)
+    assert(tv === v5)
+    assert(typed.filter(col("_change_type") === "delete").count() ===
+      feed.filter(col("_change_type") === "delete").count())
+    tail.commit(tv)
+    assert(tail.pollTyped(spark).isEmpty, "a committed tail is drained")
     // a data rewrite has no change record: the feed fails fast there
     val v6 = Snapshots.rewrite(spark, root,
       Snapshots.read(spark, root, v5).filter(col("doc_id") % 8 === 0))
     intercept[IllegalArgumentException] {
       Snapshots.changeFeed(spark, root, 0, v6)
     }
+    intercept[IllegalArgumentException] {
+      new Snapshots.SnapshotTail(root, startAfter = v5).pollTyped(spark)
+    }
+  }
+
+  test("clusterZ: the Morton layout lets EITHER dimension prune; range clustering only its leading one") {
+    import org.apache.spark.sql.functions.{col, lit, length => slen}
+    import Snapshots.StatsPred._
+    val root = java.nio.file.Files.createTempDirectory("graft_snapz").toString
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        slen(col("text")).cast("long").as("tlen"))
+    // ingest-ordered (hash by source): nothing prunes on either dim
+    Snapshots.create(spark, root, docs.repartition(8, col("source")))
+    val v1 = Snapshots.latestVersion(spark, root)
+    val cutId = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+    val cutLen = docs.agg(max(col("tlen"))).head().getLong(0) * 3 / 4
+    val pId = Seq(GtEq("doc_id", cutId))
+    val pLen = Seq(GtEq("tlen", cutLen))
+    val wantId = ids(Snapshots.read(spark, root, v1).filter(col("doc_id") >= cutId))
+    val wantLen = ids(Snapshots.read(spark, root, v1).filter(col("tlen") >= cutLen))
+    // single-column range clustering: the leading column prunes, the
+    // other still touches every file — the gap clusterZ closes
+    val vr = Snapshots.cluster(spark, root, Seq("doc_id"), partitions = 16)
+    val fullR = Snapshots.read(spark, root, vr).inputFiles.length
+    assert(Snapshots.readWhere(spark, root, vr, pId).inputFiles.length < fullR)
+    assert(Snapshots.readWhere(spark, root, vr, pLen).inputFiles.length === fullR,
+      "range clustering cannot prune the non-leading dimension")
+    val vz = Snapshots.clusterZ(spark, root, "doc_id", "tlen", partitions = 16)
+    val full = Snapshots.read(spark, root, vz).inputFiles.length
+    val prunedId = Snapshots.readWhere(spark, root, vz, pId)
+    val prunedLen = Snapshots.readWhere(spark, root, vz, pLen)
+    assert(ids(prunedId) === wantId, "z-layout must never change results")
+    assert(ids(prunedLen) === wantLen, "z-layout must never change results")
+    assert(prunedId.inputFiles.length < full,
+      s"doc_id prunes on the z-layout (${prunedId.inputFiles.length} of $full)")
+    assert(prunedLen.inputFiles.length < full,
+      s"tlen prunes on the z-layout (${prunedLen.inputFiles.length} of $full)")
+    // pure layout: pinned readers untouched, CDC polls through empty
+    assert(ids(Snapshots.read(spark, root, v1)) === ids(docs))
+    assert(Snapshots.changesBetween(spark, root, vr, vz).count() === 0,
+      "clusterZ is dataChange=false — an empty delta, never a resync")
   }
 
   test("merge txn ids make the upsert path exactly-once; streaming merge sink restarts clean") {
