@@ -204,6 +204,9 @@ object SparkEntry {
     "q_snapshot_delete" -> sources.Snapshots.snapshotDelete _,
     // typed change feed: insert/delete rows attributed to their commits
     "q_snapshot_change_feed" -> sources.Snapshots.snapshotChangeFeed _,
+    // per-file bloom membership skipping for point lookups on a
+    // layout-uncorrelated column (min/max stats cannot prune those)
+    "q_snapshot_bloom_lookup" -> sources.Snapshots.snapshotBloomLookup _,
     "q_rate_anomaly"  -> CorpusCuration.rateAnomaly _,
     "q_embed_drift"   -> CorpusCuration.embedDrift _,
     "q_pack_efficiency" -> CorpusCuration.packEfficiency _,
@@ -879,6 +882,7 @@ object SparkEntry {
     "q_snapshot_read_pruned" -> sources.Snapshots.snapshotReadPrunedOracleSql,
     "q_snapshot_delete" -> sources.Snapshots.snapshotDeleteOracleSql,
     "q_snapshot_change_feed" -> sources.Snapshots.snapshotChangeFeedOracleSql,
+    "q_snapshot_bloom_lookup" -> sources.Snapshots.snapshotBloomLookupOracleSql,
     "q_rate_anomaly"   -> CorpusCuration.rateAnomalyOracleSql,
     "q_embed_drift"    -> CorpusCuration.embedDriftOracleSql,
     "q_pack_efficiency" -> CorpusCuration.packEfficiencyOracleSql,

@@ -194,7 +194,8 @@ object Snapshots {
                               = None,
                             commitKind: Option[String] = None,
                             stats: Map[String, String] = Map.empty,
-                            cdf: Seq[String] = Seq.empty): Unit = {
+                            cdf: Seq[String] = Seq.empty,
+                            blooms: Map[String, String] = Map.empty): Unit = {
     val f = fs(s)
     val p = manifestPath(root, v)
     // Two-phase commit: write the FULL content to a dot-temp (invisible
@@ -241,7 +242,14 @@ object Snapshots {
         txns.map { case (a, b) =>
           if (a == b) s"#txn:$a" else s"#txn:$a-$b" } ++
         stats.toSeq.filter(kv => live.contains(kv._1)).sortBy(_._1)
-          .map { case (n, j) => s"#stats:$n:$j" } ++ files)
+          .map { case (n, j) => s"#stats:$n:$j" } ++
+        // `#bloom:<fileName>:<col>:<payload>` — per-file membership
+        // filters for Eq-predicate skipping ([[analyzeBloom]]), carried
+        // like stats and dropped with replaced files
+        blooms.toSeq
+          .filter(kv => live.contains(kv._1.substring(0, kv._1.indexOf(':'))))
+          .sortBy(_._1)
+          .map { case (k, p) => s"#bloom:$k:$p" } ++ files)
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!claimVersion(f, tmp, p)) {
@@ -305,7 +313,8 @@ object Snapshots {
       schema: Option[org.apache.spark.sql.types.StructType],
       commit: Option[String] = None,
       stats: Map[String, String] = Map.empty,
-      cdf: Seq[String] = Seq.empty)
+      cdf: Seq[String] = Seq.empty,
+      blooms: Map[String, String] = Map.empty)
 
   /** ONE manifest open + parse per call — the hot metadata paths
     * (read / changesBetween / every commitRetry attempt) consume all
@@ -322,11 +331,19 @@ object Snapshots {
     var commit: Option[String] = None
     val stats = Map.newBuilder[String, String]
     val cdf = Seq.newBuilder[String]
+    val blooms = Map.newBuilder[String, String]
     lines.foreach {
       case l if l.startsWith("#commit:") =>
         commit = Some(l.stripPrefix("#commit:"))
       case l if l.startsWith("#cdf:") =>
         cdf += l.stripPrefix("#cdf:")
+      case l if l.startsWith("#bloom:") =>
+        // <fileName>:<col>:<payload> — keyed "file:col" (part names and
+        // column names carry no ':')
+        val body = l.stripPrefix("#bloom:")
+        val parts = body.split(":", 3)
+        if (parts.length == 3)
+          blooms += s"${parts(0)}:${parts(1)}" -> parts(2)
       case l if l.startsWith("#stats:") =>
         val body = l.stripPrefix("#stats:")
         val i = body.indexOf(':')
@@ -347,7 +364,7 @@ object Snapshots {
       case l => files += l
     }
     Manifest(files.result(), txns.result().sorted, schema, commit,
-      stats.result(), cdf.result())
+      stats.result(), cdf.result(), blooms.result())
   }
 
   private[sources] def readManifest(s: SparkSession, root: String, v: Int): Seq[String] =
@@ -463,7 +480,8 @@ object Snapshots {
       try {
         writeManifest(s, root, v + 1, files(m.files).distinct.sorted,
           addTxn.fold(m.txns)(mergeTxn(m.txns, _)),
-          schemaFor(m.schema), Some(commitKind), m.stats ++ addStats)
+          schemaFor(m.schema), Some(commitKind), m.stats ++ addStats,
+          blooms = m.blooms)
         return v + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -657,9 +675,12 @@ object Snapshots {
         .join(batch.select(keyCols.map(col): _*).distinct(), keyCols)
       val cdfFiles = writeChangeFiles(s, root, touched)
       try {
+        // a merge rewrites every file, so standing blooms all drop with
+        // their files (the live-key filter); fresh files re-analyze
         writeManifest(s, root, base + 1, mine.distinct.sorted,
           txn.fold(m.txns)(mergeTxn(m.txns, _)),
-          Some(sc), Some("merge"), statsForFiles(s, mine), cdfFiles)
+          Some(sc), Some("merge"), statsForFiles(s, mine), cdfFiles,
+          blooms = m.blooms)
         return base + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -757,7 +778,8 @@ object Snapshots {
       try {
         writeManifest(s, root, base + 1, (survivors ++ fresh).distinct.sorted,
           m.txns, Some(sc), Some("delete"),
-          m.stats ++ statsForFiles(s, fresh), cdfFiles)
+          m.stats ++ statsForFiles(s, fresh), cdfFiles,
+          blooms = m.blooms) // survivors keep theirs; rewritten files' drop
         return base + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -992,7 +1014,7 @@ object Snapshots {
   private[sources] def filesWhere(s: SparkSession, root: String, v: Int,
                                   preds: Seq[StatsPred]): Seq[String] = {
     val m = readManifestData(s, root, v)
-    if (preds.isEmpty || m.stats.isEmpty) return m.files
+    if (preds.isEmpty || (m.stats.isEmpty && m.blooms.isEmpty)) return m.files
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val parsed = scala.collection.mutable.HashMap.empty[String,
       Map[String, (Char, Any, Any)]]
@@ -1022,13 +1044,164 @@ object Snapshots {
     m.files.filter { f =>
       val st = statsOf(f)
       preds.forall { p =>
-        st.get(p.col) match {
+        val rangeOk = st.get(p.col) match {
           case Some((kind, mn, mx)) if comparable(kind, valueOf(p)) =>
             rangeMaySatisfy(p, mn, mx)
           case _ => true // no usable stats: never prune on absence
         }
+        // Eq literals additionally consult the file's bloom (if built):
+        // membership can rule out a point the min/max range cannot
+        rangeOk && !bloomExcludes(m, f, p)
       }
     }
+  }
+
+  // ---- per-file bloom membership (Eq-predicate skipping) --------------------
+
+  /** Bloom geometry defaults: 4096 bits ≈ 0.6 KB base64 per (file,
+    * column) manifest line; at 5 hashes the false-positive rate stays
+    * under ~1% up to ~400 distinct values per file and degrades
+    * gracefully past it (a saturated bloom prunes nothing — never
+    * wrong, just useless, the stats contract).
+    */
+  val BloomBits = 4096
+  val BloomHashes = 5
+  private val BloomA = Array(31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L)
+  private val BloomB = Array(7L, 11L, 13L, 17L, 19L, 23L, 29L, 39L)
+  private val BloomP = graft.functions.TextFunctions.HashP
+
+  /** The scalar base a literal hashes through before the k probes —
+    * MUST mirror [[bloomBaseCol]] exactly (same fold, same modulus):
+    * the build side runs as a Column over the data, the probe side
+    * runs here over the predicate literal. Integral values reduce mod
+    * p; ASCII strings char-fold like `TextFunctions.charFoldHash`;
+    * anything else is unsupported and never prunes.
+    */
+  private def bloomBaseLit(v: Any): Option[Long] = v match {
+    case x: Long => Some(((x % BloomP) + BloomP) % BloomP)
+    case x: Int  => Some(((x.toLong % BloomP) + BloomP) % BloomP)
+    case x: String if x.forall(c => c >= ' ' && c < 127) =>
+      Some(x.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % BloomP))
+    case _ => None
+  }
+
+  private def bloomBaseCol(c: org.apache.spark.sql.Column,
+                           dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = dt match {
+    case org.apache.spark.sql.types.StringType =>
+      graft.functions.TextFunctions.charFoldHash(c)
+    case _ => ((c.cast("long") % lit(BloomP)) + lit(BloomP)) % lit(BloomP)
+  }
+
+  private def bloomPos(base: Long, i: Int, bits: Int): Int =
+    (((base * BloomA(i) + BloomB(i)) % BloomP) % bits).toInt
+
+  /** Build per-file BLOOM membership filters for `cols` over the
+    * latest version and commit them as `#bloom:` manifest lines — the
+    * Delta bloom-index idea for POINT lookups: min/max stats cannot
+    * prune an `Eq` on a column uncorrelated with the layout (a
+    * fingerprint, a content hash — every file spans the whole value
+    * range), but a membership filter can. [[readWhere]] then drops any
+    * file whose bloom provably excludes the literal; a file without a
+    * bloom for the column is kept (prune, never decide), and a bloom's
+    * false positives only cost I/O, never correctness — the scan
+    * re-applies the predicate.
+    *
+    * The commit is metadata-only (`#commit:analyze`, same file set):
+    * pinned readers untouched, incremental consumers poll through with
+    * an empty delta. Cost: ONE distributed scan of the version
+    * projecting (file, col, bit) triples — k·distinct positions per
+    * file per column, collapsed by a distinct — plus
+    * O(files × cols × bits/8) driver bytes to assemble the bitsets.
+    * At write-at-scale cadence, run it per-commit over the commit's
+    * OWN files (the stats discipline); as a whole-corpus verb it is
+    * one scan amortized across every subsequent point read. Supported
+    * column types: integral + ASCII strings (long/double stats cover
+    * the rest of the comparison surface).
+    */
+  def analyzeBloom(s: SparkSession, root: String, cols: Seq[String],
+                   bits: Int = BloomBits, hashes: Int = BloomHashes): Int = {
+    require(cols.nonEmpty, "analyzeBloom needs at least one column")
+    require(hashes >= 1 && hashes <= BloomA.length,
+      s"hashes must be in [1, ${BloomA.length}]")
+    var attempts = 0
+    while (true) {
+      val base = latestVersion(s, root)
+      require(base >= 1, s"analyzeBloom needs an existing dataset at $root")
+      val m = readManifestData(s, root, base)
+      val sc = m.schema.getOrElse(s.read.parquet(m.files: _*).schema)
+      val byName = sc.fields.map(f => f.name -> f.dataType).toMap
+      val usable = cols.filter(c => byName.get(c).exists {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.StringType => true
+        case _ => false
+      })
+      require(usable.nonEmpty,
+        s"no bloom-capable column among ${cols.mkString(",")} " +
+          "(supported: integral, string)")
+      val df = s.read.schema(sc).parquet(m.files: _*)
+      val triples = usable.map { c =>
+        val b = bloomBaseCol(col(c), byName(c))
+        df.filter(col(c).isNotNull)
+          .select(input_file_name().as("_f"), lit(c).as("_c"),
+            explode(array((0 until hashes).map(i =>
+              ((b * lit(BloomA(i)) + lit(BloomB(i))) % lit(BloomP))
+                % lit(bits.toLong)): _*)).as("_p"))
+      }.reduce(_.unionAll(_)).distinct().collect()
+      val words = scala.collection.mutable.HashMap
+        .empty[String, Array[Long]] // "file:col" -> bitset words
+      triples.foreach { r =>
+        val key = s"${fileStatKey(r.getString(0))}:${r.getString(1)}"
+        val w = words.getOrElseUpdate(key, new Array[Long]((bits + 63) / 64))
+        val p = r.getLong(2).toInt
+        w(p >> 6) |= (1L << (p & 63))
+      }
+      val enc = java.util.Base64.getEncoder
+      val add = words.iterator.map { case (key, w) =>
+        val bb = java.nio.ByteBuffer.allocate(w.length * 8)
+        w.foreach(bb.putLong)
+        key -> s"$hashes,$bits,${enc.encodeToString(bb.array)}"
+      }.toMap
+      try {
+        writeManifest(s, root, base + 1, m.files, m.txns, Some(sc),
+          Some("analyze"), m.stats, Seq.empty, m.blooms ++ add)
+        return base + 1
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts >= 16) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Can `file`'s bloom for `p.col` (if any) rule out the Eq literal?
+    * True = provably absent → prune. Any parse/type mismatch keeps the
+    * file.
+    */
+  private def bloomExcludes(m: Manifest, file: String,
+                            p: StatsPred): Boolean = p match {
+    case StatsPred.Eq(c, v) =>
+      m.blooms.get(s"${fileStatKey(file)}:$c").exists { payload =>
+        val parts = payload.split(",", 3)
+        if (parts.length != 3) false
+        else (bloomBaseLit(v), parts(0).toIntOption, parts(1).toIntOption) match {
+          case (Some(b), Some(k), Some(bits))
+            if k >= 1 && k <= BloomA.length && bits >= 64 =>
+            try {
+              val bytes = java.util.Base64.getDecoder.decode(parts(2))
+              val bb = java.nio.ByteBuffer.wrap(bytes)
+              val w = Array.fill(bytes.length / 8)(bb.getLong)
+              (0 until k).exists { i =>
+                val pos = bloomPos(b, i, bits)
+                (w(pos >> 6) & (1L << (pos & 63))) == 0L
+              }
+            } catch { case _: Exception => false }
+          case _ => false
+        }
+      }
+    case _ => false
   }
 
   private def valueOf(p: StatsPred): Any = p match {
@@ -1141,7 +1314,7 @@ object Snapshots {
       val cur = m.files.toSet
       val additive = prev.subsetOf(cur)
       m.commit.getOrElse(if (additive) "append" else "rewrite") match {
-        case "layout" => () // same rows, fresh files — empty delta
+        case "layout" | "analyze" => () // same rows — empty delta
         case "append" if additive => fresh ++= m.files.filterNot(prev)
         case "merge" if upserts => fresh ++= m.cdf
         case "merge" =>
@@ -1220,7 +1393,7 @@ object Snapshots {
       val cur = m.files.toSet
       val additive = prev.subsetOf(cur)
       m.commit.getOrElse(if (additive) "append" else "rewrite") match {
-        case "layout" => ()
+        case "layout" | "analyze" => ()
         case "append" if additive =>
           add(m.files.filterNot(prev), m.schema, "insert", v)
         case "merge"  => add(m.cdf, None, "upsert", v)
@@ -1445,6 +1618,73 @@ object Snapshots {
 
   val snapshotReadPrunedOracleSql: String =
     perSourceTotalsOracle("doc_id >= (SELECT (max(doc_id) * 3) // 4 FROM documents)")
+
+  /** Per-dir memo for the bloom-lookup target fingerprint (pure
+    * function of the table dir — the r10c probe-memoization
+    * convention: driver probes inside plan construction re-run on
+    * every catalog lookup otherwise).
+    */
+  private val bloomTargetMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** `q_snapshot_bloom_lookup`: per-file BLOOM membership skipping
+    * through the driver's hash gate. The artifact stores the corpus
+    * with its portable fingerprint (`fp`) range-clustered by doc_id —
+    * fp is UNCORRELATED with the layout, so every file spans the whole
+    * fp range and min/max stats cannot prune a point lookup; after
+    * [[analyzeBloom]] the SAME `readWhere(Eq(fp, …))` plans only the
+    * file(s) whose bloom may contain the target (spec: pre-analyze
+    * nothing prunes, post-analyze most files drop). The target is the
+    * fingerprint of the highest doc_id ≤ max/2, resolved through a
+    * doc_id-stats-pruned point read; the DuckDB oracle recomputes the
+    * fingerprint column AND the target closed-form, so a bloom that
+    * excluded a live file (a false negative — the one impossible
+    * failure) hash-fails on the missing rows.
+    */
+  def snapshotBloomLookup(s: SparkSession, dir: String): DataFrame = {
+    val root = ScopedFixture.root(s, "graft_snapbloom", dir)
+    FixtureCleanup.onExit(root)
+    val docs = Tables.documents(s, dir)
+    if (!ScopedFixture.isComplete(root)) {
+      val withFp = docs.select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.docFingerprint(col("text")).as("fp"))
+        .repartitionByRange(8, col("doc_id"))
+      create(s, root, withFp)
+      analyzeBloom(s, root, Seq("fp"))
+      ScopedFixture.markComplete(root)
+    }
+    val v = latestVersion(s, root)
+    val target: Long = bloomTargetMemo.computeIfAbsent(root, _ => {
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val anchor = readWhere(s, root, v, Seq(StatsPred.LtEq("doc_id", mx / 2)))
+        .agg(max(col("doc_id"))).head().getLong(0)
+      readWhere(s, root, v, Seq(StatsPred.Eq("doc_id", anchor)))
+        .select("fp").head().getLong(0)
+    })
+    readWhere(s, root, v, Seq(StatsPred.Eq("fp", target)))
+      .select("doc_id", "source", "fp").orderBy("doc_id")
+  }
+
+  /** The portable-fingerprint SQL expression (the q_doc_fingerprint
+    * fold) over a `text` column — shared by the bloom-lookup oracle.
+    */
+  private def fpSql(p: Long): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |    s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |         (a, c) -> (a * 31 + c) % $p))),
+       |  (a, h) -> (a * 131 + h) % $p)""".stripMargin
+
+  val snapshotBloomLookupOracleSql: String =
+    s"""WITH fps AS (
+       |  SELECT doc_id, source, ${fpSql(graft.functions.TextFunctions.HashP)} AS fp
+       |  FROM documents)
+       |SELECT doc_id, source, fp FROM fps
+       |WHERE fp = (SELECT fp FROM fps WHERE doc_id =
+       |  (SELECT max(doc_id) FROM documents
+       |   WHERE doc_id <= (SELECT max(doc_id) FROM documents) // 2))
+       |ORDER BY doc_id""".stripMargin
 
   /** Insert-key offset for the [[snapshotMerge]] fixture — far above
     * any shipped corpus's doc_id range, so remapped inserts never

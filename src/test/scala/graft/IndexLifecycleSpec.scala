@@ -746,6 +746,64 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
       "clusterZ is dataChange=false — an empty delta, never a resync")
   }
 
+  test("bloom skipping: a point lookup on a layout-uncorrelated column prunes only after analyzeBloom") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import Snapshots.StatsPred._
+    val root = java.nio.file.Files.createTempDirectory("graft_snapblm").toString
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"),
+      graft.functions.TextFunctions.docFingerprint(col("text")).as("fp"))
+    Snapshots.create(spark, root, docs.repartitionByRange(8, col("doc_id")))
+    val v1 = Snapshots.latestVersion(spark, root)
+    val full = Snapshots.read(spark, root, v1).inputFiles.length
+    val fpVals = Snapshots.read(spark, root, v1).select("fp").collect()
+      .map(_.getLong(0)).toSet
+    val target = fpVals.head
+    val want = ids(Snapshots.read(spark, root, v1).filter(col("fp") === target))
+    // fp is uncorrelated with the doc_id layout: min/max cannot prune
+    val pre = Snapshots.readWhere(spark, root, v1, Seq(Eq("fp", target)))
+    assert(ids(pre) === want)
+    assert(pre.inputFiles.length === full,
+      "every file spans the fp range — stats alone prune nothing")
+    // one metadata-only analyze commit makes the same lookup surgical
+    val v2 = Snapshots.analyzeBloom(spark, root, Seq("fp"))
+    val post = Snapshots.readWhere(spark, root, v2, Seq(Eq("fp", target)))
+    assert(ids(post) === want, "bloom skipping must never change results")
+    assert(post.inputFiles.length < full,
+      s"the bloom prunes the point lookup (${post.inputFiles.length} of $full)")
+    // a provably-absent value prunes everything (no false negatives
+    // exist by construction; absence is the one thing a bloom decides)
+    val absent = Iterator.from(12345).map(_.toLong).find(!fpVals.contains(_)).get
+    val none = Snapshots.readWhere(spark, root, v2, Seq(Eq("fp", absent)))
+    assert(none.count() === 0)
+    assert(none.inputFiles.length < full, "an absent value prunes files")
+    // metadata-only: same file set, empty CDC delta, pinned v1 intact
+    assert(Snapshots.read(spark, root, v2).inputFiles.toSet ===
+      Snapshots.read(spark, root, v1).inputFiles.toSet)
+    assert(Snapshots.changesBetween(spark, root, v1, v2).count() === 0,
+      "analyze is metadata-only — consumers poll through it")
+    // blooms carry across appends: an unbloomed new file whose fp
+    // RANGE straddles the probe (min/max can't prune it either) joins
+    // the plan; every bloomed standing file keeps pruning
+    import spark.implicits._
+    Snapshots.append(spark, root,
+      Seq((888888881L, "x", absent - 1000L), (888888882L, "x", absent + 1000L))
+        .toDF("doc_id", "source", "fp").coalesce(1))
+    val v3 = Snapshots.latestVersion(spark, root)
+    val carried = Snapshots.readWhere(spark, root, v3, Seq(Eq("fp", absent)))
+    assert(carried.inputFiles.length === none.inputFiles.length + 1,
+      "old blooms keep pruning; the unbloomed straddling file is kept")
+    // string blooms: distinct per-file keys prune to one file
+    val root2 = java.nio.file.Files.createTempDirectory("graft_snapblm2").toString
+    val keyed = (0L until 64L).map(i => (i, s"key$i")).toDF("id", "k")
+    Snapshots.create(spark, root2, keyed.repartitionByRange(8, col("id")))
+    Snapshots.analyzeBloom(spark, root2, Seq("k"))
+    val one = Snapshots.readWhere(spark, root2,
+      Snapshots.latestVersion(spark, root2), Seq(Eq("k", "key37")))
+    assert(one.collect().map(_.getLong(0)).toSeq === Seq(37L))
+    assert(one.inputFiles.length === 1,
+      "a string point lookup plans exactly the one containing file")
+  }
+
   test("merge txn ids make the upsert path exactly-once; streaming merge sink restarts clean") {
     import org.apache.spark.sql.functions.{col, lit}
     val root = java.nio.file.Files.createTempDirectory("graft_snapmtxn").toString
