@@ -207,6 +207,9 @@ object SparkEntry {
     // per-file bloom membership skipping for point lookups on a
     // layout-uncorrelated column (min/max stats cannot prune those)
     "q_snapshot_bloom_lookup" -> sources.Snapshots.snapshotBloomLookup _,
+    // Morton z-order layout: the SECOND z dimension pruned via
+    // readWhere over a clusterZ'd artifact
+    "q_snapshot_zorder" -> sources.Snapshots.snapshotZorder _,
     "q_rate_anomaly"  -> CorpusCuration.rateAnomaly _,
     "q_embed_drift"   -> CorpusCuration.embedDrift _,
     "q_pack_efficiency" -> CorpusCuration.packEfficiency _,
@@ -883,6 +886,7 @@ object SparkEntry {
     "q_snapshot_delete" -> sources.Snapshots.snapshotDeleteOracleSql,
     "q_snapshot_change_feed" -> sources.Snapshots.snapshotChangeFeedOracleSql,
     "q_snapshot_bloom_lookup" -> sources.Snapshots.snapshotBloomLookupOracleSql,
+    "q_snapshot_zorder" -> sources.Snapshots.snapshotZorderOracleSql,
     "q_rate_anomaly"   -> CorpusCuration.rateAnomalyOracleSql,
     "q_embed_drift"    -> CorpusCuration.embedDriftOracleSql,
     "q_pack_efficiency" -> CorpusCuration.packEfficiencyOracleSql,

@@ -1531,6 +1531,58 @@ object Snapshots {
     }
   }
 
+  /** Exactly-once MIRROR maintenance over the typed change feed — the
+    * materialized-downstream shape (a serving copy, a feature store, a
+    * search-index source table kept in sync by CDC instead of corpus
+    * rescans). Each sync folds the pending changes into the mirror —
+    * inserts add, upserts replace their key, deletes drop it — and
+    * commits the folded state as ONE `dstRoot` version tagged with the
+    * consumed source version as its txn id, so the cursor rides the
+    * mirror's OWN manifest lineage: a replayed or raced sync of an
+    * already-consumed source version is a no-op, a crash before the
+    * commit point changes nothing (orphans vacuum under the grace
+    * window), and a restart resumes from the tag — exactly-once end to
+    * end with no side cursor file. I/O per sync is O(mirror + changed
+    * rows): the feed never rescans the source corpus, and source
+    * layout/analyze commits fold in as empty feeds (cursor
+    * fast-forward only). A data REWRITE on the source propagates
+    * [[changeFeed]]'s fail-fast — re-mirror explicitly from
+    * `read(latest)` there. Keyed discipline: `keyCols` identify rows;
+    * source appends must not duplicate standing keys (merge and delete
+    * maintain this by construction). The mirror's own history trims
+    * with [[expire]] like any dataset.
+    */
+  def mirrorSync(s: SparkSession, srcRoot: String, dstRoot: String,
+                 keyCols: Seq[String]): Int = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "mirrorSync needs key columns")
+    val srcV = latestVersion(s, srcRoot)
+    require(srcV >= 1, s"mirrorSync needs an existing dataset at $srcRoot")
+    val dstV = latestVersion(s, dstRoot)
+    val cursor =
+      if (dstV == 0) 0
+      else readManifestData(s, dstRoot, dstV).txns.lastOption
+        .map(_._2.toInt).getOrElse(0)
+    if (cursor >= srcV) return dstV // already consumed (replay no-op)
+    val feed = changeFeed(s, srcRoot, cursor, srcV)
+    val all =
+      if (dstV == 0) feed
+      else read(s, dstRoot, dstV)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(cursor))
+        .unionByName(feed, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_commit_version").desc)
+    val folded = all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("_change_type") =!= "delete")
+      .drop("_rn", "_change_type", "_commit_version")
+    val mine = writeBatchFiles(s, dstRoot, folded)
+    commitRetry(s, dstRoot, addTxn = Some(srcV.toLong),
+      schemaFor = _ => Some(folded.schema),
+      commitKind = "rewrite",
+      addStats = statsForFiles(s, mine))(_ => mine)
+  }
+
   // ---- catalog entry ------------------------------------------------------
 
   def snapRoot(s: SparkSession, dir: String): String =
@@ -1618,6 +1670,48 @@ object Snapshots {
 
   val snapshotReadPrunedOracleSql: String =
     perSourceTotalsOracle("doc_id >= (SELECT (max(doc_id) * 3) // 4 FROM documents)")
+
+  /** Per-dir memo for the z-order fixture's token-count cut (the r10c
+    * probe-memoization convention).
+    */
+  private val zorderCutMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** `q_snapshot_zorder`: the Morton layout through the driver's hash
+    * gate. The artifact stores (doc_id, source, text, ntok) ingest-
+    * ordered (hash by source — neither dimension clustered), then ONE
+    * [[clusterZ]]`(doc_id, ntok)` layout commit; the query reads the
+    * latest version under `ntok ≥ ⌊3·max/4⌋` via [[readWhere]] — the
+    * SECOND z dimension, the one plain range clustering cannot serve —
+    * and the DuckDB oracle recomputes the totals from the portable
+    * token-count predicate alone, so a z-shuffle that dropped,
+    * duplicated, or misfiled a row hash-fails (the prune-never-
+    * decides contract is spec-asserted; this entry pins the
+    * END-TO-END result).
+    */
+  def snapshotZorder(s: SparkSession, dir: String): DataFrame = {
+    val root = ScopedFixture.root(s, "graft_snapzcat", dir)
+    FixtureCleanup.onExit(root)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("ntok"))
+    if (!ScopedFixture.isComplete(root)) {
+      create(s, root, docs.repartition(8, col("source")))
+      clusterZ(s, root, "doc_id", "ntok", partitions = 8)
+      ScopedFixture.markComplete(root)
+    }
+    val cut: Long = zorderCutMemo.computeIfAbsent(root, _ =>
+      docs.agg(max(col("ntok"))).head().getLong(0) * 3 / 4)
+    perSourceTokenTotals(
+      readWhere(s, root, latestVersion(s, root),
+        Seq(StatsPred.GtEq("ntok", cut))))
+  }
+
+  val snapshotZorderOracleSql: String = perSourceTotalsOracle(
+    """len(regexp_extract_all(lower(text), '[a-z0-9]+')) >=
+      |  (SELECT (max(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) * 3) // 4
+      |   FROM documents)""".stripMargin)
 
   /** Per-dir memo for the bloom-lookup target fingerprint (pure
     * function of the table dir — the r10c probe-memoization

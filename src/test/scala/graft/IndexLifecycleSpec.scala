@@ -804,6 +804,45 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
       "a string point lookup plans exactly the one containing file")
   }
 
+  test("CDC mirror: exactly-once fold of the typed feed tracks the source through every verb") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val src = java.nio.file.Files.createTempDirectory("graft_mirsrc").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_mirdst").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+      .withColumn("rev", lit(1L))
+    def mirrorEquals(): Unit = {
+      val m = Snapshots.read(spark, dst, Snapshots.latestVersion(spark, dst))
+      val w = Snapshots.read(spark, src, Snapshots.latestVersion(spark, src))
+      assert(m.exceptAll(w).isEmpty && w.exceptAll(m).isEmpty,
+        "the mirror must equal the source's latest state")
+    }
+    Snapshots.create(spark, src,
+      docs.filter(col("doc_id") % 4 === 0).repartitionByRange(4, col("doc_id")))
+    Snapshots.mirrorSync(spark, src, dst, Seq("doc_id")); mirrorEquals()
+    Snapshots.append(spark, src, docs.filter(col("doc_id") % 4 === 1))
+    Snapshots.mirrorSync(spark, src, dst, Seq("doc_id")); mirrorEquals()
+    val upd = docs.filter(col("doc_id") % 8 === 0)
+      .withColumn("rev", lit(2L)).withColumn("source", lit("upd"))
+    Snapshots.merge(spark, src, upd, Seq("doc_id"), "rev")
+    Snapshots.mirrorSync(spark, src, dst, Seq("doc_id")); mirrorEquals()
+    Snapshots.compact(spark, src, partitions = 2)
+    Snapshots.mirrorSync(spark, src, dst, Seq("doc_id")); mirrorEquals()
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    Snapshots.delete(spark, src, Seq(Snapshots.StatsPred.GtEq("doc_id", mx / 2)))
+    val dv = Snapshots.mirrorSync(spark, src, dst, Seq("doc_id")); mirrorEquals()
+    // replay: an already-consumed source version is a no-op
+    assert(Snapshots.mirrorSync(spark, src, dst, Seq("doc_id")) === dv)
+    assert(Snapshots.latestVersion(spark, dst) === dv,
+      "a replayed sync must not claim a new mirror version")
+    // a true data rewrite on the source propagates the fail-fast
+    Snapshots.rewrite(spark, src,
+      Snapshots.read(spark, src, Snapshots.latestVersion(spark, src))
+        .filter(col("doc_id") % 8 === 0))
+    intercept[IllegalArgumentException] {
+      Snapshots.mirrorSync(spark, src, dst, Seq("doc_id"))
+    }
+  }
+
   test("merge txn ids make the upsert path exactly-once; streaming merge sink restarts clean") {
     import org.apache.spark.sql.functions.{col, lit}
     val root = java.nio.file.Files.createTempDirectory("graft_snapmtxn").toString
