@@ -1037,13 +1037,7 @@ object SparkEntry {
          FROM px, unnest(generate_series(first_seq, last_seq)) AS u(sq)
          ORDER BY doc_id, seq_id""",
     "q_doc_fingerprint" ->
-      """SELECT doc_id,
-         list_reduce(list_prepend(CAST(0 AS BIGINT),
-           list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
-             s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-                    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-                  (a, c) -> (a * 31 + c) % 1000000007))),
-           (a, h) -> (a * 131 + h) % 1000000007) AS fp
+      s"""SELECT doc_id, ${functions.TextFunctions.docFingerprintSql} AS fp
          FROM documents ORDER BY doc_id""",
     "q_image_sim" -> sources.ImageSim.oracleSql,
     "q_audio_sim" -> sources.AudioSim.oracleSql,

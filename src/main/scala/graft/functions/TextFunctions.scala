@@ -70,6 +70,19 @@ object TextFunctions {
   def docFingerprint(text: Column): Column =
     aggregate(tokenHashes(text), lit(0L), (acc, h) => (acc * lit(131L) + h) % lit(HashP))
 
+  /** The DuckDB twin of [[docFingerprint]] over a `text` column — ONE
+    * source of truth for every oracle that recomputes the fingerprint
+    * (q_doc_fingerprint, the snapshot bloom lookup): a fold edit here
+    * cannot drift between them.
+    */
+  val docFingerprintSql: String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |    s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |         (a, c) -> (a * 31 + c) % $HashP))),
+       |  (a, h) -> (a * 131 + h) % $HashP)""".stripMargin
+
   /** clean_text analog (text_style.py:103-138): normalize smart quotes,
     * dashes, ellipsis; drop a small emoji set. Chained `replace` stays
     * inside whole-stage codegen.

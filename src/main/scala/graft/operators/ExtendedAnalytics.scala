@@ -1018,7 +1018,10 @@ object ExtendedAnalytics {
        |users AS (
        |  SELECT event_type,
        |    CAST(CASE WHEN count(*) < $k THEN count(*)
-       |      ELSE ${k - 1} * $p //
+       |      -- BIGINT cast up front: DuckDB folds bare ${k - 1} * $p
+       |      -- as INT32×INT32 and overflows (hit at sf1, where the
+       |      -- estimator branch first engages)
+       |      ELSE CAST(${k - 1} AS BIGINT) * $p //
        |        greatest(max(CASE WHEN rn = $k THEN h END), 1) END
        |      AS BIGINT) AS approx_users
        |  FROM rk WHERE rn <= $k GROUP BY 1),

@@ -55,11 +55,31 @@ object Snapshots {
                               df: DataFrame): Seq[String] = {
     val sub = s"$root/data/b${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.mode("errorifexists").parquet(sub)
-    fs(s).listStatus(new org.apache.hadoop.fs.Path(sub)).toSeq
+    nonEmptyParts(s, fs(s).listStatus(new org.apache.hadoop.fs.Path(sub)).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
-      .sorted
+      .sorted)
   }
+
+  /** Drop ZERO-ROW part files before they enter a manifest: an empty
+    * parquet file contributes no rows but also records NO footer
+    * stats, so it can never be pruned — one empty boundary part from a
+    * delete's rewrite would otherwise pin every later stats/no-op
+    * decision conservative forever (and an empty change file would
+    * make an actually-empty delete change set look non-empty to the
+    * CDC pass-through rule). One footer open per own file, the
+    * statsForFiles cost already being paid.
+    */
+  private def nonEmptyParts(s: SparkSession, files: Seq[String]): Seq[String] =
+    files.filter { file =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file),
+          s.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount > 0 finally r.close()
+      } catch { case _: Exception => true } // unreadable: keep (never drop data)
+    }
 
   /** A racing commit already claimed this version number: the caller
     * lost the optimistic-concurrency race and should re-read the
@@ -573,9 +593,9 @@ object Snapshots {
     val sub = new org.apache.hadoop.fs.Path(s"$root/data/txn$txnId")
     if (f.exists(sub)) f.delete(sub, true) // crashed half-write
     df.write.mode("errorifexists").parquet(sub.toString)
-    val mine = f.listStatus(sub).toSeq
+    val mine = nonEmptyParts(s, f.listStatus(sub).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString).sorted
+      .map(_.getPath.toString).sorted)
     commitRetry(s, root, addTxn = Some(txnId),
       schemaFor = known => Some(standingSchema(s, root, known)
         .fold(df.schema)(mergeSchemas(_, df.schema))),
@@ -701,10 +721,10 @@ object Snapshots {
                                df: DataFrame): Seq[String] = {
     val sub = s"$root/changes/c${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.mode("errorifexists").parquet(sub)
-    fs(s).listStatus(new org.apache.hadoop.fs.Path(sub)).toSeq
+    nonEmptyParts(s, fs(s).listStatus(new org.apache.hadoop.fs.Path(sub)).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
-      .sorted
+      .sorted)
   }
 
   /** Streaming UPSERT ingest into a versioned dataset — the exactly-
@@ -764,17 +784,17 @@ object Snapshots {
       val base = latestVersion(s, root)
       require(base >= 1, s"delete needs an existing dataset at $root")
       val m = readManifestData(s, root, base)
-      val candidates = filesWhere(s, root, base, preds)
+      val candidates = filesWhereM(m, preds)
+      // stats prove NO file can hold a matching row: the delete is a
+      // no-op — return the standing version instead of committing a
+      // consumer-visible retraction boundary for zero changed rows
+      if (candidates.isEmpty) return base
       val survivors = m.files.filterNot(candidates.toSet)
       val sc = m.schema.getOrElse(s.read.parquet(m.files: _*).schema)
       val hit = coalesce(preds.map(predColumn).reduce(_ && _), lit(false))
-      val (fresh, cdfFiles) =
-        if (candidates.isEmpty) (Seq.empty[String], Seq.empty[String])
-        else {
-          val cand = s.read.schema(sc).parquet(candidates: _*)
-          (writeBatchFiles(s, root, cand.filter(!hit)),
-            writeChangeFiles(s, root, cand.filter(hit)))
-        }
+      val cand = s.read.schema(sc).parquet(candidates: _*)
+      val fresh = writeBatchFiles(s, root, cand.filter(!hit))
+      val cdfFiles = writeChangeFiles(s, root, cand.filter(hit))
       try {
         writeManifest(s, root, base + 1, (survivors ++ fresh).distinct.sorted,
           m.txns, Some(sc), Some("delete"),
@@ -1012,8 +1032,16 @@ object Snapshots {
     * assertion.
     */
   private[sources] def filesWhere(s: SparkSession, root: String, v: Int,
-                                  preds: Seq[StatsPred]): Seq[String] = {
-    val m = readManifestData(s, root, v)
+                                  preds: Seq[StatsPred]): Seq[String] =
+    filesWhereM(readManifestData(s, root, v), preds)
+
+  /** [[filesWhere]] over an already-parsed manifest — the hot callers
+    * ([[readWhere]], [[delete]]) have one in hand, and at 10⁶ files
+    * the manifest parse is the metadata bottleneck (one parse per
+    * call, never two).
+    */
+  private[sources] def filesWhereM(m: Manifest,
+                                   preds: Seq[StatsPred]): Seq[String] = {
     if (preds.isEmpty || (m.stats.isEmpty && m.blooms.isEmpty)) return m.files
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val parsed = scala.collection.mutable.HashMap.empty[String,
@@ -1077,11 +1105,11 @@ object Snapshots {
     * p; ASCII strings char-fold like `TextFunctions.charFoldHash`;
     * anything else is unsupported and never prunes.
     */
-  private def bloomBaseLit(v: Any): Option[Long] = v match {
-    case x: Long => Some(((x % BloomP) + BloomP) % BloomP)
-    case x: Int  => Some(((x.toLong % BloomP) + BloomP) % BloomP)
+  private def bloomBaseLit(v: Any): Option[(Char, Long)] = v match {
+    case x: Long => Some(('l', ((x % BloomP) + BloomP) % BloomP))
+    case x: Int  => Some(('l', ((x.toLong % BloomP) + BloomP) % BloomP))
     case x: String if x.forall(c => c >= ' ' && c < 127) =>
-      Some(x.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % BloomP))
+      Some(('s', x.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % BloomP)))
     case _ => None
   }
 
@@ -1157,11 +1185,21 @@ object Snapshots {
         val p = r.getLong(2).toInt
         w(p >> 6) |= (1L << (p & 63))
       }
+      // payload records the HASH FAMILY ('l' integral fold vs 's' char
+      // fold) so a cross-type Eq literal never probes the wrong family
+      // and wrongly prunes (SQL would cast-and-match the row)
+      val kindOf = usable.map { c =>
+        c -> (byName(c) match {
+          case org.apache.spark.sql.types.StringType => 's'
+          case _ => 'l'
+        })
+      }.toMap
       val enc = java.util.Base64.getEncoder
       val add = words.iterator.map { case (key, w) =>
         val bb = java.nio.ByteBuffer.allocate(w.length * 8)
         w.foreach(bb.putLong)
-        key -> s"$hashes,$bits,${enc.encodeToString(bb.array)}"
+        val kind = kindOf(key.substring(key.indexOf(':') + 1))
+        key -> s"$hashes,$bits,$kind,${enc.encodeToString(bb.array)}"
       }.toMap
       try {
         writeManifest(s, root, base + 1, m.files, m.txns, Some(sc),
@@ -1184,13 +1222,19 @@ object Snapshots {
                             p: StatsPred): Boolean = p match {
     case StatsPred.Eq(c, v) =>
       m.blooms.get(s"${fileStatKey(file)}:$c").exists { payload =>
-        val parts = payload.split(",", 3)
-        if (parts.length != 3) false
+        val parts = payload.split(",", 4)
+        if (parts.length != 4 || parts(2).length != 1) false
         else (bloomBaseLit(v), parts(0).toIntOption, parts(1).toIntOption) match {
-          case (Some(b), Some(k), Some(bits))
-            if k >= 1 && k <= BloomA.length && bits >= 64 =>
+          // the literal's hash family must MATCH the bloomed column's
+          // (a string literal against a long column would probe the
+          // char fold where the bloom holds integral folds — unset
+          // bits would then wrongly prune a file whose rows SQL's
+          // cast-and-compare semantics WOULD match)
+          case (Some((kind, b)), Some(k), Some(bits))
+            if kind == parts(2).head && k >= 1 && k <= BloomA.length &&
+              bits >= 64 =>
             try {
-              val bytes = java.util.Base64.getDecoder.decode(parts(2))
+              val bytes = java.util.Base64.getDecoder.decode(parts(3))
               val bb = java.nio.ByteBuffer.wrap(bytes)
               val w = Array.fill(bytes.length / 8)(bb.getLong)
               (0 until k).exists { i =>
@@ -1234,7 +1278,7 @@ object Snapshots {
   def readWhere(s: SparkSession, root: String, v: Int,
                 preds: Seq[StatsPred]): DataFrame = {
     val m = readManifestData(s, root, v)
-    val files = filesWhere(s, root, v, preds)
+    val files = filesWhereM(m, preds)
     val sc = m.schema.getOrElse(s.read.parquet(m.files: _*).schema)
     val base =
       if (files.isEmpty)
@@ -1323,6 +1367,10 @@ object Snapshots {
               "its change set is an upsert feed (new versions of " +
               "existing keys); pass upserts = true to consume it keyed, " +
               "or resync with read(toV)")
+        case "delete" if m.cdf.isEmpty =>
+          // a stats false positive rewrote candidate files but deleted
+          // ZERO rows (empty change set) — row-preserving, pass through
+          ()
         case "delete" =>
           throw new IllegalArgumentException(
             s"versions $fromV..$toV of $root cross a DELETE at v$v — " +
@@ -1556,31 +1604,62 @@ object Snapshots {
                  keyCols: Seq[String]): Int = {
     import org.apache.spark.sql.expressions.Window
     require(keyCols.nonEmpty, "mirrorSync needs key columns")
-    val srcV = latestVersion(s, srcRoot)
-    require(srcV >= 1, s"mirrorSync needs an existing dataset at $srcRoot")
-    val dstV = latestVersion(s, dstRoot)
-    val cursor =
-      if (dstV == 0) 0
-      else readManifestData(s, dstRoot, dstV).txns.lastOption
-        .map(_._2.toInt).getOrElse(0)
-    if (cursor >= srcV) return dstV // already consumed (replay no-op)
-    val feed = changeFeed(s, srcRoot, cursor, srcV)
-    val all =
-      if (dstV == 0) feed
-      else read(s, dstRoot, dstV)
-        .withColumn("_change_type", lit("insert"))
-        .withColumn("_commit_version", lit(cursor))
-        .unionByName(feed, allowMissingColumns = true)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_commit_version").desc)
-    val folded = all.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && col("_change_type") =!= "delete")
-      .drop("_rn", "_change_type", "_commit_version")
-    val mine = writeBatchFiles(s, dstRoot, folded)
-    commitRetry(s, dstRoot, addTxn = Some(srcV.toLong),
-      schemaFor = _ => Some(folded.schema),
-      commitKind = "rewrite",
-      addStats = statsForFiles(s, mine))(_ => mine)
+    var attempts = 0
+    while (true) {
+      val srcV = latestVersion(s, srcRoot)
+      require(srcV >= 1, s"mirrorSync needs an existing dataset at $srcRoot")
+      val dstV = latestVersion(s, dstRoot)
+      val dstM = if (dstV == 0) Manifest(Seq.empty, Seq.empty, None)
+                 else readManifestData(s, dstRoot, dstV)
+      val cursor = dstM.txns.lastOption.map(_._2.toInt).getOrElse(0)
+      if (cursor >= srcV) return dstV // already consumed (replay no-op)
+      // a pending range that is ALL layout/analyze commits is provably
+      // change-free: fast-forward the cursor with a metadata-only
+      // commit carrying the mirror's existing files — never an
+      // O(mirror) rewrite for a source compact (cheap: the manifests
+      // are already the feed's own metadata reads)
+      val pendingChangeFree = dstV >= 1 && ((cursor + 1) to srcV).forall {
+        v => readManifestData(s, srcRoot, v).commit
+          .exists(k => k == "layout" || k == "analyze")
+      }
+      try {
+        if (pendingChangeFree) {
+          writeManifest(s, dstRoot, dstV + 1, dstM.files,
+            mergeTxn(dstM.txns, srcV.toLong), dstM.schema, Some("layout"),
+            dstM.stats, Seq.empty, dstM.blooms)
+          return dstV + 1
+        }
+        val feed = changeFeed(s, srcRoot, cursor, srcV)
+        val all =
+          if (dstV == 0) feed
+          else read(s, dstRoot, dstV)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(cursor))
+            .unionByName(feed, allowMissingColumns = true)
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("_commit_version").desc)
+        val folded = all.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1 && col("_change_type") =!= "delete")
+          .drop("_rn", "_change_type", "_commit_version")
+        val mine = writeBatchFiles(s, dstRoot, folded)
+        writeManifest(s, dstRoot, dstV + 1, mine.distinct.sorted,
+          mergeTxn(dstM.txns, srcV.toLong), Some(folded.schema),
+          Some("rewrite"), statsForFiles(s, mine))
+        return dstV + 1
+      } catch {
+        // a lost race means ANOTHER sync advanced the mirror — our fold
+        // is stale (it read an old dst state and an old cursor), so
+        // RECOMPUTE from the new latest (the merge() discipline; a
+        // blind re-commit of the written files would publish the stale
+        // fold as a newer version and the merged txn tags would then
+        // skip the winner's range forever). The orphaned files vacuum
+        // under the grace window.
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts >= 16) throw e
+      }
+    }
+    -1 // unreachable
   }
 
   // ---- catalog entry ------------------------------------------------------
@@ -1759,20 +1838,9 @@ object Snapshots {
       .select("doc_id", "source", "fp").orderBy("doc_id")
   }
 
-  /** The portable-fingerprint SQL expression (the q_doc_fingerprint
-    * fold) over a `text` column — shared by the bloom-lookup oracle.
-    */
-  private def fpSql(p: Long): String =
-    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |  list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
-       |    s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |           list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-       |         (a, c) -> (a * 31 + c) % $p))),
-       |  (a, h) -> (a * 131 + h) % $p)""".stripMargin
-
   val snapshotBloomLookupOracleSql: String =
     s"""WITH fps AS (
-       |  SELECT doc_id, source, ${fpSql(graft.functions.TextFunctions.HashP)} AS fp
+       |  SELECT doc_id, source, ${graft.functions.TextFunctions.docFingerprintSql} AS fp
        |  FROM documents)
        |SELECT doc_id, source, fp FROM fps
        |WHERE fp = (SELECT fp FROM fps WHERE doc_id =

@@ -635,6 +635,12 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Snapshots.changesBetween(spark, root, 1, v2, upserts = true)
     }
+    // a delete whose stats prove zero matches is a NO-OP: no new
+    // version, no consumer-visible retraction boundary
+    val noop = Snapshots.delete(spark, root,
+      Seq(GtEq("doc_id", 900000000L)))
+    assert(noop === v2 && Snapshots.latestVersion(spark, root) === v2,
+      "a provably-empty delete must not commit")
     // SQL DELETE WHERE semantics: a NULL predicate keeps the row
     val root2 = java.nio.file.Files.createTempDirectory("graft_snapdel2").toString
     import spark.implicits._
@@ -647,6 +653,17 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, root2, dv).select("id").collect()
       .map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L),
       "rows where the predicate is NULL are kept, only TRUE rows deleted")
+    // a stats FALSE POSITIVE (range covers the literal, no row matches)
+    // rewrites candidates but deletes nothing — the empty change set
+    // makes the commit row-preserving and consumers pass through it
+    val root3 = java.nio.file.Files.createTempDirectory("graft_snapdel3").toString
+    Snapshots.create(spark, root3,
+      Seq((1L, "a"), (3L, "b")).toDF("id", "s").coalesce(1))
+    val fpv = Snapshots.delete(spark, root3, Seq(Eq("id", 2L)))
+    assert(fpv === 2, "the false-positive delete rewrote its candidate")
+    assert(Snapshots.read(spark, root3, fpv).count() === 2)
+    assert(Snapshots.changesBetween(spark, root3, 1, fpv).count() === 0,
+      "an empty change set means rows were preserved — no fail-fast")
   }
 
   test("typed change feed folds back to read(latest) across append/merge/compact/delete") {
@@ -792,6 +809,14 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
     val carried = Snapshots.readWhere(spark, root, v3, Seq(Eq("fp", absent)))
     assert(carried.inputFiles.length === none.inputFiles.length + 1,
       "old blooms keep pruning; the unbloomed straddling file is kept")
+    // a CROSS-TYPE literal must never probe the wrong hash family: a
+    // numeric-string Eq over the long-bloomed column keeps every file
+    // (SQL's cast-and-compare could match rows the char fold would
+    // wrongly exclude)
+    val crossType = Snapshots.readWhere(spark, root, v2,
+      Seq(Eq("fp", target.toString)))
+    assert(crossType.inputFiles.length === full,
+      "a type-mismatched literal disables the bloom, never misprunes")
     // string blooms: distinct per-file keys prune to one file
     val root2 = java.nio.file.Files.createTempDirectory("graft_snapblm2").toString
     val keyed = (0L until 64L).map(i => (i, s"key$i")).toDF("id", "k")
@@ -825,8 +850,13 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
       .withColumn("rev", lit(2L)).withColumn("source", lit("upd"))
     Snapshots.merge(spark, src, upd, Seq("doc_id"), "rev")
     Snapshots.mirrorSync(spark, src, dst, Seq("doc_id")); mirrorEquals()
+    val preCompactFiles = Snapshots.read(spark, dst,
+      Snapshots.latestVersion(spark, dst)).inputFiles.toSet
     Snapshots.compact(spark, src, partitions = 2)
     Snapshots.mirrorSync(spark, src, dst, Seq("doc_id")); mirrorEquals()
+    assert(Snapshots.read(spark, dst,
+      Snapshots.latestVersion(spark, dst)).inputFiles.toSet === preCompactFiles,
+      "a change-free pending range fast-forwards the cursor without rewriting the mirror")
     val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
     Snapshots.delete(spark, src, Seq(Snapshots.StatsPred.GtEq("doc_id", mx / 2)))
     val dv = Snapshots.mirrorSync(spark, src, dst, Seq("doc_id")); mirrorEquals()
@@ -834,6 +864,21 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
     assert(Snapshots.mirrorSync(spark, src, dst, Seq("doc_id")) === dv)
     assert(Snapshots.latestVersion(spark, dst) === dv,
       "a replayed sync must not claim a new mirror version")
+    // raced syncs of one pending range: the loser RECOMPUTES on the new
+    // mirror state, observes the consumed cursor, and no-ops — a blind
+    // re-commit would publish a stale fold above the winner's version
+    Snapshots.append(spark, src, docs.filter(col("doc_id") % 4 === 2))
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val r1 = Future(Snapshots.mirrorSync(spark, src, dst, Seq("doc_id")))
+    val r2 = Future(Snapshots.mirrorSync(spark, src, dst, Seq("doc_id")))
+    val (m1, m2) = (Await.result(r1, 5.minutes), Await.result(r2, 5.minutes))
+    assert(m1 === dv + 1 && m2 === dv + 1,
+      "both racers land on the single post-sync mirror version")
+    assert(Snapshots.latestVersion(spark, dst) === dv + 1,
+      "exactly one racer commits; the loser no-ops after recompute")
+    mirrorEquals()
     // a true data rewrite on the source propagates the fail-fast
     Snapshots.rewrite(spark, src,
       Snapshots.read(spark, src, Snapshots.latestVersion(spark, src))
