@@ -490,7 +490,8 @@ object Snapshots {
       schemaFor: Option[org.apache.spark.sql.types.StructType]
         => Option[org.apache.spark.sql.types.StructType] = identity,
       commitKind: String = "append",
-      addStats: Map[String, String] = Map.empty)
+      addStats: Map[String, String] = Map.empty,
+      addBlooms: Map[String, String] = Map.empty)
                          (files: Seq[String] => Seq[String]): Int = {
     var attempts = 0
     while (true) {
@@ -501,7 +502,7 @@ object Snapshots {
         writeManifest(s, root, v + 1, files(m.files).distinct.sorted,
           addTxn.fold(m.txns)(mergeTxn(m.txns, _)),
           schemaFor(m.schema), Some(commitKind), m.stats ++ addStats,
-          blooms = m.blooms)
+          blooms = m.blooms ++ addBlooms)
         return v + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -872,6 +873,49 @@ object Snapshots {
         .drop("_z"),
       dataChange = false)
 
+  /** RESTORE (the Delta `RESTORE TABLE … TO VERSION` verb): make the
+    * dataset's latest state equal version `v` again by committing v's
+    * OWN file list as a new version — zero data I/O (the files already
+    * exist; the commit is one manifest write), full lineage preserved
+    * (the bad versions stay readable for forensics until [[expire]]).
+    * The commit is tagged `rewrite`: rows changed relative to the
+    * previous latest with no change record, so incremental consumers
+    * resync — honest, a rollback IS a row replacement. Restoring the
+    * current latest is a no-op. The restored version's schema, stats,
+    * and blooms all carry (they describe the same files).
+    */
+  def restore(s: SparkSession, root: String, v: Int): Int = {
+    val latest = latestVersion(s, root)
+    require(v >= 1 && v <= latest, s"cannot restore $root to v$v (latest $latest)")
+    if (v == latest) return latest
+    val m = readManifestData(s, root, v)
+    commitRetry(s, root, schemaFor = _ => m.schema,
+      commitKind = "rewrite", addStats = m.stats,
+      addBlooms = m.blooms)(_ => m.files)
+  }
+
+  /** SHALLOW CLONE (the Delta zero-copy clone): a NEW dataset root
+    * whose v1 manifest references the SOURCE version's files — no data
+    * is copied, so cloning a 100 TB corpus for an experiment costs one
+    * manifest write. Schema, stats, and blooms carry. The clone then
+    * evolves independently: its appends/merges/deletes write under its
+    * own root and never touch the source. THE SHALLOW CONTRACT (same
+    * as Delta's): the clone depends on the source's files — an
+    * [[expire]] on the source that reclaims files the clone still
+    * references breaks the clone (expire only sees its own root's
+    * manifests). Clone from versions the source retains, or re-anchor
+    * with a compact on the clone (its rewrite copies the rows into
+    * clone-owned files).
+    */
+  def shallowClone(s: SparkSession, srcRoot: String, v: Int,
+                   dstRoot: String): Unit = {
+    val m = readManifestData(s, srcRoot, v)
+    require(!fs(s).exists(manifestPath(dstRoot, 1)),
+      s"clone target $dstRoot already exists")
+    writeManifest(s, dstRoot, 1, m.files, Seq.empty, m.schema,
+      Some("append"), m.stats, Seq.empty, m.blooms)
+  }
+
   /** Orphans younger than this survive [[expire]]'s vacuum (the Delta
     * VACUUM retention idea): a concurrent append's durably-written but
     * not-yet-committed files are never "unreachable garbage" — they are
@@ -1137,15 +1181,17 @@ object Snapshots {
     *
     * The commit is metadata-only (`#commit:analyze`, same file set):
     * pinned readers untouched, incremental consumers poll through with
-    * an empty delta. Cost: ONE distributed scan of the version
-    * projecting (file, col, bit) triples — k·distinct positions per
-    * file per column, collapsed by a distinct — plus
-    * O(files × cols × bits/8) driver bytes to assemble the bitsets.
-    * At write-at-scale cadence, run it per-commit over the commit's
-    * OWN files (the stats discipline); as a whole-corpus verb it is
-    * one scan amortized across every subsequent point read. Supported
-    * column types: integral + ASCII strings (long/double stats cover
-    * the rest of the comparison surface).
+    * an empty delta. INCREMENTAL by default: only files still missing
+    * a bloom for a requested column are scanned (blooms are per-file
+    * and carry like stats), so re-running after every append costs
+    * O(new files) — the stats discipline — and a fully-covered
+    * version is a commit-free no-op. Cost per run: one distributed
+    * scan of the missing files projecting (file, col, bit) triples —
+    * k·distinct positions per file per column, collapsed by a
+    * distinct — plus O(files × cols × bits/8) driver bytes to
+    * assemble the bitsets. Supported column types: integral + ASCII
+    * strings (long/double stats cover the rest of the comparison
+    * surface).
     */
   def analyzeBloom(s: SparkSession, root: String, cols: Seq[String],
                    bits: Int = BloomBits, hashes: Int = BloomHashes): Int = {
@@ -1168,7 +1214,15 @@ object Snapshots {
       require(usable.nonEmpty,
         s"no bloom-capable column among ${cols.mkString(",")} " +
           "(supported: integral, string)")
-      val df = s.read.schema(sc).parquet(m.files: _*)
+      // INCREMENTAL: scan only the files still missing a bloom for
+      // some requested column — re-analyzing after an append costs
+      // O(new files), not a corpus re-scan (blooms are per-file and
+      // carry, so standing ones never need rebuilding). Nothing
+      // missing ⇒ no-op, no commit.
+      val missing = m.files.filter(f => usable.exists(c =>
+        !m.blooms.contains(s"${fileStatKey(f)}:$c")))
+      if (missing.isEmpty) return base
+      val df = s.read.schema(sc).parquet(missing: _*)
       val triples = usable.map { c =>
         val b = bloomBaseCol(col(c), byName(c))
         df.filter(col(c).isNotNull)

@@ -829,6 +829,78 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
       "a string point lookup plans exactly the one containing file")
   }
 
+  test("restore rolls back to a version zero-copy; shallow clone forks a dataset without copying data") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val root = java.nio.file.Files.createTempDirectory("graft_snaprst").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    Snapshots.create(spark, root, docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+    Snapshots.append(spark, root, docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    val goodIds = ids(Snapshots.read(spark, root, 2))
+    val goodFiles = Snapshots.read(spark, root, 2).inputFiles.toSet
+    // a bad curation drop lands as v3; RESTORE brings v2's state back
+    // as v4 with zero data I/O — the manifest references v2's files
+    Snapshots.rewrite(spark, root,
+      Snapshots.read(spark, root, 2).filter(col("doc_id") % 7 === 0))
+    val v4 = Snapshots.restore(spark, root, 2)
+    assert(v4 === 4)
+    val restored = Snapshots.read(spark, root, v4)
+    assert(ids(restored) === goodIds, "restore reproduces the version's rows")
+    assert(restored.inputFiles.toSet === goodFiles,
+      "restore is zero-copy — it references the restored version's own files")
+    assert(ids(Snapshots.read(spark, root, 3)) === goodIds.filter(_ % 7 == 0),
+      "the rolled-back version stays readable for forensics")
+    assert(Snapshots.restore(spark, root, v4) === v4, "restoring latest is a no-op")
+    // restore is a rewrite: incremental consumers resync across it
+    intercept[IllegalArgumentException] {
+      Snapshots.changesBetween(spark, root, 2, v4)
+    }
+    // stats survive the restore (carried from the restored manifest)
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val pruned = Snapshots.readWhere(spark, root, v4,
+      Seq(Snapshots.StatsPred.GtEq("doc_id", mx + 1)))
+    assert(pruned.count() === 0)
+    // shallow clone: a new root over the same files, zero copy
+    val clone = java.nio.file.Files.createTempDirectory("graft_snapcln").toString
+    Snapshots.shallowClone(spark, root, v4, clone)
+    assert(ids(Snapshots.read(spark, clone, 1)) === goodIds)
+    assert(Snapshots.read(spark, clone, 1).inputFiles.toSet === goodFiles,
+      "the clone references the source's files — nothing copied")
+    // the clone evolves independently of the source
+    Snapshots.append(spark, clone, docs.limit(0)
+      .select(col("doc_id") + lit(123456789L) as "doc_id", col("source")))
+    Snapshots.delete(spark, clone, Seq(Snapshots.StatsPred.Lt("doc_id", mx / 2)))
+    assert(ids(Snapshots.read(spark, root, v4)) === goodIds,
+      "clone mutations never touch the source")
+    intercept[IllegalArgumentException] {
+      Snapshots.shallowClone(spark, root, v4, clone) // target exists
+    }
+  }
+
+  test("analyzeBloom is incremental: re-analyze after an append scans only the new files") {
+    import org.apache.spark.sql.functions.col
+    import Snapshots.StatsPred._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_snapblm3").toString
+    val keyed = (0L until 64L).map(i => (i, s"key$i")).toDF("id", "k")
+    Snapshots.create(spark, root, keyed.repartitionByRange(8, col("id")))
+    val v2 = Snapshots.analyzeBloom(spark, root, Seq("k"))
+    // fully covered: a re-analyze is a commit-free no-op
+    assert(Snapshots.analyzeBloom(spark, root, Seq("k")) === v2)
+    assert(Snapshots.latestVersion(spark, root) === v2,
+      "nothing missing - no new version")
+    // append, then re-analyze: only the new file needs a bloom, and
+    // the point lookup is surgical again afterwards
+    Snapshots.append(spark, root,
+      Seq((100L, "key100"), (101L, "key101")).toDF("id", "k").coalesce(1))
+    val v4 = Snapshots.analyzeBloom(spark, root, Seq("k"))
+    val one = Snapshots.readWhere(spark, root, v4, Seq(Eq("k", "key100")))
+    assert(one.collect().map(_.getLong(0)).toSeq === Seq(100L))
+    assert(one.inputFiles.length === 1,
+      "the appended file's fresh bloom prunes the lookup to one file")
+    val old = Snapshots.readWhere(spark, root, v4, Seq(Eq("k", "key37")))
+    assert(old.inputFiles.length === 1, "standing blooms still serve")
+  }
+
   test("CDC mirror: exactly-once fold of the typed feed tracks the source through every verb") {
     import org.apache.spark.sql.functions.{col, lit}
     val src = java.nio.file.Files.createTempDirectory("graft_mirsrc").toString
