@@ -51,11 +51,15 @@ object Snapshots {
     * (which two racing appends would both scan, each claiming the
     * other's files).
     */
+  /** Write one commit's rows and return its live files WITH their
+    * stats — ONE footer pass total ([[footerScan]]): zero-row parts
+    * drop and min/max stats harvest from the same footer open.
+    */
   private def writeBatchFiles(s: SparkSession, root: String,
-                              df: DataFrame): Seq[String] = {
+                              df: DataFrame): (Seq[String], Map[String, String]) = {
     val sub = s"$root/data/b${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.mode("errorifexists").parquet(sub)
-    nonEmptyParts(s, fs(s).listStatus(new org.apache.hadoop.fs.Path(sub)).toSeq
+    footerScan(s, fs(s).listStatus(new org.apache.hadoop.fs.Path(sub)).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString)
       .sorted)
@@ -67,8 +71,8 @@ object Snapshots {
     * delete's rewrite would otherwise pin every later stats/no-op
     * decision conservative forever (and an empty change file would
     * make an actually-empty delete change set look non-empty to the
-    * CDC pass-through rule). One footer open per own file, the
-    * statsForFiles cost already being paid.
+    * CDC pass-through rule). One footer open per file; an unreadable
+    * footer KEEPS the file (never drop data on a metadata error).
     */
   private def nonEmptyParts(s: SparkSession, files: Seq[String]): Seq[String] =
     files.filter { file =>
@@ -108,19 +112,25 @@ object Snapshots {
     * never depends on stats: `readWhere` re-applies the predicate to
     * the surviving scan.
     */
-  private def statsForFiles(s: SparkSession,
-                            files: Seq[String]): Map[String, String] = {
+  private def footerScan(s: SparkSession,
+                         files: Seq[String]): (Seq[String], Map[String, String]) = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import scala.jdk.CollectionConverters._
     val conf = s.sparkContext.hadoopConfiguration
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def ascii(x: String): Boolean = x.forall(c => c >= ' ' && c < 127)
-    files.flatMap { file =>
+    val live = Seq.newBuilder[String]
+    val stats = files.flatMap { file =>
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new org.apache.hadoop.fs.Path(file), conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
+          // zero-row parts drop here (see [[nonEmptyParts]]) — the
+          // SAME footer open harvests the stats, one pass per file
+          if (r.getRecordCount == 0) Seq.empty
+          else {
+            live += file
           // merge row-group chunk stats per top-level column; a chunk
           // with absent/invalid stats voids the whole column
           val acc = scala.collection.mutable.LinkedHashMap
@@ -181,13 +191,16 @@ object Snapshots {
           }
           if (node.isEmpty) Seq.empty
           else Seq(fileStatKey(file) -> mapper.writeValueAsString(node))
+          }
         } finally r.close()
       } catch {
         // stats are an optimization, never a correctness dependency: a
-        // footer we cannot read just records nothing for its file
-        case _: Exception => Seq.empty
+        // footer we cannot read just records nothing for its file —
+        // but the FILE is kept (never drop data on a metadata error)
+        case _: Exception => live += file; Seq.empty
       }
     }.toMap
+    (live.result(), stats)
   }
 
   /** Stats are keyed by the part-file NAME (globally unique — Spark
@@ -515,9 +528,9 @@ object Snapshots {
 
   /** Commit `df` as version 1 of a new dataset (fails if one exists). */
   def create(s: SparkSession, root: String, df: DataFrame): Int = {
-    val mine = writeBatchFiles(s, root, df)
+    val (mine, st) = writeBatchFiles(s, root, df)
     writeManifest(s, root, 1, mine, schema = Some(df.schema),
-      commitKind = Some("append"), stats = statsForFiles(s, mine))
+      commitKind = Some("append"), stats = st)
     1
   }
 
@@ -531,11 +544,11 @@ object Snapshots {
     * rejected (see [[mergeSchemas]]).
     */
   def append(s: SparkSession, root: String, df: DataFrame): Int = {
-    val mine = writeBatchFiles(s, root, df)
+    val (mine, st) = writeBatchFiles(s, root, df)
     commitRetry(s, root,
       schemaFor = known => Some(standingSchema(s, root, known)
         .fold(df.schema)(mergeSchemas(_, df.schema))),
-      addStats = statsForFiles(s, mine))(
+      addStats = st)(
       known => known ++ mine)
   }
 
@@ -556,10 +569,10 @@ object Snapshots {
     */
   def rewrite(s: SparkSession, root: String, df: DataFrame,
               dataChange: Boolean = true): Int = {
-    val mine = writeBatchFiles(s, root, df)
+    val (mine, st) = writeBatchFiles(s, root, df)
     commitRetry(s, root, schemaFor = _ => Some(df.schema),
       commitKind = if (dataChange) "rewrite" else "layout",
-      addStats = statsForFiles(s, mine))(_ => mine)
+      addStats = st)(_ => mine)
   }
 
   /** Idempotent append keyed by an EXTERNAL transaction id (a
@@ -594,13 +607,13 @@ object Snapshots {
     val sub = new org.apache.hadoop.fs.Path(s"$root/data/txn$txnId")
     if (f.exists(sub)) f.delete(sub, true) // crashed half-write
     df.write.mode("errorifexists").parquet(sub.toString)
-    val mine = nonEmptyParts(s, f.listStatus(sub).toSeq
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val (mine, st) = footerScan(s, f.listStatus(sub).toSeq
+      .filter(k => k.isFile && k.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString).sorted)
     commitRetry(s, root, addTxn = Some(txnId),
       schemaFor = known => Some(standingSchema(s, root, known)
         .fold(df.schema)(mergeSchemas(_, df.schema))),
-      addStats = statsForFiles(s, mine))(
+      addStats = st)(
       known => known ++ mine)
   }
 
@@ -684,7 +697,7 @@ object Snapshots {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .drop("__src", "__rn")
-      val mine = writeBatchFiles(s, root, merged)
+      val (mine, mineStats) = writeBatchFiles(s, root, merged)
       // CHANGE-DATA FILES (the Delta CDF idea): the post-image of every
       // key the batch touched, derived from the freshly-written merged
       // files (one bounded scan ⋈ batch keys — never a second corpus
@@ -700,7 +713,7 @@ object Snapshots {
         // their files (the live-key filter); fresh files re-analyze
         writeManifest(s, root, base + 1, mine.distinct.sorted,
           txn.fold(m.txns)(mergeTxn(m.txns, _)),
-          Some(sc), Some("merge"), statsForFiles(s, mine), cdfFiles,
+          Some(sc), Some("merge"), mineStats, cdfFiles,
           blooms = m.blooms)
         return base + 1
       } catch {
@@ -794,12 +807,12 @@ object Snapshots {
       val sc = m.schema.getOrElse(s.read.parquet(m.files: _*).schema)
       val hit = coalesce(preds.map(predColumn).reduce(_ && _), lit(false))
       val cand = s.read.schema(sc).parquet(candidates: _*)
-      val fresh = writeBatchFiles(s, root, cand.filter(!hit))
+      val (fresh, freshStats) = writeBatchFiles(s, root, cand.filter(!hit))
       val cdfFiles = writeChangeFiles(s, root, cand.filter(hit))
       try {
         writeManifest(s, root, base + 1, (survivors ++ fresh).distinct.sorted,
           m.txns, Some(sc), Some("delete"),
-          m.stats ++ statsForFiles(s, fresh), cdfFiles,
+          m.stats ++ freshStats, cdfFiles,
           blooms = m.blooms) // survivors keep theirs; rewritten files' drop
         return base + 1
       } catch {
@@ -1214,13 +1227,16 @@ object Snapshots {
       require(usable.nonEmpty,
         s"no bloom-capable column among ${cols.mkString(",")} " +
           "(supported: integral, string)")
-      // INCREMENTAL: scan only the files still missing a bloom for
-      // some requested column — re-analyzing after an append costs
+      // INCREMENTAL: scan only the files still missing a VALID bloom
+      // for some requested column — re-analyzing after an append costs
       // O(new files), not a corpus re-scan (blooms are per-file and
-      // carry, so standing ones never need rebuilding). Nothing
-      // missing ⇒ no-op, no commit.
+      // carry, so standing ones never need rebuilding). A payload in
+      // an outdated format counts as missing (the probe ignores it, so
+      // treating it as coverage would lose pruning permanently with no
+      // repair path). Nothing missing ⇒ no-op, no commit.
       val missing = m.files.filter(f => usable.exists(c =>
-        !m.blooms.contains(s"${fileStatKey(f)}:$c")))
+        !m.blooms.get(s"${fileStatKey(f)}:$c")
+          .exists(_.split(",", 4).length == 4)))
       if (missing.isEmpty) return base
       val df = s.read.schema(sc).parquet(missing: _*)
       val triples = usable.map { c =>
@@ -1233,6 +1249,15 @@ object Snapshots {
       }.reduce(_.unionAll(_)).distinct().collect()
       val words = scala.collection.mutable.HashMap
         .empty[String, Array[Long]] // "file:col" -> bitset words
+      // pre-seed EVERY scanned (file, col) pair with an all-zero
+      // bitset: a file whose column is entirely NULL produces no
+      // triples, and without a recorded (empty) bloom it would stay
+      // "missing" forever — rescanned and re-committed on every call.
+      // The all-zero bloom is also the CORRECT filter: Eq never
+      // matches a null, so pruning the file on any literal is exact.
+      missing.foreach(f => usable.foreach(c =>
+        words.getOrElseUpdate(s"${fileStatKey(f)}:$c",
+          new Array[Long]((bits + 63) / 64))))
       triples.foreach { r =>
         val key = s"${fileStatKey(r.getString(0))}:${r.getString(1)}"
         val w = words.getOrElseUpdate(key, new Array[Long]((bits + 63) / 64))
@@ -1667,14 +1692,26 @@ object Snapshots {
                  else readManifestData(s, dstRoot, dstV)
       val cursor = dstM.txns.lastOption.map(_._2.toInt).getOrElse(0)
       if (cursor >= srcV) return dstV // already consumed (replay no-op)
-      // a pending range that is ALL layout/analyze commits is provably
-      // change-free: fast-forward the cursor with a metadata-only
-      // commit carrying the mirror's existing files — never an
-      // O(mirror) rewrite for a source compact (cheap: the manifests
-      // are already the feed's own metadata reads)
-      val pendingChangeFree = dstV >= 1 && ((cursor + 1) to srcV).forall {
-        v => readManifestData(s, srcRoot, v).commit
-          .exists(k => k == "layout" || k == "analyze")
+      // a pending range that is provably change-free — layout/analyze
+      // commits, deletes whose change set is empty (a stats false
+      // positive preserved every row), appends that added no files —
+      // fast-forwards the cursor with a metadata-only commit carrying
+      // the mirror's existing files: never an O(mirror) rewrite for a
+      // source compact (cheap: manifests only, read once)
+      val pendingChangeFree = dstV >= 1 && cursor >= 1 && {
+        var prev = readManifestData(s, srcRoot, cursor).files.toSet
+        ((cursor + 1) to srcV).forall { v =>
+          val mm = readManifestData(s, srcRoot, v)
+          val cur = mm.files.toSet
+          val free = mm.commit match {
+            case Some("layout") | Some("analyze") => true
+            case Some("delete")                   => mm.cdf.isEmpty
+            case Some("append") | None            => cur == prev
+            case _                                => false
+          }
+          prev = cur
+          free
+        }
       }
       try {
         if (pendingChangeFree) {
@@ -1695,10 +1732,10 @@ object Snapshots {
         val folded = all.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1 && col("_change_type") =!= "delete")
           .drop("_rn", "_change_type", "_commit_version")
-        val mine = writeBatchFiles(s, dstRoot, folded)
+        val (mine, mineStats) = writeBatchFiles(s, dstRoot, folded)
         writeManifest(s, dstRoot, dstV + 1, mine.distinct.sorted,
           mergeTxn(dstM.txns, srcV.toLong), Some(folded.schema),
-          Some("rewrite"), statsForFiles(s, mine))
+          Some("rewrite"), mineStats)
         return dstV + 1
       } catch {
         // a lost race means ANOTHER sync advanced the mirror — our fold
@@ -1714,6 +1751,28 @@ object Snapshots {
       }
     }
     -1 // unreachable
+  }
+
+  /** Re-anchor (or bootstrap) a mirror from the source's CURRENT
+    * state — the sanctioned recovery after the source crossed a data
+    * REWRITE (curation drop, [[restore]]): [[mirrorSync]] fail-fasts
+    * there forever, and a dropped-and-recreated mirror would cross the
+    * same boundary from version 0. One full read of the source, one
+    * mirror rewrite, the consumed source version tagged as the txn
+    * cursor — subsequent incremental syncs resume cleanly past the
+    * boundary. The duplicates-vs-gap decision a re-anchor implies is
+    * the CALLER's (this replaces the mirror wholesale, so neither can
+    * occur downstream of it).
+    */
+  def mirrorResync(s: SparkSession, srcRoot: String,
+                   dstRoot: String): Int = {
+    val srcV = latestVersion(s, srcRoot)
+    require(srcV >= 1, s"mirrorResync needs an existing dataset at $srcRoot")
+    val snap = read(s, srcRoot, srcV)
+    val (mine, st) = writeBatchFiles(s, dstRoot, snap)
+    commitRetry(s, dstRoot, addTxn = Some(srcV.toLong),
+      schemaFor = _ => Some(snap.schema),
+      commitKind = "rewrite", addStats = st)(_ => mine)
   }
 
   // ---- catalog entry ------------------------------------------------------

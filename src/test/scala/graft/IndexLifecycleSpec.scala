@@ -899,6 +899,20 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
       "the appended file's fresh bloom prunes the lookup to one file")
     val old = Snapshots.readWhere(spark, root, v4, Seq(Eq("k", "key37")))
     assert(old.inputFiles.length === 1, "standing blooms still serve")
+    // an ALL-NULL column converges: the scan records an all-zero bloom
+    // (Eq never matches null, so pruning everything is exact) instead
+    // of leaving the file "missing" and rescanning forever
+    val root2 = java.nio.file.Files.createTempDirectory("graft_snapblm4").toString
+    val nulls = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("id", "k").coalesce(1)
+    Snapshots.create(spark, root2, nulls)
+    val bv = Snapshots.analyzeBloom(spark, root2, Seq("k"))
+    assert(Snapshots.analyzeBloom(spark, root2, Seq("k")) === bv)
+    assert(Snapshots.latestVersion(spark, root2) === bv,
+      "an all-null column is covered after one analyze — no rescan loop")
+    val noneHit = Snapshots.readWhere(spark, root2, bv, Seq(Eq("k", "anything")))
+    assert(noneHit.count() === 0 && noneHit.inputFiles.length === 0,
+      "the all-zero bloom prunes the all-null file on any literal")
   }
 
   test("CDC mirror: exactly-once fold of the typed feed tracks the source through every verb") {
@@ -951,13 +965,18 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
     assert(Snapshots.latestVersion(spark, dst) === dv + 1,
       "exactly one racer commits; the loser no-ops after recompute")
     mirrorEquals()
-    // a true data rewrite on the source propagates the fail-fast
+    // a true data rewrite on the source propagates the fail-fast;
+    // mirrorResync is the sanctioned re-anchor — and incremental
+    // syncs resume cleanly past the boundary afterwards
     Snapshots.rewrite(spark, src,
       Snapshots.read(spark, src, Snapshots.latestVersion(spark, src))
         .filter(col("doc_id") % 8 === 0))
     intercept[IllegalArgumentException] {
       Snapshots.mirrorSync(spark, src, dst, Seq("doc_id"))
     }
+    Snapshots.mirrorResync(spark, src, dst); mirrorEquals()
+    Snapshots.append(spark, src, docs.filter(col("doc_id") % 4 === 3))
+    Snapshots.mirrorSync(spark, src, dst, Seq("doc_id")); mirrorEquals()
   }
 
   test("merge txn ids make the upsert path exactly-once; streaming merge sink restarts clean") {
