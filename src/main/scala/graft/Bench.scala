@@ -71,6 +71,7 @@ object Bench {
     "q_snapshot_read_pruned" -> "snq", "q_snapshot_merge_changes" -> "snx",
     "q_snapshot_delete" -> "snd", "q_snapshot_change_feed" -> "snf",
     "q_snapshot_bloom_lookup" -> "snb", "q_snapshot_zorder" -> "snz",
+    "q_snapshot_drift" -> "snv",
     "q_knn_label_acc" -> "kla", "q_dup_matrix" -> "dxm",
     "q_event_paths" -> "epa", "q_shard_balance" -> "shb",
     "q_weighted_sample" -> "ws", "q_cluster_reps" -> "crp",

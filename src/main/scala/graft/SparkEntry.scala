@@ -210,6 +210,10 @@ object SparkEntry {
     // Morton z-order layout: the SECOND z dimension pruned via
     // readWhere over a clusterZ'd artifact
     "q_snapshot_zorder" -> sources.Snapshots.snapshotZorder _,
+    // cross-version corpus drift: per version slice, unigram KL to the
+    // union mixture (the JS decomposition) — the curation monitor
+    // composed onto the versioned layer
+    "q_snapshot_drift" -> sources.Snapshots.snapshotDrift _,
     "q_rate_anomaly"  -> CorpusCuration.rateAnomaly _,
     "q_embed_drift"   -> CorpusCuration.embedDrift _,
     "q_pack_efficiency" -> CorpusCuration.packEfficiency _,
@@ -887,6 +891,7 @@ object SparkEntry {
     "q_snapshot_change_feed" -> sources.Snapshots.snapshotChangeFeedOracleSql,
     "q_snapshot_bloom_lookup" -> sources.Snapshots.snapshotBloomLookupOracleSql,
     "q_snapshot_zorder" -> sources.Snapshots.snapshotZorderOracleSql,
+    "q_snapshot_drift" -> sources.Snapshots.snapshotDriftOracleSql,
     "q_rate_anomaly"   -> CorpusCuration.rateAnomalyOracleSql,
     "q_embed_drift"    -> CorpusCuration.embedDriftOracleSql,
     "q_pack_efficiency" -> CorpusCuration.packEfficiencyOracleSql,

@@ -1180,10 +1180,18 @@ object CorpusCuration {
     bigramCounts(s, dir).count()
   }
 
-  def klDriftOracleSql: String =
-    s"""WITH tok AS (
+  /** The per-label KL-vs-mixture oracle over ANY labeled
+    * `(source, text)` relation — ONE template shared by `q_kl_drift`
+    * (labels = real sources) and the snapshot drift twin (labels =
+    * version slices), so the decimal-sum / floor-shift conventions
+    * cannot drift between them. `outCol` names the label column in the
+    * output.
+    */
+  def klOracleOver(labeledRelation: String, outCol: String): String =
+    s"""WITH lab AS ($labeledRelation),
+       |tok AS (
        |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
-       |  FROM documents),
+       |  FROM lab),
        |st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c_st
        |       FROM tok GROUP BY 1, 2),
        |tt AS (SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
@@ -1191,14 +1199,17 @@ object CorpusCuration {
        |              CAST(count(*) AS BIGINT) AS n_distinct
        |       FROM st GROUP BY 1),
        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM tt)
-       |SELECT st.source, n_tokens, n_distinct,
+       |SELECT st.source AS $outCol, n_tokens, n_distinct,
        |  floor(CAST(sum(CAST(
        |      (CAST(c_st AS DOUBLE) / n_tokens) *
        |      ln((CAST(c_st AS DOUBLE) * n) / (CAST(n_tokens AS DOUBLE) * c_t))
        |    AS DECIMAL(38,18))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS kl
        |FROM st JOIN ns USING (source) JOIN tt USING (t), tot
        |GROUP BY st.source, n_tokens, n_distinct
-       |ORDER BY source""".stripMargin
+       |ORDER BY 1""".stripMargin
+
+  def klDriftOracleSql: String =
+    klOracleOver("SELECT source, text FROM documents", "source")
 
   // ---------------------------------------------------------------------
   // q_corpus_card — per-source dataset datasheet

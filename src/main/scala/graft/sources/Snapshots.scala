@@ -1818,6 +1818,39 @@ object Snapshots {
 
   val snapshotReadOracleSql: String = perSourceTotalsOracle("doc_id % 3 <> 2")
 
+  /** `q_snapshot_drift`: CROSS-VERSION corpus drift — the curation
+    * monitor composed onto the versioned layer (did this epoch's
+    * append shift the token distribution?): per version slice (the
+    * pinned v1 corpus vs the 1→2 appended delta, read through
+    * [[changesBetween]] so the delta side scans only the new files),
+    * the unigram KL to the union mixture — the Jensen-Shannon
+    * decomposition's two components, each an exact decimal sum on the
+    * `q_kl_drift` conventions; a near-zero pair means the append was
+    * distributionally neutral, an asymmetric pair says which side is
+    * the outlier. Oracle: the SAME KL template over the version
+    * predicates ([[operators.CorpusCuration.klOracleOver]] — one
+    * source of truth with q_kl_drift).
+    */
+  def snapshotDrift(s: SparkSession, dir: String): DataFrame = {
+    snapshotRead(s, dir) // fixture builds eagerly inside (marker-skipped)
+    val root = snapRoot(s, dir)
+    val labeled = read(s, root, 1)
+      .select(lit("v1").as("source"), col("text"))
+      .unionByName(changesBetween(s, root, 1, 2)
+        .select(lit("delta").as("source"), col("text")))
+    val counts = labeled
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+    graft.operators.CorpusCuration.klFromCounts(counts)
+      .withColumnRenamed("source", "ver")
+  }
+
+  val snapshotDriftOracleSql: String =
+    graft.operators.CorpusCuration.klOracleOver(
+      """SELECT CASE WHEN doc_id % 3 <> 2 THEN 'v1' ELSE 'delta' END AS source,
+        |       text FROM documents""".stripMargin, "ver")
+
   /** `q_snapshot_changes` (§2 #211): the 1→2 incremental delta over
     * the same fixture [[snapshotRead]] builds — v2 appended exactly
     * the doc_id%3==2 slice, so [[changesBetween]] must surface those

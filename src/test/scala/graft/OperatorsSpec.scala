@@ -828,6 +828,8 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
       "q_domain_mix", "q_domain_mix_up", "q_domain_mix_alpha",
       // vocab counts × the single corpus-total scalar row
       "q_kl_drift",
+      // the same KL corpus-total scalar row, over version slices
+      "q_snapshot_drift",
       // ≤64 bucket rows × the single doc-total scalar row
       "q_length_histogram",
       // shard-count rows × the single doc-total scalar row
