@@ -46,14 +46,11 @@ object Snapshots {
     new org.apache.hadoop.fs.Path(s"$root/manifests/v$v.txt")
 
   /** Write one commit's rows into its own transaction subdirectory and
-    * return exactly the files written — the commit's file set is a
-    * property of its OWN write, never of a shared-directory listing
-    * (which two racing appends would both scan, each claiming the
-    * other's files).
-    */
-  /** Write one commit's rows and return its live files WITH their
-    * stats — ONE footer pass total ([[footerScan]]): zero-row parts
-    * drop and min/max stats harvest from the same footer open.
+    * return its live files WITH their stats. The file set is a
+    * property of the commit's OWN write, never of a shared-directory
+    * listing (which two racing appends would both scan, each claiming
+    * the other's files); ONE footer pass total ([[footerScan]]) drops
+    * zero-row parts and harvests min/max stats from the same open.
     */
   private def writeBatchFiles(s: SparkSession, root: String,
                               df: DataFrame): (Seq[String], Map[String, String]) = {
@@ -121,6 +118,7 @@ object Snapshots {
     def ascii(x: String): Boolean = x.forall(c => c >= ' ' && c < 127)
     val live = Seq.newBuilder[String]
     val stats = files.flatMap { file =>
+      var counted = false // guards double-add if the stats harvest throws
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new org.apache.hadoop.fs.Path(file), conf)
@@ -131,6 +129,7 @@ object Snapshots {
           if (r.getRecordCount == 0) Seq.empty
           else {
             live += file
+            counted = true
           // merge row-group chunk stats per top-level column; a chunk
           // with absent/invalid stats voids the whole column
           val acc = scala.collection.mutable.LinkedHashMap
@@ -196,8 +195,9 @@ object Snapshots {
       } catch {
         // stats are an optimization, never a correctness dependency: a
         // footer we cannot read just records nothing for its file —
-        // but the FILE is kept (never drop data on a metadata error)
-        case _: Exception => live += file; Seq.empty
+        // but the FILE is kept (never drop data on a metadata error),
+        // exactly once (the harvest may throw AFTER the live add)
+        case _: Exception => if (!counted) live += file; Seq.empty
       }
     }.toMap
     (live.result(), stats)
@@ -1181,6 +1181,21 @@ object Snapshots {
   private def bloomPos(base: Long, i: Int, bits: Int): Int =
     (((base * BloomA(i) + BloomB(i)) % BloomP) % bits).toInt
 
+  /** Is this payload one the PROBE ([[bloomExcludes]]) will actually
+    * parse? The incremental-analyze coverage check must be EXACTLY as
+    * strict as the probe — a payload the probe ignores but the
+    * coverage check accepts would lose Eq pruning permanently with no
+    * repair path.
+    */
+  private def bloomPayloadValid(payload: String): Boolean = {
+    val parts = payload.split(",", 4)
+    parts.length == 4 && parts(2).length == 1 &&
+      parts(0).toIntOption.exists(k => k >= 1 && k <= BloomA.length) &&
+      parts(1).toIntOption.exists(_ >= 64) &&
+      (try { java.util.Base64.getDecoder.decode(parts(3)); true }
+       catch { case _: IllegalArgumentException => false })
+  }
+
   /** Build per-file BLOOM membership filters for `cols` over the
     * latest version and commit them as `#bloom:` manifest lines — the
     * Delta bloom-index idea for POINT lookups: min/max stats cannot
@@ -1211,6 +1226,7 @@ object Snapshots {
     require(cols.nonEmpty, "analyzeBloom needs at least one column")
     require(hashes >= 1 && hashes <= BloomA.length,
       s"hashes must be in [1, ${BloomA.length}]")
+    require(bits >= 64, "bits must be >= 64 (the probe rejects less)")
     var attempts = 0
     while (true) {
       val base = latestVersion(s, root)
@@ -1235,8 +1251,7 @@ object Snapshots {
       // treating it as coverage would lose pruning permanently with no
       // repair path). Nothing missing ⇒ no-op, no commit.
       val missing = m.files.filter(f => usable.exists(c =>
-        !m.blooms.get(s"${fileStatKey(f)}:$c")
-          .exists(_.split(",", 4).length == 4)))
+        !m.blooms.get(s"${fileStatKey(f)}:$c").exists(bloomPayloadValid)))
       if (missing.isEmpty) return base
       val df = s.read.schema(sc).parquet(missing: _*)
       val triples = usable.map { c =>
@@ -1698,7 +1713,12 @@ object Snapshots {
       // fast-forwards the cursor with a metadata-only commit carrying
       // the mirror's existing files: never an O(mirror) rewrite for a
       // source compact (cheap: manifests only, read once)
-      val pendingChangeFree = dstV >= 1 && cursor >= 1 && {
+      // the prev-files seed needs the cursor's manifest; if expire()
+      // reclaimed it, incremental classification is impossible — fall
+      // through to the fold path, whose changeFeed raises the explicit
+      // "version N does not exist" error ([[mirrorResync]] recovers)
+      val pendingChangeFree = dstV >= 1 && cursor >= 1 &&
+        fs(s).exists(manifestPath(srcRoot, cursor)) && {
         var prev = readManifestData(s, srcRoot, cursor).files.toSet
         ((cursor + 1) to srcV).forall { v =>
           val mm = readManifestData(s, srcRoot, v)
@@ -1766,13 +1786,34 @@ object Snapshots {
     */
   def mirrorResync(s: SparkSession, srcRoot: String,
                    dstRoot: String): Int = {
-    val srcV = latestVersion(s, srcRoot)
-    require(srcV >= 1, s"mirrorResync needs an existing dataset at $srcRoot")
-    val snap = read(s, srcRoot, srcV)
-    val (mine, st) = writeBatchFiles(s, dstRoot, snap)
-    commitRetry(s, dstRoot, addTxn = Some(srcV.toLong),
-      schemaFor = _ => Some(snap.schema),
-      commitKind = "rewrite", addStats = st)(_ => mine)
+    var attempts = 0
+    while (true) {
+      val srcV = latestVersion(s, srcRoot)
+      require(srcV >= 1, s"mirrorResync needs an existing dataset at $srcRoot")
+      val dstV = latestVersion(s, dstRoot)
+      val dstM = if (dstV == 0) Manifest(Seq.empty, Seq.empty, None)
+                 else readManifestData(s, dstRoot, dstV)
+      // a concurrent sync/resync already anchored at or past this
+      // source version: done (committing OUR older snapshot on top
+      // would silently roll the mirror back — the mirrorSync race
+      // discipline applies here too)
+      if (dstM.txns.lastOption.exists(_._2 >= srcV)) return dstV
+      val snap = read(s, srcRoot, srcV)
+      val (mine, st) = writeBatchFiles(s, dstRoot, snap)
+      try {
+        writeManifest(s, dstRoot, dstV + 1, mine.distinct.sorted,
+          mergeTxn(dstM.txns, srcV.toLong), Some(snap.schema),
+          Some("rewrite"), st)
+        return dstV + 1
+      } catch {
+        // lost race: the snapshot AND the cursor we read are stale —
+        // recompute from the new latest on both sides
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts >= 16) throw e
+      }
+    }
+    -1 // unreachable
   }
 
   // ---- catalog entry ------------------------------------------------------
