@@ -29,10 +29,27 @@ object Layout {
     * a-bit i → z-bit 2i, b-bit i → z-bit 2i+1.
     */
   def zInterleave(a: Column, b: Column, bits: Int = ZBits): Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    zInterleaveN(Seq(a, b), bits)
+
+  /** Round-robin interleave the low `bits` of N non-negative long
+    * columns: column j's bit i lands at z-bit i·N + j (the n=2 case is
+    * exactly [[zInterleave]]'s layout). The caller bounds `bits` so
+    * N·bits ≤ 63 — [[bitsFor]] picks the widest per-dimension
+    * resolution that fits.
+    */
+  def zInterleaveN(cs: Seq[Column], bits: Int): Column = {
+    require(cs.size * bits <= 63, s"${cs.size} dims × $bits bits overflow a long")
+    cs.zipWithIndex.flatMap { case (c, j) =>
+      (0 until bits).map { i =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * cs.size + j)
+      }
     }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Widest per-dimension bucket resolution that keeps an N-dim z-value
+    * inside a signed long: 16 bits through 3 dims, 15 at 4, 12 at 5…
+    */
+  def bitsFor(dims: Int): Int = math.min(ZBits, 63 / math.max(1, dims))
 
   /** Linear-bucket a numeric column into [0, 2^bits) against its
     * min/max (degenerate min==max buckets to 0).
@@ -51,16 +68,32 @@ object Layout {
     * thanks to exchange reuse.
     */
   private[sources] def withZ(df: DataFrame, colA: String,
-                             colB: String): DataFrame = {
+                             colB: String): DataFrame =
+    withZN(df, Seq(colA, colB))
+
+  /** `df` with a `_z` Morton-key column over `cols` (N ≥ 1 dims, each
+    * bucketed to [[bitsFor]]`(N)` bits against its min/max) — the
+    * shared front half of [[writeZOrdered]] and `Snapshots.clusterZ`.
+    * Dimension ranges come from ONE min/max aggregate cross-joined in
+    * as a broadcast scalar row — no driver action, no second scan
+    * thanks to exchange reuse.
+    */
+  private[sources] def withZN(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "z-order needs at least one column")
+    val bits = bitsFor(cols.size)
     val bounds = df.agg(
-      min(col(colA)).as("_loA"), max(col(colA)).as("_hiA"),
-      min(col(colB)).as("_loB"), max(col(colB)).as("_hiB"))
-    val z = zInterleave(
-      bucketize(col(colA), col("_loA"), col("_hiA"), ZBits),
-      bucketize(col(colB), col("_loB"), col("_hiB"), ZBits))
+      min(col(cols.head)).as(s"_lo0"),
+      (max(col(cols.head)).as(s"_hi0") +:
+        cols.zipWithIndex.tail.flatMap { case (c, j) =>
+          Seq(min(col(c)).as(s"_lo$j"), max(col(c)).as(s"_hi$j"))
+        }): _*)
+    val z = zInterleaveN(
+      cols.zipWithIndex.map { case (c, j) =>
+        bucketize(col(c), col(s"_lo$j"), col(s"_hi$j"), bits)
+      }, bits)
     df.crossJoin(broadcast(bounds))
       .withColumn("_z", z)
-      .drop("_loA", "_hiA", "_loB", "_hiB")
+      .drop(cols.indices.flatMap(j => Seq(s"_lo$j", s"_hi$j")): _*)
   }
 
   /** Write `df` z-ordered on (colA, colB) into `files` parquet files. */

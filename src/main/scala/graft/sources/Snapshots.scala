@@ -90,6 +90,21 @@ object Snapshots {
     extends RuntimeException(
       s"version $v at $root was committed concurrently; re-read latest and retry")
 
+  /** The base version a REWRITE's output was computed from advanced
+    * before the commit claimed its slot: retrying with the
+    * already-written files would publish a file set computed from a
+    * STALE read — silently dropping the racing commit's rows from the
+    * lineage (fatal for a `dataChange=false` layout commit, which
+    * claims row preservation). The layout verbs catch this and
+    * RECOMPUTE from the new latest (the merge() discipline); callers of
+    * the raw [[rewrite]] see it surfaced as an explicit conflict, never
+    * a silent lost update.
+    */
+  final class ConcurrentRewriteConflict(root: String, base: Int, now: Int)
+    extends RuntimeException(
+      s"rewrite of $root computed against v$base but v$now committed " +
+        "concurrently; recompute against the new latest")
+
   // ---- per-file column statistics (data skipping) ---------------------------
 
   /** Per-file min/max column statistics for the manifest's `#stats:`
@@ -228,7 +243,8 @@ object Snapshots {
                             commitKind: Option[String] = None,
                             stats: Map[String, String] = Map.empty,
                             cdf: Seq[String] = Seq.empty,
-                            blooms: Map[String, String] = Map.empty): Unit = {
+                            blooms: Map[String, String] = Map.empty,
+                            mirror: Option[Long] = None): Unit = {
     val f = fs(s)
     val p = manifestPath(root, v)
     // Two-phase commit: write the FULL content to a dot-temp (invisible
@@ -266,11 +282,16 @@ object Snapshots {
     // merge's effective upsert rows — the Delta CDF idea): incremental
     // consumers read the bounded change set instead of resyncing the
     // corpus. Not carried forward: changes belong to one commit.
+    // `#mirror:<srcV>` — the CDC-mirror consumer cursor (the consumed
+    // SOURCE version), in its OWN namespace so txn producers on the
+    // same root (appendTxn/streamingMergeSink batchIds) can never
+    // corrupt it; carried forward by every commit path like txns.
     val live = files.map(fileStatKey).toSet
     val out = f.create(tmp, false)
     try out.write(
       (schema.map(sc => s"#schema:${sc.json}").toSeq ++
         commitKind.map(k => s"#commit:$k").toSeq ++
+        mirror.map(v => s"#mirror:$v").toSeq ++
         cdf.map(p => s"#cdf:$p") ++
         txns.map { case (a, b) =>
           if (a == b) s"#txn:$a" else s"#txn:$a-$b" } ++
@@ -347,7 +368,8 @@ object Snapshots {
       commit: Option[String] = None,
       stats: Map[String, String] = Map.empty,
       cdf: Seq[String] = Seq.empty,
-      blooms: Map[String, String] = Map.empty)
+      blooms: Map[String, String] = Map.empty,
+      mirror: Option[Long] = None)
 
   /** ONE manifest open + parse per call — the hot metadata paths
     * (read / changesBetween / every commitRetry attempt) consume all
@@ -365,9 +387,12 @@ object Snapshots {
     val stats = Map.newBuilder[String, String]
     val cdf = Seq.newBuilder[String]
     val blooms = Map.newBuilder[String, String]
+    var mirror: Option[Long] = None
     lines.foreach {
       case l if l.startsWith("#commit:") =>
         commit = Some(l.stripPrefix("#commit:"))
+      case l if l.startsWith("#mirror:") =>
+        mirror = l.stripPrefix("#mirror:").toLongOption
       case l if l.startsWith("#cdf:") =>
         cdf += l.stripPrefix("#cdf:")
       case l if l.startsWith("#bloom:") =>
@@ -397,7 +422,7 @@ object Snapshots {
       case l => files += l
     }
     Manifest(files.result(), txns.result().sorted, schema, commit,
-      stats.result(), cdf.result(), blooms.result())
+      stats.result(), cdf.result(), blooms.result(), mirror)
   }
 
   private[sources] def readManifest(s: SparkSession, root: String, v: Int): Seq[String] =
@@ -504,18 +529,27 @@ object Snapshots {
         => Option[org.apache.spark.sql.types.StructType] = identity,
       commitKind: String = "append",
       addStats: Map[String, String] = Map.empty,
-      addBlooms: Map[String, String] = Map.empty)
+      addBlooms: Map[String, String] = Map.empty,
+      expectBase: Option[Int] = None)
                          (files: Seq[String] => Seq[String]): Int = {
     var attempts = 0
     while (true) {
       val v = latestVersion(s, root)
+      // a REWRITE's file set was computed from `expectBase`'s content:
+      // if the base moved, retrying with the stale files would publish
+      // a lost update — fail out to the caller's recompute loop instead
+      // (an APPEND's files are valid on any base, so appends never set
+      // this)
+      expectBase.foreach { b =>
+        if (v != b) throw new ConcurrentRewriteConflict(root, b, v)
+      }
       val m = if (v == 0) Manifest(Seq.empty, Seq.empty, None)
               else readManifestData(s, root, v)
       try {
         writeManifest(s, root, v + 1, files(m.files).distinct.sorted,
           addTxn.fold(m.txns)(mergeTxn(m.txns, _)),
           schemaFor(m.schema), Some(commitKind), m.stats ++ addStats,
-          blooms = m.blooms ++ addBlooms)
+          blooms = m.blooms ++ addBlooms, mirror = m.mirror)
         return v + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -568,11 +602,50 @@ object Snapshots {
     * contract).
     */
   def rewrite(s: SparkSession, root: String, df: DataFrame,
-              dataChange: Boolean = true): Int = {
+              dataChange: Boolean = true): Int =
+    rewriteAt(s, root, latestVersion(s, root), df, dataChange)
+
+  /** [[rewrite]] whose output is declared to have been computed FROM
+    * `base`: if another commit claims a version first, the commit fails
+    * with [[ConcurrentRewriteConflict]] instead of silently publishing
+    * the stale file set (which would drop the racer's rows from the
+    * lineage while a `layout` tag claims row preservation — the exact
+    * lost-update Delta's conflict checker rejects). The layout verbs
+    * ([[compact]]/[[cluster]]/[[clusterZ]]) wrap this in a recompute
+    * loop; the loser's files stay as grace-vacuumed orphans.
+    */
+  def rewriteAt(s: SparkSession, root: String, base: Int, df: DataFrame,
+                dataChange: Boolean = true): Int = {
     val (mine, st) = writeBatchFiles(s, root, df)
     commitRetry(s, root, schemaFor = _ => Some(df.schema),
       commitKind = if (dataChange) "rewrite" else "layout",
-      addStats = st)(_ => mine)
+      addStats = st, expectBase = Some(base))(_ => mine)
+  }
+
+  /** Recompute-on-conflict loop for the pure-layout verbs: build the
+    * re-laid-out frame FROM the current latest, attempt the layout
+    * commit against exactly that base, and on a lost race rebuild from
+    * the new latest — never publish a layout computed from a stale
+    * read (`layoutHook` is the spec's seam for injecting a concurrent
+    * commit into the race window).
+    */
+  private[graft] var layoutHook: () => Unit = () => ()
+  private def layoutRetry(s: SparkSession, root: String)
+                         (build: Int => DataFrame): Int = {
+    var attempts = 0
+    while (true) {
+      val base = latestVersion(s, root)
+      require(base >= 1, s"layout maintenance needs an existing dataset at $root")
+      val df = build(base) // reads are manifest-pinned at plan time
+      layoutHook()
+      try return rewriteAt(s, root, base, df, dataChange = false)
+      catch {
+        case e: ConcurrentRewriteConflict =>
+          attempts += 1
+          if (attempts >= 16) throw e
+      }
+    }
+    -1 // unreachable
   }
 
   /** Idempotent append keyed by an EXTERNAL transaction id (a
@@ -662,11 +735,31 @@ object Snapshots {
     * (spec-asserted). A batch carrying new columns widens the schema
     * (old rows read them as null, the [[mergeSchemas]] rules).
     *
-    * Distributed shape: one shuffle by key (the window), one write —
-    * O(corpus + batch), the unavoidable cost of keep-last-per-key
-    * without a standing key-partitioned layout. Ties WITHIN one side
-    * at equal `orderCol` break arbitrarily; callers supply a total
-    * order when they care.
+    * THE SCALE PATH IS THE PRUNE (the [[delete]] discipline applied to
+    * MERGE — a daily 1 GB batch into a 100 TB corpus must not shuffle
+    * 100 TB): (1) one small aggregate over the batch yields each key
+    * column's hull [min, max] and null presence; files whose manifest
+    * `#stats:` range is provably disjoint from the hull drop at the
+    * manifest, zero I/O; (2) the surviving CANDIDATES are scanned on
+    * the key columns only (column-pruned) and null-safe semi-joined to
+    * the batch's distinct keys — exactly the files holding a batch key
+    * are TOUCHED (Delta's findTouchedFiles pass); (3) only touched
+    * files enter the keep-last window with the batch, every other file
+    * carries forward BY PATH with its stats and blooms. A file without
+    * usable stats is conservatively a candidate; a batch with a NULL
+    * key disables the hull (stats never describe nulls) but not the
+    * semi-join. On a range-clustered corpus a narrow-key batch
+    * rewrites the few overlapping files out of 10⁶.
+    *
+    * KEYED DISCIPLINE: the standing state must be key-unique (merge
+    * and the keyed sinks maintain this by construction) — a key
+    * duplicated across two standing files would collapse only if both
+    * files are touched.
+    *
+    * Distributed shape: one key-column scan of the candidates, one
+    * shuffle of (touched ∪ batch) by key (the window), one bounded
+    * write. Ties WITHIN one side at equal `orderCol` break
+    * arbitrarily; callers supply a total order when they care.
     *
     * `txn` keys the merge to an EXTERNAL transaction id (the
     * [[appendTxn]] contract on the upsert path — a Structured
@@ -688,10 +781,19 @@ object Snapshots {
       // re-probe on every attempt: a lost race may have been our own
       // concurrent replay committing the same txn id
       if (txn.exists(txnCommitted(m.txns, _))) return base
-      val standing = read(s, root, base)
+      val standingSc = m.schema.getOrElse(s.read.parquet(m.files: _*).schema)
+      val sc = mergeSchemas(standingSc, batch.schema)
+      val touched = touchedFiles(s, m, standingSc, batch, keyCols)
+      val touchedSet = touched.toSet
+      val survivors = m.files.filterNot(touchedSet)
+      val standingTouched =
+        if (touched.isEmpty)
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            standingSc)
+        else s.read.schema(standingSc).parquet(touched: _*)
       val w = Window.partitionBy(keyCols.map(col): _*)
         .orderBy(col(orderCol).desc, col("__src").desc)
-      val merged = standing.withColumn("__src", lit(0))
+      val merged = standingTouched.withColumn("__src", lit(0))
         .unionByName(batch.withColumn("__src", lit(1)),
           allowMissingColumns = true)
         .withColumn("__rn", row_number().over(w))
@@ -701,20 +803,23 @@ object Snapshots {
       // CHANGE-DATA FILES (the Delta CDF idea): the post-image of every
       // key the batch touched, derived from the freshly-written merged
       // files (one bounded scan ⋈ batch keys — never a second corpus
-      // window), written beside the data under changes/. Incremental
-      // consumers that opted into upsert semantics read THIS bounded
-      // set across the merge instead of resyncing the corpus.
-      val sc = mergeSchemas(m.schema.getOrElse(standing.schema), batch.schema)
-      val touched = s.read.schema(sc).parquet(mine: _*)
-        .join(batch.select(keyCols.map(col): _*).distinct(), keyCols)
-      val cdfFiles = writeChangeFiles(s, root, touched)
+      // window; `mine` holds only rewritten-touched + batch rows, so
+      // the scan is bounded by the prune), written beside the data
+      // under changes/. Incremental consumers that opted into upsert
+      // semantics read THIS bounded set across the merge instead of
+      // resyncing the corpus.
+      val cdf =
+        if (mine.isEmpty)
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+        else keyedSemiJoin(s.read.schema(sc).parquet(mine: _*), batch, keyCols)
+      val cdfFiles = writeChangeFiles(s, root, cdf)
       try {
-        // a merge rewrites every file, so standing blooms all drop with
-        // their files (the live-key filter); fresh files re-analyze
-        writeManifest(s, root, base + 1, mine.distinct.sorted,
+        // untouched survivors keep their stats AND blooms by path; the
+        // rewritten files' blooms drop with the files (live-key filter)
+        writeManifest(s, root, base + 1, (survivors ++ mine).distinct.sorted,
           txn.fold(m.txns)(mergeTxn(m.txns, _)),
-          Some(sc), Some("merge"), mineStats, cdfFiles,
-          blooms = m.blooms)
+          Some(sc), Some("merge"), m.stats ++ mineStats, cdfFiles,
+          blooms = m.blooms, mirror = m.mirror)
         return base + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -725,6 +830,68 @@ object Snapshots {
       }
     }
     -1 // unreachable
+  }
+
+  /** The files of `m` that may hold a row whose key matches some
+    * `batch` row — the merge/mirror prune. Phase 1 is
+    * manifest-resident: each key column's batch hull [min, max] prunes
+    * stat-disjoint files with ZERO I/O (disabled when the batch
+    * carries a NULL key anywhere — stats never describe nulls, so a
+    * pruned file could hide a null-keyed standing row the batch's null
+    * key must collapse with). Phase 2 scans the surviving candidates
+    * on the KEY COLUMNS only (column-pruned) and null-safe semi-joins
+    * the batch's distinct keys, so the rewrite set is exactly the
+    * files holding a batch key: candidates that merely straddle the
+    * hull still carry by path. A file without usable stats is
+    * conservatively a candidate — pruning changes I/O, never results.
+    */
+  private def touchedFiles(s: SparkSession, m: Manifest,
+      standingSc: org.apache.spark.sql.types.StructType,
+      batch: DataFrame, keyCols: Seq[String]): Seq[String] = {
+    if (m.files.isEmpty) return Seq.empty
+    val aggs = keyCols.flatMap(k => Seq(
+      min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k"),
+      sum(when(col(k).isNull, 1).otherwise(0)).as(s"_nl_$k")))
+    val r = batch.agg(aggs.head, aggs.tail: _*).head()
+    val anyNull = keyCols.exists { k =>
+      val v = r.getAs[Any](s"_nl_$k")
+      v != null && v.asInstanceOf[Long] > 0L
+    }
+    // a key column whose batch min is null under !anyNull means the
+    // batch is EMPTY — nothing can match, nothing is touched
+    val hull = if (anyNull) Seq.empty else keyCols.flatMap { k =>
+      val (mn, mx) = (r.getAs[Any](s"_mn_$k"), r.getAs[Any](s"_mx_$k"))
+      if (mn == null || mx == null) Seq.empty
+      else Seq(StatsPred.GtEq(k, mn), StatsPred.LtEq(k, mx))
+    }
+    val candidates =
+      if (anyNull) m.files
+      else if (hull.isEmpty) Seq.empty
+      else filesWhereM(m, hull)
+    if (candidates.isEmpty) return Seq.empty
+    val scan = s.read.schema(standingSc).parquet(candidates: _*)
+      .select(keyCols.map(col) :+ input_file_name().as("__file"): _*)
+    // input_file_name's URI normalization differs from the manifest's
+    // Path.toString — match on the globally-unique part NAME, never
+    // the full path (the analyzeBloom precedent)
+    val names = keyedSemiJoin(scan, batch, keyCols)
+      .select(col("__file")).distinct().collect()
+      .map(row => fileStatKey(row.getString(0))).toSet
+    candidates.filter(f => names.contains(fileStatKey(f)))
+  }
+
+  /** Rows of `left` whose key NULL-SAFELY matches some batch key — the
+    * shared semi-join behind find-touched and the CDF derivation (a
+    * null key must match a null standing key exactly as the keep-last
+    * window groups them). The key frame is renamed to dodge ambiguity;
+    * AQE broadcasts it when small.
+    */
+  private def keyedSemiJoin(left: DataFrame, batch: DataFrame,
+                            keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.foldLeft(batch.select(keyCols.map(col): _*).distinct())(
+      (d, k) => d.withColumnRenamed(k, s"__bk_$k"))
+    val cond = keyCols.map(k => left(k) <=> keys(s"__bk_$k")).reduce(_ && _)
+    left.join(keys, cond, "leftsemi")
   }
 
   /** One merge's change set, in its own subdirectory under changes/
@@ -813,7 +980,8 @@ object Snapshots {
         writeManifest(s, root, base + 1, (survivors ++ fresh).distinct.sorted,
           m.txns, Some(sc), Some("delete"),
           m.stats ++ freshStats, cdfFiles,
-          blooms = m.blooms) // survivors keep theirs; rewritten files' drop
+          blooms = m.blooms, // survivors keep theirs; rewritten files' drop
+          mirror = m.mirror)
         return base + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -836,9 +1004,8 @@ object Snapshots {
     * scan's task count) proportional to DATA size, not commit count.
     */
   def compact(s: SparkSession, root: String, partitions: Int = 1): Int =
-    rewrite(s, root,
-      read(s, root, latestVersion(s, root)).coalesce(math.max(1, partitions)),
-      dataChange = false)
+    layoutRetry(s, root)(v =>
+      read(s, root, v).coalesce(math.max(1, partitions)))
 
   /** Re-cluster the latest version's rows by `cols` into range-disjoint
     * files — the OPTIMIZE ZORDER verb for the stats-skipping read path
@@ -858,10 +1025,9 @@ object Snapshots {
   def cluster(s: SparkSession, root: String, cols: Seq[String],
               partitions: Int = 8): Int = {
     require(cols.nonEmpty, "cluster needs at least one column")
-    rewrite(s, root,
-      read(s, root, latestVersion(s, root))
-        .repartitionByRange(math.max(1, partitions), cols.map(col): _*),
-      dataChange = false)
+    layoutRetry(s, root)(v =>
+      read(s, root, v)
+        .repartitionByRange(math.max(1, partitions), cols.map(col): _*))
   }
 
   /** Re-cluster the latest version on the MORTON CURVE of two numeric
@@ -879,12 +1045,23 @@ object Snapshots {
     */
   def clusterZ(s: SparkSession, root: String, colA: String, colB: String,
                partitions: Int = 16): Int =
-    rewrite(s, root,
-      Layout.withZ(read(s, root, latestVersion(s, root)), colA, colB)
+    clusterZN(s, root, Seq(colA, colB), partitions)
+
+  /** N-dimensional [[clusterZ]] (OPTIMIZE ZORDER BY c1, …, cN): the
+    * round-robin Morton curve over all N numeric columns, each bucketed
+    * to `Layout.bitsFor(N)` bits — 16 through three dims, 15 at four —
+    * so a [[readWhere]] predicate on ANY of the dims prunes at the
+    * manifest (the three-plus-dimension read — source + time + length —
+    * is routine at corpus scale). Same pure-layout contract and
+    * recompute-on-conflict concurrency as the two-dim verb.
+    */
+  def clusterZN(s: SparkSession, root: String, cols: Seq[String],
+                partitions: Int = 16): Int =
+    layoutRetry(s, root)(v =>
+      Layout.withZN(read(s, root, v), cols)
         .repartitionByRange(math.max(1, partitions), col("_z"))
         .sortWithinPartitions("_z")
-        .drop("_z"),
-      dataChange = false)
+        .drop("_z"))
 
   /** RESTORE (the Delta `RESTORE TABLE … TO VERSION` verb): make the
     * dataset's latest state equal version `v` again by committing v's
@@ -1191,9 +1368,17 @@ object Snapshots {
     val parts = payload.split(",", 4)
     parts.length == 4 && parts(2).length == 1 &&
       parts(0).toIntOption.exists(k => k >= 1 && k <= BloomA.length) &&
-      parts(1).toIntOption.exists(_ >= 64) &&
-      (try { java.util.Base64.getDecoder.decode(parts(3)); true }
-       catch { case _: IllegalArgumentException => false })
+      parts(1).toIntOption.exists { bits =>
+        bits >= 64 &&
+          // the decoded payload must cover every word the probe can
+          // index (((bits+63)/64 words of 8 bytes): a TRUNCATED payload
+          // would make bloomExcludes throw-and-keep on some positions
+          // while this check counted it as coverage — pruning for the
+          // file/column would then be lost permanently with no repair
+          (try java.util.Base64.getDecoder.decode(parts(3)).length >=
+            ((bits + 63) / 64) * 8
+           catch { case _: IllegalArgumentException => false })
+      }
   }
 
   /** Build per-file BLOOM membership filters for `cols` over the
@@ -1297,7 +1482,8 @@ object Snapshots {
       }.toMap
       try {
         writeManifest(s, root, base + 1, m.files, m.txns, Some(sc),
-          Some("analyze"), m.stats, Seq.empty, m.blooms ++ add)
+          Some("analyze"), m.stats, Seq.empty, m.blooms ++ add,
+          mirror = m.mirror)
         return base + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -1684,16 +1870,42 @@ object Snapshots {
     * already-consumed source version is a no-op, a crash before the
     * commit point changes nothing (orphans vacuum under the grace
     * window), and a restart resumes from the tag — exactly-once end to
-    * end with no side cursor file. I/O per sync is O(mirror + changed
-    * rows): the feed never rescans the source corpus, and source
-    * layout/analyze commits fold in as empty feeds (cursor
-    * fast-forward only). A data REWRITE on the source propagates
-    * [[changeFeed]]'s fail-fast — re-mirror explicitly from
-    * `read(latest)` there. Keyed discipline: `keyCols` identify rows;
-    * source appends must not duplicate standing keys (merge and delete
-    * maintain this by construction). The mirror's own history trims
-    * with [[expire]] like any dataset.
+    * end with no side cursor file. The cursor rides its OWN
+    * `#mirror:` manifest tag (carried forward by every commit path),
+    * never the `#txn:` namespace — so a txn producer on the same root
+    * (appendTxn, a streaming merge sink) can neither corrupt the
+    * cursor nor be corrupted by it. I/O per sync is O(changed rows +
+    * touched mirror files): the feed never rescans the source corpus,
+    * the fold rewrites ONLY the mirror files holding a changed key
+    * (the [[merge]] prune — stats hull, then a key-column semi-join;
+    * everything else carries by path), and source layout/analyze
+    * commits fold in as empty feeds (cursor fast-forward only).
+    *
+    * THE MIRROR IS ITSELF TAILABLE in the common case: a bootstrap
+    * commits as `append` (inserts from empty) and a delete-free
+    * incremental fold commits as `merge` carrying the changed keys'
+    * post-images as its change set — a second-tier consumer
+    * (`changesBetween(upserts = true)`, a chained mirror) polls
+    * straight through routine syncs. Only a fold that APPLIES DELETES
+    * commits as `rewrite` (a retraction has no post-image; downstream
+    * consumers must resync — honest, same as consuming the source
+    * directly). A data REWRITE on the source propagates
+    * [[changeFeed]]'s fail-fast — re-anchor with [[mirrorResync]].
+    * Keyed discipline: `keyCols` identify rows; source appends must
+    * not duplicate standing keys (merge and delete maintain this by
+    * construction). The mirror's own history trims with [[expire]]
+    * like any dataset.
     */
+  /** The mirror's consumed-source-version cursor: the `#mirror:` tag,
+    * falling back to the legacy txn-tag encoding for mirrors written
+    * before the namespace split (safe there: a pre-split mirror root
+    * hosted no other txn producer by the old contract).
+    */
+  private def mirrorCursorOf(m: Manifest): Int =
+    m.mirror.map(_.toInt)
+      .orElse(m.txns.lastOption.map(_._2.toInt))
+      .getOrElse(0)
+
   def mirrorSync(s: SparkSession, srcRoot: String, dstRoot: String,
                  keyCols: Seq[String]): Int = {
     import org.apache.spark.sql.expressions.Window
@@ -1705,57 +1917,91 @@ object Snapshots {
       val dstV = latestVersion(s, dstRoot)
       val dstM = if (dstV == 0) Manifest(Seq.empty, Seq.empty, None)
                  else readManifestData(s, dstRoot, dstV)
-      val cursor = dstM.txns.lastOption.map(_._2.toInt).getOrElse(0)
+      val cursor = mirrorCursorOf(dstM)
       if (cursor >= srcV) return dstV // already consumed (replay no-op)
-      // a pending range that is provably change-free — layout/analyze
-      // commits, deletes whose change set is empty (a stats false
-      // positive preserved every row), appends that added no files —
-      // fast-forwards the cursor with a metadata-only commit carrying
-      // the mirror's existing files: never an O(mirror) rewrite for a
-      // source compact (cheap: manifests only, read once)
-      // the prev-files seed needs the cursor's manifest; if expire()
-      // reclaimed it, incremental classification is impossible — fall
+      // ONE metadata walk classifies the pending range: change-free
+      // (layout/analyze commits, deletes whose change set is empty —
+      // a stats false positive preserved every row — and appends that
+      // added no files: cursor fast-forward, zero data I/O) and
+      // whether it APPLIES DELETES (decides the fold's commit kind
+      // below). The prev-files seed needs the cursor's manifest; if
+      // expire() reclaimed it, classification is impossible — fall
       // through to the fold path, whose changeFeed raises the explicit
       // "version N does not exist" error ([[mirrorResync]] recovers)
-      val pendingChangeFree = dstV >= 1 && cursor >= 1 &&
-        fs(s).exists(manifestPath(srcRoot, cursor)) && {
-        var prev = readManifestData(s, srcRoot, cursor).files.toSet
-        ((cursor + 1) to srcV).forall { v =>
-          val mm = readManifestData(s, srcRoot, v)
-          val cur = mm.files.toSet
-          val free = mm.commit match {
-            case Some("layout") | Some("analyze") => true
-            case Some("delete")                   => mm.cdf.isEmpty
-            case Some("append") | None            => cur == prev
-            case _                                => false
+      val pending: Option[(Boolean, Boolean)] = // (changeFree, hasDeletes)
+        if (cursor >= 1 && fs(s).exists(manifestPath(srcRoot, cursor))) Some {
+          var prev = readManifestData(s, srcRoot, cursor).files.toSet
+          var free = true
+          var dels = false
+          ((cursor + 1) to srcV).foreach { v =>
+            val mm = readManifestData(s, srcRoot, v)
+            val cur = mm.files.toSet
+            mm.commit match {
+              case Some("layout") | Some("analyze") => ()
+              case Some("delete") =>
+                if (mm.cdf.nonEmpty) { free = false; dels = true }
+              case Some("append") | None => if (cur != prev) free = false
+              case _ => free = false // merge/rewrite
+            }
+            prev = cur
           }
-          prev = cur
-          free
-        }
-      }
+          (free, dels)
+        } else None
+      val pendingChangeFree = dstV >= 1 && pending.exists(_._1)
       try {
         if (pendingChangeFree) {
           writeManifest(s, dstRoot, dstV + 1, dstM.files,
-            mergeTxn(dstM.txns, srcV.toLong), dstM.schema, Some("layout"),
-            dstM.stats, Seq.empty, dstM.blooms)
+            dstM.txns, dstM.schema, Some("layout"),
+            dstM.stats, Seq.empty, dstM.blooms, mirror = Some(srcV.toLong))
           return dstV + 1
         }
         val feed = changeFeed(s, srcRoot, cursor, srcV)
-        val all =
-          if (dstV == 0) feed
-          else read(s, dstRoot, dstV)
-            .withColumn("_change_type", lit("insert"))
-            .withColumn("_commit_version", lit(cursor))
-            .unionByName(feed, allowMissingColumns = true)
         val w = Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col("_commit_version").desc)
+        if (dstV == 0) {
+          // bootstrap: the fold is the feed collapsed within itself —
+          // every surviving row is an insert from empty, so the commit
+          // is an honest `append` and the mirror starts out tailable
+          val folded = feed.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1 && col("_change_type") =!= "delete")
+            .drop("_rn", "_change_type", "_commit_version")
+          val (mine, mineStats) = writeBatchFiles(s, dstRoot, folded)
+          writeManifest(s, dstRoot, 1, mine.distinct.sorted,
+            Seq.empty, Some(folded.schema), Some("append"), mineStats,
+            mirror = Some(srcV.toLong))
+          return 1
+        }
+        // PRUNED incremental fold: only the mirror files holding a
+        // changed key rewrite with the feed; every other mirror file
+        // carries forward by path with its stats and blooms
+        val dstSc = dstM.schema.getOrElse(s.read.parquet(dstM.files: _*).schema)
+        val changeKeys = feed.select(keyCols.map(col): _*)
+        val touched = touchedFiles(s, dstM, dstSc, changeKeys, keyCols)
+        val survivors = dstM.files.filterNot(touched.toSet)
+        val standingTouched =
+          if (touched.isEmpty)
+            s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              dstSc)
+          else s.read.schema(dstSc).parquet(touched: _*)
+        val all = standingTouched
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(cursor))
+          .unionByName(feed, allowMissingColumns = true)
         val folded = all.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1 && col("_change_type") =!= "delete")
           .drop("_rn", "_change_type", "_commit_version")
         val (mine, mineStats) = writeBatchFiles(s, dstRoot, folded)
-        writeManifest(s, dstRoot, dstV + 1, mine.distinct.sorted,
-          mergeTxn(dstM.txns, srcV.toLong), Some(folded.schema),
-          Some("rewrite"), mineStats)
+        val hasDeletes = pending.fold(true)(_._2) // unclassifiable: honest rewrite
+        val cdfFiles =
+          if (hasDeletes || mine.isEmpty) Seq.empty
+          else writeChangeFiles(s, dstRoot,
+            keyedSemiJoin(s.read.schema(folded.schema).parquet(mine: _*),
+              changeKeys, keyCols))
+        writeManifest(s, dstRoot, dstV + 1, (survivors ++ mine).distinct.sorted,
+          dstM.txns, Some(folded.schema),
+          Some(if (hasDeletes) "rewrite" else "merge"),
+          dstM.stats ++ mineStats, cdfFiles, blooms = dstM.blooms,
+          mirror = Some(srcV.toLong))
         return dstV + 1
       } catch {
         // a lost race means ANOTHER sync advanced the mirror — our fold
@@ -1797,13 +2043,13 @@ object Snapshots {
       // source version: done (committing OUR older snapshot on top
       // would silently roll the mirror back — the mirrorSync race
       // discipline applies here too)
-      if (dstM.txns.lastOption.exists(_._2 >= srcV)) return dstV
+      if (mirrorCursorOf(dstM) >= srcV && dstV >= 1) return dstV
       val snap = read(s, srcRoot, srcV)
       val (mine, st) = writeBatchFiles(s, dstRoot, snap)
       try {
         writeManifest(s, dstRoot, dstV + 1, mine.distinct.sorted,
-          mergeTxn(dstM.txns, srcV.toLong), Some(snap.schema),
-          Some("rewrite"), st)
+          dstM.txns, Some(snap.schema),
+          Some("rewrite"), st, mirror = Some(srcV.toLong))
         return dstV + 1
       } catch {
         // lost race: the snapshot AND the cursor we read are stale —

@@ -1017,4 +1017,161 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
     assert(got === Seq((1L, "a"), (2L, "b"), (3L, "b")),
       "the streamed state is the keyed keep-last of all batches")
   }
+
+  test("pruned merge: a narrow-key batch rewrites only key-holding files; the rest carry by path") {
+    import org.apache.spark.sql.functions.{col, lit, max => smax}
+    val root = java.nio.file.Files.createTempDirectory("graft_snapmprune").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+      .withColumn("rev", lit(1L))
+    Snapshots.create(spark, root, docs.repartitionByRange(8, col("doc_id")))
+    val v1Files = Snapshots.read(spark, root, 1).inputFiles.toSet
+    val mx = docs.agg(smax(col("doc_id"))).head().getLong(0)
+    // a narrow update slice + one insert far above the corpus: the
+    // batch HULL spans everything (insert key), so only the phase-2
+    // key semi-join can keep the rewrite narrow
+    val batch = docs.filter(col("doc_id") < mx / 8)
+      .withColumn("rev", lit(2L)).withColumn("source", lit("upd"))
+      .unionByName(docs.filter(col("doc_id") === 0L)
+        .withColumn("doc_id", col("doc_id") + lit(mx + 1000L))
+        .withColumn("rev", lit(2L)))
+    val v2 = Snapshots.merge(spark, root, batch, Seq("doc_id"), "rev")
+    val after = Snapshots.read(spark, root, v2)
+    val v2Files = after.inputFiles.toSet
+    val carried = (v1Files & v2Files).size
+    assert(carried >= 5 && carried < v1Files.size,
+      s"files holding no batch key must carry by path (carried $carried " +
+        s"of ${v1Files.size})")
+    // results are exactly the keep-last merge
+    val wantUpd = ids(docs.filter(col("doc_id") < mx / 8))
+    assert(ids(after.filter(col("source") === "upd")) === wantUpd,
+      "every batch key's standing row was replaced")
+    assert(ids(after) === (ids(docs) ++ Seq(mx + 1000L)).sorted,
+      "untouched rows carried; the insert landed")
+    // the CDF is exactly the batch's post-images, carried-file rows
+    // never leak into it
+    val chg = Snapshots.changesBetween(spark, root, 1, v2, upserts = true)
+    assert(ids(chg) === (wantUpd ++ Seq(mx + 1000L)).sorted)
+    // stats on carried files still serve: a prune below the update
+    // range plans a strict file subset
+    val pruned = Snapshots.readWhere(spark, root, v2,
+      Seq(Snapshots.StatsPred.GtEq("doc_id", mx * 3 / 4)))
+    assert(pruned.inputFiles.length < v2Files.size,
+      "carried files kept their manifest stats through the merge")
+  }
+
+  test("merge collapses NULL keys null-safely across the prune") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_snapmnull").toString
+    val standing = Seq((java.lang.Long.valueOf(1L), "a", 1L),
+      (java.lang.Long.valueOf(2L), "b", 1L),
+      (null.asInstanceOf[java.lang.Long], "n", 1L))
+      .toDF("id", "src", "rev")
+    Snapshots.create(spark, root, standing.repartitionByRange(2, col("id")))
+    val batch = Seq((null.asInstanceOf[java.lang.Long], "n2", 2L))
+      .toDF("id", "src", "rev")
+    val v2 = Snapshots.merge(spark, root, batch, Seq("id"), "rev")
+    val after = Snapshots.read(spark, root, v2).collect()
+      .map(r => (Option(r.get(0)), r.getString(1))).sortBy(_.toString).toSeq
+    assert(after === Seq((None, "n2"), (Some(1L), "a"), (Some(2L), "b")),
+      "the batch's null key replaced the standing null-key row — a " +
+        "hull prune that hid the null row would have duplicated it")
+  }
+
+  test("layout maintenance recomputes on a lost race instead of publishing a stale file set") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val root = java.nio.file.Files.createTempDirectory("graft_snaplrace").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    val sliceA = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val sliceB = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    Snapshots.create(spark, root, sliceA.repartitionByRange(4, col("doc_id")))
+    // inject a concurrent append into the compact's race window: the
+    // stale layout (computed from v1) must NOT be published — the old
+    // commitRetry would have silently dropped sliceB from the lineage
+    // while the layout tag claimed row preservation
+    var fired = false
+    Snapshots.layoutHook = () => if (!fired) {
+      fired = true
+      Snapshots.append(spark, root, sliceB)
+    }
+    try {
+      val v = Snapshots.compact(spark, root, partitions = 2)
+      assert(fired, "the race window hook must have run")
+      assert(ids(Snapshots.read(spark, root, v)) === ids(docs),
+        "the recomputed layout preserves the racing append's rows")
+      assert(Snapshots.changesBetween(spark, root, 2, v).count() === 0,
+        "the final commit is still an honest empty-delta layout")
+    } finally Snapshots.layoutHook = () => ()
+  }
+
+  test("clusterZN: a three-dimension Morton layout lets every dimension prune") {
+    import org.apache.spark.sql.functions.{col, length => slen, pmod, lit}
+    import Snapshots.StatsPred._
+    val root = java.nio.file.Files.createTempDirectory("graft_snapz3").toString
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        slen(col("text")).cast("long").as("tlen"),
+        pmod(col("doc_id") * lit(2654435761L), lit(65536L)).as("h"))
+    Snapshots.create(spark, root, docs.repartition(8, col("source")))
+    val vz = Snapshots.clusterZN(spark, root, Seq("doc_id", "tlen", "h"),
+      partitions = 16)
+    val full = Snapshots.read(spark, root, vz).inputFiles.length
+    Seq("doc_id", "tlen", "h").foreach { c =>
+      val cut = docs.agg(org.apache.spark.sql.functions.max(col(c)))
+        .head().getLong(0) * 3 / 4
+      val pruned = Snapshots.readWhere(spark, root, vz, Seq(GtEq(c, cut)))
+      assert(ids(pruned) === ids(docs.filter(col(c) >= cut)),
+        s"the $c cut must never change results")
+      assert(pruned.inputFiles.length < full,
+        s"dimension $c prunes on the 3-dim z-layout " +
+          s"(${pruned.inputFiles.length} of $full)")
+    }
+  }
+
+  test("mirror: pruned fold carries files by path, stays tailable, and txn producers cannot corrupt the cursor") {
+    import org.apache.spark.sql.functions.{col, lit, max => smax}
+    val src = java.nio.file.Files.createTempDirectory("graft_mirpsrc").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_mirpdst").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+      .withColumn("rev", lit(1L))
+    Snapshots.create(spark, src, docs.repartitionByRange(4, col("doc_id")))
+    Snapshots.mirrorSync(spark, src, dst, Seq("doc_id"))
+    // the bootstrap is an honest append-from-empty: a second-tier
+    // consumer can read the mirror's own feed from version 0
+    assert(Snapshots.changesBetween(spark, dst, 0, 1).count() === docs.count())
+    // range-cluster the MIRROR (a commit on the mirror root: the
+    // #mirror: cursor must carry through commitRetry) so the fold
+    // prune has a selective layout to work with
+    val cv = Snapshots.cluster(spark, dst, Seq("doc_id"), partitions = 8)
+    val preFiles = Snapshots.read(spark, dst, cv).inputFiles.toSet
+    val mx = docs.agg(smax(col("doc_id"))).head().getLong(0)
+    val upd = docs.filter(col("doc_id") < mx / 8)
+      .withColumn("rev", lit(2L)).withColumn("source", lit("upd"))
+    Snapshots.merge(spark, src, upd, Seq("doc_id"), "rev")
+    val dv = Snapshots.mirrorSync(spark, src, dst, Seq("doc_id"))
+    val mirror = Snapshots.read(spark, dst, dv)
+    val srcLatest = Snapshots.read(spark, src, Snapshots.latestVersion(spark, src))
+    assert(mirror.exceptAll(srcLatest).isEmpty &&
+      srcLatest.exceptAll(mirror).isEmpty,
+      "the pruned fold still reproduces the source exactly")
+    val carried = (preFiles & mirror.inputFiles.toSet).size
+    assert(carried >= 5,
+      s"mirror files holding no changed key carry by path (carried $carried " +
+        s"of ${preFiles.size})")
+    // delete-free fold commits as `merge`: the mirror is TAILABLE —
+    // a chained consumer polls the changed keys' post-images through it
+    val tail2 = Snapshots.changesBetween(spark, dst, cv, dv, upserts = true)
+    assert(ids(tail2) === ids(upd),
+      "the mirror's own change set is exactly the changed keys")
+    // an unrelated txn producer on the mirror root must not corrupt
+    // the cursor (the old txn-tag encoding did: its id became the
+    // "consumed source version" and syncs silently no-opped)
+    Snapshots.appendTxn(spark, dst, 500L, docs.limit(0))
+    Snapshots.append(spark, src, docs.filter(col("doc_id") === 0L)
+      .withColumn("doc_id", col("doc_id") + lit(mx + 5000L)))
+    val dv2 = Snapshots.mirrorSync(spark, src, dst, Seq("doc_id"))
+    assert(Snapshots.read(spark, dst, dv2)
+      .filter(col("doc_id") === mx + 5000L).count() === 1,
+      "the sync after a foreign txn id still delivers the source append")
+  }
 }
