@@ -126,14 +126,37 @@ object Snapshots {
     */
   private def footerScan(s: SparkSession,
                          files: Seq[String]): (Seq[String], Map[String, String]) = {
+    // EXECUTOR-SIDE past a handful of files: the harvest is the right
+    // O(own files) asymptotic but was ONE driver thread — a
+    // merge/compact producing 10⁴ parts paid 10⁴ sequential footer
+    // opens. Small commits stay on the driver (no job overhead).
+    val conf = s.sparkContext.hadoopConfiguration
+    val results: Seq[(String, Boolean, Option[(String, String)])] =
+      if (files.length < FooterScanDistributeAt)
+        harvestFooters(conf, files.iterator).toSeq
+      else org.apache.spark.GraftSparkBridge.mapPartitionsWithConf(
+        s.sparkContext, conf, files,
+        math.min(files.length, s.sparkContext.defaultParallelism))(
+        (c, it) => harvestFooters(c, it)).toSeq
+    (results.collect { case (f, true, _) => f },
+      results.flatMap(_._3).toMap)
+  }
+
+  /** Threshold below which [[footerScan]] stays driver-local. */
+  private val FooterScanDistributeAt = 8
+
+  /** Per-file footer harvest — (file, live, stats-json). Runs inside
+    * executor tasks for large commits, so it must capture nothing but
+    * this object.
+    */
+  private def harvestFooters(conf: org.apache.hadoop.conf.Configuration,
+      files: Iterator[String])
+      : Iterator[(String, Boolean, Option[(String, String)])] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import scala.jdk.CollectionConverters._
-    val conf = s.sparkContext.hadoopConfiguration
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def ascii(x: String): Boolean = x.forall(c => c >= ' ' && c < 127)
-    val live = Seq.newBuilder[String]
-    val stats = files.flatMap { file =>
-      var counted = false // guards double-add if the stats harvest throws
+    files.map { file =>
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new org.apache.hadoop.fs.Path(file), conf)
@@ -141,10 +164,8 @@ object Snapshots {
         try {
           // zero-row parts drop here (see [[nonEmptyParts]]) — the
           // SAME footer open harvests the stats, one pass per file
-          if (r.getRecordCount == 0) Seq.empty
+          if (r.getRecordCount == 0) (file, false, None)
           else {
-            live += file
-            counted = true
           // merge row-group chunk stats per top-level column; a chunk
           // with absent/invalid stats voids the whole column
           val acc = scala.collection.mutable.LinkedHashMap
@@ -203,19 +224,19 @@ object Snapshots {
               }
             case _ => ()
           }
-          if (node.isEmpty) Seq.empty
-          else Seq(fileStatKey(file) -> mapper.writeValueAsString(node))
+          (file, true,
+            if (node.isEmpty) None
+            else Some(fileStatKey(file) -> mapper.writeValueAsString(node)))
           }
         } finally r.close()
       } catch {
         // stats are an optimization, never a correctness dependency: a
         // footer we cannot read just records nothing for its file —
-        // but the FILE is kept (never drop data on a metadata error),
-        // exactly once (the harvest may throw AFTER the live add)
-        case _: Exception => if (!counted) live += file; Seq.empty
+        // but the FILE is kept (never drop data on a metadata error);
+        // a harvest that threw after proving liveness keeps it too
+        case _: Exception => (file, true, None)
       }
-    }.toMap
-    (live.result(), stats)
+    }
   }
 
   /** Stats are keyed by the part-file NAME (globally unique — Spark
@@ -1320,14 +1341,23 @@ object Snapshots {
 
   // ---- per-file bloom membership (Eq-predicate skipping) --------------------
 
-  /** Bloom geometry defaults: 4096 bits ≈ 0.6 KB base64 per (file,
-    * column) manifest line; at 5 hashes the false-positive rate stays
-    * under ~1% up to ~400 distinct values per file and degrades
-    * gracefully past it (a saturated bloom prunes nothing — never
-    * wrong, just useless, the stats contract).
+  /** Bloom geometry: bits are sized PER FILE from the file's row count
+    * (~[[BloomBitsPerValue]] bits per row, clamped to
+    * [[[BloomBits]], [[BloomMaxBits]]]) — a FIXED pool is the decay
+    * the fixed BQ rerank pool had: at 4096 bits a production file of
+    * 10⁵ distinct values saturates to all-ones and every probe turns
+    * positive (never wrong, just useless). At 10 bits/value and 5
+    * hashes the false-positive rate stays ~1% regardless of file
+    * size up to the cap (2²⁰ bits ≈ 170 KB base64 — one manifest line
+    * for a ~10⁵-row file, written once per file under delta
+    * manifests); past the cap it degrades gracefully, the stats
+    * contract. The probe reads each payload's own `k,bits` header, so
+    * mixed geometries coexist in one manifest.
     */
-  val BloomBits = 4096
+  val BloomBits = 4096 // minimum (and the pre-r14 fixed size)
   val BloomHashes = 5
+  val BloomBitsPerValue = 10
+  val BloomMaxBits = 1 << 20
   private val BloomA = Array(31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L)
   private val BloomB = Array(7L, 11L, 13L, 17L, 19L, 23L, 29L, 39L)
   private val BloomP = graft.functions.TextFunctions.HashP
@@ -1398,20 +1428,25 @@ object Snapshots {
     * a bloom for a requested column are scanned (blooms are per-file
     * and carry like stats), so re-running after every append costs
     * O(new files) — the stats discipline — and a fully-covered
-    * version is a commit-free no-op. Cost per run: one distributed
-    * scan of the missing files projecting (file, col, bit) triples —
-    * k·distinct positions per file per column, collapsed by a
-    * distinct — plus O(files × cols × bits/8) driver bytes to
-    * assemble the bitsets. Supported column types: integral + ASCII
-    * strings (long/double stats cover the rest of the comparison
-    * surface).
+    * version is a commit-free no-op. Cost per run: one count pass
+    * sizing each file's bits from its row count, one distributed scan
+    * hashing k positions per value, and the bitset WORDS assembled in
+    * a distributed two-level `bit_or` aggregate — the driver collects
+    * ONE row per (file, column) carrying the sparse word list (never a
+    * row per set bit: the initial backfill of a 10⁶-file corpus must
+    * collect O(files), not O(files × bits)). Supported column types:
+    * integral + ASCII strings (long/double stats cover the rest of the
+    * comparison surface).
     */
   def analyzeBloom(s: SparkSession, root: String, cols: Seq[String],
-                   bits: Int = BloomBits, hashes: Int = BloomHashes): Int = {
+                   hashes: Int = BloomHashes,
+                   bitsPerValue: Int = BloomBitsPerValue,
+                   maxBits: Int = BloomMaxBits): Int = {
     require(cols.nonEmpty, "analyzeBloom needs at least one column")
     require(hashes >= 1 && hashes <= BloomA.length,
       s"hashes must be in [1, ${BloomA.length}]")
-    require(bits >= 64, "bits must be >= 64 (the probe rejects less)")
+    require(bitsPerValue >= 1 && maxBits >= BloomBits,
+      "need bitsPerValue >= 1 and maxBits >= BloomBits")
     var attempts = 0
     while (true) {
       val base = latestVersion(s, root)
@@ -1439,30 +1474,61 @@ object Snapshots {
         !m.blooms.get(s"${fileStatKey(f)}:$c").exists(bloomPayloadValid)))
       if (missing.isEmpty) return base
       val df = s.read.schema(sc).parquet(missing: _*)
-      val triples = usable.map { c =>
+      val fname = substring_index(input_file_name(), "/", -1)
+      // size each file's bloom from ITS row count (an upper bound on
+      // distinct values): ~bitsPerValue bits per row, clamped to
+      // [BloomBits, maxBits] and word-aligned — the fixed-pool decay
+      // fix (a 4096-bit bloom over a 10⁵-row file is all-ones)
+      def bitsOf(n: Long): Int = {
+        val want = math.min(maxBits.toLong,
+          math.max(BloomBits.toLong, n * bitsPerValue))
+        (((want + 63) / 64) * 64).toInt
+      }
+      val bitsByFile: Map[String, Int] =
+        df.groupBy(fname.as("_fn")).count().collect()
+          .map(r => r.getString(0) -> bitsOf(r.getLong(1))).toMap
+      import s.implicits._
+      val bitsDf = bitsByFile.toSeq.toDF("_fn", "_bits")
+      // distributed word assembly: hash k positions per value, fold
+      // into 64-bit words with bit_or, then one sparse word LIST per
+      // (file, col) — the only driver-sized collect
+      val collected = usable.map { c =>
         val b = bloomBaseCol(col(c), byName(c))
         df.filter(col(c).isNotNull)
-          .select(input_file_name().as("_f"), lit(c).as("_c"),
+          .select(fname.as("_fn"), lit(c).as("_c"),
             explode(array((0 until hashes).map(i =>
-              ((b * lit(BloomA(i)) + lit(BloomB(i))) % lit(BloomP))
-                % lit(bits.toLong)): _*)).as("_p"))
-      }.reduce(_.unionAll(_)).distinct().collect()
+              (b * lit(BloomA(i)) + lit(BloomB(i))) % lit(BloomP)): _*))
+              .as("_h"))
+      }.reduce(_.unionAll(_))
+        .join(broadcast(bitsDf), "_fn")
+        .select(col("_fn"), col("_c"),
+          (col("_h") % col("_bits")).cast("long").as("_p"))
+        .select(col("_fn"), col("_c"),
+          shiftright(col("_p"), 6).cast("int").as("_w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))").as("_v"))
+        .groupBy("_fn", "_c", "_w")
+        .agg(expr("bit_or(_v)").as("_wv"))
+        .groupBy("_fn", "_c")
+        .agg(sort_array(collect_list(struct(col("_w"), col("_wv")))).as("_ws"))
+        .collect()
       val words = scala.collection.mutable.HashMap
         .empty[String, Array[Long]] // "file:col" -> bitset words
+      def wordsOf(fileName: String): Array[Long] =
+        new Array[Long](bitsByFile.getOrElse(fileName, BloomBits) / 64)
       // pre-seed EVERY scanned (file, col) pair with an all-zero
       // bitset: a file whose column is entirely NULL produces no
-      // triples, and without a recorded (empty) bloom it would stay
+      // hashes, and without a recorded (empty) bloom it would stay
       // "missing" forever — rescanned and re-committed on every call.
       // The all-zero bloom is also the CORRECT filter: Eq never
       // matches a null, so pruning the file on any literal is exact.
       missing.foreach(f => usable.foreach(c =>
-        words.getOrElseUpdate(s"${fileStatKey(f)}:$c",
-          new Array[Long]((bits + 63) / 64))))
-      triples.foreach { r =>
-        val key = s"${fileStatKey(r.getString(0))}:${r.getString(1)}"
-        val w = words.getOrElseUpdate(key, new Array[Long]((bits + 63) / 64))
-        val p = r.getLong(2).toInt
-        w(p >> 6) |= (1L << (p & 63))
+        words.getOrElseUpdate(s"${fileStatKey(f)}:$c", wordsOf(fileStatKey(f)))))
+      collected.foreach { r =>
+        val fn = r.getString(0)
+        val w = words.getOrElseUpdate(s"$fn:${r.getString(1)}", wordsOf(fn))
+        r.getSeq[org.apache.spark.sql.Row](2).foreach { wr =>
+          w(wr.getInt(0)) |= wr.getLong(1)
+        }
       }
       // payload records the HASH FAMILY ('l' integral fold vs 's' char
       // fold) so a cross-type Eq literal never probes the wrong family
@@ -1478,7 +1544,7 @@ object Snapshots {
         val bb = java.nio.ByteBuffer.allocate(w.length * 8)
         w.foreach(bb.putLong)
         val kind = kindOf(key.substring(key.indexOf(':') + 1))
-        key -> s"$hashes,$bits,$kind,${enc.encodeToString(bb.array)}"
+        key -> s"$hashes,${w.length * 64},$kind,${enc.encodeToString(bb.array)}"
       }.toMap
       try {
         writeManifest(s, root, base + 1, m.files, m.txns, Some(sc),

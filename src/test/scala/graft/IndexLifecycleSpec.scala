@@ -915,6 +915,33 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
       "the all-zero bloom prunes the all-null file on any literal")
   }
 
+  test("bloom geometry scales with file size: a 100k-distinct-value file still prunes") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    import Snapshots.StatsPred._
+    val root = java.nio.file.Files.createTempDirectory("graft_snapblmbig").toString
+    // one BIG file of 10⁵ distinct fingerprints (the production file
+    // size at which the old FIXED 4096-bit pool saturated to all-ones
+    // and pruned nothing) + one small file holding the probe target
+    val big = spark.range(0L, 100000L)
+      .select((col("id") * lit(2654435761L)).as("fp"), lit("big").as("src"))
+      .coalesce(1)
+    val small = Seq((1234567890123L, "small")).toDF("fp", "src").coalesce(1)
+    Snapshots.create(spark, root, big)
+    Snapshots.append(spark, root, small)
+    val v = Snapshots.analyzeBloom(spark, root, Seq("fp"))
+    val hit = Snapshots.readWhere(spark, root, v, Seq(Eq("fp", 1234567890123L)))
+    assert(hit.count() === 1,
+      "bloom skipping never changes results")
+    assert(hit.inputFiles.length === 1,
+      "the row-count-sized bloom over 10⁵ distinct values still " +
+        "excludes the big file — a saturated fixed pool would have kept it")
+    // and a value present only in the big file keeps serving exactly
+    val sample = Snapshots.readWhere(spark, root, v,
+      Seq(Eq("fp", 2654435761L * 777L)))
+    assert(sample.count() === 1 && sample.inputFiles.length === 1)
+  }
+
   test("CDC mirror: exactly-once fold of the typed feed tracks the source through every verb") {
     import org.apache.spark.sql.functions.{col, lit}
     val src = java.nio.file.Files.createTempDirectory("graft_mirsrc").toString
