@@ -265,7 +265,8 @@ object Snapshots {
                             stats: Map[String, String] = Map.empty,
                             cdf: Seq[String] = Seq.empty,
                             blooms: Map[String, String] = Map.empty,
-                            mirror: Option[Long] = None): Unit = {
+                            mirror: Option[Long] = None,
+                            base: Option[(Int, Manifest)] = None): Unit = {
     val f = fs(s)
     val p = manifestPath(root, v)
     // Two-phase commit: write the FULL content to a dot-temp (invisible
@@ -307,30 +308,119 @@ object Snapshots {
     // SOURCE version), in its OWN namespace so txn producers on the
     // same root (appendTxn/streamingMergeSink batchIds) can never
     // corrupt it; carried forward by every commit path like txns.
+    //
+    // DELTA MANIFESTS (the Delta-log/checkpoint economics): a full
+    // manifest re-serializes every file path + `#stats:` + `#bloom:`
+    // line per commit — at 10⁶ files that is hundreds of MB of driver
+    // text I/O for a one-file append. When the caller supplies the
+    // BASE version it committed against (always the immediate
+    // predecessor), the manifest instead records `#base:<v-1>` plus
+    // only this commit's deltas: `#rm:<path>` for dropped files, bare
+    // path lines for added ones, and only NEW/CHANGED stats/bloom
+    // lines — O(changed files) bytes per commit. Readers resolve the
+    // chain ([[readManifestData]]); every [[CheckpointEvery]]-th
+    // version (and any commit whose delta would exceed the full list)
+    // is written FULL, bounding chain depth. Carried-in-full each
+    // commit regardless: schema, commit kind, txn ranges, cdf, mirror
+    // cursor — all O(1)-ish. expire() materializes its oldest retained
+    // version full before dropping the chain below it.
     val live = files.map(fileStatKey).toSet
+    val liveBloom = (k: String) => live.contains(k.substring(0, k.indexOf(':')))
+    val header = manifestHeader(txns, schema, commitKind, cdf, mirror)
+    def statLines(keep: ((String, String)) => Boolean) =
+      stats.toSeq.filter(keep).sortBy(_._1)
+        .map { case (n, j) => s"#stats:$n:$j" }
+    // `#bloom:<fileName>:<col>:<payload>` — per-file membership
+    // filters for Eq-predicate skipping ([[analyzeBloom]]), carried
+    // like stats and dropped with replaced files
+    def bloomLines(keep: ((String, String)) => Boolean) =
+      blooms.toSeq.filter(keep).sortBy(_._1)
+        .map { case (k, pl) => s"#bloom:$k:$pl" }
+    def full: Seq[String] =
+      header ++ statLines(kv => live.contains(kv._1)) ++
+        bloomLines(kv => liveBloom(kv._1)) ++ files
+    val content = base match {
+      case Some((bv, bm)) if bv == v - 1 && v % CheckpointEvery != 0 =>
+        val baseSet = bm.files.toSet
+        val fileSet = files.toSet
+        val adds = files.filterNot(baseSet)
+        val rms = bm.files.filterNot(fileSet)
+        if (adds.length + rms.length >= files.length) full
+        else Seq(s"#base:$bv") ++ header ++
+          statLines(kv => live.contains(kv._1) &&
+            !bm.stats.get(kv._1).contains(kv._2)) ++
+          bloomLines(kv => liveBloom(kv._1) &&
+            !bm.blooms.get(kv._1).contains(kv._2)) ++
+          rms.map(r => s"#rm:$r") ++ adds
+      case _ => full
+    }
     val out = f.create(tmp, false)
-    try out.write(
-      (schema.map(sc => s"#schema:${sc.json}").toSeq ++
-        commitKind.map(k => s"#commit:$k").toSeq ++
-        mirror.map(v => s"#mirror:$v").toSeq ++
-        cdf.map(p => s"#cdf:$p") ++
-        txns.map { case (a, b) =>
-          if (a == b) s"#txn:$a" else s"#txn:$a-$b" } ++
-        stats.toSeq.filter(kv => live.contains(kv._1)).sortBy(_._1)
-          .map { case (n, j) => s"#stats:$n:$j" } ++
-        // `#bloom:<fileName>:<col>:<payload>` — per-file membership
-        // filters for Eq-predicate skipping ([[analyzeBloom]]), carried
-        // like stats and dropped with replaced files
-        blooms.toSeq
-          .filter(kv => live.contains(kv._1.substring(0, kv._1.indexOf(':'))))
-          .sortBy(_._1)
-          .map { case (k, p) => s"#bloom:$k:$p" } ++ files)
-        .mkString("\n").getBytes("UTF-8"))
+    try out.write(content.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!claimVersion(f, tmp, p)) {
       f.delete(tmp, false)
       throw new ConcurrentCommitException(root, v)
     }
+  }
+
+  /** Every this-many versions a manifest is written FULL regardless of
+    * delta size — the checkpoint cadence bounding chain depth (and the
+    * manifest-read cost) for [[readManifestData]]'s resolution.
+    */
+  val CheckpointEvery = 16
+
+  private def manifestHeader(txns: Seq[(Long, Long)],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      commitKind: Option[String], cdf: Seq[String],
+      mirror: Option[Long]): Seq[String] =
+    schema.map(sc => s"#schema:${sc.json}").toSeq ++
+      commitKind.map(k => s"#commit:$k").toSeq ++
+      mirror.map(mv => s"#mirror:$mv").toSeq ++
+      cdf.map(cp => s"#cdf:$cp") ++
+      txns.map { case (a, b) => if (a == b) s"#txn:$a" else s"#txn:$a-$b" }
+
+  /** Rewrite version v's manifest FULL (a checkpoint) if it is
+    * currently a delta — [[expire]] must not drop the chain below its
+    * oldest retained version while that version still resolves through
+    * it. Content-equivalent by construction; the replace is atomic on
+    * file:// (ATOMIC_MOVE) and the manifest mtime is preserved so
+    * [[versionAsOf]] keeps resolving the original commit instant.
+    */
+  private def materializeManifest(s: SparkSession, root: String,
+                                  v: Int): Unit = {
+    val f = fs(s)
+    val p = manifestPath(root, v)
+    if (!f.exists(p) || parseManifest(s, root, v).base.isEmpty) return
+    val m = readManifestData(s, root, v)
+    val mtime = f.getFileStatus(p).getModificationTime
+    val live = m.files.map(fileStatKey).toSet
+    val content =
+      manifestHeader(m.txns, m.schema, m.commit, m.cdf, m.mirror) ++
+        m.stats.toSeq.filter(kv => live.contains(kv._1)).sortBy(_._1)
+          .map { case (n, j) => s"#stats:$n:$j" } ++
+        m.blooms.toSeq
+          .filter(kv => live.contains(kv._1.substring(0, kv._1.indexOf(':'))))
+          .sortBy(_._1).map { case (k, pl) => s"#bloom:$k:$pl" } ++
+        m.files
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$root/manifests/.v$v.${java.util.UUID.randomUUID().toString.take(8)}.mat")
+    val out = f.create(tmp, false)
+    try out.write(content.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if ("file" == f.getScheme) {
+      val local = (q: org.apache.hadoop.fs.Path) =>
+        java.nio.file.Paths.get(q.toUri.getPath)
+      java.nio.file.Files.move(local(tmp), local(p),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      // non-posix: delete-then-rename; a crash in the sliver leaves the
+      // version transiently missing (fail-fast readers), never corrupt
+      f.delete(p, false)
+      f.rename(tmp, p)
+    }
+    try f.setTimes(p, mtime, -1)
+    catch { case _: java.io.IOException => () }
   }
 
   /** Atomically publish the durable temp as v's manifest; false iff a
@@ -392,16 +482,24 @@ object Snapshots {
       blooms: Map[String, String] = Map.empty,
       mirror: Option[Long] = None)
 
-  /** ONE manifest open + parse per call — the hot metadata paths
-    * (read / changesBetween / every commitRetry attempt) consume all
-    * three sections, and at 10⁶ files per version the manifest read IS
-    * the module's bottleneck; parsing it once instead of once per
-    * section is a 2-3× metadata-I/O cut.
+  /** One raw (unresolved) manifest layer: `adds` are its bare file
+    * lines — the FULL file set for a checkpoint manifest, only the
+    * added files when `base` is set.
     */
-  private[sources] def readManifestData(s: SparkSession, root: String,
-                                        v: Int): Manifest = {
+  private final case class RawManifest(base: Option[Int],
+      adds: Seq[String], rms: Seq[String],
+      txns: Seq[(Long, Long)],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      commit: Option[String],
+      stats: Map[String, String], cdf: Seq[String],
+      blooms: Map[String, String], mirror: Option[Long])
+
+  private def parseManifest(s: SparkSession, root: String,
+                            v: Int): RawManifest = {
     val lines = manifestLines(s, root, v)
     val files = Seq.newBuilder[String]
+    val rms = Seq.newBuilder[String]
+    var base: Option[Int] = None
     val txns = Seq.newBuilder[(Long, Long)]
     var schema: Option[org.apache.spark.sql.types.StructType] = None
     var commit: Option[String] = None
@@ -410,6 +508,10 @@ object Snapshots {
     val blooms = Map.newBuilder[String, String]
     var mirror: Option[Long] = None
     lines.foreach {
+      case l if l.startsWith("#base:") =>
+        base = l.stripPrefix("#base:").toIntOption
+      case l if l.startsWith("#rm:") =>
+        rms += l.stripPrefix("#rm:")
       case l if l.startsWith("#commit:") =>
         commit = Some(l.stripPrefix("#commit:"))
       case l if l.startsWith("#mirror:") =>
@@ -442,11 +544,52 @@ object Snapshots {
       case l if l.startsWith("#") => () // unknown metadata: forward-compat
       case l => files += l
     }
-    Manifest(files.result(), txns.result().sorted, schema, commit,
-      stats.result(), cdf.result(), blooms.result(), mirror)
+    RawManifest(base, files.result(), rms.result(), txns.result().sorted,
+      schema, commit, stats.result(), cdf.result(), blooms.result(), mirror)
   }
 
-  private[sources] def readManifest(s: SparkSession, root: String, v: Int): Seq[String] =
+  /** Resolve version v's manifest: walk its `#base:` chain back to the
+    * nearest checkpoint (full) manifest — bounded by
+    * [[CheckpointEvery]] — then fold each delta's removes/adds and
+    * stats/bloom additions forward, oldest to newest. Per-commit
+    * metadata (schema, commit kind, txns, cdf, mirror) always comes
+    * from v's OWN layer (delta manifests carry those in full). Stats
+    * and blooms filter to the resolved live file set, so a removed
+    * file's lines die with it regardless of which layer recorded them.
+    */
+  private[graft] def readManifestData(s: SparkSession, root: String,
+                                      v: Int): Manifest = {
+    val layers = scala.collection.mutable.ArrayBuffer.empty[RawManifest]
+    var cur = v
+    var raw = parseManifest(s, root, cur)
+    layers += raw
+    while (raw.base.isDefined) {
+      val b = raw.base.get
+      require(b >= 1 && b < cur,
+        s"corrupt manifest chain at $root: v$cur bases on v$b")
+      cur = b
+      raw = parseManifest(s, root, cur)
+      layers += raw
+    }
+    var files = layers.last.adds.toSet
+    var stats = layers.last.stats
+    var blooms = layers.last.blooms
+    layers.dropRight(1).reverseIterator.foreach { l =>
+      files = files -- l.rms ++ l.adds
+      stats = stats ++ l.stats
+      blooms = blooms ++ l.blooms
+    }
+    val head = layers.head
+    val liveNames = files.map(fileStatKey)
+    Manifest(files.toSeq.sorted, head.txns, head.schema, head.commit,
+      stats.filter(kv => liveNames.contains(kv._1)),
+      head.cdf,
+      blooms.filter(kv =>
+        liveNames.contains(kv._1.substring(0, kv._1.indexOf(':')))),
+      head.mirror)
+  }
+
+  private[graft] def readManifest(s: SparkSession, root: String, v: Int): Seq[String] =
     readManifestData(s, root, v).files
 
   /** Delete one version's manifest if present ([[IndexVersions.expire]]
@@ -570,7 +713,8 @@ object Snapshots {
         writeManifest(s, root, v + 1, files(m.files).distinct.sorted,
           addTxn.fold(m.txns)(mergeTxn(m.txns, _)),
           schemaFor(m.schema), Some(commitKind), m.stats ++ addStats,
-          blooms = m.blooms ++ addBlooms, mirror = m.mirror)
+          blooms = m.blooms ++ addBlooms, mirror = m.mirror,
+          base = if (v >= 1) Some((v, m)) else None)
         return v + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -840,7 +984,7 @@ object Snapshots {
         writeManifest(s, root, base + 1, (survivors ++ mine).distinct.sorted,
           txn.fold(m.txns)(mergeTxn(m.txns, _)),
           Some(sc), Some("merge"), m.stats ++ mineStats, cdfFiles,
-          blooms = m.blooms, mirror = m.mirror)
+          blooms = m.blooms, mirror = m.mirror, base = Some((base, m)))
         return base + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -1002,7 +1146,7 @@ object Snapshots {
           m.txns, Some(sc), Some("delete"),
           m.stats ++ freshStats, cdfFiles,
           blooms = m.blooms, // survivors keep theirs; rewritten files' drop
-          mirror = m.mirror)
+          mirror = m.mirror, base = Some((base, m)))
         return base + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -1178,6 +1322,11 @@ object Snapshots {
     expiredM.flatMap(_.cdf).toSet.diff(liveCdf).foreach { p =>
       f.delete(new org.apache.hadoop.fs.Path(p), false)
     }
+    // the oldest retained version may be a DELTA manifest resolving
+    // through the chain about to be deleted: checkpoint it full first
+    // (idempotent; a crash between materialize and the deletes below
+    // just leaves extra manifests for the next expire)
+    materializeManifest(s, root, retainMin)
     (1 until retainMin).foreach { v =>
       val p = manifestPath(root, v)
       if (f.exists(p)) f.delete(p, false)
@@ -1549,7 +1698,7 @@ object Snapshots {
       try {
         writeManifest(s, root, base + 1, m.files, m.txns, Some(sc),
           Some("analyze"), m.stats, Seq.empty, m.blooms ++ add,
-          mirror = m.mirror)
+          mirror = m.mirror, base = Some((base, m)))
         return base + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -2018,7 +2167,8 @@ object Snapshots {
         if (pendingChangeFree) {
           writeManifest(s, dstRoot, dstV + 1, dstM.files,
             dstM.txns, dstM.schema, Some("layout"),
-            dstM.stats, Seq.empty, dstM.blooms, mirror = Some(srcV.toLong))
+            dstM.stats, Seq.empty, dstM.blooms, mirror = Some(srcV.toLong),
+            base = Some((dstV, dstM)))
           return dstV + 1
         }
         val feed = changeFeed(s, srcRoot, cursor, srcV)
@@ -2067,7 +2217,7 @@ object Snapshots {
           dstM.txns, Some(folded.schema),
           Some(if (hasDeletes) "rewrite" else "merge"),
           dstM.stats ++ mineStats, cdfFiles, blooms = dstM.blooms,
-          mirror = Some(srcV.toLong))
+          mirror = Some(srcV.toLong), base = Some((dstV, dstM)))
         return dstV + 1
       } catch {
         // a lost race means ANOTHER sync advanced the mirror — our fold
@@ -2115,7 +2265,8 @@ object Snapshots {
       try {
         writeManifest(s, dstRoot, dstV + 1, mine.distinct.sorted,
           dstM.txns, Some(snap.schema),
-          Some("rewrite"), st, mirror = Some(srcV.toLong))
+          Some("rewrite"), st, mirror = Some(srcV.toLong),
+          base = if (dstV >= 1) Some((dstV, dstM)) else None)
         return dstV + 1
       } catch {
         // lost race: the snapshot AND the cursor we read are stale —

@@ -740,14 +740,10 @@ class SnapshotsSpec extends org.scalatest.funsuite.AnyFunSuite {
     // the expired version fails fast on its missing manifest
     intercept[Exception] { Snapshots.read(spark, root, 1) }
     // vacuum: on-disk files == union of live manifests, nothing else
-    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    def manifest(v: Int): Set[String] = {
-      val in = f.open(new org.apache.hadoop.fs.Path(s"$root/manifests/v$v.txt"))
-      // '#'-prefixed lines are metadata (schema / txn tags), not files
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(l => l.nonEmpty && !l.startsWith("#")).toSet
-      finally in.close()
-    }
+    // the sanctioned accessor (raw line reads break on delta manifests,
+    // whose bare file lines are only the commit's ADDS)
+    def manifest(v: Int): Set[String] =
+      Snapshots.readManifest(spark, root, v).toSet
     val live = manifest(2) ++ manifest(3)
     assert(allDataFiles() === live,
       "expire keeps every file reachable from live versions and drops the rest")

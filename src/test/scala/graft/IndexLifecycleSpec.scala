@@ -1045,6 +1045,67 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
       "the streamed state is the keyed keep-last of all batches")
   }
 
+  test("delta manifests: commits write O(changed) bytes, resolve exactly, checkpoint on cadence, survive expire") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_snapdelta").toString
+    def manifestFile(v: Int) = new java.io.File(s"$root/manifests/v$v.txt")
+    def isDelta(v: Int) = scala.io.Source.fromFile(manifestFile(v), "UTF-8")
+      .getLines().exists(_.startsWith("#base:"))
+    // v1: a wide create (many files with stats) — the full baseline
+    val wide = spark.range(0L, 512L).select(col("id").as("doc_id"),
+      (col("id") % 7).cast("string").as("src"))
+    Snapshots.create(spark, root, wide.repartitionByRange(16, col("doc_id")))
+    val fullBytes = manifestFile(1).length()
+    // one-row appends: each commit's manifest is a small DELTA, not a
+    // re-serialization of the whole file/stats list
+    (1 to 6).foreach { i =>
+      Snapshots.append(spark, root,
+        Seq((10000L + i, s"s$i")).toDF("doc_id", "src").coalesce(1))
+      val v = Snapshots.latestVersion(spark, root)
+      assert(isDelta(v), s"v$v should be a delta manifest")
+      assert(manifestFile(v).length() < fullBytes / 4,
+        s"a one-file append's manifest must be O(changed), got " +
+          s"${manifestFile(v).length()} vs full $fullBytes")
+    }
+    val v7 = Snapshots.latestVersion(spark, root)
+    assert(v7 === 7)
+    // resolution is exact: files, rows, stats, and schema all match a
+    // from-scratch read
+    val got = Snapshots.read(spark, root, v7)
+    assert(got.count() === 512 + 6)
+    assert(Snapshots.read(spark, root, 4).count() === 512 + 3,
+      "mid-chain versions resolve through their prefix")
+    // stats carried through the chain still prune
+    val pruned = Snapshots.readWhere(spark, root, v7,
+      Seq(Snapshots.StatsPred.GtEq("doc_id", 10000L)))
+    assert(pruned.count() === 6)
+    assert(pruned.inputFiles.length < got.inputFiles.length / 2,
+      "chained stats prune the wide base files")
+    // checkpoint cadence: drive to v16 — that one is written FULL
+    (8 to 16).foreach { i =>
+      Snapshots.append(spark, root,
+        Seq((20000L + i, s"c$i")).toDF("doc_id", "src").coalesce(1))
+    }
+    assert(!isDelta(16), "every CheckpointEvery-th version is a checkpoint")
+    assert(isDelta(15) && Snapshots.latestVersion(spark, root) === 16)
+    // expire at a DELTA version: it materializes full before the chain
+    // below it is deleted, so retained reads keep working
+    assert(isDelta(10))
+    Snapshots.expire(spark, root, retainMin = 10)
+    assert(!isDelta(10), "the oldest retained delta checkpoints on expire")
+    assert(Snapshots.read(spark, root, 10).count() === 512 + 6 + 3)
+    assert(Snapshots.read(spark, root, 16).count() === 512 + 6 + 9,
+      "newer deltas resolve through the materialized checkpoint")
+    intercept[Exception] { Snapshots.read(spark, root, 9) }
+    // a rewrite shrinking the corpus flips to a full manifest (the
+    // delta would be larger than the list) and still resolves
+    val v17 = Snapshots.rewrite(spark, root,
+      Snapshots.read(spark, root, 16).filter(col("doc_id") < 100L))
+    assert(!isDelta(v17))
+    assert(Snapshots.read(spark, root, v17).count() === 100)
+  }
+
   test("pruned merge: a narrow-key batch rewrites only key-holding files; the rest carry by path") {
     import org.apache.spark.sql.functions.{col, lit, max => smax}
     val root = java.nio.file.Files.createTempDirectory("graft_snapmprune").toString
