@@ -69,6 +69,7 @@ object Bench {
     "q_bucketed_join" -> "bj", "q_snapshot_read" -> "snp",
     "q_snapshot_changes" -> "snc", "q_snapshot_merge" -> "snm",
     "q_snapshot_read_pruned" -> "snq", "q_snapshot_merge_changes" -> "snx",
+    "q_snapshot_scan_pruned" -> "sni",
     "q_snapshot_delete" -> "snd", "q_snapshot_change_feed" -> "snf",
     "q_snapshot_bloom_lookup" -> "snb", "q_snapshot_zorder" -> "snz",
     "q_snapshot_drift" -> "snv",

@@ -199,6 +199,10 @@ object SparkEntry {
     // MANIFEST (zero footer I/O) and the oracle recomputes from the
     // predicate alone — skipping changes I/O, never results
     "q_snapshot_read_pruned" -> sources.Snapshots.snapshotReadPruned _,
+    // planner-integrated skipping: the SAME predicate as an ordinary
+    // DataFrame filter over a custom FileIndex — Catalyst's pushed
+    // data filters reach the manifest stats prune, no StatsPred needed
+    "q_snapshot_scan_pruned" -> sources.Snapshots.snapshotScanPruned _,
     // stats-pruned row-level DELETE (copy-on-write rewrites only the
     // stat-overlapping files) read back post-delete
     "q_snapshot_delete" -> sources.Snapshots.snapshotDelete _,
@@ -887,6 +891,7 @@ object SparkEntry {
     "q_snapshot_merge" -> sources.Snapshots.snapshotMergeOracleSql,
     "q_snapshot_merge_changes" -> sources.Snapshots.snapshotMergeChangesOracleSql,
     "q_snapshot_read_pruned" -> sources.Snapshots.snapshotReadPrunedOracleSql,
+    "q_snapshot_scan_pruned" -> sources.Snapshots.snapshotScanPrunedOracleSql,
     "q_snapshot_delete" -> sources.Snapshots.snapshotDeleteOracleSql,
     "q_snapshot_change_feed" -> sources.Snapshots.snapshotChangeFeedOracleSql,
     "q_snapshot_bloom_lookup" -> sources.Snapshots.snapshotBloomLookupOracleSql,

@@ -1782,6 +1782,82 @@ object Snapshots {
     preds.foldLeft(base)((df, p) => df.filter(predColumn(p)))
   }
 
+  /** Translate Catalyst pushed-down data filters into the [[StatsPred]]
+    * surface: attribute-vs-literal comparisons (both operand orders)
+    * and And recursion — exactly the shapes the manifest stats/bloom
+    * can reason about. Anything else (casts, functions, Or, In)
+    * translates to nothing and prunes nothing: the scan re-applies the
+    * full predicate, so a missed translation costs I/O, never rows.
+    */
+  private def translateFilters(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[StatsPred] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def litVal(l: Literal): Option[Any] = l.value match {
+      case null => None
+      case v: Long => Some(v)
+      case v: Int => Some(v)
+      case v: Short => Some(v.toInt)
+      case v: Byte => Some(v.toInt)
+      case v: Double => Some(v)
+      case v: Float => Some(v)
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case _ => None
+    }
+    def walk(e: Expression): Seq[StatsPred] = e match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        litVal(l).map(StatsPred.Eq(a.name, _)).toSeq
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        litVal(l).map(StatsPred.Eq(a.name, _)).toSeq
+      case LessThan(a: AttributeReference, l: Literal) =>
+        litVal(l).map(StatsPred.Lt(a.name, _)).toSeq
+      case LessThan(l: Literal, a: AttributeReference) =>
+        litVal(l).map(StatsPred.Gt(a.name, _)).toSeq
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        litVal(l).map(StatsPred.LtEq(a.name, _)).toSeq
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        litVal(l).map(StatsPred.GtEq(a.name, _)).toSeq
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        litVal(l).map(StatsPred.Gt(a.name, _)).toSeq
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        litVal(l).map(StatsPred.Lt(a.name, _)).toSeq
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        litVal(l).map(StatsPred.GtEq(a.name, _)).toSeq
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        litVal(l).map(StatsPred.LtEq(a.name, _)).toSeq
+      case _ => Seq.empty
+    }
+    exprs.flatMap(walk)
+  }
+
+  /** PLANNER-INTEGRATED pruned read (the r13 verdict's "missing" item
+    * 3): a DataFrame over version v whose ORDINARY `.filter(...)`
+    * predicates reach the manifest's stats/bloom prune at plan time —
+    * Catalyst pushes the data filters to the scan, the custom
+    * FileIndex hands them to [[filesWhereM]], and only the surviving
+    * files are planned. No [[StatsPred]] surface needed; unsupported
+    * predicate shapes simply don't prune. Same correctness contract as
+    * [[readWhere]]: the scan re-applies every filter.
+    */
+  def readIndexed(s: SparkSession, root: String, v: Int): DataFrame =
+    indexedScan(s, root, v)._1
+
+  /** [[readIndexed]] plus its FileIndex — the spec asserts pruning on
+    * `lastPlanned` (executed-plan leaf strings truncate under AQE).
+    */
+  private[graft] def indexedScan(s: SparkSession, root: String, v: Int)
+      : (DataFrame, org.apache.spark.sql.GraftSnapshotFileIndex) = {
+    val m = readManifestData(s, root, v)
+    val sc = m.schema.getOrElse(s.read.parquet(m.files: _*).schema)
+    val f = fs(s)
+    val statuses = m.files.map(p =>
+      f.getFileStatus(new org.apache.hadoop.fs.Path(p)))
+    val idx = new org.apache.spark.sql.GraftSnapshotFileIndex(statuses,
+      exprs => filesWhereM(m, translateFilters(exprs)))
+    (org.apache.spark.sql.GraftSnapshotScan.dataFrame(s, idx, sc), idx)
+  }
+
   /** The latest version committed at or before `tsMillis` (the Delta
     * `timestampAsOf` analogue): versions resolve by their manifest's
     * publish time. On file:// the claim is a hard link sharing the
@@ -2399,6 +2475,29 @@ object Snapshots {
 
   val snapshotReadPrunedOracleSql: String =
     perSourceTotalsOracle("doc_id >= (SELECT (max(doc_id) * 3) // 4 FROM documents)")
+
+  /** `q_snapshot_scan_pruned`: PLANNER-INTEGRATED data skipping
+    * through the driver's hash gate — the same range-clustered fixture
+    * and predicate as [[snapshotReadPruned]], but expressed as an
+    * ORDINARY DataFrame `.filter` over [[readIndexed]]: Catalyst
+    * pushes the comparison to the scan, the custom FileIndex hands it
+    * to the manifest stats prune (spec: `lastPlanned` shrinks to the
+    * surviving files), and the DuckDB oracle recomputes from the
+    * predicate alone — a prune that dropped a live file hash-fails.
+    */
+  def snapshotScanPruned(s: SparkSession, dir: String): DataFrame = {
+    snapshotReadPruned(s, dir) // fixture builds eagerly inside (marker-skipped)
+    val root = ScopedFixture.root(s, "graft_snapstats", dir)
+    val cut = Tables.documents(s, dir)
+      .agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+    perSourceTokenTotals(
+      readIndexed(s, root, latestVersion(s, root))
+        .filter(col("doc_id") >= cut))
+  }
+
+  // def, not val: snapshotReadPrunedOracleSql initializes later in
+  // this object — a val here would capture null at init time
+  def snapshotScanPrunedOracleSql: String = snapshotReadPrunedOracleSql
 
   /** Per-dir memo for the z-order fixture's token-count cut (the r10c
     * probe-memoization convention).

@@ -1106,6 +1106,59 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, root, v17).count() === 100)
   }
 
+  test("planner-integrated pruning: an ordinary DataFrame filter prunes files via the manifest") {
+    import org.apache.spark.sql.functions.{col, lit, max => smax}
+    import Snapshots.StatsPred._
+    val root = java.nio.file.Files.createTempDirectory("graft_snapfidx").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    Snapshots.create(spark, root, docs.repartitionByRange(8, col("doc_id")))
+    val v = Snapshots.latestVersion(spark, root)
+    val full = Snapshots.read(spark, root, v).inputFiles.length
+    val mx = docs.agg(smax(col("doc_id"))).head().getLong(0)
+    val cut = mx * 3 / 4
+    // a PLAIN .filter — no StatsPred surface — must plan only the
+    // stat-surviving files (same set the explicit readWhere plans)
+    val (df, idx) = Snapshots.indexedScan(spark, root, v)
+    val got = df.filter(col("doc_id") >= cut)
+    assert(ids(got) === ids(docs.filter(col("doc_id") >= cut)),
+      "planner pruning must never change results")
+    // compare by globally-unique part NAME: inputFiles normalizes to
+    // file:/// while manifests carry Path.toString's file:/ form
+    def names(xs: Iterable[String]) =
+      xs.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    val want = Snapshots.readWhere(spark, root, v,
+      Seq(GtEq("doc_id", cut))).inputFiles.toSet
+    assert(names(idx.lastPlanned) === names(want) && want.size < full,
+      s"the pushed filter pruned at the manifest " +
+        s"(${idx.lastPlanned.size} of $full files planned)")
+    // a conjunction prunes on both sides; an untranslatable predicate
+    // keeps every file but stays correct
+    val both = df.filter(col("doc_id") >= cut && col("doc_id") < mx)
+    assert(ids(both) ===
+      ids(docs.filter(col("doc_id") >= cut && col("doc_id") < mx)))
+    val weird = df.filter((col("doc_id") % 97) === 3)
+    assert(ids(weird) === ids(docs.filter(col("doc_id") % 97 === 3)),
+      "unsupported shapes fall back to a full scan, never wrong rows")
+    // blooms ride the same path: an Eq on a layout-uncorrelated value
+    // after analyze prunes from a plain filter too
+    val root2 = java.nio.file.Files.createTempDirectory("graft_snapfidx2").toString
+    val withFp = docs.select(col("doc_id"), col("source"),
+      graft.functions.TextFunctions.docFingerprint(
+        org.apache.spark.sql.functions.concat(lit("probe"),
+          col("doc_id").cast("string"))).as("fp"))
+      .repartitionByRange(8, col("doc_id"))
+    Snapshots.create(spark, root2, withFp)
+    Snapshots.analyzeBloom(spark, root2, Seq("fp"))
+    val v2 = Snapshots.latestVersion(spark, root2)
+    val target = withFp.filter(col("doc_id") === mx / 2)
+      .select("fp").head().getLong(0)
+    val (df2, idx2) = Snapshots.indexedScan(spark, root2, v2)
+    val hit = df2.filter(col("fp") === target)
+    assert(hit.count() >= 1)
+    assert(idx2.lastPlanned.size < full,
+      "a plain Eq filter probes the per-file blooms through the planner")
+  }
+
   test("pruned merge: a narrow-key batch rewrites only key-holding files; the rest carry by path") {
     import org.apache.spark.sql.functions.{col, lit, max => smax}
     val root = java.nio.file.Files.createTempDirectory("graft_snapmprune").toString
