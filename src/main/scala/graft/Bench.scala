@@ -109,7 +109,8 @@ object Bench {
     "q_hard_negatives_ivf" -> "hni", "q_recall_report" -> "rcr",
     "q_image_sim" -> "ims", "q_audio_sim" -> "aus", "q_entity_resolve" -> "ent",
     "q_entity_resolve_incr" -> "eni", "q_entity_clusters" -> "enc",
-    "shared_bpe_learner" -> "Sbp", "shared_curation_frames" -> "Scf",
+    "shared_bpe_learner" -> "Sbp", "shared_bpe_encode" -> "Sbe",
+    "shared_curation_frames" -> "Scf",
     "shared_dedup_pairs" -> "Sdp", "shared_nb_model" -> "Snb",
     "shared_report_frames" -> "Srf", "shared_text_pipeline" -> "Stp",
     "shared_unigram_model" -> "Sug")
@@ -125,6 +126,7 @@ object Bench {
     */
   private[graft] val SharedBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "shared_bpe_learner" -> ((s, d) => graft.operators.Bpe.warmLearnedCache(s, d)),
+    "shared_bpe_encode" -> ((s, d) => graft.operators.Bpe.warmEncodeCache(s, d)),
     "shared_curation_frames" -> ((s, d) => graft.operators.CorpusCuration.warmCurationCache(s, d)),
     "shared_dedup_pairs" -> ((s, d) => graft.operators.Dedup.warmSharedCaches(s, d)),
     "shared_nb_model" -> ((s, d) => graft.operators.Classifier.warmModelCache(s, d)),
@@ -291,6 +293,7 @@ object Bench {
     graft.operators.Dedup.releaseShingleCache(spark, sfDir)
     graft.operators.ReportDoc.releaseReportCache(spark, sfDir)
     graft.operators.TextAnalysis.releasePipelineCache(spark, sfDir)
+    graft.operators.Bpe.releaseEncodeCache(spark, sfDir) // consumer first
     graft.operators.Bpe.releaseLearnedCache(spark, sfDir)
     graft.operators.CorpusCuration.releaseCurationCache(spark, sfDir)
     graft.operators.Classifier.releaseModelCache(spark, sfDir)

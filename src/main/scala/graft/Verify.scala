@@ -55,6 +55,7 @@ object Verify {
     graft.operators.Dedup.releaseShingleCache(spark, sfDir)
     graft.operators.ReportDoc.releaseReportCache(spark, sfDir)
     graft.operators.TextAnalysis.releasePipelineCache(spark, sfDir)
+    graft.operators.Bpe.releaseEncodeCache(spark, sfDir) // consumer first
     graft.operators.Bpe.releaseLearnedCache(spark, sfDir)
     graft.operators.CorpusCuration.releaseCurationCache(spark, sfDir)
     graft.operators.Classifier.releaseModelCache(spark, sfDir)

@@ -93,6 +93,20 @@ object Bpe {
   def releaseLearnedCache(s: SparkSession, dir: String): Unit =
     learnedCache.remove((s, dir))
 
+  /** Materialize the shared encode frame now, for Bench's `shared_`
+    * attribution (the encode/persisted/fertility entries then ride the
+    * persisted copy).
+    */
+  private[graft] def warmEncodeCache(s: SparkSession, dir: String): Unit =
+    encodeFrame(s, dir).count()
+
+  /** Unpersist the shared encode frame for `dir` (the consumer — drop
+    * it before [[releaseLearnedCache]], its dependency: rebuilding the
+    * release plan needs the learner memo).
+    */
+  def releaseEncodeCache(s: SparkSession, dir: String): Unit =
+    encodeFrame(s, dir).unpersist()
+
   /** Run the memoized learner now, for Bench's `shared_` attribution
     * (the four BPE queries then ride the memo).
     */
@@ -202,9 +216,49 @@ object Bpe {
     * back from parquet encode any corpus without touching the learner
     * (train once, apply to every future batch). Map-only: the merge
     * list is driver state, the chain rides the scan.
+    *
+    * SESSION-PERSISTED via plan equality (Memo.cached): the output is
+    * a narrow 5-column frame, and the encode chain (200 nested
+    * replaces) is the most expensive map pass in the bench — at sf1
+    * `q_bpe_encode` and `q_bpe_persisted` each paid ~19 s for
+    * cell-identical output. The cache key IS the plan, so the
+    * persisted-artifact entry shares the frame exactly when its LOADED
+    * merge list equals the learner's (building an identical plan) —
+    * the artifact round-trip contract stays checked: a corrupted
+    * reload builds a different plan, computes separately, and
+    * hash-fails against the oracle.
     */
   private[graft] def encodeFrameWith(docs: DataFrame,
+      merges: Seq[(Int, String, String, String, Long)]): DataFrame =
+    encodeFrameRaw(docs, merges).transform(graft.plans.Memo.cached)
+
+  private val scanPartsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Int), java.lang.Integer]()
+
+  private def encodeFrameRaw(docs: DataFrame,
       merges: Seq[(Int, String, String, String, Long)]): DataFrame = {
+    // a single-row-group parquet (the shipped sf1 documents file) plans
+    // ONE scan task, serializing the 200-replace encode chain — the
+    // most expensive map pass in the bench (19 s wall≈cpu at sf1;
+    // parquet tasks cannot split inside a row group, so
+    // maxPartitionBytes is powerless). CONDITIONAL spread: only when
+    // the scan plans fewer partitions than half the cores does one
+    // round-robin shuffle of the raw docs buy full parallelism — a
+    // real multi-file corpus already plans ≥ cores partitions and must
+    // NEVER pay a corpus-wide shuffle for a map-only pass (the
+    // spec-pinned contract). Values are per-row, so results are
+    // layout-independent and the terminal sorts pin the order.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // the partition-count probe builds a full QueryExecution — memoize
+    // per input plan (the r10c probe-memoization convention: plan
+    // construction re-runs on every Memo.cached lookup). A semantic-
+    // hash collision could only flip the spread heuristic, never a row.
+    val nParts = scanPartsMemo.computeIfAbsent(
+      (docs.sparkSession, docs.queryExecution.analyzed.semanticHash()),
+      _ => docs.rdd.getNumPartitions)
+    val spread =
+      if (nParts < math.max(2, par / 2)) docs.repartition(par)
+      else docs
     val toks = TextFunctions.tokens(col("text"))
     val docRep = concat(
       lit(" "),
@@ -214,7 +268,7 @@ object Bpe {
     val rep = merges.foldLeft(docRep) { case (r, (_, a, b, _, _)) =>
       replace(r, lit(s" $a$SymSep$b "), lit(s" $a$b "))
     }
-    docs
+    spread
       .select(
         col("doc_id"), col("lang"),
         size(toks).cast("long").as("n_words"),

@@ -184,12 +184,24 @@ object Snapshots {
                     case INT32 => Some(('l',
                       st.genericGetMin.asInstanceOf[java.lang.Integer].longValue,
                       st.genericGetMax.asInstanceOf[java.lang.Integer].longValue))
-                    case DOUBLE => Some(('d',
-                      st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue,
-                      st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue))
-                    case FLOAT => Some(('d',
-                      st.genericGetMin.asInstanceOf[java.lang.Float].doubleValue,
-                      st.genericGetMax.asInstanceOf[java.lang.Float].doubleValue))
+                    case DOUBLE =>
+                      val mn = st.genericGetMin
+                        .asInstanceOf[java.lang.Double].doubleValue
+                      val mx = st.genericGetMax
+                        .asInstanceOf[java.lang.Double].doubleValue
+                      // NaN/Infinity bounds would crash the BigDecimal
+                      // prune compare — record nothing (never prune)
+                      if (java.lang.Double.isFinite(mn) &&
+                          java.lang.Double.isFinite(mx)) Some(('d', mn, mx))
+                      else None
+                    case FLOAT =>
+                      val mn = st.genericGetMin
+                        .asInstanceOf[java.lang.Float].doubleValue
+                      val mx = st.genericGetMax
+                        .asInstanceOf[java.lang.Float].doubleValue
+                      if (java.lang.Double.isFinite(mn) &&
+                          java.lang.Double.isFinite(mx)) Some(('d', mn, mx))
+                      else None
                     case BINARY
                       if c.getPrimitiveType.getLogicalTypeAnnotation ==
                         org.apache.parquet.schema.LogicalTypeAnnotation.stringType() =>
@@ -387,10 +399,10 @@ object Snapshots {
     * [[versionAsOf]] keeps resolving the original commit instant.
     */
   private def materializeManifest(s: SparkSession, root: String,
-                                  v: Int): Unit = {
+                                  v: Int): Boolean = {
     val f = fs(s)
     val p = manifestPath(root, v)
-    if (!f.exists(p) || parseManifest(s, root, v).base.isEmpty) return
+    if (!f.exists(p) || parseManifest(s, root, v).base.isEmpty) return true
     val m = readManifestData(s, root, v)
     val mtime = f.getFileStatus(p).getModificationTime
     val live = m.files.map(fileStatKey).toSet
@@ -407,20 +419,46 @@ object Snapshots {
     val out = f.create(tmp, false)
     try out.write(content.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if ("file" == f.getScheme) {
-      val local = (q: org.apache.hadoop.fs.Path) =>
-        java.nio.file.Paths.get(q.toUri.getPath)
-      java.nio.file.Files.move(local(tmp), local(p),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } else {
-      // non-posix: delete-then-rename; a crash in the sliver leaves the
-      // version transiently missing (fail-fast readers), never corrupt
-      f.delete(p, false)
-      f.rename(tmp, p)
+    // the replace must be ATOMIC: delete-then-rename on a manifest has
+    // a crash window where the version is MISSING — latestVersion then
+    // regresses and the next commit RE-CLAIMS an already-published
+    // version number with different content (consumers whose cursors
+    // recorded it silently skip the new rows). posix gets ATOMIC_MOVE;
+    // elsewhere FileContext.rename(OVERWRITE) (atomic on HDFS). If
+    // neither is available the caller keeps the delta chain instead.
+    try {
+      if ("file" == f.getScheme) {
+        val local = (q: org.apache.hadoop.fs.Path) =>
+          java.nio.file.Paths.get(q.toUri.getPath)
+        java.nio.file.Files.move(local(tmp), local(p),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } else {
+        org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
+            s.sparkContext.hadoopConfiguration)
+          .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+      try f.setTimes(p, mtime, -1)
+      catch { case _: java.io.IOException => () }
+      true
+    } catch {
+      case _: Exception =>
+        f.delete(tmp, false)
+        false
     }
-    try f.setTimes(p, mtime, -1)
-    catch { case _: java.io.IOException => () }
+  }
+
+  /** The versions v's `#base:` chain resolves through (v excluded). */
+  private def chainBases(s: SparkSession, root: String, v: Int): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    var cur = v
+    var base = parseManifest(s, root, cur).base
+    while (base.isDefined) {
+      cur = base.get
+      out += cur
+      base = parseManifest(s, root, cur).base
+    }
+    out.result()
   }
 
   /** Atomically publish the durable temp as v's manifest; false iff a
@@ -509,13 +547,22 @@ object Snapshots {
     var mirror: Option[Long] = None
     lines.foreach {
       case l if l.startsWith("#base:") =>
-        base = l.stripPrefix("#base:").toIntOption
+        // FAIL FAST on a malformed base tag: silently treating a DELTA
+        // manifest as full would collapse the version to its own adds
+        // (silent data loss at read time, wrong vacuum sets at expire)
+        base = Some(l.stripPrefix("#base:").toIntOption.getOrElse(
+          throw new IllegalStateException(
+            s"corrupt manifest v$v at $root: unparseable '$l'")))
       case l if l.startsWith("#rm:") =>
         rms += l.stripPrefix("#rm:")
       case l if l.startsWith("#commit:") =>
         commit = Some(l.stripPrefix("#commit:"))
       case l if l.startsWith("#mirror:") =>
-        mirror = l.stripPrefix("#mirror:").toLongOption
+        // malformed cursor fails fast too: the legacy-txn fallback it
+        // would silently degrade to can be a FOREIGN txn id
+        mirror = Some(l.stripPrefix("#mirror:").toLongOption.getOrElse(
+          throw new IllegalStateException(
+            s"corrupt manifest v$v at $root: unparseable '$l'")))
       case l if l.startsWith("#cdf:") =>
         cdf += l.stripPrefix("#cdf:")
       case l if l.startsWith("#bloom:") =>
@@ -1014,6 +1061,13 @@ object Snapshots {
       standingSc: org.apache.spark.sql.types.StructType,
       batch: DataFrame, keyCols: Seq[String]): Seq[String] = {
     if (m.files.isEmpty) return Seq.empty
+    // a key column ABSENT from the standing schema (a widening merge
+    // keyed partly on the new column) cannot be scanned or
+    // stat-pruned: fall back to the pre-prune semantics — every file
+    // is touched, standing rows carry the column as null through the
+    // keep-last window (unionByName allowMissingColumns)
+    val standingNames = standingSc.fieldNames.toSet
+    if (keyCols.exists(k => !standingNames.contains(k))) return m.files
     val aggs = keyCols.flatMap(k => Seq(
       min(col(k)).as(s"_mn_$k"), max(col(k)).as(s"_mx_$k"),
       sum(when(col(k).isNull, 1).otherwise(0)).as(s"_nl_$k")))
@@ -1022,16 +1076,34 @@ object Snapshots {
       val v = r.getAs[Any](s"_nl_$k")
       v != null && v.asInstanceOf[Long] > 0L
     }
+    // a hull bound must be a value cmpStat can order: NaN/Infinity in
+    // a floating key (Spark's max ranks NaN above everything) would
+    // crash the BigDecimal compare — that column simply doesn't
+    // hull-prune (any OTHER key column's hull still may; conjunction
+    // pruning stays sound because a prune needs disjointness on SOME
+    // column)
+    def orderable(v: Any): Boolean = v match {
+      case d: java.lang.Double => !d.isNaN && !d.isInfinite
+      case f: java.lang.Float  => !f.isNaN && !f.isInfinite
+      case _ => true
+    }
     // a key column whose batch min is null under !anyNull means the
     // batch is EMPTY — nothing can match, nothing is touched
+    var empty = true
     val hull = if (anyNull) Seq.empty else keyCols.flatMap { k =>
       val (mn, mx) = (r.getAs[Any](s"_mn_$k"), r.getAs[Any](s"_mx_$k"))
       if (mn == null || mx == null) Seq.empty
-      else Seq(StatsPred.GtEq(k, mn), StatsPred.LtEq(k, mx))
+      else {
+        empty = false
+        if (orderable(mn) && orderable(mx))
+          Seq(StatsPred.GtEq(k, mn), StatsPred.LtEq(k, mx))
+        else Seq.empty
+      }
     }
     val candidates =
       if (anyNull) m.files
-      else if (hull.isEmpty) Seq.empty
+      else if (empty) Seq.empty
+      else if (hull.isEmpty) m.files // only unorderable bounds: no prune
       else filesWhereM(m, hull)
     if (candidates.isEmpty) return Seq.empty
     val scan = s.read.schema(standingSc).parquet(candidates: _*)
@@ -1325,11 +1397,17 @@ object Snapshots {
     // the oldest retained version may be a DELTA manifest resolving
     // through the chain about to be deleted: checkpoint it full first
     // (idempotent; a crash between materialize and the deletes below
-    // just leaves extra manifests for the next expire)
-    materializeManifest(s, root, retainMin)
+    // just leaves extra manifests for the next expire). If the
+    // filesystem offers no atomic replace, keep the chain's manifests
+    // alive instead — their FILE LISTS are all resolution needs, and
+    // leaking ≤ CheckpointEvery tiny text files beats a crash window
+    // where a published version number could be re-claimed.
+    val keepChain: Set[Int] =
+      if (materializeManifest(s, root, retainMin)) Set.empty
+      else chainBases(s, root, retainMin).toSet
     (1 until retainMin).foreach { v =>
       val p = manifestPath(root, v)
-      if (f.exists(p)) f.delete(p, false)
+      if (!keepChain.contains(v) && f.exists(p)) f.delete(p, false)
     }
     val cutoff = System.currentTimeMillis() - math.max(0L, orphanGraceMs)
     def reclaim(k: org.apache.hadoop.fs.FileStatus): Boolean = {
@@ -1466,10 +1544,18 @@ object Snapshots {
           mm.map { case (mn, mx) => e.getKey -> (kind, mn, mx) }
         }.toMap
       }.getOrElse(Map.empty))
+    // non-finite floating literals (NaN, ±Inf) are not orderable by
+    // the BigDecimal compare — never prune on them (a NaN Eq keeps
+    // every file; the scan decides)
+    def finite(v: Any): Boolean = v match {
+      case d: Double => java.lang.Double.isFinite(d)
+      case f: Float  => java.lang.Float.isFinite(f)
+      case _ => true
+    }
     def comparable(kind: Char, v: Any): Boolean = (kind, v) match {
       case ('l', _: Long) | ('l', _: Int) => true
       case ('d', _: Double) | ('d', _: Float) |
-           ('d', _: Long) | ('d', _: Int) | ('l', _: Double) => true
+           ('d', _: Long) | ('d', _: Int) | ('l', _: Double) => finite(v)
       case ('s', _: String) => true
       case _ => false
     }
@@ -1851,8 +1937,17 @@ object Snapshots {
     val m = readManifestData(s, root, v)
     val sc = m.schema.getOrElse(s.read.parquet(m.files: _*).schema)
     val f = fs(s)
-    val statuses = m.files.map(p =>
-      f.getFileStatus(new org.apache.hadoop.fs.Path(p)))
+    // ONE listStatus per transaction subdir (dirs ≈ commits, bounded
+    // by compaction), never a getFileStatus RPC per file — at 10⁶
+    // files a per-file driver round-trip is the exact O(standing)
+    // metadata class the rest of r14 removed
+    val wanted = m.files.toSet
+    val statuses = m.files.map(new org.apache.hadoop.fs.Path(_))
+      .groupBy(_.getParent).toSeq
+      .flatMap { case (dir, _) =>
+        f.listStatus(dir).filter(st =>
+          st.isFile && wanted.contains(st.getPath.toString))
+      }
     val idx = new org.apache.spark.sql.GraftSnapshotFileIndex(statuses,
       exprs => filesWhereM(m, translateFilters(exprs)))
     (org.apache.spark.sql.GraftSnapshotScan.dataFrame(s, idx, sc), idx)
@@ -2458,6 +2553,14 @@ object Snapshots {
     * and the DuckDB oracle recomputes from the predicate alone, so a
     * prune that dropped a LIVE file hash-fails on the missing rows.
     */
+  /** Per-dir memo for the pruned-read fixtures' doc_id cut (the r10c
+    * probe-memoization convention — the aggregate otherwise re-runs on
+    * every catalog lookup, twice once the scan twin primes the
+    * fixture through this entry).
+    */
+  private val pruneCutMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def snapshotReadPruned(s: SparkSession, dir: String): DataFrame = {
     val root = ScopedFixture.root(s, "graft_snapstats", dir)
     FixtureCleanup.onExit(root)
@@ -2468,7 +2571,8 @@ object Snapshots {
       append(s, root, ranged(docs.filter(pmod(col("doc_id"), lit(2)) === 1)))
       ScopedFixture.markComplete(root)
     }
-    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+    val cut: Long = pruneCutMemo.computeIfAbsent(root, _ =>
+      docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 4)
     perSourceTokenTotals(readWhere(s, root, latestVersion(s, root),
       Seq(StatsPred.GtEq("doc_id", cut))))
   }
@@ -2488,8 +2592,7 @@ object Snapshots {
   def snapshotScanPruned(s: SparkSession, dir: String): DataFrame = {
     snapshotReadPruned(s, dir) // fixture builds eagerly inside (marker-skipped)
     val root = ScopedFixture.root(s, "graft_snapstats", dir)
-    val cut = Tables.documents(s, dir)
-      .agg(max(col("doc_id"))).head().getLong(0) * 3 / 4
+    val cut: Long = pruneCutMemo.get(root) // primed by the call above
     perSourceTokenTotals(
       readIndexed(s, root, latestVersion(s, root))
         .filter(col("doc_id") >= cut))

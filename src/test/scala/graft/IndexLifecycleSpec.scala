@@ -1219,6 +1219,40 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
         "hull prune that hid the null row would have duplicated it")
   }
 
+  test("merge prune survives hostile keys: NaN doubles and a standing-absent key column") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // NaN in a floating key: the hull bounds are unorderable (Spark's
+    // max ranks NaN largest) — the prune must fall back to all files,
+    // never crash the BigDecimal compare, and the NaN keys collapse
+    val root = java.nio.file.Files.createTempDirectory("graft_snapmnan").toString
+    val standing = Seq((1.0, "a", 1L), (2.0, "b", 1L), (Double.NaN, "n", 1L))
+      .toDF("score", "src", "rev")
+    Snapshots.create(spark, root, standing.repartitionByRange(2, col("score")))
+    val batch = Seq((Double.NaN, "n2", 2L)).toDF("score", "src", "rev")
+    val v2 = Snapshots.merge(spark, root, batch, Seq("score"), "rev")
+    val after = Snapshots.read(spark, root, v2).collect()
+      .map(r => (r.getDouble(0), r.getString(1))).sortBy(_._2).toSeq
+    assert(after.map(_._2) === Seq("a", "b", "n2"),
+      "the NaN batch key replaced the standing NaN row; finite keys intact")
+    // a key column the standing schema lacks (a widening merge keyed
+    // partly on the new column): pre-prune semantics — full rewrite,
+    // standing rows carry the new key as null
+    val root2 = java.nio.file.Files.createTempDirectory("graft_snapmk2").toString
+    Snapshots.create(spark, root2,
+      Seq((1L, "x", 1L), (2L, "y", 1L)).toDF("k1", "src", "rev"))
+    val wide = Seq((1L, "t1", "x2", 2L)).toDF("k1", "k2", "src", "rev")
+    val w2 = Snapshots.merge(spark, root2, wide, Seq("k1", "k2"), "rev")
+    val rows = Snapshots.read(spark, root2, w2)
+      .select("k1", "k2", "src").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(rows === Seq((1L, None, "x"), (1L, Some("t1"), "x2"),
+      (2L, None, "y")),
+      "standing rows keep null for the new key column and stay distinct " +
+        "from the batch's (k1, k2) key")
+  }
+
   test("layout maintenance recomputes on a lost race instead of publishing a stale file set") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val root = java.nio.file.Files.createTempDirectory("graft_snaplrace").toString

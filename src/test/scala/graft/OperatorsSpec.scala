@@ -2235,10 +2235,26 @@ class BpeSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
   test("encode pass is map-only once the merges are learned") {
-    val p = operators.Bpe.bpeEncode(spark, sf, ordered = false)
-      .queryExecution.executedPlan.toString
-    assert(!p.toLowerCase.contains("exchange"),
-      s"encode pass should ride the documents scan:\n$p")
+    // a WELL-PARTITIONED corpus (≥ cores scan partitions — the real
+    // multi-file shape) must encode with NO added exchange: the chain
+    // rides the scan. The shipped single-row-group test files trigger
+    // the conditional spread (one round-robin exchange), so assert on
+    // a pre-spread input through the same seam.
+    val par = spark.sparkContext.defaultParallelism
+    val docs = Tables.documents(spark, sf).repartition(par)
+    val merges = operators.Bpe.bpeMerges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val df = operators.Bpe.encodeFrameWith(docs, merges)
+    df.collect() // settle AQE so the printed final plan is the real one
+    // AQE's toString prints the plan twice (final + initial) — count
+    // exchanges in the final section only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = "(?i)exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, // the input's own repartition, nothing more
+      s"encode over a well-partitioned corpus must add no exchange:\n$p")
+    df.unpersist()
   }
 
   test("runs merge greedily left-to-right and exhaustion stops early") {
