@@ -1006,6 +1006,52 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
     Snapshots.mirrorSync(spark, src, dst, Seq("doc_id")); mirrorEquals()
   }
 
+  test("chained mirrors: a second-tier mirror tails the first through appends and merges") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val src = java.nio.file.Files.createTempDirectory("graft_mir2src").toString
+    val m1 = java.nio.file.Files.createTempDirectory("graft_mir2a").toString
+    val m2 = java.nio.file.Files.createTempDirectory("graft_mir2b").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+      .withColumn("rev", lit(1L))
+    def tierEquals(): Unit = {
+      val a = Snapshots.read(spark, m1, Snapshots.latestVersion(spark, m1))
+      val b = Snapshots.read(spark, m2, Snapshots.latestVersion(spark, m2))
+      val w = Snapshots.read(spark, src, Snapshots.latestVersion(spark, src))
+      assert(a.exceptAll(w).isEmpty && w.exceptAll(a).isEmpty)
+      assert(b.exceptAll(w).isEmpty && w.exceptAll(b).isEmpty,
+        "both mirror tiers must equal the source's latest state")
+    }
+    Snapshots.create(spark, src, docs.filter(col("doc_id") % 3 === 0))
+    Snapshots.mirrorSync(spark, src, m1, Seq("doc_id"))
+    // the bootstrap commits as `append`: tier 2 can bootstrap off it
+    Snapshots.mirrorSync(spark, m1, m2, Seq("doc_id")); tierEquals()
+    // an append then a merge on the SOURCE: tier 1 folds them as
+    // tailable `merge` commits, so tier 2 keeps syncing incrementally
+    Snapshots.append(spark, src, docs.filter(col("doc_id") % 3 === 1))
+    Snapshots.mirrorSync(spark, src, m1, Seq("doc_id"))
+    Snapshots.mirrorSync(spark, m1, m2, Seq("doc_id")); tierEquals()
+    val upd = docs.filter(col("doc_id") % 6 === 0)
+      .withColumn("rev", lit(2L)).withColumn("source", lit("upd"))
+    Snapshots.merge(spark, src, upd, Seq("doc_id"), "rev")
+    Snapshots.mirrorSync(spark, src, m1, Seq("doc_id"))
+    Snapshots.mirrorSync(spark, m1, m2, Seq("doc_id")); tierEquals()
+    // a DELETE on the source: tier 1 folds it but must commit a
+    // `rewrite` (a retraction has no post-image) — tier 2 fail-fasts
+    // honestly and re-anchors
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    Snapshots.delete(spark, src, Seq(Snapshots.StatsPred.GtEq("doc_id", mx / 2)))
+    Snapshots.mirrorSync(spark, src, m1, Seq("doc_id"))
+    intercept[IllegalArgumentException] {
+      Snapshots.mirrorSync(spark, m1, m2, Seq("doc_id"))
+    }
+    Snapshots.mirrorResync(spark, m1, m2); tierEquals()
+    // and incremental chaining resumes cleanly past the boundary
+    Snapshots.append(spark, src, docs.filter(col("doc_id") % 3 === 2)
+      .filter(col("doc_id") < mx / 2))
+    Snapshots.mirrorSync(spark, src, m1, Seq("doc_id"))
+    Snapshots.mirrorSync(spark, m1, m2, Seq("doc_id")); tierEquals()
+  }
+
   test("merge txn ids make the upsert path exactly-once; streaming merge sink restarts clean") {
     import org.apache.spark.sql.functions.{col, lit}
     val root = java.nio.file.Files.createTempDirectory("graft_snapmtxn").toString
