@@ -21,6 +21,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // load-bearing: WindowTopKRewrite + custom strategies fire in the
       // measured/verified sessions, not just SampleApp demos
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

@@ -1491,6 +1491,11 @@ object Snapshots {
     final case class LtEq(col: String, v: Any) extends StatsPred
     final case class Gt(col: String, v: Any) extends StatsPred
     final case class GtEq(col: String, v: Any) extends StatsPred
+    /** Point-lookup LIST (SQL IN): a file survives iff SOME value may
+      * be present — range-checked per value, and bloom-excluded only
+      * when EVERY value's membership is provably absent.
+      */
+    final case class InSet(col: String, vs: Seq[Any]) extends StatsPred
   }
 
   /** Can a file whose `col` spans [mn, mx] contain a row satisfying
@@ -1504,6 +1509,8 @@ object Snapshots {
       case StatsPred.LtEq(_, v) => cmpStat(mn, v) <= 0
       case StatsPred.Gt(_, v)   => cmpStat(mx, v) > 0
       case StatsPred.GtEq(_, v) => cmpStat(mx, v) >= 0
+      case StatsPred.InSet(_, vs) =>
+        vs.exists(v => cmpStat(mn, v) <= 0 && cmpStat(mx, v) >= 0)
     }
 
   /** The files of version v that may contain rows satisfying ALL of
@@ -1562,13 +1569,22 @@ object Snapshots {
     m.files.filter { f =>
       val st = statsOf(f)
       preds.forall { p =>
-        val rangeOk = st.get(p.col) match {
-          case Some((kind, mn, mx)) if comparable(kind, valueOf(p)) =>
+        val rangeOk = (p, st.get(p.col)) match {
+          // IN list: a file survives iff SOME value may be present —
+          // prune only when every value is stat-comparable (one
+          // untranslatable value could match anything)
+          case (StatsPred.InSet(_, vs), _) if vs.isEmpty =>
+            false // IN () / IN (null) matches nothing, stats or not
+          case (StatsPred.InSet(_, vs), Some((kind, mn, mx)))
+            if vs.forall(v => comparable(kind, v)) =>
+            vs.exists(v => cmpStat(mn, v) <= 0 && cmpStat(mx, v) >= 0)
+          case (StatsPred.InSet(_, _), _) => true
+          case (_, Some((kind, mn, mx))) if comparable(kind, valueOf(p)) =>
             rangeMaySatisfy(p, mn, mx)
           case _ => true // no usable stats: never prune on absence
         }
-        // Eq literals additionally consult the file's bloom (if built):
-        // membership can rule out a point the min/max range cannot
+        // Eq/In literals additionally consult the file's bloom (if
+        // built): membership can rule out points the min/max cannot
         rangeOk && !bloomExcludes(m, f, p)
       }
     }
@@ -1801,7 +1817,16 @@ object Snapshots {
     */
   private def bloomExcludes(m: Manifest, file: String,
                             p: StatsPred): Boolean = p match {
-    case StatsPred.Eq(c, v) =>
+    case StatsPred.Eq(c, v) => bloomExcludesValue(m, file, c, v)
+    case StatsPred.InSet(c, vs) =>
+      // an IN list is excludable only when EVERY value is provably
+      // absent (one un-probeable value could be present)
+      vs.nonEmpty && vs.forall(v => bloomExcludesValue(m, file, c, v))
+    case _ => false
+  }
+
+  private def bloomExcludesValue(m: Manifest, file: String,
+                                 c: String, v: Any): Boolean =
       m.blooms.get(s"${fileStatKey(file)}:$c").exists { payload =>
         val parts = payload.split(",", 4)
         if (parts.length != 4 || parts(2).length != 1) false
@@ -1826,8 +1851,6 @@ object Snapshots {
           case _ => false
         }
       }
-    case _ => false
-  }
 
   private def valueOf(p: StatsPred): Any = p match {
     case StatsPred.Eq(_, v) => v
@@ -1835,6 +1858,7 @@ object Snapshots {
     case StatsPred.LtEq(_, v) => v
     case StatsPred.Gt(_, v) => v
     case StatsPred.GtEq(_, v) => v
+    case StatsPred.InSet(_, vs) => vs // unused: InSet checks per value
   }
 
   private def predColumn(p: StatsPred): org.apache.spark.sql.Column = {
@@ -1845,6 +1869,8 @@ object Snapshots {
       case StatsPred.LtEq(_, v) => c <= lit(v)
       case StatsPred.Gt(_, v)   => c > lit(v)
       case StatsPred.GtEq(_, v) => c >= lit(v)
+      case StatsPred.InSet(_, vs) =>
+        if (vs.isEmpty) lit(false) else c.isin(vs: _*)
     }
   }
 
@@ -1879,7 +1905,7 @@ object Snapshots {
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[StatsPred] = {
     import org.apache.spark.sql.catalyst.expressions._
-    def litVal(l: Literal): Option[Any] = l.value match {
+    def anyVal(x: Any): Option[Any] = x match {
       case null => None
       case v: Long => Some(v)
       case v: Int => Some(v)
@@ -1890,8 +1916,23 @@ object Snapshots {
       case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
       case _ => None
     }
+    def litVal(l: Literal): Option[Any] = anyVal(l.value)
+    // IN lists: null values never match and DROP from the prune list
+    // (x IN (1, null) is null unless x=1 — the row filters out either
+    // way); one untranslatable NON-null value could match anything, so
+    // the whole predicate then prunes nothing (None)
+    def inVals(raw: Seq[Any]): Option[Seq[Any]] = {
+      val nonNull = raw.filter(_ != null)
+      val vals = nonNull.flatMap(anyVal)
+      if (vals.length == nonNull.length) Some(vals) else None
+    }
     def walk(e: Expression): Seq[StatsPred] = e match {
       case And(l, r) => walk(l) ++ walk(r)
+      case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
+        inVals(list.map(_.asInstanceOf[Literal].value))
+          .map(StatsPred.InSet(a.name, _)).toSeq
+      case InSet(a: AttributeReference, hset) =>
+        inVals(hset.toSeq).map(StatsPred.InSet(a.name, _)).toSeq
       case EqualTo(a: AttributeReference, l: Literal) =>
         litVal(l).map(StatsPred.Eq(a.name, _)).toSeq
       case EqualTo(l: Literal, a: AttributeReference) =>

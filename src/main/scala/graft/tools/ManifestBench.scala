@@ -24,6 +24,7 @@ object ManifestBench {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_mb_wh").toString)
       .getOrCreate()

@@ -1205,6 +1205,57 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
       "a plain Eq filter probes the per-file blooms through the planner")
   }
 
+  test("planner pruning covers the corpus-scale shapes: timestamp ranges and IN lists") {
+    import org.apache.spark.sql.functions.{col, lit, max => smax, min => smin}
+    import Snapshots.StatsPred._
+    // TIMESTAMP range — the marquee 'WHERE ts > …' read: parquet
+    // stores timestamps as INT64 micros, the footer stats record them
+    // as 'l', and Catalyst pushes the literal's internal micros Long,
+    // so the comparison prunes with no special-casing
+    val root = java.nio.file.Files.createTempDirectory("graft_snapts").toString
+    val ev = Tables.events(spark, sf).select("event_id", "ts", "user_id")
+    Snapshots.create(spark, root, ev.repartitionByRange(8, col("ts")))
+    val v = Snapshots.latestVersion(spark, root)
+    val full = Snapshots.read(spark, root, v).inputFiles.length
+    val cutRow = ev.agg(smin(col("ts")), smax(col("ts"))).head()
+    val lo = cutRow.getTimestamp(0).getTime
+    val hi = cutRow.getTimestamp(1).getTime
+    val cut = new java.sql.Timestamp(lo + (hi - lo) * 3 / 4)
+    val (df, idx) = Snapshots.indexedScan(spark, root, v)
+    val got = df.filter(col("ts") >= lit(cut))
+    assert(got.count() === ev.filter(col("ts") >= lit(cut)).count(),
+      "timestamp pruning must never change results")
+    assert(idx.lastPlanned.size < full,
+      s"a plain ts >= filter prunes at the manifest " +
+        s"(${idx.lastPlanned.size} of $full)")
+    // IN list — the point-lookup batch shape: prunes to the union of
+    // the values' containing files through both the explicit surface
+    // and the planner path
+    val root2 = java.nio.file.Files.createTempDirectory("graft_snapin").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    Snapshots.create(spark, root2, docs.repartitionByRange(8, col("doc_id")))
+    val v2 = Snapshots.latestVersion(spark, root2)
+    val full2 = Snapshots.read(spark, root2, v2).inputFiles.length
+    val mx = docs.agg(smax(col("doc_id"))).head().getLong(0)
+    val keys = Seq(0L, mx) // first and last file, nothing between
+    val explicit = Snapshots.readWhere(spark, root2, v2,
+      Seq(InSet("doc_id", keys)))
+    assert(ids(explicit) === ids(docs.filter(col("doc_id").isin(keys: _*))))
+    assert(explicit.inputFiles.length < full2,
+      s"the IN hull prunes interior files " +
+        s"(${explicit.inputFiles.length} of $full2)")
+    val (df2, idx2) = Snapshots.indexedScan(spark, root2, v2)
+    val planned = df2.filter(col("doc_id").isin(keys: _*))
+    assert(ids(planned) === ids(explicit))
+    assert(idx2.lastPlanned.size === explicit.inputFiles.length,
+      "the pushed In predicate plans the same file set as the " +
+        "explicit InSet")
+    // an empty IN matches nothing and plans nothing
+    val none = Snapshots.readWhere(spark, root2, v2,
+      Seq(InSet("doc_id", Seq.empty)))
+    assert(none.count() === 0 && none.inputFiles.length === 0)
+  }
+
   test("pruned merge: a narrow-key batch rewrites only key-holding files; the rest carry by path") {
     import org.apache.spark.sql.functions.{col, lit, max => smax}
     val root = java.nio.file.Files.createTempDirectory("graft_snapmprune").toString
