@@ -52,8 +52,15 @@ object Snapshots {
     * the other's files); ONE footer pass total ([[footerScan]]) drops
     * zero-row parts and harvests min/max stats from the same open.
     */
+  /** One commit's write product: live part files, their `#stats:`
+    * payloads, and their byte lengths (the `#len:` lines letting the
+    * read path plan with ZERO filesystem calls).
+    */
+  private[sources] final case class BatchFiles(files: Seq[String],
+      stats: Map[String, String], lens: Map[String, Long])
+
   private def writeBatchFiles(s: SparkSession, root: String,
-                              df: DataFrame): (Seq[String], Map[String, String]) = {
+                              df: DataFrame): BatchFiles = {
     val sub = s"$root/data/b${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.mode("errorifexists").parquet(sub)
     footerScan(s, fs(s).listStatus(new org.apache.hadoop.fs.Path(sub)).toSeq
@@ -125,21 +132,23 @@ object Snapshots {
     * the surviving scan.
     */
   private def footerScan(s: SparkSession,
-                         files: Seq[String]): (Seq[String], Map[String, String]) = {
+                         files: Seq[String]): BatchFiles = {
     // EXECUTOR-SIDE past a handful of files: the harvest is the right
     // O(own files) asymptotic but was ONE driver thread — a
     // merge/compact producing 10⁴ parts paid 10⁴ sequential footer
     // opens. Small commits stay on the driver (no job overhead).
     val conf = s.sparkContext.hadoopConfiguration
-    val results: Seq[(String, Boolean, Option[(String, String)])] =
+    val results: Seq[(String, Boolean, Option[(String, String)], Long)] =
       if (files.length < FooterScanDistributeAt)
         harvestFooters(conf, files.iterator).toSeq
       else org.apache.spark.GraftSparkBridge.mapPartitionsWithConf(
         s.sparkContext, conf, files,
         math.min(files.length, s.sparkContext.defaultParallelism))(
         (c, it) => harvestFooters(c, it)).toSeq
-    (results.collect { case (f, true, _) => f },
-      results.flatMap(_._3).toMap)
+    BatchFiles(results.collect { case (f, true, _, _) => f },
+      results.flatMap(_._3).toMap,
+      results.collect { case (f, true, _, len) if len >= 0 =>
+        fileStatKey(f) -> len }.toMap)
   }
 
   /** Threshold below which [[footerScan]] stays driver-local. */
@@ -151,7 +160,7 @@ object Snapshots {
     */
   private def harvestFooters(conf: org.apache.hadoop.conf.Configuration,
       files: Iterator[String])
-      : Iterator[(String, Boolean, Option[(String, String)])] = {
+      : Iterator[(String, Boolean, Option[(String, String)], Long)] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import scala.jdk.CollectionConverters._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -160,11 +169,12 @@ object Snapshots {
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new org.apache.hadoop.fs.Path(file), conf)
+        val len = in.getLength // the SAME open serves the #len: line
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           // zero-row parts drop here (see [[nonEmptyParts]]) — the
           // SAME footer open harvests the stats, one pass per file
-          if (r.getRecordCount == 0) (file, false, None)
+          if (r.getRecordCount == 0) (file, false, None, len)
           else {
           // merge row-group chunk stats per top-level column; a chunk
           // with absent/invalid stats voids the whole column
@@ -238,7 +248,8 @@ object Snapshots {
           }
           (file, true,
             if (node.isEmpty) None
-            else Some(fileStatKey(file) -> mapper.writeValueAsString(node)))
+            else Some(fileStatKey(file) -> mapper.writeValueAsString(node)),
+            len)
           }
         } finally r.close()
       } catch {
@@ -246,7 +257,8 @@ object Snapshots {
         // footer we cannot read just records nothing for its file —
         // but the FILE is kept (never drop data on a metadata error);
         // a harvest that threw after proving liveness keeps it too
-        case _: Exception => (file, true, None)
+        // (-1 length = unknown; the read path falls back to listStatus)
+        case _: Exception => (file, true, None, -1L)
       }
     }
   }
@@ -278,7 +290,8 @@ object Snapshots {
                             cdf: Seq[String] = Seq.empty,
                             blooms: Map[String, String] = Map.empty,
                             mirror: Option[Long] = None,
-                            base: Option[(Int, Manifest)] = None): Unit = {
+                            base: Option[(Int, Manifest)] = None,
+                            lens: Map[String, Long] = Map.empty): Unit = {
     val f = fs(s)
     val p = manifestPath(root, v)
     // Two-phase commit: write the FULL content to a dot-temp (invisible
@@ -348,9 +361,16 @@ object Snapshots {
     def bloomLines(keep: ((String, String)) => Boolean) =
       blooms.toSeq.filter(keep).sortBy(_._1)
         .map { case (k, pl) => s"#bloom:$k:$pl" }
+    // `#len:<fileName>:<bytes>` — each file's byte length, harvested
+    // from the write's own footer open: the read path plans FileStatus
+    // objects straight from the manifest, zero filesystem calls
+    def lenLines(keep: ((String, Long)) => Boolean) =
+      lens.toSeq.filter(keep).sortBy(_._1)
+        .map { case (n, l) => s"#len:$n:$l" }
     def full: Seq[String] =
       header ++ statLines(kv => live.contains(kv._1)) ++
-        bloomLines(kv => liveBloom(kv._1)) ++ files
+        bloomLines(kv => liveBloom(kv._1)) ++
+        lenLines(kv => live.contains(kv._1)) ++ files
     val content = base match {
       case Some((bv, bm)) if bv == v - 1 && v % CheckpointEvery != 0 =>
         val baseSet = bm.files.toSet
@@ -363,6 +383,8 @@ object Snapshots {
             !bm.stats.get(kv._1).contains(kv._2)) ++
           bloomLines(kv => liveBloom(kv._1) &&
             !bm.blooms.get(kv._1).contains(kv._2)) ++
+          lenLines(kv => live.contains(kv._1) &&
+            !bm.lens.get(kv._1).contains(kv._2)) ++
           rms.map(r => s"#rm:$r") ++ adds
       case _ => full
     }
@@ -413,6 +435,8 @@ object Snapshots {
         m.blooms.toSeq
           .filter(kv => live.contains(kv._1.substring(0, kv._1.indexOf(':'))))
           .sortBy(_._1).map { case (k, pl) => s"#bloom:$k:$pl" } ++
+        m.lens.toSeq.filter(kv => live.contains(kv._1)).sortBy(_._1)
+          .map { case (n, l) => s"#len:$n:$l" } ++
         m.files
     val tmp = new org.apache.hadoop.fs.Path(
       s"$root/manifests/.v$v.${java.util.UUID.randomUUID().toString.take(8)}.mat")
@@ -518,7 +542,8 @@ object Snapshots {
       stats: Map[String, String] = Map.empty,
       cdf: Seq[String] = Seq.empty,
       blooms: Map[String, String] = Map.empty,
-      mirror: Option[Long] = None)
+      mirror: Option[Long] = None,
+      lens: Map[String, Long] = Map.empty)
 
   /** One raw (unresolved) manifest layer: `adds` are its bare file
     * lines — the FULL file set for a checkpoint manifest, only the
@@ -530,7 +555,8 @@ object Snapshots {
       schema: Option[org.apache.spark.sql.types.StructType],
       commit: Option[String],
       stats: Map[String, String], cdf: Seq[String],
-      blooms: Map[String, String], mirror: Option[Long])
+      blooms: Map[String, String], mirror: Option[Long],
+      lens: Map[String, Long])
 
   private def parseManifest(s: SparkSession, root: String,
                             v: Int): RawManifest = {
@@ -545,6 +571,7 @@ object Snapshots {
     val cdf = Seq.newBuilder[String]
     val blooms = Map.newBuilder[String, String]
     var mirror: Option[Long] = None
+    val lens = Map.newBuilder[String, Long]
     lines.foreach {
       case l if l.startsWith("#base:") =>
         // FAIL FAST on a malformed base tag: silently treating a DELTA
@@ -576,6 +603,11 @@ object Snapshots {
         val body = l.stripPrefix("#stats:")
         val i = body.indexOf(':')
         if (i > 0) stats += body.substring(0, i) -> body.substring(i + 1)
+      case l if l.startsWith("#len:") =>
+        val body = l.stripPrefix("#len:")
+        val i = body.indexOf(':')
+        if (i > 0) body.substring(i + 1).toLongOption.foreach(n =>
+          lens += body.substring(0, i) -> n)
       case l if l.startsWith("#txn:") =>
         // the dash splits a RANGE, but ids may be negative — split on
         // a dash past position 0
@@ -592,7 +624,8 @@ object Snapshots {
       case l => files += l
     }
     RawManifest(base, files.result(), rms.result(), txns.result().sorted,
-      schema, commit, stats.result(), cdf.result(), blooms.result(), mirror)
+      schema, commit, stats.result(), cdf.result(), blooms.result(), mirror,
+      lens.result())
   }
 
   /** Resolve version v's manifest: walk its `#base:` chain back to the
@@ -621,10 +654,12 @@ object Snapshots {
     var files = layers.last.adds.toSet
     var stats = layers.last.stats
     var blooms = layers.last.blooms
+    var lens = layers.last.lens
     layers.dropRight(1).reverseIterator.foreach { l =>
       files = files -- l.rms ++ l.adds
       stats = stats ++ l.stats
       blooms = blooms ++ l.blooms
+      lens = lens ++ l.lens
     }
     val head = layers.head
     val liveNames = files.map(fileStatKey)
@@ -633,7 +668,8 @@ object Snapshots {
       head.cdf,
       blooms.filter(kv =>
         liveNames.contains(kv._1.substring(0, kv._1.indexOf(':')))),
-      head.mirror)
+      head.mirror,
+      lens.filter(kv => liveNames.contains(kv._1)))
   }
 
   private[graft] def readManifest(s: SparkSession, root: String, v: Int): Seq[String] =
@@ -741,6 +777,7 @@ object Snapshots {
       commitKind: String = "append",
       addStats: Map[String, String] = Map.empty,
       addBlooms: Map[String, String] = Map.empty,
+      addLens: Map[String, Long] = Map.empty,
       expectBase: Option[Int] = None)
                          (files: Seq[String] => Seq[String]): Int = {
     var attempts = 0
@@ -761,7 +798,8 @@ object Snapshots {
           addTxn.fold(m.txns)(mergeTxn(m.txns, _)),
           schemaFor(m.schema), Some(commitKind), m.stats ++ addStats,
           blooms = m.blooms ++ addBlooms, mirror = m.mirror,
-          base = if (v >= 1) Some((v, m)) else None)
+          base = if (v >= 1) Some((v, m)) else None,
+          lens = m.lens ++ addLens)
         return v + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -774,9 +812,9 @@ object Snapshots {
 
   /** Commit `df` as version 1 of a new dataset (fails if one exists). */
   def create(s: SparkSession, root: String, df: DataFrame): Int = {
-    val (mine, st) = writeBatchFiles(s, root, df)
-    writeManifest(s, root, 1, mine, schema = Some(df.schema),
-      commitKind = Some("append"), stats = st)
+    val bf = writeBatchFiles(s, root, df)
+    writeManifest(s, root, 1, bf.files, schema = Some(df.schema),
+      commitKind = Some("append"), stats = bf.stats, lens = bf.lens)
     1
   }
 
@@ -790,12 +828,12 @@ object Snapshots {
     * rejected (see [[mergeSchemas]]).
     */
   def append(s: SparkSession, root: String, df: DataFrame): Int = {
-    val (mine, st) = writeBatchFiles(s, root, df)
+    val bf = writeBatchFiles(s, root, df)
     commitRetry(s, root,
       schemaFor = known => Some(standingSchema(s, root, known)
         .fold(df.schema)(mergeSchemas(_, df.schema))),
-      addStats = st)(
-      known => known ++ mine)
+      addStats = bf.stats, addLens = bf.lens)(
+      known => known ++ bf.files)
   }
 
   /** Rewrite: commit `df` as v+1 from FRESH files only (a curation
@@ -828,10 +866,11 @@ object Snapshots {
     */
   def rewriteAt(s: SparkSession, root: String, base: Int, df: DataFrame,
                 dataChange: Boolean = true): Int = {
-    val (mine, st) = writeBatchFiles(s, root, df)
+    val bf = writeBatchFiles(s, root, df)
     commitRetry(s, root, schemaFor = _ => Some(df.schema),
       commitKind = if (dataChange) "rewrite" else "layout",
-      addStats = st, expectBase = Some(base))(_ => mine)
+      addStats = bf.stats, addLens = bf.lens,
+      expectBase = Some(base))(_ => bf.files)
   }
 
   /** Recompute-on-conflict loop for the pure-layout verbs: build the
@@ -892,14 +931,14 @@ object Snapshots {
     val sub = new org.apache.hadoop.fs.Path(s"$root/data/txn$txnId")
     if (f.exists(sub)) f.delete(sub, true) // crashed half-write
     df.write.mode("errorifexists").parquet(sub.toString)
-    val (mine, st) = footerScan(s, f.listStatus(sub).toSeq
+    val bf = footerScan(s, f.listStatus(sub).toSeq
       .filter(k => k.isFile && k.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString).sorted)
     commitRetry(s, root, addTxn = Some(txnId),
       schemaFor = known => Some(standingSchema(s, root, known)
         .fold(df.schema)(mergeSchemas(_, df.schema))),
-      addStats = st)(
-      known => known ++ mine)
+      addStats = bf.stats, addLens = bf.lens)(
+      known => known ++ bf.files)
   }
 
   /** Streaming ingest into a versioned dataset: each micro-batch
@@ -1011,7 +1050,8 @@ object Snapshots {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .drop("__src", "__rn")
-      val (mine, mineStats) = writeBatchFiles(s, root, merged)
+      val bf = writeBatchFiles(s, root, merged)
+      val mine = bf.files
       // CHANGE-DATA FILES (the Delta CDF idea): the post-image of every
       // key the batch touched, derived from the freshly-written merged
       // files (one bounded scan ⋈ batch keys — never a second corpus
@@ -1030,8 +1070,9 @@ object Snapshots {
         // rewritten files' blooms drop with the files (live-key filter)
         writeManifest(s, root, base + 1, (survivors ++ mine).distinct.sorted,
           txn.fold(m.txns)(mergeTxn(m.txns, _)),
-          Some(sc), Some("merge"), m.stats ++ mineStats, cdfFiles,
-          blooms = m.blooms, mirror = m.mirror, base = Some((base, m)))
+          Some(sc), Some("merge"), m.stats ++ bf.stats, cdfFiles,
+          blooms = m.blooms, mirror = m.mirror, base = Some((base, m)),
+          lens = m.lens ++ bf.lens)
         return base + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -1211,14 +1252,16 @@ object Snapshots {
       val sc = m.schema.getOrElse(s.read.parquet(m.files: _*).schema)
       val hit = coalesce(preds.map(predColumn).reduce(_ && _), lit(false))
       val cand = s.read.schema(sc).parquet(candidates: _*)
-      val (fresh, freshStats) = writeBatchFiles(s, root, cand.filter(!hit))
+      val bfd = writeBatchFiles(s, root, cand.filter(!hit))
+      val fresh = bfd.files
       val cdfFiles = writeChangeFiles(s, root, cand.filter(hit))
       try {
         writeManifest(s, root, base + 1, (survivors ++ fresh).distinct.sorted,
           m.txns, Some(sc), Some("delete"),
-          m.stats ++ freshStats, cdfFiles,
+          m.stats ++ bfd.stats, cdfFiles,
           blooms = m.blooms, // survivors keep theirs; rewritten files' drop
-          mirror = m.mirror, base = Some((base, m)))
+          mirror = m.mirror, base = Some((base, m)),
+          lens = m.lens ++ bfd.lens)
         return base + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -1318,7 +1361,7 @@ object Snapshots {
     val m = readManifestData(s, root, v)
     commitRetry(s, root, schemaFor = _ => m.schema,
       commitKind = "rewrite", addStats = m.stats,
-      addBlooms = m.blooms)(_ => m.files)
+      addBlooms = m.blooms, addLens = m.lens)(_ => m.files)
   }
 
   /** SHALLOW CLONE (the Delta zero-copy clone): a NEW dataset root
@@ -1340,7 +1383,7 @@ object Snapshots {
     require(!fs(s).exists(manifestPath(dstRoot, 1)),
       s"clone target $dstRoot already exists")
     writeManifest(s, dstRoot, 1, m.files, Seq.empty, m.schema,
-      Some("append"), m.stats, Seq.empty, m.blooms)
+      Some("append"), m.stats, Seq.empty, m.blooms, lens = m.lens)
   }
 
   /** Orphans younger than this survive [[expire]]'s vacuum (the Delta
@@ -1800,7 +1843,7 @@ object Snapshots {
       try {
         writeManifest(s, root, base + 1, m.files, m.txns, Some(sc),
           Some("analyze"), m.stats, Seq.empty, m.blooms ++ add,
-          mirror = m.mirror, base = Some((base, m)))
+          mirror = m.mirror, base = Some((base, m)), lens = m.lens)
         return base + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -1977,19 +2020,31 @@ object Snapshots {
       : (DataFrame, org.apache.spark.sql.GraftSnapshotFileIndex) = {
     val m = readManifestData(s, root, v)
     val sc = m.schema.getOrElse(s.read.parquet(m.files: _*).schema)
-    val f = fs(s)
-    // ONE listStatus per transaction subdir (dirs ≈ commits, bounded
-    // by compaction), never a getFileStatus RPC per file — at 10⁶
-    // files a per-file driver round-trip is the exact O(standing)
-    // metadata class the rest of r14 removed
-    val wanted = m.files.toSet
-    val statuses = m.files.map(new org.apache.hadoop.fs.Path(_))
-      .groupBy(_.getParent).toSeq
-      .flatMap { case (dir, _) =>
-        f.listStatus(dir).filter(st =>
-          st.isFile && wanted.contains(st.getPath.toString))
+    // the manifest's `#len:` lines let planning construct FileStatus
+    // objects with ZERO filesystem calls (mtime/blockSize are synthetic
+    // — the scan uses only path + length); files a legacy manifest
+    // recorded no length for fall back to ONE listStatus per
+    // transaction subdir (dirs ≈ commits, bounded by compaction),
+    // never a getFileStatus RPC per file
+    val (known, unknown) = m.files.partition(p =>
+      m.lens.contains(fileStatKey(p)))
+    val fromLens = known.map(p => new org.apache.hadoop.fs.FileStatus(
+      m.lens(fileStatKey(p)), false, 1, 128L * 1024 * 1024, 0L,
+      new org.apache.hadoop.fs.Path(p)))
+    val listed =
+      if (unknown.isEmpty) Seq.empty
+      else {
+        val f = fs(s)
+        val wanted = unknown.toSet
+        unknown.map(new org.apache.hadoop.fs.Path(_))
+          .groupBy(_.getParent).toSeq
+          .flatMap { case (dir, _) =>
+            f.listStatus(dir).filter(st =>
+              st.isFile && wanted.contains(st.getPath.toString))
+          }
       }
-    val idx = new org.apache.spark.sql.GraftSnapshotFileIndex(statuses,
+    val idx = new org.apache.spark.sql.GraftSnapshotFileIndex(
+      fromLens ++ listed,
       exprs => filesWhereM(m, translateFilters(exprs)))
     (org.apache.spark.sql.GraftSnapshotScan.dataFrame(s, idx, sc), idx)
   }
@@ -2380,7 +2435,7 @@ object Snapshots {
           writeManifest(s, dstRoot, dstV + 1, dstM.files,
             dstM.txns, dstM.schema, Some("layout"),
             dstM.stats, Seq.empty, dstM.blooms, mirror = Some(srcV.toLong),
-            base = Some((dstV, dstM)))
+            base = Some((dstV, dstM)), lens = dstM.lens)
           return dstV + 1
         }
         val feed = changeFeed(s, srcRoot, cursor, srcV)
@@ -2393,10 +2448,10 @@ object Snapshots {
           val folded = feed.withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1 && col("_change_type") =!= "delete")
             .drop("_rn", "_change_type", "_commit_version")
-          val (mine, mineStats) = writeBatchFiles(s, dstRoot, folded)
-          writeManifest(s, dstRoot, 1, mine.distinct.sorted,
-            Seq.empty, Some(folded.schema), Some("append"), mineStats,
-            mirror = Some(srcV.toLong))
+          val bf = writeBatchFiles(s, dstRoot, folded)
+          writeManifest(s, dstRoot, 1, bf.files.distinct.sorted,
+            Seq.empty, Some(folded.schema), Some("append"), bf.stats,
+            mirror = Some(srcV.toLong), lens = bf.lens)
           return 1
         }
         // PRUNED incremental fold: only the mirror files holding a
@@ -2418,7 +2473,8 @@ object Snapshots {
         val folded = all.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1 && col("_change_type") =!= "delete")
           .drop("_rn", "_change_type", "_commit_version")
-        val (mine, mineStats) = writeBatchFiles(s, dstRoot, folded)
+        val bf = writeBatchFiles(s, dstRoot, folded)
+        val mine = bf.files
         val hasDeletes = pending.fold(true)(_._2) // unclassifiable: honest rewrite
         val cdfFiles =
           if (hasDeletes || mine.isEmpty) Seq.empty
@@ -2428,8 +2484,9 @@ object Snapshots {
         writeManifest(s, dstRoot, dstV + 1, (survivors ++ mine).distinct.sorted,
           dstM.txns, Some(folded.schema),
           Some(if (hasDeletes) "rewrite" else "merge"),
-          dstM.stats ++ mineStats, cdfFiles, blooms = dstM.blooms,
-          mirror = Some(srcV.toLong), base = Some((dstV, dstM)))
+          dstM.stats ++ bf.stats, cdfFiles, blooms = dstM.blooms,
+          mirror = Some(srcV.toLong), base = Some((dstV, dstM)),
+          lens = dstM.lens ++ bf.lens)
         return dstV + 1
       } catch {
         // a lost race means ANOTHER sync advanced the mirror — our fold
@@ -2473,12 +2530,13 @@ object Snapshots {
       // discipline applies here too)
       if (mirrorCursorOf(dstM) >= srcV && dstV >= 1) return dstV
       val snap = read(s, srcRoot, srcV)
-      val (mine, st) = writeBatchFiles(s, dstRoot, snap)
+      val bf = writeBatchFiles(s, dstRoot, snap)
       try {
-        writeManifest(s, dstRoot, dstV + 1, mine.distinct.sorted,
+        writeManifest(s, dstRoot, dstV + 1, bf.files.distinct.sorted,
           dstM.txns, Some(snap.schema),
-          Some("rewrite"), st, mirror = Some(srcV.toLong),
-          base = if (dstV >= 1) Some((dstV, dstM)) else None)
+          Some("rewrite"), bf.stats, mirror = Some(srcV.toLong),
+          base = if (dstV >= 1) Some((dstV, dstM)) else None,
+          lens = bf.lens)
         return dstV + 1
       } catch {
         // lost race: the snapshot AND the cursor we read are stale —

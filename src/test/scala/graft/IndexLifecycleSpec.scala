@@ -1254,6 +1254,16 @@ class SnapshotsMaintenanceSpec extends AnyFunSuite {
     val none = Snapshots.readWhere(spark, root2, v2,
       Seq(InSet("doc_id", Seq.empty)))
     assert(none.count() === 0 && none.inputFiles.length === 0)
+    // the manifest's #len: lines cover EVERY file with its exact byte
+    // length, so the planner path constructs its FileStatus objects
+    // metadata-only (zero filesystem calls) — and a wrong length would
+    // have broken the row-equality assertions above
+    val man = Snapshots.readManifestData(spark, root2, v2)
+    assert(man.files.nonEmpty && man.files.forall { p =>
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      man.lens.get(name).contains(
+        new java.io.File(new java.net.URI(p).getPath).length())
+    }, "every manifest file carries its exact #len: record")
   }
 
   test("pruned merge: a narrow-key batch rewrites only key-holding files; the rest carry by path") {
