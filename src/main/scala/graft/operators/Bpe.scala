@@ -100,12 +100,22 @@ object Bpe {
   private[graft] def warmEncodeCache(s: SparkSession, dir: String): Unit =
     encodeFrame(s, dir).count()
 
-  /** Unpersist the shared encode frame for `dir` (the consumer — drop
-    * it before [[releaseLearnedCache]], its dependency: rebuilding the
-    * release plan needs the learner memo).
+  /** Unpersist every shared encode frame for `dir` (the consumer —
+    * drop it before [[releaseLearnedCache]], its dependency). Releases
+    * the HELD frames only: a cold cache releases nothing and never
+    * runs the learner (a targeted Verify subset that skipped BPE must
+    * not pay a full training run in its cleanup path).
     */
-  def releaseEncodeCache(s: SparkSession, dir: String): Unit =
-    encodeFrame(s, dir).unpersist()
+  def releaseEncodeCache(s: SparkSession, dir: String): Unit = {
+    val it = encodeCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == s && e.getKey._2 == dir) {
+        e.getValue.unpersist()
+        it.remove()
+      }
+    }
+  }
 
   /** Run the memoized learner now, for Bench's `shared_` attribution
     * (the four BPE queries then ride the memo).
@@ -208,7 +218,44 @@ object Bpe {
     * rides the same scan); shared by [[bpeEncode]] and [[bpeFertility]].
     */
   private def encodeFrame(s: SparkSession, dir: String): DataFrame =
-    encodeFrameWith(Tables.documents(s, dir), learned(s, dir)._1)
+    encodeFrameCached(s, dir, learned(s, dir)._1)
+
+  /** Session-cached encode frames keyed (session, dir, merge-list
+    * hash) — the cached DataFrame itself is held, so release
+    * unpersists WITHOUT rebuilding any plan (a cold release must never
+    * run the learner). Keying by the MERGE LIST keeps the artifact
+    * contract honest: `q_bpe_persisted` shares the frame exactly when
+    * its LOADED merges equal the learner's; a corrupted reload keys a
+    * separate frame, computes separately, and hash-fails its oracle.
+    */
+  private val encodeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), DataFrame]()
+
+  /** The SHARED encode frame over `dir`'s documents (the most
+    * expensive map pass in the bench — at sf1 `q_bpe_encode` and
+    * `q_bpe_persisted` each paid ~19 s for cell-identical output):
+    * session-persisted narrow 5-column output, with a CONDITIONAL
+    * spread — a single-row-group parquet (the shipped sf1 documents
+    * file) plans ONE scan task and serializes the 200-replace chain
+    * (parquet tasks cannot split inside a row group, so
+    * maxPartitionBytes is powerless); only when the scan plans fewer
+    * partitions than half the cores does one round-robin shuffle buy
+    * full parallelism — a real multi-file corpus already plans ≥
+    * cores partitions and must NEVER pay a corpus-wide shuffle for a
+    * map-only pass (spec-pinned). Values are per-row, so results are
+    * layout-independent and the terminal sorts pin the order.
+    */
+  private[graft] def encodeFrameCached(s: SparkSession, dir: String,
+      merges: Seq[(Int, String, String, String, Long)]): DataFrame =
+    encodeCache.computeIfAbsent((s, dir, merges.hashCode), _ => {
+      val docs = Tables.documents(s, dir)
+      val par = s.sparkContext.defaultParallelism
+      val spread =
+        if (docs.rdd.getNumPartitions < math.max(2, par / 2))
+          docs.repartition(par)
+        else docs
+      encodeFrameWith(spread, merges).transform(graft.plans.Memo.cached)
+    })
 
   /** The encode pass against an EXPLICIT merge list and documents frame
     * — the seam the persisted-tokenizer artifact
@@ -217,48 +264,13 @@ object Bpe {
     * (train once, apply to every future batch). Map-only: the merge
     * list is driver state, the chain rides the scan.
     *
-    * SESSION-PERSISTED via plan equality (Memo.cached): the output is
-    * a narrow 5-column frame, and the encode chain (200 nested
-    * replaces) is the most expensive map pass in the bench — at sf1
-    * `q_bpe_encode` and `q_bpe_persisted` each paid ~19 s for
-    * cell-identical output. The cache key IS the plan, so the
-    * persisted-artifact entry shares the frame exactly when its LOADED
-    * merge list equals the learner's (building an identical plan) —
-    * the artifact round-trip contract stays checked: a corrupted
-    * reload builds a different plan, computes separately, and
-    * hash-fails against the oracle.
+    * PLAIN MAP CHAIN — no persist, no driver probe: this is the seam
+    * arbitrary frames (including streaming micro-batches) encode
+    * through. The dir-scoped batch entries ride [[encodeFrameCached]]
+    * instead.
     */
   private[graft] def encodeFrameWith(docs: DataFrame,
-      merges: Seq[(Int, String, String, String, Long)]): DataFrame =
-    encodeFrameRaw(docs, merges).transform(graft.plans.Memo.cached)
-
-  private val scanPartsMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, Int), java.lang.Integer]()
-
-  private def encodeFrameRaw(docs: DataFrame,
       merges: Seq[(Int, String, String, String, Long)]): DataFrame = {
-    // a single-row-group parquet (the shipped sf1 documents file) plans
-    // ONE scan task, serializing the 200-replace encode chain — the
-    // most expensive map pass in the bench (19 s wall≈cpu at sf1;
-    // parquet tasks cannot split inside a row group, so
-    // maxPartitionBytes is powerless). CONDITIONAL spread: only when
-    // the scan plans fewer partitions than half the cores does one
-    // round-robin shuffle of the raw docs buy full parallelism — a
-    // real multi-file corpus already plans ≥ cores partitions and must
-    // NEVER pay a corpus-wide shuffle for a map-only pass (the
-    // spec-pinned contract). Values are per-row, so results are
-    // layout-independent and the terminal sorts pin the order.
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    // the partition-count probe builds a full QueryExecution — memoize
-    // per input plan (the r10c probe-memoization convention: plan
-    // construction re-runs on every Memo.cached lookup). A semantic-
-    // hash collision could only flip the spread heuristic, never a row.
-    val nParts = scanPartsMemo.computeIfAbsent(
-      (docs.sparkSession, docs.queryExecution.analyzed.semanticHash()),
-      _ => docs.rdd.getNumPartitions)
-    val spread =
-      if (nParts < math.max(2, par / 2)) docs.repartition(par)
-      else docs
     val toks = TextFunctions.tokens(col("text"))
     val docRep = concat(
       lit(" "),
@@ -268,7 +280,7 @@ object Bpe {
     val rep = merges.foldLeft(docRep) { case (r, (_, a, b, _, _)) =>
       replace(r, lit(s" $a$SymSep$b "), lit(s" $a$b "))
     }
-    spread
+    docs
       .select(
         col("doc_id"), col("lang"),
         size(toks).cast("long").as("n_words"),

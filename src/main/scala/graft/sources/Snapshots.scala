@@ -449,7 +449,7 @@ object Snapshots {
     // version number with different content (consumers whose cursors
     // recorded it silently skip the new rows). posix gets ATOMIC_MOVE;
     // elsewhere FileContext.rename(OVERWRITE) (atomic on HDFS). If
-    // neither is available the caller keeps the delta chain instead.
+    // neither works this returns false and expire fails fast unmutated.
     try {
       if ("file" == f.getScheme) {
         val local = (q: org.apache.hadoop.fs.Path) =>
@@ -472,18 +472,6 @@ object Snapshots {
     }
   }
 
-  /** The versions v's `#base:` chain resolves through (v excluded). */
-  private def chainBases(s: SparkSession, root: String, v: Int): Seq[Int] = {
-    val out = Seq.newBuilder[Int]
-    var cur = v
-    var base = parseManifest(s, root, cur).base
-    while (base.isDefined) {
-      cur = base.get
-      out += cur
-      base = parseManifest(s, root, cur).base
-    }
-    out.result()
-  }
 
   /** Atomically publish the durable temp as v's manifest; false iff a
     * racer already claimed v. `exists(p)` followed by rename is NOT a
@@ -1421,6 +1409,19 @@ object Snapshots {
     val latest = latestVersion(s, root)
     require(retainMin >= 1 && retainMin <= latest,
       s"retainMin $retainMin out of range [1, $latest]")
+    // the oldest retained version may be a DELTA manifest resolving
+    // through the chain about to be deleted: checkpoint it full FIRST,
+    // before any mutation (idempotent; a crash after it just leaves
+    // extra manifests for the next expire). If the filesystem offers
+    // no atomic manifest replace, FAIL FAST with nothing mutated —
+    // keeping the chain alive would leave expired versions readable
+    // over vacuumed files (silent missing rows), and deleting it would
+    // break the retained version.
+    if (!materializeManifest(s, root, retainMin))
+      throw new IllegalStateException(
+        s"cannot checkpoint v$retainMin at $root before expiry (no " +
+          "atomic manifest replace on this filesystem); expire at a " +
+          s"checkpoint version (a multiple of $CheckpointEvery) instead")
     val retainedM = (retainMin to latest).iterator
       .filter(v => f.exists(manifestPath(root, v)))
       .map(v => readManifestData(s, root, v)).toSeq
@@ -1437,20 +1438,9 @@ object Snapshots {
     expiredM.flatMap(_.cdf).toSet.diff(liveCdf).foreach { p =>
       f.delete(new org.apache.hadoop.fs.Path(p), false)
     }
-    // the oldest retained version may be a DELTA manifest resolving
-    // through the chain about to be deleted: checkpoint it full first
-    // (idempotent; a crash between materialize and the deletes below
-    // just leaves extra manifests for the next expire). If the
-    // filesystem offers no atomic replace, keep the chain's manifests
-    // alive instead — their FILE LISTS are all resolution needs, and
-    // leaking ≤ CheckpointEvery tiny text files beats a crash window
-    // where a published version number could be re-claimed.
-    val keepChain: Set[Int] =
-      if (materializeManifest(s, root, retainMin)) Set.empty
-      else chainBases(s, root, retainMin).toSet
     (1 until retainMin).foreach { v =>
       val p = manifestPath(root, v)
-      if (!keepChain.contains(v) && f.exists(p)) f.delete(p, false)
+      if (f.exists(p)) f.delete(p, false)
     }
     val cutoff = System.currentTimeMillis() - math.max(0L, orphanGraceMs)
     def reclaim(k: org.apache.hadoop.fs.FileStatus): Boolean = {
@@ -2043,6 +2033,16 @@ object Snapshots {
               st.isFile && wanted.contains(st.getPath.toString))
           }
       }
+    // FAIL FAST on a manifest-referenced file the listing lost (a
+    // vacuumed pinned version, a manual delete): silently planning
+    // fewer files would return silently missing rows
+    if (listed.size != unknown.size) {
+      val found = listed.map(_.getPath.toString).toSet
+      val miss = unknown.filterNot(found)
+      throw new java.io.FileNotFoundException(
+        s"version $v of $root references missing data file(s): " +
+          miss.take(3).mkString(", "))
+    }
     val idx = new org.apache.spark.sql.GraftSnapshotFileIndex(
       fromLens ++ listed,
       exprs => filesWhereM(m, translateFilters(exprs)))

@@ -68,11 +68,15 @@ object TokenizerArtifact {
   /** `q_bpe_persisted`: materialize (marker-skipped after the first
     * call), reload, encode — output cell-identical to `q_bpe_encode`,
     * which is exactly the artifact contract: save + load + apply ==
-    * the in-memory tokenizer.
+    * the in-memory tokenizer. Rides the session-cached encode frame
+    * keyed by the LOADED merge list, so it shares `q_bpe_encode`'s one
+    * encode pass exactly when the artifact round-tripped faithfully (a
+    * corrupted reload keys a separate frame and hash-fails its oracle).
     */
   def encodePersisted(s: SparkSession, dir: String): DataFrame = {
     val root = materialize(s, dir)
-    encodeCorpusWith(s, root, graft.Tables.documents(s, dir))
+    Bpe.encodeFrameCached(s, dir, loadMerges(s, root))
+      .drop("lang")
       .orderBy("doc_id")
   }
 }
