@@ -71,6 +71,7 @@ object Bench {
     "q_snapshot_read_pruned" -> "snq", "q_snapshot_merge_changes" -> "snx",
     "q_snapshot_scan_pruned" -> "sni",
     "q_snapshot_delete" -> "snd", "q_snapshot_change_feed" -> "snf",
+    "q_snapshot_update" -> "snu",
     "q_snapshot_bloom_lookup" -> "snb", "q_snapshot_zorder" -> "snz",
     "q_snapshot_drift" -> "snv",
     "q_knn_label_acc" -> "kla", "q_dup_matrix" -> "dxm",

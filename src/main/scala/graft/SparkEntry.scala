@@ -206,6 +206,9 @@ object SparkEntry {
     // stats-pruned row-level DELETE (copy-on-write rewrites only the
     // stat-overlapping files) read back post-delete
     "q_snapshot_delete" -> sources.Snapshots.snapshotDelete _,
+    // stats-pruned row-level UPDATE (copy-on-write with the Delta
+    // pre+post change pair) read back post-update
+    "q_snapshot_update" -> sources.Snapshots.snapshotUpdate _,
     // typed change feed: insert/delete rows attributed to their commits
     "q_snapshot_change_feed" -> sources.Snapshots.snapshotChangeFeed _,
     // per-file bloom membership skipping for point lookups on a
@@ -893,6 +896,7 @@ object SparkEntry {
     "q_snapshot_read_pruned" -> sources.Snapshots.snapshotReadPrunedOracleSql,
     "q_snapshot_scan_pruned" -> sources.Snapshots.snapshotScanPrunedOracleSql,
     "q_snapshot_delete" -> sources.Snapshots.snapshotDeleteOracleSql,
+    "q_snapshot_update" -> sources.Snapshots.snapshotUpdateOracleSql,
     "q_snapshot_change_feed" -> sources.Snapshots.snapshotChangeFeedOracleSql,
     "q_snapshot_bloom_lookup" -> sources.Snapshots.snapshotBloomLookupOracleSql,
     "q_snapshot_zorder" -> sources.Snapshots.snapshotZorderOracleSql,

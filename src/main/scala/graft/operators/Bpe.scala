@@ -229,7 +229,22 @@ object Bpe {
     * separate frame, computes separately, and hash-fails its oracle.
     */
   private val encodeCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int), DataFrame]()
+    (SparkSession, String, String), DataFrame]()
+
+  /** Strong digest of a merge list — the encode-cache key component.
+    * `Seq.hashCode` (32-bit) could collide a corrupted artifact reload
+    * with the learner's merges and silently share one frame, defeating
+    * the keys-separately-and-hash-fails detection; MD5 over the full
+    * serialized list cannot.
+    */
+  private def mergeDigest(
+      merges: Seq[(Int, String, String, String, Long)]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    merges.foreach { case (i, a, b, ab, c) =>
+      md.update(s"$i $a $b $ab $c\n".getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   /** The SHARED encode frame over `dir`'s documents (the most
     * expensive map pass in the bench — at sf1 `q_bpe_encode` and
@@ -247,7 +262,7 @@ object Bpe {
     */
   private[graft] def encodeFrameCached(s: SparkSession, dir: String,
       merges: Seq[(Int, String, String, String, Long)]): DataFrame =
-    encodeCache.computeIfAbsent((s, dir, merges.hashCode), _ => {
+    encodeCache.computeIfAbsent((s, dir, mergeDigest(merges)), _ => {
       val docs = Tables.documents(s, dir)
       val par = s.sparkContext.defaultParallelism
       val spread =

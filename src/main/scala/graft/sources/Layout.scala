@@ -77,23 +77,51 @@ object Layout {
     * Dimension ranges come from ONE min/max aggregate cross-joined in
     * as a broadcast scalar row — no driver action, no second scan
     * thanks to exchange reuse.
+    *
+    * STRING dimensions bucket through a DICTIONARY DENSE RANK (the
+    * routine source+time+length triple has a string `source` dim that
+    * plain numeric bucketing cannot serve): the column's distinct
+    * values rank once (a dimension-sized single-partition sort —
+    * bounded by cardinality, never corpus rows) and broadcast-join
+    * back as the numeric surrogate, so the bucket order IS the
+    * lexicographic order and a post-layout string range/prefix
+    * predicate prunes via the footer min/max like any numeric dim. A
+    * null string ranks with <=> (its own dictionary row), so null-key
+    * rows cluster together instead of z-ing to null.
     */
   private[sources] def withZN(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "z-order needs at least one column")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.StringType
     val bits = bitsFor(cols.size)
-    val bounds = df.agg(
-      min(col(cols.head)).as(s"_lo0"),
-      (max(col(cols.head)).as(s"_hi0") +:
-        cols.zipWithIndex.tail.flatMap { case (c, j) =>
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    var cur = df
+    val surrogate = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dimCols = cols.zipWithIndex.map { case (c, j) =>
+      if (byName.get(c).contains(StringType)) {
+        val (kn, rn) = (s"_zk$j", s"_zr$j")
+        val ranks = df.select(col(c).as(kn)).distinct()
+          .withColumn(rn,
+            (row_number().over(Window.orderBy(col(kn))) - 1).cast("long"))
+        cur = cur.join(broadcast(ranks), cur(c) <=> ranks(kn), "left")
+        surrogate ++= Seq(kn, rn)
+        rn
+      } else c
+    }
+    val bounds = cur.agg(
+      min(col(dimCols.head)).as(s"_lo0"),
+      (max(col(dimCols.head)).as(s"_hi0") +:
+        dimCols.zipWithIndex.tail.flatMap { case (c, j) =>
           Seq(min(col(c)).as(s"_lo$j"), max(col(c)).as(s"_hi$j"))
         }): _*)
     val z = zInterleaveN(
-      cols.zipWithIndex.map { case (c, j) =>
+      dimCols.zipWithIndex.map { case (c, j) =>
         bucketize(col(c), col(s"_lo$j"), col(s"_hi$j"), bits)
       }, bits)
-    df.crossJoin(broadcast(bounds))
+    cur.crossJoin(broadcast(bounds))
       .withColumn("_z", z)
-      .drop(cols.indices.flatMap(j => Seq(s"_lo$j", s"_hi$j")): _*)
+      .drop(cols.indices.flatMap(j => Seq(s"_lo$j", s"_hi$j")) ++
+        surrogate: _*)
   }
 
   /** Write `df` z-ordered on (colA, colB) into `files` parquet files. */

@@ -180,11 +180,25 @@ object Snapshots {
           // with absent/invalid stats voids the whole column
           val acc = scala.collection.mutable.LinkedHashMap
             .empty[String, Option[(Char, Any, Any)]]
+          // null counts accumulate independently of the range (an
+          // all-null column has no min/max but a perfectly good null
+          // count — exactly the file IsNotNull pruning skips); a chunk
+          // without the count voids the column's "nc"
+          val accN = scala.collection.mutable.LinkedHashMap
+            .empty[String, Option[Long]]
           r.getFooter.getBlocks.asScala.foreach { b =>
             b.getColumns.asScala.foreach { c =>
               val name = c.getPath.toDotString
               if (!name.contains('.')) { // top-level only
                 val st = c.getStatistics
+                val ncCur: Option[Long] =
+                  if (st != null && st.isNumNullsSet) Some(st.getNumNulls)
+                  else None
+                accN(name) = accN.get(name) match {
+                  case None => ncCur
+                  case Some(prev) =>
+                    for (p <- prev; n <- ncCur) yield p + n
+                }
                 val cur: Option[(Char, Any, Any)] =
                   if (st == null || st.isEmpty || !st.hasNonNullValue) None
                   else c.getPrimitiveType.getPrimitiveTypeName match {
@@ -234,17 +248,24 @@ object Snapshots {
             }
           }
           val node = mapper.createObjectNode()
-          acc.foreach {
-            case (name, Some((kind, mn, mx))) =>
-              val o = node.putObject(name)
-              o.put("t", kind.toString)
-              (mn, mx) match {
-                case (a: Long, b: Long) => o.put("min", a); o.put("max", b)
-                case (a: Double, b: Double) => o.put("min", a); o.put("max", b)
-                case (a: String, b: String) => o.put("min", a); o.put("max", b)
-                case _ => ()
+          val rc = r.getRecordCount
+          (acc.keysIterator ++ accN.keysIterator).toSeq.distinct.foreach {
+            name =>
+              val rng = acc.getOrElse(name, None)
+              val ncv = accN.getOrElse(name, None)
+              if (rng.isDefined || ncv.isDefined) {
+                val o = node.putObject(name)
+                rng.foreach { case (kind, mn, mx) =>
+                  o.put("t", kind.toString)
+                  (mn, mx) match {
+                    case (a: Long, b: Long) => o.put("min", a); o.put("max", b)
+                    case (a: Double, b: Double) => o.put("min", a); o.put("max", b)
+                    case (a: String, b: String) => o.put("min", a); o.put("max", b)
+                    case _ => ()
+                  }
+                }
+                ncv.foreach { n => o.put("nc", n); o.put("rc", rc) }
               }
-            case _ => ()
           }
           (file, true,
             if (node.isEmpty) None
@@ -291,7 +312,9 @@ object Snapshots {
                             blooms: Map[String, String] = Map.empty,
                             mirror: Option[Long] = None,
                             base: Option[(Int, Manifest)] = None,
-                            lens: Map[String, Long] = Map.empty): Unit = {
+                            lens: Map[String, Long] = Map.empty,
+                            bloomRefs: Seq[String] = Seq.empty,
+                            cdfd: Seq[String] = Seq.empty): Unit = {
     val f = fs(s)
     val p = manifestPath(root, v)
     // Two-phase commit: write the FULL content to a dot-temp (invisible
@@ -350,8 +373,8 @@ object Snapshots {
     // cursor — all O(1)-ish. expire() materializes its oldest retained
     // version full before dropping the chain below it.
     val live = files.map(fileStatKey).toSet
-    val liveBloom = (k: String) => live.contains(k.substring(0, k.indexOf(':')))
-    val header = manifestHeader(txns, schema, commitKind, cdf, mirror)
+    val liveBloom = (k: String) => live.contains(bloomKeyFile(k))
+    val header = manifestHeader(txns, schema, commitKind, cdf, mirror, cdfd)
     def statLines(keep: ((String, String)) => Boolean) =
       stats.toSeq.filter(keep).sortBy(_._1)
         .map { case (n, j) => s"#stats:$n:$j" }
@@ -367,12 +390,37 @@ object Snapshots {
     def lenLines(keep: ((String, Long)) => Boolean) =
       lens.toSeq.filter(keep).sortBy(_._1)
         .map { case (n, l) => s"#len:$n:$l" }
+    // COLUMNAR CHECKPOINTS (the Delta parquet-checkpoint economics):
+    // past [[CheckpointParquetAt]] files, a full manifest is written
+    // as a PARQUET body (`#cpq:` — path/stats/len columnar, compressed,
+    // distributed-readable) plus a tiny text header, and every bloom
+    // payload moves to a parquet SIDECAR (`#bloomq:` — (file, col,
+    // payload) rows partitioned by col, loaded lazily and ONLY by an
+    // Eq/In probe). At 10⁶ files the text checkpoint was hundreds of
+    // MB — GBs with row-count-sized blooms inline — re-serialized by
+    // the driver every 16th commit and re-parsed per read; the
+    // parquet body is written once as a small job and the blooms
+    // never ride the manifest line stream at all. Below the threshold
+    // the plain-text full shape remains (tiny datasets shouldn't pay
+    // a Spark job per checkpoint); both shapes stay readable forever.
     def full: Seq[String] =
-      header ++ statLines(kv => live.contains(kv._1)) ++
-        bloomLines(kv => liveBloom(kv._1)) ++
-        lenLines(kv => live.contains(kv._1)) ++ files
+      if (files.length >= CheckpointParquetAt)
+        columnarCheckpoint(s, root, v, files, header,
+          stats.filter(kv => live.contains(kv._1)),
+          lens.filter(kv => live.contains(kv._1)),
+          blooms.filter(kv => liveBloom(kv._1)), bloomRefs, live)
+      else
+        header ++ bloomRefs.map(r => s"#bloomq:${relRef(root, r)}") ++
+          statLines(kv => live.contains(kv._1)) ++
+          bloomLines(kv => liveBloom(kv._1)) ++
+          lenLines(kv => live.contains(kv._1)) ++ files
     val content = base match {
-      case Some((bv, bm)) if bv == v - 1 && v % CheckpointEvery != 0 =>
+      // a delta inherits its base's bloom sidecar refs through chain
+      // resolution, so it is only writable when the intended refs ARE
+      // the base's (a restore carrying a different ref set falls
+      // through to a full write, which consolidates)
+      case Some((bv, bm)) if bv == v - 1 && v % CheckpointEvery != 0 &&
+          bm.bloomRefs == bloomRefs =>
         val baseSet = bm.files.toSet
         val fileSet = files.toSet
         val adds = files.filterNot(baseSet)
@@ -403,14 +451,122 @@ object Snapshots {
     */
   val CheckpointEvery = 16
 
+  /** Full manifests at or past this many files write COLUMNAR (a
+    * `#cpq:` parquet body + `#bloomq:` bloom sidecars) instead of
+    * plain text. Spec seam: tests lower it to exercise the columnar
+    * path without writing hundreds of part files; correctness is
+    * identical either way (both shapes resolve through
+    * [[resolveFull]]).
+    */
+  private[graft] var CheckpointParquetAt: Int = 512
+
+  /** Past this many accumulated bloom sidecar dirs a checkpoint
+    * CONSOLIDATES them into one (a distributed keep-newest job) —
+    * bounds probe fan-out without rewriting the sidecar on every
+    * checkpoint (rewriting 10⁶ × 170 KB payloads per checkpoint would
+    * be the exact O(standing) cost this layer exists to avoid).
+    */
+  private val BloomRefCompactAt = 4
+
+  private def relRef(root: String, ref: String): String =
+    if (ref.startsWith(s"$root/manifests/"))
+      ref.stripPrefix(s"$root/manifests/")
+    else ref
+
+  /** Write version v's full state as a parquet checkpoint body (+
+    * bloom sidecar consolidation) and return the TEXT manifest lines
+    * referencing them. The parquet dirs carry a UUID suffix, so a
+    * lost version-claim race leaves only unreferenced orphan dirs
+    * ([[expire]] sweeps them past the grace window) — the text
+    * manifest's atomic claim remains the only commit point.
+    */
+  private def columnarCheckpoint(s: SparkSession, root: String, v: Int,
+      files: Seq[String], header: Seq[String],
+      liveStats: Map[String, String], liveLens: Map[String, Long],
+      liveBlooms: Map[String, String], bloomRefs: Seq[String],
+      liveNames: Set[String]): Seq[String] = {
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val cpRel = s"cp$v-$uuid"
+    val rows = files.map { p =>
+      val n = fileStatKey(p)
+      (p, liveStats.get(n).orNull,
+        liveLens.get(n).map(java.lang.Long.valueOf).orNull)
+    }
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows.map { case (p, st, ln) =>
+        org.apache.spark.sql.Row(p, st, ln) },
+        math.max(1, math.min(32, rows.length / 100000 + 1))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("stats",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("len",
+          org.apache.spark.sql.types.LongType))))
+      .write.mode("errorifexists").parquet(s"$root/manifests/$cpRel")
+    // bloom consolidation: only payloads the probe will parse enter a
+    // sidecar (an invalid payload counts as MISSING, preserving the
+    // analyzeBloom repair path); overlay entries shadow older refs
+    val overlay = liveBlooms.toSeq.collect {
+      case (k, pl) if bloomPayloadValid(pl) =>
+        (bloomKeyFile(k), k.substring(k.indexOf(':') + 1), pl)
+    }
+    val refsOut: Seq[String] =
+      if (bloomRefs.size + (if (overlay.nonEmpty) 1 else 0) > BloomRefCompactAt)
+        Seq(compactBloomSidecars(s, root, v, bloomRefs, overlay, liveNames))
+      else if (overlay.nonEmpty)
+        bloomRefs :+ writeBloomSidecar(s, root, v,
+          s.createDataFrame(overlay).toDF("file", "col", "payload"))
+      else bloomRefs
+    Seq(s"#cpq:$cpRel") ++
+      refsOut.map(r => s"#bloomq:${relRef(root, r)}") ++ header
+  }
+
+  /** Write one bloom sidecar dir ((file, col, payload) rows,
+    * partitioned by col so a probe on one column reads one partition)
+    * and return its ABSOLUTE path.
+    */
+  private def writeBloomSidecar(s: SparkSession, root: String, v: Int,
+      rows: DataFrame): String = {
+    val dir = s"$root/manifests/bl$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    rows.write.partitionBy("col").mode("errorifexists").parquet(dir)
+    dir
+  }
+
+  /** Merge bloom sidecar refs (+ the text overlay) into ONE sidecar —
+    * keep-newest per (file, col), filtered to live files — as a
+    * distributed job (payloads never pass through the driver).
+    */
+  private def compactBloomSidecars(s: SparkSession, root: String, v: Int,
+      refs: Seq[String], overlay: Seq[(String, String, String)],
+      liveNames: Set[String]): String = {
+    import org.apache.spark.sql.expressions.Window
+    val layers = refs.zipWithIndex.map { case (r, i) =>
+      s.read.parquet(r).select(col("file"), col("col"), col("payload"),
+        lit(i).as("_pri"))
+    } ++ (if (overlay.isEmpty) Seq.empty
+          else Seq(s.createDataFrame(overlay).toDF("file", "col", "payload")
+            .withColumn("_pri", lit(refs.size))))
+    val names = s.createDataFrame(liveNames.toSeq.map(Tuple1(_)))
+      .toDF("_live_file")
+    val merged = layers.reduce(_.unionByName(_))
+      .join(names, col("file") === col("_live_file"), "leftsemi")
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("file", "col").orderBy(col("_pri").desc)))
+      .filter(col("_rn") === 1)
+      .select("file", "col", "payload")
+    writeBloomSidecar(s, root, v, merged)
+  }
+
   private def manifestHeader(txns: Seq[(Long, Long)],
       schema: Option[org.apache.spark.sql.types.StructType],
       commitKind: Option[String], cdf: Seq[String],
-      mirror: Option[Long]): Seq[String] =
+      mirror: Option[Long], cdfd: Seq[String] = Seq.empty): Seq[String] =
     schema.map(sc => s"#schema:${sc.json}").toSeq ++
       commitKind.map(k => s"#commit:$k").toSeq ++
       mirror.map(mv => s"#mirror:$mv").toSeq ++
       cdf.map(cp => s"#cdf:$cp") ++
+      cdfd.map(cp => s"#cdfd:$cp") ++
       txns.map { case (a, b) => if (a == b) s"#txn:$a" else s"#txn:$a-$b" }
 
   /** Rewrite version v's manifest FULL (a checkpoint) if it is
@@ -428,16 +584,25 @@ object Snapshots {
     val m = readManifestData(s, root, v)
     val mtime = f.getFileStatus(p).getModificationTime
     val live = m.files.map(fileStatKey).toSet
+    // unknown forward-compat `#` lines from v's own layer re-emit
+    // verbatim — a checkpoint rewrite must not drop what parseManifest
+    // explicitly tolerates
+    val header =
+      manifestHeader(m.txns, m.schema, m.commit, m.cdf, m.mirror, m.cdfd) ++
+        m.extra
     val content =
-      manifestHeader(m.txns, m.schema, m.commit, m.cdf, m.mirror) ++
-        m.stats.toSeq.filter(kv => live.contains(kv._1)).sortBy(_._1)
-          .map { case (n, j) => s"#stats:$n:$j" } ++
-        m.blooms.toSeq
-          .filter(kv => live.contains(kv._1.substring(0, kv._1.indexOf(':'))))
-          .sortBy(_._1).map { case (k, pl) => s"#bloom:$k:$pl" } ++
-        m.lens.toSeq.filter(kv => live.contains(kv._1)).sortBy(_._1)
-          .map { case (n, l) => s"#len:$n:$l" } ++
-        m.files
+      if (m.files.length >= CheckpointParquetAt)
+        columnarCheckpoint(s, root, v, m.files, header,
+          m.stats, m.lens, m.blooms, m.bloomRefs, live)
+      else
+        header ++ m.bloomRefs.map(r => s"#bloomq:${relRef(root, r)}") ++
+          m.stats.toSeq.sortBy(_._1)
+            .map { case (n, j) => s"#stats:$n:$j" } ++
+          m.blooms.toSeq.sortBy(_._1)
+            .map { case (k, pl) => s"#bloom:$k:$pl" } ++
+          m.lens.toSeq.sortBy(_._1)
+            .map { case (n, l) => s"#len:$n:$l" } ++
+          m.files
     val tmp = new org.apache.hadoop.fs.Path(
       s"$root/manifests/.v$v.${java.util.UUID.randomUUID().toString.take(8)}.mat")
     val out = f.create(tmp, false)
@@ -512,6 +677,7 @@ object Snapshots {
   private def manifestLines(s: SparkSession, root: String, v: Int): Seq[String] = {
     val p = manifestPath(root, v)
     require(fs(s).exists(p), s"version $v does not exist under $root")
+    manifestOpens.incrementAndGet()
     val in = fs(s).open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.nonEmpty).toList
@@ -522,6 +688,16 @@ object Snapshots {
     * this version's commit kind (append/rewrite/layout), None for
     * legacy manifests written before the tag; `stats` maps part-file
     * NAME → raw per-column min/max json (parsed lazily at prune time).
+    * `blooms` is the TEXT-CARRIED overlay only — bloom payloads a
+    * checkpoint consolidated live in the parquet sidecar dirs listed
+    * in `bloomRefs` (absolute paths, oldest → newest; an overlay entry
+    * shadows the refs) and are loaded LAZILY, only by an Eq/In probe,
+    * never at manifest-resolution time. `cdfd` carries an update's
+    * change-data PRE-IMAGE files (`#cdfd:` — the retraction half; the
+    * post-images ride `cdf` like a merge's). `extra` preserves unknown
+    * forward-compat `#` metadata lines from THIS version's own layer
+    * so a checkpoint rewrite ([[materializeManifest]]) cannot drop
+    * them.
     */
   private[sources] final case class Manifest(files: Seq[String],
       txns: Seq[(Long, Long)],
@@ -531,11 +707,16 @@ object Snapshots {
       cdf: Seq[String] = Seq.empty,
       blooms: Map[String, String] = Map.empty,
       mirror: Option[Long] = None,
-      lens: Map[String, Long] = Map.empty)
+      lens: Map[String, Long] = Map.empty,
+      bloomRefs: Seq[String] = Seq.empty,
+      cdfd: Seq[String] = Seq.empty,
+      extra: Seq[String] = Seq.empty)
 
   /** One raw (unresolved) manifest layer: `adds` are its bare file
-    * lines — the FULL file set for a checkpoint manifest, only the
-    * added files when `base` is set.
+    * lines — the FULL file set for a text checkpoint manifest, only
+    * the added files when `base` is set; `cpq`/`bloomq` name the
+    * parquet checkpoint body / bloom sidecar dirs of a columnar
+    * checkpoint.
     */
   private final case class RawManifest(base: Option[Int],
       adds: Seq[String], rms: Seq[String],
@@ -544,7 +725,11 @@ object Snapshots {
       commit: Option[String],
       stats: Map[String, String], cdf: Seq[String],
       blooms: Map[String, String], mirror: Option[Long],
-      lens: Map[String, Long])
+      lens: Map[String, Long],
+      cpq: Option[String] = None,
+      bloomq: Seq[String] = Seq.empty,
+      cdfd: Seq[String] = Seq.empty,
+      extra: Seq[String] = Seq.empty)
 
   private def parseManifest(s: SparkSession, root: String,
                             v: Int): RawManifest = {
@@ -560,6 +745,10 @@ object Snapshots {
     val blooms = Map.newBuilder[String, String]
     var mirror: Option[Long] = None
     val lens = Map.newBuilder[String, Long]
+    var cpq: Option[String] = None
+    val bloomq = Seq.newBuilder[String]
+    val cdfd = Seq.newBuilder[String]
+    val extra = Seq.newBuilder[String]
     lines.foreach {
       case l if l.startsWith("#base:") =>
         // FAIL FAST on a malformed base tag: silently treating a DELTA
@@ -580,6 +769,17 @@ object Snapshots {
             s"corrupt manifest v$v at $root: unparseable '$l'")))
       case l if l.startsWith("#cdf:") =>
         cdf += l.stripPrefix("#cdf:")
+      case l if l.startsWith("#cdfd:") =>
+        cdfd += l.stripPrefix("#cdfd:")
+      case l if l.startsWith("#cpq:") =>
+        // FAIL FAST on a blank body: a columnar checkpoint silently
+        // read as an empty full manifest = the whole version lost
+        cpq = Some(l.stripPrefix("#cpq:")).filter(_.nonEmpty).orElse(
+          throw new IllegalStateException(
+            s"corrupt manifest v$v at $root: unparseable '$l'"))
+      case l if l.startsWith("#bloomq:") =>
+        val body = l.stripPrefix("#bloomq:")
+        if (body.nonEmpty) bloomq += body
       case l if l.startsWith("#bloom:") =>
         // <fileName>:<col>:<payload> — keyed "file:col" (part names and
         // column names carry no ':')
@@ -608,56 +808,137 @@ object Snapshots {
         schema = Some(org.apache.spark.sql.types.DataType
           .fromJson(l.stripPrefix("#schema:"))
           .asInstanceOf[org.apache.spark.sql.types.StructType])
-      case l if l.startsWith("#") => () // unknown metadata: forward-compat
+      // unknown metadata: forward-compat — tolerated AND carried, so a
+      // checkpoint rewrite of this version re-emits them verbatim
+      case l if l.startsWith("#") => extra += l
       case l => files += l
     }
     RawManifest(base, files.result(), rms.result(), txns.result().sorted,
       schema, commit, stats.result(), cdf.result(), blooms.result(), mirror,
-      lens.result())
+      lens.result(), cpq, bloomq.result(), cdfd.result(), extra.result())
   }
 
-  /** Resolve version v's manifest: walk its `#base:` chain back to the
-    * nearest checkpoint (full) manifest — bounded by
-    * [[CheckpointEvery]] — then fold each delta's removes/adds and
-    * stats/bloom additions forward, oldest to newest. Per-commit
-    * metadata (schema, commit kind, txns, cdf, mirror) always comes
-    * from v's OWN layer (delta manifests carry those in full). Stats
-    * and blooms filter to the resolved live file set, so a removed
-    * file's lines die with it regardless of which layer recorded them.
+  /** (root, version)-keyed memo of RESOLVED manifests. Claimed
+    * manifests are immutable (a [[materializeManifest]] replace is
+    * content-equivalent by construction), so serving a cached
+    * resolution is always safe; [[dropManifest]] and [[expire]]
+    * invalidate the versions they delete. Access-ordered LRU bounded
+    * by [[ManifestMemoMax]] entries — at 10⁶ files a resolved
+    * Manifest is real driver heap, so the memo bounds COUNT, not just
+    * staleness. Every external mutation of the map synchronizes on
+    * the map itself.
+    */
+  private val ManifestMemoMax = 64
+  private val manifestMemo =
+    new java.util.LinkedHashMap[(String, Int), Manifest](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), Manifest]): Boolean =
+        size > ManifestMemoMax
+    }
+
+  /** Bench/spec seam: drop every cached resolution (a COLD resolve is
+    * what ManifestBench times; production code never needs this).
+    */
+  private[graft] def memoClearForBench(): Unit =
+    manifestMemo.synchronized(manifestMemo.clear())
+
+  private def memoGet(root: String, v: Int): Option[Manifest] =
+    manifestMemo.synchronized(Option(manifestMemo.get((root, v))))
+  private def memoPut(root: String, v: Int, m: Manifest): Unit =
+    manifestMemo.synchronized { manifestMemo.put((root, v), m); () }
+  private def memoDrop(root: String, v: Int): Unit =
+    manifestMemo.synchronized { manifestMemo.remove((root, v)); () }
+
+  /** Manifest text files opened since JVM start — the spec's
+    * "one parse per version, never one per call" counter.
+    */
+  private[graft] val manifestOpens = new java.util.concurrent.atomic.AtomicLong
+
+  /** Resolve version v's manifest: a full layer (text, or a `#cpq:`
+    * parquet checkpoint) resolves directly; a delta layer resolves its
+    * `#base:` predecessor (through the memo — a range walk like
+    * [[changesBetween]] resolves each version INCREMENTALLY from its
+    * cached predecessor instead of re-walking the chain) and folds its
+    * removes/adds and stats/bloom additions on top. Per-commit
+    * metadata (schema, commit kind, txns, cdf, mirror, unknown-tag
+    * extras) always comes from v's OWN layer (delta manifests carry
+    * those in full). Stats and blooms filter to the resolved live
+    * file set, so a removed file's lines die with it regardless of
+    * which layer recorded them; bloom SIDECAR refs carry as-is (a
+    * dead file's sidecar row is never probed — part names are
+    * globally unique, so it can't alias a live file).
     */
   private[graft] def readManifestData(s: SparkSession, root: String,
-                                      v: Int): Manifest = {
-    val layers = scala.collection.mutable.ArrayBuffer.empty[RawManifest]
-    var cur = v
-    var raw = parseManifest(s, root, cur)
-    layers += raw
-    while (raw.base.isDefined) {
-      val b = raw.base.get
-      require(b >= 1 && b < cur,
-        s"corrupt manifest chain at $root: v$cur bases on v$b")
-      cur = b
-      raw = parseManifest(s, root, cur)
-      layers += raw
+                                      v: Int): Manifest =
+    memoGet(root, v).getOrElse(resolveManifest(s, root, v, 0))
+
+  private def resolveManifest(s: SparkSession, root: String, v: Int,
+                              depth: Int): Manifest = {
+    require(depth <= 4 * CheckpointEvery,
+      s"corrupt manifest chain at $root: depth > ${4 * CheckpointEvery} at v$v")
+    val raw = parseManifest(s, root, v)
+    val m = raw.base match {
+      case Some(b) =>
+        require(b >= 1 && b < v,
+          s"corrupt manifest chain at $root: v$v bases on v$b")
+        val bm = memoGet(root, b)
+          .getOrElse(resolveManifest(s, root, b, depth + 1))
+        applyDelta(bm, raw)
+      case None => resolveFull(s, root, raw)
     }
-    var files = layers.last.adds.toSet
-    var stats = layers.last.stats
-    var blooms = layers.last.blooms
-    var lens = layers.last.lens
-    layers.dropRight(1).reverseIterator.foreach { l =>
-      files = files -- l.rms ++ l.adds
-      stats = stats ++ l.stats
-      blooms = blooms ++ l.blooms
-      lens = lens ++ l.lens
-    }
-    val head = layers.head
-    val liveNames = files.map(fileStatKey)
-    Manifest(files.toSeq.sorted, head.txns, head.schema, head.commit,
-      stats.filter(kv => liveNames.contains(kv._1)),
-      head.cdf,
-      blooms.filter(kv =>
-        liveNames.contains(kv._1.substring(0, kv._1.indexOf(':')))),
-      head.mirror,
-      lens.filter(kv => liveNames.contains(kv._1)))
+    memoPut(root, v, m)
+    m
+  }
+
+  private def bloomKeyFile(k: String): String = k.substring(0, k.indexOf(':'))
+
+  private def applyDelta(bm: Manifest, raw: RawManifest): Manifest = {
+    val files = (bm.files.toSet -- raw.rms ++ raw.adds).toSeq.sorted
+    val liveNames = files.map(fileStatKey).toSet
+    Manifest(files, raw.txns, raw.schema, raw.commit,
+      (bm.stats ++ raw.stats).filter(kv => liveNames.contains(kv._1)),
+      raw.cdf,
+      (bm.blooms ++ raw.blooms)
+        .filter(kv => liveNames.contains(bloomKeyFile(kv._1))),
+      raw.mirror,
+      (bm.lens ++ raw.lens).filter(kv => liveNames.contains(kv._1)),
+      bloomRefs = bm.bloomRefs, cdfd = raw.cdfd, extra = raw.extra)
+  }
+
+  /** A `#bloomq:`/`#cpq:` ref is stored RELATIVE when it lives under
+    * this root's own manifests dir (the normal case) and absolute
+    * otherwise (a shallow clone referencing the source's sidecars —
+    * the same shallow contract as its data files).
+    */
+  private def refPath(root: String, ref: String): String =
+    if (ref.contains('/')) ref else s"$root/manifests/$ref"
+
+  private def resolveFull(s: SparkSession, root: String,
+                          raw: RawManifest): Manifest = raw.cpq match {
+    case Some(rel) =>
+      val rows = s.read
+        .schema("path STRING, stats STRING, len BIGINT")
+        .parquet(refPath(root, rel)).collect()
+      val files = rows.map(_.getString(0)).toSeq.sorted
+      val stats = rows.flatMap(r =>
+        if (r.isNullAt(1)) None
+        else Some(fileStatKey(r.getString(0)) -> r.getString(1))).toMap
+      val lens = rows.flatMap(r =>
+        if (r.isNullAt(2)) None
+        else Some(fileStatKey(r.getString(0)) -> r.getLong(2))).toMap
+      Manifest(files, raw.txns, raw.schema, raw.commit, stats, raw.cdf,
+        raw.blooms, raw.mirror, lens,
+        bloomRefs = raw.bloomq.map(refPath(root, _)),
+        cdfd = raw.cdfd, extra = raw.extra)
+    case None =>
+      val liveNames = raw.adds.map(fileStatKey).toSet
+      Manifest(raw.adds.sorted, raw.txns, raw.schema, raw.commit,
+        raw.stats.filter(kv => liveNames.contains(kv._1)), raw.cdf,
+        raw.blooms.filter(kv => liveNames.contains(bloomKeyFile(kv._1))),
+        raw.mirror,
+        raw.lens.filter(kv => liveNames.contains(kv._1)),
+        bloomRefs = raw.bloomq.map(refPath(root, _)),
+        cdfd = raw.cdfd, extra = raw.extra)
   }
 
   private[graft] def readManifest(s: SparkSession, root: String, v: Int): Seq[String] =
@@ -670,6 +951,7 @@ object Snapshots {
   private[sources] def dropManifest(s: SparkSession, root: String, v: Int): Unit = {
     val p = manifestPath(root, v)
     if (fs(s).exists(p)) fs(s).delete(p, false)
+    memoDrop(root, v)
   }
 
   /** Committed-transaction id ranges recorded in version v's manifest
@@ -766,7 +1048,8 @@ object Snapshots {
       addStats: Map[String, String] = Map.empty,
       addBlooms: Map[String, String] = Map.empty,
       addLens: Map[String, Long] = Map.empty,
-      expectBase: Option[Int] = None)
+      expectBase: Option[Int] = None,
+      refsFor: Seq[String] => Seq[String] = identity)
                          (files: Seq[String] => Seq[String]): Int = {
     var attempts = 0
     while (true) {
@@ -787,7 +1070,7 @@ object Snapshots {
           schemaFor(m.schema), Some(commitKind), m.stats ++ addStats,
           blooms = m.blooms ++ addBlooms, mirror = m.mirror,
           base = if (v >= 1) Some((v, m)) else None,
-          lens = m.lens ++ addLens)
+          lens = m.lens ++ addLens, bloomRefs = refsFor(m.bloomRefs))
         return v + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -993,7 +1276,13 @@ object Snapshots {
     * KEYED DISCIPLINE: the standing state must be key-unique (merge
     * and the keyed sinks maintain this by construction) — a key
     * duplicated across two standing files would collapse only if both
-    * files are touched.
+    * files are touched. Behavioral note vs the pre-prune (r13) merge:
+    * that one windowed the WHOLE corpus, so duplicate standing rows
+    * for keys NOT in the batch also collapsed as a side effect; the
+    * pruned merge leaves untouched files byte-identical, so such rows
+    * persist until a batch touches their key. On a keyed lineage the
+    * two are identical; a non-key-unique dataset reaches merge only by
+    * raw appends outside the keyed sinks.
     *
     * Distributed shape: one key-column scan of the candidates, one
     * shuffle of (touched ∪ batch) by key (the window), one bounded
@@ -1060,7 +1349,7 @@ object Snapshots {
           txn.fold(m.txns)(mergeTxn(m.txns, _)),
           Some(sc), Some("merge"), m.stats ++ bf.stats, cdfFiles,
           blooms = m.blooms, mirror = m.mirror, base = Some((base, m)),
-          lens = m.lens ++ bf.lens)
+          lens = m.lens ++ bf.lens, bloomRefs = m.bloomRefs)
         return base + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -1133,7 +1422,7 @@ object Snapshots {
       if (anyNull) m.files
       else if (empty) Seq.empty
       else if (hull.isEmpty) m.files // only unorderable bounds: no prune
-      else filesWhereM(m, hull)
+      else filesWhereM(s, m, hull)
     if (candidates.isEmpty) return Seq.empty
     val scan = s.read.schema(standingSc).parquet(candidates: _*)
       .select(keyCols.map(col) :+ input_file_name().as("__file"): _*)
@@ -1231,7 +1520,7 @@ object Snapshots {
       val base = latestVersion(s, root)
       require(base >= 1, s"delete needs an existing dataset at $root")
       val m = readManifestData(s, root, base)
-      val candidates = filesWhereM(m, preds)
+      val candidates = filesWhereM(s, m, preds)
       // stats prove NO file can hold a matching row: the delete is a
       // no-op — return the standing version instead of committing a
       // consumer-visible retraction boundary for zero changed rows
@@ -1249,7 +1538,7 @@ object Snapshots {
           m.stats ++ bfd.stats, cdfFiles,
           blooms = m.blooms, // survivors keep theirs; rewritten files' drop
           mirror = m.mirror, base = Some((base, m)),
-          lens = m.lens ++ bfd.lens)
+          lens = m.lens ++ bfd.lens, bloomRefs = m.bloomRefs)
         return base + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -1257,6 +1546,91 @@ object Snapshots {
           if (attempts >= 16) throw e
         // the loser's kept/change files stay as orphans under the
         // grace window; the retry re-prunes against the new latest
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Stats-pruned row-level UPDATE (copy-on-write) — the remaining
+    * everyday lakehouse verb after merge/delete/restore (a relabel, a
+    * quality-flag fix, a source rename): for every row satisfying ALL
+    * of `preds`, assign each `set` column its new expression
+    * (evaluated against the OLD row, SQL UPDATE semantics), committed
+    * as a new version. Assignments cast to the column's standing type
+    * — an update must never mutate the schema.
+    *
+    * THE SCALE PATH IS THE PRUNE (the [[delete]] discipline): only
+    * files whose manifest stats MAY hold a matching row rewrite;
+    * everything else carries by path with its stats/blooms/lens.
+    * Rows where the predicate is NULL are left unchanged (SQL UPDATE
+    * WHERE). Zero stat-candidates ⇒ no-op, no commit.
+    *
+    * CHANGE DATA: the commit is tagged `#commit:update` and carries
+    * BOTH halves of the Delta CDF update pair — the matched rows'
+    * PRE-images as `#cdfd:` files and their POST-images as `#cdf:` —
+    * so [[changeFeed]] delivers `delete`(pre) + `upsert`(post) rows
+    * and the keyed fold stays exact EVEN when the update rewrites a
+    * key column (the old key retracts, the new key upserts); a
+    * key-preserving update folds to the post-image because the typed
+    * fold breaks same-version ties upsert-over-delete.
+    * [[changesBetween]] fails fast in both modes (a row feed cannot
+    * represent the potential retraction); a stats false positive that
+    * matched ZERO rows passes through consumers as an empty delta.
+    * Concurrency is merge-level: a lost race abandons its files
+    * (grace-vacuumed orphans) and recomputes against the new latest.
+    */
+  def update(s: SparkSession, root: String, preds: Seq[StatsPred],
+             set: Map[String, org.apache.spark.sql.Column]): Int = {
+    require(preds.nonEmpty, "update needs at least one predicate")
+    require(set.nonEmpty, "update needs at least one assignment")
+    var attempts = 0
+    while (true) {
+      val base = latestVersion(s, root)
+      require(base >= 1, s"update needs an existing dataset at $root")
+      val m = readManifestData(s, root, base)
+      val sc = m.schema.getOrElse(s.read.parquet(m.files: _*).schema)
+      val byName = sc.fields.map(f => f.name -> f.dataType).toMap
+      set.keys.foreach(c => require(byName.contains(c),
+        s"update cannot assign unknown column '$c'"))
+      val candidates = filesWhereM(s, m, preds)
+      if (candidates.isEmpty) return base // provably zero matches
+      val survivors = m.files.filterNot(candidates.toSet)
+      val hit = coalesce(preds.map(predColumn).reduce(_ && _), lit(false))
+      val cand = s.read.schema(sc).parquet(candidates: _*)
+      // flag FIRST: assignments must see the old row, and the change
+      // sets must select on the ORIGINAL match, not the updated values
+      val flagged = cand.withColumn("__hit", hit)
+      val updated = set.foldLeft(flagged) { case (df, (c, e)) =>
+        df.withColumn(c, when(col("__hit"), e.cast(byName(c)))
+          .otherwise(col(c)))
+      }
+      val bfu = writeBatchFiles(s, root,
+        updated.drop("__hit").select(sc.fieldNames.map(col): _*))
+      val preImages = cand.filter(hit)
+      // post-images recompute through the same map-only plan that
+      // produced the fresh files (an update may move rows OFF the
+      // predicate — that is its point — so re-filtering the fresh
+      // files by `hit` would miss them; there is no key to semi-join
+      // on). Deterministic assignments are therefore part of the
+      // contract — a rand() assignment would diverge between the data
+      // files and the change set.
+      val postImages = updated.filter(col("__hit"))
+        .drop("__hit").select(sc.fieldNames.map(col): _*)
+      val cdfdFiles = writeChangeFiles(s, root, preImages)
+      val cdfFiles = writeChangeFiles(s, root, postImages)
+      try {
+        writeManifest(s, root, base + 1,
+          (survivors ++ bfu.files).distinct.sorted,
+          m.txns, Some(sc), Some("update"),
+          m.stats ++ bfu.stats, cdfFiles,
+          blooms = m.blooms, mirror = m.mirror, base = Some((base, m)),
+          lens = m.lens ++ bfu.lens, bloomRefs = m.bloomRefs,
+          cdfd = cdfdFiles)
+        return base + 1
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts >= 16) throw e
       }
     }
     -1 // unreachable
@@ -1349,7 +1723,13 @@ object Snapshots {
     val m = readManifestData(s, root, v)
     commitRetry(s, root, schemaFor = _ => m.schema,
       commitKind = "rewrite", addStats = m.stats,
-      addBlooms = m.blooms, addLens = m.lens)(_ => m.files)
+      addBlooms = m.blooms, addLens = m.lens,
+      // the restored version's consolidated blooms live in ITS sidecar
+      // refs — union them with the standing refs (both describe
+      // immutable per-file content, so either copy of a shared name is
+      // valid); a ref set differing from the base's forces a full
+      // write, which consolidates
+      refsFor = refs => (refs ++ m.bloomRefs).distinct)(_ => m.files)
   }
 
   /** SHALLOW CLONE (the Delta zero-copy clone): a NEW dataset root
@@ -1371,7 +1751,11 @@ object Snapshots {
     require(!fs(s).exists(manifestPath(dstRoot, 1)),
       s"clone target $dstRoot already exists")
     writeManifest(s, dstRoot, 1, m.files, Seq.empty, m.schema,
-      Some("append"), m.stats, Seq.empty, m.blooms, lens = m.lens)
+      Some("append"), m.stats, Seq.empty, m.blooms, lens = m.lens,
+      // sidecar refs stay ABSOLUTE into the source's manifests dir —
+      // the same shallow contract as the data files (an expire on the
+      // source can reclaim them; the probe degrades to no-prune)
+      bloomRefs = m.bloomRefs)
   }
 
   /** Orphans younger than this survive [[expire]]'s vacuum (the Delta
@@ -1431,18 +1815,53 @@ object Snapshots {
     val live: Set[String] = retainedM.flatMap(_.files).toSet
     val expiredRefs: Set[String] = expiredM.flatMap(_.files).toSet
     // change-data files follow the same rule as data files: reclaimed
-    // once no live manifest's #cdf: line references them and an
+    // once no live manifest's #cdf:/#cdfd: line references them and an
     // expired one did (a merge's change set outlives exactly the
-    // versions that could consume it)
-    val liveCdf: Set[String] = retainedM.flatMap(_.cdf).toSet
-    expiredM.flatMap(_.cdf).toSet.diff(liveCdf).foreach { p =>
-      f.delete(new org.apache.hadoop.fs.Path(p), false)
+    // versions that could consume it). Parents of reclaimed files are
+    // PROVABLY DEAD dirs — tracked explicitly, because deleting their
+    // files bumps the dir mtime past any cutoff computed this run (the
+    // mtime heuristic alone left empty dirs behind on fast machines).
+    val liveCdf: Set[String] = retainedM.flatMap(m => m.cdf ++ m.cdfd).toSet
+    val deadChangeDirs = scala.collection.mutable.HashSet.empty[String]
+    expiredM.flatMap(m => m.cdf ++ m.cdfd).toSet.diff(liveCdf).foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      f.delete(path, false)
+      deadChangeDirs += path.getParent.toString
     }
     (1 until retainMin).foreach { v =>
       val p = manifestPath(root, v)
       if (f.exists(p)) f.delete(p, false)
+      memoDrop(root, v)
     }
     val cutoff = System.currentTimeMillis() - math.max(0L, orphanGraceMs)
+    // columnar-checkpoint bodies (`cp*`) and bloom sidecars (`bl*`)
+    // follow the data-file rule: reclaimed once no SURVIVING manifest
+    // references them (an expired checkpoint's body dies with it; a
+    // lost-race orphan dir dies past the grace window — young orphans
+    // may be a checkpoint commit in flight)
+    // compared by BASENAME (uuid-suffixed, globally unique): manifest
+    // lines store root-relative names while listStatus returns
+    // scheme-qualified paths — a full-string compare would wrongly
+    // reclaim every live dir
+    val liveRefNames: Set[String] = {
+      val fromManifests = (retainMin to latest).iterator
+        .filter(v => f.exists(manifestPath(root, v)))
+        .flatMap { v =>
+          val raw = parseManifest(s, root, v)
+          raw.cpq.toSeq ++ raw.bloomq
+        }.toSet
+      (fromManifests ++ retainedM.flatMap(_.bloomRefs))
+        .map(r => r.substring(r.lastIndexOf('/') + 1))
+    }
+    val mdir = new org.apache.hadoop.fs.Path(s"$root/manifests")
+    if (f.exists(mdir)) {
+      f.listStatus(mdir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && (n.startsWith("cp") || n.startsWith("bl")) &&
+            !liveRefNames.contains(n) && st.getModificationTime < cutoff)
+          f.delete(st.getPath, true)
+      }
+    }
     def reclaim(k: org.apache.hadoop.fs.FileStatus): Boolean = {
       val path = k.getPath.toString
       !live.contains(path) &&
@@ -1493,7 +1912,8 @@ object Snapshots {
         val left = f.listStatus(st.getPath)
         val hasData = left.exists(k =>
           k.isFile && k.getPath.getName.startsWith("part-"))
-        if (!hasData && st.getModificationTime < cutoff)
+        if (!hasData && (deadChangeDirs.contains(st.getPath.toString) ||
+            st.getModificationTime < cutoff))
           f.delete(st.getPath, true)
       }
     }
@@ -1529,22 +1949,38 @@ object Snapshots {
       * when EVERY value's membership is provably absent.
       */
     final case class InSet(col: String, vs: Seq[Any]) extends StatsPred
+    /** `col IS NULL`: prunes a file whose footer null count is
+      * EXACTLY zero ("nc" in the stats json; absent → never prune).
+      */
+    final case class IsNull(col: String) extends StatsPred
+    /** `col IS NOT NULL`: prunes a file whose column is ALL null
+      * (null count == row count) — Catalyst pushes this for every
+      * filtered column, so sparse-column corpora skip for free.
+      */
+    final case class NotNull(col: String) extends StatsPred
+    /** `col LIKE 'p%'` (startswith): the string range [p, pNext) where
+      * pNext increments p's last char — prunes when a file's stat
+      * range cannot intersect it. ASCII prefixes only (the stats
+      * contract: non-ASCII never recorded, so never pruned).
+      */
+    final case class Prefix(col: String, p: String) extends StatsPred
+    /** Disjunction: a file prunes iff EVERY branch's (partial)
+      * translation excludes it — an untranslatable branch (empty
+      * list) excludes nothing, so the Or prunes nothing. `col` is
+      * unused (the branches carry their own columns).
+      */
+    final case class OrPred(left: Seq[StatsPred],
+                            right: Seq[StatsPred]) extends StatsPred {
+      def col: String = ""
+    }
   }
 
-  /** Can a file whose `col` spans [mn, mx] contain a row satisfying
-    * `p`? (Nulls never satisfy a comparison, so range reasoning is
-    * complete for these predicate forms.)
+  /** One column's harvested footer statistics: the min/max range (when
+    * recorded — kind 'l'/'d'/'s'), the null count, and the file's row
+    * count. Any piece may be absent; absence never prunes.
     */
-  private def rangeMaySatisfy(p: StatsPred, mn: Any, mx: Any): Boolean =
-    p match {
-      case StatsPred.Eq(_, v)   => cmpStat(mn, v) <= 0 && cmpStat(mx, v) >= 0
-      case StatsPred.Lt(_, v)   => cmpStat(mn, v) < 0
-      case StatsPred.LtEq(_, v) => cmpStat(mn, v) <= 0
-      case StatsPred.Gt(_, v)   => cmpStat(mx, v) > 0
-      case StatsPred.GtEq(_, v) => cmpStat(mx, v) >= 0
-      case StatsPred.InSet(_, vs) =>
-        vs.exists(v => cmpStat(mn, v) <= 0 && cmpStat(mx, v) >= 0)
-    }
+  private final case class ColStat(range: Option[(Char, Any, Any)],
+                                   nc: Option[Long], rc: Option[Long])
 
   /** The files of version v that may contain rows satisfying ALL of
     * `preds`, judged from the manifest's `#stats:` lines alone — zero
@@ -1555,72 +1991,235 @@ object Snapshots {
     */
   private[sources] def filesWhere(s: SparkSession, root: String, v: Int,
                                   preds: Seq[StatsPred]): Seq[String] =
-    filesWhereM(readManifestData(s, root, v), preds)
+    filesWhereM(s, readManifestData(s, root, v), preds)
 
-  /** [[filesWhere]] over an already-parsed manifest — the hot callers
-    * ([[readWhere]], [[delete]]) have one in hand, and at 10⁶ files
-    * the manifest parse is the metadata bottleneck (one parse per
-    * call, never two).
+  // non-finite floating literals (NaN, ±Inf) are not orderable by
+  // the BigDecimal compare — never prune on them (a NaN Eq keeps
+  // every file; the scan decides)
+  private def finiteLit(v: Any): Boolean = v match {
+    case d: Double => java.lang.Double.isFinite(d)
+    case f: Float  => java.lang.Float.isFinite(f)
+    case _ => true
+  }
+
+  private def comparableLit(kind: Char, v: Any): Boolean = (kind, v) match {
+    case ('l', _: Long) | ('l', _: Int) => true
+    case ('d', _: Double) | ('d', _: Float) |
+         ('d', _: Long) | ('d', _: Int) | ('l', _: Double) => finiteLit(v)
+    case ('s', _: String) => true
+    case _ => false
+  }
+
+  /** Can a file whose per-column stats are `st` contain a row
+    * satisfying `p`? `absent(col, kind, base)` is the bloom oracle —
+    * true iff the file's bloom PROVABLY excludes the value hashing to
+    * (kind, base); the range-only pass supplies a constant-false one.
+    * Absence of any stat keeps the file: stats prune, never decide.
     */
-  private[sources] def filesWhereM(m: Manifest,
-                                   preds: Seq[StatsPred]): Seq[String] = {
-    if (preds.isEmpty || (m.stats.isEmpty && m.blooms.isEmpty)) return m.files
+  private def maySatisfy(st: Map[String, ColStat], p: StatsPred,
+      absent: (String, Char, Long) => Boolean): Boolean = {
+    def range(c: String): Option[(Char, Any, Any)] = st.get(c).flatMap(_.range)
+    def bloomAbsent(c: String, v: Any): Boolean =
+      bloomBaseLit(v).exists { case (k, b) => absent(c, k, b) }
+    p match {
+      case StatsPred.InSet(_, vs) if vs.isEmpty =>
+        false // IN () / IN (null) matches nothing, stats or not
+      case StatsPred.InSet(c, vs) =>
+        // a file survives iff SOME value may be present — range-prune
+        // only when every value is stat-comparable (one untranslatable
+        // value could match anything); bloom-prune only when EVERY
+        // value is provably absent
+        val rangeOk = range(c) match {
+          case Some((kind, mn, mx)) if vs.forall(comparableLit(kind, _)) =>
+            vs.exists(v => cmpStat(mn, v) <= 0 && cmpStat(mx, v) >= 0)
+          case _ => true
+        }
+        rangeOk && !vs.forall(bloomAbsent(c, _))
+      case StatsPred.Eq(c, v) =>
+        val rangeOk = range(c) match {
+          case Some((kind, mn, mx)) if comparableLit(kind, v) =>
+            cmpStat(mn, v) <= 0 && cmpStat(mx, v) >= 0
+          case _ => true
+        }
+        rangeOk && !bloomAbsent(c, v)
+      case StatsPred.Lt(c, v) => range(c) match {
+        case Some((kind, mn, _)) if comparableLit(kind, v) => cmpStat(mn, v) < 0
+        case _ => true
+      }
+      case StatsPred.LtEq(c, v) => range(c) match {
+        case Some((kind, mn, _)) if comparableLit(kind, v) => cmpStat(mn, v) <= 0
+        case _ => true
+      }
+      case StatsPred.Gt(c, v) => range(c) match {
+        case Some((kind, _, mx)) if comparableLit(kind, v) => cmpStat(mx, v) > 0
+        case _ => true
+      }
+      case StatsPred.GtEq(c, v) => range(c) match {
+        case Some((kind, _, mx)) if comparableLit(kind, v) => cmpStat(mx, v) >= 0
+        case _ => true
+      }
+      case StatsPred.IsNull(c) =>
+        // provably no nulls in the file ⇒ IS NULL matches nothing
+        !st.get(c).flatMap(_.nc).contains(0L)
+      case StatsPred.NotNull(c) =>
+        // ALL values null ⇒ IS NOT NULL matches nothing
+        !(st.get(c).exists(cs => cs.nc.isDefined && cs.nc == cs.rc))
+      case StatsPred.Prefix(c, pre) => range(c) match {
+        case Some(('s', mn, mx)) if pre.nonEmpty && pre.last < 126 =>
+          // x startswith pre ⇔ pre <= x < preNext; intersect with
+          // [mn, mx] (ASCII-only stats, so last-char+1 stays ASCII)
+          val preNext = pre.init + (pre.last + 1).toChar
+          cmpStat(mx, pre) >= 0 && cmpStat(mn, preNext) < 0
+        case _ => true
+      }
+      case StatsPred.OrPred(l, r) =>
+        // prune iff EVERY branch excludes; an empty (untranslatable)
+        // branch excludes nothing
+        (l.isEmpty || l.forall(maySatisfy(st, _, absent))) ||
+          (r.isEmpty || r.forall(maySatisfy(st, _, absent)))
+    }
+  }
+
+  /** A memoizing per-file stats reader over one manifest's raw json. */
+  private def statsReader(m: Manifest): String => Map[String, ColStat] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val parsed = scala.collection.mutable.HashMap.empty[String,
-      Map[String, (Char, Any, Any)]]
-    def statsOf(file: String): Map[String, (Char, Any, Any)] =
-      parsed.getOrElseUpdate(file, m.stats.get(fileStatKey(file)).map { j =>
+      Map[String, ColStat]]
+    file => parsed.getOrElseUpdate(file,
+      m.stats.get(fileStatKey(file)).map { j =>
         val node = mapper.readTree(j)
         import scala.jdk.CollectionConverters._
-        node.fields().asScala.flatMap { e =>
+        node.fields().asScala.map { e =>
           val o = e.getValue
-          val kind = o.get("t").asText.head
-          val mm: Option[(Any, Any)] = kind match {
-            case 'l' => Some((o.get("min").asLong, o.get("max").asLong))
-            case 'd' => Some((o.get("min").asDouble, o.get("max").asDouble))
-            case 's' => Some((o.get("min").asText, o.get("max").asText))
-            case _   => None
-          }
-          mm.map { case (mn, mx) => e.getKey -> (kind, mn, mx) }
+          val range: Option[(Char, Any, Any)] =
+            Option(o.get("t")).map(_.asText.head).flatMap {
+              case 'l' => Some(('l', o.get("min").asLong, o.get("max").asLong))
+              case 'd' => Some(('d', o.get("min").asDouble, o.get("max").asDouble))
+              case 's' => Some(('s', o.get("min").asText, o.get("max").asText))
+              case _   => None
+            }
+          e.getKey -> ColStat(range,
+            Option(o.get("nc")).map(_.asLong),
+            Option(o.get("rc")).map(_.asLong))
         }.toMap
       }.getOrElse(Map.empty))
-    // non-finite floating literals (NaN, ±Inf) are not orderable by
-    // the BigDecimal compare — never prune on them (a NaN Eq keeps
-    // every file; the scan decides)
-    def finite(v: Any): Boolean = v match {
-      case d: Double => java.lang.Double.isFinite(d)
-      case f: Float  => java.lang.Float.isFinite(f)
-      case _ => true
+  }
+
+  /** [[filesWhere]] over an already-parsed manifest — the hot callers
+    * ([[readWhere]], [[delete]], [[merge]]'s hull) have one in hand,
+    * and at 10⁶ files the manifest parse is the metadata bottleneck
+    * (one parse per call, never two). Two passes: (1) range/null-count
+    * pruning from the driver-resident stats; (2) for the survivors,
+    * bloom membership — text-overlay payloads probe on the driver,
+    * SIDECAR payloads probe in a distributed job that ships back one
+    * boolean per (file, col, probe), never the payloads (at 10⁶ files
+    * × 170 KB payloads, driver-side loading is the exact O(standing)
+    * cost the sidecar exists to avoid). Pass 2 re-evaluates the FULL
+    * predicate with both stat kinds, so an Or excluded half by range
+    * and half by bloom still prunes.
+    */
+  private[sources] def filesWhereM(s: SparkSession, m: Manifest,
+                                   preds: Seq[StatsPred]): Seq[String] = {
+    if (preds.isEmpty ||
+        (m.stats.isEmpty && m.blooms.isEmpty && m.bloomRefs.isEmpty))
+      return m.files
+    val statsOf = statsReader(m)
+    val noBloom = (_: String, _: Char, _: Long) => false
+    val rangeOk = m.files.filter(f =>
+      preds.forall(maySatisfy(statsOf(f), _, noBloom)))
+    val probes = collectProbes(preds)
+    if (probes.isEmpty || rangeOk.isEmpty ||
+        (m.blooms.isEmpty && m.bloomRefs.isEmpty)) return rangeOk
+    val absentMap = bloomAbsentMap(s, m, rangeOk, probes)
+    rangeOk.filter { f =>
+      val n = fileStatKey(f)
+      val forFile = (c: String, k: Char, b: Long) =>
+        absentMap.getOrElse((c, k, b), Set.empty[String]).contains(n)
+      preds.forall(maySatisfy(statsOf(f), _, forFile))
     }
-    def comparable(kind: Char, v: Any): Boolean = (kind, v) match {
-      case ('l', _: Long) | ('l', _: Int) => true
-      case ('d', _: Double) | ('d', _: Float) |
-           ('d', _: Long) | ('d', _: Int) | ('l', _: Double) => finite(v)
-      case ('s', _: String) => true
-      case _ => false
+  }
+
+  /** Every bloom-probeable (col → distinct (kind, base) hashes) the
+    * predicate tree's Eq/In literals imply, Or branches included.
+    */
+  private def collectProbes(preds: Seq[StatsPred])
+      : Map[String, Seq[(Char, Long)]] = {
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashSet[(Char, Long)]]
+    def add(c: String, v: Any): Unit = bloomBaseLit(v).foreach(kb =>
+      out.getOrElseUpdate(c,
+        scala.collection.mutable.LinkedHashSet.empty) += kb)
+    def walk(p: StatsPred): Unit = p match {
+      case StatsPred.Eq(c, v)     => add(c, v)
+      case StatsPred.InSet(c, vs) => vs.foreach(add(c, _))
+      case StatsPred.OrPred(l, r) => l.foreach(walk); r.foreach(walk)
+      case _ => ()
     }
-    m.files.filter { f =>
-      val st = statsOf(f)
-      preds.forall { p =>
-        val rangeOk = (p, st.get(p.col)) match {
-          // IN list: a file survives iff SOME value may be present —
-          // prune only when every value is stat-comparable (one
-          // untranslatable value could match anything)
-          case (StatsPred.InSet(_, vs), _) if vs.isEmpty =>
-            false // IN () / IN (null) matches nothing, stats or not
-          case (StatsPred.InSet(_, vs), Some((kind, mn, mx)))
-            if vs.forall(v => comparable(kind, v)) =>
-            vs.exists(v => cmpStat(mn, v) <= 0 && cmpStat(mx, v) >= 0)
-          case (StatsPred.InSet(_, _), _) => true
-          case (_, Some((kind, mn, mx))) if comparable(kind, valueOf(p)) =>
-            rangeMaySatisfy(p, mn, mx)
-          case _ => true // no usable stats: never prune on absence
+    preds.foreach(walk)
+    out.iterator.map { case (c, s) => c -> s.toSeq }.toMap
+  }
+
+  /** For each (col, kind, base) probe, the set of file NAMES whose
+    * bloom PROVABLY excludes it — overlay payloads evaluated on the
+    * driver, sidecar payloads in one distributed job per call (the
+    * newest layer holding a (file, col) wins: overlay first, then refs
+    * newest → oldest via a keep-max-priority window). A sidecar ref a
+    * source-side expire reclaimed (the shallow-clone contract)
+    * degrades to no-prune for its keys.
+    */
+  private def bloomAbsentMap(s: SparkSession, m: Manifest,
+      files: Seq[String], probes: Map[String, Seq[(Char, Long)]])
+      : Map[(String, Char, Long), Set[String]] = {
+    val out = scala.collection.mutable.HashMap
+      .empty[(String, Char, Long), scala.collection.mutable.HashSet[String]]
+    def mark(c: String, k: Char, b: Long, file: String): Unit =
+      out.getOrElseUpdate((c, k, b),
+        scala.collection.mutable.HashSet.empty) += file
+    val needSidecar = Seq.newBuilder[(String, String)]
+    files.foreach { f =>
+      val n = fileStatKey(f)
+      probes.foreach { case (c, ps) =>
+        m.blooms.get(s"$n:$c") match {
+          case Some(pl) if bloomPayloadValid(pl) =>
+            ps.foreach { case (k, b) =>
+              if (payloadExcludes(pl, k, b)) mark(c, k, b, n) }
+          case _ => if (m.bloomRefs.nonEmpty) needSidecar += ((n, c))
         }
-        // Eq/In literals additionally consult the file's bloom (if
-        // built): membership can rule out points the min/max cannot
-        rangeOk && !bloomExcludes(m, f, p)
       }
     }
+    val need = needSidecar.result()
+    if (need.nonEmpty && m.bloomRefs.nonEmpty) {
+      import org.apache.spark.sql.expressions.Window
+      val layers = m.bloomRefs.zipWithIndex.flatMap { case (r, i) =>
+        try Some(s.read.parquet(r)
+          .select(col("file"), col("col"), col("payload"), lit(i).as("_pri")))
+        catch { case _: Exception => None } // reclaimed ref: no-prune
+      }
+      if (layers.nonEmpty) {
+        val probeArr: Map[String, Array[(Char, Long)]] =
+          probes.map { case (c, ps) => c -> ps.toArray }
+        val probeUdf = udf((c: String, payload: String) =>
+          probeArr.getOrElse(c, Array.empty[(Char, Long)])
+            .map { case (k, b) => payloadExcludes(payload, k, b) })
+        val needDf = s.createDataFrame(need).toDF("_f", "_c")
+        val rows = layers.reduce(_.unionByName(_))
+          .filter(col("col").isin(probes.keys.toSeq: _*))
+          .join(needDf, col("file") === col("_f") && col("col") === col("_c"))
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy("file", "col").orderBy(col("_pri").desc)))
+          .filter(col("_rn") === 1)
+          .select(col("file"), col("col"),
+            probeUdf(col("col"), col("payload")).as("_abs"))
+          .collect()
+        rows.foreach { r =>
+          val flags = r.getSeq[Boolean](2)
+          probes(r.getString(1)).zip(flags).foreach { case ((k, b), a) =>
+            if (a) mark(r.getString(1), k, b, r.getString(0))
+          }
+        }
+      }
+    }
+    out.iterator.map { case (k, v) => k -> v.toSet }.toMap
   }
 
   // ---- per-file bloom membership (Eq-predicate skipping) --------------------
@@ -1753,9 +2352,20 @@ object Snapshots {
       // carry, so standing ones never need rebuilding). A payload in
       // an outdated format counts as missing (the probe ignores it, so
       // treating it as coverage would lose pruning permanently with no
-      // repair path). Nothing missing ⇒ no-op, no commit.
+      // repair path). Coverage = a valid TEXT-overlay payload OR a
+      // sidecar row (sidecars admit only probe-valid payloads at write
+      // time, so key presence is coverage — one (file, col) key scan
+      // per ref, payloads never loaded). Nothing missing ⇒ no-op.
+      val sidecarKeys: Set[(String, String)] =
+        m.bloomRefs.flatMap { r =>
+          try s.read.parquet(r).select(col("file"), col("col"))
+            .filter(col("col").isin(usable: _*))
+            .collect().map(x => (x.getString(0), x.getString(1))).toSeq
+          catch { case _: Exception => Seq.empty } // reclaimed ref
+        }.toSet
       val missing = m.files.filter(f => usable.exists(c =>
-        !m.blooms.get(s"${fileStatKey(f)}:$c").exists(bloomPayloadValid)))
+        !m.blooms.get(s"${fileStatKey(f)}:$c").exists(bloomPayloadValid) &&
+          !sidecarKeys.contains((fileStatKey(f), c))))
       if (missing.isEmpty) return base
       val df = s.read.schema(sc).parquet(missing: _*)
       val fname = substring_index(input_file_name(), "/", -1)
@@ -1833,7 +2443,8 @@ object Snapshots {
       try {
         writeManifest(s, root, base + 1, m.files, m.txns, Some(sc),
           Some("analyze"), m.stats, Seq.empty, m.blooms ++ add,
-          mirror = m.mirror, base = Some((base, m)), lens = m.lens)
+          mirror = m.mirror, base = Some((base, m)), lens = m.lens,
+          bloomRefs = m.bloomRefs)
         return base + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -1844,54 +2455,34 @@ object Snapshots {
     -1 // unreachable
   }
 
-  /** Can `file`'s bloom for `p.col` (if any) rule out the Eq literal?
-    * True = provably absent → prune. Any parse/type mismatch keeps the
-    * file.
+  /** Does `payload` PROVABLY exclude a value hashing to (kind, base)?
+    * EXECUTOR-SAFE (the sidecar probe ships this into tasks): any
+    * parse failure, truncated bitset, or hash-family mismatch returns
+    * false (keep) — the family check is load-bearing: a string literal
+    * against a long column would probe the char fold where the bloom
+    * holds integral folds, and unset bits would then wrongly prune a
+    * file whose rows SQL's cast-and-compare semantics WOULD match.
     */
-  private def bloomExcludes(m: Manifest, file: String,
-                            p: StatsPred): Boolean = p match {
-    case StatsPred.Eq(c, v) => bloomExcludesValue(m, file, c, v)
-    case StatsPred.InSet(c, vs) =>
-      // an IN list is excludable only when EVERY value is provably
-      // absent (one un-probeable value could be present)
-      vs.nonEmpty && vs.forall(v => bloomExcludesValue(m, file, c, v))
-    case _ => false
-  }
-
-  private def bloomExcludesValue(m: Manifest, file: String,
-                                 c: String, v: Any): Boolean =
-      m.blooms.get(s"${fileStatKey(file)}:$c").exists { payload =>
-        val parts = payload.split(",", 4)
-        if (parts.length != 4 || parts(2).length != 1) false
-        else (bloomBaseLit(v), parts(0).toIntOption, parts(1).toIntOption) match {
-          // the literal's hash family must MATCH the bloomed column's
-          // (a string literal against a long column would probe the
-          // char fold where the bloom holds integral folds — unset
-          // bits would then wrongly prune a file whose rows SQL's
-          // cast-and-compare semantics WOULD match)
-          case (Some((kind, b)), Some(k), Some(bits))
-            if kind == parts(2).head && k >= 1 && k <= BloomA.length &&
-              bits >= 64 =>
-            try {
-              val bytes = java.util.Base64.getDecoder.decode(parts(3))
-              val bb = java.nio.ByteBuffer.wrap(bytes)
-              val w = Array.fill(bytes.length / 8)(bb.getLong)
-              (0 until k).exists { i =>
-                val pos = bloomPos(b, i, bits)
-                (w(pos >> 6) & (1L << (pos & 63))) == 0L
-              }
-            } catch { case _: Exception => false }
-          case _ => false
-        }
-      }
-
-  private def valueOf(p: StatsPred): Any = p match {
-    case StatsPred.Eq(_, v) => v
-    case StatsPred.Lt(_, v) => v
-    case StatsPred.LtEq(_, v) => v
-    case StatsPred.Gt(_, v) => v
-    case StatsPred.GtEq(_, v) => v
-    case StatsPred.InSet(_, vs) => vs // unused: InSet checks per value
+  private[sources] def payloadExcludes(payload: String, kind: Char,
+                                       base: Long): Boolean = {
+    if (payload == null) return false
+    val parts = payload.split(",", 4)
+    if (parts.length != 4 || parts(2).length != 1 ||
+        parts(2).head != kind) return false
+    (parts(0).toIntOption, parts(1).toIntOption) match {
+      case (Some(k), Some(bits))
+        if k >= 1 && k <= BloomA.length && bits >= 64 =>
+        try {
+          val bytes = java.util.Base64.getDecoder.decode(parts(3))
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          val w = Array.fill(bytes.length / 8)(bb.getLong)
+          (0 until k).exists { i =>
+            val pos = bloomPos(base, i, bits)
+            (w(pos >> 6) & (1L << (pos & 63))) == 0L
+          }
+        } catch { case _: Exception => false }
+      case _ => false
+    }
   }
 
   private def predColumn(p: StatsPred): org.apache.spark.sql.Column = {
@@ -1904,6 +2495,12 @@ object Snapshots {
       case StatsPred.GtEq(_, v) => c >= lit(v)
       case StatsPred.InSet(_, vs) =>
         if (vs.isEmpty) lit(false) else c.isin(vs: _*)
+      case StatsPred.IsNull(cn)  => col(cn).isNull
+      case StatsPred.NotNull(cn) => col(cn).isNotNull
+      case StatsPred.Prefix(cn, pre) => col(cn).startsWith(pre)
+      case StatsPred.OrPred(l, r) =>
+        l.map(predColumn).reduceOption(_ && _).getOrElse(lit(true)) ||
+          r.map(predColumn).reduceOption(_ && _).getOrElse(lit(true))
     }
   }
 
@@ -1918,7 +2515,7 @@ object Snapshots {
   def readWhere(s: SparkSession, root: String, v: Int,
                 preds: Seq[StatsPred]): DataFrame = {
     val m = readManifestData(s, root, v)
-    val files = filesWhereM(m, preds)
+    val files = filesWhereM(s, m, preds)
     val sc = m.schema.getOrElse(s.read.parquet(m.files: _*).schema)
     val base =
       if (files.isEmpty)
@@ -1928,11 +2525,13 @@ object Snapshots {
   }
 
   /** Translate Catalyst pushed-down data filters into the [[StatsPred]]
-    * surface: attribute-vs-literal comparisons (both operand orders)
-    * and And recursion — exactly the shapes the manifest stats/bloom
-    * can reason about. Anything else (casts, functions, Or, In)
-    * translates to nothing and prunes nothing: the scan re-applies the
-    * full predicate, so a missed translation costs I/O, never rows.
+    * surface: attribute-vs-literal comparisons (both operand orders),
+    * In/InSet, IsNull/IsNotNull (footer null counts), LIKE-prefix
+    * (string ranges), And recursion, and Or over translatable branches
+    * — exactly the shapes the manifest stats/bloom can reason about.
+    * Anything else (casts, functions) translates to nothing and prunes
+    * nothing: the scan re-applies the full predicate, so a missed
+    * translation costs I/O, never rows.
     */
   private def translateFilters(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -1961,6 +2560,21 @@ object Snapshots {
     }
     def walk(e: Expression): Seq[StatsPred] = e match {
       case And(l, r) => walk(l) ++ walk(r)
+      // Or: sound with PARTIAL branch translations (each branch's
+      // preds are implied by the branch, so "branch excluded" holds a
+      // fortiori) — but a branch translating to NOTHING can never
+      // exclude, so the Or prunes only when both sides translate
+      case Or(l, r) =>
+        val (lt, rt) = (walk(l), walk(r))
+        if (lt.nonEmpty && rt.nonEmpty) Seq(StatsPred.OrPred(lt, rt))
+        else Seq.empty
+      case IsNull(a: AttributeReference) => Seq(StatsPred.IsNull(a.name))
+      case IsNotNull(a: AttributeReference) => Seq(StatsPred.NotNull(a.name))
+      case StartsWith(a: AttributeReference, l: Literal) =>
+        anyVal(l.value).collect {
+          case p: String if p.nonEmpty && p.forall(c => c >= ' ' && c < 126) =>
+            StatsPred.Prefix(a.name, p)
+        }.toSeq
       case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
         inVals(list.map(_.asInstanceOf[Literal].value))
           .map(StatsPred.InSet(a.name, _)).toSeq
@@ -1999,6 +2613,12 @@ object Snapshots {
     * files are planned. No [[StatsPred]] surface needed; unsupported
     * predicate shapes simply don't prune. Same correctness contract as
     * [[readWhere]]: the scan re-applies every filter.
+    *
+    * Metadata-column caveat: the scan plans FileStatus objects from
+    * manifest `#len:` lines with SYNTHETIC mtime 0 / blockSize, so
+    * `_metadata.file_modification_time` over this read reports the
+    * epoch, not the real mtime (path/name/size are real). Use
+    * [[versionAsOf]]/manifest mtimes for commit-time reasoning.
     */
   def readIndexed(s: SparkSession, root: String, v: Int): DataFrame =
     indexedScan(s, root, v)._1
@@ -2045,7 +2665,7 @@ object Snapshots {
     }
     val idx = new org.apache.spark.sql.GraftSnapshotFileIndex(
       fromLens ++ listed,
-      exprs => filesWhereM(m, translateFilters(exprs)))
+      exprs => filesWhereM(s, m, translateFilters(exprs)))
     (org.apache.spark.sql.GraftSnapshotScan.dataFrame(s, idx, sc), idx)
   }
 
@@ -2139,6 +2759,14 @@ object Snapshots {
               "retractions cannot ride a row feed (neither append-only " +
               "nor upsert folds can drop a key); consume the typed " +
               "changeFeed, or resync with read(toV)")
+        case "update" if m.cdf.isEmpty && m.cdfd.isEmpty =>
+          () // stats false positive matched zero rows — pass through
+        case "update" =>
+          throw new IllegalArgumentException(
+            s"versions $fromV..$toV of $root cross an UPDATE at v$v — " +
+              "a key-rewriting update retracts the old key, which no " +
+              "row feed can represent; consume the typed changeFeed, " +
+              "or resync with read(toV)")
         case _ =>
           throw new IllegalArgumentException(
             s"versions $fromV..$toV of $root span a rewrite boundary at " +
@@ -2171,24 +2799,68 @@ object Snapshots {
     *
     * FOLD CONTRACT (spec-asserted): replaying the feed from version 0
     * in `_commit_version` order — inserts add, upserts replace their
-    * key, deletes drop it — reproduces `read(latest)` exactly. I/O is
+    * key, deletes drop it, same-version ties break upsert-over-delete
+    * (`_change_type` desc — an update's pre+post pair on an unchanged
+    * key folds to the post-image) — reproduces `read(latest)`
+    * exactly. An `update` contributes that pair: pre-images as
+    * deletes (exact even when the update rewrote a key column),
+    * post-images as upserts. I/O is
     * O(changed rows): new files + bounded change sets, never the
     * standing corpus. Each version's files are read under ITS pinned
     * schema; columns a later widening added surface as null (aligned
     * to `toV`'s schema).
     */
-  def changeFeed(s: SparkSession, root: String, fromV: Int,
-                 toV: Int): DataFrame = {
+  /** The typed change feed as FILE GROUPS — (files, pinned schema,
+    * change kind, commit version) per contributing commit in
+    * (fromV, toV] — the shared walk behind [[changeFeed]] and the
+    * DSv2 streaming source ([[SnapshotStreamSource]]), which plans
+    * one InputPartition per file from exactly these groups.
+    */
+  private[graft] def changeFileGroups(s: SparkSession, root: String,
+      fromV: Int, toV: Int)
+      : Seq[(Seq[String], Option[org.apache.spark.sql.types.StructType],
+             String, Int)] = {
     require(fromV >= 0 && fromV <= toV,
       s"need 0 <= fromV <= toV, got $fromV..$toV")
-    val toM = readManifestData(s, root, toV)
-    val sc = toM.schema.getOrElse(s.read.parquet(toM.files: _*).schema)
     var prev: Set[String] =
       if (fromV == 0) Set.empty
       else readManifestData(s, root, fromV).files.toSet
+    val out = Seq.newBuilder[(Seq[String],
+      Option[org.apache.spark.sql.types.StructType], String, Int)]
+    ((fromV + 1) to toV).foreach { v =>
+      val m = readManifestData(s, root, v)
+      val cur = m.files.toSet
+      val additive = prev.subsetOf(cur)
+      m.commit.getOrElse(if (additive) "append" else "rewrite") match {
+        case "layout" | "analyze" => ()
+        case "append" if additive =>
+          out += ((m.files.filterNot(prev), m.schema, "insert", v))
+        case "merge"  => out += ((m.cdf, None, "upsert", v))
+        case "delete" => out += ((m.cdf, None, "delete", v))
+        case "update" =>
+          // the Delta update pair: pre-images retract (covers a
+          // rewritten key), post-images upsert; a same-version tie on
+          // an unchanged key folds upsert-over-delete (consumers break
+          // ties on _change_type desc — 'u' > 'd')
+          out += ((m.cdfd, None, "delete", v))
+          out += ((m.cdf, None, "upsert", v))
+        case _ =>
+          throw new IllegalArgumentException(
+            s"versions $fromV..$toV of $root span a data rewrite at v$v " +
+              "(rows were replaced with no change record) — resync with " +
+              "read(toV)")
+      }
+      prev = cur
+    }
+    out.result().filter(_._1.nonEmpty)
+  }
+
+  def changeFeed(s: SparkSession, root: String, fromV: Int,
+                 toV: Int): DataFrame = {
+    val toM = readManifestData(s, root, toV)
+    val sc = toM.schema.getOrElse(s.read.parquet(toM.files: _*).schema)
     var out: Option[DataFrame] = None
-    def add(files: Seq[String], vsc: Option[org.apache.spark.sql.types.StructType],
-            kind: String, v: Int): Unit = if (files.nonEmpty) {
+    changeFileGroups(s, root, fromV, toV).foreach { case (files, vsc, kind, v) =>
       val base = vsc match {
         case Some(x) => s.read.schema(x).parquet(files: _*)
         case None    => s.read.parquet(files: _*)
@@ -2197,24 +2869,6 @@ object Snapshots {
         .withColumn("_commit_version", lit(v))
       out = Some(out.fold(tagged)(
         _.unionByName(tagged, allowMissingColumns = true)))
-    }
-    ((fromV + 1) to toV).foreach { v =>
-      val m = if (v == toV) toM else readManifestData(s, root, v)
-      val cur = m.files.toSet
-      val additive = prev.subsetOf(cur)
-      m.commit.getOrElse(if (additive) "append" else "rewrite") match {
-        case "layout" | "analyze" => ()
-        case "append" if additive =>
-          add(m.files.filterNot(prev), m.schema, "insert", v)
-        case "merge"  => add(m.cdf, None, "upsert", v)
-        case "delete" => add(m.cdf, None, "delete", v)
-        case _ =>
-          throw new IllegalArgumentException(
-            s"versions $fromV..$toV of $root span a data rewrite at v$v " +
-              "(rows were replaced with no change record) — resync with " +
-              "read(toV)")
-      }
-      prev = cur
     }
     val cols = sc.fields.toSeq
     val feed = out.getOrElse {
@@ -2422,6 +3076,13 @@ object Snapshots {
               case Some("layout") | Some("analyze") => ()
               case Some("delete") =>
                 if (mm.cdf.nonEmpty) { free = false; dels = true }
+              case Some("update") =>
+                // conservative: a key-rewriting update retracts the
+                // old key downstream, so the fold commits honest
+                // `rewrite` (a zero-match update is change-free)
+                if (mm.cdf.nonEmpty || mm.cdfd.nonEmpty) {
+                  free = false; dels = true
+                }
               case Some("append") | None => if (cur != prev) free = false
               case _ => free = false // merge/rewrite
             }
@@ -2435,12 +3096,17 @@ object Snapshots {
           writeManifest(s, dstRoot, dstV + 1, dstM.files,
             dstM.txns, dstM.schema, Some("layout"),
             dstM.stats, Seq.empty, dstM.blooms, mirror = Some(srcV.toLong),
-            base = Some((dstV, dstM)), lens = dstM.lens)
+            base = Some((dstV, dstM)), lens = dstM.lens,
+            bloomRefs = dstM.bloomRefs)
           return dstV + 1
         }
         val feed = changeFeed(s, srcRoot, cursor, srcV)
         val w = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col("_commit_version").desc)
+          // same-version tiebreak upsert-over-delete ('u' > 'i' > 'd'
+          // lexically, descending): an UPDATE emits its pre-image
+          // (delete) and post-image (upsert) in ONE version — an
+          // unchanged key must fold to the post-image
+          .orderBy(col("_commit_version").desc, col("_change_type").desc)
         if (dstV == 0) {
           // bootstrap: the fold is the feed collapsed within itself —
           // every surviving row is an insert from empty, so the commit
@@ -2486,7 +3152,7 @@ object Snapshots {
           Some(if (hasDeletes) "rewrite" else "merge"),
           dstM.stats ++ bf.stats, cdfFiles, blooms = dstM.blooms,
           mirror = Some(srcV.toLong), base = Some((dstV, dstM)),
-          lens = dstM.lens ++ bf.lens)
+          lens = dstM.lens ++ bf.lens, bloomRefs = dstM.bloomRefs)
         return dstV + 1
       } catch {
         // a lost race means ANOTHER sync advanced the mirror — our fold
@@ -2905,6 +3571,51 @@ object Snapshots {
   val snapshotDeleteOracleSql: String = perSourceTotalsOracle(
     """NOT (doc_id >= (SELECT max(doc_id) // 4 FROM documents)
       |     AND doc_id < (SELECT max(doc_id) // 2 FROM documents))""".stripMargin)
+
+  /** Marker suffix the [[snapshotUpdate]] fixture appends — shared
+    * with the oracle SQL so the two cannot drift.
+    */
+  val UpdateMarker = " updated row"
+
+  /** `q_snapshot_update`: stats-pruned row-level UPDATE through the
+    * driver's hash gate. The artifact holds one range-clustered commit
+    * (every part file a disjoint doc_id slice) and then an [[update]]
+    * of the middle-quartile range [max/4, max/2) appending
+    * [[UpdateMarker]] to `text`: the copy-on-write rewrites ONLY the
+    * files whose stat range overlaps the cut (spec-asserted; the rest
+    * carry by path), tags the commit with the Delta pre+post change
+    * pair, and the query reads the post-update state — the DuckDB
+    * oracle recomputes it closed-form from the same predicate, so an
+    * update that touched a non-matching row, skipped a matching one,
+    * or lost an untouched file hash-fails on the per-source totals.
+    */
+  def snapshotUpdate(s: SparkSession, dir: String): DataFrame = {
+    val root = ScopedFixture.root(s, "graft_snapupd", dir)
+    FixtureCleanup.onExit(root)
+    if (!ScopedFixture.isComplete(root)) {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      create(s, root, docs.repartitionByRange(8, col("doc_id")))
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      update(s, root,
+        Seq(StatsPred.GtEq("doc_id", mx / 4), StatsPred.Lt("doc_id", mx / 2)),
+        Map("text" -> concat(col("text"), lit(UpdateMarker))))
+      ScopedFixture.markComplete(root)
+    }
+    perSourceTokenTotals(read(s, root, latestVersion(s, root)))
+  }
+
+  val snapshotUpdateOracleSql: String =
+    s"""WITH upd AS (
+       |  SELECT source,
+       |    CASE WHEN doc_id >= (SELECT max(doc_id) // 4 FROM documents)
+       |          AND doc_id <  (SELECT max(doc_id) // 2 FROM documents)
+       |         THEN text || '$UpdateMarker' ELSE text END AS text
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+       |    AS n_tokens
+       |FROM upd GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** `q_snapshot_change_feed`: the TYPED change feed through the
     * driver's hash gate — over the [[snapshotDelete]] fixture,

@@ -2254,7 +2254,6 @@ class BpeSpec extends org.scalatest.funsuite.AnyFunSuite {
     val exchanges = "(?i)exchange".r.findAllIn(p).size
     assert(exchanges <= 1, // the input's own repartition, nothing more
       s"encode over a well-partitioned corpus must add no exchange:\n$p")
-    df.unpersist()
   }
 
   test("runs merge greedily left-to-right and exhaustion stops early") {
