@@ -416,17 +416,20 @@ object Snapshots {
           lenLines(kv => live.contains(kv._1)) ++ files
     val content = base match {
       // a delta inherits its base's bloom sidecar refs through chain
-      // resolution, so it is only writable when the intended refs ARE
-      // the base's (a restore carrying a different ref set falls
-      // through to a full write, which consolidates)
+      // resolution and may APPEND new ones as its own #bloomq: lines
+      // (a corpus-scale analyze); intended refs that do not EXTEND the
+      // base's (a restore re-anchoring an older ref set under a moved
+      // chain) fall through to a full write, which consolidates
       case Some((bv, bm)) if bv == v - 1 && v % CheckpointEvery != 0 &&
-          bm.bloomRefs == bloomRefs =>
+          bloomRefs.startsWith(bm.bloomRefs) =>
         val baseSet = bm.files.toSet
         val fileSet = files.toSet
         val adds = files.filterNot(baseSet)
         val rms = bm.files.filterNot(fileSet)
         if (adds.length + rms.length >= files.length) full
         else Seq(s"#base:$bv") ++ header ++
+          bloomRefs.drop(bm.bloomRefs.length)
+            .map(r => s"#bloomq:${relRef(root, r)}") ++
           statLines(kv => live.contains(kv._1) &&
             !bm.stats.get(kv._1).contains(kv._2)) ++
           bloomLines(kv => liveBloom(kv._1) &&
@@ -495,7 +498,9 @@ object Snapshots {
     s.createDataFrame(
       s.sparkContext.parallelize(rows.map { case (p, st, ln) =>
         org.apache.spark.sql.Row(p, st, ln) },
-        math.max(1, math.min(32, rows.length / 100000 + 1))),
+        // ~20k rows/task keeps serialized task size under Spark's 1 MB
+        // recommendation at 10⁵-file scale
+        math.max(1, math.min(32, rows.length / 20000 + 1))),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("path",
           org.apache.spark.sql.types.StringType, nullable = false),
@@ -883,7 +888,7 @@ object Snapshots {
           s"corrupt manifest chain at $root: v$v bases on v$b")
         val bm = memoGet(root, b)
           .getOrElse(resolveManifest(s, root, b, depth + 1))
-        applyDelta(bm, raw)
+        applyDelta(root, bm, raw)
       case None => resolveFull(s, root, raw)
     }
     memoPut(root, v, m)
@@ -892,7 +897,8 @@ object Snapshots {
 
   private def bloomKeyFile(k: String): String = k.substring(0, k.indexOf(':'))
 
-  private def applyDelta(bm: Manifest, raw: RawManifest): Manifest = {
+  private def applyDelta(root: String, bm: Manifest,
+                         raw: RawManifest): Manifest = {
     val files = (bm.files.toSet -- raw.rms ++ raw.adds).toSeq.sorted
     val liveNames = files.map(fileStatKey).toSet
     Manifest(files, raw.txns, raw.schema, raw.commit,
@@ -902,7 +908,12 @@ object Snapshots {
         .filter(kv => liveNames.contains(bloomKeyFile(kv._1))),
       raw.mirror,
       (bm.lens ++ raw.lens).filter(kv => liveNames.contains(kv._1)),
-      bloomRefs = bm.bloomRefs, cdfd = raw.cdfd, extra = raw.extra)
+      // a delta may APPEND sidecar refs of its own (a corpus-scale
+      // analyzeBloom writes its payloads straight to a sidecar instead
+      // of 10⁵ text overlay lines — the 77 MB analyze-delta trap
+      // ManifestBench caught at 10⁵ files)
+      bloomRefs = bm.bloomRefs ++ raw.bloomq.map(refPath(root, _)),
+      cdfd = raw.cdfd, extra = raw.extra)
   }
 
   /** A `#bloomq:`/`#cpq:` ref is stored RELATIVE when it lives under
@@ -2440,11 +2451,25 @@ object Snapshots {
         val kind = kindOf(key.substring(key.indexOf(':') + 1))
         key -> s"$hashes,${w.length * 64},$kind,${enc.encodeToString(bb.array)}"
       }.toMap
+      // a corpus-scale analyze writes its payloads STRAIGHT to a
+      // parquet sidecar appended to the ref chain — carrying 10⁵
+      // payloads as text overlay lines made the analyze DELTA itself
+      // a 77 MB manifest (ManifestBench caught it); small analyzes
+      // keep the cheap text overlay (no Spark job per commit)
+      val (newOverlay, newRefs) =
+        if (add.size >= CheckpointParquetAt) {
+          val rows = add.toSeq.map { case (k, pl) =>
+            (bloomKeyFile(k), k.substring(k.indexOf(':') + 1), pl)
+          }
+          (m.blooms,
+            m.bloomRefs :+ writeBloomSidecar(s, root, base + 1,
+              s.createDataFrame(rows).toDF("file", "col", "payload")))
+        } else (m.blooms ++ add, m.bloomRefs)
       try {
         writeManifest(s, root, base + 1, m.files, m.txns, Some(sc),
-          Some("analyze"), m.stats, Seq.empty, m.blooms ++ add,
+          Some("analyze"), m.stats, Seq.empty, newOverlay,
           mirror = m.mirror, base = Some((base, m)), lens = m.lens,
-          bloomRefs = m.bloomRefs)
+          bloomRefs = newRefs)
         return base + 1
       } catch {
         case e: ConcurrentCommitException =>

@@ -86,12 +86,16 @@ class SnapshotMetaSpec extends AnyFunSuite {
         Seq(Snapshots.StatsPred.GtEq("doc_id", 350L)))
       assert(pruned.count() === 50)
       assert(pruned.inputFiles.length < 8, "cpq-carried stats still prune")
-      // analyzeBloom commits v2 as a DELTA (text overlay); the next
-      // checkpoint consolidates the payloads into a parquet sidecar
+      // a corpus-scale analyzeBloom (≥ threshold payloads) writes its
+      // payloads STRAIGHT to a sidecar and appends the ref to its
+      // DELTA — never 10⁵ text overlay lines (the 77 MB analyze-delta
+      // trap ManifestBench caught)
       Snapshots.analyzeBloom(spark, root, Seq("fp"))
       val v2 = Snapshots.latestVersion(spark, root)
-      assert(manifestText(root, v2).contains("#bloom:"),
-        "an analyze delta carries its new payloads as text overlay")
+      val t2 = manifestText(root, v2)
+      assert(t2.contains("#base:") && t2.contains("#bloomq:") &&
+        !t2.contains("#bloom:part"),
+        s"a corpus-scale analyze appends a sidecar ref to its delta:\n$t2")
       // force the next commit FULL (checkpoint cadence would be v16;
       // a rewrite shrinking the file set flips full too — use the
       // threshold: appends keep it delta, so drive to the cadence)
