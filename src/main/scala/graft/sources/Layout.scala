@@ -51,6 +51,13 @@ object Layout {
     */
   def bitsFor(dims: Int): Int = math.min(ZBits, 63 / math.max(1, dims))
 
+  /** Max distinct values a string z-dimension ranks through the exact
+    * dictionary (2^ZBits — more buckets than any dimension can use);
+    * past it the prefix-fold fallback avoids the single-partition sort
+    * and the forced broadcast.
+    */
+  val RankCap: Long = 1L << ZBits
+
   /** Linear-bucket a numeric column into [0, 2^bits) against its
     * min/max (degenerate min==max buckets to 0).
     */
@@ -99,13 +106,36 @@ object Layout {
     val surrogate = scala.collection.mutable.ArrayBuffer.empty[String]
     val dimCols = cols.zipWithIndex.map { case (c, j) =>
       if (byName.get(c).contains(StringType)) {
-        val (kn, rn) = (s"_zk$j", s"_zr$j")
-        val ranks = df.select(col(c).as(kn)).distinct()
-          .withColumn(rn,
-            (row_number().over(Window.orderBy(col(kn))) - 1).cast("long"))
-        cur = cur.join(broadcast(ranks), cur(c) <=> ranks(kn), "left")
-        surrogate ++= Seq(kn, rn)
-        rn
+        // CARDINALITY GUARD: the dictionary is a single-partition sort
+        // + a forced broadcast — sound for dimension-like strings
+        // (source, lang) but an unbounded near-unique column (tag,
+        // url) would funnel the corpus' distinct set through one task
+        // and blow the broadcast cap. Past RankCap (= more buckets
+        // than any dimension can use at ≤16 bits anyway) fall back to
+        // an order-preserving 8-char ASCII prefix fold — a pure
+        // map-side expression, no extra pass. Either surrogate only
+        // shapes CLUSTERING quality; pruning correctness reads the
+        // real string column's footer stats.
+        val nd = df.agg(approx_count_distinct(col(c)).as("n"))
+          .head().getLong(0)
+        if (nd <= RankCap) {
+          val (kn, rn) = (s"_zk$j", s"_zr$j")
+          val ranks = df.select(col(c).as(kn)).distinct()
+            .withColumn(rn,
+              (row_number().over(Window.orderBy(col(kn))) - 1).cast("long"))
+          cur = cur.join(broadcast(ranks), cur(c) <=> ranks(kn), "left")
+          surrogate ++= Seq(kn, rn)
+          rn
+        } else {
+          val sn = s"_zs$j"
+          // base-128 positional fold of the first 8 chars (non-ASCII
+          // clamps to 127 — ties, never disorder); max 128^8-1 < 2^63
+          cur = cur.withColumn(sn, (0 until 8).map(i =>
+            least(coalesce(ascii(substring(col(c), i + 1, 1)).cast("long"),
+              lit(0L)), lit(127L)) * lit(1L << (7 * (7 - i)))).reduce(_ + _))
+          surrogate += sn
+          sn
+        }
       } else c
     }
     val bounds = cur.agg(

@@ -118,24 +118,31 @@ class SnapshotMicroBatchStream(root: String, tableSchema: StructType)
     val from = start.asInstanceOf[SnapshotOffset].v
     val to = end.asInstanceOf[SnapshotOffset].v
     Snapshots.changeFileGroups(spark, root, from, to).flatMap {
-      case (files, vsc, kind, v) =>
-        val schemaJson = vsc.map(_.json)
-        files.map(f => SnapshotChangePartition(f, kind, v, schemaJson))
+      case (files, _, kind, v) =>
+        // per-version pinned schemas need no shipping: the reader
+        // resolves the STREAM schema's fields against each file's own
+        // footer by name (absent column = null), which is exactly the
+        // batch path's metadata-only evolution for flat primitives
+        files.map(f => SnapshotChangePartition(f, kind, v))
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotChangeReaderFactory(tableSchema)
+    new SnapshotChangeReaderFactory(tableSchema,
+      org.apache.spark.GraftSparkBridge.serializableConf(
+        spark.sparkContext.hadoopConfiguration))
 }
 
 final case class SnapshotChangePartition(path: String, kind: String,
-    version: Int, pinnedSchemaJson: Option[String]) extends InputPartition
+    version: Int) extends InputPartition
 
-class SnapshotChangeReaderFactory(tableSchema: StructType)
+class SnapshotChangeReaderFactory(tableSchema: StructType,
+    serConf: AnyRef with java.io.Serializable)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new SnapshotChangeReader(
-      partition.asInstanceOf[SnapshotChangePartition], tableSchema)
+      partition.asInstanceOf[SnapshotChangePartition], tableSchema,
+      org.apache.spark.GraftSparkBridge.confOf(serConf))
 }
 
 /** Reads ONE change-feed parquet file executor-side through the
@@ -144,15 +151,16 @@ class SnapshotChangeReaderFactory(tableSchema: StructType)
   * null — metadata-only schema evolution, matching the batch read).
   */
 class SnapshotChangeReader(p: SnapshotChangePartition,
-    tableSchema: StructType) extends PartitionReader[InternalRow] {
+    tableSchema: StructType,
+    conf: org.apache.hadoop.conf.Configuration)
+    extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
   import org.apache.parquet.io.ColumnIOFactory
 
   private val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
     org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(p.path),
-      new org.apache.hadoop.conf.Configuration()))
+      new org.apache.hadoop.fs.Path(p.path), conf))
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
   private val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
   private val dataFields = tableSchema.fields

@@ -446,6 +446,10 @@ object Snapshots {
       f.delete(tmp, false)
       throw new ConcurrentCommitException(root, v)
     }
+    // a version NUMBER can be re-claimed after a root is deleted and
+    // re-created at the same path (a rebuilt fixture, a tool rerun):
+    // drop any stale resolution so the next read parses THIS commit
+    memoDrop(root, v)
   }
 
   /** Every this-many versions a manifest is written FULL regardless of
@@ -1609,12 +1613,19 @@ object Snapshots {
       val hit = coalesce(preds.map(predColumn).reduce(_ && _), lit(false))
       val cand = s.read.schema(sc).parquet(candidates: _*)
       // flag FIRST: assignments must see the old row, and the change
-      // sets must select on the ORIGINAL match, not the updated values
+      // sets must select on the ORIGINAL match, not the updated values.
+      // ALL assignments evaluate in ONE projection — a sequential
+      // withColumn chain would let an assignment referencing another
+      // SET column see its already-updated value (swap(a, b) would
+      // silently yield b = b), violating SQL UPDATE semantics
       val flagged = cand.withColumn("__hit", hit)
-      val updated = set.foldLeft(flagged) { case (df, (c, e)) =>
-        df.withColumn(c, when(col("__hit"), e.cast(byName(c)))
-          .otherwise(col(c)))
-      }
+      val updated = flagged.select(sc.fieldNames.map { n =>
+        set.get(n) match {
+          case Some(e) =>
+            when(col("__hit"), e.cast(byName(n))).otherwise(col(n)).as(n)
+          case None => col(n)
+        }
+      } :+ col("__hit"): _*)
       val bfu = writeBatchFiles(s, root,
         updated.drop("__hit").select(sc.fieldNames.map(col): _*))
       val preImages = cand.filter(hit)
@@ -1841,7 +1852,22 @@ object Snapshots {
     }
     (1 until retainMin).foreach { v =>
       val p = manifestPath(root, v)
-      if (f.exists(p)) f.delete(p, false)
+      if (f.exists(p)) {
+        // a checkpoint body / bloom sidecar becomes UNREFERENCED the
+        // moment its manifest is deleted — refresh its mtime so the
+        // grace window counts from unreference time, not dir creation
+        // (an in-flight reader that parsed the old text must be able
+        // to finish resolving; the in-flight-append discipline applied
+        // to reads). Own-root relative refs only: absolute (clone)
+        // refs live under another root's sweep.
+        val raw = parseManifest(s, root, v)
+        (raw.cpq.toSeq ++ raw.bloomq).filterNot(_.contains('/')).foreach { r =>
+          try f.setTimes(new org.apache.hadoop.fs.Path(refPath(root, r)),
+            System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => () }
+        }
+        f.delete(p, false)
+      }
       memoDrop(root, v)
     }
     val cutoff = System.currentTimeMillis() - math.max(0L, orphanGraceMs)
@@ -2365,18 +2391,31 @@ object Snapshots {
       // treating it as coverage would lose pruning permanently with no
       // repair path). Coverage = a valid TEXT-overlay payload OR a
       // sidecar row (sidecars admit only probe-valid payloads at write
-      // time, so key presence is coverage — one (file, col) key scan
-      // per ref, payloads never loaded). Nothing missing ⇒ no-op.
-      val sidecarKeys: Set[(String, String)] =
-        m.bloomRefs.flatMap { r =>
-          try s.read.parquet(r).select(col("file"), col("col"))
-            .filter(col("col").isin(usable: _*))
-            .collect().map(x => (x.getString(0), x.getString(1))).toSeq
-          catch { case _: Exception => Seq.empty } // reclaimed ref
-        }.toSet
-      val missing = m.files.filter(f => usable.exists(c =>
-        !m.blooms.get(s"${fileStatKey(f)}:$c").exists(bloomPayloadValid) &&
-          !sidecarKeys.contains((fileStatKey(f), c))))
+      // time, so key presence is coverage). The sidecar check is a
+      // DISTRIBUTED anti-join collecting only the MISSING paths —
+      // collecting every sidecar (file, col) key to the driver would
+      // re-introduce the O(standing corpus) materialization this
+      // layer exists to avoid (an incremental analyze touches O(new
+      // files)).
+      val overlayMissing = m.files.flatMap(f => usable.collect {
+        case c if !m.blooms.get(s"${fileStatKey(f)}:$c")
+          .exists(bloomPayloadValid) => (fileStatKey(f), c, f)
+      })
+      val missing: Seq[String] =
+        if (m.bloomRefs.isEmpty || overlayMissing.isEmpty)
+          overlayMissing.map(_._3).distinct
+        else {
+          val refDfs = m.bloomRefs.flatMap { r =>
+            try Some(s.read.parquet(r).select(col("file"), col("col")))
+            catch { case _: Exception => None } // reclaimed ref
+          }
+          if (refDfs.isEmpty) overlayMissing.map(_._3).distinct
+          else s.createDataFrame(overlayMissing).toDF("file", "col", "path")
+            .join(refDfs.reduce(_.unionByName(_)), Seq("file", "col"),
+              "left_anti")
+            .select("path").distinct().collect()
+            .map(_.getString(0)).toSeq
+        }
       if (missing.isEmpty) return base
       val df = s.read.schema(sc).parquet(missing: _*)
       val fname = substring_index(input_file_name(), "/", -1)
@@ -2510,7 +2549,9 @@ object Snapshots {
     }
   }
 
-  private def predColumn(p: StatsPred): org.apache.spark.sql.Column = {
+  // private[graft]: the prune fuzz spec re-applies EXACTLY these
+  // semantics to an unpruned read and asserts set equality
+  private[graft] def predColumn(p: StatsPred): org.apache.spark.sql.Column = {
     val c = col(p.col)
     p match {
       case StatsPred.Eq(_, v)   => c === lit(v)

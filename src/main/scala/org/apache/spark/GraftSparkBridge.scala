@@ -17,6 +17,19 @@ object GraftSparkBridge {
     * the snapshot layer's parallel footer-stats harvest: a commit of
     * 10⁴ files must not pay 10⁴ driver-sequential footer opens.
     */
+  /** A serializable wrapper around the driver's Hadoop configuration
+    * for DSv2 reader factories (`SerializableConfiguration` is
+    * `private[spark]`): the snapshot change-stream reader must open
+    * parquet with the SESSION's conf (s3a credentials, fs overrides),
+    * not an empty default.
+    */
+  def serializableConf(conf: org.apache.hadoop.conf.Configuration)
+      : java.io.Serializable with AnyRef =
+    new org.apache.spark.util.SerializableConfiguration(conf)
+
+  def confOf(ser: AnyRef): org.apache.hadoop.conf.Configuration =
+    ser.asInstanceOf[org.apache.spark.util.SerializableConfiguration].value
+
   def mapPartitionsWithConf[T: scala.reflect.ClassTag](
       sc: SparkContext,
       conf: org.apache.hadoop.conf.Configuration,

@@ -268,6 +268,18 @@ class SnapshotMetaSpec extends AnyFunSuite {
     // zero stat-candidates: a provably-no-match update is a no-op
     assert(Snapshots.update(spark, root, Seq(GtEq("doc_id", 999999L)),
       Map("s" -> lit("x"))) === v3)
+    // SQL UPDATE semantics: ALL assignments evaluate against the OLD
+    // row — a swap must actually swap (a sequential column rewrite
+    // would yield b = b)
+    val r2 = tmp("graft_snapswap")
+    Snapshots.create(spark, r2, spark.range(0L, 10L).select(
+      col("id").as("doc_id"), col("id").as("a"), (col("id") * 2).as("b")))
+    Snapshots.update(spark, r2, Seq(GtEq("doc_id", 0L)),
+      Map("a" -> col("b"), "b" -> col("a")))
+    val sw = Snapshots.read(spark, r2, 2)
+      .filter(col("doc_id") === 3L).head()
+    assert(sw.getAs[Long]("a") === 6L && sw.getAs[Long]("b") === 3L,
+      "update assignments must see the OLD row (swap semantics)")
   }
 
   test("clusterZN with a STRING dimension: dictionary-rank bucketing lets every dim prune") {
@@ -346,6 +358,92 @@ class SnapshotMetaSpec extends AnyFunSuite {
     got.clear()
     val q3 = startQ(); q3.processAllAvailable(); q3.stop()
     assert(got.isEmpty, "no new versions ⇒ no re-delivery")
+  }
+
+  test("string z-dim past the rank cap falls back to the prefix fold: no dictionary sort, rows exact, still prunes") {
+    import Snapshots.StatsPred._
+    val root = tmp("graft_snapzhi")
+    val n = graft.sources.Layout.RankCap + 2048 // all-distinct tags
+    val df = spark.range(0L, n).select(col("id").as("doc_id"),
+      concat(lit("t"), lpad(col("id").cast("string"), 8, "0")).as("tag"))
+    Snapshots.create(spark, root, df.repartition(4))
+    Snapshots.clusterZN(spark, root, Seq("doc_id", "tag"), partitions = 8)
+    val v = Snapshots.latestVersion(spark, root)
+    assert(Snapshots.read(spark, root, v).count() === n)
+    // zero-padded tags order like doc_id, so the fold clusters them
+    // and the REAL footer string stats prune a prefix range
+    val got = Snapshots.readWhere(spark, root, v, Seq(Prefix("tag", "t0000")))
+    assert(got.count() === 10000)
+    assert(got.inputFiles.length < 8,
+      s"prefix-fold surrogate must still cluster (${got.inputFiles.length} of 8)")
+  }
+
+  test("prune fuzz: random predicates over hostile data never drop a live row (prune ≠ decide)") {
+    import Snapshots.StatsPred
+    import Snapshots.StatsPred._
+    val root = tmp("graft_snapfuzz")
+    val rnd = new scala.util.Random(1715) // deterministic
+    // hostile fixture: nullable long, NaN-bearing double, nullable
+    // ASCII+non-ASCII string, range-clustered so stats are selective;
+    // blooms on the point-lookup columns so the bloom path fuzzes too
+    val df = spark.range(0L, 600L).select(
+      col("id").as("doc_id"),
+      when(col("id") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("id") - 300L).as("k"),
+      when(col("id") % 11 === 0, lit(Double.NaN))
+        .otherwise(col("id").cast("double") / 3.0).as("d"),
+      when(col("id") % 13 === 0, lit(null).cast("string"))
+        .when(col("id") % 17 === 0, lit("naïve-ünïcode"))
+        .otherwise(concat(lit("w"), (col("id") % 37).cast("string"))).as("s"))
+    Snapshots.create(spark, root, df.repartitionByRange(6, col("doc_id")))
+    Snapshots.analyzeBloom(spark, root, Seq("k", "s"))
+    val v = Snapshots.latestVersion(spark, root)
+    val full = Snapshots.read(spark, root, v)
+    val cols = Seq("doc_id", "k", "d", "s")
+    def litFor(c: String): Any = c match {
+      case "d" => rnd.nextInt(5) match {
+        case 0 => Double.NaN
+        case 1 => rnd.nextInt(400) - 200 // int literal vs double stats
+        case _ => (rnd.nextInt(1200) - 600) / 3.0
+      }
+      case "s" => rnd.nextInt(6) match {
+        case 0 => "naïve-ünïcode"
+        case 1 => ""
+        case _ => s"w${rnd.nextInt(50)}"
+      }
+      case _ => (rnd.nextInt(900) - 450).toLong
+    }
+    def leaf(): StatsPred = {
+      val c = cols(rnd.nextInt(cols.length))
+      rnd.nextInt(9) match {
+        case 0 => Eq(c, litFor(c))
+        case 1 => Lt(c, litFor(c))
+        case 2 => LtEq(c, litFor(c))
+        case 3 => Gt(c, litFor(c))
+        case 4 => GtEq(c, litFor(c))
+        case 5 => InSet(c, Seq.fill(rnd.nextInt(4))(litFor(c)))
+        case 6 => IsNull(c)
+        case 7 => NotNull(c)
+        case 8 =>
+          val p = Seq("w", "w1", "w23", "naïve", "x", "")(rnd.nextInt(6))
+          Prefix("s", p)
+      }
+    }
+    def gen(): StatsPred =
+      if (rnd.nextInt(4) == 0)
+        OrPred(Seq.fill(1 + rnd.nextInt(2))(leaf()),
+          Seq.fill(1 + rnd.nextInt(2))(leaf()))
+      else leaf()
+    def ids2(q: org.apache.spark.sql.DataFrame) =
+      q.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    (1 to 60).foreach { i =>
+      val preds = Seq.fill(1 + rnd.nextInt(3))(gen())
+      val pruned = Snapshots.readWhere(spark, root, v, preds)
+      val unpruned = preds.foldLeft(full)((q, p) =>
+        q.filter(Snapshots.predColumn(p)))
+      assert(ids2(pruned) === ids2(unpruned),
+        s"trial $i: prune changed results for $preds")
+    }
   }
 
   test("forward-compat '#' metadata lines survive the expire checkpoint rewrite") {
