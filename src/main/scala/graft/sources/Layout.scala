@@ -82,8 +82,9 @@ object Layout {
     * bucketed to [[bitsFor]]`(N)` bits against its min/max) — the
     * shared front half of [[writeZOrdered]] and `Snapshots.clusterZ`.
     * Dimension ranges come from ONE min/max aggregate cross-joined in
-    * as a broadcast scalar row — no driver action, no second scan
-    * thanks to exchange reuse.
+    * as a broadcast scalar row — no second scan for the NUMERIC dims
+    * thanks to exchange reuse; STRING dims add one shared NDV probe +
+    * one dimension-sized dictionary scan each.
     *
     * STRING dimensions bucket through a DICTIONARY DENSE RANK (the
     * routine source+time+length triple has a string `source` dim that
@@ -102,23 +103,29 @@ object Layout {
     import org.apache.spark.sql.types.StringType
     val bits = bitsFor(cols.size)
     val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // CARDINALITY GUARD, probed for ALL string dims in ONE aggregate
+    // pass: the dictionary is a single-partition sort + a forced
+    // broadcast — sound for dimension-like strings (source, lang) but
+    // an unbounded near-unique column (tag, url) would funnel the
+    // corpus' distinct set through one task and blow the broadcast
+    // cap. Past RankCap (= more buckets than any dimension can use at
+    // ≤16 bits anyway) fall back to an order-preserving 8-char ASCII
+    // prefix fold — a pure map-side expression, no extra pass. Either
+    // surrogate only shapes CLUSTERING quality; pruning correctness
+    // reads the real string column's footer stats.
+    val strCols = cols.filter(c => byName.get(c).contains(StringType))
+    val ndv: Map[String, Long] =
+      if (strCols.isEmpty) Map.empty
+      else {
+        val aggs = strCols.map(c => approx_count_distinct(col(c)).as(c))
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        strCols.map(c => c -> r.getAs[Long](c)).toMap
+      }
     var cur = df
     val surrogate = scala.collection.mutable.ArrayBuffer.empty[String]
     val dimCols = cols.zipWithIndex.map { case (c, j) =>
       if (byName.get(c).contains(StringType)) {
-        // CARDINALITY GUARD: the dictionary is a single-partition sort
-        // + a forced broadcast — sound for dimension-like strings
-        // (source, lang) but an unbounded near-unique column (tag,
-        // url) would funnel the corpus' distinct set through one task
-        // and blow the broadcast cap. Past RankCap (= more buckets
-        // than any dimension can use at ≤16 bits anyway) fall back to
-        // an order-preserving 8-char ASCII prefix fold — a pure
-        // map-side expression, no extra pass. Either surrogate only
-        // shapes CLUSTERING quality; pruning correctness reads the
-        // real string column's footer stats.
-        val nd = df.agg(approx_count_distinct(col(c)).as("n"))
-          .head().getLong(0)
-        if (nd <= RankCap) {
+        if (ndv(c) <= RankCap) {
           val (kn, rn) = (s"_zk$j", s"_zr$j")
           val ranks = df.select(col(c).as(kn)).distinct()
             .withColumn(rn,

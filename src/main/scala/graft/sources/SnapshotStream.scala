@@ -80,19 +80,52 @@ class SnapshotStreamTable(root: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new SnapshotStreamScan(root, tableSchema)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // ADMISSION CONTROL (the maxFilesPerTrigger analogue): bound each
+    // micro-batch to this many snapshot VERSIONS — a stream started
+    // against a long backlog must not fold the whole history into one
+    // giant first batch. 0 = unbounded (the default).
+    val maxV = Option(options.get("maxVersionsPerBatch"))
+      .map(_.toInt).getOrElse(0)
+    () => new SnapshotStreamScan(root, tableSchema, maxV)
+  }
 }
 
-class SnapshotStreamScan(root: String, tableSchema: StructType) extends Scan {
+class SnapshotStreamScan(root: String, tableSchema: StructType,
+    maxVersionsPerBatch: Int) extends Scan {
   override def readSchema(): StructType = tableSchema
   override def description(): String = s"SnapshotStream $root"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SnapshotMicroBatchStream(root, tableSchema)
+    new SnapshotMicroBatchStream(root, tableSchema, maxVersionsPerBatch)
 }
 
-class SnapshotMicroBatchStream(root: String, tableSchema: StructType)
-    extends MicroBatchStream {
+class SnapshotMicroBatchStream(root: String, tableSchema: StructType,
+    maxVersionsPerBatch: Int = 0)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+  /** Rate-limited offset advance: at most `maxVersionsPerBatch`
+    * versions per micro-batch when configured (each version's work is
+    * already bounded by its own commit delta, so versions are the
+    * natural admission unit).
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxVersionsPerBatch > 0) ReadLimit.maxRows(maxVersionsPerBatch)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val latest = Snapshots.latestVersion(spark, root)
+    val from = start.asInstanceOf[SnapshotOffset].v
+    val capped =
+      if (maxVersionsPerBatch > 0) math.min(latest, from + maxVersionsPerBatch)
+      else latest
+    SnapshotOffset(capped)
+  }
+
+  override def reportLatestOffset(): Offset =
+    SnapshotOffset(Snapshots.latestVersion(spark, root))
 
   private def spark = SparkSession.active
 

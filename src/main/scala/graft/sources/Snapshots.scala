@@ -1859,13 +1859,17 @@ object Snapshots {
         // (an in-flight reader that parsed the old text must be able
         // to finish resolving; the in-flight-append discipline applied
         // to reads). Own-root relative refs only: absolute (clone)
-        // refs live under another root's sweep.
-        val raw = parseManifest(s, root, v)
-        (raw.cpq.toSeq ++ raw.bloomq).filterNot(_.contains('/')).foreach { r =>
-          try f.setTimes(new org.apache.hadoop.fs.Path(refPath(root, r)),
-            System.currentTimeMillis(), -1)
-          catch { case _: java.io.IOException => () }
-        }
+        // refs live under another root's sweep. BEST-EFFORT: a corrupt
+        // expired manifest must still DELETE (expire is the repair
+        // path — a parse throw here would wedge retention forever).
+        try {
+          val raw = parseManifest(s, root, v)
+          (raw.cpq.toSeq ++ raw.bloomq).filterNot(_.contains('/')).foreach { r =>
+            try f.setTimes(new org.apache.hadoop.fs.Path(refPath(root, r)),
+              System.currentTimeMillis(), -1)
+            catch { case _: java.io.IOException => () }
+          }
+        } catch { case _: Exception => () }
         f.delete(p, false)
       }
       memoDrop(root, v)
@@ -2404,17 +2408,19 @@ object Snapshots {
       val missing: Seq[String] =
         if (m.bloomRefs.isEmpty || overlayMissing.isEmpty)
           overlayMissing.map(_._3).distinct
-        else {
-          val refDfs = m.bloomRefs.flatMap { r =>
-            try Some(s.read.parquet(r).select(col("file"), col("col")))
-            catch { case _: Exception => None } // reclaimed ref
-          }
-          if (refDfs.isEmpty) overlayMissing.map(_._3).distinct
-          else s.createDataFrame(overlayMissing).toDF("file", "col", "path")
+        else try {
+          // the WHOLE anti-join (planning AND collect) guards against
+          // a concurrently-reclaimed ref: the catch's fallback rescans
+          // everything the overlay misses — conservative, never wrong
+          val refDfs = m.bloomRefs.map(r =>
+            s.read.parquet(r).select(col("file"), col("col")))
+          s.createDataFrame(overlayMissing).toDF("file", "col", "path")
             .join(refDfs.reduce(_.unionByName(_)), Seq("file", "col"),
               "left_anti")
             .select("path").distinct().collect()
             .map(_.getString(0)).toSeq
+        } catch {
+          case _: Exception => overlayMissing.map(_._3).distinct
         }
       if (missing.isEmpty) return base
       val df = s.read.schema(sc).parquet(missing: _*)

@@ -17,6 +17,18 @@ object GraftSparkBridge {
     * the snapshot layer's parallel footer-stats harvest: a commit of
     * 10⁴ files must not pay 10⁴ driver-sequential footer opens.
     */
+  def mapPartitionsWithConf[T: scala.reflect.ClassTag](
+      sc: SparkContext,
+      conf: org.apache.hadoop.conf.Configuration,
+      items: Seq[String], parallelism: Int)(
+      f: (org.apache.hadoop.conf.Configuration, Iterator[String]) => Iterator[T])
+      : Array[T] = {
+    val ser = serializableConf(conf)
+    sc.parallelize(items, math.max(1, parallelism))
+      .mapPartitions(it => f(confOf(ser), it))
+      .collect()
+  }
+
   /** A serializable wrapper around the driver's Hadoop configuration
     * for DSv2 reader factories (`SerializableConfiguration` is
     * `private[spark]`): the snapshot change-stream reader must open
@@ -29,16 +41,4 @@ object GraftSparkBridge {
 
   def confOf(ser: AnyRef): org.apache.hadoop.conf.Configuration =
     ser.asInstanceOf[org.apache.spark.util.SerializableConfiguration].value
-
-  def mapPartitionsWithConf[T: scala.reflect.ClassTag](
-      sc: SparkContext,
-      conf: org.apache.hadoop.conf.Configuration,
-      items: Seq[String], parallelism: Int)(
-      f: (org.apache.hadoop.conf.Configuration, Iterator[String]) => Iterator[T])
-      : Array[T] = {
-    val ser = new org.apache.spark.util.SerializableConfiguration(conf)
-    sc.parallelize(items, math.max(1, parallelism))
-      .mapPartitions(it => f(ser.value, it))
-      .collect()
-  }
 }

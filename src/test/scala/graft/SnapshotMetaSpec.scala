@@ -358,14 +358,39 @@ class SnapshotMetaSpec extends AnyFunSuite {
     got.clear()
     val q3 = startQ(); q3.processAllAvailable(); q3.stop()
     assert(got.isEmpty, "no new versions ⇒ no re-delivery")
+    // ADMISSION CONTROL: maxVersionsPerBatch=1 splits the 4-version
+    // backlog into one micro-batch per version (a stream started
+    // against a long history must not fold it into one giant batch)
+    val ck2 = tmp("graft_snapstream_ck2")
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+    val n2 = new java.util.concurrent.atomic.AtomicLong
+    val q4 = spark.readStream.format("graft.sources.SnapshotStreamSource")
+      .option("root", root).option("maxVersionsPerBatch", 1).load()
+      .writeStream.option("checkpointLocation", ck2)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val c = b.count()
+        if (c > 0) batches.incrementAndGet()
+        n2.addAndGet(c); ()
+      }.start()
+    q4.processAllAvailable(); q4.stop()
+    assert(batches.get() === 4,
+      s"one micro-batch per version expected, got ${batches.get()}")
+    assert(n2.get() === feedTriples(0, 4).size.toLong,
+      "rate-limited batches must still deliver the complete feed")
   }
 
   test("string z-dim past the rank cap falls back to the prefix fold: no dictionary sort, rows exact, still prunes") {
     import Snapshots.StatsPred._
     val root = tmp("graft_snapzhi")
-    val n = graft.sources.Layout.RankCap + 2048 // all-distinct tags
+    // 2× the cap: approx_count_distinct's ~5% rsd cannot estimate
+    // 131k distincts below 65,536, so the FALLBACK branch provably
+    // runs — asserted below on the guard's own expression
+    val n = graft.sources.Layout.RankCap * 2
     val df = spark.range(0L, n).select(col("id").as("doc_id"),
       concat(lit("t"), lpad(col("id").cast("string"), 8, "0")).as("tag"))
+    assert(df.agg(approx_count_distinct(col("tag"))).head().getLong(0) >
+      graft.sources.Layout.RankCap,
+      "fixture must route withZN through the prefix-fold branch")
     Snapshots.create(spark, root, df.repartition(4))
     Snapshots.clusterZN(spark, root, Seq("doc_id", "tag"), partitions = 8)
     val v = Snapshots.latestVersion(spark, root)
