@@ -65,4 +65,75 @@ object Tables {
   }
   def documents(s: SparkSession, dir: String): DataFrame  = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
+
+  /** Documents/embeddings behind the conditional narrow-layout spread
+    * (r16) — what every EXPENSIVE map pass (tokenize, regex chains,
+    * distance folds) should consume. A single-row-group parquet file
+    * runs its whole scan in ONE task no matter what
+    * `maxPartitionBytes` says: Spark plans byte-range splits, but a
+    * row group is read whole by the split owning its midpoint, so the
+    * other splits are EMPTY — `rdd.getNumPartitions` reports 32 while
+    * 31 tasks carry zero rows (the r15 sf1 bench measured ~210 s of
+    * wall at cpu/wall ≈ 1 from exactly this). The spread decision
+    * therefore counts parquet ROW GROUPS from footers, not planned
+    * partitions, and pays one round-robin exchange only when the
+    * layout genuinely cannot feed half the cores — a real multi-file
+    * 100 TB corpus has row groups ≫ cores and must NEVER pay a
+    * corpus-wide shuffle for a map-only pass.
+    */
+  def documentsSpread(s: SparkSession, dir: String): DataFrame = {
+    // resolve the base OUTSIDE the memo lambda: a nested computeIfAbsent
+    // on the same ConcurrentHashMap throws "Recursive update"
+    val base = documents(s, dir)
+    memo.computeIfAbsent((s, p(dir, "documents") + "#spread"),
+      { case (ss, _) => spreadIfNarrow(ss, base, p(dir, "documents")) })
+  }
+  def embeddingsSpread(s: SparkSession, dir: String): DataFrame = {
+    val base = embeddings(s, dir)
+    memo.computeIfAbsent((s, p(dir, "embeddings") + "#spread"),
+      { case (ss, _) => spreadIfNarrow(ss, base, p(dir, "embeddings")) })
+  }
+
+  /** One round-robin exchange iff `path`'s layout plans fewer row
+    * groups than half the cores; identity otherwise. Values are
+    * per-row in every consumer, so results stay layout-independent —
+    * terminal sorts pin output order.
+    */
+  private[graft] def spreadIfNarrow(s: SparkSession, df: DataFrame,
+      path: String): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    if (rowGroups(s, path) < math.max(2, par / 2)) df.repartition(par) else df
+  }
+
+  /** Total parquet row-group count under `path` (a single file or a
+    * directory of part files) — the scan's REAL split capacity.
+    * Footer metadata only, driver-side, memoized per path (testdata
+    * dirs are immutable for a session's lifetime). Directories with
+    * more than `RowGroupFileCap` own files short-circuit to MaxValue:
+    * many files ⇒ many groups ⇒ never narrow, and a 100 TB dir must
+    * not pay a footer-per-file listing for a decision that is already
+    * made.
+    */
+  private[graft] val RowGroupFileCap = 64
+  private val rgMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]
+  private[graft] def rowGroups(s: SparkSession, path: String): Int =
+    rgMemo.computeIfAbsent(path, { _ =>
+      val conf = s.sparkContext.hadoopConfiguration
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(hp).isDirectory)
+          fs.listStatus(hp).toSeq.filter(f => f.isFile &&
+            !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+        else Seq(fs.getFileStatus(hp))
+      if (files.size > RowGroupFileCap) Integer.valueOf(Int.MaxValue)
+      else Integer.valueOf(files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(f.getPath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.size finally r.close()
+      }.sum)
+    }).intValue
 }

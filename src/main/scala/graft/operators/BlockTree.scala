@@ -88,7 +88,7 @@ object BlockTree {
 
   /** Deterministic reference-shaped page JSON per document. */
   private def pageJson(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
       .withColumn("n", size(col("t")))
       .filter(col("n") >= MinFixtureTokens)

@@ -129,7 +129,7 @@ object Bpe {
     */
   private def learn(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, String, Long)], DataFrame, () => Unit) = {
-    val words = Tables.documents(s, dir)
+    val words = Tables.documentsSpread(s, dir)
       .select(explode(TextFunctions.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(
@@ -253,23 +253,22 @@ object Bpe {
     * spread — a single-row-group parquet (the shipped sf1 documents
     * file) plans ONE scan task and serializes the 200-replace chain
     * (parquet tasks cannot split inside a row group, so
-    * maxPartitionBytes is powerless); only when the scan plans fewer
-    * partitions than half the cores does one round-robin shuffle buy
+    * maxPartitionBytes is powerless); only when the layout holds fewer
+    * ROW GROUPS than half the cores does one round-robin shuffle buy
     * full parallelism — a real multi-file corpus already plans ≥
-    * cores partitions and must NEVER pay a corpus-wide shuffle for a
+    * cores row groups and must NEVER pay a corpus-wide shuffle for a
     * map-only pass (spec-pinned). Values are per-row, so results are
     * layout-independent and the terminal sorts pin the order.
     */
   private[graft] def encodeFrameCached(s: SparkSession, dir: String,
       merges: Seq[(Int, String, String, String, Long)]): DataFrame =
     encodeCache.computeIfAbsent((s, dir, mergeDigest(merges)), _ => {
-      val docs = Tables.documents(s, dir)
-      val par = s.sparkContext.defaultParallelism
-      val spread =
-        if (docs.rdd.getNumPartitions < math.max(2, par / 2))
-          docs.repartition(par)
-        else docs
-      encodeFrameWith(spread, merges).transform(graft.plans.Memo.cached)
+      // r16: the spread decision moved to Tables.documentsSpread and
+      // counts parquet ROW GROUPS from footers — the prior
+      // getNumPartitions probe saw Spark's empty byte-range splits
+      // over a single-row-group file and never fired at sf1.
+      encodeFrameWith(Tables.documentsSpread(s, dir), merges)
+        .transform(graft.plans.Memo.cached)
     })
 
   /** The encode pass against an EXPLICIT merge list and documents frame

@@ -102,7 +102,7 @@ object Classifier {
     * [[releaseModelCache]].
     */
   private def nbCountsPlan(s: SparkSession, dir: String): DataFrame =
-    trainCountsFromDocs(Tables.documents(s, dir))
+    trainCountsFromDocs(Tables.documentsSpread(s, dir))
 
   /** Counting stage from any (doc_id, source, text) frame — shared
     * verbatim with [[graft.streaming.StreamingNbModel]], whose merged
@@ -224,7 +224,7 @@ object Classifier {
     * two counts → one double → one long).
     */
   private def nbPriorU(s: SparkSession, dir: String): Long = {
-    val (nc, n) = trainDocTally(Tables.documents(s, dir))
+    val (nc, n) = trainDocTally(Tables.documentsSpread(s, dir))
     priorUOf(nc, n)
   }
 
@@ -263,7 +263,7 @@ object Classifier {
 
   private def scoredFramePlan(s: SparkSession, dir: String): DataFrame = {
     val (tc, tw, v) = nbTotals(s, dir)
-    scoreStage(Tables.documents(s, dir),
+    scoreStage(Tables.documentsSpread(s, dir),
       modelFromCounts(nbCounts(s, dir), tc, tw, v), nbPriorU(s, dir))
   }
 
@@ -404,7 +404,7 @@ object Classifier {
     val (tc, tw, v) = nbTotals(s, dir)
     val model = modelFromCounts(nbCounts(s, dir), tc, tw, v)
     val priorU = nbPriorU(s, dir)
-    val base = Tables.documents(s, dir)
+    val base = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), qualityScore(col("text")).as("quality"), col("text"))
       .filter(col("quality") >= lit(CascadeQualityMin))
     val hits = base
@@ -487,7 +487,7 @@ object Classifier {
     scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Long, Long)]]
 
   private def dsirCounts(s: SparkSession, dir: String): Array[(Long, Long, Long)] =
-    dsirCntCache.getOrElseUpdate(dir, dsirTrainCounts(Tables.documents(s, dir)))
+    dsirCntCache.getOrElseUpdate(dir, dsirTrainCounts(Tables.documentsSpread(s, dir)))
 
   /** Value + scoring stage from a counts table — shared verbatim with
     * the streaming twin so scoring under merged counts == batch.
@@ -525,7 +525,7 @@ object Classifier {
     * memoized via the CacheManager; released by [[releaseModelCache]].
     */
   private def dsirFramePlan(s: SparkSession, dir: String): DataFrame =
-    dsirScoreFrame(s, Tables.documents(s, dir), dsirCounts(s, dir).toSeq)
+    dsirScoreFrame(s, Tables.documentsSpread(s, dir), dsirCounts(s, dir).toSeq)
 
   private def dsirFrame(s: SparkSession, dir: String): DataFrame =
     dsirFramePlan(s, dir)

@@ -77,7 +77,7 @@ object Clustering {
     * Columns: vec_id, label, cell, score (unrounded double).
     */
   private[operators] def assignedScored(s: SparkSession, dir: String): DataFrame =
-    assignedScoredOf(s, graft.Tables.embeddings(s, dir),
+    assignedScoredOf(s, graft.Tables.embeddingsSpread(s, dir),
       curationCentroids(s, dir))
 
   /** Batch-parameterized form (the streaming twin assigns micro-batches
@@ -191,7 +191,7 @@ object Clustering {
     * corpus-sized shuffle beyond the cell exchange.
     */
   def clusterMix(s: SparkSession, dir: String): DataFrame =
-    mixVerdict(assignedCellsOf(graft.Tables.embeddings(s, dir),
+    mixVerdict(assignedCellsOf(graft.Tables.embeddingsSpread(s, dir),
       curationCentroids(s, dir)).select(col("vec_id"), col("cell")))
 
   /** The verdict tail over an assigned (vec_id, cell) frame — shared

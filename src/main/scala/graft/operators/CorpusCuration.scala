@@ -61,7 +61,7 @@ object CorpusCuration {
     * the unsorted form.
     */
   def tokenBudget(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = Tables.documentsSpread(s, dir)
       .select(col("doc_id"),
         qualityScore(col("text")).as("quality"),
         size(tokens(col("text"))).cast("long").as("ntok"))
@@ -255,7 +255,7 @@ object CorpusCuration {
 
   private def sourceSigPlan(s: SparkSession, dir: String): DataFrame = {
     import Dedup.{MinhashA, MinhashB, ShingleN}
-    val ex = Tables.documents(s, dir)
+    val ex = Tables.documentsSpread(s, dir)
       .select(col("source"), explode(shingleHashes(col("text"), ShingleN)).as("h"))
     val mins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(HashP))).as(s"m$i")
@@ -312,7 +312,7 @@ object CorpusCuration {
     * the aggregate side; everything after the first agg is 4 rows.
     */
   def packEfficiency(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = Tables.documentsSpread(s, dir)
       .select(size(tokens(col("text"))).cast("long").as("ntok"))
       .filter(col("ntok") > 0)
     val perL = d.select(explode(typedLit(PackCandidateLens)).as("seq_len"), col("ntok"))
@@ -454,7 +454,7 @@ object CorpusCuration {
   }
 
   def embedDrift(s: SparkSession, dir: String): DataFrame =
-    embedDriftFromSums(embedGrouped(Tables.embeddings(s, dir)))
+    embedDriftFromSums(embedGrouped(Tables.embeddingsSpread(s, dir)))
 
   def embedDriftOracleSql: String =
     s"""WITH ex AS (
@@ -500,7 +500,7 @@ object CorpusCuration {
     val counts = SearchTerms.zipWithIndex.map { case (t, i) =>
       size(filter(toks, x => x === lit(t))).cast("long").as(s"n_${t}")
     }
-    val out = Tables.documents(s, dir)
+    val out = Tables.documentsSpread(s, dir)
       .select(col("doc_id") +: counts: _*)
       .filter(SearchTerms.map(t => col(s"n_${t}") > 0).reduce(_ && _))
     if (ordered) out.orderBy("doc_id") else out
@@ -641,7 +641,7 @@ object CorpusCuration {
     * aggregate, which is post-shuffle and small).
     */
   def novelty(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
-    def grams = Tables.documents(s, dir)
+    def grams = Tables.documentsSpread(s, dir)
       .select(col("doc_id"),
         explode(shingleHashes(col("text"), NoveltyShingleN)).as("h"))
     val first = grams.groupBy("h").agg(min("doc_id").as("first_id"))
@@ -691,7 +691,7 @@ object CorpusCuration {
     * (`greatest(n,1)`) mirrored in the oracle.
     */
   def langMismatch(s: SparkSession, dir: String): DataFrame =
-    langMismatchRates(langMismatchCounts(Tables.documents(s, dir)))
+    langMismatchRates(langMismatchCounts(Tables.documentsSpread(s, dir)))
 
   /** Per-source additive counters from a (source, lang, text) frame —
     * the per-batch aggregate of [[graft.streaming.StreamingLangMismatch]]
@@ -795,7 +795,7 @@ object CorpusCuration {
     */
   def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
     val lm = TextAnalysis.lmScoreFrame(s, dir).select("doc_id", "lm_score")
-    val q = Tables.documents(s, dir)
+    val q = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), qualityScore(col("text")).as("quality"))
     lm.join(q, "doc_id")
       .withColumn("qbucket", floor(col("quality") * lit(10.0)).cast("long"))
@@ -914,7 +914,7 @@ object CorpusCuration {
 
   private def postingsPlan(s: SparkSession, dir: String): DataFrame = {
     import Dedup.ShingleN
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .select(col("source"), explode(shingleHashes(col("text"), ShingleN)).as("h"))
       .distinct()
   }
@@ -1015,7 +1015,7 @@ object CorpusCuration {
         col("source_a").as("edst"), col("inter").as("w")))
       .localCheckpoint()
     val outw = edges.groupBy("esrc").agg(sum("w").as("wout")).localCheckpoint()
-    val nodes = Tables.documents(s, dir).select(col("source")).distinct()
+    val nodes = Tables.documentsSpread(s, dir).select(col("source")).distinct()
       .localCheckpoint()
     val n = nodes.count()
     var r = nodes.select(col("source"), (lit(1.0) / n).as("pr"))
@@ -1102,7 +1102,7 @@ object CorpusCuration {
     val bw = (HashP + EpochRankBuckets - 1) / EpochRankBuckets // ceil → ids < HashP
     // epoch fan-out as ONE scan + posexplode (a per-epoch union would
     // read the corpus once per epoch per pass)
-    val epochs = Tables.documents(s, dir)
+    val epochs = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), posexplode(array(
         EpochMults.map(a => pmod(col("doc_id") * lit(a), lit(HashP))): _*))
         .as(Seq("epoch", "h")))
@@ -1154,7 +1154,7 @@ object CorpusCuration {
       .transform(graft.plans.Memo.cached)
 
   private def sourceTokenCountsPlan(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .select(col("source"), explode(tokens(col("text"))).as("t"))
       .groupBy("source", "t").agg(count(lit(1)).as("c_st"))
 
@@ -1232,7 +1232,7 @@ object CorpusCuration {
     * language at equal counts — identical in both engines.
     */
   def corpusCard(s: SparkSession, dir: String): DataFrame =
-    cardFromGrouped(cardGrouped(Tables.documents(s, dir)))
+    cardFromGrouped(cardGrouped(Tables.documentsSpread(s, dir)))
 
   /** Per-(source, content-hash) reduced stats — the ADDITIVE sufficient
     * statistic for [[corpusCard]], shared with the streaming twin
@@ -1428,7 +1428,7 @@ object CorpusCuration {
     val h = pmod(pmod(col("doc_id"), lit(WSampleP)) * lit(WSampleA), lit(WSampleP))
     val u = (h + lit(1L)).cast("double") / lit(WSampleP.toDouble)
     val w = greatest(qualityScore(col("text")), lit(WSampleMinW))
-    val top = Tables.documents(s, dir)
+    val top = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), qualityScore(col("text")).as("quality"),
         floor(log(u) / w * lit(1e6)).cast("long").as("key_micro"))
       .orderBy(col("key_micro").desc, col("doc_id"))
@@ -1572,7 +1572,7 @@ object CorpusCuration {
       .transform(graft.plans.Memo.cached)
 
   private def bigramCountsPlan(s: SparkSession, dir: String): DataFrame =
-    bigramPairCounts(Tables.documents(s, dir))
+    bigramPairCounts(Tables.documentsSpread(s, dir))
 
   /** Per-batch (source, w1, w2) bigram counts from a (source, text)
     * frame — the additive sufficient statistic (documents arrive whole,

@@ -61,7 +61,7 @@ object Dedup {
     * min doc_id (one shuffle on the hash key; map-side partial agg).
     */
   def exact(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .groupBy(md5(col("text").cast("binary")).as("content_md5"))
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_id"))
       .orderBy("content_md5")
@@ -86,7 +86,7 @@ object Dedup {
       .transform(graft.plans.Memo.cached)
 
   private def shingledPlan(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .select(col("doc_id"), shingleHashes(col("text"), ShingleN).as("sh"))
       .filter(size(col("sh")) > 0)
 
@@ -293,7 +293,7 @@ object Dedup {
     * then a dim²-bounded rollup.
     */
   def dupMatrix(s: SparkSession, dir: String): DataFrame = {
-    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val src = Tables.documentsSpread(s, dir).select(col("doc_id"), col("source"))
     minhashPairs(s, dir).select("doc_a", "doc_b")
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), Seq("doc_b"))
@@ -392,7 +392,7 @@ object Dedup {
     * buckets, a quadratic hot spot at corpus scale.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), tokenHashes(col("text")).as("th"))
       .filter(size(col("th")) > 0)
     val sigs = docs.select(col("doc_id"),
@@ -459,7 +459,7 @@ object Dedup {
     */
   def spanDedup(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pos = Tables.documents(s, dir)
+    val pos = Tables.documentsSpread(s, dir)
       .select(col("doc_id"),
         posexplode(ArrayOps.wordShingleHashesPos(tokens(col("text")), SpanGramN, P))
           .as(Seq("pos", "h")))
@@ -505,7 +505,7 @@ object Dedup {
     val toks = tokens(col("text"))
     val kept = filter(toks, (_, i) =>
       !exists(col("spans"), sp => i >= sp("span_start") && i < sp("span_end")))
-    val out = Tables.documents(s, dir)
+    val out = Tables.documentsSpread(s, dir)
       .join(spans, Seq("doc_id"))
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),

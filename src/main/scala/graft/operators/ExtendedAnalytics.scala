@@ -79,7 +79,7 @@ object ExtendedAnalytics {
     val rate = SampleRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
       when(col("lang") === l, r).otherwise(acc)
     }
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .filter(bucket < rate)
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
@@ -108,7 +108,7 @@ object ExtendedAnalytics {
     */
   def dataSplit(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
     val bucket = pmod(col("doc_id") * lit(SplitHashA), lit(2147483648L)) % 1000
-    val out = Tables.documents(s, dir)
+    val out = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), col("lang"),
         when(bucket < SplitTrainPermille, "train")
           .when(bucket < SplitValPermille, "val")
@@ -150,7 +150,7 @@ object ExtendedAnalytics {
     * thresholds match bit-for-bit.
     */
   def domainMix(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = Tables.documentsSpread(s, dir)
     val fCol = MixTargets.foldLeft(lit(null).cast("double")) {
       case (acc, (l, f)) => when(col("lang") === l, lit(f)).otherwise(acc)
     }
@@ -196,7 +196,7 @@ object ExtendedAnalytics {
     * fan-out happens AT the consumer, nothing shuffles r_g× data.
     */
   def domainMixUpsample(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = Tables.documentsSpread(s, dir)
     val fCol = MixTargets.foldLeft(lit(null).cast("double")) {
       case (acc, (l, f)) => when(col("lang") === l, lit(f)).otherwise(acc)
     }
@@ -264,7 +264,7 @@ object ExtendedAnalytics {
     * posexplode repetition; zero corpus shuffle.
     */
   def domainMixAlpha(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = Tables.documentsSpread(s, dir)
     val counts = d.groupBy("lang").agg(count(lit(1)).as("ng"))
       .withColumn("wg",
         floor(sqrt(col("ng").cast("double")) * lit(MixAlphaMilli)).cast("long"))
@@ -342,7 +342,7 @@ object ExtendedAnalytics {
     */
   def packSequences(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame =
     packOn(s,
-      Tables.documents(s, dir)
+      Tables.documentsSpread(s, dir)
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("ntok")),
       ordered)
 
@@ -417,7 +417,7 @@ object ExtendedAnalytics {
     * language dominates the corpus.
     */
   def keyedSample(s: SparkSession, dir: String): DataFrame = {
-    val hashed = Tables.documents(s, dir)
+    val hashed = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), col("lang"),
         pmod(col("doc_id") * lit(KeyedSampleA), lit(HashP)).as("hkey"))
     // the TopK.perKey operator (not a window): bounded heaps on both
@@ -437,7 +437,7 @@ object ExtendedAnalytics {
     * map-side combine.
     */
   def vocabTopK(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("df"))
@@ -450,7 +450,7 @@ object ExtendedAnalytics {
     * HOF chain — same values, ~2× the query.
     */
   def ngramFreqTopK(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .select(col("doc_id"),
         explode(graft.plans.ArrayOps.wordShingleStrings(tokens(col("text")), 3)).as("ngram"))
       .groupBy("ngram")
@@ -825,7 +825,7 @@ object ExtendedAnalytics {
     * — the text-wrangling surface a report pipeline leans on).
     */
   def stringFuncs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .select(col("doc_id"),
         levenshtein(substring(col("text"), 1, 15), lit("spark shuffle")).as("lev"),
         reverse(substring(col("text"), 1, 8)).as("rev8"),
@@ -1050,7 +1050,7 @@ object ExtendedAnalytics {
     * bounded group counts, approx_percentile is the unbounded-key path.
     */
   def lengthStats(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"),
         min("n_chars").as("min_chars"),
@@ -1073,7 +1073,7 @@ object ExtendedAnalytics {
     * the corpus scan for the build side).
     */
   def lengthHistogram(s: SparkSession, dir: String): DataFrame = {
-    val b = Tables.documents(s, dir)
+    val b = Tables.documentsSpread(s, dir)
       .select((length(bin(greatest(col("n_chars"), lit(1L)))) - 1).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
       .collect() // ≤ 64 rows by construction

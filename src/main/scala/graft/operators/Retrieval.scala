@@ -86,7 +86,7 @@ object Retrieval {
       .limit(Bm25TopK)
 
   def bm25Rank(s: SparkSession, dir: String): DataFrame = {
-    val perDoc = Tables.documents(s, dir)
+    val perDoc = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(
         col("doc_id") +: size(col("t")).cast("long").as("dl") +:
@@ -248,7 +248,7 @@ object Retrieval {
     * tf/df — and the integer score — are engine-identical.
     */
   def phraseSearch(s: SparkSession, dir: String): DataFrame = {
-    val perDoc = Tables.documents(s, dir)
+    val perDoc = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
         phraseTf(col("t")).as("tf_phrase"))

@@ -28,7 +28,7 @@ object Similarity {
     * parity bit-exact), ~30x faster.
     */
   private[graft] def normed(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+    Tables.embeddingsSpread(s, dir)
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", sqrt(ArrayOps.dotF(col("e"), col("e"))))
 
@@ -165,7 +165,7 @@ object Similarity {
   private[graft] def knnLabelAccCapped(s: SparkSession, dir: String,
       cap: Long): DataFrame = {
     val base = trainingSample(
-      Tables.embeddings(s, dir)
+      Tables.embeddingsSpread(s, dir)
         .select(col("vec_id"), col("embedding").as("e"), col("label"))
         .withColumn("nrm", sqrt(ArrayOps.dotF(col("e"), col("e")))),
       cap)
@@ -260,7 +260,7 @@ object Similarity {
     * scale path is measured against.
     */
   def annFilteredTopK(s: SparkSession, dir: String): DataFrame = {
-    val base = graft.Tables.embeddings(s, dir)
+    val base = graft.Tables.embeddingsSpread(s, dir)
       .select(col("vec_id"), col("embedding").as("e"), col("label"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
     val q = base.filter(col("vec_id") < NumQueries)
@@ -292,7 +292,7 @@ object Similarity {
     * like [[annIvfFilteredTopK]] with the predicate flipped).
     */
   def hardNegatives(s: SparkSession, dir: String): DataFrame = {
-    val base = graft.Tables.embeddings(s, dir)
+    val base = graft.Tables.embeddingsSpread(s, dir)
       .select(col("vec_id"), col("embedding").as("e"), col("label"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
     val q = base.filter(col("vec_id") < NumQueries)
@@ -324,7 +324,7 @@ object Similarity {
     */
   def hardNegativesIvf(s: SparkSession, dir: String): DataFrame = {
     val cents = seededCentroids(s, dir)
-    val base = graft.Tables.embeddings(s, dir)
+    val base = graft.Tables.embeddingsSpread(s, dir)
       .select(col("vec_id"), col("embedding").as("e"), col("label"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
     val assigned = base.select(col("vec_id").as("neighbor_id"),
@@ -524,7 +524,7 @@ object Similarity {
     */
   def annIvfFilteredTopK(s: SparkSession, dir: String): DataFrame = {
     val cents = seededCentroids(s, dir)
-    val base = graft.Tables.embeddings(s, dir)
+    val base = graft.Tables.embeddingsSpread(s, dir)
       .select(col("vec_id"), col("embedding").as("e"), col("label"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
     val assigned = base.select(col("vec_id").as("neighbor_id"),

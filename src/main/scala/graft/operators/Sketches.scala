@@ -238,7 +238,7 @@ object Sketches {
     // query's lifetime so the regexp tokenization runs once, and
     // release it before returning (the output frame is built from
     // collected rows, so it holds no reference to the cache)
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.documentsSpread(s, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -65,7 +65,7 @@ object TaskAnalytics {
     * keep documents whose token set overlaps the configured tag set.
     */
   def filterTags(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .filter(arrays_overlap(split(col("text"), " "), lit(FilterTags.toArray)))
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
@@ -207,7 +207,7 @@ object TaskAnalytics {
 
   /** §2.1 #15 — clean_text + truncate_text (text_style.py:103-149). */
   def cleanTruncate(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .select(col("doc_id"), truncateText(cleanText(col("text")), 60).as("clean_text"))
       .orderBy("doc_id")
 
@@ -395,7 +395,7 @@ object TaskAnalytics {
         "Status: STRUCT<select: STRUCT<name: STRING>>, " +
         "Tags: STRUCT<multi_select: ARRAY<STRUCT<name: STRING>>>, " +
         "Name: STRUCT<title: ARRAY<STRUCT<plain_text: STRING, bold: BOOLEAN>>>>"
-    val d = Tables.documents(s, dir)
+    val d = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
     val page = d.select(col("doc_id"),
       to_json(struct(
@@ -436,7 +436,7 @@ object TaskAnalytics {
     * rows — pure map-side string work, the renderer-feeding shape.
     */
   def markdownRuns(s: SparkSession, dir: String): DataFrame = {
-    val md = Tables.documents(s, dir)
+    val md = Tables.documentsSpread(s, dir)
       .select(col("doc_id"),
         array_join(transform(slice(tokens(col("text")), 1, 5),
           (t, i) => when(i % 2 === 1, concat(lit("**"), t, lit("**"))).otherwise(t)),

@@ -15,7 +15,7 @@ object TextAnalysis {
 
   /** §2.6 #32 — whitespace + BPE-ish regex token counts. */
   def tokenCount(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .select(col("doc_id"),
         wsTokenCount(col("text")).as("ws_tokens"),
         bpeTokenCount(col("text")).as("bpe_tokens"))
@@ -23,7 +23,7 @@ object TextAnalysis {
 
   /** §2.6 #33 — composite quality score (length/punct/stopword ratios). */
   def quality(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .select(col("doc_id"), qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
@@ -47,7 +47,7 @@ object TextAnalysis {
     * gate rides the scan; the only exchange is the parity sort.
     */
   def qualitySample(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
-    val out = qualitySampleColumns(Tables.documents(s, dir))
+    val out = qualitySampleColumns(Tables.documentsSpread(s, dir))
     // terminal sort = parity contract only (corpus-sized sample)
     if (ordered) out.orderBy("doc_id") else out
   }
@@ -63,14 +63,14 @@ object TextAnalysis {
 
   /** §2.6 #34 — language-ID heuristic (marker-token overlap argmax). */
   def languageId(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .select(col("doc_id"), col("lang").as("declared_lang"),
         langId(col("text")).as("pred_lang"))
       .orderBy("doc_id")
 
   /** §2.6 #35 — portable rolling-hash document fingerprint. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .select(col("doc_id"), docFingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
@@ -90,7 +90,7 @@ object TextAnalysis {
     * runs before tokenization.
     */
   def piiScrub(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .select(col("doc_id"), scrubPii(col("text")).as("scrubbed"))
       .orderBy("doc_id")
 
@@ -105,7 +105,7 @@ object TextAnalysis {
     * one shuffle no matter how many gates compose.
     */
   def cleanPipeline(s: SparkSession, dir: String): DataFrame = {
-    val gated = Tables.documents(s, dir)
+    val gated = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), col("text"),
         qualityScore(col("text")).as("quality"),
         langId(col("text")).as("pred_lang"))
@@ -145,7 +145,7 @@ object TextAnalysis {
       .transform(graft.plans.Memo.cached)
 
   private def survivorCountsPlan(s: SparkSession, dir: String): DataFrame = {
-    val gated = Tables.documents(s, dir)
+    val gated = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), col("text"),
         qualityScore(col("text")).as("quality"),
         langId(col("text")).as("pred_lang"))
@@ -189,7 +189,7 @@ object TextAnalysis {
     * fixed eval set (broadcast the eval shingles).
     */
   def contamination(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), explode(shingleHashes(col("text"), ContaminationShingleN)).as("h"))
     val eval_ = docs.filter(col("doc_id") < ContaminationEvalDocs).select("h").distinct()
     docs.filter(col("doc_id") >= ContaminationEvalDocs)
@@ -220,12 +220,12 @@ object TextAnalysis {
     */
   def contaminationScore(s: SparkSession, dir: String,
                          literalMax: Long = ContaminationLiteralMax): DataFrame = {
-    val evalSet = Tables.documents(s, dir)
+    val evalSet = Tables.documentsSpread(s, dir)
       .filter(col("doc_id") < ContaminationEvalDocs)
       .select(explode(shingleHashes(col("text"), ContaminationShingleN)).as("h"))
       .distinct()
     val sh = shingleHashes(col("text"), ContaminationShingleN)
-    val corpus = Tables.documents(s, dir)
+    val corpus = Tables.documentsSpread(s, dir)
       .filter(col("doc_id") >= ContaminationEvalDocs)
     val scored =
       if (evalSet.count() <= literalMax) {
@@ -283,7 +283,7 @@ object TextAnalysis {
     * at 100 TB; AQE broadcasts only when the runtime size actually fits.
     */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsSpread(s, dir)
     val nDf = docs.agg(count(lit(1)).cast("double").as("_n"))
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -334,7 +334,7 @@ object TextAnalysis {
     * output frame is cluster-cardinality.
     */
   def clusterReps(s: SparkSession, dir: String): DataFrame = {
-    val q = Tables.documents(s, dir)
+    val q = Tables.documentsSpread(s, dir)
       .select(col("doc_id"),
         floor(qualityScore(col("text")) * lit(1e4) + lit(0.5)).cast("long")
           .as("qint"))
@@ -399,7 +399,7 @@ object TextAnalysis {
       .transform(graft.plans.Memo.cached)
 
   private def lmScoreFramePlan(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= 2)
     val pairs = docs.select(col("doc_id"), col("lang"), posexplode(
@@ -467,7 +467,7 @@ object TextAnalysis {
     * downstream consumer needs (see README "Determinism vs scale").
     */
   def gopherFilter(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
-    val out = gopherColumns(Tables.documents(s, dir))
+    val out = gopherColumns(Tables.documentsSpread(s, dir))
     if (ordered) out.orderBy("doc_id") else out
   }
 
@@ -559,7 +559,7 @@ object TextAnalysis {
       transform(sequence(lit(1), size(col("ts")) - (nGram - 1)),
         i => struct(lit(nGram).as("n"),
           array_join(slice(col("ts"), i, lit(nGram)), " ").as("gram")))
-    val grams = Tables.documents(s, dir)
+    val grams = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= RepMinTokens)
       .select(col("doc_id"),
@@ -635,7 +635,7 @@ object TextAnalysis {
     * The terminal sort is the oracle contract (see [[gopherFilter]]).
     */
   def chunkDocs(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
-    val th = Tables.documents(s, dir)
+    val th = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), tokenHashes(col("text")).as("th"))
       .withColumn("ntok", size(col("th")))
       .filter(col("ntok") > 0)
@@ -698,7 +698,7 @@ object TextAnalysis {
     * to). Top-k is a TakeOrdered, not a global sort.
     */
   def cooccur(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(tokens(col("text")).as("t"))
+    val docs = Tables.documentsSpread(s, dir).select(tokens(col("text")).as("t"))
     val pairs = docs.filter(size(col("t")) >= 2)
       .select(explode(flatten(transform(sequence(lit(1), size(col("t")) - 1), i =>
         transform(sequence(i + 1, least(i + CoocWindow, size(col("t")))), j =>
@@ -764,7 +764,7 @@ object TextAnalysis {
     * numbers — bounded by the stage count, not the corpus.
     */
   def pipelineYield(s: SparkSession, dir: String): DataFrame = {
-    val g = Tables.documents(s, dir)
+    val g = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), col("text"),
         (qualityScore(col("text")) >= PipelineQualityMin).as("okq"),
         (langId(col("text")) =!= "unknown").as("okl"))
@@ -815,7 +815,7 @@ object TextAnalysis {
     * both engines decide on the same grid value.
     */
   def charEntropy(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
-    val cc = Tables.documents(s, dir)
+    val cc = Tables.documentsSpread(s, dir)
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
       .groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
@@ -827,7 +827,7 @@ object TextAnalysis {
       .agg(sum((-(p * log(p))).cast("decimal(38,18)")).as("hx"))
       .select(col("doc_id"),
         (floor(col("hx").cast("double") * 1e4 + lit(0.5)) / 1e4).as("entropy"))
-    val out = Tables.documents(s, dir).select(col("doc_id"))
+    val out = Tables.documentsSpread(s, dir).select(col("doc_id"))
       .join(nn.join(ent, "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_chars"), lit(0L)).as("n_chars"),
@@ -891,7 +891,7 @@ object TextAnalysis {
     */
   def blocklistFilter(s: SparkSession, dir: String, ordered: Boolean = true): DataFrame = {
     val terms = lit(BlocklistTerms.toArray)
-    val out = Tables.documents(s, dir)
+    val out = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
@@ -933,7 +933,7 @@ object TextAnalysis {
     * codec, real schema/partitioning).
     */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .select(col("doc_id"),
         octet_length(col("text")).as("n_bytes"),
         md5(col("text").cast("binary")).as("content_md5"),

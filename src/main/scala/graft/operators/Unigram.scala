@@ -50,7 +50,7 @@ object Unigram {
 
   /** Distinct words with counts (the BPE w0 frame). */
   private def wordCounts(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .select(explode(TextFunctions.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
 
@@ -162,12 +162,12 @@ object Unigram {
       when(size(col("pieces")) > 0, size(col("pieces")).cast("long"))
         .otherwise(ceil(length(col("w")).cast("double") / MaxPieceLen).cast("long"))
         .as("np"))
-    val dw = Tables.documents(s, dir)
+    val dw = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
       .join(broadcast(perWord), "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("np").as("n_pieces"))
-    val out = Tables.documents(s, dir).select(col("doc_id"))
+    val out = Tables.documentsSpread(s, dir).select(col("doc_id"))
       .join(dw, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),

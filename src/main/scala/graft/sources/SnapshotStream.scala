@@ -35,9 +35,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * The read schema pins at stream start (the stream-source contract):
   * files written before a later widening surface the missing columns
   * as null; columns added after the stream started don't surface
-  * until restart. Flat primitive columns (the snapshot layer's stats
-  * surface: integral, floating, string, boolean, timestamp-micros,
-  * date) are supported — nested types belong in batch reads.
+  * until restart. Primitive columns (integral, floating, string,
+  * boolean, timestamp-micros, date), ARRAYs (standard 3-level LIST
+  * encoding) and STRUCTs (nested fields resolved by name,
+  * absent-as-null) are supported — r16 added the nested types so a
+  * documents-shaped table (embedding arrays, typed metadata structs)
+  * can stream its change feed; maps/decimals remain batch-only. A
+  * physical-type mismatch against the pinned stream schema upcasts
+  * the safe widenings (int32→long, float→double) and otherwise fails
+  * with a clear column+types message rather than a cryptic task error.
   */
 object SnapshotStream {
 
@@ -115,12 +121,26 @@ class SnapshotMicroBatchStream(root: String, tableSchema: StructType,
     if (maxVersionsPerBatch > 0) ReadLimit.maxRows(maxVersionsPerBatch)
     else ReadLimit.allAvailable()
 
+  /** Versions admitted by `limit` (0 = unbounded): honors the
+    * ENGINE-SUPPLIED ReadLimit — Trigger.AvailableNow re-wraps the
+    * default limit in a composite, and ignoring the argument would
+    * silently drop any engine-side admission change (r16, ADVICE).
+    * "Rows" are snapshot VERSIONS here, as getDefaultReadLimit reports.
+    */
+  private def limitVersions(l: ReadLimit): Int = l match {
+    case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+      math.max(0, math.min(r.maxRows(), Int.MaxValue.toLong).toInt)
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      val caps = c.getReadLimits.map(limitVersions).filter(_ > 0)
+      if (caps.isEmpty) 0 else caps.min
+    case _ => 0 // ReadAllAvailable / limits with no version meaning
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val latest = Snapshots.latestVersion(spark, root)
     val from = start.asInstanceOf[SnapshotOffset].v
-    val capped =
-      if (maxVersionsPerBatch > 0) math.min(latest, from + maxVersionsPerBatch)
-      else latest
+    val cap = limitVersions(limit)
+    val capped = if (cap > 0) math.min(latest, from + cap) else latest
     SnapshotOffset(capped)
   }
 
@@ -155,7 +175,7 @@ class SnapshotMicroBatchStream(root: String, tableSchema: StructType,
         // per-version pinned schemas need no shipping: the reader
         // resolves the STREAM schema's fields against each file's own
         // footer by name (absent column = null), which is exactly the
-        // batch path's metadata-only evolution for flat primitives
+        // batch path's metadata-only evolution (primitives + nested, r16)
         files.map(f => SnapshotChangePartition(f, kind, v))
     }.toArray
   }
@@ -179,9 +199,11 @@ class SnapshotChangeReaderFactory(tableSchema: StructType,
 }
 
 /** Reads ONE change-feed parquet file executor-side through the
-  * parquet example Group API, converting flat primitive columns to
-  * the stream schema by NAME (a column the file predates reads as
-  * null — metadata-only schema evolution, matching the batch read).
+  * parquet example Group API, converting columns to the stream schema
+  * by NAME (a column the file predates reads as null — metadata-only
+  * schema evolution, matching the batch read). Primitives are
+  * physical-type-checked (safe widenings upcast); arrays and structs
+  * convert recursively (r16).
   */
 class SnapshotChangeReader(p: SnapshotChangePartition,
     tableSchema: StructType,
@@ -233,22 +255,104 @@ class SnapshotChangeReader(p: SnapshotChangePartition,
         case n =>
           present.get(n) match {
             case Some(idx) if g.getFieldRepetitionCount(idx) > 0 =>
-              f.dataType match {
-                case LongType | TimestampType => g.getLong(idx, 0)
-                case IntegerType | DateType   => g.getInteger(idx, 0)
-                case DoubleType  => g.getDouble(idx, 0)
-                case FloatType   => g.getFloat(idx, 0)
-                case BooleanType => g.getBoolean(idx, 0)
-                case StringType  => UTF8String.fromString(g.getString(idx, 0))
-                case other => throw new IllegalArgumentException(
-                  s"snapshot stream cannot read column '$n' of type " +
-                    s"${other.simpleString} (flat primitives only)")
-              }
+              value(g, idx, f.dataType, n)
             case _ => null // absent column or null value
           }
       }
       i += 1
     }
     new GenericInternalRow(out)
+  }
+
+  /** One field's Catalyst value, recursively: primitives check the
+    * file's PHYSICAL type and upcast the safe widenings (int32→long,
+    * float→double — a file written before a type widening must not hit
+    * a cryptic executor ClassCastException, r16 ADVICE); arrays expect
+    * Spark's standard 3-level LIST encoding; structs resolve nested
+    * fields by NAME with absent-as-null, the same metadata-only
+    * evolution as top level (r16 — nested types were batch-only
+    * before).
+    */
+  private def value(g: Group, idx: Int, dt: DataType, name: String): Any = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    dt match {
+      case st: StructType =>
+        val sg = g.getGroup(idx, 0)
+        val nested = sg.getType
+        val out = new Array[Any](st.length)
+        var j = 0
+        st.fields.foreach { nf =>
+          out(j) =
+            if (!nested.containsField(nf.name)) null
+            else {
+              val ni = nested.getFieldIndex(nf.name)
+              if (sg.getFieldRepetitionCount(ni) > 0)
+                value(sg, ni, nf.dataType, s"$name.${nf.name}")
+              else null
+            }
+          j += 1
+        }
+        new GenericInternalRow(out)
+      case ArrayType(et, _) =>
+        // 3-level LIST: optional group <name> (LIST) {
+        //   repeated group list { <element> } }
+        val lg = g.getGroup(idx, 0)
+        require(lg.getType.getFieldCount == 1 &&
+          !lg.getType.getType(0).isPrimitive,
+          s"snapshot stream: column '$name' is not standard 3-level " +
+            s"LIST-encoded parquet (${lg.getType})")
+        val n = lg.getFieldRepetitionCount(0)
+        val arr = new Array[Any](n)
+        var k = 0
+        while (k < n) {
+          val eg = lg.getGroup(0, k)
+          arr(k) =
+            if (eg.getFieldRepetitionCount(0) > 0)
+              value(eg, 0, et, s"$name[]")
+            else null
+          k += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+      case _ =>
+        val pt = g.getType.getType(idx)
+        require(pt.isPrimitive,
+          s"snapshot stream: column '$name' expects ${dt.simpleString} " +
+            s"but the file holds a group ($pt)")
+        val phys = pt.asPrimitiveType().getPrimitiveTypeName
+        def mismatch(): Nothing = throw new IllegalArgumentException(
+          s"snapshot stream: column '$name' expects ${dt.simpleString} " +
+            s"but the file's physical type is $phys")
+        dt match {
+          case LongType | TimestampType => phys match {
+            case INT64 => g.getLong(idx, 0)
+            case INT32 => g.getInteger(idx, 0).toLong // pre-widening file
+            case _     => mismatch()
+          }
+          case IntegerType | DateType => phys match {
+            case INT32 => g.getInteger(idx, 0)
+            case _     => mismatch()
+          }
+          case DoubleType => phys match {
+            case DOUBLE => g.getDouble(idx, 0)
+            case FLOAT  => g.getFloat(idx, 0).toDouble // pre-widening file
+            case _      => mismatch()
+          }
+          case FloatType => phys match {
+            case FLOAT => g.getFloat(idx, 0)
+            case _     => mismatch()
+          }
+          case BooleanType => phys match {
+            case BOOLEAN => g.getBoolean(idx, 0)
+            case _       => mismatch()
+          }
+          case StringType => phys match {
+            case BINARY => UTF8String.fromString(g.getString(idx, 0))
+            case _      => mismatch()
+          }
+          case other => throw new IllegalArgumentException(
+            s"snapshot stream cannot read column '$name' of type " +
+              s"${other.simpleString}")
+        }
+    }
   }
 }

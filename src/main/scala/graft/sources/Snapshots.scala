@@ -550,20 +550,29 @@ object Snapshots {
       refs: Seq[String], overlay: Seq[(String, String, String)],
       liveNames: Set[String]): String = {
     import org.apache.spark.sql.expressions.Window
-    val layers = refs.zipWithIndex.map { case (r, i) =>
-      s.read.parquet(r).select(col("file"), col("col"), col("payload"),
-        lit(i).as("_pri"))
+    // a ref a source-side expire reclaimed (the shallow-clone contract)
+    // contributes no layer — same degradation bloomAbsentMap applies;
+    // without it every 16th commit past the reclaim would fail
+    // permanently inside writeManifest (r16, ADVICE)
+    val layers = refs.zipWithIndex.flatMap { case (r, i) =>
+      try Some(s.read.parquet(r).select(col("file"), col("col"),
+        col("payload"), lit(i).as("_pri")))
+      catch { case _: Exception => None }
     } ++ (if (overlay.isEmpty) Seq.empty
           else Seq(s.createDataFrame(overlay).toDF("file", "col", "payload")
             .withColumn("_pri", lit(refs.size))))
     val names = s.createDataFrame(liveNames.toSeq.map(Tuple1(_)))
       .toDF("_live_file")
-    val merged = layers.reduce(_.unionByName(_))
-      .join(names, col("file") === col("_live_file"), "leftsemi")
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("file", "col").orderBy(col("_pri").desc)))
-      .filter(col("_rn") === 1)
-      .select("file", "col", "payload")
+    import s.implicits._
+    val merged =
+      if (layers.isEmpty) // every ref reclaimed, no overlay: empty sidecar
+        Seq.empty[(String, String, String)].toDF("file", "col", "payload")
+      else layers.reduce(_.unionByName(_))
+        .join(names, col("file") === col("_live_file"), "leftsemi")
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("file", "col").orderBy(col("_pri").desc)))
+        .filter(col("_rn") === 1)
+        .select("file", "col", "payload")
     writeBloomSidecar(s, root, v, merged)
   }
 

@@ -379,6 +379,90 @@ class SnapshotMetaSpec extends AnyFunSuite {
       "rate-limited batches must still deliver the complete feed")
   }
 
+  test("stream reader: array + struct columns round-trip; stream == batch feed incl. restart") {
+    import org.apache.spark.sql.DataFrame
+    val root = tmp("graft_snapstream_nested")
+    val ckpt = tmp("graft_snapstream_nested_ck")
+    // documents-shaped rows: an embedding array (with null elements and
+    // a null array) and a typed metadata struct (with a null struct)
+    def mk(from: Long, to: Long) = spark.range(from, to).select(
+      col("id").as("doc_id"),
+      when(col("id") % 7 === 0, lit(null))
+        .otherwise(array(col("id").cast("float"),
+          when(col("id") % 5 === 0, lit(null)).otherwise(lit(1.5f))))
+        .as("emb"),
+      when(col("id") % 11 === 0, lit(null))
+        .otherwise(struct(concat(lit("n"), col("id")).as("name"),
+          (col("id") % 5).cast("int").as("grp"))).as("meta"))
+    Snapshots.create(spark, root, mk(0, 40).repartition(2))
+    Snapshots.append(spark, root, mk(40, 80).repartition(2))
+    def flat(df: DataFrame) = df.select(col("doc_id"),
+        concat_ws(",", transform(col("emb"),
+          e => coalesce(e.cast("string"), lit("∅")))).as("emb_s"),
+        col("emb").isNull.as("emb_null"),
+        col("meta.name"), col("meta.grp"),
+        col("_change_type"), col("_commit_version"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        Option(r.getString(3)), Option(r.get(4)), r.getString(5), r.getInt(6)))
+      .toSeq.sortBy(t => (t._1, t._6))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, String, Boolean, Option[String], Option[Any], String, Int)]()
+    def startQ() = graft.sources.SnapshotStream.readStream(spark, root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        flat(b).foreach(got.add); ()
+      }.start()
+    import scala.jdk.CollectionConverters._
+    val q1 = startQ(); q1.processAllAvailable(); q1.stop()
+    assert(got.asScala.toSeq.sortBy(t => (t._1, t._6)) ===
+      flat(Snapshots.changeFeed(spark, root, 0, 2)),
+      "nested columns must stream exactly as the batch feed reads them")
+    // restart across a delete: pre-images carry the nested columns too
+    got.clear()
+    Snapshots.delete(spark, root, Seq(Snapshots.StatsPred.Lt("doc_id", 5L)))
+    val q2 = startQ(); q2.processAllAvailable(); q2.stop()
+    assert(got.asScala.toSeq.sortBy(t => (t._1, t._6)) ===
+      flat(Snapshots.changeFeed(spark, root, 2, 3)),
+      "restart delivers exactly the delete's nested pre-images")
+  }
+
+  test("stream reader: int32/float files upcast under a widened schema; a real mismatch names the column") {
+    import org.apache.spark.sql.types._
+    import graft.sources.{SnapshotChangePartition, SnapshotChangeReader}
+    val dir = tmp("graft_stream_widen")
+    spark.range(0, 10).select(col("id").cast("int").as("k"),
+        (col("id") * 0.5).cast("float").as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get.getAbsolutePath
+    val conf = spark.sparkContext.hadoopConfiguration
+    // stream schema WIDENED after the file was written: k long, v double
+    val widened = StructType(Seq(StructField("k", LongType),
+      StructField("v", DoubleType),
+      StructField("_change_type", StringType),
+      StructField("_commit_version", IntegerType)))
+    val r = new SnapshotChangeReader(
+      SnapshotChangePartition(file, "insert", 3), widened, conf)
+    val rows = Iterator.continually(r)
+      .takeWhile(_.next()).map(_.get().copy()).toSeq
+    r.close()
+    assert(rows.map(_.getLong(0)).sorted === (0L until 10L),
+      "int32 column must upcast to the widened long schema")
+    assert(rows.map(_.getDouble(1)).sorted === (0 until 10).map(_ * 0.5),
+      "float column must upcast to the widened double schema")
+    // a genuine mismatch (string over int32) fails fast, naming the column
+    val bad = StructType(Seq(StructField("k", StringType),
+      StructField("_change_type", StringType),
+      StructField("_commit_version", IntegerType)))
+    val r2 = new SnapshotChangeReader(
+      SnapshotChangePartition(file, "insert", 3), bad, conf)
+    val e = intercept[IllegalArgumentException] { r2.next(); r2.get() }
+    r2.close()
+    assert(e.getMessage.contains("'k'") && e.getMessage.contains("INT32"),
+      s"mismatch must name column and physical type: ${e.getMessage}")
+  }
+
   test("string z-dim past the rank cap falls back to the prefix fold: no dictionary sort, rows exact, still prunes") {
     import Snapshots.StatsPred._
     val root = tmp("graft_snapzhi")

@@ -38,9 +38,20 @@ ADJS = ["large", "hot", "blue", "red", "small", "dark", "light", "cold"]
 NOUNS = ["ring", "bolt", "case", "drum", "tube", "disk", "cap", "rod"]
 
 
-def write(out, name, table):
-    pq.write_table(table, os.path.join(out, f"{name}.parquet"), version="2.6")
-    print(f"  {name}: {table.num_rows} rows")
+def write(out, name, table, row_group_size=None):
+    # Multi-row-group layout (r16): a single-row-group file scans in ONE
+    # Spark task no matter what maxPartitionBytes says (a row group is
+    # read whole by the byte-range split owning its midpoint) — the r15
+    # sf1 bench ran ~210 s of its 600 s wall on 1 of 32 cores from
+    # exactly this. Size groups so every generated corpus plans >= a
+    # 32-core machine's worth of real splits.
+    kw = {}
+    if row_group_size is not None:
+        kw["row_group_size"] = row_group_size
+    pq.write_table(table, os.path.join(out, f"{name}.parquet"),
+                   version="2.6", **kw)
+    print(f"  {name}: {table.num_rows} rows "
+          f"({pq.ParquetFile(os.path.join(out, f'{name}.parquet')).metadata.num_row_groups} row groups)")
 
 
 def main(out: str, mult: int, aniso: bool = False) -> None:
@@ -84,7 +95,8 @@ def main(out: str, mult: int, aniso: bool = False) -> None:
         "o_orderstatus": np.array(["O", "P", "F"])[rng.integers(0, 3, n_ord)],
         "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
         "o_orderdate": pa.array(o_date_ms, pa.timestamp("ms")),
-        "o_orderpriority": np.array(PRIORITIES)[rng.integers(0, 5, n_ord)]}))
+        "o_orderpriority": np.array(PRIORITIES)[rng.integers(0, 5, n_ord)]}),
+        row_group_size=131072)
 
     lines_per = rng.integers(1, 8, n_ord)
     l_okey = np.repeat(np.arange(n_ord, dtype=np.int64), lines_per)
@@ -102,7 +114,8 @@ def main(out: str, mult: int, aniso: bool = False) -> None:
         "l_tax": np.round(rng.integers(0, 9, n_li) * 0.01, 2),
         "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)],
         "l_linestatus": np.array(["O", "F"])[rng.integers(0, 2, n_li)],
-        "l_shipdate": pa.array(ship_ms, pa.timestamp("ms"))}))
+        "l_shipdate": pa.array(ship_ms, pa.timestamp("ms"))}),
+        row_group_size=131072)
 
     ev_epoch = np.datetime64("2024-01-01").astype("datetime64[ns]").astype(np.int64)
     ev_ns = ev_epoch + rng.integers(0, 30 * 86400 * 10**9, n_ev, dtype=np.int64)
@@ -112,7 +125,8 @@ def main(out: str, mult: int, aniso: bool = False) -> None:
         "user_id": rng.integers(0, n_cust, n_ev),
         "event_type": np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)],
         "value": np.round(rng.exponential(80, n_ev), 2),
-        "props": [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)]}))
+        "props": [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)]}),
+        row_group_size=65536)
 
     lang_names = [l for l, _ in LANGS]
     lang_p = [p for _, p in LANGS]
@@ -127,7 +141,8 @@ def main(out: str, mult: int, aniso: bool = False) -> None:
         "text": texts,
         "lang": np.array(lang_names)[rng.choice(len(LANGS), n_doc, p=lang_p)],
         "source": [f"src{i}" for i in rng.integers(0, 20, n_doc)],
-        "n_chars": np.array([len(t) for t in texts], dtype=np.int64)}))
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64)}),
+        row_group_size=2048)
 
     # per-dim scale: isotropic by default; --aniso applies the decaying
     # spectrum to BOTH centers and noise so the whole corpus lives in a
@@ -142,7 +157,8 @@ def main(out: str, mult: int, aniso: bool = False) -> None:
         "vec_id": np.arange(n_emb, dtype=np.int64),
         "embedding": pa.array(list(vecs.astype(np.float32)),
                               pa.list_(pa.float32())),
-        "label": pa.array(labels, pa.int32())}))
+        "label": pa.array(labels, pa.int32())}),
+        row_group_size=2048)
 
 
 if __name__ == "__main__":
