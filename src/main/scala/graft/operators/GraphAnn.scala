@@ -34,7 +34,7 @@ import graft.plans.{ArrayOps, CentroidOps}
   * Rows-only entry (a greedy graph walk has no sane SQL twin);
   * recall@5 vs the in-catalog exact baseline is driver-gated through
   * `q_recall_report` (gate `ann_hnsw_recall5`) with the threshold
-  * recorded in GATES_r12.json at all three shipped SFs.
+  * recorded in GATES_r16.json at all three shipped SFs.
   */
 object GraphAnn {
 
@@ -129,7 +129,7 @@ object GraphAnn {
     * bidirectionally, and any node past [[MaxDegree]] prunes to its
     * best edges — the plain-NSW construction (HNSW's layers add log
     * routing on top; at ≤ 8192 nodes one layer with entry 0 measures
-    * at full recall, see GATES_r12.json).
+    * at full recall, see GATES_r16.json).
     */
   private[graft] def buildGraph(ids: Array[Long], vecs: Array[Array[Float]],
                                 norms: Array[Double]): Graph =

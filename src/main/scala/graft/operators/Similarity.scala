@@ -327,9 +327,12 @@ object Similarity {
     val base = graft.Tables.embeddingsSpread(s, dir)
       .select(col("vec_id"), col("embedding").as("e"), col("label"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    // SPANN closure (r16): see [[IvfClosureRep]] — the label
+    // INEQUALITY thins the pool exactly like the equality filter does
     val assigned = base.select(col("vec_id").as("neighbor_id"),
       col("e").as("e_c"), col("nrm").as("n_c"), col("label").as("nb_label"),
-      CentroidOps.cell(col("e"), col("nrm"), cents).as("cell"))
+      explode(CentroidOps.nearest(col("e"), col("nrm"), cents,
+        math.min(IvfClosureRep, cents.size))).as("cell"))
     val probes = math.max(IvfNProbe, math.ceil(cents.size * IvfProbeFraction).toInt)
     val qProbes = base.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("e").as("e_q"),
@@ -339,6 +342,10 @@ object Similarity {
       .partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     broadcast(qProbes).join(assigned, Seq("cell"))
       .filter(col("label") =!= col("nb_label"))
+      // dedupe the closure's duplicate (q, neighbor) candidates
+      .select("q_id", "label", "e_q", "n_q", "neighbor_id", "nb_label",
+        "e_c", "n_c")
+      .dropDuplicates("q_id", "neighbor_id")
       .withColumn("cos_sim", round(dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
@@ -429,6 +436,23 @@ object Similarity {
     * centroid set is bounded metadata).
     */
   val IvfProbeFraction = 0.3
+
+  /** SPANN-closure replication for the FILTERED IVF family (r16): each
+    * corpus vector posts to its [[IvfClosureRep]] nearest cells instead
+    * of one. The filtered paths lose candidates to cell-boundary
+    * geometry exactly as the graph buckets did — a true neighbor's
+    * single home cell need not be probed, and the label filter then
+    * thins an already-lossy pool (ann_ivf_filtered_recall5 measured 48
+    * at sf0.1, hard_negatives_ivf 64). GraphAnn's identical closure
+    * (Rep=8) took bucket recall 46→90 at unchanged probes; the price is
+    * an 8× posting-row table, still map-side (no extra shuffle — the
+    * explode rides the scan), plus a candidates-sized dedup before
+    * ranking (overlapping cells deliver duplicate (q, neighbor) pairs).
+    * The UNfiltered ivfSearch keeps single assignment: its probe
+    * fraction alone holds its gate, and closure would 8× every query's
+    * candidate pool for nothing.
+    */
+  val IvfClosureRep = 8
 
   /** Driver-local centroid seed set: (id, vector, norm), ids ascending.
     * The seed stride is max(IvfCentroidMod, ⌈√n⌉), so the cell count is
@@ -527,9 +551,13 @@ object Similarity {
     val base = graft.Tables.embeddingsSpread(s, dir)
       .select(col("vec_id"), col("embedding").as("e"), col("label"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    // SPANN closure (r16): post each vector to its IvfClosureRep
+    // nearest cells — single assignment capped recall at 48 (sf0.1)
+    // on boundary geometry alone; see [[IvfClosureRep]]
     val assigned = base.select(col("vec_id").as("neighbor_id"),
       col("e").as("e_c"), col("nrm").as("n_c"), col("label"),
-      CentroidOps.cell(col("e"), col("nrm"), cents).as("cell"))
+      explode(CentroidOps.nearest(col("e"), col("nrm"), cents,
+        math.min(IvfClosureRep, cents.size))).as("cell"))
     val probes = math.max(IvfNProbe, math.ceil(cents.size * IvfProbeFraction).toInt)
     val qProbes = base.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("e").as("e_q"),
@@ -539,6 +567,10 @@ object Similarity {
       .partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     broadcast(qProbes).join(assigned, Seq("cell", "label"))
       .filter(col("q_id") =!= col("neighbor_id"))
+      // overlapping closure cells deliver duplicate (q, neighbor)
+      // candidates — dedupe the bounded pool before ranking
+      .select("q_id", "label", "e_q", "n_q", "neighbor_id", "e_c", "n_c")
+      .dropDuplicates("q_id", "neighbor_id")
       .withColumn("cos_sim", round(dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Records the measured value behind every RecallReport gate at each
-  * shipped SF into a committed JSON (`GATES_r13.json`) — the
+  * shipped SF into a committed JSON (`GATES_r16.json`) — the
   * provenance artifact behind [[graft.operators.RecallReport
   * .GateThresholds]]: a threshold edit must come with re-measurement
   * evidence (GateProvenanceSpec asserts every committed measurement
@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   * `runMain graft.tools.GateRecord [outPath] [sfDir...]`
   */
 object GateRecord {
-  val DefaultOut = "GATES_r13.json"
+  val DefaultOut = "GATES_r16.json"
   val DefaultSfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
     "/root/testdata/sf0.1")
 

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.RecallReport
 
-/** Threshold provenance: `GATES_r13.json` (written by
+/** Threshold provenance: `GATES_r16.json` (written by
   * `tools.GateRecord`) records the measured value behind every
   * recall/error gate at each shipped SF. This spec ties the committed
   * evidence to the live constants: a `GateThresholds` edit without
@@ -18,7 +18,7 @@ class GateProvenanceSpec extends AnyFunSuite {
   private val Sf = """"(sf[0-9.]+)":\s*(-?\d+)""".r
 
   private def recorded(): Map[String, (Int, Map[String, Int])] = {
-    val src = scala.io.Source.fromFile("GATES_r13.json", "UTF-8")
+    val src = scala.io.Source.fromFile("GATES_r16.json", "UTF-8")
     val text = try src.mkString finally src.close()
     Line.findAllMatchIn(text).map { m =>
       val sfs = Sf.findAllMatchIn(m.group(3))
@@ -31,7 +31,7 @@ class GateProvenanceSpec extends AnyFunSuite {
     val rec = recorded()
     val live = RecallReport.GateThresholds.toMap
     assert(rec.keySet === live.keySet,
-      "GATES_r13.json must record exactly the live gate set — regenerate with tools.GateRecord")
+      "GATES_r16.json must record exactly the live gate set — regenerate with tools.GateRecord")
     for ((gate, t) <- live) {
       val (recT, sfs) = rec(gate)
       assert(recT === t,
