@@ -245,6 +245,89 @@ object Dedup {
     sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band_id", "key")))
   }
 
+  /** Docs per (band, key) bucket above which the band self-join salts.
+    * Uniform-hash buckets hold a handful of docs at any corpus size
+    * (65,536+ key values per band), so the cap only engages on a
+    * genuinely hot key — a template flood or mirror set collapsing a
+    * visible corpus fraction into ONE band signature, where the plain
+    * self-join computes the bucket's Θ(m²) pair fan-out in the single
+    * task owning the key. 256² pairs per task cell is comfortably
+    * inside a task's budget. Var: the skew spec lowers it to engage
+    * the salted path on a small planted fixture.
+    */
+  private[graft] var HotBandBucketCap = 256L
+
+  /** Skew-bounded band-bucket self-join: candidate pairs
+    * (doc_a < doc_b) from `banded` (doc_id, band_id, <key>, [payload])
+    * with hot buckets enumerated as a salt TRIANGLE.
+    *
+    * Buckets at or under [[HotBandBucketCap]] join directly on the
+    * pinned (band, key) exchange (see coocPairs for why the pin —
+    * AQE's byte-based coalesce must not serialize a fan-out whose
+    * cost is pairs, not input bytes). A bucket of m > cap docs
+    * splits into S = ⌈m/cap⌉ deterministic salt slices
+    * (`pmod(hash(doc_id), S)`); each unordered slice pair (i ≤ j)
+    * meets in its own join cell keyed (band, key, i, j), so the m²
+    * inherent pair work rides S(S+1)/2 cells of ≤ cap² pairs instead
+    * of one quadratic task. AQE's skew splitter cannot rescue this
+    * join: OptimizeSkewedJoin only splits ENSURE_REQUIREMENTS
+    * shuffles (the pinned exchange is user-REPARTITION) and detects
+    * skew by partition BYTES — a hot bucket's input is tiny while its
+    * output is quadratic. The hot set is measured per run (one
+    * band-key-sized count agg, broadcast back), so uniform corpora
+    * pay one cheap agg and take the direct path for every bucket.
+    *
+    * The emitted pair set is EXACTLY the plain self-join's: slices
+    * within a cell i < j are disjoint (every cross pair emits once,
+    * ordered via least/greatest, payloads swapped alongside), i == j
+    * keeps the doc_x < doc_y guard; a pair's two salt slices (u, v)
+    * own exactly the one cell (min(u,v), max(u,v)).
+    */
+  private[graft] def saltedBandSelfJoin(s: SparkSession, banded0: DataFrame,
+                                        keyCol: String,
+                                        payload: Option[String]): DataFrame = {
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val pay = payload.toSeq
+    val hotKeys = banded0.groupBy("band_id", keyCol)
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > HotBandBucketCap)
+    val sized = banded0.join(broadcast(hotKeys), Seq("band_id", keyCol), "left")
+    def pairCols(xId: Column, yId: Column, xPay: Seq[Column], yPay: Seq[Column]) =
+      Seq(least(xId, yId).as("doc_a"), greatest(xId, yId).as("doc_b")) ++
+        pay.zipWithIndex.flatMap { case (p, i) =>
+          Seq(when(xId < yId, xPay(i)).otherwise(yPay(i)).as(s"${p}_a"),
+            when(xId < yId, yPay(i)).otherwise(xPay(i)).as(s"${p}_b"))
+        }
+    val cold = sized.filter(col("bsz").isNull).drop("bsz")
+      .repartition(nPart, col("band_id"), col(keyCol))
+    val coldPairs = cold.as("x").join(cold.as("y"),
+        col(s"x.band_id") === col(s"y.band_id") &&
+          col(s"x.$keyCol") === col(s"y.$keyCol") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(pairCols(col("x.doc_id"), col("y.doc_id"),
+        pay.map(p => col(s"x.$p")), pay.map(p => col(s"y.$p"))): _*)
+    val hot = sized.filter(col("bsz").isNotNull)
+      .withColumn("nslice",
+        ceil(col("bsz").cast("double") / lit(HotBandBucketCap.toDouble)).cast("int"))
+      .withColumn("salt", pmod(hash(col("doc_id")), col("nslice")))
+    // x owns cells (salt, j ≥ salt); y owns cells (i ≤ salt, salt) —
+    // both sequences are ascending by construction (salt < nslice), so
+    // the descending-sequence trap can't fire
+    val hotX = hot.withColumn("cj", explode(sequence(col("salt"), col("nslice") - 1)))
+      .select(Seq(col("band_id"), col(keyCol), col("doc_id").as("doc_x"),
+        col("salt").as("ci"), col("cj")) ++ pay.map(p => col(p).as(s"${p}_x")): _*)
+    val hotY = hot.withColumn("ci", explode(sequence(lit(0), col("salt"))))
+      .select(Seq(col("band_id"), col(keyCol), col("doc_id").as("doc_y"),
+        col("ci"), col("salt").as("cj")) ++ pay.map(p => col(p).as(s"${p}_y")): _*)
+    val hotPairs = hotX
+      .repartition(nPart, col("band_id"), col(keyCol), col("ci"), col("cj"))
+      .join(hotY, Seq("band_id", keyCol, "ci", "cj"))
+      .filter(when(col("ci") === col("cj"), col("doc_x") < col("doc_y"))
+        .otherwise(col("doc_x") =!= col("doc_y")))
+      .select(pairCols(col("doc_x"), col("doc_y"),
+        pay.map(p => col(s"${p}_x")), pay.map(p => col(s"${p}_y"))): _*)
+    coldPairs.union(hotPairs)
+  }
+
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashPairs(s, dir).orderBy("doc_a", "doc_b")
 
@@ -262,15 +345,9 @@ object Dedup {
 
   private def minhashPairsPlan(s: SparkSession, dir: String): DataFrame = {
     val docs = shingled(s, dir)
-    // pinned exchange (see coocPairs): the banded rows are tiny in
-    // bytes but the bucket self-join fans out Θ(bucket²) — AQE's
-    // byte-based coalesce must not serialize that fan-out
-    val banded = bandedSigs(docs)
-      .repartition(s.sessionState.conf.numShufflePartitions, col("band_id"), col("key"))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band_id") === col("y.band_id") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // skew-bounded band-bucket self-join (r16): the pinned exchange +
+    // salt triangle for hot keys live in [[saltedBandSelfJoin]]
+    val cand = saltedBandSelfJoin(s, bandedSigs(docs), "key", None)
       .distinct()
     verifyByCooccurrence(docs, candidatesFromCooc = false, MinhashJaccardT, cand,
       ordered = false, coocPre = coocCached(s, dir))
@@ -401,14 +478,11 @@ object Dedup {
       posexplode(array((0 until SimhashBands).map(k =>
         shiftright(col("sim"), SimhashBandBits * k)
           .bitwiseAND(lit((1L << SimhashBandBits) - 1))): _*)).as(Seq("band_id", "byte")))
-      // pinned exchange (see coocPairs): Θ(n²/65536) band fan-out must
-      // not be AQE-coalesced into one task on byte size
-      .repartition(s.sessionState.conf.numShufflePartitions, col("band_id"), col("byte"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band_id") === col("y.band_id") && col("x.byte") === col("y.byte") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
+    // skew-bounded band self-join (r16): pinned exchange + hot-key salt
+    // triangle (an identical-doc flood collapses into ONE byte bucket
+    // exactly like a minhash band key) — see [[saltedBandSelfJoin]];
+    // the sim payload rides the pair, swapped alongside least/greatest
+    saltedBandSelfJoin(s, banded, "byte", Some("sim"))
       .distinct()
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("int"))
       .filter(col("hamming") <= HammingMax)

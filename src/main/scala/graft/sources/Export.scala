@@ -39,12 +39,14 @@ object Export {
     * support: a malformed row lands in `_corrupt_record` (when the
     * schema declares it) instead of failing the 100 TB job at hour 9.
     */
-  def readCsv(s: SparkSession, path: String, schema: StructType): DataFrame =
+  def readCsv(s: SparkSession, path: String, schema: StructType,
+              options: Map[String, String] = Map.empty): DataFrame =
     s.read.schema(schema)
       .option("header", "true")
       .option("multiLine", "true")
       .option("escape", "\"")
       .option("mode", "PERMISSIVE")
+      .options(options) // caller quirks last: encoding, sep, nullValue…
       .csv(path)
 
   /** Schema-explicit JSON-lines read, PERMISSIVE: rows that fail to
