@@ -257,75 +257,108 @@ object Dedup {
     */
   private[graft] var HotBandBucketCap = 256L
 
+  /** Hot-bucket detection samples 1 doc in this many (deterministic
+    * `pmod(hash(doc_id), mod) === 0`), so the sizes pass costs ~1/mod
+    * of a signature evaluation — the first salted-join cut measured
+    * the EXACT sizes agg as a full extra upstream pass (simhash paid
+    * a whole tokenHashes+simhash64 corpus scan just to count
+    * buckets). Estimated size = mod × sampled count; a bucket is
+    * treated hot at estimate > cap/2 (the halved bar absorbs sample
+    * noise — a marginal bucket gets nslice 1-2, which the unified
+    * triangle handles as the plain join, so a false positive costs
+    * one duplicate row copy and a false negative is only possible for
+    * buckets near the cap, never for the runaway key the salt
+    * exists for). Correctness never depends on WHICH buckets are
+    * flagged: the triangle emits the identical pair set at any
+    * nslice. Var: specs set 1 for exact, deterministic engagement.
+    */
+  private[graft] var HotDetectSampleMod = 16L
+
   /** Skew-bounded band-bucket self-join: candidate pairs
     * (doc_a < doc_b) from `banded` (doc_id, band_id, <key>, [payload])
-    * with hot buckets enumerated as a salt TRIANGLE.
+    * with hot buckets enumerated as a salt TRIANGLE, in ONE exchange.
     *
-    * Buckets at or under [[HotBandBucketCap]] join directly on the
-    * pinned (band, key) exchange (see coocPairs for why the pin —
-    * AQE's byte-based coalesce must not serialize a fan-out whose
-    * cost is pairs, not input bytes). A bucket of m > cap docs
-    * splits into S = ⌈m/cap⌉ deterministic salt slices
-    * (`pmod(hash(doc_id), S)`); each unordered slice pair (i ≤ j)
-    * meets in its own join cell keyed (band, key, i, j), so the m²
-    * inherent pair work rides S(S+1)/2 cells of ≤ cap² pairs instead
-    * of one quadratic task. AQE's skew splitter cannot rescue this
-    * join: OptimizeSkewedJoin only splits ENSURE_REQUIREMENTS
-    * shuffles (the pinned exchange is user-REPARTITION) and detects
-    * skew by partition BYTES — a hot bucket's input is tiny while its
-    * output is quadratic. The hot set is measured per run (one
-    * band-key-sized count agg, broadcast back), so uniform corpora
-    * pay one cheap agg and take the direct path for every bucket.
+    * A bucket of m > cap docs splits into S = ⌈m̂/cap⌉ deterministic
+    * salt slices (`pmod(hash(doc_id), S)`, m̂ the sampled estimate);
+    * each unordered slice pair (i ≤ j) meets in its own join cell
+    * keyed (band, key, i, j), so the m² inherent pair work rides
+    * S(S+1)/2 cells of bounded pairs instead of the one task owning
+    * the key. Cold buckets take S = 1, whose only cell (0, 0) IS the
+    * plain bucket pairing — no hot/cold plan branch. AQE's skew
+    * splitter cannot deliver this: OptimizeSkewedJoin only splits
+    * ENSURE_REQUIREMENTS shuffles and detects skew by partition
+    * BYTES, while a hot bucket is tiny-input / quadratic-output.
     *
-    * The emitted pair set is EXACTLY the plain self-join's: slices
-    * within a cell i < j are disjoint (every cross pair emits once,
-    * ordered via least/greatest, payloads swapped alongside), i == j
-    * keeps the doc_x < doc_y guard; a pair's two salt slices (u, v)
-    * own exactly the one cell (min(u,v), max(u,v)).
+    * Plan shape — GROUP-AND-ENUMERATE, deliberately not a self-join:
+    * each row explodes its cell copies (as x the cells (salt,
+    * j ≥ salt), as y the cells (i ≤ salt, salt), derived
+    * arithmetically from ONE exploded index — no lambda HOFs), the
+    * cells aggregate each role into a bounded array behind ONE pinned
+    * exchange, and two codegen'd explodes enumerate the x × y cross
+    * product. A self-join formulation re-evaluates the whole upstream
+    * signature pass per side: ReuseExchange cannot dedupe aliased
+    * subtrees that contain the hot-detection AGGREGATE (the r7
+    * landmine — measured here as simhash at 6× cpu / 4 scans), and at
+    * small stats estimates Catalyst even broadcasts the corpus×bands
+    * frame. With the single-lineage shape the signature pass runs
+    * once, plus the 1-in-[[HotDetectSampleMod]] detection pass.
+    *
+    * The emitted pair set is EXACTLY the plain bucket self-join's: in
+    * a cell i < j the x-array (slice i) and y-array (slice j) are
+    * disjoint, so every cross pair emits once (ordered via
+    * least/greatest, payloads swapped alongside); i == j keeps the
+    * doc_x < doc_y guard; a pair's two salt slices (u, v) meet in
+    * exactly the one cell (min(u,v), max(u,v)). The per-cell arrays
+    * are bounded by the salt geometry (≈ cap rows per role), so the
+    * collect_list state is bounded by construction — the exchange is
+    * pinned (see coocPairs) because the enumeration fans out
+    * quadratically from byte-tiny grouped input.
     */
   private[graft] def saltedBandSelfJoin(s: SparkSession, banded0: DataFrame,
                                         keyCol: String,
                                         payload: Option[String]): DataFrame = {
     val nPart = s.sessionState.conf.numShufflePartitions
     val pay = payload.toSeq
-    val hotKeys = banded0.groupBy("band_id", keyCol)
-      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > HotBandBucketCap)
+    val sampled =
+      if (HotDetectSampleMod <= 1L) banded0
+      else banded0.filter(pmod(hash(col("doc_id")), lit(HotDetectSampleMod)) === 0)
+    val hotKeys = sampled.groupBy("band_id", keyCol)
+      .agg((count(lit(1)) * HotDetectSampleMod).as("est"))
+      .filter(col("est") > HotBandBucketCap / 2)
     val sized = banded0.join(broadcast(hotKeys), Seq("band_id", keyCol), "left")
-    def pairCols(xId: Column, yId: Column, xPay: Seq[Column], yPay: Seq[Column]) =
-      Seq(least(xId, yId).as("doc_a"), greatest(xId, yId).as("doc_b")) ++
-        pay.zipWithIndex.flatMap { case (p, i) =>
-          Seq(when(xId < yId, xPay(i)).otherwise(yPay(i)).as(s"${p}_a"),
-            when(xId < yId, yPay(i)).otherwise(xPay(i)).as(s"${p}_b"))
-        }
-    val cold = sized.filter(col("bsz").isNull).drop("bsz")
-      .repartition(nPart, col("band_id"), col(keyCol))
-    val coldPairs = cold.as("x").join(cold.as("y"),
-        col(s"x.band_id") === col(s"y.band_id") &&
-          col(s"x.$keyCol") === col(s"y.$keyCol") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(pairCols(col("x.doc_id"), col("y.doc_id"),
-        pay.map(p => col(s"x.$p")), pay.map(p => col(s"y.$p"))): _*)
-    val hot = sized.filter(col("bsz").isNotNull)
-      .withColumn("nslice",
-        ceil(col("bsz").cast("double") / lit(HotBandBucketCap.toDouble)).cast("int"))
+      .withColumn("nslice", greatest(lit(1L),
+        ceil(coalesce(col("est"), lit(0L)).cast("double") /
+          lit(HotBandBucketCap.toDouble))).cast("int"))
       .withColumn("salt", pmod(hash(col("doc_id")), col("nslice")))
-    // x owns cells (salt, j ≥ salt); y owns cells (i ≤ salt, salt) —
-    // both sequences are ascending by construction (salt < nslice), so
-    // the descending-sequence trap can't fire
-    val hotX = hot.withColumn("cj", explode(sequence(col("salt"), col("nslice") - 1)))
-      .select(Seq(col("band_id"), col(keyCol), col("doc_id").as("doc_x"),
-        col("salt").as("ci"), col("cj")) ++ pay.map(p => col(p).as(s"${p}_x")): _*)
-    val hotY = hot.withColumn("ci", explode(sequence(lit(0), col("salt"))))
-      .select(Seq(col("band_id"), col(keyCol), col("doc_id").as("doc_y"),
-        col("ci"), col("salt").as("cj")) ++ pay.map(p => col(p).as(s"${p}_y")): _*)
-    val hotPairs = hotX
+    // one exploded index k ∈ [0, nslice] covers both roles:
+    // k < nslice−salt ⇒ x-copy in cell (salt, salt+k); else y-copy in
+    // cell (k−(nslice−salt), salt). Both ranges ascend by construction
+    // (salt < nslice) — the descending-sequence trap can't fire.
+    val nx = col("nslice") - col("salt") // x-copies per row
+    val isX = col("k") < nx
+    val rowStruct = struct(col("doc_id").as("d") +: pay.map(col): _*)
+    val cells = sized
+      .select(Seq(col("band_id"), col(keyCol), col("doc_id"), col("nslice"),
+        col("salt")) ++ pay.map(col) :+
+        explode(sequence(lit(0), col("nslice"))).as("k"): _*)
+      .select(col("band_id"), col(keyCol),
+        when(isX, col("salt")).otherwise(col("k") - nx).as("ci"),
+        when(isX, col("salt") + col("k")).otherwise(col("salt")).as("cj"),
+        when(isX, rowStruct).as("xr"), when(!isX, rowStruct).as("yr"))
       .repartition(nPart, col("band_id"), col(keyCol), col("ci"), col("cj"))
-      .join(hotY, Seq("band_id", keyCol, "ci", "cj"))
-      .filter(when(col("ci") === col("cj"), col("doc_x") < col("doc_y"))
-        .otherwise(col("doc_x") =!= col("doc_y")))
-      .select(pairCols(col("doc_x"), col("doc_y"),
-        pay.map(p => col(s"${p}_x")), pay.map(p => col(s"${p}_y"))): _*)
-    coldPairs.union(hotPairs)
+      .groupBy(col("band_id"), col(keyCol), col("ci"), col("cj"))
+      .agg(collect_list(col("xr")).as("xs"), collect_list(col("yr")).as("ys"))
+    val xd = col("xe.d")
+    val yd = col("ye.d")
+    cells
+      .select(col("ci"), col("cj"), col("ys"), explode(col("xs")).as("xe"))
+      .select(col("ci"), col("cj"), col("xe"), explode(col("ys")).as("ye"))
+      .filter(when(col("ci") === col("cj"), xd < yd).otherwise(xd =!= yd))
+      .select(Seq(least(xd, yd).as("doc_a"), greatest(xd, yd).as("doc_b")) ++
+        pay.flatMap { p =>
+          Seq(when(xd < yd, col(s"xe.$p")).otherwise(col(s"ye.$p")).as(s"${p}_a"),
+            when(xd < yd, col(s"ye.$p")).otherwise(col(s"xe.$p")).as(s"${p}_b"))
+        }: _*)
   }
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame =

@@ -13,9 +13,11 @@ import graft.operators.Dedup
   * byte-based skew detection misses a tiny-input quadratic-output
   * bucket). `saltedBandSelfJoin` enumerates hot buckets as a salt
   * triangle instead; these specs pin (a) EXACT pair-set preservation
-  * incl. payload swap, (b) the bounded-task property via per-task
-  * shuffle-write records on a planted hot key, (c) the end-to-end
-  * wiring through minhash and simhash on a 20%-identical corpus.
+  * incl. payload swap, (b) the bounded-task property via
+  * per-enumeration-partition pair counts on a planted hot key, (c)
+  * the end-to-end wiring through minhash and simhash on a
+  * 20%-identical corpus, and (d) the 1-in-16 sampled detection
+  * flagging a runaway bucket.
   */
 class DedupSkewSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -37,15 +39,16 @@ class DedupSkewSpec extends AnyFunSuite {
       Seq((200L, 1, "c1"), (201L, 1, "c1"), (202L, 1, "c1"),
         (300L, 0, "c2"), (301L, 0, "c2"), (5L, 1, "c1"))
     val banded = rows.toDF("doc_id", "band_id", "key")
-    val old = Dedup.HotBandBucketCap
+    val old = (Dedup.HotBandBucketCap, Dedup.HotDetectSampleMod)
     try {
       Dedup.HotBandBucketCap = 8L
+      Dedup.HotDetectSampleMod = 1L // exact sizes: deterministic engagement
       val got = Dedup.saltedBandSelfJoin(spark, banded, "key", None)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(got.size === got.distinct.size,
         "salt cells must not deliver duplicate pairs")
       assert(got.toSet === refPairs(rows))
-    } finally Dedup.HotBandBucketCap = old
+    } finally { Dedup.HotBandBucketCap = old._1; Dedup.HotDetectSampleMod = old._2 }
   }
 
   test("payload columns swap alongside least/greatest ordering") {
@@ -55,15 +58,16 @@ class DedupSkewSpec extends AnyFunSuite {
     // where the x/y orientation is salt-dependent
     val rows = (0L until 30L).map(i => (i, 0, "H", i * 10))
     val banded = rows.toDF("doc_id", "band_id", "key", "pay")
-    val old = Dedup.HotBandBucketCap
+    val old = (Dedup.HotBandBucketCap, Dedup.HotDetectSampleMod)
     try {
       Dedup.HotBandBucketCap = 5L
+      Dedup.HotDetectSampleMod = 1L
       val got = Dedup.saltedBandSelfJoin(spark, banded, "key", Some("pay"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       assert(got.length === 30 * 29 / 2)
       assert(got.forall { case (a, b, pa, pb) => pa === a * 10 && pb === b * 10 },
         "payload must follow its doc through the least/greatest swap")
-    } finally Dedup.HotBandBucketCap = old
+    } finally { Dedup.HotBandBucketCap = old._1; Dedup.HotDetectSampleMod = old._2 }
   }
 
   test("planted hot key: salted max task output is a fraction of the plain join's") {
@@ -81,14 +85,15 @@ class DedupSkewSpec extends AnyFunSuite {
     // explode/repartition writes, which are data-linear and not the
     // quadratic stage under test)
     def measure(cap: Long): Long = {
-      val old = Dedup.HotBandBucketCap
+      val old = (Dedup.HotBandBucketCap, Dedup.HotDetectSampleMod)
       try {
         Dedup.HotBandBucketCap = cap
+        Dedup.HotDetectSampleMod = 1L
         Dedup.saltedBandSelfJoin(spark, banded, "key", None)
           .withColumn("pid", spark_partition_id())
           .groupBy("pid").count().agg(max("count"))
           .collect()(0).getLong(0)
-      } finally Dedup.HotBandBucketCap = old
+      } finally { Dedup.HotBandBucketCap = old._1; Dedup.HotDetectSampleMod = old._2 }
     }
     val plainMax = measure(1000000L) // cap never engages: plain join
     val saltedMax = measure(8L)      // S = 13 slices, 91 cells
@@ -119,9 +124,10 @@ class DedupSkewSpec extends AnyFunSuite {
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_a", "doc_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val old = Dedup.HotBandBucketCap
+    val old = (Dedup.HotBandBucketCap, Dedup.HotDetectSampleMod)
     try {
       Dedup.HotBandBucketCap = 1000000L
+      Dedup.HotDetectSampleMod = 1L
       val mhPlain = pairSet(Dedup.minhashLsh(spark, dir))
       val shPlain = pairSet(Dedup.simhash(spark, dir))
       Dedup.releaseShingleCache(spark, dir)
@@ -137,8 +143,35 @@ class DedupSkewSpec extends AnyFunSuite {
       assert(mhSalted === mhPlain, "minhash pair set changed under salting")
       assert(shSalted === shPlain, "simhash pair set changed under salting")
     } finally {
-      Dedup.HotBandBucketCap = old
+      Dedup.HotBandBucketCap = old._1
+      Dedup.HotDetectSampleMod = old._2
       Dedup.releaseShingleCache(spark, dir)
     }
+  }
+
+  test("sampled detection flags a runaway bucket and still bounds the spread") {
+    import spark.implicits._
+    // production-shaped detection: 1-in-16 sampling must flag a
+    // 2000-doc bucket (est ≈ 2000 ≫ cap/2) and the triangle must
+    // spread its ~2M pairs; pair-set equality is hash-independent so
+    // only the spread needs asserting here (equality is pinned above)
+    val rows = (0L until 2000L).map(i => (i, 0, "H")) ++
+      (2000L until 2400L).map(i => (i, 0, s"u$i"))
+    val banded = rows.toDF("doc_id", "band_id", "key")
+    val old = (Dedup.HotBandBucketCap, Dedup.HotDetectSampleMod)
+    try {
+      Dedup.HotBandBucketCap = 64L
+      Dedup.HotDetectSampleMod = 16L
+      val dist = Dedup.saltedBandSelfJoin(spark, banded, "key", None)
+        .withColumn("pid", spark_partition_id())
+        .groupBy("pid").count().collect().map(_.getLong(1))
+      val total = 2000L * 1999L / 2
+      assert(dist.sum === total, "pair count must be exactly the bucket's choose-2")
+      val nPart = spark.sessionState.conf.numShufflePartitions
+      val ideal = total.toDouble / nPart
+      info(s"sampled-detection spread: max=${dist.max} ideal=$ideal over ${dist.length} partitions")
+      assert(dist.max <= (2.0 * ideal).toLong,
+        s"sampled detection must still spread the bucket: max=${dist.max} vs ideal=$ideal")
+    } finally { Dedup.HotBandBucketCap = old._1; Dedup.HotDetectSampleMod = old._2 }
   }
 }
