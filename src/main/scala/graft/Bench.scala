@@ -164,6 +164,13 @@ object Bench {
   private[graft] val LoadGate = 2.0
 
   def main(args: Array[String]): Unit = {
+    // AMBIENT load, sampled before the JVM/codegen warmup saturates
+    // the cores: the gate must measure the machine we arrived on, not
+    // our own warmup (a 32-thread warmup alone lifts the 1-min
+    // average past 2 — measured 2.4 on a 0.05-idle box, which made
+    // the gate flag every capture including truly idle ones)
+    val gateLoad = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -238,7 +245,6 @@ object Bench {
     def drain(): Unit =
       org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val load0 = osBean.getSystemLoadAverage
     // noop sink forces the FULL plan (count() would let Catalyst prune
     // the projections being measured).
     // failed queries record NEGATIVE elapsed time — the JSON stays
@@ -320,19 +326,19 @@ object Bench {
     // so a loaded start MARKS the capture instead: "ctm":1 on the
     // stdout line and "contaminated": true in bench_detail.json are
     // the explicit do-not-compare flag.
-    val contaminated = load0 > LoadGate
+    val contaminated = gateLoad > LoadGate
     // sf as the basename only ("sf0.1"), not the full path: every char
     // counts against the tail window.
     val sfName = new java.io.File(sfDir).getName
     val line = s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec","queries":$qs,""" +
       s""""nq":${queryResults.size},"nfail":${fails.size},"cpu":${fmt(1)(cpuTotal)},""" +
-      s""""ld":[${fmt(2)(load0)},${fmt(2)(load1)}],"ctm":${if (contaminated) 1 else 0},"sf":"$sfName"}"""
+      s""""ld":[${fmt(2)(gateLoad)},${fmt(2)(load1)}],"ctm":${if (contaminated) 1 else 0},"sf":"$sfName"}"""
     // Full-name per-query wall+cpu record for contention forensics —
     // not budget-bound, so keep full precision here.
     val detail = results.map { case (k, v, c, g, rb) =>
       s"""  "$k": {"sec": ${f"$v%.3f"}, "cpu": ${f"$c%.3f"}, "gc": ${f"$g%.2f"}, "readMB": ${f"${rb / 1048576.0}%.1f"}}"""
     }.mkString(
-      s"""{\n "sf": "$sfName", "cpus": $cpus, "load": [$load0, $load1], "contaminated": $contaminated,\n "queries": {\n""",
+      s"""{\n "sf": "$sfName", "cpus": $cpus, "load": [$gateLoad, $load1], "contaminated": $contaminated,\n "queries": {\n""",
       ",\n", "\n }\n}\n")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))
