@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
 
 /** Typed loaders for the driver testdata tables.
   *
@@ -94,15 +95,37 @@ object Tables {
       { case (ss, _) => spreadIfNarrow(ss, base, p(dir, "embeddings")) })
   }
 
+  /** Rows per spread partition: the exchange width is derived from the
+    * INPUT SIZE (⌈rows / SpreadRowsPerTask⌉, clamped to [2, cores]) —
+    * guide §2's scale-adaptive partitioning, never a constant tuned to
+    * the local core count. Width matters twice: a heavy per-doc map
+    * pass wants enough tasks to fill the cores at large row counts
+    * (sf1's 50k docs still clamp to every core), while a SMALL corpus
+    * must not fan out to 32 tasks for sub-second work — each task that
+    * executes a freshly generated codegen stage pays a measured
+    * ~0.5-1 cpu-s of cold-JIT/profile-contention tax before HotSpot
+    * compiles it (sf0.1 A/B: q_dedup_span cold cpu 6.0 s at width 4 vs
+    * 30.0 s at width 32, identical wall — the r16 always-`par` spread
+    * tripled the whole bench's cpu at sf0.1 with zero wall win).
+    */
+  private[graft] val SpreadRowsPerTask = 1024L
+
   /** One round-robin exchange iff `path`'s layout plans fewer row
-    * groups than half the cores; identity otherwise. Values are
-    * per-row in every consumer, so results stay layout-independent —
-    * terminal sorts pin output order.
+    * groups than half the cores; identity otherwise. Width is
+    * input-derived (see [[SpreadRowsPerTask]]). Values are per-row in
+    * every consumer, so results stay layout-independent — terminal
+    * sorts pin output order.
     */
   private[graft] def spreadIfNarrow(s: SparkSession, df: DataFrame,
       path: String): DataFrame = {
     val par = s.sparkContext.defaultParallelism
-    if (rowGroups(s, path) < math.max(2, par / 2)) df.repartition(par) else df
+    val (groups, rows) = layout(s, path)
+    if (groups >= math.max(2, par / 2)) df
+    else {
+      val width = math.max(2L, math.min(par.toLong,
+        (rows + SpreadRowsPerTask - 1) / SpreadRowsPerTask)).toInt
+      df.repartition(width)
+    }
   }
 
   /** Total parquet row-group count under `path` (a single file or a
@@ -116,8 +139,14 @@ object Tables {
     */
   private[graft] val RowGroupFileCap = 64
   private val rgMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]
   private[graft] def rowGroups(s: SparkSession, path: String): Int =
+    layout(s, path)._1
+  /** (row groups, total rows) under `path` — one footer pass, memoized.
+    * The >cap short-circuit reports (MaxValue, MaxValue): many files ⇒
+    * wide ⇒ the spread never fires, so neither number is consulted.
+    */
+  private[graft] def layout(s: SparkSession, path: String): (Int, Long) =
     rgMemo.computeIfAbsent(path, { _ =>
       val conf = s.sparkContext.hadoopConfiguration
       val hp = new org.apache.hadoop.fs.Path(path)
@@ -128,12 +157,14 @@ object Tables {
             !f.getPath.getName.startsWith("_") &&
             !f.getPath.getName.startsWith("."))
         else Seq(fs.getFileStatus(hp))
-      if (files.size > RowGroupFileCap) Integer.valueOf(Int.MaxValue)
-      else Integer.valueOf(files.map { f =>
+      if (files.size > RowGroupFileCap) (Int.MaxValue, Long.MaxValue)
+      else files.map { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(f.getPath, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getFooter.getBlocks.size finally r.close()
-      }.sum)
-    }).intValue
+        try (r.getFooter.getBlocks.size,
+          r.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+        finally r.close()
+      }.foldLeft((0, 0L)) { case ((g, n), (g2, n2)) => (g + g2, n + n2) }
+    })
 }

@@ -17,6 +17,10 @@ object Verify {
     // verify cheap) — Bench is where SPARK_GRAFT_CPUS=32 matters
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+          graft.ShuffleDefaults.BypassMergeThreshold)
+      .config("spark.sql.codegen.cache.maxEntries",
+          graft.ShuffleDefaults.CodegenCacheMaxEntries)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

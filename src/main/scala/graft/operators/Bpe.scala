@@ -68,26 +68,95 @@ object Bpe {
     .empty[(SparkSession, String),
            (Seq[(Int, String, String, String, Long)], Seq[(String, Long)])]
 
+  /** Distinct-word bound for the driver-local learner fast path (r16
+    * opt): the [[BpeRounds]] rounds operate on the VOCABULARY frame
+    * (one (rep, n) row per distinct word), and each distributed round
+    * costs an explode-agg shuffle plus a 1-row TakeOrdered collect —
+    * ~0.4 s of job latency per round at any small scale
+    * (shared_bpe_learner measured 5.5 s at sf0.1 for ~0.3 s of actual
+    * arithmetic). Below this many distinct words the vocab collects
+    * (≤ ~10 MB) and the rounds run driver-local with BIT-IDENTICAL
+    * semantics: integer pair counts, (c desc, lhs, rhs) argmax over
+    * ASCII-only symbols (Java and UTF8 string order agree on ASCII),
+    * and `String.replace` = Spark `StringReplace` = left-to-right
+    * non-overlapping literal scan (the documented cross-engine merge
+    * representation; BpeSpec asserts local == distributed). Above the
+    * cap — a real crawl's 10⁸-word vocabulary — the distributed rounds
+    * run unchanged. Var: spec seam.
+    */
+  private[graft] var LocalVocabCap = 131072L
+
   /** Learned merges + induced top-[[VocabTopK]] vocabulary, memoized.
     * One learner run computes both: the vocab aggregation is one more
-    * pass over the still-persisted vocabulary frame.
+    * pass over the still-persisted vocabulary frame (or the collected
+    * word array on the bounded local path).
     */
   private def learned(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, String, Long)], Seq[(String, Long)]) =
     learnedCache.getOrElseUpdate((s, dir), {
-      val (merges, fin, release) = learn(s, dir)
+      val words = wordCounts(s, dir).persist()
       try {
-        val vocab = fin
-          .select(explode(split(trim(col("rep")), SymSep)).as("subword"), col("n"))
-          .groupBy("subword").agg(sum(col("n")).as("freq"))
-          .orderBy(col("freq").desc, col("subword"))
-          .limit(VocabTopK)
-          .collect()
-          .map(r => (r.getString(0), r.getLong(1)))
-          .toSeq
-        (merges, vocab)
-      } finally release()
+        if (words.count() <= LocalVocabCap)
+          learnLocal(words.collect().map(r => (r.getString(0), r.getLong(1))))
+        else {
+          val (merges, fin) = learnDistributed(words)
+          val vocab = fin
+            .select(explode(split(trim(col("rep")), SymSep)).as("subword"), col("n"))
+            .groupBy("subword").agg(sum(col("n")).as("freq"))
+            .orderBy(col("freq").desc, col("subword"))
+            .limit(VocabTopK)
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1)))
+            .toSeq
+          (merges, vocab)
+        }
+      } finally { words.unpersist(); () }
     })
+
+  /** The driver-local rounds over a collected (rep, n) vocabulary —
+    * the same algorithm as [[learnDistributed]] statement for
+    * statement; see [[LocalVocabCap]] for why equality holds.
+    */
+  private[graft] def learnLocal(words0: Array[(String, Long)])
+      : (Seq[(Int, String, String, String, Long)], Seq[(String, Long)]) = {
+    var cur = words0
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var k = 0
+    var exhausted = false
+    while (k < BpeRounds && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      cur.foreach { case (rep, n) =>
+        val syms = rep.trim.split(SymSep)
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), n, (a, b) => a + b)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (p, c) =>
+          if (best == null || c > best._2 ||
+            (c == best._2 && (p._1 < best._1._1 ||
+              (p._1 == best._1._1 && p._2 < best._1._2)))) best = (p, c)
+        }
+        val ((a, b), c) = best
+        k += 1
+        merges += ((k, a, b, a + b, c))
+        cur = cur.map { case (rep, n) =>
+          (rep.replace(s" $a$SymSep$b ", s" $a$b "), n)
+        }
+      }
+    }
+    val freq = new java.util.HashMap[String, Long]()
+    cur.foreach { case (rep, n) =>
+      rep.trim.split(SymSep).foreach(sw => freq.merge(sw, n, (a, b) => a + b))
+    }
+    val vocab = scala.jdk.CollectionConverters.MapHasAsScala(freq).asScala.toSeq
+      .sortBy { case (sw, f) => (-f, sw) }.take(VocabTopK)
+    (merges.result(), vocab)
+  }
 
   /** Drop the session-scoped learner memo for `dir`. */
   def releaseLearnedCache(s: SparkSession, dir: String): Unit =
@@ -123,19 +192,22 @@ object Bpe {
   private[graft] def warmLearnedCache(s: SparkSession, dir: String): Unit =
     learned(s, dir)
 
-  /** Run the learner: the merge list plus the final (rep, n) vocab
-    * frame (still backed by the persisted base — call `release` after
-    * the last action on it).
+  /** The corpus word-count vocabulary as wrapped-symbol reps — the one
+    * corpus-sized pass of the learner (one map-side-combined shuffle).
     */
-  private def learn(s: SparkSession, dir: String)
-      : (Seq[(Int, String, String, String, Long)], DataFrame, () => Unit) = {
-    val words = Tables.documentsSpread(s, dir)
+  private def wordCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documentsSpread(s, dir)
       .select(explode(TextFunctions.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(
         concat(lit(" "), array_join(split(col("w"), ""), SymSep), lit(" ")).as("rep"),
         col("n"))
-      .persist()
+
+  /** Run the distributed rounds over the (already persisted) vocab
+    * frame: the merge list plus the final (rep, n) frame.
+    */
+  private def learnDistributed(words: DataFrame)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     var cur = words.select(col("rep"), col("n"))
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var k = 0
@@ -169,7 +241,7 @@ object Bpe {
           replace(col("rep"), lit(s" $a$SymSep$b "), lit(s" $a$b ")))
       }
     }
-    (merges.result(), cur, () => { words.unpersist(); () })
+    (merges.result(), cur)
   }
 
   /** Learned merges: (merge_rank, lhs, rhs, merged, freq) ordered by

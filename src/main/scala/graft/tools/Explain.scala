@@ -10,6 +10,10 @@ object Explain {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+          graft.ShuffleDefaults.BypassMergeThreshold)
+      .config("spark.sql.codegen.cache.maxEntries",
+          graft.ShuffleDefaults.CodegenCacheMaxEntries)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

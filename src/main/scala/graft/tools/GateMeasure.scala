@@ -13,6 +13,10 @@ object GateMeasure {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+          graft.ShuffleDefaults.BypassMergeThreshold)
+      .config("spark.sql.codegen.cache.maxEntries",
+          graft.ShuffleDefaults.CodegenCacheMaxEntries)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -15,6 +15,10 @@ object GraphSweep {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/testdata_sf1")
     val spark = SparkSession.builder().master("local[8]")
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+          graft.ShuffleDefaults.BypassMergeThreshold)
+      .config("spark.sql.codegen.cache.maxEntries",
+          graft.ShuffleDefaults.CodegenCacheMaxEntries)
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

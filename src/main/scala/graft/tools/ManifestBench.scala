@@ -22,6 +22,10 @@ object ManifestBench {
     val nAppends = if (args.length > 2) args(2).toInt else 24
     val withBloom = args.length > 3 && args(3) == "bloom"
     val s = SparkSession.builder()
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+          graft.ShuffleDefaults.BypassMergeThreshold)
+      .config("spark.sql.codegen.cache.maxEntries",
+          graft.ShuffleDefaults.CodegenCacheMaxEntries)
       .appName("graft-manifest-bench").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)

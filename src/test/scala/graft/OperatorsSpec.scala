@@ -1341,11 +1341,22 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     // (one hop per round); large-star/small-star must finish in a
     // handful — the round count IS the 100×-diameter scale claim
     val chain = (0L until 256L).map(i => (i, i + 1)).toDF("a", "b")
-    val (labels, rounds) = operators.Components.run(chain, "a", "b")
-    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.size === 257 && got.values.forall(_ == 0L),
-      "every chain node labels to the component minimum")
-    assert(rounds <= 10, s"diameter-256 chain took $rounds rounds (propagation: ~256)")
+    // force the distributed contraction (the r16 local union-find fast
+    // path would satisfy the labels without exercising the rounds bound)
+    val cap = operators.Components.LocalEdgeCap
+    operators.Components.LocalEdgeCap = 0L
+    try {
+      val (labels, rounds) = operators.Components.run(chain, "a", "b")
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size === 257 && got.values.forall(_ == 0L),
+        "every chain node labels to the component minimum")
+      assert(rounds <= 10, s"diameter-256 chain took $rounds rounds (propagation: ~256)")
+    } finally operators.Components.LocalEdgeCap = cap
+    // the local fast path (default cap) must label identically
+    val (local, lr) = operators.Components.run(chain, "a", "b")
+    assert(lr === -1, "256 edges must take the bounded local path")
+    val gotL = local.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotL.size === 257 && gotL.values.forall(_ == 0L))
   }
 
   test("star contraction equals local union-find on a mixed random graph") {
@@ -1358,8 +1369,17 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
       (for (i <- 200L until 210L; j <- i + 1 until 210L) yield (i, j)) ++ // clique
       (0 until 60).map(_ => { val a = rnd.nextInt(400).toLong
         val b = rnd.nextInt(400).toLong; (a, b) })).filter(p => p._1 != p._2)
-    val (labels, _) = operators.Components.run(edges.toDF("a", "b"), "a", "b")
-    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // distributed contraction AND the r16 local fast path must both
+    // match the union-find ground truth below
+    val capMx = operators.Components.LocalEdgeCap
+    operators.Components.LocalEdgeCap = 0L
+    val got = try {
+      val (labels, _) = operators.Components.run(edges.toDF("a", "b"), "a", "b")
+      labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    } finally operators.Components.LocalEdgeCap = capMx
+    val (labelsLocal, _) = operators.Components.run(edges.toDF("a", "b"), "a", "b")
+    val gotLocal = labelsLocal.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === gotLocal, "local fast path == distributed contraction")
     // local union-find reference
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = { val p = parent.getOrElse(x, x)
@@ -1380,8 +1400,11 @@ class PlanRegressionSpec extends org.scalatest.funsuite.AnyFunSuite {
     val joins = p.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
     assert(joins.isEmpty, s"expected checkpoint-truncated lineage, got:\n$p")
-    assert(p.toString.contains("LogicalRDD") || p.toString.contains("ExistingRDD"),
-      s"labels should derive from a checkpointed RDD:\n$p")
+    // distributed path: checkpointed RDD; r16 local fast path: a
+    // driver-built LocalRelation — either way no per-round lineage
+    assert(p.toString.contains("LogicalRDD") || p.toString.contains("ExistingRDD") ||
+      p.toString.contains("LocalRelation"),
+      s"labels should derive from a checkpointed RDD or local relation:\n$p")
   }
 }
 
@@ -2193,6 +2216,25 @@ class BpeSpec extends org.scalatest.funsuite.AnyFunSuite {
     val got = operators.Bpe.bpeMerges(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
     assert(got.toSeq === expect)
+  }
+
+  test("distributed learner rounds equal the local fast path (r16)") {
+    // the local path covers the default cap; force the distributed
+    // rounds on the same corpus and compare both learner outputs
+    val cap = operators.Bpe.LocalVocabCap
+    operators.Bpe.releaseLearnedCache(spark, sf)
+    operators.Bpe.LocalVocabCap = 0L
+    val (mDist, vDist) = try {
+      (operators.Bpe.bpeMerges(spark, sf).collect().map(_.toSeq).toSeq,
+        operators.Bpe.bpeVocab(spark, sf).collect().map(_.toSeq).toSeq)
+    } finally {
+      operators.Bpe.LocalVocabCap = cap
+      operators.Bpe.releaseLearnedCache(spark, sf)
+    }
+    val mLocal = operators.Bpe.bpeMerges(spark, sf).collect().map(_.toSeq).toSeq
+    val vLocal = operators.Bpe.bpeVocab(spark, sf).collect().map(_.toSeq).toSeq
+    assert(mDist === mLocal, "merge list: distributed != local")
+    assert(vDist === vLocal, "vocab: distributed != local")
   }
 
   test("induced vocabulary equals the reference segmentation") {

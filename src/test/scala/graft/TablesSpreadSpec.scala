@@ -41,12 +41,28 @@ class TablesSpreadSpec extends AnyFunSuite {
     val p = spread.queryExecution.executedPlan.toString
     assert(p.contains("Exchange RoundRobinPartitioning"),
       s"narrow layout must spread:\n$p")
-    // and actually lands rows on every partition
+    // width is INPUT-DERIVED (r16 opt): ⌈rows/SpreadRowsPerTask⌉
+    // clamped to [2, cores] — a 1000-row corpus spreads to 2 tasks,
+    // never to every core (each cold codegen task costs a measured
+    // ~0.5-1 cpu-s of JIT warmup; see Tables.SpreadRowsPerTask)
     val par = spark.sparkContext.defaultParallelism
+    val want = math.max(2L, math.min(par.toLong,
+      (1000 + Tables.SpreadRowsPerTask - 1) / Tables.SpreadRowsPerTask)).toInt
+    val counts = spread.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(counts.count(_ > 0) === want,
+      s"spread must fill exactly $want partitions: ${counts.toSeq}")
+    assert(spread.count() === docs.count())
+  }
+
+  test("spread width scales with row count and clamps at the core count") {
+    val par = spark.sparkContext.defaultParallelism
+    // enough rows that ⌈rows/SpreadRowsPerTask⌉ exceeds the core count
+    val rows = (Tables.SpreadRowsPerTask * (par + 2)).toInt
+    val dir = writeDocs(rows = rows, rowGroupRows = rows)
+    val spread = Tables.documentsSpread(spark, dir)
     val counts = spread.rdd.mapPartitions(it => Iterator(it.size)).collect()
     assert(counts.count(_ > 0) === par,
-      s"spread must fill all $par partitions: ${counts.toSeq}")
-    assert(spread.count() === docs.count())
+      s"large narrow corpus must fill all $par cores: ${counts.toSeq}")
   }
 
   test("wide layout (row groups >= cores/2) is identity — no corpus shuffle") {
