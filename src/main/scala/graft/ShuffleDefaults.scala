@@ -1,37 +1,44 @@
 package graft
 
 /** Session-level performance defaults shared by every graft entry
-  * point (Bench, Verify, tools, tests). Two knobs, both measured on
-  * the r16 optimization pass; neither changes any query's rows.
+  * point (Bench, Verify, tools, tests). Both knobs are sys-prop
+  * overridable for A/B work; neither changes any query's rows.
   *
-  * == Shuffle writer ==
-  * Spark picks [[org.apache.spark.shuffle.sort.BypassMergeSortShuffleWriter]]
-  * for any map-side-agg-free exchange with reduce count ≤
-  * `spark.shuffle.sort.bypassMergeThreshold` (default 200): each map
-  * task opens ONE TEMP FILE PER REDUCER and merges them afterwards —
-  * M × R file creates per exchange. On filesystems where file
-  * create/stat syscalls are expensive (containerized overlay mounts —
-  * this sandbox measures ~1 ms per create), that is the dominant cost
-  * of every small shuffle: the r16 narrow-layout spread added one
-  * such exchange per corpus consumer and the sf0.1 bench cpu rose
-  * 385 → 3815 s with the burn pinned in
-  * `DiskBlockManager.createTempShuffleBlock` (jstack). With the
-  * threshold at 0 the serialized sort writer runs instead: exactly one
-  * data + one index file per map task at ANY reduce count (measured:
-  * q_char_entropy 12.5 → 1.4 cpu-s at identical plans and results).
-  * On a real cluster corpus shuffles have reduce counts ≫ 200, so
-  * bypass never engaged there anyway — this only changes the small-R
-  * regime, where the per-file syscalls are pure overhead.
+  * == Shuffle writer (`spark.shuffle.sort.bypassMergeThreshold`) ==
+  * Two regimes were measured on this sandbox's syscall-expensive
+  * filesystem (r16 optimization pass, full A/B in OPTIMIZATION_r16.md):
   *
-  * == Codegen cache ==
-  * `spark.sql.codegen.cache.maxEntries` defaults to 100 compiled
-  * classes; a 186-query catalog plus AQE's per-stage replans churns
-  * that LRU and re-Janino-compiles identical sources all run long
-  * (the sampled sf0.1 bench spent ~40 % of busy executor samples in
-  * `CodeGenerator.compile`). 8192 entries hold the whole catalog's
-  * generated classes for the life of the session (a few KB each).
+  *  - SMALL shuffles: the bypass writer's one-temp-file-per-reducer-
+  *    per-map-task (M × R creates at ~1 ms each) dominates — it was
+  *    the single biggest cost of the round-start regression, but only
+  *    because the always-32-wide narrow-layout spread had inflated M
+  *    on every small exchange. With the input-derived spread width
+  *    (Tables.SpreadRowsPerTask) M is small again and the file cost
+  *    is bounded.
+  *  - LARGE shuffles (the sf1 dedup family): forcing the serialized
+  *    sort writer (threshold 0) cost +25 % wall / +90 % cpu / 3× gc
+  *    on shared_dedup_pairs and 3.5× on q_dedup_containment — page
+  *    buffering, radix sort and spill merges that the bypass writer's
+  *    straight per-reducer streams never pay.
+  *
+  * Full-bench A/B at the final tree (sf0.1, 32 cores): threshold 0 →
+  * 230.5 s / 384 cpu-s; Spark's default 200 → 210.7 s / 505 cpu-s,
+  * and sf1 strictly better. The default stays at Spark's 200 — set
+  * explicitly so the measured decision is visible and overridable
+  * (`-Dgraft.shuffle.bypassThreshold=`). On a real cluster corpus
+  * shuffles have R ≫ 200, so the sort writer engages there either way.
+  *
+  * == Codegen cache (`spark.sql.codegen.cache.maxEntries`) ==
+  * Defaults to 100 compiled classes; a 186-query catalog plus AQE's
+  * per-stage replans churns that LRU and re-Janino-compiles identical
+  * sources all run (~40 % of busy executor samples sat in
+  * `CodeGenerator.compile` on the round-start bench). 8192 entries
+  * hold the whole catalog's generated classes for the session
+  * (measured: q_recall_report sf1 cpu 380 → 102 s).
   */
 object ShuffleDefaults {
-  val BypassMergeThreshold = "0"
-  val CodegenCacheMaxEntries = "8192"
+  def BypassMergeThreshold: String =
+    sys.props.getOrElse("graft.shuffle.bypassThreshold", "200")
+  def CodegenCacheMaxEntries: String =
+    sys.props.getOrElse("graft.codegen.cacheEntries", "8192")
 }

@@ -120,12 +120,41 @@ object Tables {
       path: String): DataFrame = {
     val par = s.sparkContext.defaultParallelism
     val (groups, rows) = layout(s, path)
-    if (groups >= math.max(2, par / 2)) df
-    else {
-      val width = math.max(2L, math.min(par.toLong,
-        (rows + SpreadRowsPerTask - 1) / SpreadRowsPerTask)).toInt
-      df.repartition(width)
-    }
+    val width = math.min(par.toLong,
+      (rows + SpreadRowsPerTask - 1) / SpreadRowsPerTask).toInt
+    // a 2-way split saves at most half of an already-small cost while
+    // charging every consumer an exchange + a stage boundary (and the
+    // cold-codegen tax per task) — spread only when at least 3 tasks'
+    // worth of rows exist (sf0.1 A/B: the embeddings-consumer ANN
+    // family ran 0.6-1.2 s slower per query under a width-2 spread of
+    // 2000 vectors, with no cpu to parallelize in the first place)
+    if (groups >= math.max(2, par / 2) || width < 3) df
+    else df.repartition(width)
+  }
+
+  /** Centroid-dot-products per task for the ASSIGNMENT spread: a
+    * closure/argmin assignment pass costs rows × centroids dot
+    * products, so its useful width follows the WORK, not the row
+    * count (2000 vectors × a 2000-node routing graph is 4M cent-dots
+    * — q_ann_hnsw_indexed measured 11.6 s wall ≈ cpu on one task —
+    * while 2000 vectors × 45 IVF cells is trivial). ~0.5M cent-dots
+    * ≈ 0.3 s of compiled work per task.
+    */
+  private[graft] val CentDotsPerTask = 1L << 19
+
+  /** Work-aware spread for centroid-assignment passes over the
+    * embeddings: width = ⌈rows · cents / CentDotsPerTask⌉ clamped to
+    * [1, cores]; identity when the layout is already wide or the work
+    * fits one task.
+    */
+  private[graft] def embeddingsAssignSpread(s: SparkSession, df: DataFrame,
+      dir: String, cents: Int): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val (groups, rows) = layout(s, p(dir, "embeddings"))
+    if (groups >= math.max(2, par / 2)) return df
+    val width = math.min(par.toLong,
+      (rows * math.max(1, cents) + CentDotsPerTask - 1) / CentDotsPerTask).toInt
+    if (width < 2) df else df.repartition(width)
   }
 
   /** Total parquet row-group count under `path` (a single file or a

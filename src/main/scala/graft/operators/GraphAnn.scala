@@ -227,8 +227,20 @@ object GraphAnn {
   private[graft] def annHnswBucketedTopK(s: SparkSession, dir: String): DataFrame = {
     val g = bucketedGraph(s, dir)
     rerank(probeFrame(s, dir, g, BucketedProbeNodes),
-      assignedFrame(Similarity.normed(s, dir), g))
+      assignedFrame(assignInput(s, dir, g), g))
   }
+
+  /** The corpus side of a closure assignment, spread by WORK (rows ×
+    * node count — the r16 work-aware rule; see
+    * [[graft.Tables.embeddingsAssignSpread]]): below the node cap every
+    * vector is its own routing node, so the per-row cost is n cent-dots
+    * and a narrow layout serializes a quadratic pass onto one task
+    * (q_ann_hnsw_indexed measured 11.6 s wall ≈ cpu at sf0.1).
+    */
+  private def assignInput(s: SparkSession, dir: String,
+                          g: Graph): DataFrame =
+    graft.Tables.embeddingsAssignSpread(s, Similarity.normed(s, dir), dir,
+      g.ids.length)
 
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     ArrayOps.dotF(a, b)
@@ -242,7 +254,7 @@ object GraphAnn {
     */
   def annHnswTopK(s: SparkSession, dir: String): DataFrame = {
     val g = graph(s, dir)
-    rerank(probeFrame(s, dir, g), assignedFrame(Similarity.normed(s, dir), g))
+    rerank(probeFrame(s, dir, g), assignedFrame(assignInput(s, dir, g), g))
   }
 
   /** Driver-local routing for the bounded query batch: beam search per

@@ -61,8 +61,12 @@ object GraphIndex {
     FixtureCleanup.onExit(root)
     if (ScopedFixture.isComplete(root)) return root
     val g = GraphAnn.graph(s, dir)
+    // work-aware spread (rows × nodes): the closure assignment is the
+    // build's dominant compute and a narrow layout serializes it
     writePostings(
-      GraphAnn.assignedFrame(Similarity.normed(s, dir).filter(pred), g),
+      GraphAnn.assignedFrame(
+        graft.Tables.embeddingsAssignSpread(s,
+          Similarity.normed(s, dir).filter(pred), dir, g.ids.length), g),
       root, "overwrite")
     import s.implicits._
     Seq((g.ids.toSeq, g.vecs.map(_.toSeq).toSeq, g.norms.toSeq,

@@ -34,7 +34,8 @@ class TablesSpreadSpec extends AnyFunSuite {
   }
 
   test("single-row-group layout spreads even when the scan PLANS many splits") {
-    val dir = writeDocs(rows = 1000, rowGroupRows = 1000)
+    val rows = (Tables.SpreadRowsPerTask * 3).toInt
+    val dir = writeDocs(rows = rows, rowGroupRows = rows)
     val docs = Tables.documents(spark, dir)
     val spread = Tables.documentsSpread(spark, dir)
     // the spread frame plans a round-robin exchange above the scan
@@ -42,16 +43,25 @@ class TablesSpreadSpec extends AnyFunSuite {
     assert(p.contains("Exchange RoundRobinPartitioning"),
       s"narrow layout must spread:\n$p")
     // width is INPUT-DERIVED (r16 opt): ⌈rows/SpreadRowsPerTask⌉
-    // clamped to [2, cores] — a 1000-row corpus spreads to 2 tasks,
-    // never to every core (each cold codegen task costs a measured
-    // ~0.5-1 cpu-s of JIT warmup; see Tables.SpreadRowsPerTask)
+    // clamped to the core count — never every core for a small corpus
+    // (each cold codegen task costs a measured ~0.5-1 cpu-s of JIT
+    // warmup; see Tables.SpreadRowsPerTask)
     val par = spark.sparkContext.defaultParallelism
-    val want = math.max(2L, math.min(par.toLong,
-      (1000 + Tables.SpreadRowsPerTask - 1) / Tables.SpreadRowsPerTask)).toInt
+    val want = math.min(par.toLong,
+      (rows + Tables.SpreadRowsPerTask - 1) / Tables.SpreadRowsPerTask).toInt
     val counts = spread.rdd.mapPartitions(it => Iterator(it.size)).collect()
     assert(counts.count(_ > 0) === want,
       s"spread must fill exactly $want partitions: ${counts.toSeq}")
     assert(spread.count() === docs.count())
+  }
+
+  test("sub-3-task row counts never spread (exchange not worth a 2-way split)") {
+    val rows = (Tables.SpreadRowsPerTask * 2).toInt // width 2 < 3
+    val dir = writeDocs(rows = rows, rowGroupRows = rows)
+    val spread = Tables.documentsSpread(spark, dir)
+    val p = spread.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"a width-2 spread must be skipped:\n$p")
   }
 
   test("spread width scales with row count and clamps at the core count") {
