@@ -103,6 +103,15 @@ object Similarity {
     val B = DupBlocks
     val tiles = (for { i <- 0 until B; j <- i until B } yield (i * B + j, i, j))
       .toDF("tile", "t_blk_a", "t_blk_b")
+    // pin the tile exchanges (the coocPairs convention): the sides are
+    // SMALL IN BYTES (vectors × tile replicas), so AQE's byte-sized
+    // advisory would legally coalesce the pair join to one task — but
+    // the join FANS OUT quadratically (every in-tile pair gets a
+    // 64-dim dot product + both-orientation explode above it), so
+    // per-task cost scales with pairs, not input bytes (sf0.1
+    // measured q_knn_label_acc at wall ≈ cpu ≈ 4.5 s on one core;
+    // pinned, the same work rides every core)
+    val n = base.sparkSession.sessionState.conf.numShufflePartitions
     def side(sfx: String, blkCol: String) =
       base.select(Seq(col("vec_id").as(s"vec_$sfx"), col("e").as(s"e_$sfx"),
           col("nrm").as(s"n_$sfx")) ++
@@ -110,6 +119,7 @@ object Similarity {
         pmod(col("vec_id"), lit(B)).cast("int").as(blkCol): _*)
         .join(broadcast(tiles), blkCol)
         .drop("t_blk_a", "t_blk_b")
+        .repartition(n, col("tile"))
     side("a", "t_blk_a").join(side("b", "t_blk_b"), Seq("tile"))
       .filter(pmod(col("vec_a"), lit(B)) < pmod(col("vec_b"), lit(B)) ||
         col("vec_a") < col("vec_b"))
