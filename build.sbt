@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Keep forked suites SEQUENTIAL (sbt's default for forked JVMs, pinned
+// here deliberately): several specs flip mutable path-selection seams
+// (Bpe.LocalVocabCap, Components.LocalEdgeCap, Dedup.HotBandBucketCap)
+// inside try/finally windows — a concurrently running suite would
+// nondeterministically take the other path during the window (results
+// identical on both paths, but any path-specific assertion would flake).
+Test / testForkedParallel := false
 run / fork := true
 // Forked run output must reach stdout UNPREFIXED: sbt's default
 // LoggedOutput wraps every line in "[info] ", which breaks the

@@ -163,14 +163,39 @@ object Bench {
     */
   private[graft] val LoadGate = 2.0
 
+  /** Hard cap on the wait-for-idle loop below (ms). A 1-min load
+    * average decays by ~half per idle minute, so three minutes is
+    * enough for a finished contender's tail to clear the gate; a
+    * contender still RUNNING at the cap won't clear it no matter how
+    * long we wait — proceed flagged (the r16 lesson: BENCH_r16 started
+    * timing straight into a load-4 window and the round's real ~0.72×
+    * read as a 2× regression; the capture must still always produce a
+    * line, so the gate waits bounded and then marks, never refuses).
+    */
+  private[graft] val WaitIdleCapMs = 180000L
+
   def main(args: Array[String]): Unit = {
     // AMBIENT load, sampled before the JVM/codegen warmup saturates
     // the cores: the gate must measure the machine we arrived on, not
     // our own warmup (a 32-thread warmup alone lifts the 1-min
     // average past 2 — measured 2.4 on a 0.05-idle box, which made
     // the gate flag every capture including truly idle ones)
-    val gateLoad = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    val osBean0 = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val entryLoad = osBean0.getSystemLoadAverage
+    // Bounded wait-for-idle (r17): if we arrived on a loaded machine,
+    // poll the ambient 1-min average until it clears [[LoadGate]] or
+    // [[WaitIdleCapMs]] elapses — BEFORE the session/warmup work, so
+    // the wait costs nothing but wall time. gateLoad is the load the
+    // TIMED run actually started into; waitedSec records the pause
+    // (both land in bench_detail.json, "wt" on the line).
+    var gateLoad = entryLoad
+    val waitT0 = System.nanoTime()
+    while (gateLoad > LoadGate &&
+        (System.nanoTime() - waitT0) < WaitIdleCapMs * 1000000L) {
+      Thread.sleep(5000)
+      gateLoad = osBean0.getSystemLoadAverage
+    }
+    val waitedSec = (System.nanoTime() - waitT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -336,13 +361,15 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     val line = s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec","queries":$qs,""" +
       s""""nq":${queryResults.size},"nfail":${fails.size},"cpu":${fmt(1)(cpuTotal)},""" +
-      s""""ld":[${fmt(2)(gateLoad)},${fmt(2)(load1)}],"ctm":${if (contaminated) 1 else 0},"sf":"$sfName"}"""
+      s""""ld":[${fmt(2)(gateLoad)},${fmt(2)(load1)}],"ctm":${if (contaminated) 1 else 0},""" +
+      s""""wt":${waitedSec.round},"sf":"$sfName"}"""
     // Full-name per-query wall+cpu record for contention forensics —
     // not budget-bound, so keep full precision here.
     val detail = results.map { case (k, v, c, g, rb) =>
       s"""  "$k": {"sec": ${f"$v%.3f"}, "cpu": ${f"$c%.3f"}, "gc": ${f"$g%.2f"}, "readMB": ${f"${rb / 1048576.0}%.1f"}}"""
     }.mkString(
-      s"""{\n "sf": "$sfName", "cpus": $cpus, "load": [$gateLoad, $load1], "contaminated": $contaminated,\n "queries": {\n""",
+      s"""{\n "sf": "$sfName", "cpus": $cpus, "load": [$gateLoad, $load1], "contaminated": $contaminated,""" +
+      s""" "entry_load": $entryLoad, "wait_sec": ${f"$waitedSec%.1f"},\n "queries": {\n""",
       ",\n", "\n }\n}\n")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))

@@ -145,13 +145,18 @@ object Tables {
   /** Work-aware spread for centroid-assignment passes over the
     * embeddings: width = ⌈rows · cents / CentDotsPerTask⌉ clamped to
     * [1, cores]; identity when the layout is already wide or the work
-    * fits one task.
+    * fits one task. `rowsOverride` lets a caller passing a FILTERED
+    * frame (the scoped-fixture index builds) size the spread from the
+    * filtered cardinality instead of the full table's footer count —
+    * the overestimate scheduled near-empty tasks that each pay the
+    * cold-codegen tax the spread exists to avoid (r16 ADVICE).
     */
   private[graft] def embeddingsAssignSpread(s: SparkSession, df: DataFrame,
-      dir: String, cents: Int): DataFrame = {
+      dir: String, cents: Int, rowsOverride: Option[Long] = None): DataFrame = {
     val par = s.sparkContext.defaultParallelism
-    val (groups, rows) = layout(s, p(dir, "embeddings"))
+    val (groups, tableRows) = layout(s, p(dir, "embeddings"))
     if (groups >= math.max(2, par / 2)) return df
+    val rows = rowsOverride.getOrElse(tableRows)
     val width = math.min(par.toLong,
       (rows * math.max(1, cents) + CentDotsPerTask - 1) / CentDotsPerTask).toInt
     if (width < 2) df else df.repartition(width)

@@ -70,8 +70,22 @@ object Components {
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     // count() on the just-materialized checkpoint is metadata-cheap;
-    // the cap guarantees the collect below is driver-bounded
-    if (e.count() <= LocalEdgeCap) return (localLabels(nodes, e), -1)
+    // the caps guarantee the collects below are driver-bounded. BOTH
+    // counts gate: self-pairs (u == v) are filtered out of `e` but
+    // their endpoints stay in `nodes`, so an all-reflexive corpus has
+    // e.count() == 0 with a corpus-sized node set (r16 ADVICE). The
+    // fast path also requires INTEGRAL ids — localLabels folds through
+    // Long, which would truncate fractional ids (silently merging
+    // distinct nodes) and ClassCastException on strings; the
+    // distributed contraction handles any orderable type.
+    val integralIds = nodes.schema("doc_id").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (integralIds && e.count() <= LocalEdgeCap &&
+        nodes.count() <= 2 * LocalEdgeCap)
+      return (localLabels(nodes, e), -1)
     var rounds = 0
     // Terminate on the star-forest PROPERTY itself (every head has
     // exactly one edge; no head is also a tail), not on set equality of

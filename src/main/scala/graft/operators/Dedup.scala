@@ -291,7 +291,7 @@ object Dedup {
     *
     * Plan shape — GROUP-AND-ENUMERATE, deliberately not a self-join:
     * each row explodes its cell copies (as x the cells (salt,
-    * j ≥ salt), as y the cells (i ≤ salt, salt), derived
+    * j ≥ salt), as y the cells (i < salt, salt), derived
     * arithmetically from ONE exploded index — no lambda HOFs), the
     * cells aggregate each role into a bounded array behind ONE pinned
     * exchange, and two codegen'd explodes enumerate the x × y cross
@@ -303,16 +303,26 @@ object Dedup {
     * frame. With the single-lineage shape the signature pass runs
     * once, plus the 1-in-[[HotDetectSampleMod]] detection pass.
     *
+    * The DIAGONAL cell (salt, salt) needs both roles of the same
+    * slice, but shipping an x-copy AND a y-copy per row doubled the
+    * exchange for cold buckets — the overwhelmingly common case,
+    * where nslice = 1 and the diagonal is the only cell (measured
+    * ~10% of shared_dedup_pairs, r16). Instead each row ships exactly
+    * `nslice` copies (x-role for cells (salt, j ≥ salt), y-role for
+    * (i < salt, salt)) and the enumeration reads the diagonal cell's
+    * y-side from its OWN x-array — a cold row crosses the pinned
+    * exchange once, like the plain join it degenerates to.
+    *
     * The emitted pair set is EXACTLY the plain bucket self-join's: in
     * a cell i < j the x-array (slice i) and y-array (slice j) are
     * disjoint, so every cross pair emits once (ordered via
-    * least/greatest, payloads swapped alongside); i == j keeps the
-    * doc_x < doc_y guard; a pair's two salt slices (u, v) meet in
-    * exactly the one cell (min(u,v), max(u,v)). The per-cell arrays
-    * are bounded by the salt geometry (≈ cap rows per role), so the
-    * collect_list state is bounded by construction — the exchange is
-    * pinned (see coocPairs) because the enumeration fans out
-    * quadratically from byte-tiny grouped input.
+    * least/greatest, payloads swapped alongside); i == j enumerates
+    * xs × xs under the doc_x < doc_y guard; a pair's two salt slices
+    * (u, v) meet in exactly the one cell (min(u,v), max(u,v)). The
+    * per-cell arrays are bounded by the salt geometry (≈ cap rows per
+    * role), so the collect_list state is bounded by construction —
+    * the exchange is pinned (see coocPairs) because the enumeration
+    * fans out quadratically from byte-tiny grouped input.
     */
   private[graft] def saltedBandSelfJoin(s: SparkSession, banded0: DataFrame,
                                         keyCol: String,
@@ -330,17 +340,20 @@ object Dedup {
         ceil(coalesce(col("est"), lit(0L)).cast("double") /
           lit(HotBandBucketCap.toDouble))).cast("int"))
       .withColumn("salt", pmod(hash(col("doc_id")), col("nslice")))
-    // one exploded index k ∈ [0, nslice] covers both roles:
-    // k < nslice−salt ⇒ x-copy in cell (salt, salt+k); else y-copy in
-    // cell (k−(nslice−salt), salt). Both ranges ascend by construction
-    // (salt < nslice) — the descending-sequence trap can't fire.
+    // one exploded index k ∈ [0, nslice−1] covers both roles:
+    // k < nslice−salt ⇒ x-copy in cell (salt, salt+k) (k = 0 is the
+    // diagonal — no separate y-copy; the enumeration reads the
+    // diagonal's y-side from xs); else y-copy in cell
+    // (k−(nslice−salt), salt), i ∈ [0, salt−1]. Both ranges ascend by
+    // construction (salt < nslice) — the descending-sequence trap
+    // can't fire, and nslice ≥ 1 keeps the sequence non-empty.
     val nx = col("nslice") - col("salt") // x-copies per row
     val isX = col("k") < nx
     val rowStruct = struct(col("doc_id").as("d") +: pay.map(col): _*)
     val cells = sized
       .select(Seq(col("band_id"), col(keyCol), col("doc_id"), col("nslice"),
         col("salt")) ++ pay.map(col) :+
-        explode(sequence(lit(0), col("nslice"))).as("k"): _*)
+        explode(sequence(lit(0), col("nslice") - 1)).as("k"): _*)
       .select(col("band_id"), col(keyCol),
         when(isX, col("salt")).otherwise(col("k") - nx).as("ci"),
         when(isX, col("salt") + col("k")).otherwise(col("salt")).as("cj"),
@@ -351,7 +364,9 @@ object Dedup {
     val xd = col("xe.d")
     val yd = col("ye.d")
     cells
-      .select(col("ci"), col("cj"), col("ys"), explode(col("xs")).as("xe"))
+      .select(col("ci"), col("cj"),
+        when(col("ci") === col("cj"), col("xs")).otherwise(col("ys")).as("ys"),
+        explode(col("xs")).as("xe"))
       .select(col("ci"), col("cj"), col("xe"), explode(col("ys")).as("ye"))
       .filter(when(col("ci") === col("cj"), xd < yd).otherwise(xd =!= yd))
       .select(Seq(least(xd, yd).as("doc_a"), greatest(xd, yd).as("doc_b")) ++

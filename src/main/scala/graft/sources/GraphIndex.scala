@@ -62,11 +62,18 @@ object GraphIndex {
     if (ScopedFixture.isComplete(root)) return root
     val g = GraphAnn.graph(s, dir)
     // work-aware spread (rows × nodes): the closure assignment is the
-    // build's dominant compute and a narrow layout serializes it
+    // build's dominant compute and a narrow layout serializes it.
+    // A scoped build (real predicate) sizes the spread from the
+    // FILTERED cardinality — one bounded count() on a one-time build
+    // (the isComplete guard above); the full build (pred = lit(true),
+    // Column.toString "true") keeps the zero-job footer path.
+    val filtered = Similarity.normed(s, dir).filter(pred)
+    val rowsOverride =
+      if (pred.toString == "true") None else Some(filtered.count())
     writePostings(
       GraphAnn.assignedFrame(
-        graft.Tables.embeddingsAssignSpread(s,
-          Similarity.normed(s, dir).filter(pred), dir, g.ids.length), g),
+        graft.Tables.embeddingsAssignSpread(s, filtered, dir, g.ids.length,
+          rowsOverride), g),
       root, "overwrite")
     import s.implicits._
     Seq((g.ids.toSeq, g.vecs.map(_.toSeq).toSeq, g.norms.toSeq,

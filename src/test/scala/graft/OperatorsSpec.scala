@@ -1436,7 +1436,7 @@ class BenchLineSpec extends org.scalatest.funsuite.AnyFunSuite {
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":99999.99,"unit":"sec","queries":$qs,""" +
       s""""nq":${SparkEntry.queries.size},"nfail":${SparkEntry.queries.size},""" +
-      s""""cpu":99999.9,"ld":[99.99,99.99],"ctm":1,"sf":"sf0.1"}"""
+      s""""cpu":99999.9,"ld":[99.99,99.99],"ctm":1,"wt":999,"sf":"sf0.1"}"""
     assert(line.length < 1500,
       s"bench line worst case ${line.length} chars — the driver tail window is ~2000")
     // and the budget no longer grows with the catalog: the headroom at
