@@ -15,17 +15,18 @@ import graft.operators.{GraphAnn, Similarity}
   * Layout under the index root:
   *   postings/   parquet (node, neighbor_id, e_c, n_c), written
   *               `partitionBy("nshard")` with nshard = node mod
-  *               [[NodeShards]] — a query's beam-routed node set
-  *               prunes to its SHARDS' files at the scan
+  *               [[shardsFor]](graph nodes) — a query's beam-routed
+  *               node set prunes to its SHARDS' files at the scan
   *               (PartitionFilters; `node` itself stays a data column
   *               for the in-shard filter). Sharding bounds the
-  *               directory fan-out at [[NodeShards]] regardless of
-  *               node count: one-dir-per-node measured 20 s of
-  *               2000-directory write overhead at sf0.1 where the
-  *               sharded layout costs ~2 s, and a routed query still
-  *               reads ≤ probes/shards ≈ 12% of the table (raise
-  *               NodeShards to trade scan fraction against fan-out
-  *               at larger deployments)
+  *               directory fan-out regardless of node count:
+  *               one-dir-per-node measured 20 s of 2000-directory
+  *               write overhead at sf0.1 where the sharded layout
+  *               costs ~1-3 s; the shard count itself scales with the
+  *               graph (see [[shardsFor]]) so a small corpus's tiny
+  *               posting set doesn't pay 256 dir creates, while any
+  *               at-cap graph keeps 256 and a routed query reads
+  *               ≤ probes/shards ≈ 12% of the table
   *   meta/       1-row parquet sidecar: the NSW routing graph (node
   *               ids, vectors, norms, adjacency) — bounded metadata,
   *               ≤ 2 MB at the 8192-node cap
@@ -40,8 +41,24 @@ import graft.operators.{GraphAnn, Similarity}
   */
 object GraphIndex {
 
-  /** Posting shard count — bounds partition-directory fan-out. */
+  /** Posting shard-count CAP — bounds partition-directory fan-out. */
   val NodeShards = 256
+
+  /** Artifact shard count, derived from the FROZEN routing graph's
+    * node count: ~32 routing nodes per shard dir, floored at 16,
+    * capped at [[NodeShards]]. Append-stable and recomputable at read
+    * time from the sidecar graph — no extra artifact metadata. Why
+    * adaptive (r17, guide §6 small-files): each shard dir costs
+    * ~10 ms to create+commit on this FS (measured via AhxTime: 256
+    * dirs = 3.2-3.7 s vs 64 dirs = 1.3 s for the same sf0.1 posting
+    * set, whose 256-way files are ~20 KB each), while the read-side
+    * pruning benefit scales with the posting BYTES — a small graph's
+    * postings are small, so it takes fewer, larger shards. Any graph
+    * at the 8192-node training cap (every at-scale corpus) keeps the
+    * full 256 — the 100 TB pruning contract is unchanged.
+    */
+  def shardsFor(nNodes: Int): Int =
+    math.min(NodeShards, math.max(16, (nNodes + 31) / 32))
 
   def indexRoot(s: SparkSession, dir: String): String =
     ScopedFixture.root(s, "graft_graphindex", dir)
@@ -74,7 +91,7 @@ object GraphIndex {
       GraphAnn.assignedFrame(
         graft.Tables.embeddingsAssignSpread(s, filtered, dir, g.ids.length,
           rowsOverride), g),
-      root, "overwrite")
+      root, "overwrite", shardsFor(g.ids.length))
     import s.implicits._
     Seq((g.ids.toSeq, g.vecs.map(_.toSeq).toSeq, g.norms.toSeq,
         g.nbrs.map(_.toSeq).toSeq))
@@ -85,10 +102,10 @@ object GraphIndex {
   }
 
   private def writePostings(assigned: DataFrame, root: String,
-                            mode: String): Unit = {
+                            mode: String, shards: Int): Unit = {
     val s = assigned.sparkSession
     val sharded = assigned
-      .withColumn("nshard", pmod(col("node"), lit(NodeShards)).cast("int"))
+      .withColumn("nshard", pmod(col("node"), lit(shards)).cast("int"))
     if (assigned.isEmpty) {
       // the PqIndex empty-layout convention: zero-row partitionBy
       // writes emit no files and brick the next read's schema
@@ -118,8 +135,11 @@ object GraphIndex {
     if (IndexMaintenance.tombstonesOverlap(s, root, "neighbor_id",
         batchNormed.select(col("vec_id").as("neighbor_id"))))
       compact(s, root)
-    writePostings(GraphAnn.assignedFrame(batchNormed, sidecarGraph(s, root)),
-      root, "append")
+    // the artifact's shard count is a pure function of its FROZEN
+    // sidecar graph, so append lands in the same shard layout
+    val g = sidecarGraph(s, root)
+    writePostings(GraphAnn.assignedFrame(batchNormed, g),
+      root, "append", shardsFor(g.ids.length))
   }
 
   /** Tombstone delete (all Rep posting copies drop via the anti-join). */
@@ -200,7 +220,8 @@ object GraphIndex {
     // union of every query's routed nodes, pushed as an isin partition
     // filter — plan-time file pruning over the node directories
     val routed = qProbes.select("node").collect().map(_.getInt(0)).distinct
-    val shards = routed.map(n => math.floorMod(n, NodeShards)).distinct
+    val nShards = shardsFor(g.ids.length)
+    val shards = routed.map(n => math.floorMod(n, nShards)).distinct
     val pruned = postingsAll
       .filter(col("nshard").isin(shards.toIndexedSeq: _*))
       .filter(col("node").isin(routed.toIndexedSeq: _*))

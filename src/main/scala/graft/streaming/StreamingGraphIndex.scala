@@ -49,7 +49,8 @@ class StreamingGraphIndex(dir: String, root: String) extends Serializable {
     // posts against, so counter rows == appended posting rows exactly
     val g = GraphIndex.sidecarGraph(s, root)
     val counts = GraphAnn.assignedFrame(batch, g)
-      .select(pmod(col("node"), lit(GraphIndex.NodeShards)).cast("int").as("nshard"))
+      .select(pmod(col("node"),
+        lit(GraphIndex.shardsFor(g.ids.length))).cast("int").as("nshard"))
       .groupBy("nshard").agg(count(lit(1)).as("cnt")).collect()
     this.synchronized {
       counts.foreach { r =>

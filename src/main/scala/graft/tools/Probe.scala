@@ -72,6 +72,12 @@ object Probe {
       spark.stop()
       return
     }
+    // PROBE_SPLIT=1: decompose each rep into frame construction
+    // (Memo lookups + plan building), plan resolution (Catalyst
+    // analysis + optimization + physical planning, via executedPlan),
+    // and execution (noop write incl. AQE stage scheduling + any
+    // remaining codegen) — the per-query fixed-tail forensics mode.
+    val split = sys.env.get("PROBE_SPLIT").contains("1")
     names.foreach { name =>
       (1 to reps).foreach { i =>
         drain()
@@ -79,6 +85,16 @@ object Probe {
         try {
           shared.get(name) match {
             case Some(fn) => fn(spark, dir)
+            case None if split =>
+              val tc0 = System.nanoTime()
+              val df = graft.SparkEntry.queries(name)(spark, dir)
+              val tc1 = System.nanoTime()
+              df.queryExecution.executedPlan
+              val tc2 = System.nanoTime()
+              df.write.format("noop").mode("overwrite").save()
+              val tc3 = System.nanoTime()
+              println(f"[split] $name rep$i construct=${(tc1 - tc0) / 1e9}%.3f " +
+                f"plan=${(tc2 - tc1) / 1e9}%.3f exec=${(tc3 - tc2) / 1e9}%.3f")
             case None =>
               graft.SparkEntry.queries(name)(spark, dir)
                 .write.format("noop").mode("overwrite").save()
