@@ -198,11 +198,7 @@ object Bench {
     val waitedSec = (System.nanoTime() - waitT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .config("spark.shuffle.sort.bypassMergeThreshold",
-          graft.ShuffleDefaults.BypassMergeThreshold)
-      .config("spark.sql.codegen.cache.maxEntries",
-          graft.ShuffleDefaults.CodegenCacheMaxEntries)
+    val spark = graft.ShuffleDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -41,4 +41,35 @@ object ShuffleDefaults {
     sys.props.getOrElse("graft.shuffle.bypassThreshold", "200")
   def CodegenCacheMaxEntries: String =
     sys.props.getOrElse("graft.codegen.cacheEntries", "8192")
+
+  /** == Off-heap execution memory (`spark.memory.offHeap.*`) ==
+    * The big dedup/pair aggregations build multi-million-entry
+    * BytesToBytesMap hash maps whose page arrays live on the JVM heap
+    * by default — at sf1 shared_dedup_pairs measured 28-75 s of GC per
+    * run from exactly that churn (r17 A/B, pin and tree otherwise
+    * identical: off-heap ON → wall 56-65 s / gc 18-21; OFF → wall
+    * 70-71 s / gc 28-75). Off-heap execution memory is the standard
+    * at-scale remedy (map pages and spill buffers leave the GC's
+    * world); the size is a CAP allocated on demand, not a reservation,
+    * so small sessions are unaffected. Sys-prop overridable; disable
+    * with `-Dgraft.memory.offHeapSize=0` (Spark requires a positive
+    * size when enabled, so 0 turns the feature off).
+    */
+  def OffHeapSize: String =
+    sys.props.getOrElse("graft.memory.offHeapSize", "6g")
+
+  /** Every graft session builder routes through here so the session
+    * perf defaults cannot drift per-tool (the r16 round shipped one
+    * builder missing them).
+    */
+  def apply(b: org.apache.spark.sql.SparkSession.Builder)
+      : org.apache.spark.sql.SparkSession.Builder = {
+    val withBase = b
+      .config("spark.shuffle.sort.bypassMergeThreshold", BypassMergeThreshold)
+      .config("spark.sql.codegen.cache.maxEntries", CodegenCacheMaxEntries)
+    if (OffHeapSize == "0") withBase
+    else withBase
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", OffHeapSize)
+  }
 }

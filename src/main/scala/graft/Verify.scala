@@ -16,11 +16,7 @@ object Verify {
     // parallelism-invariant; 4 threads keeps the driver's concurrent
     // verify cheap) — Bench is where SPARK_GRAFT_CPUS=32 matters
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .config("spark.shuffle.sort.bypassMergeThreshold",
-          graft.ShuffleDefaults.BypassMergeThreshold)
-      .config("spark.sql.codegen.cache.maxEntries",
-          graft.ShuffleDefaults.CodegenCacheMaxEntries)
+    val spark = graft.ShuffleDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -997,8 +997,42 @@ object CorpusCuration {
     * all [[PrIters]] rounds in SQL with the generated overlap oracle
     * as its edge subquery (one source of truth).
     */
+  /** Edge-count bound for the driver-local PageRank fast path (r17,
+    * the Components/Bpe bounded-local pattern): the source graph is
+    * dim²-bounded (sources, not documents), and below this many
+    * symmetric edges the 8 checkpointed power-iteration rounds are
+    * pure job latency (~8 sequential localCheckpoint jobs for
+    * metadata-sized work — q_source_rank measured 3.7-5.8 s wall at
+    * sf0.1). The local rounds reproduce the distributed arithmetic
+    * BIT-IDENTICALLY: the same shortest-representation double →
+    * DECIMAL(38,18) HALF_UP cast Spark's Cast performs, exact decimal
+    * partial sums (associative, so fold order is free), and the same
+    * double chain for the damping step — OperatorsSpec pins local ==
+    * distributed. At web scale (10⁶⁺ hosts) the edge set exceeds the
+    * cap and the distributed rounds run unchanged. Var: specs force 0.
+    */
+  private[graft] var LocalPrEdgeCap = 65536L
+
   def sourceRank(s: SparkSession, dir: String): DataFrame = {
     val pairs = prPairs(s, dir)
+    val nodesAll = Tables.documentsSpread(s, dir).select(col("source")).distinct()
+    // the pair frame is session-persisted and dim²-bounded; one cheap
+    // count gates the edge collect, and the node collect is bounded by
+    // a limit probe (a corpus can have many sources but few overlaps —
+    // the Components reflexive-pair lesson)
+    if (LocalPrEdgeCap > 0 && pairs.count() * 2 <= LocalPrEdgeCap) {
+      val nodeRows = nodesAll.limit(LocalPrEdgeCap.toInt + 1).collect()
+      if (nodeRows.length <= LocalPrEdgeCap) {
+        val pr = localSourceRank(s, nodeRows.map(_.getString(0)),
+          pairs.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))))
+        import s.implicits._
+        return pr.toSeq.toDF("source", "pr")
+          .select(col("source"),
+            floor(col("pr") * lit(1e9) + lit(0.5)).cast("long").as("pr_micro"))
+          .withColumn("pr", col("pr_micro").cast("double") / lit(1e9))
+          .orderBy(col("pr_micro").desc, col("source"))
+      }
+    }
     // the loop references edges/outw/nodes EVERY round and chains r
     // round-over-round: without per-round localCheckpoints the final
     // plan embeds 8 nested rounds (re-running outw's agg and the
@@ -1037,6 +1071,40 @@ object CorpusCuration {
         floor(col("pr") * lit(1e9) + lit(0.5)).cast("long").as("pr_micro"))
       .withColumn("pr", col("pr_micro").cast("double") / lit(1e9))
       .orderBy(col("pr_micro").desc, col("source"))
+  }
+
+  /** Driver-local power iteration, arithmetic-identical to the
+    * distributed loop: per-edge contribution `pr · w / wout` is one
+    * IEEE double chain (mul then div, the expression's own
+    * associativity); each term is cast to DECIMAL(38,18) exactly as
+    * Spark's Cast does (shortest-repr BigDecimal of the double,
+    * HALF_UP to scale 18 — `java.math.BigDecimal.valueOf` + setScale);
+    * per-target sums add decimals (exact ⇒ order-free); the damping
+    * step is the same double expression with the decimal converted
+    * back via BigDecimal.doubleValue (= Spark Decimal.toDouble).
+    */
+  private def localSourceRank(s: SparkSession, nodes: Array[String],
+      pairs: Array[(String, String, Long)]): Array[(String, Double)] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val edges = pairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val wout = new java.util.HashMap[String, Long]()
+    edges.foreach { case (src, _, w) =>
+      wout.merge(src, w, (x, y) => x + y) }
+    val n = nodes.length
+    var r = nodes.map(src => src -> (1.0 / n)).toMap
+    for (_ <- 1 to PrIters) {
+      val cs = new java.util.HashMap[String, JBD]()
+      edges.foreach { case (src, dst, w) =>
+        val term = JBD.valueOf(r(src) * w.toDouble / wout.get(src).toDouble)
+          .setScale(18, RoundingMode.HALF_UP)
+        cs.merge(dst, term, (x, y) => x.add(y))
+      }
+      r = nodes.map { src =>
+        val c = cs.get(src)
+        src -> (PrJump / n + PrDamping * (if (c == null) 0.0 else c.doubleValue))
+      }.toMap
+    }
+    nodes.map(src => src -> r(src))
   }
 
   /** DuckDB twin of [[sourceRank]]: the generated overlap oracle as

@@ -14,11 +14,7 @@ object AhxTime {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = if (args.length > 1) args(1).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .config("spark.shuffle.sort.bypassMergeThreshold",
-        graft.ShuffleDefaults.BypassMergeThreshold)
-      .config("spark.sql.codegen.cache.maxEntries",
-        graft.ShuffleDefaults.CodegenCacheMaxEntries)
+    val spark = graft.ShuffleDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

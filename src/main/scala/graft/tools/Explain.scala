@@ -9,11 +9,7 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
-    val spark = SparkSession.builder()
-      .config("spark.shuffle.sort.bypassMergeThreshold",
-          graft.ShuffleDefaults.BypassMergeThreshold)
-      .config("spark.sql.codegen.cache.maxEntries",
-          graft.ShuffleDefaults.CodegenCacheMaxEntries)
+    val spark = graft.ShuffleDefaults(SparkSession.builder())
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

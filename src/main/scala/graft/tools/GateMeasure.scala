@@ -12,11 +12,7 @@ object GateMeasure {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
-      .config("spark.shuffle.sort.bypassMergeThreshold",
-          graft.ShuffleDefaults.BypassMergeThreshold)
-      .config("spark.sql.codegen.cache.maxEntries",
-          graft.ShuffleDefaults.CodegenCacheMaxEntries)
+    val spark = graft.ShuffleDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

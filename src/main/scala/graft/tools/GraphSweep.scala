@@ -14,11 +14,8 @@ import graft.operators.{GraphAnn, Similarity}
 object GraphSweep {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/testdata_sf1")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.shuffle.sort.bypassMergeThreshold",
-          graft.ShuffleDefaults.BypassMergeThreshold)
-      .config("spark.sql.codegen.cache.maxEntries",
-          graft.ShuffleDefaults.CodegenCacheMaxEntries)
+    val spark = graft.ShuffleDefaults(SparkSession.builder())
+      .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

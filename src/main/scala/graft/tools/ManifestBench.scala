@@ -21,11 +21,7 @@ object ManifestBench {
     val nFiles = if (args.length > 1) args(1).toInt else 10000
     val nAppends = if (args.length > 2) args(2).toInt else 24
     val withBloom = args.length > 3 && args(3) == "bloom"
-    val s = SparkSession.builder()
-      .config("spark.shuffle.sort.bypassMergeThreshold",
-          graft.ShuffleDefaults.BypassMergeThreshold)
-      .config("spark.sql.codegen.cache.maxEntries",
-          graft.ShuffleDefaults.CodegenCacheMaxEntries)
+    val s = graft.ShuffleDefaults(SparkSession.builder())
       .appName("graft-manifest-bench").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)

@@ -11,11 +11,8 @@ object NswTime {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = if (args.length > 1) args(1).toInt else 3
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.shuffle.sort.bypassMergeThreshold",
-        graft.ShuffleDefaults.BypassMergeThreshold)
-      .config("spark.sql.codegen.cache.maxEntries",
-        graft.ShuffleDefaults.CodegenCacheMaxEntries)
+    val spark = graft.ShuffleDefaults(SparkSession.builder())
+      .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -256,6 +256,14 @@ class CorpusCurationSpec extends AnyFunSuite {
     CorpusCuration.sourceRank(spark, sf).collect().foreach { row =>
       assert(row.getDouble(2) === row.getLong(1).toDouble / 1e9)
     }
+    // the r17 driver-local fast path (default cap, taken above) must
+    // equal the distributed checkpointed rounds bit-for-bit
+    val cap = CorpusCuration.LocalPrEdgeCap
+    CorpusCuration.LocalPrEdgeCap = 0L
+    val distRows = try CorpusCuration.sourceRank(spark, sf).collect().map(_.toSeq).toSeq
+      finally CorpusCuration.LocalPrEdgeCap = cap
+    val localRows = CorpusCuration.sourceRank(spark, sf).collect().map(_.toSeq).toSeq
+    assert(distRows === localRows, "local pagerank == distributed rounds")
   }
 
   test("source pagerank ranks a planted syndication hub first") {
